@@ -1,0 +1,136 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Measures the headline operator suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the reference's one
+published number: bulk CSV ingest throughput (validate -> typed load ->
+columnar sink), reported against BASELINE.md's 300k-500k rows/sec
+(reference hardware: 32 threads + ClickHouse Cloud over HTTP; ours: local
+sink — per-stage timings recorded for the apples-to-apples segment).
+
+Output: {"metric": "suite_total", "value": <sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": ..., "extra": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from crypto_data_service_loader_spark.session import get_spark
+from crypto_data_service_loader_spark.suite import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries: the hot-path shapes (scan-agg, joins, window, as-of,
+#: dedup, similarity, text) — each stressed end-to-end via a noop sink.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "join_broadcast_dim",
+    "join_sortmerge",
+    "join_semi",
+    "asof_last_tick",
+    "agg_multikey",
+    "agg_rollup",
+    "win_row_number",
+    "win_moving_avg",
+    "topk_by_price",
+    "status_transition_case",
+    "dedup_anti_join",
+    "groupby_collect_set",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_stats",
+    "token_count",
+]
+
+
+def _run_noop(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _run_noop(fn(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 4)
+    return times
+
+
+def bench_ingest(spark) -> dict[str, float]:
+    """Reference-comparable bulk ingest: stage lineitem as CSV (untimed prep),
+    then time validated CSV read -> typed ticks-shaped load -> parquet sink."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.sources.csv_ingest import read_ticks_csv
+    from crypto_data_service_loader_spark.tables import load
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    csv_dir = os.path.join(tmp, "csv")
+    out_dir = os.path.join(tmp, "out")
+    try:
+        li = load(spark, SF_DIR, "lineitem")
+        n = li.count()
+        # 9-field CSV in the tick layout (untimed staging)
+        staged = li.select(
+            F.concat_ws(
+                ",",
+                F.concat(F.lit("T"), (F.col("l_partkey") % 100).cast("string")),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_extendedprice").cast("string"),
+                F.col("l_quantity").cast("string"),
+                (F.col("l_extendedprice") * 1.001).cast("string"),
+                F.col("l_quantity").cast("string"),
+                (F.col("l_extendedprice") * 0.999).cast("string"),
+                F.col("l_quantity").cast("string"),
+                F.lit("1710400000000"),
+            ).alias("value")
+        )
+        staged.coalesce(8).write.mode("overwrite").text(csv_dir)
+
+        t0 = time.perf_counter()
+        ticks = read_ticks_csv(spark, csv_dir)
+        ticks.drop("_source_file").write.mode("overwrite").parquet(out_dir)
+        elapsed = time.perf_counter() - t0
+        return {
+            "ingest_rows": n,
+            "ingest_sec": round(elapsed, 4),
+            "ingest_rows_per_sec": round(n / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warmup: JVM/codegen, not measured
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = bench_queries(spark)
+    ingest = bench_ingest(spark)
+    total = round(sum(queries.values()), 4)
+    out = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "extra": {
+            **ingest,
+            "baseline_rows_per_sec": "300000-500000 (reference, ClickHouse Cloud sink)",
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Scalar helpers mirroring the reference's inline scalar ops
+(SURVEY.md §2A "supporting scalar operations"): date parse/format/add,
+TSV/CSV string assembly, filename<->date parsing, JSON log events, and a
+Pandas-UDF example proving the vectorized-UDF surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+
+def to_tsv_line(*cols: Column) -> Column:
+    """TickerFile TSV serialization `filename\\tcreate_date\\tstatus`
+    (reference TickerFile.java:61-71)."""
+    return F.concat_ws("\t", *cols)
+
+
+def filename_date(path: Column) -> Column:
+    """Parse the date-dir component out of a path (…/<YYYY-MM-DD>/<file>)."""
+    return F.to_date(F.element_at(F.split(path, "/"), -2))
+
+
+def ticker_from_filename(filename: Column) -> Column:
+    """`<TICKER>_PST_<DATE>` -> TICKER (reference README.md:6-9 naming)."""
+    return F.element_at(F.split(filename, "_PST_"), 1)
+
+
+def log_event_json(
+    severity: Column, thread: Column, message: Column, mdc: Column
+) -> Column:
+    """O29 — JSON log-event assembly (LogMsgLayout.json:1-30 shape)."""
+    return F.to_json(
+        F.struct(
+            severity.alias("severity"),
+            thread.alias("thread"),
+            message.alias("message"),
+            mdc.alias("mdc_fields"),
+        )
+    )
+
+
+@F.pandas_udf(DoubleType())
+def mid_price(best_bid: pd.Series, best_ask: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) mid-price — the §2B EXT pandas-UDF surface
+    proof. Built-in `(bid+ask)/2` is preferred in production plans; this
+    exists to exercise/benchmark the Pandas-UDF path."""
+    return (best_bid + best_ask) / 2.0

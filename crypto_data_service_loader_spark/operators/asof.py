@@ -1,0 +1,70 @@
+"""As-of join — a composite operator Spark lacks natively (SURVEY.md §2B,
+§4: "no planner rule, just a composite operator function").
+
+Semantics: for every left row, attach the latest right row with
+``right.time <= left.time`` within the same key (ticks⋈quotes by nearest
+past time — the natural crypto-domain join).
+
+Implementation — the union trick, chosen for scale:
+  1. tag both sides and union them (no join, no N×M blowup),
+  2. one shuffle: window partitioned by key, ordered by (time, side) with
+     the right side first at equal timestamps (<= semantics),
+  3. ``last(value, ignorenulls=True)`` carries the most recent right-side
+     values forward onto left rows,
+  4. keep only left rows.
+
+Cost at 100 TB: exactly one hash-shuffle + per-partition sort over
+|left|+|right| rows — the same cost as a single sort-merge join, with no
+range-explosion risk. The alternative (`applyInPandas` + `pd.merge_asof`
+per key) moves all data through Arrow into Python; kept only as a
+reference implementation in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: latest right values at-or-before each left time.
+
+    Left rows with no prior right row get nulls (left-outer semantics).
+    """
+    by = list(by)
+    out_vals = [f"{c}{suffix}" for c in value_cols]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(v)
+          for c, v in zip(value_cols, out_vals)],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by],
+        *[F.col(c) for c in by],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(v) for c, v in zip(value_cols, out_vals)],
+    ).select(*l_tagged.columns)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l_tagged.unionByName(r_tagged)
+    for v in out_vals:
+        filled = filled.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 1).drop("_t", "_side")

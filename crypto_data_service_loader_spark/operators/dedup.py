@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — all expressed as
+compositions of built-in JVM-side functions (no Python UDFs in any hot
+path), so Catalyst/Tungsten keep the whole plan in codegen.
+
+Determinism contract: every hash is md5 over an explicit string — identical
+in Spark and DuckDB, stable across runs/engines/partitionings. MinHash "min"
+is the lexicographic min of hex digests, a uniform order on the hash space.
+
+Scale design:
+- exact dedup: one hash-shuffle on a 32-hex-char fingerprint, never on the
+  document body;
+- MinHash+LSH: signatures are computed scan-side per row (no shuffle), the
+  only shuffle is the band-bucket explode + self-join on (band, band_hash)
+  — the classic O(candidates) near-dup join instead of O(n²);
+- candidate verification joins back to bodies only for the (tiny) candidate
+  set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def normalized_fingerprint(text_col: Column) -> Column:
+    """md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.concat_ws(" ", _tokens(text_col)))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: fingerprint -> canonical (min) id + dup count.
+
+    Shuffles 32-byte fingerprints + ids only; document bodies never move.
+    """
+    return (
+        _spread(docs).select(
+            F.col(id_col),
+            normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """All k-word shingles of the text (empty array when < k tokens)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def _seeded_min_hash(sh: Column, seed: int) -> Column:
+    # single-arg lambda: a two-arg lambda would make F.transform bind the
+    # second parameter to the array index, not the seed
+    prefix = f"{seed}:"
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+
+def minhash_signature(text_col: Column, num_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash signature: per seed, min md5('<seed>:'||shingle) over shingles."""
+    sh = shingles(text_col, k)
+    return F.array(*[_seeded_min_hash(sh, i) for i in range(num_hashes)])
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition CPU-bound hashing stages to the cluster's parallelism.
+
+    Parquet splits by bytes (maxPartitionBytes), which under-partitions
+    small-but-compute-heavy text tables (one 20 MB file = one task = one
+    core doing ~all the md5 work). An explicit round-robin repartition costs
+    one narrow shuffle of the doc ids+text and buys full-cluster fan-out;
+    AQE coalesces back afterwards if the result is small.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows/band = num_hashes/bands; docs agreeing on ALL rows of any band land
+    in one bucket. The self-join is per-bucket, so cost tracks candidate
+    count, not n². Skewed buckets (boilerplate-heavy corpora) are split by
+    AQE skew-join handling.
+
+    Shape: explode shingles -> per-shingle seed hashes -> groupBy(doc) MIN.
+    Each hash is computed exactly once (array-lambda formulations get
+    re-evaluated per use: Spark's subexpression elimination skips
+    LambdaFunction trees), the MIN aggregate combines map-side, and the
+    shuffle carries only (doc, 8×32-hex) rows. Docs with < k tokens have no
+    shingles and are excluded from LSH by construction (explode drops them).
+    """
+    rows_per_band = num_hashes // bands
+    exploded = _spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    )
+    hashed = exploded.select(
+        "doc",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(f"m{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    banded = sig.select(
+        "doc",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    buckets = banded.selectExpr(
+        "doc",
+        "stack({n}, {args}) AS (band, band_hash)".format(
+            n=bands,
+            args=", ".join(f"'{b}', band_{b}" for b in range(bands)),
+        ),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+            "inner",
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets for candidate pairs.
+
+    Joins shingle sets onto the (small) candidate-pair set — the verify
+    stage after LSH. array_intersect/union run JVM-side per row.
+    """
+    sets = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    return (
+        pairs.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token hash bits.
+
+    Token hash = first 4 hex chars of md5 (16 bits), via conv(hex,16,10).
+    Explode -> per-bit sign sums -> reassemble: two narrow shuffles on
+    (id, token) and (id). Duplicate tokens count with multiplicity.
+    """
+    tok = _spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long"))
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"b{i}") > 0, 2**i).otherwise(0)
+    return bit_sums.select(F.col("doc").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 16, max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+
+    Scale path: block on simhash bytes (here: bucket by high byte) so the
+    self-join is per-bucket; exact Hamming check via bit_count(xor).
+    """
+    s = simhash(docs, text_col, id_col, bits)
+    s = s.withColumn("block", F.shiftright(F.col("simhash"), bits // 2))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

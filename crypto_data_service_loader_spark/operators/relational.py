@@ -1,0 +1,90 @@
+"""Relational EXT operators (SURVEY.md §2B): joins, aggs, windows, top-k,
+set ops.
+
+Scale notes baked into each operator:
+- small-dimension joins broadcast explicitly (no shuffle of the fact table);
+- large-large joins stay sort-merge with AQE skew splitting;
+- aggregations rely on Catalyst's partial (map-side) aggregation — the
+  operator only declares groupBy/agg;
+- top-k is orderBy+limit so Spark plans TakeOrderedAndProject (no global
+  sort materialization);
+- cross-engine-verified money aggregates accumulate in DECIMAL then cast to
+  DOUBLE: double summation order differs between engines/partitions, decimal
+  accumulation is exact, the final decimal->double rounding is IEEE-identical
+  everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent exact sum, returned as DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent mean: exact decimal sum / count, as DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(c)
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Broadcast-hash join: ships the dim to every executor, zero shuffle of
+    the fact side. The right call whenever dim << executor memory (TPC-H
+    nation/region/part at any SF)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def sortmerge_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Large-large join pinned to sort-merge (both sides shuffle on the key;
+    AQE splits skewed partitions). Use when neither side broadcasts."""
+    return left.hint("merge").join(right.hint("merge"), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """EXISTS — left rows with at least one match; right never duplicates
+    output rows and only its join key is shuffled."""
+    return left.join(right, on, "left_semi")
+
+
+def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
+    """Global top-k: planned as TakeOrderedAndProject — each partition keeps
+    a k-row heap, driver merges; no full sort at any scale."""
+    c = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    return df.orderBy(c).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: Sequence[str], order_col: str, k: int
+) -> DataFrame:
+    """Top-k per group via row_number window (one shuffle on the group key)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION ALL by name — no shuffle, pure concatenation of partitions."""
+    return a.unionByName(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT ALL (bag difference)."""
+    return a.exceptAll(b)
+
+
+def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT (set semantics)."""
+    return a.intersect(b)

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is an
+LSH-bucketed variant (deterministic md5-derived hyperplanes, so results are
+reproducible across runs and engines — no RNG in the data plane).
+
+All vector math uses built-in higher-order functions (zip_with/aggregate)
+on DOUBLE — JVM-side, codegen'd, no Python in the scan. For very wide
+vectors a Pandas-UDF/numpy path can win on SIMD; see
+``cosine_scores_pandas`` in tests for the benchmarked alternative.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_scores(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Cosine similarity of every row against a literal query vector.
+
+    The query norm is computed driver-side (one small literal broadcast into
+    the plan); per-row work is a fused zip_with+aggregate fold — one scan,
+    no shuffle. Scores rounded to `scale` decimals to make top-k ordering
+    reproducible across engines (doubles differ in the last ulp).
+    """
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _as_double(F.col(vec_col))
+    dot = _dot(v, q)
+    vnorm = F.sqrt(_dot(v, v))
+    return embeddings.select(
+        F.col(id_col),
+        F.round(dot / (vnorm * F.lit(qnorm)), scale).alias("score"),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: scan + TakeOrderedAndProject (per-partition
+    k-heaps, driver merge) — the exact baseline every ANN variant is
+    measured against. Deterministic tie-break on id."""
+    return (
+        cosine_scores(embeddings, query, vec_col, id_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
+
+    Public trick: md5(seed:i) first 8 hex chars -> uniform in [0,1) -> ±.
+    Avoids RNG state entirely; identical planes on every executor/run.
+    """
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8]
+        out.append(1.0 if int(h, 16) % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket = bit-vector of sign(v·plane).
+
+    Scan-side only (no shuffle); downstream ANN search probes the query's
+    bucket (and optionally neighbors) instead of the full corpus.
+    """
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        bucket = bucket + F.when(_dot(v, plane) >= 0, 2**p).otherwise(0)
+    return embeddings.withColumn("bucket", bucket)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: restrict the brute-force scan to the query's LSH bucket.
+
+    Recall < 1.0 by construction (tested against the brute-force baseline);
+    at 100 TB this turns a full-corpus scan into a single-bucket scan —
+    with bucket files partitioned by `bucket`, partition pruning does it.
+    """
+    dim = len(query)
+    qbucket = 0
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        dot = sum(float(a) * b for a, b in zip(query, plane))
+        if dot >= 0:
+            qbucket += 2**p
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == qbucket).drop("bucket"),
+        query,
+        k,
+        vec_col,
+        id_col,
+    )

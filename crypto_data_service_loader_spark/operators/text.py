@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all built-in
+JVM functions over the `documents` table; no Python in the scan path.
+
+Ratios are single IEEE divisions of integer counts — bit-identical across
+engines (no summation-order hazard), so every operator here is
+oracle-checkable without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deterministic and public-knowledge; quality depends on corpus, the
+#: operator contract is only argmax(hit counts) with fixed tie-break order.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "la", "los", "y", "es", "una"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # tie-break priority
+
+#: BPE-ish token pattern: letter runs | digit runs | single non-space symbol.
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stats: chars, tokens, distinct tokens, avg token length,
+    stopword ratio — the standard quality-filter feature block."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", "")).cast("double")
+            / n_tok
+        ).alias("avg_token_len"),
+        (
+            _stop_hits(toks, STOPWORDS["en"]).cast("double") / n_tok
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length band + lexical diversity +
+    stopword presence. Weights are fixed; the point is a deterministic,
+    filterable scalar (the standard pre-training quality gate shape)."""
+    stats = text_stats(docs, text_col, id_col)
+    len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    diversity = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+    return stats.select(
+        F.col(id_col),
+        F.round(
+            F.when(len_ok, 0.4).otherwise(0.0)
+            + diversity * 0.3
+            + F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0)) * 0.3,
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    ties broken by LANG_ORDER, all-zero -> 'und'."""
+    toks = _tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        *[_stop_hits(toks, STOPWORDS[lang]).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when((best > 0) & (F.col(f"s_{lang}") == best), lang).otherwise(pred)
+    # reversed() so earlier LANG_ORDER entries overwrite later ones on ties
+    return scored.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letter runs /
+    digit runs / single symbols) — the cheap proxy pair for LLM token
+    budgeting before real tokenization."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(norm, r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(TOKEN_PATTERN), 0)).alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Two fingerprints per doc:
+    - content_fp: md5 of normalized text (order-sensitive, exact-dup key)
+    - bag_fp: md5 of the sorted distinct token set (order-insensitive —
+      catches shuffled/reordered copies)."""
+    toks = _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("bag_fp"),
+    )

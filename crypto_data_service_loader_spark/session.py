@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ~ cores (not 200), AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), Arrow enabled for any Pandas-UDF path, UTC session
+timezone so results compare bit-for-bit against the DuckDB oracle.
+
+On a real cluster the same builder applies — only master/memory change; the
+operator code never assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crypto_data_service_loader_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 2)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # At 100 TB the default 128 MiB input split is right; keep it explicit
+        # so scale-up doesn't silently inherit a local-mode override.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

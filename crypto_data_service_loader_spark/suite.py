@@ -1,0 +1,832 @@
+"""The verification suite: every implemented operator as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB-oracle SQL twin.
+
+Cross-engine determinism rules (each violated rule = a hash mismatch):
+- money/metric SUMs accumulate in DECIMAL(38,6) then cast to DOUBLE
+  (`relational.dsum`) — double summation order differs between engines;
+- every computed column is aliased identically on both sides;
+- output types are aligned exactly (Spark size() is INT -> oracle casts
+  len() to INTEGER; DuckDB SUM(int) is HUGEINT -> cast to BIGINT);
+- no current_date()/now()/rand() — fixed literals only;
+- collect_set is canonicalized via array_sort / sorted string_agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import asof, dedup, registry as R, relational as rel, similarity, text
+from .operators.relational import davg, dsum
+from .sources.csv_ingest import line_is_valid
+from .tables import (
+    DISCOVERED_SQL,
+    FS_FILES_SQL,
+    REGISTRY_SQL,
+    TODAY,
+    discovered_candidates,
+    fs_files,
+    load,
+    registry,
+)
+
+# --------------------------------------------------------------------------
+# shared SQL fragments
+# --------------------------------------------------------------------------
+
+_REG = f"WITH registry AS ({REGISTRY_SQL})"
+_REG_FS = f"WITH registry AS ({REGISTRY_SQL}), fs AS ({FS_FILES_SQL})"
+
+#: registry event log fixture: initial statuses (seq 0) + one update wave
+#: (seq 1) flipping IN_PROGRESS -> FINISHED.
+_EVENTS_SQL = f"""
+WITH registry AS ({REGISTRY_SQL}),
+events AS (
+    SELECT filename, create_date, status, 0 AS seq FROM registry
+    UNION ALL
+    SELECT filename, create_date, 'FINISHED' AS status, 1 AS seq
+    FROM registry WHERE status = 'IN_PROGRESS'
+)
+"""
+
+
+def _events_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = registry(spark, sf_dir)
+    base = reg.withColumn("seq", F.lit(0).cast("int"))
+    update = (
+        reg.filter(F.col("status") == "IN_PROGRESS")
+        .withColumn("status", F.lit("FINISHED"))
+        .withColumn("seq", F.lit(1).cast("int"))
+    )
+    return base.unionByName(update)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the reference's fact-table volume
+    aggregate shape (filter + multi-agg groupBy), exercising O7/O12/O22."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_FLAGSHIP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)       AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)  AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity)  AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount)  AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# registry / control-plane operators (SURVEY.md §2A)
+# --------------------------------------------------------------------------
+
+def q_file_registry_scan(spark, sf_dir):
+    return registry(spark, sf_dir)
+
+
+def q_agg_max_date(spark, sf_dir):
+    return R.max_create_date(registry(spark, sf_dir))
+
+
+def q_dedup_anti_join(spark, sf_dir):
+    return R.dedup_new_files(
+        discovered_candidates(spark, sf_dir), registry(spark, sf_dir)
+    )
+
+
+def q_filter_status_in(spark, sf_dir):
+    return R.filter_status_in(registry(spark, sf_dir), ["DISCOVERED", "DOWNLOADING"])
+
+
+def q_status_transition_case(spark, sf_dir):
+    return R.transition_statuses(registry(spark, sf_dir), TODAY)
+
+
+def q_status_update_merge(spark, sf_dir):
+    return R.current_state(_events_fixture(spark, sf_dir)).select(
+        "filename", "create_date", "status"
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    return R.point_lookup(registry(spark, sf_dir), "file_42")
+
+
+def q_filter_date_eq(spark, sf_dir):
+    return R.filter_date_eq(registry(spark, sf_dir), "1997-06-15")
+
+
+def q_groupby_collect_set(spark, sf_dir):
+    return R.files_by_date(registry(spark, sf_dir)).select(
+        "create_date", F.concat_ws(",", "filenames").alias("filenames")
+    )
+
+
+def q_registry_fs_inner_join(spark, sf_dir):
+    return R.registry_fs_join(fs_files(spark, sf_dir), registry(spark, sf_dir))
+
+
+def q_sort_by_filename(spark, sf_dir):
+    return R.sort_by_filename(registry(spark, sf_dir))
+
+
+def q_agg_min_max_filtered(spark, sf_dir):
+    return R.min_max_finished_dates(registry(spark, sf_dir))
+
+
+def q_retention_guard(spark, sf_dir):
+    return R.retention_guard(registry(spark, sf_dir), TODAY)
+
+
+def q_agg_count_star(spark, sf_dir):
+    return R.count_rows(registry(spark, sf_dir))
+
+
+def q_csv_validate_filter(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    line = F.concat_ws(
+        ",",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.lit("f7"), F.lit("f8"), F.lit("f9"),
+    )
+    line = F.when(F.col("l_orderkey") % 10 == 0, F.concat(line, F.lit(",zz"))).otherwise(line)
+    lines = li.select(line.alias("line"))
+    valid = line_is_valid(F.col("line"))
+    return lines.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("bigint").alias("n_valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).cast("bigint").alias("n_invalid"),
+    )
+
+
+def q_cleanup_candidates(spark, sf_dir):
+    return R.cleanup_candidates(
+        fs_files(spark, sf_dir), registry(spark, sf_dir), "1999-01-01"
+    )
+
+
+def q_upload_status_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select(
+        F.concat(F.lit("file_"), F.col("l_orderkey").cast("string")).alias("filename"),
+        (~((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 11 == 0))).alias("ok"),
+    )
+    return R.upload_status_rollup(parts)
+
+
+_REGISTRY_ORACLES = {
+    "file_registry_scan": f"{_REG} SELECT filename, create_date, status FROM registry",
+    "agg_max_date": f"{_REG} SELECT MAX(create_date) AS max_create_date FROM registry",
+    "dedup_anti_join": f"""{_REG}, discovered AS ({DISCOVERED_SQL})
+        SELECT d.filename, d.create_date FROM discovered d
+        WHERE NOT EXISTS (SELECT 1 FROM registry r WHERE r.filename = d.filename)""",
+    "filter_status_in": f"""{_REG} SELECT filename, create_date, status FROM registry
+        WHERE status IN ('DISCOVERED','DOWNLOADING')""",
+    "status_transition_case": f"""{_REG}
+        SELECT filename, create_date,
+               CASE WHEN create_date = DATE '{TODAY}' AND status = 'DISCOVERED'
+                         THEN 'DOWNLOADING'
+                    WHEN create_date < DATE '{TODAY}'
+                         AND status IN ('DISCOVERED','DOWNLOADING')
+                         THEN 'READY_FOR_PROCESSING'
+                    ELSE status END AS status
+        FROM registry""",
+    "status_update_merge": f"""{_EVENTS_SQL}
+        SELECT filename, create_date, status FROM (
+            SELECT filename, create_date, status,
+                   ROW_NUMBER() OVER (PARTITION BY filename ORDER BY seq DESC) AS rn
+            FROM events) WHERE rn = 1""",
+    "point_lookup": f"""{_REG} SELECT filename, status FROM registry
+        WHERE filename = 'file_42'""",
+    "filter_date_eq": f"""{_REG} SELECT filename, create_date, status FROM registry
+        WHERE create_date = DATE '1997-06-15'""",
+    "groupby_collect_set": f"""{_REG}
+        SELECT create_date,
+               string_agg(DISTINCT filename, ',' ORDER BY filename) AS filenames
+        FROM registry GROUP BY create_date""",
+    "registry_fs_inner_join": f"""{_REG_FS}
+        SELECT f.create_date, f.filename, r.status
+        FROM fs f JOIN registry r
+          ON f.filename = r.filename AND f.create_date = r.create_date""",
+    "sort_by_filename": f"""{_REG} SELECT filename, create_date, status
+        FROM registry ORDER BY filename""",
+    "agg_min_max_filtered": f"""{_REG}
+        SELECT MIN(create_date) AS min_date, MAX(create_date) AS max_date
+        FROM registry WHERE status = 'FINISHED'""",
+    "retention_guard": f"""{_REG}
+        SELECT MIN(create_date) AS min_date, MAX(create_date) AS max_date,
+               (MIN(create_date) = MAX(create_date)
+                OR MIN(create_date) = DATE '{TODAY}'
+                OR MIN(create_date) + 1 = DATE '{TODAY}')
+               AS skip_cleanup
+        FROM registry WHERE status = 'FINISHED'""",
+    "agg_count_star": f"{_REG} SELECT COUNT(*) AS n FROM registry",
+    "csv_validate_filter": """
+        WITH lines AS (
+            SELECT CASE WHEN l_orderkey % 10 = 0 THEN base || ',zz' ELSE base END AS line
+            FROM (SELECT concat_ws(',', CAST(l_orderkey AS VARCHAR),
+                         CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+                         CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus,
+                         'f7', 'f8', 'f9') AS base, l_orderkey
+                  FROM lineitem))
+        SELECT CAST(SUM(CASE WHEN len(string_split(line, ',')) = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(SUM(CASE WHEN len(string_split(line, ',')) = 9 THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+        FROM lines""",
+    "cleanup_candidates": f"""{_REG_FS}
+        SELECT f.create_date, f.filename
+        FROM fs f JOIN registry r
+          ON f.filename = r.filename AND f.create_date = r.create_date
+        WHERE r.status = 'FINISHED'
+          AND r.create_date < DATE '1999-01-01' - INTERVAL 1 DAY""",
+    "upload_status_rollup": """
+        SELECT filename,
+               CASE WHEN bool_and(ok) THEN 'FINISHED' ELSE 'ERROR' END AS status
+        FROM (SELECT 'file_' || CAST(l_orderkey AS VARCHAR) AS filename,
+                     NOT (l_linenumber = 1 AND l_orderkey % 11 = 0) AS ok
+              FROM lineitem)
+        GROUP BY filename""",
+}
+
+# --------------------------------------------------------------------------
+# relational EXT (SURVEY.md §2B)
+# --------------------------------------------------------------------------
+
+def q_join_broadcast_dim(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        rel.broadcast_join(li, part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_join_sortmerge(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    orders = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey")
+    return (
+        rel.sortmerge_join(li, orders, ["okey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return rel.semi_join(cust, orders, ["c_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_asof_last_tick(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof.asof_join(
+        clicks, views, by=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["value"],
+    ).select("event_id", "user_id", "ts", F.col("value_asof"))
+
+
+def q_agg_multikey(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    # HLL sketch — engine-specific estimate; rows-only check (no oracle).
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+def q_win_row_number(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+def q_win_lag_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def q_win_moving_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov_avg"),
+    )
+
+
+def q_topk_by_price(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(10).select("o_orderkey", "o_totalprice")
+
+
+def q_setop_union(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return rel.union_all(cust, supp)
+
+
+def q_setop_except(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)
+
+
+def q_setop_intersect(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return rel.intersect_distinct(cust, supp)
+
+
+def q_scalar_dates(spark, sf_dir):
+    reg = registry(spark, sf_dir)
+    return reg.select(
+        "filename",
+        F.date_format("create_date", "yyyy-MM-dd").alias("d_str"),
+        F.date_add("create_date", 7).alias("d_plus7"),
+        F.datediff(F.to_date(F.lit(TODAY)), F.col("create_date")).alias("age_days"),
+        (F.col("create_date") < F.to_date(F.lit(TODAY))).alias("is_past"),
+    )
+
+
+def q_scalar_strings(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.element_at(F.split(F.col("p_type"), " "), 1).alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+    )
+
+
+def q_log_event_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("severity"),
+                F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("thread"),
+                F.col("props").alias("message"),
+            )
+        ).alias("log_json"),
+    )
+
+
+def q_udf_mid_price(spark, sf_dir):
+    from .functions.scalars import mid_price
+
+    ev = load(spark, sf_dir, "events")
+    bid = F.col("value")
+    ask = F.col("value") * 1.01
+    return ev.select("event_id", mid_price(bid, ask).alias("mid"))
+
+
+def q_stream_tumbling_daily_count(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "sum_value")
+    )
+
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+
+_RELATIONAL_ORACLES = {
+    "join_broadcast_dim": f"""
+        SELECT p_brand,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""",
+    "join_sortmerge": f"""
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               {_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""",
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "asof_last_tick": """
+        SELECT c.event_id, c.user_id, c.ts, v.value AS value_asof
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND v.ts <= c.ts""",
+    "agg_multikey": f"""
+        SELECT user_id, event_type, COUNT(*) AS n,
+               {_DSUM.format(x='value')} AS sum_value
+        FROM events GROUP BY user_id, event_type""",
+    "agg_rollup": f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "win_row_number": """
+        SELECT user_id, event_id, ts FROM (
+            SELECT user_id, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+            FROM events) WHERE rn = 1""",
+    "win_lag_delta": """
+        SELECT event_id, user_id,
+               value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+        FROM events""",
+    "win_moving_avg": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS mov_avg
+        FROM events""",
+    "topk_by_price": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "setop_union": """
+        SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier""",
+    "setop_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier""",
+    "setop_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier""",
+    "scalar_dates": f"""{_REG}
+        SELECT filename,
+               strftime(create_date, '%Y-%m-%d') AS d_str,
+               CAST(create_date + INTERVAL 7 DAY AS DATE) AS d_plus7,
+               CAST(date_diff('day', create_date, DATE '{TODAY}') AS INTEGER) AS age_days,
+               create_date < DATE '{TODAY}' AS is_past
+        FROM registry""",
+    "scalar_strings": """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_up,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               string_split(p_type, ' ')[1] AS type_head,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               substr(p_name, 1, 5) AS name5
+        FROM part""",
+    "log_event_json": """
+        SELECT event_id,
+               concat('{"severity":', to_json(event_type),
+                      ',"thread":', to_json('user_' || CAST(user_id AS VARCHAR)),
+                      ',"message":', to_json(props), '}') AS log_json
+        FROM events""",
+    "udf_mid_price": """
+        SELECT event_id, (value + value * 1.01) / 2 AS mid FROM events""",
+    "stream_tumbling_daily_count": f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               COUNT(*) AS n,
+               {_DSUM.format(x='value')} AS sum_value
+        FROM events GROUP BY 1, 2""",
+}
+
+# --------------------------------------------------------------------------
+# LLM-pipeline EXT: dedup / similarity / text
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") > 0.2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    # blocked self-join near-dup — rows-only check (blocking is impl detail)
+    return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _query_vector(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_sim_cosine_topk_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_text_stats(spark, sf_dir):
+    return text.text_stats(load(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_counts(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.doc_fingerprints(load(spark, sf_dir, "documents"))
+
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_SHINGLES = (
+    "CASE WHEN len({t}) < 3 THEN [] "
+    "ELSE list_transform(range(1, len({t}) - 1), "
+    "i -> array_to_string(list_slice({t}, i, i + 2), ' ')) END"
+).format(t=_TOKS)
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{b}', {hs})) AS band_{b}".format(
+            b=b, hs=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc, '{b}' AS band, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+                    WHERE len({_SHINGLES}) > 0),
+        sig AS (SELECT doc, {sig_exprs} FROM sh),
+        banded AS (SELECT doc, {band_exprs} FROM sig),
+        buckets AS ({band_union})
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc"""
+
+
+_LLM_ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""",
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_ngram_jaccard": f"""
+        WITH sets AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+            FROM documents WHERE doc_id < 60)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.2""",
+    "text_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+               CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+                   / len({_TOKS}) AS avg_token_len,
+               CAST(len(list_filter({_TOKS},
+                    t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                   / len({_TOKS}) AS stopword_ratio
+        FROM documents""",
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+        FROM documents""",
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string({_TOKS}, ' ')) AS content_fp,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_fp
+        FROM documents""",
+    # cosine: DuckDB list_sum folds in list order, exactly like Spark's
+    # F.aggregate — verified bit-identical at 12 dp (tools/diffcheck.py)
+    "sim_cosine_topk": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(list_sum(list_transform(qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm FROM q)
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qn.qnorm),
+                     6) AS score
+        FROM embeddings e, q, qn
+        ORDER BY score DESC, e.vec_id ASC LIMIT 10""",
+    "dedup_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
+        h AS (
+            SELECT doc, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS h
+            FROM tok),
+        bits AS (
+            SELECT doc,
+                   {', '.join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16))}
+            FROM h GROUP BY doc)
+        SELECT doc AS doc_id,
+               CAST({' + '.join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))} AS BIGINT) AS simhash
+        FROM bits""",
+    "text_quality": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS}) AS stopword_ratio
+            FROM documents)
+        SELECT doc_id,
+               round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                     + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
+                     + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+        FROM s""",
+    "lang_id": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(list_filter({_TOKS}, t -> list_contains(['the','a','of','and','to','in'], t))) AS s_en,
+                   len(list_filter({_TOKS}, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
+                   len(list_filter({_TOKS}, t -> list_contains(['le','la','les','et','est','une'], t))) AS s_fr,
+                   len(list_filter({_TOKS}, t -> list_contains(['el','la','los','y','es','una'], t))) AS s_es
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM s""",
+}
+
+# --------------------------------------------------------------------------
+# assembled suite
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "flagship_pricing_summary": q_flagship,
+    # control plane (reference §2A)
+    "file_registry_scan": q_file_registry_scan,
+    "agg_max_date": q_agg_max_date,
+    "dedup_anti_join": q_dedup_anti_join,
+    "filter_status_in": q_filter_status_in,
+    "status_transition_case": q_status_transition_case,
+    "status_update_merge": q_status_update_merge,
+    "point_lookup": q_point_lookup,
+    "filter_date_eq": q_filter_date_eq,
+    "groupby_collect_set": q_groupby_collect_set,
+    "registry_fs_inner_join": q_registry_fs_inner_join,
+    "sort_by_filename": q_sort_by_filename,
+    "agg_min_max_filtered": q_agg_min_max_filtered,
+    "retention_guard": q_retention_guard,
+    "agg_count_star": q_agg_count_star,
+    "csv_validate_filter": q_csv_validate_filter,
+    "cleanup_candidates": q_cleanup_candidates,
+    "upload_status_rollup": q_upload_status_rollup,
+    # relational EXT (§2B)
+    "join_broadcast_dim": q_join_broadcast_dim,
+    "join_sortmerge": q_join_sortmerge,
+    "join_semi": q_join_semi,
+    "asof_last_tick": q_asof_last_tick,
+    "agg_multikey": q_agg_multikey,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_rollup": q_agg_rollup,
+    "win_row_number": q_win_row_number,
+    "win_lag_delta": q_win_lag_delta,
+    "win_moving_avg": q_win_moving_avg,
+    "topk_by_price": q_topk_by_price,
+    "setop_union": q_setop_union,
+    "setop_except": q_setop_except,
+    "setop_intersect": q_setop_intersect,
+    "scalar_dates": q_scalar_dates,
+    "scalar_strings": q_scalar_strings,
+    "log_event_json": q_log_event_json,
+    "udf_mid_price": q_udf_mid_price,
+    "stream_tumbling_daily_count": q_stream_tumbling_daily_count,
+    # LLM-pipeline EXT
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_pricing_summary": _FLAGSHIP_SQL,
+    **_REGISTRY_ORACLES,
+    **_RELATIONAL_ORACLES,
+    **_LLM_ORACLES,
+    # intentionally absent (rows-only checks): agg_approx_distinct (HLL
+    # estimate is engine-specific), dedup_simhash_pairs (blocking strategy
+    # is an implementation detail; the simhash VALUES are oracle-checked),
+    # sim_cosine_topk_lsh (md5-derived hyperplanes live driver-side; recall
+    # vs the oracle-checked brute-force baseline is asserted in tests).
+}

@@ -1,0 +1,139 @@
+"""Testdata loading + deterministic fixture derivations.
+
+The driver's tables (TESTDATA.md) are TPC-H-ish; the reference's control
+plane works on a (filename, create_date, status) registry (FIXTURES.md F2).
+We derive a deterministic registry from `orders` — both in DataFrame API
+(for `queries()`) and as a SQL CTE fragment (for the DuckDB `oracle_sql()`)
+— so every registry operator is oracle-checkable.
+
+Determinism rules shared by both sides:
+- filename  = 'file_' || orderkey
+- create_date = CAST(o_orderdate AS DATE)
+- status    = STATUSES[o_orderkey % 6]
+- TODAY is a fixed literal inside the data's date range (never
+  current_date(), which would desync Spark from the oracle at midnight).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schemas import STATUSES
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Fixed "today" for the status machine, inside orders' 1995..2001 range.
+TODAY = "1998-07-15"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (columnar parquet scan, pushdown-capable).
+
+    `events.parquet` stores TIMESTAMP(NANOS), which Spark reads only as
+    long-nanos (legacy conf); convert to micros exactly like DuckDB's
+    ns->us truncation so both engines see identical timestamps.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _status_case(key_col: str) -> F.Column:
+    col = F.col(key_col) % 6
+    expr = F.lit(STATUSES[-1])
+    # Build CASE from the tail so the chain reads in STATUSES order.
+    for i in range(len(STATUSES) - 2, -1, -1):
+        expr = F.when(col == i, STATUSES[i]).otherwise(expr)
+    return expr
+
+
+def registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-shaped DataFrame derived from `orders` (FIXTURES.md F5)."""
+    return load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("file_"), F.col("o_orderkey").cast("string")).alias("filename"),
+        F.col("o_orderdate").cast("date").alias("create_date"),
+        _status_case("o_orderkey").alias("status"),
+    )
+
+
+#: DuckDB CTE body equivalent to :func:`registry`. Keep in lockstep.
+REGISTRY_SQL = """
+SELECT 'file_' || CAST(o_orderkey AS VARCHAR) AS filename,
+       CAST(o_orderdate AS DATE)              AS create_date,
+       CASE CAST(o_orderkey % 6 AS INT)
+            WHEN 0 THEN 'DISCOVERED'
+            WHEN 1 THEN 'DOWNLOADING'
+            WHEN 2 THEN 'READY_FOR_PROCESSING'
+            WHEN 3 THEN 'IN_PROGRESS'
+            WHEN 4 THEN 'FINISHED'
+            ELSE 'ERROR' END                   AS status
+FROM orders
+"""
+
+
+def fs_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files-on-disk view for the registry⋈filesystem join (SURVEY.md O13).
+
+    Derived from `lineitem` so only filenames with at least one lineitem
+    appear (a strict subset of registry filenames — like a disk that has not
+    yet materialized every registered file). create_date comes from the
+    registry derivation, making (create_date, filename) a composite key.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    ords = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey, "inner")
+        .select(
+            F.concat(F.lit("file_"), F.col("l_orderkey").cast("string")).alias("filename"),
+            F.col("o_orderdate").cast("date").alias("create_date"),
+        )
+    )
+
+
+FS_FILES_SQL = """
+SELECT 'file_' || CAST(l.l_orderkey AS VARCHAR) AS filename,
+       CAST(o.o_orderdate AS DATE)              AS create_date
+FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def discovered_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newly-discovered file candidates for the dedup anti-join (O5).
+
+    Shift the key by +7 so the candidate set part-overlaps the registry:
+    overlapping names must be dropped, novel names must survive — exactly the
+    reference's semi-join dedup contract (SaveNewFilesToDbFlow.java:222-236).
+    """
+    return load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("file_"), (F.col("o_orderkey") + 7).cast("string")).alias("filename"),
+        F.col("o_orderdate").cast("date").alias("create_date"),
+    )
+
+
+DISCOVERED_SQL = """
+SELECT 'file_' || CAST(o_orderkey + 7 AS VARCHAR) AS filename,
+       CAST(o_orderdate AS DATE)                  AS create_date
+FROM orders
+"""

@@ -1,0 +1,72 @@
+"""As-of join semantics vs a pandas merge_asof reference; scalar helpers."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.operators.asof import asof_join
+
+TS = datetime.datetime
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    quotes = [
+        ("A", TS(2024, 1, 1, 10, 0, 0), 100.0),
+        ("A", TS(2024, 1, 1, 10, 0, 5), 101.0),
+        ("A", TS(2024, 1, 1, 10, 0, 9), 99.5),
+        ("B", TS(2024, 1, 1, 10, 0, 2), 50.0),
+    ]
+    trades = [
+        (1, "A", TS(2024, 1, 1, 10, 0, 3)),   # -> 100.0
+        (2, "A", TS(2024, 1, 1, 10, 0, 5)),   # tie -> 101.0 (<= semantics)
+        (3, "A", TS(2024, 1, 1, 10, 0, 30)),  # -> 99.5
+        (4, "B", TS(2024, 1, 1, 10, 0, 1)),   # before any quote -> null
+        (5, "C", TS(2024, 1, 1, 10, 0, 1)),   # no quotes at all -> null
+    ]
+    l = spark.createDataFrame(trades, "trade_id long, sym string, ts timestamp")
+    r = spark.createDataFrame(quotes, "sym string, ts timestamp, px double")
+    out = asof_join(l, r, by=["sym"], left_time="ts", right_time="ts",
+                    value_cols=["px"]).collect()
+    got = {row["trade_id"]: row["px_asof"] for row in out}
+    assert got == {1: 100.0, 2: 101.0, 3: 99.5, 4: None, 5: None}
+
+    # cross-check the whole result against pandas merge_asof
+    lp = pd.DataFrame(trades, columns=["trade_id", "sym", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(quotes, columns=["sym", "ts", "px"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="sym", direction="backward")
+    exp_map = {int(t): (None if pd.isna(p) else p)
+               for t, p in zip(exp["trade_id"], exp["px"])}
+    assert got == exp_map
+
+
+def test_scalar_helpers(spark):
+    from crypto_data_service_loader_spark.functions.scalars import (
+        filename_date, log_event_json, ticker_from_filename, to_tsv_line,
+    )
+
+    df = spark.createDataFrame(
+        [("/data/2024-03-14/AVA-USDT_PST_2024-03-14",)], "path string"
+    )
+    row = df.select(
+        filename_date(F.col("path")).alias("d"),
+        ticker_from_filename(F.element_at(F.split("path", "/"), -1)).alias("t"),
+        to_tsv_line(F.lit("f"), F.lit("2024-03-14"), F.lit("DISCOVERED")).alias("tsv"),
+        log_event_json(F.lit("INFO"), F.lit("main"), F.lit("hello"),
+                       F.create_map(F.lit("k"), F.lit("v"))).alias("j"),
+    ).collect()[0]
+    assert str(row["d"]) == "2024-03-14"
+    assert row["t"] == "AVA-USDT"
+    assert row["tsv"] == "f\t2024-03-14\tDISCOVERED"
+    assert '"severity":"INFO"' in row["j"] and '"k":"v"' in row["j"]
+
+
+def test_pandas_udf_mid_price(spark):
+    from crypto_data_service_loader_spark.functions.scalars import mid_price
+
+    df = spark.createDataFrame([(10.0, 12.0), (1.0, 2.0)], "bid double, ask double")
+    out = [r["mid"] for r in df.select(mid_price("bid", "ask").alias("mid")).collect()]
+    assert out == [11.0, 1.5]

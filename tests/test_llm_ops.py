@@ -1,0 +1,111 @@
+"""Tests for the LLM-pipeline EXT operators: dedup recall/precision on
+planted duplicates, ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.operators import dedup, multimodal, similarity
+from crypto_data_service_loader_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog again and anew"),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions here"),
+        (4, "totally unrelated content regarding clickhouse inserts and gzip"),
+        (5, "THE QUICK  brown fox jumps over the lazy dog again and again"),  # ws/case dup of 0
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_dups(docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups).collect()
+    groups = {r["keep_id"]: r["n_docs"] for r in out}
+    assert groups[0] == 3  # 0, 1, 5 share a normalized fingerprint
+    assert sum(groups.values()) == 6
+
+
+def test_minhash_lsh_finds_near_dup_pair(docs_with_dups):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs_with_dups).collect()}
+    assert (0, 1) in pairs and (0, 5) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs   # near dup shares most shingles
+    assert (3, 4) not in pairs                   # unrelated never collide
+
+
+def test_ngram_jaccard_scores(docs_with_dups, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard(docs_with_dups, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.3 < j[(0, 2)] < 1.0
+    assert j[(3, 4)] == 0.0
+
+
+def test_simhash_near_dups_hamming(docs_with_dups):
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           dedup.simhash_near_dups(docs_with_dups, max_hamming=3).collect()}
+    assert out.get((0, 1)) == 0  # identical text -> identical simhash
+    assert out.get((0, 5)) == 0  # normalization-invariant
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """ANN contract: the LSH bucket variant returns a subset of plausible
+    neighbors; recall@10 against brute force must be meaningfully > 0 and
+    every returned id must score identically to the brute-force scorer."""
+    from crypto_data_service_loader_spark.suite import _query_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    brute = similarity.cosine_topk(emb, q, k=10).collect()
+    ann = similarity.cosine_topk_lsh(emb, q, k=10).collect()
+    brute_scores = {r["vec_id"]: r["score"] for r in brute}
+    assert len(ann) >= 1
+    # the query vector itself (vec_id 0) is always in its own bucket
+    assert any(r["vec_id"] == 0 for r in ann)
+    for r in ann:
+        if r["vec_id"] in brute_scores:
+            assert r["score"] == brute_scores[r["vec_id"]]
+
+
+def test_multimodal_decode_plumbing(spark):
+    import hashlib
+
+    rows = [(i, "image", hashlib.md5(str(i).encode()).digest(), "image/png", 64, 64, None)
+            for i in range(10)]
+    media = spark.createDataFrame(rows, multimodal_schema())
+    feats = multimodal.decode_and_featurize(media, fake=True)
+    got = feats.collect()
+    assert len(got) == 10
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in got)
+    assert all(r["decode_ok"] for r in got)
+    # determinism: same payload -> same feature
+    f0 = [r["feature"] for r in got if r["media_id"] == 0][0]
+    again = [r["feature"] for r in multimodal.decode_and_featurize(media, fake=True).collect()
+             if r["media_id"] == 0][0]
+    assert list(f0) == list(again)
+
+
+def test_multimodal_real_codec_is_stubbed(spark):
+    media = spark.createDataFrame(
+        [(0, "image", b"x", "image/png", 1, 1, None)], multimodal_schema()
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.decode_and_featurize(media, fake=False).collect()
+
+
+def test_frame_sampling_cadence(spark):
+    media = spark.createDataFrame(
+        [(7, "video", b"v", "video/mp4", None, None, 3500)], multimodal_schema()
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000, fake=True).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+
+
+def multimodal_schema():
+    from crypto_data_service_loader_spark.schemas import MEDIA
+
+    return MEDIA
