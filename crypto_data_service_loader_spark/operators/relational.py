@@ -75,6 +75,48 @@ def top_k_per_group(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessionization: a new session starts when the gap since the previous
+    event of the same key exceeds the threshold. lag + conditional cumsum —
+    one shuffle on the key, no UDF (the classic pattern; in streaming the
+    same semantics come from F.session_window)."""
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    gap = F.col(time_col).cast("long") - F.lag(F.col(time_col).cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (hot) left key into `salt`
+    sub-keys and replicate the right side once per salt value.
+
+    Use when one key dominates (power-law corpora) and AQE skew splitting
+    isn't available/enough. Cost: right side × salt — keep for
+    moderate-size right sides. Columns are preserved; the salt is internal.
+    """
+    l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
 def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
     """UNION ALL by name — no shuffle, pure concatenation of partitions."""
     return a.unionByName(b)

@@ -72,6 +72,47 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
+
+    Correctness baseline: self-join over (vector, scalar-norm) rows. Norms
+    are computed once per row scan-side as a plain column (NOT by
+    normalizing inside an array lambda, which would re-evaluate the norm
+    per element — O(d²)); the pair stage does one dot + one scalar divide.
+    The 100 TB path replaces the cross product with an LSH-bucket equi-join
+    (lsh_bucket_ids) — same verify stage, candidate set instead of n².
+    """
+    v = _as_double(F.col(vec_col))
+    normed = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+    )
+    a = normed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = normed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"), "inner")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
 

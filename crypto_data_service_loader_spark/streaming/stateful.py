@@ -1,0 +1,100 @@
+"""Custom stateful operators (SURVEY.md §2B streaming-stateful row).
+
+The engine's primary stateful pattern is foreachBatch + registry-table merge
+(state survives restarts in the table itself — §7 decision). This module
+adds the *in-memory keyed state* surface for operators that genuinely need
+it (running per-key aggregates emitted per micro-batch):
+
+- `running_totals_batch`: the batch-mode equivalent (applyInPandas grouped
+  cumsum) — same semantics, oracle-checkable.
+- `start_running_totals_stream`: applyInPandasWithState over a stream,
+  emitting updated per-key totals each batch; state is (count, total).
+
+Scale: state is partitioned by key across executors; with RocksDB state
+store (config) it spills; watermark bounds retention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = "user_id long, n long, total double"
+
+
+def running_totals_batch(events: DataFrame) -> DataFrame:
+    """Per-key running totals via grouped-map Pandas UDF (Arrow path).
+
+    Batch twin of the streaming stateful op: rows sorted by event time
+    inside each group, cumulative count/sum emitted per row. Matches the
+    window-function formulation exactly (same per-key order, same
+    sequential double adds).
+    """
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "n": range(1, len(pdf) + 1),
+                "total": pdf["value"].cumsum(),
+            }
+        )
+        return out
+
+    return events.select("event_id", "user_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandas(per_user, schema="event_id long, user_id long, n long, total double")
+
+
+def _update_running_totals(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get() if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+
+
+def start_running_totals_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "running_totals",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming stateful running totals -> in-memory table `query_name`.
+
+    applyInPandasWithState: state schema (n long, total double) per user_id,
+    update-mode emission each micro-batch. No timeout: totals are global
+    over the stream (a TTL'd variant would use ProcessingTimeTimeout).
+    """
+    out = (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

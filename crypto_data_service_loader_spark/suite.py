@@ -13,6 +13,7 @@ Cross-engine determinism rules (each violated rule = a hash mismatch):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import asof, dedup, registry as R, relational as rel, similarity, text
@@ -466,6 +467,94 @@ def q_stream_tumbling_daily_count(spark, sf_dir):
     )
 
 
+def q_agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(1) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return rel.sessionize(ev, "user_id", "ts", gap_minutes=30).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def q_session_window_agg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def q_win_range_frame(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, 0)  # events within the trailing 5 min
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_trailing_5m")
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.4)
+
+
+def q_udf_grouped_range(spark, sf_dir):
+    @F.pandas_udf("double")
+    def value_range(v: pd.Series) -> float:  # grouped-agg pandas UDF surface
+        return float(v.max() - v.min())
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(value_range("value").alias("value_range"))
+
+
+def q_stateful_running_total(spark, sf_dir):
+    from .streaming.stateful import running_totals_batch
+
+    # rounded: DuckDB windowed SUM uses segment-tree add order, pandas
+    # cumsum is sequential — identical values only after 6dp rounding
+    return running_totals_batch(load(spark, sf_dir, "events")).withColumn(
+        "total", F.round("total", 6)
+    )
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 _RELATIONAL_ORACLES = {
@@ -553,6 +642,78 @@ _RELATIONAL_ORACLES = {
         FROM events""",
     "udf_mid_price": """
         SELECT event_id, (value + value * 1.01) / 2 AS mid FROM events""",
+    "agg_cube": f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {_DSUM.format(x='l_extendedprice')} AS sum_price
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(1) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "pivot_status": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                    FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+        FROM lineitem GROUP BY l_returnflag""",
+    "sessionize_events": """
+        SELECT event_id, user_id,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events)""",
+    "session_window_agg": """
+        WITH tagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM tagged)
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id, COUNT(*) AS n
+        FROM sess GROUP BY user_id, sid""",
+    "win_range_frame": """
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+               AS n_trailing_5m
+        FROM events""",
+    "dedup_embedding_cosine": """
+        WITH normed AS (
+            SELECT vec_id,
+                   embedding AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                     / (a.n * b.n), 6) AS score
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                    / (a.n * b.n), 6) >= 0.4""",
+    "udf_grouped_range": """
+        SELECT user_id, MAX(value) - MIN(value) AS value_range
+        FROM events GROUP BY user_id""",
+    "stateful_running_total": """
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS n,
+               round(SUM(value) OVER w, 6) AS total
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "stream_tumbling_daily_count": f"""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
                COUNT(*) AS n,
@@ -803,7 +964,16 @@ QUERIES = {
     "scalar_strings": q_scalar_strings,
     "log_event_json": q_log_event_json,
     "udf_mid_price": q_udf_mid_price,
+    "udf_grouped_range": q_udf_grouped_range,
     "stream_tumbling_daily_count": q_stream_tumbling_daily_count,
+    "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "pivot_status": q_pivot_status,
+    "sessionize_events": q_sessionize_events,
+    "session_window_agg": q_session_window_agg,
+    "win_range_frame": q_win_range_frame,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "stateful_running_total": q_stateful_running_total,
     # LLM-pipeline EXT
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
