@@ -27,6 +27,7 @@ from .tables import (
     discovered_candidates,
     fs_files,
     load,
+    register_views,
     registry,
 )
 
@@ -555,7 +556,139 @@ def q_stateful_running_total(spark, sf_dir):
     )
 
 
+def q_scalar_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice") - 1000.0
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(x).alias("abs_x"),
+        F.ceil(x).alias("ceil_x"),
+        F.floor(x).alias("floor_x"),
+        F.sqrt(F.abs(x)).alias("sqrt_x"),
+        F.signum(x).cast("int").alias("sign_x"),
+        (F.col("l_orderkey") % 97).alias("mod_x"),
+        F.greatest("l_quantity", "l_discount").alias("greatest_x"),
+        F.least("l_quantity", "l_discount").alias("least_x"),
+    )
+
+
+def q_scalar_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+def q_scalar_conditional(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("hidden")).alias("masked"),
+        F.when(F.col("value") > 10, "high").otherwise("low").alias("band"),
+        F.isnull(F.nullif("event_type", F.lit("click"))).alias("is_click"),
+    )
+
+
+def q_scalar_array_funcs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.array_contains(toks, "data").alias("has_data"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.concat_ws("-", F.slice(toks, 1, 3)).alias("head3"),
+        F.concat_ws(" ", F.reverse(toks)).alias("reversed_text"),
+        F.size(F.array_remove(toks, "the")).cast("int").alias("n_non_the"),
+    )
+
+
+def q_agg_stats(spark, sf_dir):
+    """Variance/stddev from exact decimal sums (sum-order independent):
+    var = (ssq - s^2/n) / (n-1), computed in DOUBLE from exact inputs."""
+    ev = load(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    ssq = F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).cast("double")
+    n = F.count("value")
+    var = (ssq - s * s / n) / (n - 1)
+    return ev.groupBy("event_type").agg(
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+    )
+
+
+def q_agg_minmax_by(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    # order key made unique (value then event_id) — max_by/arg_max tie
+    # behavior is undefined in both engines, so ties must be impossible
+    key = F.col("value") * 1000000 + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("top_event"),
+        F.min_by("event_id", key).alias("bottom_event"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_agg_conditional(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.bool_or(F.col("value") > 90).alias("any_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )
+
+
+def q_subquery_exists(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 1000)
+        """
+    )
+
+
+def q_subquery_scalar(spark, sf_dir):
+    register_views(spark, sf_dir)
+    # decimal-exact avg: sum(decimal)/count, same formula in the oracle
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) * 2 FROM orders)
+        """
+    )
+
+
+def q_subquery_in(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 1)
+        """
+    )
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_SHINGLES = (
+    "CASE WHEN len({t}) < 3 THEN [] "
+    "ELSE list_transform(range(1, len({t}) - 1), "
+    "i -> array_to_string(list_slice({t}, i, i + 2), ' ')) END"
+).format(t=_TOKS)
+
 
 _RELATIONAL_ORACLES = {
     "join_broadcast_dim": f"""
@@ -707,6 +840,76 @@ _RELATIONAL_ORACLES = {
     "udf_grouped_range": """
         SELECT user_id, MAX(value) - MIN(value) AS value_range
         FROM events GROUP BY user_id""",
+    "scalar_math": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice - 1000.0) AS abs_x,
+               CAST(ceil(l_extendedprice - 1000.0) AS BIGINT) AS ceil_x,
+               CAST(floor(l_extendedprice - 1000.0) AS BIGINT) AS floor_x,
+               sqrt(abs(l_extendedprice - 1000.0)) AS sqrt_x,
+               CAST(sign(l_extendedprice - 1000.0) AS INTEGER) AS sign_x,
+               l_orderkey % 97 AS mod_x,
+               greatest(l_quantity, l_discount) AS greatest_x,
+               least(l_quantity, l_discount) AS least_x
+        FROM lineitem""",
+    "scalar_json": """
+        SELECT event_id,
+               props->>'$.k' AS k_str,
+               CAST(props->>'$.k' AS INTEGER) AS k_int
+        FROM events""",
+    "scalar_conditional": """
+        SELECT event_id,
+               coalesce(nullif(event_type, 'view'), 'hidden') AS masked,
+               CASE WHEN value > 10 THEN 'high' ELSE 'low' END AS band,
+               nullif(event_type, 'click') IS NULL AS is_click
+        FROM events""",
+    "scalar_array_funcs": f"""
+        SELECT doc_id,
+               list_contains({_TOKS}, 'data') AS has_data,
+               {_TOKS}[1] AS first_tok,
+               {_TOKS}[-1] AS last_tok,
+               array_to_string(list_slice({_TOKS}, 1, 3), '-') AS head3,
+               array_to_string(list_reverse({_TOKS}), ' ') AS reversed_text,
+               CAST(len(list_filter({_TOKS}, t -> t != 'the')) AS INTEGER) AS n_non_the
+        FROM documents""",
+    "agg_stats": """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ssq,
+                   COUNT(value) AS n
+            FROM events GROUP BY event_type)
+        SELECT event_type,
+               round((ssq - sv * sv / n) / (n - 1), 6) AS var_value,
+               round(sqrt((ssq - sv * sv / n) / (n - 1)), 6) AS std_value
+        FROM s""",
+    "agg_minmax_by": """
+        SELECT user_id,
+               arg_max(event_id, value * 1000000 + event_id) AS top_event,
+               arg_min(event_id, value * 1000000 + event_id) AS bottom_event,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id""",
+    "agg_conditional": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+               bool_or(value > 90) AS any_big,
+               bool_and(value >= 0) AS all_nonneg
+        FROM events GROUP BY user_id""",
+    "subquery_exists": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 1000)""",
+    "subquery_scalar": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) * 2 FROM orders)""",
+    "subquery_in": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 1)""",
     "stateful_running_total": """
         SELECT event_id, user_id,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS n,
@@ -790,13 +993,6 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprints(load(spark, sf_dir, "documents"))
 
 
-_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-
-_SHINGLES = (
-    "CASE WHEN len({t}) < 3 THEN [] "
-    "ELSE list_transform(range(1, len({t}) - 1), "
-    "i -> array_to_string(list_slice({t}, i, i + 2), ' ')) END"
-).format(t=_TOKS)
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
@@ -974,6 +1170,16 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "stateful_running_total": q_stateful_running_total,
+    "scalar_math": q_scalar_math,
+    "scalar_json": q_scalar_json,
+    "scalar_conditional": q_scalar_conditional,
+    "scalar_array_funcs": q_scalar_array_funcs,
+    "agg_stats": q_agg_stats,
+    "agg_minmax_by": q_agg_minmax_by,
+    "agg_conditional": q_agg_conditional,
+    "subquery_exists": q_subquery_exists,
+    "subquery_scalar": q_subquery_scalar,
+    "subquery_in": q_subquery_in,
     # LLM-pipeline EXT
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

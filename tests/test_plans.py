@@ -66,6 +66,16 @@ def test_anti_join_dedup_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of composite must cost ONE exchange + ONE window — the same
+    as a single sort-merge join; more means the union trick regressed."""
+    from crypto_data_service_loader_spark.suite import q_asof_last_tick
+
+    plan = physical_plan(q_asof_last_tick(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
 def test_flagship_partial_aggregation(spark, sf_dir):
     """groupBy must plan partial (map-side) agg before the shuffle."""
     from crypto_data_service_loader_spark.suite import q_flagship
