@@ -1,0 +1,76 @@
+"""CLI entry point — the reference's MainApplication equivalent.
+
+    python -m crypto_data_service_loader_spark run \
+        --root /data/ticks --registry /data/_registry [--config engine.yaml]
+        [--cycles N] [--today YYYY-MM-DD] [--sink parquet:/data/out]
+
+Runs service cycles (discover -> progress -> upload -> cleanup) against a
+dir-per-day tree, mirroring application.origin.yaml's flow scheduling with
+Spark micro-batches instead of a 4-thread flow scheduler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+import time
+
+from .config import EngineConfig
+from .session import get_spark
+from .sinks.writers import ClickHouseJdbcSink, ParquetSink
+from .streaming.service import run_cycle
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="crypto_data_service_loader_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run service cycles")
+    runp.add_argument("--root", required=True, help="dir-per-day data tree")
+    runp.add_argument("--registry", required=True, help="registry event-log path")
+    runp.add_argument("--sink", default=None,
+                      help="parquet:<path> | jdbc:<url>|<table> (default: <root>/_out)")
+    runp.add_argument("--config", default=None, help="YAML config (optional)")
+    runp.add_argument("--cycles", type=int, default=1)
+    runp.add_argument("--today", default=None, help="fix 'today' (tests)")
+    runp.add_argument("--interval-sec", type=int, default=None,
+                      help="sleep between cycles (default: config upload cycle)")
+    args = p.parse_args(argv)
+
+    cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
+    spark = get_spark("crypto_data_service_loader_spark")
+
+    # default sink lives NEXT TO the tree, never inside it (the discovery
+    # scan must not see sink output)
+    sink_spec = args.sink or f"parquet:{args.root.rstrip('/')}_out"
+    if sink_spec.startswith("parquet:"):
+        sink = ParquetSink(sink_spec.split(":", 1)[1])
+    elif sink_spec.startswith("jdbc:"):
+        url, table = sink_spec.split(":", 1)[1].rsplit("|", 1)
+        sink = ClickHouseJdbcSink(url=url, table=table,
+                                  attempts=cfg.ingest.max_flush_data_attempts,
+                                  sleep_sec=cfg.ingest.sleep_on_reconnect_ms / 1000,
+                                  num_partitions=cfg.ingest.divide_data_parts_quantity)
+    else:
+        print(f"unknown sink spec: {sink_spec}", file=sys.stderr)
+        return 2
+
+    interval = args.interval_sec
+    if interval is None:
+        interval = cfg.cycles.upload_flow_sec
+    for cycle in range(args.cycles):
+        today = args.today or datetime.date.today().isoformat()
+        stats = run_cycle(
+            spark, args.root, args.registry, sink, today,
+            cycle=cycle, do_cleanup=(cycle % max(1, 3600 * cfg.cycles.cleanup_hours
+                                                 // max(interval, 1)) == 0 and cycle > 0),
+        )
+        print(json.dumps({"cycle": cycle, "today": today, **stats}))
+        if cycle + 1 < args.cycles and interval > 0:
+            time.sleep(interval)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -21,13 +21,15 @@ def path_to_registry_cols(df: DataFrame, path_col: str = "path") -> DataFrame:
 
     Layout contract: .../<YYYY-MM-DD>/<filename> — date is the parent dir
     (reference parses the same way, SaveNewFilesToDbFlow.java:152).
+    Files under non-date directories (e.g. a sink's _out dir) are skipped,
+    not failed — try_cast instead of an ANSI-throwing to_date.
     """
     parts = F.split(F.col(path_col), "/")
     return df.select(
         F.element_at(parts, -1).alias("filename"),
-        F.to_date(F.element_at(parts, -2)).alias("create_date"),
+        F.element_at(parts, -2).try_cast("date").alias("create_date"),
         F.lit("DISCOVERED").alias("status"),
-    )
+    ).filter(F.col("create_date").isNotNull())
 
 
 def scan_directory(

@@ -1,0 +1,145 @@
+"""The assembled service: the reference's four concurrent flows as ONE
+linear pipeline per cycle (SURVEY.md §3 — DB-status coordination between
+racing flows becomes sequential composition; the only concurrency that
+remains is Spark's own task parallelism).
+
+Cycle semantics (reference MainApplication.java:54-91):
+  1. discover   — scan root/<date>/ for unregistered files -> DISCOVERED
+  2. progress   — status machine: today's DISCOVERED -> DOWNLOADING,
+                  past DISCOVERED/DOWNLOADING -> READY_FOR_PROCESSING
+  3. upload     — claim READY -> IN_PROGRESS, bulk-load CSVs to the sink,
+                  per-file FINISHED/ERROR rollup
+  4. cleanup    — delete FINISHED files older than the retention window
+
+State lives in an append-only registry event log (parquet, date-partitioned
+at scale); every step appends events keyed by (cycle seq, batch id) so a
+replayed cycle is idempotent.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.registry import (
+    apply_status_update,
+    current_state,
+    dedup_new_files,
+    transition_statuses,
+    upload_status_rollup,
+)
+from ..schemas import REGISTRY_EVENTS
+from ..sinks.writers import Sink
+from ..sources.fs_scan import scan_directory
+from .cleanup import run_cleanup
+from .upload import claim_ready_files, run_upload_batch
+
+logger = logging.getLogger(__name__)
+
+
+class RegistryLog:
+    """Append-only registry event log on parquet."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def events(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(REGISTRY_EVENTS).parquet(self.path)
+        except Exception:  # noqa: BLE001 — first cycle: log does not exist
+            return self.spark.createDataFrame([], REGISTRY_EVENTS)
+
+    def state(self) -> DataFrame:
+        return current_state(self.events())
+
+    def append(self, rows: DataFrame) -> None:
+        rows.select(*[f.name for f in REGISTRY_EVENTS.fields]).write.mode(
+            "append"
+        ).parquet(self.path)
+
+
+def run_cycle(
+    spark: SparkSession,
+    root: str,
+    registry_path: str,
+    sink: Sink,
+    today: str,
+    cycle: int = 0,
+    do_cleanup: bool = False,
+) -> dict:
+    """One full service cycle; returns counters for observability."""
+    log = RegistryLog(spark, registry_path)
+    seq_base = cycle * 10
+    stats: dict[str, int] = {}
+
+    # 1. discover (reference Flow 1: backfill scan + dedup + insert)
+    scanned = scan_directory(spark, root)
+    novel = dedup_new_files(scanned, log.state().select("filename"))
+    new_events = novel.select(
+        "filename",
+        "create_date",
+        F.lit("DISCOVERED").alias("status"),
+        F.lit(seq_base).cast("long").alias("seq"),
+        F.lit(cycle).cast("long").alias("batch_id"),
+    )
+    log.append(new_events)
+    stats["discovered"] = new_events.count()
+
+    # 2. progress (reference Flow 2: the status-machine CASE)
+    cur = log.state()
+    advanced = transition_statuses(cur, today)
+    changed = advanced.alias("a").join(
+        cur.select("filename", F.col("status").alias("old_status")), "filename"
+    ).filter(F.col("status") != F.col("old_status"))
+    log.append(
+        changed.select(
+            "filename", "create_date", "status",
+            F.lit(seq_base + 1).cast("long").alias("seq"),
+            F.lit(cycle).cast("long").alias("batch_id"),
+        )
+    )
+    stats["progressed"] = changed.count()
+
+    # 3. upload (reference Flow 3: claim -> bulk load -> rollup)
+    ready = claim_ready_files(log.state())
+    log.append(
+        ready.select(
+            "filename", "create_date", F.lit("IN_PROGRESS").alias("status"),
+            F.lit(seq_base + 2).cast("long").alias("seq"),
+            F.lit(cycle).cast("long").alias("batch_id"),
+        )
+    )
+    outcomes = run_upload_batch(
+        spark,
+        ready,
+        lambda d, f: os.path.join(root, d, f),
+        sink,
+        batch_id=cycle,
+    )
+    rolled = upload_status_rollup(outcomes)
+    finished = rolled.join(
+        log.state().select("filename", "create_date"), "filename", "inner"
+    )
+    log.append(
+        finished.select(
+            "filename", "create_date", "status",
+            F.lit(seq_base + 3).cast("long").alias("seq"),
+            F.lit(cycle).cast("long").alias("batch_id"),
+        )
+    )
+    stats["uploaded"] = outcomes.filter("ok").count()
+    stats["failed"] = outcomes.filter("NOT ok").count()
+
+    # 4. cleanup (reference Flow 4), gated like the reference's 3 h cycle
+    if do_cleanup:
+        state = log.state()
+        fs = scan_directory(spark, root).select("filename", "create_date")
+        last = state.filter(F.col("status") == "FINISHED").agg(
+            F.max("create_date")
+        ).first()[0]
+        if last is not None:
+            stats.update(run_cleanup(state, fs, root, today, str(last)))
+    return stats

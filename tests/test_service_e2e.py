@@ -1,0 +1,95 @@
+"""End-to-end service parity test: the full reference behavior over a real
+temp dir-per-day tree — discover, progress, upload, rollup, cleanup —
+through the event-log registry. Mirrors what the reference's four flows do
+collectively (SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.sinks.writers import MemorySink
+from crypto_data_service_loader_spark.streaming.service import RegistryLog, run_cycle
+
+VALID = "AVA-USDT,1,0.5,10,0.51,5,0.49,7,1710400000000"
+INVALID = "bad,line"
+
+
+def _mk_tree(root, dates_files):
+    for d, files in dates_files.items():
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+        for name, lines in files.items():
+            with open(os.path.join(root, d, name), "w") as fh:
+                fh.write("\n".join(lines))
+
+
+def test_service_cycles_end_to_end(spark, tmp_path):
+    root = str(tmp_path / "data")
+    reg = str(tmp_path / "registry")
+    _mk_tree(root, {
+        "2024-03-13": {"AAA_PST_2024-03-13": [VALID, VALID, INVALID],
+                        "BBB_PST_2024-03-13": [VALID]},
+        "2024-03-14": {"CCC_PST_2024-03-14": [VALID]},
+    })
+    sink = MemorySink()
+
+    # cycle 0: discover everything; past files go READY -> uploaded
+    s0 = run_cycle(spark, root, reg, sink, today="2024-03-14", cycle=0)
+    assert s0["discovered"] == 3
+    assert s0["uploaded"] == 2 and s0["failed"] == 0
+
+    state = {r["filename"]: r["status"]
+             for r in RegistryLog(spark, reg).state().collect()}
+    assert state["AAA_PST_2024-03-13"] == "FINISHED"
+    assert state["BBB_PST_2024-03-13"] == "FINISHED"
+    assert state["CCC_PST_2024-03-14"] == "DOWNLOADING"  # today's file waits
+
+    # 3 valid rows landed (invalid line dropped, batch not failed)
+    assert sum(len(b[1]) for b in sink.batches) == 3
+
+    # cycle 1: new file appears for yesterday; day rolls over
+    _mk_tree(root, {"2024-03-13": {"DDD_PST_2024-03-13": [VALID]}})
+    s1 = run_cycle(spark, root, reg, sink, today="2024-03-15", cycle=1)
+    assert s1["discovered"] == 1
+    state = {r["filename"]: r["status"]
+             for r in RegistryLog(spark, reg).state().collect()}
+    assert state["DDD_PST_2024-03-13"] == "FINISHED"
+    # yesterday's DOWNLOADING file became READY and uploaded on rollover
+    assert state["CCC_PST_2024-03-14"] == "FINISHED"
+
+    # idempotence: a no-change cycle discovers/uploads nothing
+    s2 = run_cycle(spark, root, reg, sink, today="2024-03-15", cycle=2)
+    assert s2 == {"discovered": 0, "progressed": 0, "uploaded": 0, "failed": 0}
+
+
+def test_service_cleanup_respects_retention(spark, tmp_path):
+    root = str(tmp_path / "data")
+    reg = str(tmp_path / "registry")
+    _mk_tree(root, {
+        "2024-03-10": {"OLD_PST_2024-03-10": [VALID]},
+        "2024-03-13": {"NEW_PST_2024-03-13": [VALID]},
+    })
+    sink = MemorySink()
+    run_cycle(spark, root, reg, sink, today="2024-03-14", cycle=0)
+    s1 = run_cycle(spark, root, reg, sink, today="2024-03-14", cycle=1,
+                   do_cleanup=True)
+    # FINISHED window is 03-10..03-13, min+1 != today -> cleanup runs;
+    # only dirs strictly older than last_uploaded-1 are eligible
+    assert s1["skipped"] is False
+    assert not os.path.exists(os.path.join(root, "2024-03-10", "OLD_PST_2024-03-10"))
+    assert os.path.exists(os.path.join(root, "2024-03-13", "NEW_PST_2024-03-13"))
+
+
+def test_cli_entrypoint(spark, tmp_path):
+    from crypto_data_service_loader_spark.__main__ import main
+
+    root = str(tmp_path / "data")
+    _mk_tree(root, {"2024-03-13": {"AAA_PST_2024-03-13": [VALID]}})
+    rc = main([
+        "run", "--root", root, "--registry", str(tmp_path / "reg"),
+        "--cycles", "1", "--today", "2024-03-14", "--interval-sec", "0",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(root.rstrip("/") + "_out")
+    assert out.count() == 1
