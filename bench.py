@@ -104,8 +104,17 @@ def bench_ingest(spark) -> dict[str, float]:
         )
         staged.repartition(32).write.mode("overwrite").text(csv_dir)
 
-        elapsed = float("inf")
+        elapsed = parse_only = float("inf")
         for _ in range(max(TRIALS - 1, 1)):
+            # stage split: parse+validate+type (noop sink) vs full write —
+            # the write delta is the apples-to-apples "compression+write"
+            # segment BASELINE.md asks to report separately
+            t0 = time.perf_counter()
+            read_ticks_csv(spark, csv_dir).drop("_source_file").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            parse_only = min(parse_only, time.perf_counter() - t0)
+
             t0 = time.perf_counter()
             ticks = read_ticks_csv(spark, csv_dir)
             ticks.drop("_source_file").write.mode("overwrite").parquet(out_dir)
@@ -114,6 +123,8 @@ def bench_ingest(spark) -> dict[str, float]:
             "ingest_rows": n,
             "ingest_sec": round(elapsed, 4),
             "ingest_rows_per_sec": round(n / elapsed, 1),
+            "ingest_parse_sec": round(parse_only, 4),
+            "ingest_write_sec": round(elapsed - parse_only, 4),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -113,6 +113,77 @@ def embedding_near_dups(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    k_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: deterministic centroids + nearest-centroid
+    assignment.
+
+    Centroids are the first `k_centroids` vectors by id — a deterministic
+    seed set (a production build would run a few Lloyd iterations over a
+    sample; determinism here keeps results reproducible without RNG state).
+    Assignment = broadcast the (tiny) centroid set, compute per-row argmin
+    distance via one min_by aggregation — a single scan + narrow shuffle on
+    (id). Returns (assigned_df, centroids) so the query side can reuse the
+    centroid list driver-side.
+    """
+    seeds = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(k_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)]
+    cdf = embeddings.sparkSession.createDataFrame(
+        [(i, v) for i, v in centroids], "cid int, cvec array<double>"
+    )
+    v = _as_double(F.col(vec_col))
+    dist = F.aggregate(
+        F.zip_with(v, F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = embeddings.join(F.broadcast(cdf), F.lit(True), "inner").select(
+        F.col(id_col), F.col(vec_col), F.col("cid"), dist.alias("dist")
+    )
+    assigned = scored.groupBy(id_col).agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("centroid_id"),
+        F.first(vec_col).alias(vec_col),
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: probe only the `nprobe` centroids nearest the query.
+
+    At 100 TB the assignment is precomputed and the table is partitioned by
+    centroid_id, so the probe is partition pruning; here assignment runs
+    inline. Recall grows with nprobe (nprobe == k_centroids is exact).
+    """
+    assigned, centroids = ivf_assign(embeddings, k_centroids, vec_col, id_col)
+
+    def d2(a: Sequence[float], b: Sequence[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(centroids, key=lambda c: d2(c[1], [float(x) for x in query]))
+    probe_ids = [c[0] for c in probe[:nprobe]]
+    cands = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(
+        id_col, vec_col
+    )
+    return cosine_topk(cands, query, k, vec_col, id_col)
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
 

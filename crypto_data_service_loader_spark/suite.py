@@ -679,6 +679,40 @@ def q_subquery_in(spark, sf_dir):
     )
 
 
+def q_stream_sliding_window(spark, sf_dir):
+    """Sliding window (1 day, 12 h slide): every event belongs to exactly
+    two windows — batch-checkable twin of the streaming sliding agg."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount"],
+        "metric",
+        "metric_value",
+    )
+
+
+def q_agg_percentile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+def q_distinct_pairs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -910,6 +944,30 @@ _RELATIONAL_ORACLES = {
         SELECT s_suppkey, s_name FROM supplier
         WHERE s_nationkey IN (SELECT n_nationkey FROM nation
                               WHERE n_regionkey = 1)""",
+    "stream_sliding_window": f"""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '12 hours', ts) AS win_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours'
+                   AS win_start, event_type, value
+            FROM events)
+        SELECT win_start, event_type, COUNT(*) AS n,
+               {_DSUM.format(x='value')} AS sum_value
+        FROM assigned GROUP BY win_start, event_type""",
+    "unpivot_metrics": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS metric_value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
+               l_discount AS metric_value FROM lineitem""",
+    "agg_percentile": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag""",
+    "distinct_pairs": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
     "stateful_running_total": """
         SELECT event_id, user_id,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS n,
@@ -971,6 +1029,11 @@ def q_sim_cosine_topk(spark, sf_dir):
 def q_sim_cosine_topk_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_lsh(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_sim_cosine_topk_ivf(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _query_vector(spark, sf_dir), k=10, nprobe=4)
 
 
 def q_text_stats(spark, sf_dir):
@@ -1180,6 +1243,10 @@ QUERIES = {
     "subquery_exists": q_subquery_exists,
     "subquery_scalar": q_subquery_scalar,
     "subquery_in": q_subquery_in,
+    "stream_sliding_window": q_stream_sliding_window,
+    "unpivot_metrics": q_unpivot_metrics,
+    "agg_percentile": q_agg_percentile,
+    "distinct_pairs": q_distinct_pairs,
     # LLM-pipeline EXT
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1188,6 +1255,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+    "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

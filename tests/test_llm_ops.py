@@ -71,6 +71,26 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
             assert r["score"] == brute_scores[r["vec_id"]]
 
 
+def test_ivf_topk_recall_and_exactness(spark, sf_dir):
+    """IVF contract: nprobe == k_centroids is exact (same result as brute
+    force); small nprobe returns a subset scoring identically."""
+    from crypto_data_service_loader_spark.suite import _query_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    brute = similarity.cosine_topk(emb, q, k=10).collect()
+    exact = similarity.ivf_topk(emb, q, k=10, k_centroids=8, nprobe=8).collect()
+    assert [(r["vec_id"], r["score"]) for r in exact] == [
+        (r["vec_id"], r["score"]) for r in brute
+    ]
+    partial = similarity.ivf_topk(emb, q, k=10, k_centroids=8, nprobe=2).collect()
+    brute_scores = {r["vec_id"]: r["score"] for r in brute}
+    assert 1 <= len(partial) <= 10
+    hits = [r for r in partial if r["vec_id"] in brute_scores]
+    for r in hits:
+        assert r["score"] == brute_scores[r["vec_id"]]
+
+
 def test_multimodal_decode_plumbing(spark):
     import hashlib
 

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5: state-machine
+invariants (statuses only move forward, no file both FINISHED and ERROR),
+as-of join vs pandas merge_asof on random series, and the CSV validation
+predicate vs its Python definition."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.operators.asof import asof_join
+from crypto_data_service_loader_spark.operators.registry import transition_statuses
+from crypto_data_service_loader_spark.schemas import REGISTRY, STATUSES
+from crypto_data_service_loader_spark.sources.csv_ingest import line_is_valid
+
+TODAY = datetime.date(2024, 3, 14)
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+registry_rows = st.lists(
+    st.tuples(
+        st.integers(0, 999),
+        st.integers(-5, 2),  # create_date offset from TODAY (incl. future)
+        st.sampled_from(STATUSES),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(rows=registry_rows)
+def test_status_transitions_forward_only(spark, rows):
+    data = [
+        (f"f{i}", TODAY + datetime.timedelta(days=off), status)
+        for i, off, status in rows
+    ]
+    reg = spark.createDataFrame(data, REGISTRY)
+    out = transition_statuses(reg, str(TODAY)).collect()
+    order = {s: i for i, s in enumerate(STATUSES)}
+    by_name = {(r["filename"], str(r["create_date"])): r["status"] for r in out}
+    for name, date, old in data:
+        new = by_name[(name, str(date))]
+        # never backward, never into ERROR, terminal states never leave
+        assert order[new] >= order[old] or new == old
+        if old in ("FINISHED", "ERROR", "IN_PROGRESS", "READY_FOR_PROCESSING"):
+            assert new == old
+        if old == "DISCOVERED" and date > TODAY:
+            assert new == "DISCOVERED"  # future files never advance
+        assert not (old != "ERROR" and new == "ERROR")  # only uploads set ERROR
+
+
+@SLOW
+@given(
+    quotes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(1, 100)),
+        min_size=0, max_size=25, unique_by=lambda q: (q[0], q[1]),
+    ),
+    trades=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_merge_asof(spark, quotes, trades):
+    base = datetime.datetime(2024, 1, 1)
+    qrows = [(k, base + datetime.timedelta(seconds=s), round(v, 3)) for k, s, v in quotes]
+    trows = [(i, k, base + datetime.timedelta(seconds=s)) for i, (k, s) in enumerate(trades)]
+    l = spark.createDataFrame(trows, "trade_id long, k int, ts timestamp")
+    r = spark.createDataFrame(qrows, "k int, ts timestamp, px double") if qrows else (
+        spark.createDataFrame([], "k int, ts timestamp, px double"))
+    got = {
+        row["trade_id"]: row["px_asof"]
+        for row in asof_join(l, r, ["k"], "ts", "ts", ["px"]).collect()
+    }
+    lp = pd.DataFrame(trows, columns=["trade_id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(qrows, columns=["k", "ts", "px"]).sort_values("ts")
+    rp["ts"] = pd.to_datetime(rp["ts"])  # empty frame needs explicit dtypes
+    rp["k"] = rp["k"].astype("int64")
+    lp["k"] = lp["k"].astype("int64")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for t, p in zip(exp["trade_id"], exp["px"]):
+        expected = None if pd.isna(p) else p
+        assert got[int(t)] == expected
+
+
+@SLOW
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc,123")), min_size=0, max_size=40
+        ),
+        min_size=1, max_size=50,
+    )
+)
+def test_csv_validation_predicate_matches_python(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    got = [r["ok"] for r in df.select(line_is_valid(F.col("line")).alias("ok")).collect()]
+    # Spark split(limit=-1) keeps trailing empties -> Python str.split(',')
+    exp = [len(l.split(",")) == 9 for l in lines]
+    assert got == exp
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab c")), min_size=0, max_size=60),
+        min_size=1, max_size=12,
+    )
+)
+def test_exact_dedup_partitions_by_normalized_text(spark, texts):
+    from crypto_data_service_loader_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = exact_dedup(docs).collect()
+    # invariants: group sizes sum to n; canonical id is a real doc id;
+    # same normalized text -> same group
+    assert sum(r["n_docs"] for r in out) == len(texts)
+    norm = lambda t: " ".join(t.lower().strip().split())
+    n_groups = len({norm(t) for t in texts})
+    assert len(out) == n_groups
