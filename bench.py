@@ -47,6 +47,12 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_stats",
     "token_count",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "sessionize_events",
+    "stateful_running_total",
+    "stream_sliding_window",
 ]
 
 

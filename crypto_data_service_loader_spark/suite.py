@@ -679,6 +679,94 @@ def q_subquery_in(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: selective scan-agg (predicate-pushdown showcase)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-10 (join-order showcase)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join through region->nation->cust/supp."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == nation.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-items revenue by customer, top 20."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_join_salted_skew(spark, sf_dir):
+    """Salted join, semantically identical to the plain equi-join — the
+    oracle IS the plain join (salting must never change results)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    users = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    return rel.salted_join(ev, users, "user_id", salt=4).select(
+        "event_id", "user_id", "value", "user_events"
+    )
+
+
 def q_stream_sliding_window(spark, sf_dir):
     """Sliding window (1 day, 12 h slide): every event belongs to exactly
     two windows — batch-checkable twin of the streaming sliding agg."""
@@ -968,6 +1056,51 @@ _RELATIONAL_ORACLES = {
         FROM lineitem GROUP BY l_returnflag""",
     "distinct_pairs": """
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+    "tpch_q6": f"""
+        SELECT {_DSUM.format(x='l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 24""",
+    "tpch_q3": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "tpch_q5": f"""
+        SELECT n_name,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+                    JOIN customer ON n_nationkey = c_nationkey
+                    JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                                 AND s_nationkey = n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""",
+    "tpch_q10": f"""
+        SELECT c_custkey, c_name, n_name,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "join_salted_skew": """
+        SELECT e.event_id, e.user_id, e.value, u.user_events
+        FROM events e
+        JOIN (SELECT user_id, COUNT(*) AS user_events
+              FROM events GROUP BY user_id) u
+          ON e.user_id = u.user_id""",
     "stateful_running_total": """
         SELECT event_id, user_id,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS n,
@@ -1247,6 +1380,11 @@ QUERIES = {
     "unpivot_metrics": q_unpivot_metrics,
     "agg_percentile": q_agg_percentile,
     "distinct_pairs": q_distinct_pairs,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "join_salted_skew": q_join_salted_skew,
     # LLM-pipeline EXT
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

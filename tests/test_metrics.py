@@ -1,0 +1,44 @@
+"""Observability tests (reference O28/O29 parity): throughput events carry
+the reference's MDC fields and flush to a queryable LOG_EVENT DataFrame."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.functions.metrics import (
+    LogEventBuffer,
+    timed,
+)
+
+
+def test_timed_block_emits_throughput_event(spark):
+    buf = LogEventBuffer()
+    with timed(buf, "upload bundle 3", rows=1000) as h:
+        h["bytes"] = 2 * 1048576
+        time.sleep(0.05)
+    df = buf.flush(spark)
+    row = df.collect()[0]
+    assert row["message"] == "upload bundle 3"
+    assert row["severity"] == "INFO"
+    mdc = row["mdc_fields"]
+    # the reference's MDC field set (CompressionHandler.java:123-125)
+    assert set(mdc) >= {"data_size", "rate_mb_s", "total_time", "rows_per_s"}
+    assert float(mdc["total_time"]) >= 0.05
+    assert mdc["data_size"] == str(2 * 1048576)
+    assert buf.events == []  # flushed
+
+
+def test_log_events_are_queryable_like_tickers_logs(spark):
+    buf = LogEventBuffer()
+    for i in range(5):
+        with timed(buf, f"bundle {i}", rows=10 * i):
+            pass
+    df = buf.flush(spark)
+    # the log table is a normal DataFrame: filter + json-ify (O29 shape)
+    out = df.filter(F.col("severity") == "INFO").select(
+        F.to_json(F.struct("severity", "message", "mdc_fields")).alias("j")
+    )
+    assert out.count() == 5
+    assert '"severity":"INFO"' in out.first()["j"]
