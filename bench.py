@@ -109,6 +109,11 @@ def bench_ingest(spark) -> dict[str, float]:
             ).alias("value")
         )
         staged.repartition(32).write.mode("overwrite").text(csv_dir)
+        csv_bytes = sum(
+            os.path.getsize(os.path.join(csv_dir, f))
+            for f in os.listdir(csv_dir)
+            if f.endswith(".txt") or f.startswith("part-")
+        )
 
         elapsed = parse_only = float("inf")
         for _ in range(max(TRIALS - 1, 1)):
@@ -129,6 +134,7 @@ def bench_ingest(spark) -> dict[str, float]:
             "ingest_rows": n,
             "ingest_sec": round(elapsed, 4),
             "ingest_rows_per_sec": round(n / elapsed, 1),
+            "ingest_mb_per_sec": round(csv_bytes / 1048576 / elapsed, 1),
             "ingest_parse_sec": round(parse_only, 4),
             "ingest_write_sec": round(elapsed - parse_only, 4),
         }

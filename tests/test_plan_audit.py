@@ -1,0 +1,32 @@
+"""Whole-suite physical-plan audit — the would-this-survive-100× check.
+
+Every registered query's plan is inspected:
+- no CartesianProduct / BroadcastNestedLoopJoin except the allowlisted
+  pair-generation operators whose join condition is a genuine inequality
+  (documented O(n²) verify stages with LSH/IVF scale paths);
+Column-pruning for representative queries is asserted in test_plans.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_data_service_loader_spark.plans.explain import physical_plan
+from crypto_data_service_loader_spark.suite import QUERIES
+
+#: inequality-condition pair generators: nested-loop is the correctness
+#: baseline; the scale path is bucketed (LSH/IVF/simhash-block) joins.
+NESTED_LOOP_OK = {
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk_ivf",  # broadcast of a 16-row centroid table
+}
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cartesian(name, spark, sf_dir):
+    plan = physical_plan(QUERIES[name](spark, sf_dir))
+    if name not in NESTED_LOOP_OK:
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join"
+        )
