@@ -1,0 +1,54 @@
+"""Exactly-once semantics: replaying an epoch must not duplicate rows —
+strictly better than the reference's at-least-once bundle restart
+(SURVEY.md §7)."""
+
+from __future__ import annotations
+
+from crypto_data_service_loader_spark.sinks.idempotent import IdempotentParquetSink
+
+
+def test_replayed_batch_does_not_duplicate(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+
+    sink.write(df1, batch_id=0)
+    sink.write(df1, batch_id=0)  # epoch replay (e.g. post-failure re-execution)
+    assert sink.read(spark).count() == 10  # not 20
+
+    sink.write(spark.range(5).withColumnRenamed("id", "v"), batch_id=1)
+    assert sink.read(spark).count() == 15
+
+    # a replay with corrected data fully replaces the epoch's output
+    sink.write(spark.range(3).withColumnRenamed("id", "v"), batch_id=1)
+    assert sink.read(spark).count() == 13
+
+
+def test_discovery_day_rollover(spark, tmp_path):
+    """New date-dir appearing after the stream started is picked up by the
+    globbed source — the reference needed explicit watcher re-init
+    (SaveNewFilesToDbFlow.java:254-272); the glob makes rollover free."""
+    import os
+
+    from crypto_data_service_loader_spark.schemas import REGISTRY
+    from crypto_data_service_loader_spark.streaming.discovery import start_discovery
+
+    root = str(tmp_path / "data")
+    os.makedirs(os.path.join(root, "2024-03-14"))
+    with open(os.path.join(root, "2024-03-14", "A_PST_2024-03-14"), "w") as fh:
+        fh.write("x")
+    q = start_discovery(spark, root, str(tmp_path / "reg"), str(tmp_path / "ck"),
+                        available_now=True)
+    q.awaitTermination(120)
+
+    # midnight: a new dir appears
+    os.makedirs(os.path.join(root, "2024-03-15"))
+    with open(os.path.join(root, "2024-03-15", "B_PST_2024-03-15"), "w") as fh:
+        fh.write("y")
+    q2 = start_discovery(spark, root, str(tmp_path / "reg"), str(tmp_path / "ck"),
+                         available_now=True)
+    q2.awaitTermination(120)
+
+    reg = spark.read.schema(REGISTRY).parquet(str(tmp_path / "reg"))
+    got = {(r["filename"], str(r["create_date"])) for r in reg.collect()}
+    assert got == {("A_PST_2024-03-14", "2024-03-14"),
+                   ("B_PST_2024-03-15", "2024-03-15")}
