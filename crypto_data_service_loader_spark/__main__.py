@@ -30,7 +30,8 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--root", required=True, help="dir-per-day data tree")
     runp.add_argument("--registry", required=True, help="registry event-log path")
     runp.add_argument("--sink", default=None,
-                      help="parquet:<path> | jdbc:<url>|<table> (default: <root>/_out)")
+                      help="parquet:<path> | idempotent:<path> | jdbc:<url>|<table> "
+                           "(default: idempotent:<root>_out)")
     runp.add_argument("--config", default=None, help="YAML config (optional)")
     runp.add_argument("--cycles", type=int, default=1)
     runp.add_argument("--today", default=None, help="fix 'today' (tests)")
@@ -42,9 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("crypto_data_service_loader_spark")
 
     # default sink lives NEXT TO the tree, never inside it (the discovery
-    # scan must not see sink output)
-    sink_spec = args.sink or f"parquet:{args.root.rstrip('/')}_out"
-    if sink_spec.startswith("parquet:"):
+    # scan must not see sink output); idempotent = exactly-once per cycle
+    sink_spec = args.sink or f"idempotent:{args.root.rstrip('/')}_out"
+    if sink_spec.startswith("idempotent:"):
+        from .sinks.idempotent import IdempotentParquetSink
+
+        sink = IdempotentParquetSink(sink_spec.split(":", 1)[1])
+    elif sink_spec.startswith("parquet:"):
         sink = ParquetSink(sink_spec.split(":", 1)[1])
     elif sink_spec.startswith("jdbc:"):
         url, table = sink_spec.split(":", 1)[1].rsplit("|", 1)
