@@ -50,7 +50,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # only nano-sourced files read ts as long; re-staged copies (e.g.
+        # scale probes) already carry a proper timestamp
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
