@@ -102,6 +102,88 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-embedding chunker for RAG/training pipelines.
+
+    Chunk starts advance by (chunk_tokens - overlap); the final chunk may be
+    short; docs shorter than one window yield exactly one chunk. Pure
+    JVM array ops (sequence + slice), exploded scan-side: no shuffle at
+    all — chunking is embarrassingly parallel.
+    """
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+#: public-pattern PII regexes (emails, international-ish phone numbers)
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails/phones with typed placeholders; flags count fields so
+    downstream filters can drop PII-heavy docs. regexp_replace is JVM-side
+    and scan-local (no shuffle)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_PATTERNS["email"], "<EMAIL>"),
+        PII_PATTERNS["phone"],
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS["email"]), 0))
+        .cast("int")
+        .alias("n_emails"),
+    )
+
+
+def corpus_term_frequencies(
+    docs: DataFrame, top_n: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level term statistics: term -> total occurrences + doc
+    frequency, top-N by count. explode -> two-level agg: the per-(term,doc)
+    combine happens map-side, the final shuffle carries distinct terms only
+    — the vocabulary, not the corpus."""
+    terms = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    per_doc = terms.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("tf").alias("total_count"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .orderBy(F.col("total_count").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Two fingerprints per doc:
     - content_fp: md5 of normalized text (order-sensitive, exact-dup key)

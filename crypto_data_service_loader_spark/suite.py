@@ -1189,6 +1189,18 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprints(load(spark, sf_dir, "documents"))
 
 
+def q_text_chunking(spark, sf_dir):
+    return text.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+def q_text_redact_pii(spark, sf_dir):
+    return text.redact_pii(load(spark, sf_dir, "documents"))
+
+
+def q_text_top_terms(spark, sf_dir):
+    return text.corpus_term_frequencies(load(spark, sf_dir, "documents"))
+
+
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
@@ -1255,6 +1267,39 @@ _LLM_ORACLES = {
                md5(array_to_string({_TOKS}, ' ')) AS content_fp,
                md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_fp
         FROM documents""",
+    "text_chunking": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        meta AS (SELECT doc_id, toks,
+                        greatest(CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT), 1)
+                        AS n_chunks
+                 FROM t)
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+                   AS chunk_text
+        FROM meta, unnest(range(0, n_chunks)) AS u(i)""",
+    "text_redact_pii": """
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g')
+               AS redacted_text,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER)
+               AS n_emails
+        FROM documents""",
+    "text_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
+        per_doc AS (
+            SELECT term, doc, COUNT(*) AS tf FROM terms GROUP BY term, doc)
+        SELECT term,
+               CAST(SUM(tf) AS BIGINT) AS total_count,
+               COUNT(*) AS doc_freq
+        FROM per_doc GROUP BY term
+        ORDER BY total_count DESC, term ASC LIMIT 50""",
     # cosine: DuckDB list_sum folds in list order, exactly like Spark's
     # F.aggregate — verified bit-identical at 12 dp (tools/diffcheck.py)
     "sim_cosine_topk": """
@@ -1399,6 +1444,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_chunking": q_text_chunking,
+    "text_redact_pii": q_text_redact_pii,
+    "text_top_terms": q_text_top_terms,
 }
 
 ORACLES: dict[str, str] = {

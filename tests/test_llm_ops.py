@@ -91,6 +91,40 @@ def test_ivf_topk_recall_and_exactness(spark, sf_dir):
         assert r["score"] == brute_scores[r["vec_id"]]
 
 
+def test_chunking_windows_and_overlap(spark):
+    from crypto_data_service_loader_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, words), (2, "short doc only")],
+                                 "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    c1 = sorted(by_doc[1])
+    assert len(c1) == 2  # ceil((100-16)/48) = 2
+    assert c1[0][1].split()[0] == "w0" and c1[1][1].split()[0] == "w48"
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert c1[0][1].split()[48:] == c1[1][1].split()[:16]
+    assert by_doc[2] == [(0, "short doc only")]  # short doc -> one chunk
+
+
+def test_pii_redaction(spark):
+    from crypto_data_service_loader_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "contact alice@example.com or +1 (555) 123-4567 now"),
+         (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert "<EMAIL>" in out[1]["redacted_text"]
+    assert "<PHONE>" in out[1]["redacted_text"]
+    assert "alice@" not in out[1]["redacted_text"]
+    assert out[1]["n_emails"] == 1
+    assert out[2]["redacted_text"] == "no pii here" and out[2]["n_emails"] == 0
+
+
 def test_multimodal_decode_plumbing(spark):
     import hashlib
 
