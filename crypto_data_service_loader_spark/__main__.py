@@ -64,12 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     interval = args.interval_sec
     if interval is None:
         interval = cfg.cycles.upload_flow_sec
-    for cycle in range(args.cycles):
+    from .streaming.service import RegistryLog
+
+    base = RegistryLog(spark, args.registry).next_cycle()  # resume-safe seqs
+    for i in range(args.cycles):
+        cycle = base + i
         today = args.today or datetime.date.today().isoformat()
         stats = run_cycle(
             spark, args.root, args.registry, sink, today,
-            cycle=cycle, do_cleanup=(cycle % max(1, 3600 * cfg.cycles.cleanup_hours
-                                                 // max(interval, 1)) == 0 and cycle > 0),
+            cycle=cycle, do_cleanup=(i % max(1, 3600 * cfg.cycles.cleanup_hours
+                                             // max(interval, 1)) == 0 and i > 0),
         )
         print(json.dumps({"cycle": cycle, "today": today, **stats}))
         if cycle + 1 < args.cycles and interval > 0:

