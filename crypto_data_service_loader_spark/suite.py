@@ -1201,6 +1201,34 @@ def q_text_top_terms(spark, sf_dir):
     return text.corpus_term_frequencies(load(spark, sf_dir, "documents"))
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (rows-only): binary payloads derived
+    deterministically from documents, decoded via the mapInPandas stub,
+    features fed to the similarity operators' schema. Codecs are fakes
+    (none installed); the Spark path — schema, Arrow batches, partitioning
+    — is the real thing."""
+    from .operators.multimodal import decode_and_featurize
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return decode_and_featurize(media, fake=True).select(
+        "media_id",
+        "kind",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+        "decode_ok",
+    )
+
+
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
@@ -1447,6 +1475,7 @@ QUERIES = {
     "text_chunking": q_text_chunking,
     "text_redact_pii": q_text_redact_pii,
     "text_top_terms": q_text_top_terms,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
