@@ -47,9 +47,16 @@ def running_totals_batch(events: DataFrame) -> DataFrame:
         )
         return out
 
-    return events.select("event_id", "user_id", "ts", "value").groupBy(
-        "user_id"
-    ).applyInPandas(per_user, schema="event_id long, user_id long, n long, total double")
+    # explicit numbered repartition: AQE's bytes-based coalescing would
+    # shrink this CPU-bound Arrow stage to ~2 tasks (rows are small, the
+    # per-row Python cost isn't); a pinned partition count keeps the
+    # grouped-map fanned out across cores
+    n_parts = events.sparkSession.sparkContext.defaultParallelism
+    return events.select("event_id", "user_id", "ts", "value").repartition(
+        n_parts, "user_id"
+    ).groupBy("user_id").applyInPandas(
+        per_user, schema="event_id long, user_id long, n long, total double"
+    )
 
 
 def _update_running_totals(
