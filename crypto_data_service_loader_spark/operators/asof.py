@@ -35,10 +35,14 @@ def asof_join(
     right_time: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right values at-or-before each left time.
 
     Left rows with no prior right row get nulls (left-outer semantics).
+    With `tolerance_seconds`, matches older than the tolerance are nulled
+    (pandas merge_asof `tolerance=` parity) — the matched right timestamp
+    is carried through the same window, so the bound costs nothing extra.
     """
     by = list(by)
     out_vals = [f"{c}{suffix}" for c in value_cols]
@@ -49,6 +53,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(v)
           for c, v in zip(value_cols, out_vals)],
+        F.lit(None).cast("double").alias("_rt"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -57,6 +62,7 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(v) for c, v in zip(value_cols, out_vals)],
+        F.col(right_time).cast("double").alias("_rt"),
     ).select(*l_tagged.columns)
 
     w = (
@@ -67,4 +73,10 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged)
     for v in out_vals:
         filled = filled.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return filled.filter(F.col("_side") == 1).drop("_t", "_side")
+    filled = filled.withColumn("_rt", F.last("_rt", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        stale = F.col("_t").cast("double") - F.col("_rt") > F.lit(float(tolerance_seconds))
+        for v in out_vals:
+            out = out.withColumn(v, F.when(stale, F.lit(None)).otherwise(F.col(v)))
+    return out.drop("_t", "_side", "_rt")

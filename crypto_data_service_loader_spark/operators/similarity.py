@@ -113,6 +113,44 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Scale twin of embedding_near_dups: candidate pairs only within the
+    same sign-LSH bucket (equi-join on bucket id), then the exact cosine
+    verify. Recall < 1 (tested against the brute-force baseline); the n²
+    stage becomes per-bucket n²/2^planes."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    v = _as_double(F.col(vec_col))
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        "bucket",
+    )
+    a = bucketed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                        F.col("_n").alias("na"), "bucket")
+    b = bucketed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                        F.col("_n").alias("nb"), "bucket")
+    return (
+        a.join(b, ["bucket"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     k_centroids: int = 16,

@@ -1164,6 +1164,13 @@ def q_sim_cosine_topk_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(emb, _query_vector(spark, sf_dir), k=10)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    # rows-only: bucket membership is an implementation detail; subset +
+    # score-identity vs the oracle-checked brute force is asserted in tests
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups_lsh(emb, threshold=0.4)
+
+
 def q_sim_cosine_topk_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, _query_vector(spark, sf_dir), k=10, nprobe=4)
@@ -1438,6 +1445,7 @@ QUERIES = {
     "session_window_agg": q_session_window_agg,
     "win_range_frame": q_win_range_frame,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "stateful_running_total": q_stateful_running_total,
     "scalar_math": q_scalar_math,
     "scalar_json": q_scalar_json,

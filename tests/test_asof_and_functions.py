@@ -43,6 +43,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert got == exp_map
 
 
+def test_asof_join_with_tolerance(spark):
+    quotes = [("A", TS(2024, 1, 1, 10, 0, 0), 100.0)]
+    trades = [(1, "A", TS(2024, 1, 1, 10, 0, 2)),    # 2s old -> match
+              (2, "A", TS(2024, 1, 1, 10, 0, 30))]   # 30s old -> too stale
+    l = spark.createDataFrame(trades, "trade_id long, sym string, ts timestamp")
+    r = spark.createDataFrame(quotes, "sym string, ts timestamp, px double")
+    out = {row["trade_id"]: row["px_asof"]
+           for row in asof_join(l, r, ["sym"], "ts", "ts", ["px"],
+                                tolerance_seconds=5).collect()}
+    assert out == {1: 100.0, 2: None}
+
+    lp = pd.DataFrame(trades, columns=["trade_id", "sym", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(quotes, columns=["sym", "ts", "px"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="sym", direction="backward",
+                        tolerance=pd.Timedelta(seconds=5))
+    exp_map = {int(t): (None if pd.isna(p) else p)
+               for t, p in zip(exp["trade_id"], exp["px"])}
+    assert out == exp_map
+
+
 def test_scalar_helpers(spark):
     from crypto_data_service_loader_spark.functions.scalars import (
         filename_date, log_event_json, ticker_from_filename, to_tsv_line,

@@ -71,6 +71,19 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
             assert r["score"] == brute_scores[r["vec_id"]]
 
 
+def test_embedding_lsh_near_dups_subset_of_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    brute = {(r["id_a"], r["id_b"]): r["score"]
+             for r in similarity.embedding_near_dups(emb, threshold=0.35).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["score"]
+           for r in similarity.embedding_near_dups_lsh(emb, threshold=0.35).collect()}
+    assert set(lsh) <= set(brute)          # bucketing never invents pairs
+    for k, v in lsh.items():
+        assert v == brute[k]               # scores identical where found
+    if brute:
+        assert len(lsh) / len(brute) > 0.1  # sanity recall floor
+
+
 def test_ivf_topk_recall_and_exactness(spark, sf_dir):
     """IVF contract: nprobe == k_centroids is exact (same result as brute
     force); small nprobe returns a subset scoring identically."""
