@@ -62,10 +62,25 @@ def run_upload_batch(
         ticks.withColumnRenamed("_source_file", "filename")), bundles)
     try:
         sink.write(ticks.drop("filename"), batch_id=batch_id)
-        ok = True
+        return spark.createDataFrame(
+            [(f, True) for _, f in rows], "filename string, ok boolean"
+        )
     except Exception:
-        logger.exception("upload batch %s failed", batch_id)
-        ok = False
-    return spark.createDataFrame(
-        [(f, ok) for _, f in rows], "filename string, ok boolean"
-    )
+        logger.exception(
+            "upload batch %s failed; isolating per file", batch_id
+        )
+
+    # Finer than the reference's per-bundle ERROR (SURVEY.md §7): retry each
+    # file alone so one poison file doesn't fail its whole batch. Only runs
+    # on the (rare) failure path, so the per-file overhead never taxes the
+    # hot path.
+    outcomes = []
+    for (d, f), p in zip(rows, paths):
+        try:
+            one = read_ticks_csv(spark, p).drop("_source_file")
+            sink.write(one, batch_id=batch_id)
+            outcomes.append((f, True))
+        except Exception:
+            logger.exception("file %s failed individually", f)
+            outcomes.append((f, False))
+    return spark.createDataFrame(outcomes, "filename string, ok boolean")
