@@ -1,0 +1,58 @@
+"""Partition-layout proofs: the 100 TB storage-layout claims, demonstrated
+on real partitioned writes — date-partition pruning on the registry,
+salting correctness under heavy key skew."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.operators.relational import salted_join
+from crypto_data_service_loader_spark.plans.explain import formatted_plan
+from crypto_data_service_loader_spark.schemas import REGISTRY
+
+D = datetime.date
+
+
+def test_date_partitioned_registry_prunes(spark, tmp_path):
+    """A create_date-partitioned registry scan with a date filter must read
+    only the matching partition (PartitionFilters, not a full scan)."""
+    rows = [
+        (f"f{i}", D(2024, 3, 10 + (i % 3)), "FINISHED") for i in range(30)
+    ]
+    path = str(tmp_path / "registry_parts")
+    spark.createDataFrame(rows, REGISTRY).write.partitionBy(
+        "create_date"
+    ).parquet(path)
+
+    df = spark.read.parquet(path).filter(
+        F.col("create_date") == F.lit("2024-03-11").cast("date")
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    # the pruned scan touches 1 of 3 partitions
+    assert df.count() == 10
+    pruned = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "create_date" in pruned
+
+
+def test_salted_join_correct_under_skew(spark):
+    """90%-hot-key skew: salted join must return exactly the plain join's
+    rows (salting is a physical rewrite, never a semantic one)."""
+    n = 20_000
+    left = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    plain = left.join(right, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).first()
+    salted = salted_join(left, right, "k", salt=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).first()
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+    assert plain["n"] >= n * 9 // 10  # the hot key really is hot
