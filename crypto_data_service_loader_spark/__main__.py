@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                                              // max(interval, 1)) == 0 and i > 0),
         )
         print(json.dumps({"cycle": cycle, "today": today, **stats}))
-        if cycle + 1 < args.cycles and interval > 0:
+        if i + 1 < args.cycles and interval > 0:
             time.sleep(interval)
     return 0
 

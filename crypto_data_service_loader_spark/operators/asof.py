@@ -47,13 +47,22 @@ def asof_join(
     by = list(by)
     out_vals = [f"{c}{suffix}" for c in value_cols]
 
+    # The matched right ROW travels as one non-null struct: last(...,
+    # ignorenulls) then skips left-side rows but never a genuine null
+    # inside a matched row (a per-column carry would resurrect stale
+    # values whenever the matched row holds a null — merge_asof/ASOF JOIN
+    # attach the row, nulls included).
+    row_struct = F.struct(
+        F.col(right_time).cast("double").alias("_rt"),
+        *[F.col(c).alias(v) for c, v in zip(value_cols, out_vals)],
+    )
+    struct_type = right.select(row_struct.alias("_m")).schema["_m"].dataType
+
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(v)
-          for c, v in zip(value_cols, out_vals)],
-        F.lit(None).cast("double").alias("_rt"),
+        F.lit(None).cast(struct_type).alias("_m"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -61,8 +70,7 @@ def asof_join(
         *[F.col(c) for c in by],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(v) for c, v in zip(value_cols, out_vals)],
-        F.col(right_time).cast("double").alias("_rt"),
+        row_struct.alias("_m"),
     ).select(*l_tagged.columns)
 
     w = (
@@ -70,13 +78,16 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = l_tagged.unionByName(r_tagged)
-    for v in out_vals:
-        filled = filled.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    filled = filled.withColumn("_rt", F.last("_rt", ignorenulls=True).over(w))
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "_m", F.last("_m", ignorenulls=True).over(w)
+    )
     out = filled.filter(F.col("_side") == 1)
+    matched = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
-        stale = F.col("_t").cast("double") - F.col("_rt") > F.lit(float(tolerance_seconds))
-        for v in out_vals:
-            out = out.withColumn(v, F.when(stale, F.lit(None)).otherwise(F.col(v)))
-    return out.drop("_t", "_side", "_rt")
+        matched = matched & (
+            F.col("_t").cast("double") - F.col("_m._rt")
+            <= F.lit(float(tolerance_seconds))
+        )
+    for v in out_vals:
+        out = out.withColumn(v, F.when(matched, F.col(f"_m.{v}")))
+    return out.drop("_t", "_side", "_m")

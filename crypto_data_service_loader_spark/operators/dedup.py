@@ -222,28 +222,42 @@ def simhash_near_dups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bits: int = 16, max_hamming: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+    """Near-dup pairs with simhash Hamming distance <= max_hamming —
+    with GUARANTEED recall.
 
-    Scale path: block on simhash bytes (here: bucket by high byte) so the
-    self-join is per-bucket; exact Hamming check via bit_count(xor).
+    Standard pigeonhole blocking: split the fingerprint into
+    (max_hamming + 1) blocks; any pair within distance d differs in at
+    most d blocks, so it agrees EXACTLY on at least one block. Equi-join
+    per block, union, distinct, exact bit_count(xor) verify. Each join is
+    per-bucket (no n²); the union multiplies candidate generation by d+1,
+    not the verify set.
     """
-    s = simhash(docs, text_col, id_col, bits)
-    s = s.withColumn("block", F.shiftright(F.col("simhash"), bits // 2))
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(
+    n_blocks = max_hamming + 1
+    block_size = -(-bits // n_blocks)  # ceil
+    mask = (1 << block_size) - 1
+    s = simhash(docs, text_col, id_col, bits).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    pairs = None
+    for j in range(n_blocks):
+        blocked = s.withColumn(
+            "block", F.shiftright(F.col("simhash"), j * block_size).bitwiseAND(mask)
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        cand = a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
-        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
-        )
+        .select("id_a", "id_b", "hamming")
     )

@@ -109,7 +109,13 @@ def salted_join(
     Use when one key dominates (power-law corpora) and AQE skew splitting
     isn't available/enough. Cost: right side × salt — keep for
     moderate-size right sides. Columns are preserved; the salt is internal.
+
+    Only inner/left-flavored joins: the right side is replicated per salt,
+    so right/full-outer would emit unmatched right rows `salt` times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r}: "
+                         "right-side replication breaks right/full outer")
     l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -125,7 +125,12 @@ def embedding_near_dups_lsh(
     same sign-LSH bucket (equi-join on bucket id), then the exact cosine
     verify. Recall < 1 (tested against the brute-force baseline); the n²
     stage becomes per-bucket n²/2^planes."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    head = embeddings.select(vec_col).head(1)
+    if not head:  # empty corpus -> empty pair set (match the brute twin)
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, score double"
+        )
+    dim = len(head[0][0])
     v = _as_double(F.col(vec_col))
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
         F.col(id_col).alias("_id"),

@@ -29,7 +29,10 @@ class IdempotentParquetSink:
     path: str
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> None:
-        bid = int(batch_id or 0)
+        if batch_id is None:
+            # an unkeyed write would silently land in (and clobber) batch 0
+            raise ValueError("IdempotentParquetSink requires an explicit batch_id")
+        bid = int(batch_id)
         (
             df.withColumn("batch_id", F.lit(bid))
             .write.mode("overwrite")

@@ -59,6 +59,7 @@ def start_discovery(
     checkpoint: str,
     trigger_seconds: int = 15,
     available_now: bool = False,
+    max_files_per_trigger: int | None = 10_000,
 ) -> StreamingQuery:
     """Run discovery: each micro-batch anti-joins the current registry and
     appends only novel filenames (the reference's only double-registration
@@ -81,7 +82,9 @@ def start_discovery(
             .parquet(registry_path)
         )
 
-    stream = discovered_files_stream(spark, root)
+    # pacing: a first start against a huge backfill tree must not process
+    # millions of files in one epoch — cap files per micro-batch
+    stream = discovered_files_stream(spark, root, max_files_per_trigger)
     writer = (
         stream.writeStream.foreachBatch(_flush)
         .option("checkpointLocation", checkpoint)

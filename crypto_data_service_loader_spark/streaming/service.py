@@ -99,41 +99,51 @@ def run_cycle(
     seq_base = cycle * 10
     stats: dict[str, int] = {}
 
-    # 1. discover (reference Flow 1: backfill scan + dedup + insert);
-    # an empty/missing tree is a quiet cycle, not a failure (the reference
-    # falls back and retries, SaveNewFilesToDbFlow.java:139-163)
-    try:
-        scanned = scan_directory(spark, root)  # load() lists eagerly
-    except Exception:  # noqa: BLE001
-        scanned = spark.createDataFrame([], "filename string, create_date date, status string")
-    novel = dedup_new_files(scanned, log.state().select("filename"))
+    def scan_or_empty() -> DataFrame:
+        # an empty/missing tree is a quiet cycle, not a failure (the
+        # reference falls back and retries, SaveNewFilesToDbFlow.java:139-163)
+        try:
+            return scan_directory(spark, root)  # load() lists eagerly
+        except Exception:  # noqa: BLE001
+            return spark.createDataFrame(
+                [], "filename string, create_date date, status string"
+            )
+
+    # 1. discover (reference Flow 1: backfill scan + dedup + insert).
+    # localCheckpoint pins each step's delta BEFORE appending: .cache()
+    # would be re-materialized by the append's recacheByPath with a fresh
+    # file listing (the step would see its own output), and an unpinned
+    # plan would re-run the whole scan+anti-join for the counter.
+    novel = dedup_new_files(scan_or_empty(), log.state().select("filename"))
     new_events = novel.select(
         "filename",
         "create_date",
         F.lit("DISCOVERED").alias("status"),
         F.lit(seq_base).cast("long").alias("seq"),
         F.lit(cycle).cast("long").alias("batch_id"),
-    )
+    ).localCheckpoint(eager=True)
     log.append(new_events)
     stats["discovered"] = new_events.count()
 
     # 2. progress (reference Flow 2: the status-machine CASE)
     cur = log.state()
     advanced = transition_statuses(cur, today)
-    changed = advanced.alias("a").join(
-        cur.select("filename", F.col("status").alias("old_status")), "filename"
-    ).filter(F.col("status") != F.col("old_status"))
-    log.append(
-        changed.select(
+    changed = (
+        advanced.alias("a")
+        .join(cur.select("filename", F.col("status").alias("old_status")), "filename")
+        .filter(F.col("status") != F.col("old_status"))
+        .select(
             "filename", "create_date", "status",
             F.lit(seq_base + 1).cast("long").alias("seq"),
             F.lit(cycle).cast("long").alias("batch_id"),
         )
+        .localCheckpoint(eager=True)
     )
+    log.append(changed)
     stats["progressed"] = changed.count()
 
     # 3. upload (reference Flow 3: claim -> bulk load -> rollup)
-    ready = claim_ready_files(log.state())
+    ready = claim_ready_files(log.state()).localCheckpoint(eager=True)
     log.append(
         ready.select(
             "filename", "create_date", F.lit("IN_PROGRESS").alias("status"),
@@ -150,7 +160,7 @@ def run_cycle(
     )
     rolled = upload_status_rollup(outcomes)
     finished = rolled.join(
-        log.state().select("filename", "create_date"), "filename", "inner"
+        ready.select("filename", "create_date"), "filename", "inner"
     )
     log.append(
         finished.select(
@@ -159,13 +169,14 @@ def run_cycle(
             F.lit(cycle).cast("long").alias("batch_id"),
         )
     )
+    # outcomes is a small driver-built DataFrame; counting it is trivial
     stats["uploaded"] = outcomes.filter("ok").count()
     stats["failed"] = outcomes.filter("NOT ok").count()
 
     # 4. cleanup (reference Flow 4), gated like the reference's 3 h cycle
     if do_cleanup:
         state = log.state()
-        fs = scan_directory(spark, root).select("filename", "create_date")
+        fs = scan_or_empty().select("filename", "create_date")
         last = state.filter(F.col("status") == "FINISHED").agg(
             F.max("create_date")
         ).first()[0]

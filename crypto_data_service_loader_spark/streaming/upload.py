@@ -70,17 +70,31 @@ def run_upload_batch(
             "upload batch %s failed; isolating per file", batch_id
         )
 
-    # Finer than the reference's per-bundle ERROR (SURVEY.md §7): retry each
-    # file alone so one poison file doesn't fail its whole batch. Only runs
-    # on the (rare) failure path, so the per-file overhead never taxes the
-    # hot path.
-    outcomes = []
+    # Finer than the reference's per-bundle ERROR (SURVEY.md §7): parse each
+    # file alone so one poison file maps to one ERROR, then commit the
+    # parseable set in a SINGLE sink write. One write per batch_id is what
+    # keeps the idempotent (dynamic-partition-overwrite) sink exactly-once —
+    # multiple writes under the same batch_id would clobber each other.
+    outcomes, good_dfs, good_files = [], [], []
     for (d, f), p in zip(rows, paths):
         try:
             one = read_ticks_csv(spark, p).drop("_source_file")
-            sink.write(one, batch_id=batch_id)
-            outcomes.append((f, True))
+            # force the parse to surface per-file errors; count() is
+            # disallowed here (corrupt-record-only column pruning)
+            one.foreach(lambda _: None)
+            good_dfs.append(one)
+            good_files.append(f)
         except Exception:
-            logger.exception("file %s failed individually", f)
+            logger.exception("file %s failed to parse", f)
             outcomes.append((f, False))
+    if good_dfs:
+        combined = good_dfs[0]
+        for df in good_dfs[1:]:
+            combined = combined.unionByName(df)
+        try:
+            sink.write(combined, batch_id=batch_id)
+            outcomes.extend((f, True) for f in good_files)
+        except Exception:
+            logger.exception("retry write for batch %s failed", batch_id)
+            outcomes.extend((f, False) for f in good_files)
     return spark.createDataFrame(outcomes, "filename string, ok boolean")

@@ -43,6 +43,19 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert got == exp_map
 
 
+def test_asof_join_null_value_in_matched_row_not_skipped(spark):
+    """Regression (review finding): a NULL value inside the matched right
+    row must be returned as NULL — not skipped in favor of a stale older
+    value (merge_asof/ASOF JOIN attach the row, nulls included)."""
+    quotes = [("A", TS(2024, 1, 1, 10, 0, 0), 5.0),
+              ("A", TS(2024, 1, 1, 10, 0, 2), None)]
+    trades = [(1, "A", TS(2024, 1, 1, 10, 0, 3))]
+    l = spark.createDataFrame(trades, "trade_id long, sym string, ts timestamp")
+    r = spark.createDataFrame(quotes, "sym string, ts timestamp, px double")
+    out = asof_join(l, r, ["sym"], "ts", "ts", ["px"]).collect()
+    assert out[0]["px_asof"] is None  # matched row is t=2 whose px IS null
+
+
 def test_asof_join_with_tolerance(spark):
     quotes = [("A", TS(2024, 1, 1, 10, 0, 0), 100.0)]
     trades = [(1, "A", TS(2024, 1, 1, 10, 0, 2)),    # 2s old -> match

@@ -23,6 +23,47 @@ def test_replayed_batch_does_not_duplicate(spark, tmp_path):
     assert sink.read(spark).count() == 13
 
 
+def test_upload_fallback_preserves_all_files_under_idempotent_sink(spark, tmp_path):
+    """Regression (review finding): the per-file failure fallback must not
+    issue multiple writes under one batch_id — dynamic partition overwrite
+    would keep only the LAST file's rows while marking all FINISHED."""
+    import datetime
+    import os
+
+    from crypto_data_service_loader_spark.schemas import REGISTRY
+    from crypto_data_service_loader_spark.streaming.upload import run_upload_batch
+
+    root = str(tmp_path / "data")
+    os.makedirs(os.path.join(root, "2024-03-13"))
+    line = "AVA-USDT,1,0.5,10,0.51,5,0.49,7,1710400000000"
+    for name, n in [("AAA", 2), ("BBB", 3)]:
+        with open(os.path.join(root, "2024-03-13", name), "w") as fh:
+            fh.write("\n".join([line] * n))
+    claimed = spark.createDataFrame(
+        [("AAA", datetime.date(2024, 3, 13), "READY_FOR_PROCESSING"),
+         ("BBB", datetime.date(2024, 3, 13), "READY_FOR_PROCESSING")],
+        REGISTRY,
+    )
+
+    class FlakyIdempotent(IdempotentParquetSink):
+        def __init__(self, path):
+            super().__init__(path)
+            self.calls = 0
+
+        def write(self, df, batch_id=None):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("transient")
+            super().write(df, batch_id=batch_id)
+
+    sink = FlakyIdempotent(str(tmp_path / "out"))
+    res = run_upload_batch(
+        spark, claimed, lambda d, f: os.path.join(root, d, f), sink, batch_id=5
+    )
+    assert {r["filename"]: r["ok"] for r in res.collect()} == {"AAA": True, "BBB": True}
+    assert sink.read(spark).count() == 5  # ALL rows survived, not just BBB's
+
+
 def test_discovery_day_rollover(spark, tmp_path):
     """New date-dir appearing after the stream started is picked up by the
     globbed source — the reference needed explicit watcher re-init

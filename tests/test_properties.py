@@ -26,7 +26,6 @@ SLOW = settings(
 
 registry_rows = st.lists(
     st.tuples(
-        st.integers(0, 999),
         st.integers(-5, 2),  # create_date offset from TODAY (incl. future)
         st.sampled_from(STATUSES),
     ),
@@ -38,9 +37,10 @@ registry_rows = st.lists(
 @SLOW
 @given(rows=registry_rows)
 def test_status_transitions_forward_only(spark, rows):
+    # enumerate -> unique filenames (filename is the registry key)
     data = [
         (f"f{i}", TODAY + datetime.timedelta(days=off), status)
-        for i, off, status in rows
+        for i, (off, status) in enumerate(rows)
     ]
     reg = spark.createDataFrame(data, REGISTRY)
     out = transition_statuses(reg, str(TODAY)).collect()
