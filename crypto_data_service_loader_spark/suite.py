@@ -384,6 +384,30 @@ def q_win_moving_avg(spark, sf_dir):
     )
 
 
+def q_win_rank_suite(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def q_agg_approx_quantile(spark, sf_dir):
+    # sketch-based quantiles: engine-specific estimates -> rows-only check
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_approx"),
+    )
+
+
 def q_topk_by_price(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     return orders.orderBy(
@@ -862,6 +886,14 @@ _RELATIONAL_ORACLES = {
     "topk_by_price": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "win_rank_suite": """
+        SELECT event_id, user_id,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+               round(PERCENT_RANK() OVER w, 6) AS prank,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               round(CUME_DIST() OVER w, 6) AS cdist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
     "setop_union": """
         SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
         UNION ALL
@@ -1428,6 +1460,8 @@ QUERIES = {
     "win_row_number": q_win_row_number,
     "win_lag_delta": q_win_lag_delta,
     "win_moving_avg": q_win_moving_avg,
+    "win_rank_suite": q_win_rank_suite,
+    "agg_approx_quantile": q_agg_approx_quantile,
     "topk_by_price": q_topk_by_price,
     "setop_union": q_setop_union,
     "setop_except": q_setop_except,
