@@ -85,6 +85,93 @@ class RegistryLog:
         return n
 
 
+def start_service_stream(
+    spark: SparkSession,
+    root: str,
+    registry_path: str,
+    sink: Sink,
+    checkpoint: str,
+    today: str,
+    trigger_seconds: int = 15,
+    available_now: bool = False,
+):
+    """Structured-Streaming service mode: the discovery stream drives the
+    WHOLE pipeline — each micro-batch of newly-appeared files is registered,
+    progressed, uploaded, and rolled up inside one foreachBatch epoch.
+
+    Differences from the polling `run_cycle`: the file source's checkpoint
+    replaces the backfill scan (restart = resume, no re-listing), and epoch
+    ids key both the registry events and the sink writes, so a replayed
+    epoch is idempotent end-to-end. Cleanup stays a scheduled batch job.
+    """
+    from ..sources.fs_scan import path_to_registry_cols
+
+    from .discovery import discovered_files_stream
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        spark_ = batch.sparkSession
+        log = RegistryLog(spark_, registry_path)
+        seq_base = epoch_id * 10
+        # register the epoch's novel files
+        novel = dedup_new_files(batch, log.state().select("filename"))
+        log.append(
+            novel.select(
+                "filename", "create_date", "status",
+                F.lit(seq_base).cast("long").alias("seq"),
+                F.lit(epoch_id).cast("long").alias("batch_id"),
+            )
+        )
+        # progress + upload, same composition as the polling cycle
+        cur = log.state()
+        changed = (
+            transition_statuses(cur, today).alias("a")
+            .join(cur.select("filename", F.col("status").alias("old_status")),
+                  "filename")
+            .filter(F.col("status") != F.col("old_status"))
+            .select(
+                "filename", "create_date", "status",
+                F.lit(seq_base + 1).cast("long").alias("seq"),
+                F.lit(epoch_id).cast("long").alias("batch_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        log.append(changed)
+        ready = claim_ready_files(log.state()).localCheckpoint(eager=True)
+        log.append(
+            ready.select(
+                "filename", "create_date", F.lit("IN_PROGRESS").alias("status"),
+                F.lit(seq_base + 2).cast("long").alias("seq"),
+                F.lit(epoch_id).cast("long").alias("batch_id"),
+            )
+        )
+        outcomes = run_upload_batch(
+            spark_, ready, lambda d, f: os.path.join(root, d, f), sink,
+            batch_id=epoch_id,
+        )
+        finished = upload_status_rollup(outcomes).join(
+            ready.select("filename", "create_date"), "filename", "inner"
+        )
+        log.append(
+            finished.select(
+                "filename", "create_date", "status",
+                F.lit(seq_base + 3).cast("long").alias("seq"),
+                F.lit(epoch_id).cast("long").alias("batch_id"),
+            )
+        )
+
+    stream = discovered_files_stream(spark, root)
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def run_cycle(
     spark: SparkSession,
     root: str,

@@ -114,6 +114,40 @@ def test_cli_resume_does_not_reuse_batch_ids(spark, tmp_path):
     assert RL(spark, reg).next_cycle() == 1  # restart continues, not repeats
 
 
+def test_streaming_service_mode(spark, tmp_path):
+    """Full pipeline driven by the discovery STREAM: files appearing in the
+    tree are registered, progressed, uploaded, and rolled up within
+    foreachBatch epochs; restart resumes from the checkpoint."""
+    from crypto_data_service_loader_spark.streaming.service import (
+        start_service_stream,
+    )
+
+    root = str(tmp_path / "data")
+    reg = str(tmp_path / "registry")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_tree(root, {"2024-03-13": {"AAA_PST_2024-03-13": [VALID, VALID]}})
+    sink = MemorySink()
+
+    q = start_service_stream(spark, root, reg, sink, ckpt,
+                             today="2024-03-14", available_now=True)
+    q.awaitTermination(180)
+    state = {r["filename"]: r["status"]
+             for r in RegistryLog(spark, reg).state().collect()}
+    assert state == {"AAA_PST_2024-03-13": "FINISHED"}
+    assert sum(len(b[1]) for b in sink.batches) == 2
+
+    # new file appears; a restarted stream processes only the delta
+    _mk_tree(root, {"2024-03-13": {"BBB_PST_2024-03-13": [VALID]}})
+    q2 = start_service_stream(spark, root, reg, sink, ckpt,
+                              today="2024-03-14", available_now=True)
+    q2.awaitTermination(180)
+    state2 = {r["filename"]: r["status"]
+              for r in RegistryLog(spark, reg).state().collect()}
+    assert state2["BBB_PST_2024-03-13"] == "FINISHED"
+    assert state2["AAA_PST_2024-03-13"] == "FINISHED"
+    assert sum(len(b[1]) for b in sink.batches) == 3
+
+
 def test_cli_entrypoint(spark, tmp_path):
     from crypto_data_service_loader_spark.__main__ import main
 
