@@ -73,6 +73,10 @@ class RegistryLog:
         Parquet can't overwrite a path being read, so the snapshot lands in
         a side dir which then atomically replaces the log. Returns rows
         kept. At scale, run per date-partition instead of whole-log.
+
+        NOT safe concurrently with a live reader of the log path: run it
+        between polling cycles, or let the streaming service's in-epoch
+        `compact_every` hook do it (inside an epoch nothing else reads).
         """
         import shutil
 
@@ -91,9 +95,11 @@ def start_service_stream(
     registry_path: str,
     sink: Sink,
     checkpoint: str,
-    today: str,
+    today: str | None = None,
     trigger_seconds: int = 15,
     available_now: bool = False,
+    max_files_per_trigger: int | None = 10_000,
+    compact_every: int = 50,
 ):
     """Structured-Streaming service mode: the discovery stream drives the
     WHOLE pipeline — each micro-batch of newly-appeared files is registered,
@@ -102,51 +108,69 @@ def start_service_stream(
     Differences from the polling `run_cycle`: the file source's checkpoint
     replaces the backfill scan (restart = resume, no re-listing), and epoch
     ids key both the registry events and the sink writes, so a replayed
-    epoch is idempotent end-to-end. Cleanup stays a scheduled batch job.
+    epoch is idempotent; stale IN_PROGRESS claims from a crashed epoch are
+    reclaimed by the next one. Cleanup stays a scheduled batch job.
+
+    `today=None` re-evaluates the calendar day PER EPOCH (a frozen value
+    would stall the status machine after midnight); pass a fixed date only
+    in tests. Caveat: a stateless foreachBatch query fires only when new
+    files arrive — on quiet days no epoch runs, so pending transitions wait
+    for the next file (or a scheduled `run_cycle`, which progresses state
+    unconditionally).
+
+    The registry event log is compacted in-line every `compact_every`
+    epochs — inside the epoch is the one point where no concurrent reader
+    holds a listing of the log path (0 disables).
     """
-    from ..sources.fs_scan import path_to_registry_cols
+    import datetime as _dt
 
     from .discovery import discovered_files_stream
+
+    base = RegistryLog(spark, registry_path).next_cycle()  # resume-safe seqs
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
         spark_ = batch.sparkSession
         log = RegistryLog(spark_, registry_path)
-        seq_base = epoch_id * 10
+        cycle_id = base + epoch_id
+        seq_base = cycle_id * 10
+        epoch_today = today or _dt.date.today().isoformat()
         # register the epoch's novel files
         novel = dedup_new_files(batch, log.state().select("filename"))
         log.append(
             novel.select(
                 "filename", "create_date", "status",
                 F.lit(seq_base).cast("long").alias("seq"),
-                F.lit(epoch_id).cast("long").alias("batch_id"),
+                F.lit(cycle_id).cast("long").alias("batch_id"),
             )
         )
         # progress + upload, same composition as the polling cycle
         cur = log.state()
         changed = (
-            transition_statuses(cur, today).alias("a")
+            transition_statuses(cur, epoch_today).alias("a")
             .join(cur.select("filename", F.col("status").alias("old_status")),
                   "filename")
             .filter(F.col("status") != F.col("old_status"))
             .select(
                 "filename", "create_date", "status",
                 F.lit(seq_base + 1).cast("long").alias("seq"),
-                F.lit(epoch_id).cast("long").alias("batch_id"),
+                F.lit(cycle_id).cast("long").alias("batch_id"),
             )
             .localCheckpoint(eager=True)
         )
         log.append(changed)
-        ready = claim_ready_files(log.state()).localCheckpoint(eager=True)
+        ready = claim_ready_files(
+            log.state(), current_batch=cycle_id
+        ).localCheckpoint(eager=True)
         log.append(
             ready.select(
                 "filename", "create_date", F.lit("IN_PROGRESS").alias("status"),
                 F.lit(seq_base + 2).cast("long").alias("seq"),
-                F.lit(epoch_id).cast("long").alias("batch_id"),
+                F.lit(cycle_id).cast("long").alias("batch_id"),
             )
         )
         outcomes = run_upload_batch(
             spark_, ready, lambda d, f: os.path.join(root, d, f), sink,
-            batch_id=epoch_id,
+            batch_id=cycle_id,
         )
         finished = upload_status_rollup(outcomes).join(
             ready.select("filename", "create_date"), "filename", "inner"
@@ -155,11 +179,13 @@ def start_service_stream(
             finished.select(
                 "filename", "create_date", "status",
                 F.lit(seq_base + 3).cast("long").alias("seq"),
-                F.lit(epoch_id).cast("long").alias("batch_id"),
+                F.lit(cycle_id).cast("long").alias("batch_id"),
             )
         )
+        if compact_every and cycle_id > 0 and cycle_id % compact_every == 0:
+            log.compact()  # safe here: no concurrent reader inside the epoch
 
-    stream = discovered_files_stream(spark, root)
+    stream = discovered_files_stream(spark, root, max_files_per_trigger)
     writer = (
         stream.writeStream.foreachBatch(_epoch)
         .option("checkpointLocation", checkpoint)
@@ -229,8 +255,11 @@ def run_cycle(
     log.append(changed)
     stats["progressed"] = changed.count()
 
-    # 3. upload (reference Flow 3: claim -> bulk load -> rollup)
-    ready = claim_ready_files(log.state()).localCheckpoint(eager=True)
+    # 3. upload (reference Flow 3: claim -> bulk load -> rollup; stale
+    # IN_PROGRESS claims orphaned by a crashed older cycle are reclaimed)
+    ready = claim_ready_files(
+        log.state(), current_batch=cycle
+    ).localCheckpoint(eager=True)
     log.append(
         ready.select(
             "filename", "create_date", F.lit("IN_PROGRESS").alias("status"),

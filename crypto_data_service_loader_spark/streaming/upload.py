@@ -29,11 +29,25 @@ from ..sources.csv_ingest import read_ticks_csv
 logger = logging.getLogger(__name__)
 
 
-def claim_ready_files(registry: DataFrame) -> DataFrame:
+def claim_ready_files(
+    registry: DataFrame, current_batch: int | None = None
+) -> DataFrame:
     """EP2 step 1: select READY_FOR_PROCESSING — the optimistic claim. In the
     event-log registry the IN_PROGRESS event is appended by the caller with
-    this batch's id, making the claim idempotent per epoch."""
-    return filter_status_in(registry, ["READY_FOR_PROCESSING"])
+    this batch's id, making the claim idempotent per epoch.
+
+    With `current_batch`, stale IN_PROGRESS claims from older batches are
+    RECLAIMED: a crash between the claim append and the FINISHED/ERROR
+    rollup would otherwise leave those files stuck forever (the reference
+    has the same gap — a killed process orphans its IN_PROGRESS rows).
+    """
+    ready = filter_status_in(registry, ["READY_FOR_PROCESSING"])
+    if current_batch is None:
+        return ready
+    stale = registry.filter(
+        (F.col("status") == "IN_PROGRESS") & (F.col("batch_id") < current_batch)
+    )
+    return ready.unionByName(stale, allowMissingColumns=True)
 
 
 def run_upload_batch(

@@ -32,9 +32,13 @@ CREATE TABLE IF NOT EXISTS tickers_data
     bestBid          Decimal(38, 18),
     bestBidSize      Decimal(38, 18),
     transactionTime  DateTime64(3),
-    batch_id         UInt64  -- epoch key: dedupe replays server-side
+    batch_id         UInt64
 )
-ENGINE = ReplacingMergeTree
+-- version = batch_id: a replayed epoch re-inserts the same (ticker, time,
+-- sequence) keys with a higher batch_id; merges keep the newest copy.
+-- Note ReplacingMergeTree dedup is eventual (per-partition, at merge time);
+-- exact reads use FINAL.
+ENGINE = ReplacingMergeTree(batch_id)
 PARTITION BY toDate(transactionTime)
 ORDER BY (ticker, transactionTime, sequence);
 

@@ -114,6 +114,31 @@ def test_cli_resume_does_not_reuse_batch_ids(spark, tmp_path):
     assert RL(spark, reg).next_cycle() == 1  # restart continues, not repeats
 
 
+def test_stale_in_progress_files_are_reclaimed(spark, tmp_path):
+    """A crash between the IN_PROGRESS claim and the FINISHED rollup must
+    not orphan files: the next cycle reclaims stale claims and uploads."""
+    import datetime
+
+    from crypto_data_service_loader_spark.schemas import REGISTRY_EVENTS
+
+    root = str(tmp_path / "data")
+    reg = str(tmp_path / "registry")
+    _mk_tree(root, {"2024-03-13": {"AAA_PST_2024-03-13": [VALID]}})
+    # simulate the crashed cycle 0: claim appended, rollup never happened
+    spark.createDataFrame(
+        [("AAA_PST_2024-03-13", datetime.date(2024, 3, 13), "DISCOVERED", 0, 0),
+         ("AAA_PST_2024-03-13", datetime.date(2024, 3, 13), "IN_PROGRESS", 2, 0)],
+        REGISTRY_EVENTS,
+    ).write.parquet(reg)
+
+    sink = MemorySink()
+    s1 = run_cycle(spark, root, reg, sink, today="2024-03-14", cycle=1)
+    assert s1["uploaded"] == 1
+    state = {r["filename"]: r["status"]
+             for r in RegistryLog(spark, reg).state().collect()}
+    assert state["AAA_PST_2024-03-13"] == "FINISHED"
+
+
 def test_streaming_service_mode(spark, tmp_path):
     """Full pipeline driven by the discovery STREAM: files appearing in the
     tree are registered, progressed, uploaded, and rolled up within
