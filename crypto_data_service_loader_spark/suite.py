@@ -408,6 +408,63 @@ def q_agg_approx_quantile(spark, sf_dir):
     )
 
 
+def q_win_first_last(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.lead("value").over(wo).alias("next_value"),
+    )
+
+
+def q_agg_corr(spark, sf_dir):
+    """Correlation/covariance from exact decimal sums — engine-independent
+    (built-in corr() accumulates doubles in partition order)."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.col("user_id").cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x.cast("decimal(38,6)")).cast("double")
+    sy = F.sum(y.cast("decimal(38,6)")).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,10)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,10)")).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,10)")).cast("double")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(cov, 6).alias("cov_xy"), F.round(corr, 6).alias("corr_xy")
+    )
+
+
+def q_scalar_date_parts(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("q"),
+        F.dayofyear(d).alias("doy"),
+        F.hour(d).alias("h"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d.cast("date"), "mm").alias("month_start"),
+    )
+
+
 def q_topk_by_price(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     return orders.orderBy(
@@ -886,6 +943,42 @@ _RELATIONAL_ORACLES = {
     "topk_by_price": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "win_first_last": """
+        SELECT event_id, user_id,
+               FIRST_VALUE(value) OVER wfull AS first_value,
+               LAST_VALUE(value) OVER wfull AS last_value,
+               NTH_VALUE(value, 2) OVER wfull AS second_value,
+               LEAD(value) OVER word AS next_value
+        FROM events
+        WINDOW wfull AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+               word AS (PARTITION BY user_id ORDER BY ts)""",
+    "agg_corr": """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS syy
+            FROM events GROUP BY event_type)
+        SELECT event_type,
+               round((sxy - sx * sy / n) / (n - 1), 6) AS cov_xy,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_xy
+        FROM s""",
+    "scalar_date_parts": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(hour(o_orderdate) AS INTEGER) AS h,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start
+        FROM orders""",
     "win_rank_suite": """
         SELECT event_id, user_id,
                CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
@@ -1461,7 +1554,10 @@ QUERIES = {
     "win_lag_delta": q_win_lag_delta,
     "win_moving_avg": q_win_moving_avg,
     "win_rank_suite": q_win_rank_suite,
+    "win_first_last": q_win_first_last,
     "agg_approx_quantile": q_agg_approx_quantile,
+    "agg_corr": q_agg_corr,
+    "scalar_date_parts": q_scalar_date_parts,
     "topk_by_price": q_topk_by_price,
     "setop_union": q_setop_union,
     "setop_except": q_setop_except,

@@ -76,6 +76,23 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             continue
+        # dtype check BEFORE normalization (the driver compares schemas):
+        # compare pandas dtype kinds per column name
+        sd = {c: sdf[c].dtype for c in sdf.columns}
+        od = {c: odf[c].dtype for c in odf.columns}
+        for c in set(sd) & set(od):
+            a, b = str(sd[c]), str(od[c])
+            # datetime64 unit differences (ns vs us) are conversion
+            # artifacts, not schema differences
+            if a.startswith("datetime64") and b.startswith("datetime64"):
+                continue
+            if a != b:
+                failures.append((name, f"DTYPE {c}: spark={a} oracle={b}"))
+                break
+        else:
+            pass
+        if failures and failures[-1][0] == name:
+            continue
         s, o = _normalize(sdf), _normalize(odf)
         if list(s.columns) != list(o.columns):
             failures.append((name, f"COLUMNS spark={list(s.columns)} oracle={list(o.columns)}"))
