@@ -13,8 +13,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
 
 

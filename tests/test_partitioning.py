@@ -37,6 +37,45 @@ def test_date_partitioned_registry_prunes(spark, tmp_path):
     assert "create_date" in pruned
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a recurring big-big join on the join key
+    removes the per-query shuffle entirely — the 100 TB recipe for
+    fact⋈fact joins that run every cycle. Asserts the joined plan has NO
+    Exchange on either side."""
+    from crypto_data_service_loader_spark.tables import load
+
+    # warehouse dir is a static conf, set in the session fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    try:
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bucketdemo.li_b")
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bucketdemo.ord_b")
+
+        # disable auto-broadcast so the join strategy is the bucketed SMJ
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bucketdemo.li_b").join(
+                spark.table("bucketdemo.ord_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = formatted_plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: zero shuffle
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
 def test_salted_join_correct_under_skew(spark):
     """90%-hot-key skew: salted join must return exactly the plain join's
     rows (salting is a physical rewrite, never a semantic one)."""
