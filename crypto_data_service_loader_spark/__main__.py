@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--today", default=None, help="fix 'today' (tests)")
     runp.add_argument("--interval-sec", type=int, default=None,
                       help="sleep between cycles (default: config upload cycle)")
+    runp.add_argument("--mode", choices=["cycles", "stream"], default="cycles",
+                      help="cycles: polling batch loop; stream: Structured "
+                           "Streaming service (runs until interrupted, or "
+                           "drains once with --cycles 0)")
+    runp.add_argument("--checkpoint", default=None,
+                      help="stream-mode checkpoint dir (default: <registry>_ckpt)")
     args = p.parse_args(argv)
 
     cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
@@ -60,6 +66,20 @@ def main(argv: list[str] | None = None) -> int:
     else:
         print(f"unknown sink spec: {sink_spec}", file=sys.stderr)
         return 2
+
+    if args.mode == "stream":
+        from .streaming.service import start_service_stream
+
+        ckpt = args.checkpoint or f"{args.registry.rstrip('/')}_ckpt"
+        q = start_service_stream(
+            spark, args.root, args.registry, sink, ckpt,
+            today=args.today,
+            trigger_seconds=args.interval_sec or cfg.discovery.flush_timeout_sec,
+            available_now=(args.cycles == 0),
+        )
+        q.awaitTermination()
+        print(json.dumps({"mode": "stream", "status": "drained"}))
+        return 0
 
     interval = args.interval_sec
     if interval is None:

@@ -33,6 +33,9 @@ PROBE_QUERIES = [
     "win_moving_avg",
     "sessionize_events",
     "sim_cosine_topk",
+    "dedup_simhash",
+    "text_chunking",
+    "text_top_terms",
 ]
 
 #: key columns that must stay unique when replicating (dedup/minhash pair
