@@ -50,6 +50,10 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
     "sessionize_events",
     "stateful_running_total",
     "stream_sliding_window",

@@ -156,30 +156,15 @@ def embedding_near_dups_lsh(
     )
 
 
-def ivf_assign(
+def _assign_to_centroids(
     embeddings: DataFrame,
-    k_centroids: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF coarse quantizer: deterministic centroids + nearest-centroid
-    assignment.
-
-    Centroids are the first `k_centroids` vectors by id — a deterministic
-    seed set (a production build would run a few Lloyd iterations over a
-    sample; determinism here keeps results reproducible without RNG state).
-    Assignment = broadcast the (tiny) centroid set, compute per-row argmin
-    distance via one min_by aggregation — a single scan + narrow shuffle on
-    (id). Returns (assigned_df, centroids) so the query side can reuse the
-    centroid list driver-side.
-    """
-    seeds = (
-        embeddings.orderBy(F.col(id_col).asc())
-        .limit(k_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()
-    )
-    centroids = [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)]
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid set,
+    per-row argmin distance via one min_by aggregation — a single scan +
+    narrow shuffle on (id)."""
     cdf = embeddings.sparkSession.createDataFrame(
         [(i, v) for i, v in centroids], "cid int, cvec array<double>"
     )
@@ -192,11 +177,90 @@ def ivf_assign(
     scored = embeddings.join(F.broadcast(cdf), F.lit(True), "inner").select(
         F.col(id_col), F.col(vec_col), F.col("cid"), dist.alias("dist")
     )
-    assigned = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.min_by("cid", F.struct("dist", "cid")).alias("centroid_id"),
         F.first(vec_col).alias(vec_col),
     )
-    return assigned, centroids
+
+
+def _seed_centroids(
+    embeddings: DataFrame, k_centroids: int, vec_col: str, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed set: the first `k_centroids` vectors by id (no
+    RNG state — identical across runs/engines)."""
+    seeds = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(k_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    return [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)]
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    k_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the deterministic seed centroids.
+
+    Each iteration: (1) nearest-centroid assignment (broadcast + min_by, one
+    scan); (2) recompute each centroid as the elementwise mean of its
+    members — posexplode to (cid, pos, x), avg per (cid, pos) (a k×dim-row
+    shuffle, independent of table size after the partial agg), rebuild the
+    array with sort_array(collect_list(struct(pos, m))). Clusters that lose
+    all members keep their previous centroid. At 100 TB, train on a sample
+    (`.sample(fraction)`) — Lloyd needs only a representative quantizer,
+    not the full table; assignment cost is unchanged either way.
+    """
+    centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
+    for _ in range(iters):
+        assigned = _assign_to_centroids(embeddings, centroids, vec_col, id_col)
+        rows = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("cvec"),
+            )
+            .collect()
+        )
+        updated = {r["centroid_id"]: [float(x) for x in r["cvec"]] for r in rows}
+        centroids = [(cid, updated.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    k_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iters: int = 0,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: deterministic centroids + nearest-centroid
+    assignment.
+
+    With `train_iters=0` centroids are the deterministic seed set; with
+    `train_iters>0` they are Lloyd-refined first (`ivf_train`), which
+    tightens clusters and so raises recall at fixed nprobe. Returns
+    (assigned_df, centroids) so the query side can reuse the centroid list
+    driver-side.
+    """
+    if train_iters > 0:
+        centroids = ivf_train(embeddings, k_centroids, train_iters, vec_col, id_col)
+    else:
+        centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
+    return _assign_to_centroids(embeddings, centroids, vec_col, id_col), centroids
 
 
 def ivf_topk(
@@ -207,14 +271,18 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN top-k: probe only the `nprobe` centroids nearest the query.
 
     At 100 TB the assignment is precomputed and the table is partitioned by
     centroid_id, so the probe is partition pruning; here assignment runs
-    inline. Recall grows with nprobe (nprobe == k_centroids is exact).
+    inline. Recall grows with nprobe (nprobe == k_centroids is exact) and
+    with `train_iters` (Lloyd-refined centroids cluster tighter).
     """
-    assigned, centroids = ivf_assign(embeddings, k_centroids, vec_col, id_col)
+    assigned, centroids = ivf_assign(
+        embeddings, k_centroids, vec_col, id_col, train_iters
+    )
 
     def d2(a: Sequence[float], b: Sequence[float]) -> float:
         return sum((x - y) * (x - y) for x, y in zip(a, b))

@@ -184,6 +184,89 @@ def corpus_term_frequencies(
     )
 
 
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc is
+    shorter than one gram (sequence() would count down otherwise)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style rule flags (Rae et al. 2021, public heuristics), adapted
+    to single-line docs: word-count band, mean-word-length band, alphabetic-
+    word ratio, symbol-word ratio, stopword presence — each rule its own
+    boolean column plus the overall gate. All array ops, scan-local (no
+    shuffle); ratios are single int/int divisions, engine-exact."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / n
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    symbol_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[^a-z0-9]+$"))).cast("double") / n
+    )
+    stop_hits = _stop_hits(toks, STOPWORDS["en"])
+    flags = {
+        "ok_word_count": (n >= 10) & (n <= 100000),
+        "ok_mean_word_len": (mean_len >= 2.0) & (mean_len <= 12.0),
+        "ok_alpha_ratio": alpha_ratio >= 0.7,
+        "ok_symbol_ratio": symbol_ratio <= 0.1,
+        "ok_stopwords": stop_hits >= 1,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        *[c.alias(name) for name, c in flags.items()],
+        passes.alias("passes_gopher"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc n-gram repetition: top-gram fraction (occurrences of the most
+    frequent n-gram / total n-grams) and duplicate-gram fraction (grams
+    beyond their first occurrence / total) — the Gopher/C4 repetition
+    filters. explode -> (doc, gram) count (map-side combine) -> per-doc
+    rollup; the shuffle carries distinct (doc, gram) pairs only. Docs
+    shorter than one gram are omitted (no grams to measure)."""
+    grams = docs.select(
+        F.col(id_col), F.explode(_ngrams(_tokens(F.col(text_col)), n)).alias("g")
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("total").cast("bigint").alias("n_grams"),
+            (F.col("top").cast("double") / F.col("total")).alias("top_gram_frac"),
+            (
+                (F.col("total") - F.col("n_distinct")).cast("double") / F.col("total")
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Two fingerprints per doc:
     - content_fp: md5 of normalized text (order-sensitive, exact-dup key)

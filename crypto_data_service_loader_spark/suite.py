@@ -1840,6 +1840,14 @@ def q_text_top_terms(spark, sf_dir):
     return text.corpus_term_frequencies(load(spark, sf_dir, "documents"))
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    return text.gopher_quality_flags(load(spark, sf_dir, "documents"))
+
+
+def q_text_repetition(spark, sf_dir):
+    return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end (rows-only): binary payloads derived
     deterministically from documents, decoded via the mapInPandas stub,
@@ -2008,6 +2016,51 @@ _LLM_ORACLES = {
                      + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
                      + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
         FROM s""",
+    "text_gopher_quality": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_words,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x))) AS DOUBLE)
+                       / len({_TOKS}) AS mean_word_len,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len({_TOKS}) AS alpha_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS DOUBLE)
+                       / len({_TOKS}) AS symbol_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in'], x)))
+                        AS INTEGER) AS stop_hits
+            FROM documents)
+        SELECT doc_id, n_words,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(alpha_word_ratio, 6) AS alpha_word_ratio,
+               round(symbol_word_ratio, 6) AS symbol_word_ratio,
+               stop_hits,
+               (n_words >= 10 AND n_words <= 100000) AS ok_word_count,
+               (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_mean_word_len,
+               (alpha_word_ratio >= 0.7) AS ok_alpha_ratio,
+               (symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+               (stop_hits >= 1) AS ok_stopwords,
+               ((n_words >= 10 AND n_words <= 100000)
+                AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                AND alpha_word_ratio >= 0.7
+                AND symbol_word_ratio <= 0.1
+                AND stop_hits >= 1) AS passes_gopher
+        FROM m""",
+    "text_repetition": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+            FROM toks),
+        per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_gram_frac,
+               CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+                   / CAST(SUM(c) AS BIGINT) AS dup_gram_frac
+        FROM per_gram GROUP BY doc_id""",
     "lang_id": f"""
         WITH s AS (
             SELECT doc_id,
@@ -2135,6 +2188,8 @@ QUERIES = {
     "text_chunking": q_text_chunking,
     "text_redact_pii": q_text_redact_pii,
     "text_top_terms": q_text_top_terms,
+    "text_gopher_quality": q_text_gopher_quality,
+    "text_repetition": q_text_repetition,
     "multimodal_features": q_multimodal_features,
 }
 

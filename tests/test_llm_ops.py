@@ -104,6 +104,79 @@ def test_ivf_topk_recall_and_exactness(spark, sf_dir):
         assert r["score"] == brute_scores[r["vec_id"]]
 
 
+def test_ivf_lloyd_centroids_are_cluster_means(spark):
+    """One Lloyd iteration on two obvious clusters must move the seed
+    centroids to the exact cluster means (empty clusters keep their seed)."""
+    rows = [
+        (0, [0.0, 0.0]), (1, [2.0, 0.0]),       # cluster around x-axis
+        (2, [100.0, 100.0]), (3, [102.0, 100.0]),  # far cluster
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train(emb, k_centroids=2, iters=1)
+    got = {cid: vec for cid, vec in cents}
+    # seeds are vec 0 and vec 1; members split {0} / {1,2,3} on iter 1's
+    # assignment against the seeds, means = [0,0] and [68,66.67]
+    assert got[0] == [0.0, 0.0]
+    assert [round(x, 4) for x in got[1]] == [68.0, 66.6667]
+
+
+def test_ivf_lloyd_recall_not_worse(spark, sf_dir):
+    """Lloyd-refined IVF at the same nprobe must match brute-force scores
+    where it hits, and recall must not degrade vs the untrained quantizer."""
+    from crypto_data_service_loader_spark.suite import _query_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    brute_ids = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    seed = similarity.ivf_topk(emb, q, k=10, k_centroids=8, nprobe=3).collect()
+    lloyd = similarity.ivf_topk(
+        emb, q, k=10, k_centroids=8, nprobe=3, train_iters=2
+    ).collect()
+    seed_recall = len({r["vec_id"] for r in seed} & brute_ids)
+    lloyd_recall = len({r["vec_id"] for r in lloyd} & brute_ids)
+    assert lloyd_recall >= seed_recall
+    assert lloyd_recall >= 5  # refined quantizer finds most true neighbors
+
+
+def test_gopher_flags_rules(spark):
+    from crypto_data_service_loader_spark.operators.text import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "a b"),                      # too short
+            (3, "!! ?? ## $$ %% ^^ && ** (( )) [[ ]]"),  # all symbols
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["passes_gopher"] is False
+    assert out[3]["ok_alpha_ratio"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+    assert out[3]["symbol_word_ratio"] == 1.0
+
+
+def test_repetition_stats_math(spark):
+    from crypto_data_service_loader_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 5 bigrams: "a b" x3, "b a" x2
+            (2, "x y z"),         # 2 distinct bigrams
+            (3, "solo"),          # shorter than one bigram -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 5
+    assert out[1]["top_gram_frac"] == 3 / 5
+    assert out[1]["dup_gram_frac"] == (5 - 2) / 5
+    assert out[2]["top_gram_frac"] == 1 / 2
+    assert out[2]["dup_gram_frac"] == 0.0
+
+
 def test_chunking_windows_and_overlap(spark):
     from crypto_data_service_loader_spark.operators.text import chunk_documents
 

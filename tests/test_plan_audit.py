@@ -20,6 +20,7 @@ NESTED_LOOP_OK = {
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "sim_cosine_topk_ivf",  # broadcast of a 16-row centroid table
+    "tpch_q22",  # scalar-subquery threshold: single-row aggregate broadcast
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
