@@ -96,6 +96,50 @@ def sessionize(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width_sec: int = 6 * 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join (`start <= ts < end`) without an equi key,
+    rewritten to stay shuffle-partitionable at scale.
+
+    The naive form is a nested-loop theta join — O(|L|·|R|) and a single
+    task in Spark. Rewrite: each left row maps to its one time bin
+    (`floor(epoch/width)`), each right interval explodes to the bins it
+    overlaps (fan-out ≈ interval_len/width + 1), the bin equi-join
+    co-locates candidates (hash/SMJ, AQE-eligible), and the exact
+    timestamp predicate filters. Each (row, interval) candidate meets in
+    exactly one bin — the row's own — so no post-dedup is needed.
+    Pick `bin_width_sec` near the median interval length: wider bins cut
+    the explode fan-out but widen candidate lists.
+
+    `unix_timestamp` truncates to seconds; truncation only ever widens the
+    covered-bin range (start rounds down, end's bin is kept), so bins
+    over-cover and the exact predicate — evaluated on full-precision
+    timestamps — stays correct.
+    """
+    lbin = F.floor(F.unix_timestamp(F.col(ts_col)) / bin_width_sec)
+    rbins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_col)) / bin_width_sec),
+        F.floor(F.unix_timestamp(F.col(end_col)) / bin_width_sec),
+    )
+    lb = left.withColumn("_bin", lbin)
+    rb = right.withColumn("_bin", F.explode(rbins))
+    out = lb.join(
+        rb,
+        (lb["_bin"] == rb["_bin"])
+        & (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) < F.col(end_col)),
+        how,
+    )
+    return out.drop(lb["_bin"]).drop(rb["_bin"])
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

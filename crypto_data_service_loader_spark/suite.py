@@ -1178,6 +1178,21 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_range_join_events(spark, sf_dir):
+    """Interval join events⋈windows with NO equi key — `relational.
+    range_join` rewrites the theta join into a bin equi-join (see operator
+    docstring). Windows: 20 overlapping 40 h intervals at 33 h stride."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    w = spark.range(20).select(
+        F.col("id").cast("int").alias("w_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,33*id,0,0)").alias("w_start"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,33*id+40,0,0)").alias("w_end"),
+    )
+    return rel.range_join(ev, w, "ts", "w_start", "w_end").select(
+        "event_id", "w_id"
+    )
+
+
 def q_join_salted_skew(spark, sf_dir):
     """Salted join, semantically identical to the plain equi-join — the
     oracle IS the plain join (salting must never change results)."""
@@ -1564,6 +1579,15 @@ _RELATIONAL_ORACLES = {
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "range_join_events": """
+        WITH w AS (
+            SELECT CAST(i AS INTEGER) AS w_id,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 33 HOUR) AS w_start,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 33 HOUR)
+                       + INTERVAL 40 HOUR AS w_end
+            FROM range(20) t(i))
+        SELECT event_id, w_id
+        FROM events JOIN w ON ts >= w_start AND ts < w_end""",
     "join_salted_skew": """
         SELECT e.event_id, e.user_id, e.value, u.user_events
         FROM events e
@@ -1848,6 +1872,37 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
 
 
+def q_docs_prep_pipeline(spark, sf_dir):
+    """End-to-end pretraining data prep as ONE composed plan: Gopher
+    quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
+    -> chunk -> per-doc rollup (chunk + token counts). Each stage is an
+    independently-oracled operator; this query verifies they compose."""
+    docs = load(spark, sf_dir, "documents")
+    passed = docs.join(
+        text.gopher_quality_flags(docs)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keep = (
+        text.doc_fingerprints(passed)
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = passed.join(keep, "doc_id", "left_semi")
+    n_chunks = (
+        text.chunk_documents(kept, chunk_tokens=64, overlap=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    return (
+        n_chunks.join(text.token_counts(kept), "doc_id")
+        .select("doc_id", "n_chunks", "ws_tokens", "bpe_tokens")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end (rows-only): binary payloads derived
     deterministically from documents, decoded via the mapInPandas stub,
@@ -2061,6 +2116,40 @@ _LLM_ORACLES = {
                CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
                    / CAST(SUM(c) AS BIGINT) AS dup_gram_frac
         FROM per_gram GROUP BY doc_id""",
+    "docs_prep_pipeline": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_words,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x))) AS DOUBLE)
+                       / len({_TOKS}) AS mean_word_len,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len({_TOKS}) AS alpha_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS DOUBLE)
+                       / len({_TOKS}) AS symbol_word_ratio,
+                   len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in'], x)))
+                       AS stop_hits
+            FROM documents),
+        passed AS (
+            SELECT d.* FROM documents d JOIN m USING (doc_id)
+            WHERE n_words >= 10 AND n_words <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+              AND alpha_word_ratio >= 0.7 AND symbol_word_ratio <= 0.1
+              AND stop_hits >= 1),
+        keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+                  FROM passed)
+            GROUP BY fp)
+        SELECT doc_id,
+               CAST(GREATEST(CEIL((len({_TOKS}) - 16) / 48.0), 1) AS BIGINT)
+                   AS n_chunks,
+               CAST(len({_TOKS}) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(trim(text)),
+                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+        FROM passed WHERE doc_id IN (SELECT doc_id FROM keep)""",
     "lang_id": f"""
         WITH s AS (
             SELECT doc_id,
@@ -2190,6 +2279,8 @@ QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_gopher_quality": q_text_gopher_quality,
     "text_repetition": q_text_repetition,
+    "docs_prep_pipeline": q_docs_prep_pipeline,
+    "range_join_events": q_range_join_events,
     "multimodal_features": q_multimodal_features,
 }
 

@@ -103,3 +103,38 @@ def test_pandas_udf_mid_price(spark):
     df = spark.createDataFrame([(10.0, 12.0), (1.0, 2.0)], "bid double, ask double")
     out = [r["mid"] for r in df.select(mid_price("bid", "ask").alias("mid")).collect()]
     assert out == [11.0, 1.5]
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.plans.explain import physical_plan
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 05:59:59"), (2, "2024-01-01 06:00:00"),
+         (3, "2024-01-01 11:59:59"), (4, "2024-01-01 12:00:00"),
+         (5, "2024-01-03 00:00:00")],
+        "event_id long, ts string",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"))
+    w = spark.createDataFrame(
+        [(10, "2024-01-01 06:00:00", "2024-01-01 12:00:00"),
+         (11, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),
+         (12, "2024-01-02 23:00:00", "2024-01-03 01:00:00")],
+        "w_id int, s string, e string",
+    ).select("w_id", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+
+    got = sorted(
+        (r["event_id"], r["w_id"])
+        for r in rel.range_join(ev, w, "ts", "s", "e", bin_width_sec=3600).collect()
+    )
+    naive = sorted(
+        (r["event_id"], r["w_id"])
+        for r in ev.crossJoin(w)
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    )
+    # start inclusive / end exclusive at exact bin boundaries
+    assert got == naive == [(1, 11), (2, 10), (3, 10), (5, 12)]
+    plan = physical_plan(rel.range_join(ev, w, "ts", "s", "e"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
