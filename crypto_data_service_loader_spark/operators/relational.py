@@ -167,6 +167,20 @@ def salted_join(
     return l.join(r, [on, "_salt"], how).drop("_salt")
 
 
+def sample_stratified(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (`sampleBy`) — the standard corpus
+    rebalancing step (e.g. downweight a dominant source before training).
+
+    Scan-local: each row draws against its stratum's fraction, no shuffle,
+    no collect. Deterministic per (seed, row) within an engine but not
+    across engines — verified by property tests (stratum counts within
+    binomial tolerance; same-seed reruns identical), not a SQL oracle.
+    """
+    return df.sampleBy(strata_col, fractions, seed)
+
+
 def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
     """UNION ALL by name — no shuffle, pure concatenation of partitions."""
     return a.unionByName(b)

@@ -34,6 +34,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode the driver IS the whole "cluster"; Spark's 1 GiB
+        # driver default starves broadcast builds and shuffle buffers on a
+        # many-core box. Applied only at JVM launch (no-op on an already-
+        # running session). On a real cluster this is the submit-time knob.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -41,7 +48,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static threshold stays at the conservative default: pre-shuffle
+        # size ESTIMATES (scan bytes x column fraction) undershoot real
+        # in-memory size several-fold for narrow projections of wide facts,
+        # and a statically-planned broadcast is never re-examined by AQE
+        # (no shuffle stage to measure) — the 10x scale probe OOMed on
+        # exactly this. The adaptive threshold is generous because AQE
+        # decides from MEASURED shuffle sizes, which are trustworthy.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         # At 100 TB the default 128 MiB input split is right; keep it explicit
         # so scale-up doesn't silently inherit a local-mode override.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

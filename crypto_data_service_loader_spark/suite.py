@@ -918,7 +918,7 @@ def q_tpch_q8(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     vol_if = F.when(F.col("supp_nation") == "NATION_5", _vol()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -940,7 +940,7 @@ def q_tpch_q9(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
@@ -999,7 +999,7 @@ def q_tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     promo = F.when(F.col("p_type") == "PROMO", _vol()).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         ((F.lit(100.0) * dsum(promo)) / dsum(_vol())).alias("promo_revenue")
     )
 
@@ -1035,7 +1035,7 @@ def q_tpch_q16(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -1047,7 +1047,7 @@ def q_tpch_q17(spark, sf_dir):
     self-join (0.5x threshold fits the reduced data's quantity spread)."""
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     parts = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    li_b = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).drop("p_partkey")
+    li_b = li.join(parts, li.l_partkey == parts.p_partkey).drop("p_partkey")
     thresh = li_b.groupBy("l_partkey").agg(
         (F.lit(0.5) * davg("l_quantity")).alias("qty_thresh")
     )
@@ -1092,7 +1092,7 @@ def q_tpch_q19(spark, sf_dir):
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(bands)
         .agg(dsum(_vol()).alias("revenue"))
     )
@@ -1109,7 +1109,7 @@ def q_tpch_q20(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     qualified = (
-        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        li.join(red_parts, li.l_partkey == red_parts.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 400)
@@ -1148,7 +1148,7 @@ def q_tpch_q21(spark, sf_dir):
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -1872,6 +1872,17 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Per-source corpus rebalance (rows-only: Bernoulli draws are
+    engine-specific; determinism and stratum proportions are pinned by
+    property tests in tests/test_properties.py)."""
+    docs = load(spark, sf_dir, "documents")
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return rel.sample_stratified(docs, "source", fractions, seed=42).select(
+        "doc_id", "source"
+    )
+
+
 def q_docs_prep_pipeline(spark, sf_dir):
     """End-to-end pretraining data prep as ONE composed plan: Gopher
     quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
@@ -2281,6 +2292,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "docs_prep_pipeline": q_docs_prep_pipeline,
     "range_join_events": q_range_join_events,
+    "sample_stratified": q_sample_stratified,
     "multimodal_features": q_multimodal_features,
 }
 

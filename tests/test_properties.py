@@ -125,3 +125,26 @@ def test_exact_dedup_partitions_by_normalized_text(spark, texts):
     norm = lambda t: " ".join(t.lower().strip().split())
     n_groups = len({norm(t) for t in texts})
     assert len(out) == n_groups
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from crypto_data_service_loader_spark.operators.relational import (
+        sample_stratified,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, "a").otherwise("b").alias("stratum"),
+    )
+    fractions = {"a": 0.8, "b": 0.1}
+    s1 = sample_stratified(df, "stratum", fractions, seed=7)
+    s2 = sample_stratified(df, "stratum", fractions, seed=7)
+    rows1 = sorted(r["id"] for r in s1.collect())
+    rows2 = sorted(r["id"] for r in s2.collect())
+    assert rows1 == rows2  # same seed -> identical sample
+    counts = {r["stratum"]: r["n"] for r in
+              s1.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binomial 5-sigma bounds: n_a=1000 p=.8 -> sd~12.6; n_b=3000 p=.1 -> sd~16.4
+    assert abs(counts["a"] - 800) < 65
+    assert abs(counts["b"] - 300) < 85

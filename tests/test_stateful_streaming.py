@@ -76,3 +76,71 @@ def test_watermarked_tumbling_window(spark, events_dir, tmp_path):
     assert got[("2024-01-01 10:00:00", 7)] == (2, 4.0)
     assert got[("2024-01-01 10:00:00", 9)] == (1, 10.0)
     assert got[("2024-01-01 11:00:00", 7)] == (1, 4.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from crypto_data_service_loader_spark.streaming.dedup_join import (
+        dedup_within_watermark_stream,
+    )
+
+    src = str(tmp_path / "dup_events")
+    # event 2 duplicated across files (a replayed micro-batch)
+    spark.createDataFrame(EVENTS, SCHEMA).write.parquet(src)
+    spark.createDataFrame([EVENTS[1], EVENTS[3]], SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = dedup_within_watermark_stream(stream, keys=("event_id",), delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_ww").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]  # each id exactly once
+
+
+def test_stream_stream_join_within_bound(spark, tmp_path):
+    from crypto_data_service_loader_spark.streaming.dedup_join import (
+        stream_stream_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(EVENTS, SCHEMA).write.parquet(lsrc)
+    # right events: one within 1h of event 1 (user 7), one too late
+    right_rows = [
+        (101, TS(2024, 1, 1, 10, 30, 0), 7, "enrich", 0.0),
+        (102, TS(2024, 1, 1, 23, 0, 0), 9, "enrich", 0.0),
+    ]
+    spark.createDataFrame(right_rows, SCHEMA).write.parquet(rsrc)
+    left = spark.readStream.schema(SCHEMA).parquet(lsrc)
+    right = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(rsrc)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user_id"),
+        )
+    )
+    joined = stream_stream_join(left, right, "user_id", within="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT event_id, r_event_id FROM ssj").collect()
+    )
+    # events 1 (10:00) and 2 (10:01) of user 7 match 101 (10:30); event 4
+    # (11:00) started after 101; user 9's 102 is 13h late -> no match
+    assert pairs == [(1, 101), (2, 101)]

@@ -36,6 +36,13 @@ PROBE_QUERIES = [
     "dedup_simhash",
     "text_chunking",
     "text_top_terms",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
+    "range_join_events",
+    "docs_prep_pipeline",
+    "text_repetition",
 ]
 
 #: key columns that must stay unique when replicating (dedup/minhash pair
@@ -71,6 +78,7 @@ def stage(spark, sf_dir: str, out_dir: str, factor: int) -> None:
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     out = {}
     for name in PROBE_QUERIES:
+        print(f"[probe] {name} @ {sf_dir}", file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
