@@ -844,6 +844,92 @@ def _vol() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _partsupp(spark, sf_dir) -> DataFrame:
+    """Deterministic partsupp derivation (the testdata schema omits it):
+    4 suppliers per part via modular arithmetic, integer-derived costs and
+    quantities — the SAME closed-form formula lives in the q2/q11 oracles,
+    so the fixture is cross-engine exact (like range_join's windows)."""
+    nsupp = load(spark, sf_dir, "supplier").count()
+    return (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("ps_partkey"))
+        .withColumn("i", F.explode(F.array(*[F.lit(k) for k in range(4)])))
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") + F.col("i") * 7) % nsupp).alias("ps_suppkey"),
+            (
+                ((F.col("ps_partkey") * 31 + F.col("i") * 17) % 10000)
+                / F.lit(100.0)
+                + 1.0
+            ).alias("ps_supplycost"),
+            ((F.col("ps_partkey") * 7 + F.col("i") * 13) % 9999 + 1).alias(
+                "ps_availqty"
+            ),
+        )
+    )
+
+
+_PARTSUPP_SQL = """
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey + i * 7) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+           ((p_partkey * 31 + i * 17) % 10000) / 100.0 + 1.0 AS ps_supplycost,
+           (p_partkey * 7 + i * 13) % 9999 + 1 AS ps_availqty
+    FROM part CROSS JOIN range(4) t(i)
+"""
+
+
+def q_tpch_q2(spark, sf_dir):
+    """Q2 shape: min-cost supplier per part — correlated MIN subquery
+    decorrelated into a per-part aggregate + equality join; region gates
+    the supplier side."""
+    ps = _partsupp(spark, sf_dir)
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = load(spark, sf_dir, "nation")
+    eu_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    costs = ps.join(eu_supp, ps.ps_suppkey == F.col("s_suppkey")).join(
+        part, ps.ps_partkey == part.p_partkey
+    )
+    min_cost = costs.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        costs.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11 shape: stock value per part in one nation with a HAVING scalar
+    subquery (global total × fraction) — the threshold becomes a one-row
+    broadcast join."""
+    ps = _partsupp(spark, sf_dir)
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    held = ps.join(supp, ps.ps_suppkey == F.col("s_suppkey"))
+    value = dsum(F.col("ps_supplycost") * F.col("ps_availqty"))
+    per_part = held.groupBy("ps_partkey").agg(value.alias("value"))
+    threshold = held.agg((value * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(threshold), F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
 def q_tpch_q4(spark, sf_dir):
     """Q4 shape: EXISTS decorrelated to a conditioned left-semi join
     (late-shipping proxy: l_shipdate > o_orderdate replaces the absent
@@ -1611,6 +1697,40 @@ _RELATIONAL_ORACLES = {
 _DAVG = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x})"
 
 _TPCH_ORACLES = {
+    "tpch_q2": f"""
+        WITH partsupp AS ({_PARTSUPP_SQL}),
+        eu_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                  WHERE r_name = 'EUROPE')),
+        costs AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   ps_partkey, ps_supplycost
+            FROM partsupp JOIN eu_supp ON ps_suppkey = s_suppkey
+                 JOIN part ON ps_partkey = p_partkey
+            WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+        FROM costs c
+        WHERE ps_supplycost = (SELECT MIN(ps_supplycost) FROM costs c2
+                               WHERE c2.ps_partkey = c.ps_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "tpch_q11": f"""
+        WITH partsupp AS ({_PARTSUPP_SQL}),
+        held AS (
+            SELECT ps_partkey, ps_supplycost, ps_availqty
+            FROM partsupp
+            WHERE ps_suppkey IN (
+                SELECT s_suppkey FROM supplier JOIN nation
+                    ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'))
+        SELECT ps_partkey,
+               {_DSUM.format(x='ps_supplycost * ps_availqty')} AS value
+        FROM held GROUP BY ps_partkey
+        HAVING {_DSUM.format(x='ps_supplycost * ps_availqty')} >
+               (SELECT {_DSUM.format(x='ps_supplycost * ps_availqty')} * 0.001
+                FROM held)
+        ORDER BY value DESC, ps_partkey""",
     "tpch_q4": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders
@@ -2255,6 +2375,9 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
+    "tpch_q1": q_flagship,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
     "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2298,6 +2421,7 @@ QUERIES = {
 
 ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _FLAGSHIP_SQL,
+    "tpch_q1": _FLAGSHIP_SQL,
     **_REGISTRY_ORACLES,
     **_RELATIONAL_ORACLES,
     **_TPCH_ORACLES,

@@ -21,6 +21,7 @@ NESTED_LOOP_OK = {
     "dedup_embedding_cosine",
     "sim_cosine_topk_ivf",  # broadcast of a 16-row centroid table
     "tpch_q22",  # scalar-subquery threshold: single-row aggregate broadcast
+    "tpch_q11",  # HAVING scalar subquery: single-row aggregate broadcast
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
