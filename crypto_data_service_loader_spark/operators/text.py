@@ -90,6 +90,55 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return scored.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+#: Fixed character-trigram profiles (public-knowledge frequent trigrams per
+#: language). Coarser than a trained model but stopword-independent: works
+#: on text where function words are rare (code, titles, queries).
+TRIGRAM_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her",
+           "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver"],
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "che", "den", "ten",
+           "und", "ine", "gen", "end", "ers", "ste", "cht", "ung", "das"],
+    "fr": ["les", "ent", "que", "ion", "ant", "eur", "our", "ait", "dan",
+           "pou", "est", "par", "men", "tre", "com", "ons", "ous", "ett"],
+    "es": ["que", "ent", "ion", "con", "ado", "est", "par", "los", "ien",
+           "nte", "ara", "cio", "dad", "las", "del", "por", "una", "era"],
+}
+
+
+def lang_id_trigram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language ID from character trigrams: count text trigrams hitting each
+    language's fixed profile, argmax with LANG_ORDER tie-break, all-zero ->
+    'und'. Same contract as `lang_id` but stopword-independent. Trigram
+    generation is a sequence+substring transform — scan-local, JVM-side."""
+    s = F.lower(F.trim(F.col(text_col)))
+    grams = F.when(
+        F.length(s) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 2),
+            lambda i: s.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(grams, lambda g: g.isin(*TRIGRAM_PROFILES[lang])))
+            .alias(f"t_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"t_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when((best > 0) & (F.col(f"t_{lang}") == best), lang).otherwise(pred)
+    return scored.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        *[F.col(f"t_{lang}") for lang in LANG_ORDER],
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (letter runs /
     digit runs / single symbols) — the cheap proxy pair for LLM token

@@ -1984,6 +1984,10 @@ def q_text_top_terms(spark, sf_dir):
     return text.corpus_term_frequencies(load(spark, sf_dir, "documents"))
 
 
+def q_lang_id_trigram(spark, sf_dir):
+    return text.lang_id_trigram(load(spark, sf_dir, "documents"))
+
+
 def q_text_gopher_quality(spark, sf_dir):
     return text.gopher_quality_flags(load(spark, sf_dir, "documents"))
 
@@ -2296,6 +2300,41 @@ _LLM_ORACLES = {
                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
                     ELSE 'es' END AS lang_pred
         FROM s""",
+    "lang_id_trigram": """
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN len(lower(trim(text))) >= 3 THEN
+                       list_transform(range(1, len(lower(trim(text))) - 1),
+                           i -> substr(lower(trim(text)), CAST(i AS INTEGER), 3))
+                   ELSE [] END AS grams
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['the','and','ing','ion','tio','ent','ati','for','her',
+                        'ter','hat','tha','ere','ate','his','con','res','ver'],
+                       x))) AS INTEGER) AS t_en,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['der','ein','sch','ich','nde','die','che','den','ten',
+                        'und','ine','gen','end','ers','ste','cht','ung','das'],
+                       x))) AS INTEGER) AS t_de,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['les','ent','que','ion','ant','eur','our','ait','dan',
+                        'pou','est','par','men','tre','com','ons','ous','ett'],
+                       x))) AS INTEGER) AS t_fr,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['que','ent','ion','con','ado','est','par','los','ien',
+                        'nte','ara','cio','dad','las','del','por','una','era'],
+                       x))) AS INTEGER) AS t_es
+            FROM g)
+        SELECT doc_id,
+               CASE WHEN greatest(t_en, t_de, t_fr, t_es) = 0 THEN 'und'
+                    WHEN t_en = greatest(t_en, t_de, t_fr, t_es) THEN 'en'
+                    WHEN t_de = greatest(t_en, t_de, t_fr, t_es) THEN 'de'
+                    WHEN t_fr = greatest(t_en, t_de, t_fr, t_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               t_en, t_de, t_fr, t_es
+        FROM s""",
 }
 
 # --------------------------------------------------------------------------
@@ -2406,6 +2445,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "lang_id_trigram": q_lang_id_trigram,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "text_chunking": q_text_chunking,

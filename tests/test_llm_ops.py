@@ -249,3 +249,24 @@ def multimodal_schema():
     from crypto_data_service_loader_spark.schemas import MEDIA
 
     return MEDIA
+
+
+def test_lang_id_trigram_discriminates(spark):
+    from crypto_data_service_loader_spark.operators.text import lang_id_trigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are singing for their dinner"),
+            (2, "der schnelle braune fuchs springt und die hunde schlafen nicht"),
+            (3, "les enfants que nous avons vus dans la rue chantent pour tout le monde"),
+            (4, "los ninos estaban cantando en la ciudad que conocemos desde hace anos"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id_trigram(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "und"
