@@ -1264,6 +1264,24 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_agg_approx_topk(spark, sf_dir):
+    """Frequent-items sketch (approx_top_k): one-pass mergeable heavy-hitter
+    summary — the scalable replacement for exact GROUP BY + ORDER BY + LIMIT
+    when the key space is huge. Exact (and thus oracle-checkable) here
+    because distinct keys << maxItemsTracked; at real scale the same call
+    degrades gracefully to approximate counts."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "item")
+    )
+
+
 def q_range_join_events(spark, sf_dir):
     """Interval join events⋈windows with NO equi key — `relational.
     range_join` rewrites the theta join into a bin equi-join (see operator
@@ -1665,6 +1683,10 @@ _RELATIONAL_ORACLES = {
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "agg_approx_topk": """
+        SELECT event_type AS item, COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+        ORDER BY cnt DESC, item LIMIT 5""",
     "range_join_events": """
         WITH w AS (
             SELECT CAST(i AS INTEGER) AS w_id,
@@ -2455,6 +2477,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "docs_prep_pipeline": q_docs_prep_pipeline,
     "range_join_events": q_range_join_events,
+    "agg_approx_topk": q_agg_approx_topk,
     "sample_stratified": q_sample_stratified,
     "multimodal_features": q_multimodal_features,
 }

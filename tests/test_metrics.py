@@ -42,3 +42,45 @@ def test_log_events_are_queryable_like_tickers_logs(spark):
     )
     assert out.count() == 5
     assert '"severity":"INFO"' in out.first()["j"]
+
+
+def test_streaming_progress_listener(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.streaming.progress import ProgressCapture
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    ).write.parquet(src)
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        q = (
+            spark.readStream.schema("id long, v double")
+            .parquet(src)
+            .groupBy((F.col("id") % 10).alias("k"))
+            .agg(F.sum("v").alias("s"))
+            .writeStream.format("memory")
+            .queryName("prog_test")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async; wait for the progress row to land
+        import time
+        for _ in range(50):
+            if cap.rows:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(cap)
+    df = cap.to_df(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    total = sum(r["num_input_rows"] for r in rows)
+    assert total == 100
+    assert all(r["query_name"] == "prog_test" for r in rows)
+    assert any(r["state_rows_total"] == 10 for r in rows)  # 10 agg groups
