@@ -295,6 +295,56 @@ def ivf_topk(
     return cosine_topk(cands, query, k, vec_col, id_col)
 
 
+def ivf_tune_nprobe(
+    embeddings: DataFrame,
+    sample_queries: list[Sequence[float]],
+    target_recall: float = 0.9,
+    k: int = 10,
+    k_centroids: int = 16,
+    train_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Pick the smallest nprobe whose mean recall@k over `sample_queries`
+    (vs the exact brute-force top-k) meets `target_recall`.
+
+    Train/assign once, then sweep nprobe driver-side — each probe level
+    only re-filters the cached assignment, so the sweep costs one
+    assignment plus |queries| x |levels| cheap top-k scans over candidate
+    subsets. At 100 TB this runs on a sample table offline; the chosen
+    nprobe is then a query-time constant. Returns k_centroids (exact
+    search) if the target is never met earlier.
+    """
+    assigned, centroids = ivf_assign(
+        embeddings, k_centroids, vec_col, id_col, train_iters
+    )
+    assigned = assigned.cache()
+    try:
+        truth = [
+            {r[id_col] for r in cosine_topk(embeddings, q, k, vec_col, id_col).collect()}
+            for q in sample_queries
+        ]
+
+        def d2(a: Sequence[float], b: Sequence[float]) -> float:
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        for nprobe in range(1, k_centroids + 1):
+            recalls = []
+            for q, expect in zip(sample_queries, truth):
+                probe = sorted(centroids, key=lambda c: d2(c[1], [float(x) for x in q]))
+                probe_ids = [c[0] for c in probe[:nprobe]]
+                cands = assigned.filter(
+                    F.col("centroid_id").isin(probe_ids)
+                ).select(id_col, vec_col)
+                got = {r[id_col] for r in cosine_topk(cands, q, k, vec_col, id_col).collect()}
+                recalls.append(len(got & expect) / max(len(expect), 1))
+            if sum(recalls) / len(recalls) >= target_recall:
+                return nprobe
+        return k_centroids
+    finally:
+        assigned.unpersist()
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
 

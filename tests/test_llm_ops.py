@@ -270,3 +270,26 @@ def test_lang_id_trigram_discriminates(spark):
     assert out[3] == "fr"
     assert out[4] == "es"
     assert out[5] == "und"
+
+
+def test_ivf_tune_nprobe_contract(spark, sf_dir):
+    """Auto-tune contract: target 1.0 recall reaches exactness (possibly at
+    nprobe == k_centroids); a lax target picks a smaller-or-equal nprobe;
+    the picked nprobe actually delivers the target on the tuning queries."""
+    from crypto_data_service_loader_spark.suite import _query_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = [_query_vector(spark, sf_dir, i) for i in (0, 3)]
+    strict = similarity.ivf_tune_nprobe(
+        emb, qs, target_recall=1.0, k=10, k_centroids=8
+    )
+    lax = similarity.ivf_tune_nprobe(
+        emb, qs, target_recall=0.5, k=10, k_centroids=8
+    )
+    assert 1 <= lax <= strict <= 8
+    # replay: the strict choice must reproduce brute-force results
+    for q in qs:
+        brute = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+        got = {r["vec_id"] for r in similarity.ivf_topk(
+            emb, q, k=10, k_centroids=8, nprobe=strict, train_iters=1).collect()}
+        assert len(got & brute) / 10 >= 0.99 or strict == 8

@@ -144,3 +144,42 @@ def test_stream_stream_join_within_bound(spark, tmp_path):
     # events 1 (10:00) and 2 (10:01) of user 7 match 101 (10:30); event 4
     # (11:00) started after 101; user 9's 102 is 13h late -> no match
     assert pairs == [(1, 101), (2, 101)]
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The same watermarked dedup runs on the RocksDB state-store provider —
+    the disk-backed store that keeps very large streaming state (100 TB/day
+    key spaces) out of executor heap. Conf is per-query at start time."""
+    from crypto_data_service_loader_spark.streaming.dedup_join import (
+        dedup_within_watermark_stream,
+    )
+
+    src = str(tmp_path / "dup_events_rocks")
+    spark.createDataFrame(EVENTS, SCHEMA).write.parquet(src)
+    spark.createDataFrame([EVENTS[0], EVENTS[2]], SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = dedup_within_watermark_stream(stream, keys=("event_id",), delay="2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_rocks").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]
