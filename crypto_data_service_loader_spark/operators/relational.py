@@ -123,6 +123,12 @@ def range_join(
     over-cover and the exact predicate — evaluated on full-precision
     timestamps — stays correct.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"range_join does not support how={how!r}: the interval side is "
+            "replicated once per covered bin, so right/full outer would emit "
+            "unmatched interval rows multiple times"
+        )
     lbin = F.floor(F.unix_timestamp(F.col(ts_col)) / bin_width_sec)
     rbins = F.sequence(
         F.floor(F.unix_timestamp(F.col(start_col)) / bin_width_sec),

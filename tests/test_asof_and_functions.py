@@ -138,3 +138,19 @@ def test_range_join_matches_naive_theta_join(spark):
     plan = physical_plan(rel.range_join(ev, w, "ts", "s", "e"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_rejects_right_outer(spark):
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from pyspark.sql import functions as F
+    import pytest
+
+    ev = spark.createDataFrame([(1, "2024-01-01 05:00:00")], "event_id long, ts string") \
+        .select("event_id", F.to_timestamp("ts").alias("ts"))
+    w = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")], "w_id int, s string, e string"
+    ).select("w_id", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    with pytest.raises(ValueError, match="right/full outer"):
+        rel.range_join(ev, w, "ts", "s", "e", how="right")
+    # left-flavored joins remain supported
+    assert rel.range_join(ev, w, "ts", "s", "e", how="left").count() == 1
