@@ -261,3 +261,63 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Cluster pairwise near-dup matches into duplicate groups: each node's
+    cluster_id converges to the MIN node id reachable from it.
+
+    Iterative min-label propagation: per round, every node takes the min of
+    its own label and its neighbors' labels (edge join + groupBy-min — two
+    narrow shuffles per round). Rounds needed = graph diameter; near-dup
+    graphs are unions of small cliques, so convergence is typically 2-3
+    rounds. Each round materializes (cache + count) to keep lineage flat —
+    on a real cluster swap cache for localCheckpoint every few rounds.
+    Deterministic: min-label is order-independent, no RNG.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).cache()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("cluster_id")
+    )
+    return out

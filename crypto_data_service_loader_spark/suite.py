@@ -1925,6 +1925,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not pairs: connected components over the
+    MinHash-LSH candidate graph (min-label propagation; oracle = recursive
+    CTE over the identical pair SQL). Every doc gets a cluster_id = min
+    doc_id reachable; singletons are their own cluster."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.connected_components(pairs, docs.select("doc_id"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     a = docs.select(F.col("doc_id").alias("id_a"))
@@ -2090,7 +2100,9 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> tuple[str, str, str]:
+    """Returns (full pair query, CTE body, final select) so the clusters
+    oracle can splice the pair pipeline into a recursive-closure query."""
     rows = num_hashes // bands
     sig_exprs = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS h{i}"
@@ -2106,15 +2118,16 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
         f"SELECT doc, '{b}' AS band, band_{b} AS band_hash FROM banded"
         for b in range(bands)
     )
-    return f"""
-        WITH sh AS (SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+    ctes = f"""sh AS (SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
                     WHERE len({_SHINGLES}) > 0),
         sig AS (SELECT doc, {sig_exprs} FROM sh),
         banded AS (SELECT doc, {band_exprs} FROM sig),
-        buckets AS ({band_union})
+        buckets AS ({band_union})"""
+    select = """
         SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc"""
+    return f"WITH {ctes} {select}", ctes, select
 
 
 _LLM_ORACLES = {
@@ -2122,7 +2135,19 @@ _LLM_ORACLES = {
         SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
                MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
-    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_minhash_lsh": _minhash_sql()[0],
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, edges.dst FROM reach JOIN edges
+              ON reach.r = edges.src)
+        SELECT node AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node""",
     "dedup_ngram_jaccard": f"""
         WITH sets AS (
             SELECT doc_id, list_distinct({_SHINGLES}) AS sh
@@ -2458,6 +2483,7 @@ QUERIES = {
     # LLM-pipeline EXT
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,

@@ -293,3 +293,17 @@ def test_ivf_tune_nprobe_contract(spark, sf_dir):
         got = {r["vec_id"] for r in similarity.ivf_topk(
             emb, q, k=10, k_centroids=8, nprobe=strict, train_iters=1).collect()}
         assert len(got & brute) / 10 >= 0.99 or strict == 8
+
+
+def test_connected_components_transitive_chain(spark):
+    """A path graph needs multiple propagation rounds: 1-2-3-4 must all
+    collapse to cluster 1 even though 1 and 4 share no direct edge."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 7, 8, 9)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
