@@ -1311,6 +1311,31 @@ def q_join_salted_skew(spark, sf_dir):
     )
 
 
+def q_ohlc_bars(spark, sf_dir):
+    """OHLC downsampling — THE canonical tick-data aggregation the
+    reference's ClickHouse/Grafana consumers run: per (series, hour) bar
+    with open/close = first/last value by (ts, event_id) (composite key
+    makes ties impossible), high/low/volume. One shuffle, map-side
+    partials; at 100 TB the hour column is also the partition key, so
+    bars land partition-local."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("series"),
+            F.date_trunc("hour", "ts").alias("bar_start"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
 def q_stream_sliding_window(spark, sf_dir):
     """Sliding window (1 day, 12 h slide): every event belongs to exactly
     two windows — batch-checkable twin of the streaming sliding agg."""
@@ -1709,6 +1734,33 @@ _RELATIONAL_ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "ohlc_bars": f"""
+        WITH base AS (
+            SELECT event_type AS series,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_start,
+                   value, ts, event_id
+            FROM events),
+        ranked AS (
+            SELECT series, bar_start, value,
+                   ROW_NUMBER() OVER (PARTITION BY series, bar_start
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY series, bar_start
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM base),
+        oc AS (
+            SELECT series, bar_start,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+            FROM ranked GROUP BY series, bar_start),
+        agg AS (
+            SELECT series, bar_start,
+                   MAX(value) AS high, MIN(value) AS low,
+                   {_DSUM.format(x='value')} AS volume,
+                   COUNT(*) AS n_ticks
+            FROM base GROUP BY series, bar_start)
+        SELECT agg.series, agg.bar_start, oc.open, agg.high, agg.low,
+               oc.close, agg.volume, agg.n_ticks
+        FROM agg JOIN oc USING (series, bar_start)""",
     "stream_tumbling_daily_count": f"""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
                COUNT(*) AS n,
@@ -2453,6 +2505,7 @@ QUERIES = {
     "subquery_exists": q_subquery_exists,
     "subquery_scalar": q_subquery_scalar,
     "subquery_in": q_subquery_in,
+    "ohlc_bars": q_ohlc_bars,
     "stream_sliding_window": q_stream_sliding_window,
     "unpivot_metrics": q_unpivot_metrics,
     "agg_percentile": q_agg_percentile,
