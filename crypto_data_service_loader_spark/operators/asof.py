@@ -91,3 +91,29 @@ def asof_join(
     for v in out_vals:
         out = out.withColumn(v, F.when(matched, F.col(f"_m.{v}")))
     return out.drop("_t", "_side", "_m")
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Carry the last non-null observation forward within each key's
+    timeline (the time-series gap-fill / LOCF primitive; same window
+    mechanic as the as-of join's carry-forward side).
+
+    One shuffle on the key; `last(..., ignorenulls=True)` over an
+    unbounded-preceding frame runs in a single pass per partition. Rows
+    before a key's first observation stay null by design.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_filled",
+        F.last(value_col, ignorenulls=True).over(w),
+    )

@@ -1336,6 +1336,32 @@ def q_ohlc_bars(spark, sf_dir):
     )
 
 
+def q_gap_fill_bars(spark, sf_dir):
+    """Gap-filled hourly close series: an exploded calendar scaffold
+    (series x 720 hours, no join — explode is scan-local), left join the
+    real OHLC bars, then `asof.forward_fill` carries the last close across
+    empty hours. The standard densify step before time-series modeling."""
+    bars = q_ohlc_bars(spark, sf_dir).select("series", "bar_start", "close")
+    scaffold = (
+        bars.select("series")
+        .distinct()
+        .select("series", F.explode(F.sequence(F.lit(0), F.lit(719))).alias("h"))
+        .select(
+            "series",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0)"
+            ).alias("bar_start"),
+        )
+    )
+    joined = scaffold.join(bars, ["series", "bar_start"], "left")
+    return asof.forward_fill(joined, "series", "bar_start", "close").select(
+        "series",
+        "bar_start",
+        "close_filled",
+        F.col("close").isNotNull().alias("observed"),
+    )
+
+
 def q_stream_sliding_window(spark, sf_dir):
     """Sliding window (1 day, 12 h slide): every event belongs to exactly
     two windows — batch-checkable twin of the streaming sliding agg."""
@@ -1761,6 +1787,36 @@ _RELATIONAL_ORACLES = {
         SELECT agg.series, agg.bar_start, oc.open, agg.high, agg.low,
                oc.close, agg.volume, agg.n_ticks
         FROM agg JOIN oc USING (series, bar_start)""",
+    "gap_fill_bars": """
+        WITH base AS (
+            SELECT event_type AS series,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_start,
+                   value, ts, event_id
+            FROM events),
+        ranked AS (
+            SELECT series, bar_start, value,
+                   ROW_NUMBER() OVER (PARTITION BY series, bar_start
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM base),
+        bars AS (
+            SELECT series, bar_start, value AS close
+            FROM ranked WHERE rn_d = 1),
+        scaffold AS (
+            SELECT series,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 1 HOUR)
+                       AS bar_start
+            FROM (SELECT DISTINCT event_type AS series FROM events)
+                 CROSS JOIN range(720) t(i)),
+        joined AS (
+            SELECT s.series, s.bar_start, b.close
+            FROM scaffold s LEFT JOIN bars b USING (series, bar_start))
+        SELECT series, bar_start,
+               last_value(close IGNORE NULLS) OVER (
+                   PARTITION BY series ORDER BY bar_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS close_filled,
+               close IS NOT NULL AS observed
+        FROM joined""",
     "stream_tumbling_daily_count": f"""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
                COUNT(*) AS n,
@@ -2506,6 +2562,7 @@ QUERIES = {
     "subquery_scalar": q_subquery_scalar,
     "subquery_in": q_subquery_in,
     "ohlc_bars": q_ohlc_bars,
+    "gap_fill_bars": q_gap_fill_bars,
     "stream_sliding_window": q_stream_sliding_window,
     "unpivot_metrics": q_unpivot_metrics,
     "agg_percentile": q_agg_percentile,

@@ -154,3 +154,21 @@ def test_range_join_rejects_right_outer(spark):
         rel.range_join(ev, w, "ts", "s", "e", how="right")
     # left-flavored joins remain supported
     assert rel.range_join(ev, w, "ts", "s", "e", how="left").count() == 1
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from crypto_data_service_loader_spark.operators.asof import forward_fill
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, 20.0),
+         ("a", 5, None), ("b", 1, None)],
+        "k string, t int, v double",
+    )
+    out = {(r["k"], r["t"]): r["v_filled"]
+           for r in forward_fill(df, "k", "t", "v").collect()}
+    assert out[("a", 1)] is None          # before first observation
+    assert out[("a", 3)] == 10.0          # carried forward
+    assert out[("a", 4)] == 20.0          # new observation wins
+    assert out[("a", 5)] == 20.0
+    assert out[("b", 1)] is None          # fills never cross keys
