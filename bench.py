@@ -55,6 +55,7 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q21",
     "sessionize_events",
+    "ohlc_bars",
     "stateful_running_total",
     "stream_sliding_window",
 ]

@@ -43,6 +43,8 @@ PROBE_QUERIES = [
     "range_join_events",
     "docs_prep_pipeline",
     "text_repetition",
+    "ohlc_bars",
+    "dedup_clusters",
 ]
 
 #: key columns that must stay unique when replicating (dedup/minhash pair
