@@ -297,24 +297,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the old label through the step so convergence is a filter on
+        # the SAME materialization — one job per round, not a second join
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.filter(F.col("label") != F.col("old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     out = labels.select(
