@@ -36,14 +36,19 @@ def asof_join(
     value_cols: Sequence[str],
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right values at-or-before each left time.
+    """Left as-of join: nearest right values at-or-before each left time
+    (`direction="backward"`, the default) or at-or-after
+    (`direction="forward"`) — pandas merge_asof direction parity.
 
-    Left rows with no prior right row get nulls (left-outer semantics).
-    With `tolerance_seconds`, matches older than the tolerance are nulled
+    Left rows with no matching right row get nulls (left-outer semantics).
+    With `tolerance_seconds`, matches farther than the tolerance are nulled
     (pandas merge_asof `tolerance=` parity) — the matched right timestamp
     is carried through the same window, so the bound costs nothing extra.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
     out_vals = [f"{c}{suffix}" for c in value_cols]
 
@@ -73,21 +78,34 @@ def asof_join(
         row_struct.alias("_m"),
     ).select(*l_tagged.columns)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = l_tagged.unionByName(r_tagged).withColumn(
-        "_m", F.last("_m", ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        # right rows sort before left at equal times (at-or-before includes
+        # equality); carry the last right row seen so far
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = F.last("_m", ignorenulls=True).over(w)
+    else:
+        # right rows sort after left at equal times; take the first right
+        # row at-or-after
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_t").asc(), F.col("_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = F.first("_m", ignorenulls=True).over(w)
+    filled = l_tagged.unionByName(r_tagged).withColumn("_m", fill)
     out = filled.filter(F.col("_side") == 1)
     matched = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
-        matched = matched & (
+        gap = (
             F.col("_t").cast("double") - F.col("_m._rt")
-            <= F.lit(float(tolerance_seconds))
+            if direction == "backward"
+            else F.col("_m._rt") - F.col("_t").cast("double")
         )
+        matched = matched & (gap <= F.lit(float(tolerance_seconds)))
     for v in out_vals:
         out = out.withColumn(v, F.when(matched, F.col(f"_m.{v}")))
     return out.drop("_t", "_side", "_m")

@@ -321,6 +321,20 @@ def q_asof_last_tick(spark, sf_dir):
     ).select("event_id", "user_id", "ts", F.col("value_asof"))
 
 
+def q_asof_next_tick(spark, sf_dir):
+    """Forward as-of: the NEXT view at-or-after each click (merge_asof
+    direction='forward' parity; DuckDB oracle flips the ASOF inequality)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof.asof_join(
+        clicks, views, by=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["value"], direction="forward",
+    ).select("event_id", "user_id", "ts", F.col("value_asof"))
+
+
 def q_agg_multikey(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
@@ -1428,6 +1442,12 @@ _RELATIONAL_ORACLES = {
         ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND v.ts <= c.ts""",
+    "asof_next_tick": """
+        SELECT c.event_id, c.user_id, c.ts, v.value AS value_asof
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND v.ts >= c.ts""",
     "agg_multikey": f"""
         SELECT user_id, event_type, COUNT(*) AS n,
                {_DSUM.format(x='value')} AS sum_value
@@ -2521,6 +2541,7 @@ QUERIES = {
     "join_sortmerge": q_join_sortmerge,
     "join_semi": q_join_semi,
     "asof_last_tick": q_asof_last_tick,
+    "asof_next_tick": q_asof_next_tick,
     "agg_multikey": q_agg_multikey,
     "agg_approx_distinct": q_agg_approx_distinct,
     "agg_rollup": q_agg_rollup,

@@ -89,6 +89,17 @@ def test_asof_join_matches_merge_asof(spark, quotes, trades):
         expected = None if pd.isna(p) else p
         assert got[int(t)] == expected
 
+    got_f = {
+        row["trade_id"]: row["px_asof"]
+        for row in asof_join(
+            l, r, ["k"], "ts", "ts", ["px"], direction="forward"
+        ).collect()
+    }
+    exp_f = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    for t, p in zip(exp_f["trade_id"], exp_f["px"]):
+        expected = None if pd.isna(p) else p
+        assert got_f[int(t)] == expected
+
 
 @SLOW
 @given(
