@@ -2063,6 +2063,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs, docs.select("doc_id"))
 
 
+def q_dedup_canonical_docs(spark, sf_dir):
+    """The deduplicated corpus: one representative per near-dup cluster
+    (the min-id member IS the canonical doc, so the filter is a plan-local
+    predicate on the clusters output — no extra join)."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     a = docs.select(F.col("doc_id").alias("id_a"))
@@ -2276,6 +2284,18 @@ _LLM_ORACLES = {
               ON reach.r = edges.src)
         SELECT node AS doc_id, MIN(r) AS cluster_id
         FROM reach GROUP BY node""",
+    "dedup_canonical_docs": f"""
+        WITH RECURSIVE {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, edges.dst FROM reach JOIN edges
+              ON reach.r = edges.src)
+        SELECT node AS doc_id
+        FROM reach GROUP BY node HAVING node = MIN(r)""",
     "dedup_ngram_jaccard": f"""
         WITH sets AS (
             SELECT doc_id, list_distinct({_SHINGLES}) AS sh
@@ -2615,6 +2635,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical_docs": q_dedup_canonical_docs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
