@@ -38,17 +38,20 @@ def asof_join(
     tolerance_seconds: float | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: nearest right values at-or-before each left time
-    (`direction="backward"`, the default) or at-or-after
-    (`direction="forward"`) — pandas merge_asof direction parity.
+    """Left as-of join: right values at-or-before each left time
+    (`direction="backward"`, the default), at-or-after (`"forward"`), or
+    whichever side is closer (`"nearest"`, ties -> backward) — pandas
+    merge_asof direction parity.
 
     Left rows with no matching right row get nulls (left-outer semantics).
     With `tolerance_seconds`, matches farther than the tolerance are nulled
     (pandas merge_asof `tolerance=` parity) — the matched right timestamp
     is carried through the same window, so the bound costs nothing extra.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = list(by)
     out_vals = [f"{c}{suffix}" for c in value_cols]
 
@@ -78,33 +81,46 @@ def asof_join(
         row_struct.alias("_m"),
     ).select(*l_tagged.columns)
 
+    # backward: right rows sort before left at equal times (at-or-before
+    # includes equality), carry the last right row seen so far.
+    # forward: right rows sort after left at equal times, take the first
+    # right row at-or-after. nearest: compute both over the SAME union
+    # (one shuffle, two sorts) and pick the closer side.
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    union = l_tagged.unionByName(r_tagged)
     if direction == "backward":
-        # right rows sort before left at equal times (at-or-before includes
-        # equality); carry the last right row seen so far
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("_t").asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        fill = F.last("_m", ignorenulls=True).over(w)
+        filled = union.withColumn("_m", F.last("_m", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        filled = union.withColumn("_m", F.first("_m", ignorenulls=True).over(wf))
     else:
-        # right rows sort after left at equal times; take the first right
-        # row at-or-after
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("_t").asc(), F.col("_side").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
+        mb = F.last("_m", ignorenulls=True).over(wb)
+        mf = F.first("_m", ignorenulls=True).over(wf)
+        t = F.col("_t").cast("double")
+        pick = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(t - mb.getField("_rt") <= mf.getField("_rt") - t, mb)
+            .otherwise(mf)
         )
-        fill = F.first("_m", ignorenulls=True).over(w)
-    filled = l_tagged.unionByName(r_tagged).withColumn("_m", fill)
+        filled = union.withColumn("_m", pick)
     out = filled.filter(F.col("_side") == 1)
     matched = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
-        gap = (
-            F.col("_t").cast("double") - F.col("_m._rt")
-            if direction == "backward"
-            else F.col("_m._rt") - F.col("_t").cast("double")
-        )
+        t = F.col("_t").cast("double")
+        gap = {
+            "backward": t - F.col("_m._rt"),
+            "forward": F.col("_m._rt") - t,
+            "nearest": F.abs(t - F.col("_m._rt")),
+        }[direction]
         matched = matched & (gap <= F.lit(float(tolerance_seconds)))
     for v in out_vals:
         out = out.withColumn(v, F.when(matched, F.col(f"_m.{v}")))

@@ -172,3 +172,24 @@ def test_forward_fill_carries_last_observation(spark):
     assert out[("a", 4)] == 20.0          # new observation wins
     assert out[("a", 5)] == 20.0
     assert out[("b", 1)] is None          # fills never cross keys
+
+
+def test_asof_nearest_ties_prefer_backward(spark):
+    from crypto_data_service_loader_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    l = spark.createDataFrame([(1, 1, 10)], "trade_id long, k int, t long") \
+        .select("trade_id", "k", F.timestamp_seconds("t").alias("ts"))
+    # quotes equidistant at t-2 and t+2
+    r = spark.createDataFrame([(1, 8, 100.0), (1, 12, 200.0)], "k int, t long, px double") \
+        .select("k", F.timestamp_seconds("t").alias("ts"), "px")
+    got = asof_join(l, r, ["k"], "ts", "ts", ["px"], direction="nearest").collect()
+    assert got[0]["px_asof"] == 100.0  # tie -> backward, pandas parity
+    exp = pd.merge_asof(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime([10], unit="s")}),
+        pd.DataFrame({"k": [1, 1], "ts": pd.to_datetime([8, 12], unit="s"),
+                      "px": [100.0, 200.0]}),
+        on="ts", by="k", direction="nearest",
+    )
+    assert exp["px"][0] == 100.0

@@ -100,6 +100,17 @@ def test_asof_join_matches_merge_asof(spark, quotes, trades):
         expected = None if pd.isna(p) else p
         assert got_f[int(t)] == expected
 
+    got_n = {
+        row["trade_id"]: row["px_asof"]
+        for row in asof_join(
+            l, r, ["k"], "ts", "ts", ["px"], direction="nearest"
+        ).collect()
+    }
+    exp_n = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    for t, p in zip(exp_n["trade_id"], exp_n["px"]):
+        expected = None if pd.isna(p) else p
+        assert got_n[int(t)] == expected
+
 
 @SLOW
 @given(
