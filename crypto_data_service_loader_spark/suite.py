@@ -2536,7 +2536,83 @@ _LLM_ORACLES = {
 # assembled suite
 # --------------------------------------------------------------------------
 
+# Key order matters: the driver's correctness snapshot covers the FIRST 50
+# dict keys. Rounds 1-2 verified the control-plane/relational block, so that
+# block now sits at the back; the previously-unverified keys (TPC-H, dedup,
+# text, similarity families) lead.
 QUERIES = {
+    # --- front: never driver-verified through round 2 ---
+    "tpch_q1": q_flagship,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    # LLM-pipeline EXT
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical_docs": q_dedup_canonical_docs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+    "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "lang_id_trigram": q_lang_id_trigram,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_chunking": q_text_chunking,
+    "text_redact_pii": q_text_redact_pii,
+    "text_top_terms": q_text_top_terms,
+    "text_gopher_quality": q_text_gopher_quality,
+    "text_repetition": q_text_repetition,
+    "docs_prep_pipeline": q_docs_prep_pipeline,
+    "range_join_events": q_range_join_events,
+    "agg_approx_topk": q_agg_approx_topk,
+    "ohlc_bars": q_ohlc_bars,
+    "stateful_running_total": q_stateful_running_total,
+    # --- still unverified by the driver (will rotate forward next round) ---
+    "scalar_math": q_scalar_math,
+    "scalar_json": q_scalar_json,
+    "scalar_conditional": q_scalar_conditional,
+    "scalar_array_funcs": q_scalar_array_funcs,
+    "agg_stats": q_agg_stats,
+    "agg_minmax_by": q_agg_minmax_by,
+    "agg_conditional": q_agg_conditional,
+    "subquery_exists": q_subquery_exists,
+    "subquery_scalar": q_subquery_scalar,
+    "subquery_in": q_subquery_in,
+    "gap_fill_bars": q_gap_fill_bars,
+    "stream_sliding_window": q_stream_sliding_window,
+    "unpivot_metrics": q_unpivot_metrics,
+    "agg_percentile": q_agg_percentile,
+    "distinct_pairs": q_distinct_pairs,
+    "join_salted_skew": q_join_salted_skew,
+    "sample_stratified": q_sample_stratified,
+    "multimodal_features": q_multimodal_features,
+    # --- back: driver-verified green in rounds 1 AND 2 ---
     "flagship_pricing_summary": q_flagship,
     # control plane (reference §2A)
     "file_registry_scan": q_file_registry_scan,
@@ -2589,75 +2665,6 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "session_window_agg": q_session_window_agg,
     "win_range_frame": q_win_range_frame,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "stateful_running_total": q_stateful_running_total,
-    "scalar_math": q_scalar_math,
-    "scalar_json": q_scalar_json,
-    "scalar_conditional": q_scalar_conditional,
-    "scalar_array_funcs": q_scalar_array_funcs,
-    "agg_stats": q_agg_stats,
-    "agg_minmax_by": q_agg_minmax_by,
-    "agg_conditional": q_agg_conditional,
-    "subquery_exists": q_subquery_exists,
-    "subquery_scalar": q_subquery_scalar,
-    "subquery_in": q_subquery_in,
-    "ohlc_bars": q_ohlc_bars,
-    "gap_fill_bars": q_gap_fill_bars,
-    "stream_sliding_window": q_stream_sliding_window,
-    "unpivot_metrics": q_unpivot_metrics,
-    "agg_percentile": q_agg_percentile,
-    "distinct_pairs": q_distinct_pairs,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q1": q_flagship,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "join_salted_skew": q_join_salted_skew,
-    # LLM-pipeline EXT
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_canonical_docs": q_dedup_canonical_docs,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "sim_cosine_topk": q_sim_cosine_topk,
-    "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
-    "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
-    "text_stats": q_text_stats,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "lang_id_trigram": q_lang_id_trigram,
-    "token_count": q_token_count,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_chunking": q_text_chunking,
-    "text_redact_pii": q_text_redact_pii,
-    "text_top_terms": q_text_top_terms,
-    "text_gopher_quality": q_text_gopher_quality,
-    "text_repetition": q_text_repetition,
-    "docs_prep_pipeline": q_docs_prep_pipeline,
-    "range_join_events": q_range_join_events,
-    "agg_approx_topk": q_agg_approx_topk,
-    "sample_stratified": q_sample_stratified,
-    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
