@@ -72,22 +72,18 @@ def cosine_topk(
     )
 
 
-def embedding_near_dups(
+def embedding_near_dups_bruteforce(
     embeddings: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
-
-    Correctness baseline: self-join over (vector, scalar-norm) rows. Norms
-    are computed once per row scan-side as a plain column (NOT by
-    normalizing inside an array lambda, which would re-evaluate the norm
-    per element — O(d²)); the pair stage does one dot + one scalar divide.
-    The 100 TB path replaces the cross product with an LSH-bucket equi-join
-    (lsh_bucket_ids) — same verify stage, candidate set instead of n².
-    """
+    """TEST BASELINE ONLY: theta self-join (BroadcastNestedLoopJoin) —
+    the simplest exact formulation, kept so tests can diff the distributed
+    paths against it. Never the production path: a nested-loop join
+    concentrates the whole O(n²) on however many partitions the broadcast
+    lands on and OOMs the moment neither side fits in one executor."""
     v = _as_double(F.col(vec_col))
     normed = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -105,6 +101,74 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    score >= threshold), as a block-partitioned distributed all-pairs join.
+
+    Exact all-pairs at a low threshold is irreducibly O(n²) compute, but it
+    does NOT have to be a nested-loop join: ids hash into `n_blocks`
+    blocks; a tiny (block_a <= block_b) task table (broadcast twice) fans
+    each vector out to its row/column of block-pair tasks; the pair stage
+    is then an EQUI-join on task id, so the n² work is spread evenly over
+    B(B+1)/2 shuffle partitions, streams through sort-merge join (spilling
+    per key group rather than buffering a broadcast side), and scales
+    horizontally with executors. Each unordered pair is produced exactly
+    once: an off-diagonal pair appears only in its one (min-block,
+    max-block) task; a same-block pair only on the diagonal task, deduped
+    by id order. Norms are computed once per row scan-side.
+
+    Size `n_blocks` so n/B vectors fit one task comfortably (B(B+1)/2
+    tasks ≥ cluster cores). For corpora where n² itself is infeasible
+    (true 100 TB embedding stores), exact low-threshold all-pairs is
+    impossible in any engine — use embedding_near_dups_lsh at a high
+    threshold, which this function's verify stage shares.
+    """
+    spark = embeddings.sparkSession
+    v = _as_double(F.col(vec_col))
+    normed = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    tasks = [
+        (t, i, j)
+        for t, (i, j) in enumerate(
+            (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+        )
+    ]
+    tdf = spark.createDataFrame(tasks, "tid int, ba int, bb int")
+    left = normed.join(F.broadcast(tdf), normed["_blk"] == tdf["ba"]).select(
+        F.col("_id").alias("ia"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"), F.col("_blk").alias("blk_a"), "tid",
+    )
+    right = normed.join(F.broadcast(tdf), normed["_blk"] == tdf["bb"]).select(
+        F.col("_id").alias("ib"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), F.col("_blk").alias("blk_b"), "tid",
+    )
+    return (
+        left.join(right, "tid")
+        .filter(
+            (F.col("blk_a") != F.col("blk_b")) | (F.col("ia") < F.col("ib"))
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
             F.round(
                 _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
             ).alias("score"),

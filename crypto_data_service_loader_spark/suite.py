@@ -1618,6 +1618,49 @@ _RELATIONAL_ORACLES = {
         WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
                     i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
                     / (a.n * b.n), 6) >= 0.4""",
+    # Faithful oracle of the LSH semantics: replicates the deterministic
+    # md5-derived ±1 hyperplanes (similarity._hyperplane — parity of the
+    # first 8 md5 hex chars == parity of the 8th char) and the sign-bucket
+    # id, then scores only same-bucket pairs. Value-exact including the
+    # sub-1.0 recall behavior, so the driver's hash check covers the
+    # bucketed path itself, not just its brute-force superset.
+    "dedup_embedding_lsh": """
+        WITH planes AS (
+            SELECT p.p, i.i,
+                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                        CAST(i.i AS VARCHAR)), 8, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM (SELECT unnest(range(4)) AS p) p,
+                 (SELECT unnest(range((SELECT max(len(embedding))
+                                       FROM embeddings))) AS i) i),
+        normed AS (
+            SELECT vec_id, embedding AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        dots AS (
+            SELECT nv.vec_id, pl.p,
+                   sum(CAST(nv.v[pl.i + 1] AS DOUBLE) * pl.w) AS d
+            FROM normed nv JOIN planes pl ON TRUE
+            GROUP BY nv.vec_id, pl.p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        bv AS (
+            SELECT nv.vec_id, nv.v, nv.n, bk.bucket
+            FROM normed nv JOIN buckets bk USING (vec_id))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                     / (a.n * b.n), 6) AS score
+        FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                    / (a.n * b.n), 6) >= 0.4""",
     "udf_grouped_range": """
         SELECT user_id, MAX(value) - MIN(value) AS value_range
         FROM events GROUP BY user_id""",
@@ -2072,10 +2115,11 @@ def q_dedup_canonical_docs(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    a = docs.select(F.col("doc_id").alias("id_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    """Exact shingle-Jaccard verify over the MinHash-LSH candidate set —
+    the classic two-stage near-dup pipeline (candidates O(collisions), not
+    O(n²): no crossJoin anywhere in the plan)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
     return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") > 0.2)
 
 
@@ -2109,8 +2153,10 @@ def q_sim_cosine_topk_lsh(spark, sf_dir):
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
-    # rows-only: bucket membership is an implementation detail; subset +
-    # score-identity vs the oracle-checked brute force is asserted in tests
+    """Oracle-verified: the DuckDB twin replicates the deterministic
+    md5-derived hyperplanes and sign buckets, so the hash check covers the
+    bucketed candidate semantics themselves (including sub-1.0 recall),
+    not just a superset."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups_lsh(emb, threshold=0.4)
 
@@ -2297,13 +2343,17 @@ _LLM_ORACLES = {
         SELECT node AS doc_id
         FROM reach GROUP BY node HAVING node = MIN(r)""",
     "dedup_ngram_jaccard": f"""
-        WITH sets AS (
+        WITH {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        sets AS (
             SELECT doc_id, list_distinct({_SHINGLES}) AS sh
-            FROM documents WHERE doc_id < 60)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            FROM documents)
+        SELECT p.id_a, p.id_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        FROM pairs p
+        JOIN sets a ON p.id_a = a.doc_id
+        JOIN sets b ON p.id_b = b.doc_id
         WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.2""",
     "text_stats": f"""

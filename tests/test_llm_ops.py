@@ -71,6 +71,25 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
             assert r["score"] == brute_scores[r["vec_id"]]
 
 
+def test_embedding_near_dups_blocked_matches_bruteforce(spark, sf_dir):
+    """The production block-partitioned all-pairs join is EXACT: identical
+    pair set and scores to the nested-loop baseline, with an equi-join plan
+    (no BroadcastNestedLoopJoin / CartesianProduct)."""
+    from crypto_data_service_loader_spark.plans.explain import physical_plan
+
+    emb = load(spark, sf_dir, "embeddings")
+    blocked_df = similarity.embedding_near_dups(emb, threshold=0.35, n_blocks=5)
+    plan = physical_plan(blocked_df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    blocked = {(r["id_a"], r["id_b"]): r["score"] for r in blocked_df.collect()}
+    brute = {(r["id_a"], r["id_b"]): r["score"]
+             for r in similarity.embedding_near_dups_bruteforce(
+                 emb, threshold=0.35).collect()}
+    assert blocked == brute
+    assert len(brute) > 0
+
+
 def test_embedding_lsh_near_dups_subset_of_bruteforce(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     brute = {(r["id_a"], r["id_b"]): r["score"]

@@ -14,11 +14,12 @@ import pytest
 from crypto_data_service_loader_spark.plans.explain import physical_plan
 from crypto_data_service_loader_spark.suite import QUERIES
 
-#: inequality-condition pair generators: nested-loop is the correctness
-#: baseline; the scale path is bucketed (LSH/IVF/simhash-block) joins.
+#: the only tolerated nested-loop shapes: broadcasts of provably tiny
+#: (constant-size) single-row/centroid tables. Pair-generation queries are
+#: NOT allowlisted — dedup_ngram_jaccard rides the MinHash-LSH candidate
+#: equi-join and dedup_embedding_cosine the block-partitioned task
+#: equi-join, so the whole suite plans zero data-dependent nested loops.
 NESTED_LOOP_OK = {
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "sim_cosine_topk_ivf",  # broadcast of a 16-row centroid table
     "tpch_q22",  # scalar-subquery threshold: single-row aggregate broadcast
     "tpch_q11",  # HAVING scalar subquery: single-row aggregate broadcast
