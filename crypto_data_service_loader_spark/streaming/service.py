@@ -39,14 +39,47 @@ from .upload import claim_ready_files, run_upload_batch
 logger = logging.getLogger(__name__)
 
 
+def _stable_cycle_base(
+    spark: SparkSession, registry_path: str, checkpoint: str
+) -> int:
+    """Cycle-id base that is STABLE across restarts of the same stream.
+
+    cycle_id = base + epoch_id keys every registry append and sink write,
+    so it must be a pure function of epoch_id for a given checkpoint: if
+    the base were re-derived from max(batch_id)+1 on every start (as a
+    naive resume would), a crash-replayed epoch — whose first attempt
+    already appended events — would replay under a DIFFERENT cycle_id,
+    breaking idempotence (double registration, duplicate sink partitions).
+
+    The base is computed once per checkpoint lifetime and persisted beside
+    the streaming checkpoint (same lifecycle: wiping the checkpoint resets
+    epoch_id to 0, and the marker with it, so a fresh base is derived above
+    all historical batch_ids). Written atomically (tmp + rename).
+    """
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, "cycle_base")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    base = RegistryLog(spark, registry_path).next_cycle()
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(base))
+    os.replace(tmp, marker)
+    return base
+
+
 class RegistryLog:
     """Append-only registry event log on parquet."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._side = self.path.rstrip("/") + "__compacting"
+        self._trash = self.path.rstrip("/") + "__old"
 
     def events(self) -> DataFrame:
+        self._recover()
         try:
             return self.spark.read.schema(REGISTRY_EVENTS).parquet(self.path)
         except Exception:  # noqa: BLE001 — first cycle: log does not exist
@@ -66,13 +99,42 @@ class RegistryLog:
         row = self.events().agg(F.max("batch_id")).first()
         return 0 if row is None or row[0] is None else int(row[0]) + 1
 
+    def _recover(self) -> None:
+        """Heal a compaction interrupted by a crash — the log must never be
+        lost to a window between renames.
+
+        Invariants of `compact`'s rename protocol: the side snapshot is
+        complete before the log is moved aside (the swap starts only after
+        the snapshot's write AND read-back count succeed), and the old log
+        is deleted only after the snapshot has been promoted. So:
+        - log missing + side present  -> crash mid-swap: promote side;
+        - log missing + only trash    -> promote trash (pre-promotion
+          crash shape if side promotion itself was interrupted);
+        - log present + side/trash    -> crash before/after the swap: the
+          live log is authoritative; drop leftovers.
+        """
+        import shutil
+
+        if not os.path.exists(self.path):
+            if os.path.exists(self._side):
+                os.replace(self._side, self.path)
+            elif os.path.exists(self._trash):
+                os.replace(self._trash, self.path)
+        if os.path.exists(self._side):
+            shutil.rmtree(self._side, ignore_errors=True)
+        if os.path.exists(self._trash):
+            shutil.rmtree(self._trash, ignore_errors=True)
+
     def compact(self) -> int:
         """Rewrite the log as its current state (one event per filename).
 
         Read amplification grows with event count; compaction resets it.
         Parquet can't overwrite a path being read, so the snapshot lands in
-        a side dir which then atomically replaces the log. Returns rows
-        kept. At scale, run per date-partition instead of whole-log.
+        a side dir, the live log is renamed aside, the snapshot is renamed
+        in, and only then is the old log deleted — every intermediate crash
+        state is recoverable by `_recover` (a crash never loses the log,
+        unlike delete-then-rename). Returns rows kept. At scale, run per
+        date-partition instead of whole-log.
 
         NOT safe concurrently with a live reader of the log path: run it
         between polling cycles, or let the streaming service's in-epoch
@@ -80,12 +142,16 @@ class RegistryLog:
         """
         import shutil
 
+        self._recover()
         snapshot = self.state()
-        side = self.path.rstrip("/") + "__compacting"
-        snapshot.write.mode("overwrite").parquet(side)
-        n = self.spark.read.schema(REGISTRY_EVENTS).parquet(side).count()
-        shutil.rmtree(self.path, ignore_errors=True)
-        os.replace(side, self.path)
+        snapshot.write.mode("overwrite").parquet(self._side)
+        # read-back count doubles as the snapshot-complete gate: the swap
+        # below MUST NOT start unless the side dir is a full valid snapshot
+        n = self.spark.read.schema(REGISTRY_EVENTS).parquet(self._side).count()
+        if os.path.exists(self.path):
+            os.replace(self.path, self._trash)
+        os.replace(self._side, self.path)
+        shutil.rmtree(self._trash, ignore_errors=True)
         return n
 
 
@@ -126,7 +192,7 @@ def start_service_stream(
 
     from .discovery import discovered_files_stream
 
-    base = RegistryLog(spark, registry_path).next_cycle()  # resume-safe seqs
+    base = _stable_cycle_base(spark, registry_path, checkpoint)
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
         spark_ = batch.sparkSession
@@ -161,15 +227,18 @@ def start_service_stream(
         ready = claim_ready_files(
             log.state(), current_batch=cycle_id
         ).localCheckpoint(eager=True)
+        # the claim event carries sink_batch, NOT cycle_id: reclaimed files
+        # keep their original claim batch across any number of retries, so
+        # every re-upload overwrites the same idempotent sink partition
         log.append(
             ready.select(
                 "filename", "create_date", F.lit("IN_PROGRESS").alias("status"),
                 F.lit(seq_base + 2).cast("long").alias("seq"),
-                F.lit(cycle_id).cast("long").alias("batch_id"),
+                F.col("sink_batch").cast("long").alias("batch_id"),
             )
         )
         outcomes = run_upload_batch(
-            spark_, ready, lambda d, f: os.path.join(root, d, f), sink,
+            spark_, ready, lambda d: os.path.join(root, d), sink,
             batch_id=cycle_id,
         )
         finished = upload_status_rollup(outcomes).join(
@@ -260,17 +329,19 @@ def run_cycle(
     ready = claim_ready_files(
         log.state(), current_batch=cycle
     ).localCheckpoint(eager=True)
+    # sink_batch (not cycle) on the claim event: see the streaming epoch —
+    # reclaimed files must retry under their original idempotence key
     log.append(
         ready.select(
             "filename", "create_date", F.lit("IN_PROGRESS").alias("status"),
             F.lit(seq_base + 2).cast("long").alias("seq"),
-            F.lit(cycle).cast("long").alias("batch_id"),
+            F.col("sink_batch").cast("long").alias("batch_id"),
         )
     )
     outcomes = run_upload_batch(
         spark,
         ready,
-        lambda d, f: os.path.join(root, d, f),
+        lambda d: os.path.join(root, d),
         sink,
         batch_id=cycle,
     )

@@ -9,17 +9,31 @@ become registry transforms + `repartitionByRange`; compression/pipelining
 belong to the sink transport; per-file success tracking uses
 `input_file_name()` lineage with a try/except per file-group inside the
 batch (finer than the reference's per-bundle ERROR granularity).
+
+Scale contract: the claim set is NEVER collected on the driver. The hot
+path collects only two provably tiny sets — distinct claim DATES (bounded
+by the retention window's calendar days, not file count) and distinct sink
+batches (1 + number of crashed predecessor cycles). File selection happens
+distributed: glob the claimed dates' directories, then semi-join the scan's
+`input_file_name()` lineage against the claimed filenames.
+
+Exactly-once contract: every claimed file carries a `sink_batch` — the
+idempotence key its rows are written under. Fresh claims use the current
+cycle's batch; RECLAIMED files (stale IN_PROGRESS from a crashed cycle)
+keep their ORIGINAL claim batch, so the retry overwrites the same sink
+partition that may already hold their rows (crash after sink commit,
+before rollup) instead of duplicating them under a new batch id.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.registry import (
     bundle_split,
-    current_state,
     filter_status_in,
     sort_by_filename,
 )
@@ -36,16 +50,30 @@ def claim_ready_files(
     event-log registry the IN_PROGRESS event is appended by the caller with
     this batch's id, making the claim idempotent per epoch.
 
-    With `current_batch`, stale IN_PROGRESS claims from older batches are
+    With `current_batch`, IN_PROGRESS claims from this or older batches are
     RECLAIMED: a crash between the claim append and the FINISHED/ERROR
     rollup would otherwise leave those files stuck forever (the reference
     has the same gap — a killed process orphans its IN_PROGRESS rows).
+    `batch_id <= current` (not `<`) so a replayed epoch re-claims its OWN
+    crashed attempt's files under the same stable cycle id.
+
+    The result carries `sink_batch`: fresh claims get `current_batch`,
+    reclaimed files keep the batch id recorded on their IN_PROGRESS event —
+    which the claim append preserves across retries — so re-uploads always
+    overwrite the original sink partition (no duplicates when the crash
+    happened after the sink commit).
     """
     ready = filter_status_in(registry, ["READY_FOR_PROCESSING"])
     if current_batch is None:
         return ready
+    ready = ready.withColumn(
+        "sink_batch", F.lit(int(current_batch)).cast("long")
+    )
     stale = registry.filter(
-        (F.col("status") == "IN_PROGRESS") & (F.col("batch_id") < current_batch)
+        (F.col("status") == "IN_PROGRESS") & (F.col("batch_id") <= current_batch)
+    ).withColumn(
+        "sink_batch",
+        F.coalesce(F.col("batch_id"), F.lit(int(current_batch))).cast("long"),
     )
     return ready.unionByName(stale, allowMissingColumns=True)
 
@@ -53,7 +81,7 @@ def claim_ready_files(
 def run_upload_batch(
     spark: SparkSession,
     claimed: DataFrame,
-    path_for_file,  # Callable[[str, str], str]: (create_date, filename) -> path
+    dir_for_date,  # Callable[[str], str]: create_date -> directory path
     sink: Sink,
     bundles: int = 32,
     batch_id: int | None = None,
@@ -61,38 +89,88 @@ def run_upload_batch(
     """Load every claimed file's CSV rows, bulk-write via `sink`, and return
     per-file (filename, ok) outcomes for the O19 status rollup.
 
-    Whole-batch failure marks all files ERROR (reference bundle semantics,
-    TickersDataLoader.java:160-168); the registry event-append and the sink
-    write share the batch_id, so a replayed epoch is idempotent.
+    Writes one sink batch per distinct `sink_batch` group (normally exactly
+    one; one extra per crashed predecessor being retried), each under its
+    own idempotence key. Whole-group failure falls back to per-file
+    isolation (reference bundle semantics, TickersDataLoader.java:160-168).
     """
-    rows = [(r["create_date"], r["filename"]) for r in claimed.select(
-        "create_date", "filename").collect()]
-    if not rows:
-        return spark.createDataFrame([], "filename string, ok boolean")
-    paths = [path_for_file(str(d), f) for d, f in rows]
-
-    ticks = read_ticks_csv(spark, paths)
-    ticks = bundle_split(sort_by_filename(
-        ticks.withColumnRenamed("_source_file", "filename")), bundles)
-    try:
-        sink.write(ticks.drop("filename"), batch_id=batch_id)
-        return spark.createDataFrame(
-            [(f, True) for _, f in rows], "filename string, ok boolean"
+    if "sink_batch" not in claimed.columns:
+        claimed = claimed.withColumn(
+            "sink_batch", F.lit(batch_id).cast("long")
         )
+    groups = [
+        r["sink_batch"]
+        for r in claimed.select("sink_batch").distinct().collect()
+    ]
+    if not groups:
+        return spark.createDataFrame([], "filename string, ok boolean")
+    outcomes: DataFrame | None = None
+    for g in sorted(groups, key=lambda x: (x is None, x)):
+        grp = (
+            claimed.filter(F.col("sink_batch").isNull())
+            if g is None
+            else claimed.filter(F.col("sink_batch") == g)
+        )
+        out = _upload_group(spark, grp, dir_for_date, sink, bundles, g)
+        outcomes = out if outcomes is None else outcomes.unionByName(out)
+    return outcomes
+
+
+def _basename(col):
+    return F.element_at(F.split(col, "/"), -1)
+
+
+def _upload_group(
+    spark: SparkSession,
+    claimed: DataFrame,
+    dir_for_date,
+    sink: Sink,
+    bundles: int,
+    sink_batch,
+) -> DataFrame:
+    # bounded collect: one row per claimed DATE (calendar-sized)
+    dates = [
+        str(r["create_date"])
+        for r in claimed.select("create_date").distinct().collect()
+    ]
+    globs = [os.path.join(dir_for_date(d), "*") for d in dates]
+    names = claimed.select("filename")
+
+    ticks = (
+        read_ticks_csv(spark, globs)
+        .withColumn("filename", _basename(F.col("_source_file")))
+        .drop("_source_file")
+        # lineage join: keep only claimed files (the glob may sweep in
+        # same-day files that are not READY yet); filenames are globally
+        # unique (the registry dedups on filename), so basename suffices
+        .join(names, "filename", "left_semi")
+    )
+    ticks = bundle_split(sort_by_filename(ticks), bundles)
+    try:
+        sink.write(ticks.drop("filename"), batch_id=sink_batch)
+        return names.distinct().withColumn("ok", F.lit(True))
     except Exception:
         logger.exception(
-            "upload batch %s failed; isolating per file", batch_id
+            "upload batch %s failed; isolating per file", sink_batch
         )
 
     # Finer than the reference's per-bundle ERROR (SURVEY.md §7): parse each
     # file alone so one poison file maps to one ERROR, then commit the
-    # parseable set in a SINGLE sink write. One write per batch_id is what
+    # parseable set in a SINGLE sink write. One write per sink_batch is what
     # keeps the idempotent (dynamic-partition-overwrite) sink exactly-once —
     # multiple writes under the same batch_id would clobber each other.
+    # Collecting the (date, filename) pairs here is the RARE failure path,
+    # never the hot path.
+    rows = [
+        (str(r["create_date"]), r["filename"])
+        for r in claimed.select("create_date", "filename").collect()
+    ]
     outcomes, good_dfs, good_files = [], [], []
-    for (d, f), p in zip(rows, paths):
+    for d, f in rows:
         try:
-            one = read_ticks_csv(spark, p).drop("_source_file")
+            one = read_ticks_csv(
+                spark, os.path.join(dir_for_date(d), f)
+            ).drop("_source_file")
             # force the parse to surface per-file errors; count() is
             # disallowed here (corrupt-record-only column pruning)
             one.foreach(lambda _: None)
@@ -106,9 +184,9 @@ def run_upload_batch(
         for df in good_dfs[1:]:
             combined = combined.unionByName(df)
         try:
-            sink.write(combined, batch_id=batch_id)
+            sink.write(combined, batch_id=sink_batch)
             outcomes.extend((f, True) for f in good_files)
         except Exception:
-            logger.exception("retry write for batch %s failed", batch_id)
+            logger.exception("retry write for batch %s failed", sink_batch)
             outcomes.extend((f, False) for f in good_files)
     return spark.createDataFrame(outcomes, "filename string, ok boolean")

@@ -1229,22 +1229,34 @@ def q_tpch_q20(spark, sf_dir):
 
 def q_tpch_q21(spark, sf_dir):
     """Q21 shape: EXISTS + NOT-EXISTS with inequality correlation — the
-    sole-blamed-supplier pattern as conditioned semi/anti joins
-    (l_returnflag='R' is the lateness proxy)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    sole-blamed-supplier pattern (l_returnflag='R' is the lateness proxy),
+    rewritten scale-safe. The naive form is a pair of inequality-correlated
+    self semi/anti joins = three fact-scale shuffles; instead ONE pass
+    builds per-(order, supplier) rows, a per-order rollup counts suppliers
+    (total + R-flagged), and the EXISTS/NOT-EXISTS pair collapses to the
+    filter n_supp >= 2 AND n_rsupp == 1 (the order has other suppliers,
+    but every R line belongs to one — the blamed — supplier). The R-line
+    candidates then semi-join the qualifying orders on the single key."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_rsupp"),
+    )
     f_orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    l1 = li.filter(F.col("l_returnflag") == "R").join(
-        f_orders, F.col("l_orderkey") == f_orders.o_orderkey, "left_semi"
+    blamed_orders = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
+        .join(f_orders, F.col("l_orderkey") == f_orders.o_orderkey, "left_semi")
+        .select("l_orderkey")
     )
-    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
-    waiting = (
-        l1.join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi")
-        .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti")
+    waiting = li.filter(F.col("l_returnflag") == "R").join(
+        blamed_orders, "l_orderkey", "left_semi"
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -58,7 +58,7 @@ def test_upload_fallback_preserves_all_files_under_idempotent_sink(spark, tmp_pa
 
     sink = FlakyIdempotent(str(tmp_path / "out"))
     res = run_upload_batch(
-        spark, claimed, lambda d, f: os.path.join(root, d, f), sink, batch_id=5
+        spark, claimed, lambda d: os.path.join(root, d), sink, batch_id=5
     )
     assert {r["filename"]: r["ok"] for r in res.collect()} == {"AAA": True, "BBB": True}
     assert sink.read(spark).count() == 5  # ALL rows survived, not just BBB's

@@ -79,7 +79,7 @@ def test_upload_batch_rollup_success_and_failure(spark, tmp_path):
          ("BBB_PST_2024-03-13", D(2024, 3, 13), "READY_FOR_PROCESSING")],
         REGISTRY,
     )
-    path_for = lambda d, f: os.path.join(root, d, f)
+    path_for = lambda d: os.path.join(root, d)
 
     sink = MemorySink()
     res = run_upload_batch(spark, claimed, path_for, sink, bundles=2, batch_id=1)
