@@ -69,19 +69,27 @@ def _run_noop(df) -> int:
     return 0
 
 
-def bench_queries(spark) -> dict[str, float]:
-    """Best-of-N wall time per query (N trials absorb JIT/codegen warmup
-    and local-box noise; min is the standard throughput estimator)."""
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
+    """Per-query wall time over N trials. Headline value = min (the
+    standard throughput estimator: least-noise run); medians and the
+    max/min spread ride along so a reader can tell a plan regression from
+    box contention — the r01→r02 adjudication needed exactly that."""
     times: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        trials: list[float] = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
             _run_noop(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-    return times
+            trials.append(time.perf_counter() - t0)
+        trials.sort()
+        times[name] = round(trials[0], 4)
+        stats[name] = {
+            "median": round(trials[len(trials) // 2], 4),
+            "spread": round(trials[-1] / trials[0], 2),
+        }
+    return times, stats
 
 
 def bench_ingest(spark) -> dict[str, float]:
@@ -135,6 +143,13 @@ def bench_ingest(spark) -> dict[str, float]:
             ticks = read_ticks_csv(spark, csv_dir)
             ticks.drop("_source_file").write.mode("overwrite").parquet(out_dir)
             elapsed = min(elapsed, time.perf_counter() - t0)
+        # apples-to-apples segment: the same validated CSV read pushed
+        # through the ClickHouse HTTP wire path (gzip CSV POST per
+        # partition) against the in-process protocol fake in lite mode —
+        # the measured side is the client pipeline, exactly what the
+        # reference's 300-500k rows/s covers (minus their server's ingest,
+        # which the fake acks in O(1))
+        ch = _bench_clickhouse(spark, csv_dir, n)
         return {
             "ingest_rows": n,
             "ingest_sec": round(elapsed, 4),
@@ -142,9 +157,43 @@ def bench_ingest(spark) -> dict[str, float]:
             "ingest_mb_per_sec": round(csv_bytes / 1048576 / elapsed, 1),
             "ingest_parse_sec": round(parse_only, 4),
             "ingest_write_sec": round(elapsed - parse_only, 4),
+            **ch,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_clickhouse(spark, csv_dir: str, n: int) -> dict[str, float]:
+    try:
+        from crypto_data_service_loader_spark.sinks.clickhouse_http import (
+            ClickHouseHttpSink,
+        )
+        from crypto_data_service_loader_spark.sources.csv_ingest import (
+            read_ticks_csv,
+        )
+        from tests.clickhouse_fake import FakeClickHouse
+    except Exception:  # noqa: BLE001 — bench must never die on an import
+        return {}
+    fake = FakeClickHouse(lite=True)
+    url = fake.start()
+    try:
+        sink = ClickHouseHttpSink(url, "tickers_data", num_partitions=32,
+                                  send_batch_id=False)
+        sink.execute("CREATE TABLE IF NOT EXISTS tickers_data (x String) ENGINE = Null")
+        best = float("inf")
+        for _ in range(max(TRIALS - 1, 1)):
+            t0 = time.perf_counter()
+            sent = sink.write(
+                read_ticks_csv(spark, csv_dir).drop("_source_file")
+            )
+            best = min(best, time.perf_counter() - t0)
+        assert sent == n, f"clickhouse path sent {sent} of {n} rows"
+        return {
+            "clickhouse_http_sec": round(best, 4),
+            "clickhouse_http_rows_per_sec": round(n / best, 1),
+        }
+    finally:
+        fake.stop()
 
 
 def main() -> None:
@@ -161,9 +210,10 @@ def main() -> None:
     # warmup: JVM/codegen, not measured
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    queries = bench_queries(spark)
+    queries, qstats = bench_queries(spark)
     ingest = bench_ingest(spark)
     total = round(sum(queries.values()), 4)
+    medians = {k: v["median"] for k, v in qstats.items()}
     out = {
         "metric": "suite_total",
         "value": total,
@@ -174,6 +224,12 @@ def main() -> None:
             **ingest,
             "baseline_rows_per_sec": "300000-500000 (reference, ClickHouse Cloud sink)",
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            "suite_total_median": round(sum(medians.values()), 4),
+            "query_medians": medians,
+            "query_spread_max_over_min": {
+                k: v["spread"] for k, v in qstats.items()
+            },
+            "trials": TRIALS,
         },
     }
     print(json.dumps(out))

@@ -99,20 +99,27 @@ def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFr
     correct cadence from duration_ms (a real impl would call ffmpeg)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             if not fake:
                 raise NotImplementedError("video codec not available; fake=True for tests")
-            out_id, out_idx, out_payload = [], [], []
-            for _, row in pdf.iterrows():
-                n = int((row["duration_ms"] or 0) // every_ms)
-                for i in range(n):
-                    out_id.append(row["media_id"])
-                    out_idx.append(i)
-                    out_payload.append(
-                        hashlib.md5(f"{row['media_id']}:{i}".encode()).digest()
-                    )
+            # vectorized repeat/explode inside the Arrow batch — one output
+            # row per sampled frame, no per-row Python loop over the batch
+            n_frames = (
+                pdf["duration_ms"].fillna(0).astype("int64") // every_ms
+            ).to_numpy()
+            ids = np.repeat(pdf["media_id"].to_numpy(), n_frames)
+            idx = np.concatenate(
+                [np.arange(n) for n in n_frames]
+            ) if len(n_frames) else np.array([], dtype="int64")
+            # frame payload itself is the codec stub: md5(media_id:idx)
+            payloads = [
+                hashlib.md5(f"{m}:{i}".encode()).digest()
+                for m, i in zip(ids, idx)
+            ]
             yield pd.DataFrame(
-                {"media_id": out_id, "frame_idx": out_idx, "payload": out_payload}
+                {"media_id": ids, "frame_idx": idx, "payload": payloads}
             )
 
     return media.filter("kind = 'video'").mapInPandas(_batches, schema=FRAME_SCHEMA)

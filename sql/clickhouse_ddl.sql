@@ -59,4 +59,3 @@ ORDER BY (ts);
 
 -- connection tuning the reference ships (application.origin.yaml:8):
 --   jdbc:clickhouse://host:8443/db?async_insert=1&wait_for_async_insert=1&compress=1
--- pair with sinks.writers.ClickHouseJdbcSink(batchsize=100000, num_partitions=32).

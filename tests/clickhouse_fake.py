@@ -1,0 +1,160 @@
+"""In-process protocol fake of the ClickHouse HTTP interface.
+
+The hermetic test image ships no ClickHouse server binary, no
+clickhouse-connect, no JDBC jar (documented attempt in
+sinks/clickhouse_http.py), so the sink's integration tests run against
+this double instead. It speaks the exact wire shape the real server
+accepts from the sink — which is also the wire shape the reference
+emits through `ClickHousePassThruStream(GZIP, CSV)`
+(ClickHouseDAO.java:146-158):
+
+- POST with the statement in the `query` URL parameter and data in the
+  body, or the statement as the whole body (control statements);
+- `Content-Encoding: gzip` request bodies (transparently inflated);
+- `INSERT INTO <t> [FORMAT CSV]` — CSV rows parsed and stored;
+- `CREATE TABLE [IF NOT EXISTS] <t> ...`, `TRUNCATE TABLE <t>`
+  (ClickHouseDAO.java:184-191), `SELECT count(*) FROM <t>`
+  (ClickHouseDAO.java:193-202), `SELECT * FROM <t>` as CSV;
+- 500 + error text on unknown statements or injected failures
+  (`fail_times` arms N failing responses for retry tests).
+
+State is process-global per server instance and lock-guarded: Spark's
+Python workers POST concurrently from many partitions.
+"""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import io
+import re
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class FakeClickHouse:
+    def __init__(self, fail_times: int = 0, lite: bool = False):
+        self.tables: dict[str, list[list[str]]] = {}
+        self.ddl: dict[str, str] = {}
+        self.lock = threading.Lock()
+        self.fail_times = fail_times
+        #: lite mode: INSERT counts rows without csv-parsing/storing them —
+        #: for throughput benches, so the measured path is the CLIENT
+        #: (read+type+gzip+POST), not this fake's parsing speed
+        self.lite = lite
+        self.row_counts: dict[str, int] = {}
+        self.requests_seen = 0
+        self.gzip_bodies_seen = 0
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> str:
+        state = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # keep pytest output clean
+                pass
+
+            def do_POST(self):
+                try:
+                    status, body = state.handle(self)
+                except Exception as exc:  # noqa: BLE001 — surface as 500
+                    status, body = 500, str(exc).encode()
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            do_GET = do_POST
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return f"http://127.0.0.1:{self._server.server_port}"
+
+    def stop(self) -> None:
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+
+    def __enter__(self) -> str:
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- protocol ------------------------------------------------------------
+    def handle(self, req: BaseHTTPRequestHandler) -> tuple[int, bytes]:
+        with self.lock:
+            self.requests_seen += 1
+            if self.fail_times > 0:
+                self.fail_times -= 1
+                return 500, b"Code: 999. injected failure"
+        length = int(req.headers.get("Content-Length") or 0)
+        body = req.rfile.read(length) if length else b""
+        if req.headers.get("Content-Encoding") == "gzip":
+            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+            with self.lock:
+                self.gzip_bodies_seen += 1
+        params = urllib.parse.parse_qs(
+            urllib.parse.urlparse(req.path).query
+        )
+        if "query" in params:
+            query, data = params["query"][0], body
+        else:
+            query, data = body.decode(), b""
+        return self.execute(query.strip(), data)
+
+    def execute(self, query: str, data: bytes) -> tuple[int, bytes]:
+        m = re.match(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", query, re.I
+        )
+        if m:
+            with self.lock:
+                self.ddl[m.group(1)] = query
+                self.tables.setdefault(m.group(1), [])
+            return 200, b""
+        m = re.match(r"INSERT\s+INTO\s+(\w+)(?:\s+FORMAT\s+(\w+))?", query, re.I)
+        if m:
+            name, fmt = m.group(1), (m.group(2) or "CSV").upper()
+            if fmt != "CSV":
+                return 500, f"unsupported FORMAT {fmt}".encode()
+            with self.lock:
+                if name not in self.tables:
+                    return 500, f"Code: 60. Table {name} does not exist".encode()
+            if self.lite:
+                n = data.count(b"\n") + (0 if data.endswith(b"\n") or not data else 1)
+                with self.lock:
+                    self.row_counts[name] = self.row_counts.get(name, 0) + n
+                return 200, b""
+            rows = list(csv.reader(io.StringIO(data.decode())))
+            with self.lock:
+                self.tables[name].extend(r for r in rows if r)
+            return 200, b""
+        m = re.match(r"TRUNCATE\s+TABLE\s+(\w+)", query, re.I)
+        if m:
+            with self.lock:
+                if m.group(1) not in self.tables:
+                    return 500, b"Code: 60. no such table"
+                self.tables[m.group(1)].clear()
+                self.row_counts.pop(m.group(1), None)
+            return 200, b""
+        m = re.match(r"SELECT\s+count\(\*\)\s+FROM\s+(\w+)", query, re.I)
+        if m:
+            with self.lock:
+                n = len(self.tables.get(m.group(1), [])) + self.row_counts.get(
+                    m.group(1), 0
+                )
+            return 200, f"{n}\n".encode()
+        m = re.match(r"SELECT\s+\*\s+FROM\s+(\w+)", query, re.I)
+        if m:
+            out = io.StringIO()
+            w = csv.writer(out)
+            with self.lock:
+                w.writerows(self.tables.get(m.group(1), []))
+            return 200, out.getvalue().encode()
+        return 500, f"Code: 62. cannot parse: {query[:80]}".encode()
