@@ -2140,7 +2140,10 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    # blocked self-join near-dup — rows-only check (blocking is impl detail)
+    """Pigeonhole-blocked simhash near-dup pairs. Oracle-exact: the result
+    (all pairs at hamming <= 3) is blocking-independent, so the SQL twin
+    verifies it with a plain all-pairs filter over the same simhash
+    values."""
     return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -2160,6 +2163,9 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_cosine_topk_lsh(spark, sf_dir):
+    """Oracle-verified ANN: the DuckDB twin replicates the md5-derived
+    hyperplanes and the query's sign bucket, so the hash check covers the
+    bucket-restricted top-k semantics exactly (recall < 1 included)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_lsh(emb, _query_vector(spark, sf_dir), k=10)
 
@@ -2436,6 +2442,46 @@ _LLM_ORACLES = {
                      6) AS score
         FROM embeddings e, q, qn
         ORDER BY score DESC, e.vec_id ASC LIMIT 10""",
+    # LSH top-k twin, oracle-exact: the SQL reproduces the deterministic
+    # md5-derived hyperplanes (8 planes) and restricts the scan to the
+    # query vector's sign bucket — same recall semantics as the Spark path
+    "sim_cosine_topk_lsh": """
+        WITH planes AS (
+            SELECT p.p, i.i,
+                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                        CAST(i.i AS VARCHAR)), 8, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM (SELECT unnest(range(8)) AS p) p,
+                 (SELECT unnest(range((SELECT max(len(embedding))
+                                       FROM embeddings))) AS i) i),
+        normed AS (
+            SELECT vec_id, embedding AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        dots AS (
+            SELECT nv.vec_id, pl.p,
+                   sum(CAST(nv.v[pl.i + 1] AS DOUBLE) * pl.w) AS d
+            FROM normed nv JOIN planes pl ON TRUE
+            GROUP BY nv.vec_id, pl.p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        q AS (
+            SELECT nv.v AS qv, nv.n AS qn, bk.bucket AS qb
+            FROM normed nv JOIN buckets bk USING (vec_id)
+            WHERE nv.vec_id = 0)
+        SELECT nv.vec_id,
+               round(list_sum(list_transform(range(1, len(nv.v) + 1),
+                     i -> CAST(nv.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                     / (nv.n * q.qn), 6) AS score
+        FROM normed nv JOIN buckets bk USING (vec_id) CROSS JOIN q
+        WHERE bk.bucket = q.qb
+        ORDER BY score DESC, nv.vec_id ASC LIMIT 10""",
     "dedup_simhash": f"""
         WITH tok AS (
             SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
@@ -2449,6 +2495,28 @@ _LLM_ORACLES = {
         SELECT doc AS doc_id,
                CAST({' + '.join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))} AS BIGINT) AS simhash
         FROM bits""",
+    # pair output is blocking-independent (the pigeonhole blocks are pure
+    # candidate generation; the exact bit_count verify defines the result),
+    # so the oracle is simply all pairs with hamming <= 3 over the same
+    # simhash values — n² is fine for DuckDB at oracle scale
+    "dedup_simhash_pairs": f"""
+        WITH tok AS (
+            SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
+        h AS (
+            SELECT doc, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS h
+            FROM tok),
+        bits AS (
+            SELECT doc,
+                   {', '.join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16))}
+            FROM h GROUP BY doc),
+        sh AS (
+            SELECT doc AS doc_id,
+                   CAST({' + '.join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))} AS BIGINT) AS simhash
+            FROM bits)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "text_quality": f"""
         WITH s AS (
             SELECT doc_id,
@@ -2736,9 +2804,13 @@ ORACLES: dict[str, str] = {
     **_RELATIONAL_ORACLES,
     **_TPCH_ORACLES,
     **_LLM_ORACLES,
-    # intentionally absent (rows-only checks): agg_approx_distinct (HLL
-    # estimate is engine-specific), dedup_simhash_pairs (blocking strategy
-    # is an implementation detail; the simhash VALUES are oracle-checked),
-    # sim_cosine_topk_lsh (md5-derived hyperplanes live driver-side; recall
-    # vs the oracle-checked brute-force baseline is asserted in tests).
+    # intentionally absent (rows-only checks): agg_approx_distinct /
+    # agg_approx_quantile (HLL/GK sketch estimates are engine-specific),
+    # sim_cosine_topk_ivf (Lloyd-refined centroid assignment is iterative —
+    # exactness vs brute force at nprobe=k is asserted in tests instead),
+    # sample_stratified (Bernoulli draws are engine-specific; stratum
+    # proportions property-tested), multimodal_features (feature source is
+    # the documented codec fake). Everything else — including both LSH
+    # paths, whose oracles replicate the deterministic hyperplane buckets
+    # in SQL — is value-hash-checked against DuckDB.
 }
