@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import logging
 import time
 import urllib.error
 import urllib.parse
@@ -42,6 +43,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from .writers import Sink
+
+logger = logging.getLogger(__name__)
 
 def _csv_line(df: DataFrame) -> DataFrame:
     """Render each row to its CSV wire line JVM-SIDE (whole-stage codegen):
@@ -87,6 +90,10 @@ class ClickHouseHttpSink(Sink):
     timeout_sec: float = 60.0
     send_batch_id: bool = True  # ReplacingMergeTree(batch_id) replay dedup
     properties: dict = field(default_factory=dict)
+    #: optional functions.metrics.LogEventBuffer — each write appends the
+    #: reference's compression-stage throughput event (MB, MB/s, seconds:
+    #: CompressionHandler.java:113-134 formLoggingData parity)
+    metrics: object | None = None
 
     # -- bulk write (the hot path) ------------------------------------------
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
@@ -107,9 +114,8 @@ class ClickHouseHttpSink(Sink):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                payload = gzip.compress(
-                    ("\n".join(pdf["line"]) + "\n").encode(), level
-                )
+                raw = ("\n".join(pdf["line"]) + "\n").encode()
+                payload = gzip.compress(raw, level)
                 last: Exception | None = None
                 for i in range(attempts):
                     try:
@@ -122,7 +128,13 @@ class ClickHouseHttpSink(Sink):
                             time.sleep(sleep_sec)
                 if last is not None:
                     raise last
-                yield pd.DataFrame({"rows_sent": [len(pdf)]})
+                yield pd.DataFrame(
+                    {
+                        "rows_sent": [len(pdf)],
+                        "bytes_raw": [len(raw)],
+                        "bytes_gz": [len(payload)],
+                    }
+                )
 
         # one big Arrow batch per partition-chunk: the default 10k-row
         # batches would mean one gzip+POST round trip per 10k rows; the
@@ -132,20 +144,44 @@ class ClickHouseHttpSink(Sink):
         key = "spark.sql.execution.arrow.maxRecordsPerBatch"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "200000")
+        t0 = time.perf_counter()
         try:
-            sent = (
+            agg = (
                 _csv_line(df)
                 .repartition(self.num_partitions)
-                .mapInPandas(_send, schema="rows_sent long")
-                .agg(F.sum("rows_sent").alias("n"))
-                .first()["n"]
+                .mapInPandas(_send, schema=(
+                    "rows_sent long, bytes_raw long, bytes_gz long"
+                ))
+                .agg(
+                    F.sum("rows_sent").alias("n"),
+                    F.sum("bytes_raw").alias("raw"),
+                    F.sum("bytes_gz").alias("gz"),
+                )
+                .first()
             )
         finally:
             if prev is None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        return int(sent or 0)
+        sent, raw, gz = int(agg["n"] or 0), int(agg["raw"] or 0), int(agg["gz"] or 0)
+        elapsed = time.perf_counter() - t0
+        # reference formLoggingData parity (CompressionHandler.java:113-134):
+        # "Compression of X MB of data with rate Y MB/sec finished in Z sec"
+        mb = raw / 1048576
+        logger.info(
+            "Compression of %.2f MB of data with rate %.2f MB/sec "
+            "finished in %.2f sec. (gzip'd to %.2f MB, %d rows)",
+            mb, mb / elapsed if elapsed > 0 else float("inf"),
+            elapsed, gz / 1048576, sent,
+        )
+        if self.metrics is not None:
+            from ..functions.metrics import throughput_event
+
+            self.metrics.add(throughput_event(
+                f"clickhouse insert {self.table}", sent, raw, elapsed
+            ))
+        return sent
 
     # -- control statements (driver-side) -----------------------------------
     def execute(self, sql: str) -> bytes:

@@ -71,6 +71,26 @@ def test_bulk_insert_gzip_passthru_and_readback(spark):
         fake.stop()
 
 
+def test_compression_metrics_parity(spark):
+    """CompressionHandler.java:113-134 parity: each write records the
+    MDC-shaped throughput event (data_size / rate / total_time)."""
+    from crypto_data_service_loader_spark.functions.metrics import LogEventBuffer
+
+    with FakeClickHouse() as url:
+        buf = LogEventBuffer()
+        sink = ClickHouseHttpSink(url, "tickers_data", num_partitions=2,
+                                  metrics=buf)
+        sink.run_script(DDL)
+        sink.write(_ticks_df(spark, 50), batch_id=3)
+        assert len(buf.events) == 1
+        ev = buf.flush(spark).collect()[0]
+        assert ev["message"] == "clickhouse insert tickers_data"
+        mdc = ev["mdc_fields"]
+        assert int(mdc["rows"]) == 50
+        assert int(mdc["data_size"]) > 0
+        assert float(mdc["total_time"]) > 0
+
+
 def test_truncate_o26(spark):
     with FakeClickHouse() as url:
         sink = ClickHouseHttpSink(url, "tickers_data", num_partitions=2)
