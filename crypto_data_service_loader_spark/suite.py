@@ -2179,6 +2179,19 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return similarity.embedding_near_dups_lsh(emb, threshold=0.4)
 
 
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Embedding-level duplicate CLUSTERS: connected components over the
+    block-partitioned exact near-dup pair graph (cosine >= 0.4). Same
+    min-label propagation operator as the MinHash document clusters —
+    every vector gets cluster_id = min vec_id reachable; oracle is a
+    recursive CTE over the identical pair SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.4)
+    return dedup.connected_components(
+        pairs, emb.select("vec_id"), node_col="vec_id"
+    )
+
+
 def q_sim_cosine_topk_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, _query_vector(spark, sf_dir), k=10, nprobe=4)
@@ -2374,6 +2387,28 @@ _LLM_ORACLES = {
         JOIN sets b ON p.id_b = b.doc_id
         WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.2""",
+    "dedup_embedding_clusters": """
+        WITH RECURSIVE normed AS (
+            SELECT vec_id,
+                   embedding AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                        / (a.n * b.n), 6) >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT reach.node, edges.dst FROM reach JOIN edges
+              ON reach.r = edges.src)
+        SELECT node AS vec_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node""",
     "text_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS INTEGER) AS n_chars,
@@ -2704,6 +2739,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
     "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
