@@ -327,3 +327,95 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         F.md5(F.concat_ws(" ", toks)).alias("content_fp"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("bag_fp"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of distinct
+    word n-grams it shares with an evaluation/benchmark corpus, plus the
+    drop flag. The standard pre-training hygiene step (n-gram-overlap
+    decontamination as popularized by GPT-3 / The Pile, public method).
+
+    Scale design: eval suites are MBs while the corpus is TBs, so the
+    distinct benchmark gram set is broadcast — the training side never
+    shuffles document bodies; the only wide exchange carries (id, count)
+    pairs for the (small) matched subset. Gram explode is scan-local.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))).alias(
+            "gram"
+        ),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("int").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1), sklearn-style smoothing, public formula).
+
+    Plan: explode -> per-(doc,term) count (map-side combine) -> vocabulary
+    df agg -> term-keyed join (vocabulary-sized, not corpus-sized) ->
+    per-doc window top-k. The corpus count N joins as a single-row
+    broadcast (constant size). Scores are rounded to 6dp BEFORE ranking so
+    tie order (score desc, term asc) is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.select(
+            id_col, "term", "tfidf", F.row_number().over(w).alias("term_rank")
+        )
+        .filter(F.col("term_rank") <= k)
+    )

@@ -2197,6 +2197,23 @@ def q_sim_cosine_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, _query_vector(spark, sf_dir), k=10, nprobe=4)
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Pre-training decontamination against a held-out benchmark split
+    (every 50th doc is the deterministic eval set): per training doc, the
+    count of distinct shared 5-grams + the drop flag. Broadcast of the tiny
+    benchmark gram set — the corpus side never shuffles bodies."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.decontaminate(train, bench, n=5)
+
+
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (smoothed idf, rounded-before-rank so
+    tie order is engine-exact)."""
+    return text.tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
 def q_text_stats(spark, sf_dir):
     return text.text_stats(load(spark, sf_dir, "documents"))
 
@@ -2409,6 +2426,42 @@ _LLM_ORACLES = {
               ON reach.r = edges.src)
         SELECT node AS vec_id, MIN(r) AS cluster_id
         FROM reach GROUP BY node""",
+    "text_decontaminate": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len({_TOKS}) < 5 THEN []
+                            ELSE list_transform(range(1, len({_TOKS}) - 3),
+                                 i -> array_to_string(
+                                     list_slice({_TOKS}, i, i + 4), ' '))
+                       END) AS gs
+            FROM documents),
+        bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                  WHERE doc_id % 50 = 0),
+        train_g AS (SELECT doc_id, unnest(gs) AS gram FROM g
+                    WHERE doc_id % 50 <> 0),
+        hits AS (SELECT doc_id, count(*) AS n
+                 FROM train_g JOIN bench USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(h.n, 0) AS INTEGER) AS n_overlap,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 0""",
+    "text_tfidf_top_terms": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS term_rank
+            FROM scored)
+        SELECT doc_id, term, tfidf, CAST(term_rank AS INTEGER) AS term_rank
+        FROM ranked WHERE term_rank <= 3""",
     "text_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS INTEGER) AS n_chars,
@@ -2754,6 +2807,8 @@ QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_gopher_quality": q_text_gopher_quality,
     "text_repetition": q_text_repetition,
+    "text_decontaminate": q_text_decontaminate,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "docs_prep_pipeline": q_docs_prep_pipeline,
     "range_join_events": q_range_join_events,
     "agg_approx_topk": q_agg_approx_topk,

@@ -326,3 +326,56 @@ def test_connected_components_transitive_chain(spark):
     out = {r["doc_id"]: r["cluster_id"]
            for r in dedup.connected_components(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    """A training doc containing a benchmark 5-gram verbatim is flagged;
+    clean docs report 0 overlap. Counts are distinct-gram counts."""
+    from crypto_data_service_loader_spark.operators import text
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains two distinct 5-grams of the benchmark sentence
+            (1, "well the quick brown fox jumps over everything"),
+            (2, "completely unrelated words with no overlap at all here"),
+            (3, "tiny doc"),  # shorter than one 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in text.decontaminate(train, bench, n=5).collect()
+    }
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    """A term appearing in every doc gets the minimum idf; a doc-unique
+    term outranks it at equal tf."""
+    from crypto_data_service_loader_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra common"),
+            (2, "common yak common"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tf_idf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["term_rank"], r["term"]))
+    # doc 1: zebra (unique, tf=1) must outrank common (everywhere, tf=2)?
+    # smoothed idf: common df=3 -> ln(4/4)+1 = 1, tf=2 -> score 2.0;
+    # zebra df=1 -> ln(4/2)+1 ~= 1.693, tf=1 -> score ~1.693 < 2.0.
+    # So common ranks 1 by tf weight; zebra is rank 2 — assert exactly.
+    assert sorted(by_doc[1]) == [(1, "common"), (2, "zebra")]
+    assert sorted(by_doc[2]) == [(1, "common"), (2, "yak")]
+    assert by_doc[3] == [(1, "common")]

@@ -23,6 +23,7 @@ NESTED_LOOP_OK = {
     "sim_cosine_topk_ivf",  # broadcast of a 16-row centroid table
     "tpch_q22",  # scalar-subquery threshold: single-row aggregate broadcast
     "tpch_q11",  # HAVING scalar subquery: single-row aggregate broadcast
+    "text_tfidf_top_terms",  # corpus-count N: single-row aggregate broadcast
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
