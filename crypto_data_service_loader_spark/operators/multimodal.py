@@ -106,9 +106,14 @@ def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFr
                 raise NotImplementedError("video codec not available; fake=True for tests")
             # vectorized repeat/explode inside the Arrow batch — one output
             # row per sampled frame, no per-row Python loop over the batch
+            # clip: a negative/corrupt duration must yield zero frames (as
+            # the per-row loop did), not a ValueError from np.repeat that
+            # poisons the whole Arrow batch
             n_frames = (
-                pdf["duration_ms"].fillna(0).astype("int64") // every_ms
-            ).to_numpy()
+                (pdf["duration_ms"].fillna(0).astype("int64") // every_ms)
+                .clip(lower=0)
+                .to_numpy()
+            )
             ids = np.repeat(pdf["media_id"].to_numpy(), n_frames)
             idx = np.concatenate(
                 [np.arange(n) for n in n_frames]

@@ -67,9 +67,25 @@ def _csv_line(df: DataFrame) -> DataFrame:
     return df.select(F.concat_ws(",", *parts).alias("line"))
 
 
-def _post(url: str, query: str, body: bytes, gzipped: bool, timeout: float) -> bytes:
-    q = urllib.parse.urlencode({"query": query})
-    req = urllib.request.Request(f"{url.rstrip('/')}/?{q}", data=body, method="POST")
+def _post(
+    url: str,
+    query: str | None,
+    body: bytes,
+    gzipped: bool,
+    timeout: float,
+    params: dict[str, str] | None = None,
+) -> bytes:
+    """POST to the ClickHouse HTTP endpoint. `query` rides the URL parameter
+    (data inserts: the body is the payload); `query=None` ships the
+    statement AS the body (control statements — immune to proxy URL-length
+    limits on long DDL)."""
+    q: dict[str, str] = {} if query is None else {"query": query}
+    if params:
+        q.update(params)
+    target = url.rstrip("/") + "/"
+    if q:
+        target += "?" + urllib.parse.urlencode(q)
+    req = urllib.request.Request(target, data=body, method="POST")
     if gzipped:
         req.add_header("Content-Encoding", "gzip")
     with urllib.request.urlopen(req, timeout=timeout) as resp:
@@ -108,18 +124,42 @@ class ClickHouseHttpSink(Sink):
         level, timeout = self.gzip_level, self.timeout_sec
         query = f"INSERT INTO {table} FORMAT CSV"
 
-        def _send(batches):
-            import pandas as pd
+        batch_tag = "" if batch_id is None else str(int(batch_id))
 
-            for pdf in batches:
+        def _send(batches):
+            import hashlib
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = -1 if ctx is None else ctx.partitionId()
+            for ci, pdf in enumerate(batches):
                 if len(pdf) == 0:
                     continue
                 raw = ("\n".join(pdf["line"]) + "\n").encode()
                 payload = gzip.compress(raw, level)
+                # Per-chunk insert_deduplication_token: a retry after an
+                # AMBIGUOUS failure — server committed the insert but the
+                # response was lost — re-POSTs the identical chunk, and the
+                # server drops it as a duplicate (ClickHouse honors the
+                # token on the HTTP interface for *MergeTree tables). This
+                # beats relying on eventual ReplacingMergeTree collapse,
+                # which only holds when ORDER BY uniquely keys rows. The
+                # token is position-scoped (table/batch/partition/chunk) +
+                # content hash: two DISTINCT chunks that happen to carry
+                # identical bytes (duplicate source rows split across
+                # partitions) must NOT collide, while a retried POST of the
+                # same chunk keeps the same token.
+                token = hashlib.md5(
+                    f"{table}:{batch_tag}:{pid}:{ci}:".encode() + raw
+                ).hexdigest()
                 last: Exception | None = None
                 for i in range(attempts):
                     try:
-                        _post(url, query, payload, gzipped=True, timeout=timeout)
+                        _post(url, query, payload, gzipped=True,
+                              timeout=timeout,
+                              params={"insert_deduplication_token": token})
                         last = None
                         break
                     except (urllib.error.URLError, OSError) as exc:
@@ -190,7 +230,7 @@ class ClickHouseHttpSink(Sink):
         last: Exception | None = None
         for i in range(self.attempts):
             try:
-                return _post(self.url, sql, b"", gzipped=False,
+                return _post(self.url, None, sql.encode(), gzipped=False,
                              timeout=self.timeout_sec)
             except (urllib.error.URLError, OSError) as exc:
                 last = exc

@@ -241,14 +241,21 @@ def start_service_stream(
             spark_, ready, lambda d: os.path.join(root, d), sink,
             batch_id=cycle_id,
         )
-        finished = upload_status_rollup(outcomes).join(
-            ready.select("filename", "create_date"), "filename", "inner"
+        # rollup events record sink_batch (not cycle_id) as batch_id: that
+        # is what makes a sink batch's membership recoverable, so a later
+        # reclaim can rewrite the WHOLE partition (see claim_ready_files)
+        finished = (
+            upload_status_rollup(outcomes)
+            .join(outcomes.select("filename", "sink_batch").distinct(),
+                  "filename")
+            .join(ready.select("filename", "create_date"), "filename",
+                  "inner")
         )
         log.append(
             finished.select(
                 "filename", "create_date", "status",
                 F.lit(seq_base + 3).cast("long").alias("seq"),
-                F.lit(cycle_id).cast("long").alias("batch_id"),
+                F.col("sink_batch").cast("long").alias("batch_id"),
             )
         )
         if compact_every and cycle_id > 0 and cycle_id % compact_every == 0:
@@ -345,7 +352,11 @@ def run_cycle(
         sink,
         batch_id=cycle,
     )
-    rolled = upload_status_rollup(outcomes)
+    # rollup records sink_batch as batch_id — reclaim-membership recovery
+    # (see claim_ready_files' companion re-claim)
+    rolled = upload_status_rollup(outcomes).join(
+        outcomes.select("filename", "sink_batch").distinct(), "filename"
+    )
     finished = rolled.join(
         ready.select("filename", "create_date"), "filename", "inner"
     )
@@ -353,7 +364,7 @@ def run_cycle(
         finished.select(
             "filename", "create_date", "status",
             F.lit(seq_base + 3).cast("long").alias("seq"),
-            F.lit(cycle).cast("long").alias("batch_id"),
+            F.col("sink_batch").cast("long").alias("batch_id"),
         )
     )
     # outcomes is a small driver-built DataFrame; counting it is trivial

@@ -62,6 +62,15 @@ def claim_ready_files(
     which the claim append preserves across retries — so re-uploads always
     overwrite the original sink partition (no duplicates when the crash
     happened after the sink commit).
+
+    Reclaim rewrites a whole sink partition, so the retry's write set must
+    equal the batch's FULL original membership: if a mid-commit crash of the
+    rollup append left some of the batch's files FINISHED and others
+    IN_PROGRESS, retrying only the stuck subset would overwrite the
+    partition WITHOUT the finished files' rows — silently deleting committed
+    data. FINISHED files sharing a reclaimed sink batch (their rollup event
+    records sink_batch as batch_id) are therefore re-claimed as companions:
+    their rows are rewritten byte-identically into the same partition.
     """
     ready = filter_status_in(registry, ["READY_FOR_PROCESSING"])
     if current_batch is None:
@@ -75,7 +84,25 @@ def claim_ready_files(
         "sink_batch",
         F.coalesce(F.col("batch_id"), F.lit(int(current_batch))).cast("long"),
     )
-    return ready.unionByName(stale, allowMissingColumns=True)
+    # Companions: FINISHED files whose rollup recorded the same sink batch
+    # as a file being reclaimed. Their committed rows live in the partition
+    # the retry is about to overwrite, so they must ride along. Batches with
+    # no stuck file are untouched (semi-join keeps this claim-set-sized).
+    reclaimed_batches = stale.select(
+        F.col("sink_batch").alias("_reclaim_batch")
+    ).distinct()
+    companions = (
+        registry.filter(F.col("status") == "FINISHED")
+        .join(
+            reclaimed_batches,
+            F.col("batch_id") == F.col("_reclaim_batch"),
+            "left_semi",
+        )
+        .withColumn("sink_batch", F.col("batch_id").cast("long"))
+    )
+    return ready.unionByName(stale, allowMissingColumns=True).unionByName(
+        companions, allowMissingColumns=True
+    )
 
 
 def run_upload_batch(
@@ -103,7 +130,9 @@ def run_upload_batch(
         for r in claimed.select("sink_batch").distinct().collect()
     ]
     if not groups:
-        return spark.createDataFrame([], "filename string, ok boolean")
+        return spark.createDataFrame(
+            [], "filename string, ok boolean, sink_batch long"
+        )
     outcomes: DataFrame | None = None
     for g in sorted(groups, key=lambda x: (x is None, x)):
         grp = (
@@ -118,6 +147,30 @@ def run_upload_batch(
 
 def _basename(col):
     return F.element_at(F.split(col, "/"), -1)
+
+
+def _listed_filenames(spark: SparkSession, globs: list[str]) -> DataFrame:
+    """Distributed listing of the claimed dates' directories: basenames only.
+
+    `binaryFile` prunes the `content` column when it isn't selected, so this
+    is a pure FileIndex listing — no file is opened. Per-glob loads so one
+    vanished date directory (retention cleanup raced the claim) empties that
+    date's listing instead of failing the whole group.
+    """
+    parts: list[DataFrame] = []
+    for g in globs:
+        try:
+            parts.append(
+                spark.read.format("binaryFile").load(g).select("path")
+            )
+        except Exception:  # noqa: BLE001 — date dir deleted: nothing listed
+            logger.warning("claimed date directory missing: %s", g)
+    if not parts:
+        return spark.createDataFrame([], "filename string")
+    listed = parts[0]
+    for p in parts[1:]:
+        listed = listed.unionByName(p)
+    return listed.select(_basename(F.col("path")).alias("filename")).distinct()
 
 
 def _upload_group(
@@ -148,7 +201,22 @@ def _upload_group(
     ticks = bundle_split(sort_by_filename(ticks), bundles)
     try:
         sink.write(ticks.drop("filename"), batch_id=sink_batch)
-        return names.distinct().withColumn("ok", F.lit(True))
+        # ok is derived from the scanned lineage, not assumed: a claimed
+        # file deleted from disk after the claim (e.g. retention cleanup)
+        # is absent from the listing and must roll up ERROR, not FINISHED —
+        # the write committed zero rows for it.
+        listed = _listed_filenames(spark, globs).withColumn(
+            "_seen", F.lit(True)
+        )
+        return (
+            names.distinct()
+            .join(listed, "filename", "left")
+            .select(
+                "filename",
+                F.coalesce(F.col("_seen"), F.lit(False)).alias("ok"),
+                F.lit(sink_batch).cast("long").alias("sink_batch"),
+            )
+        )
     except Exception:
         logger.exception(
             "upload batch %s failed; isolating per file", sink_batch
@@ -189,4 +257,8 @@ def _upload_group(
         except Exception:
             logger.exception("retry write for batch %s failed", sink_batch)
             outcomes.extend((f, False) for f in good_files)
-    return spark.createDataFrame(outcomes, "filename string, ok boolean")
+    return spark.createDataFrame(
+        [(f, ok, None if sink_batch is None else int(sink_batch))
+         for f, ok in outcomes],
+        "filename string, ok boolean, sink_batch long",
+    )

@@ -50,10 +50,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # only nano-sourced files read ts as long; re-staged copies (e.g.
-        # scale probes) already carry a proper timestamp
-        if dict(df.dtypes).get("ts") == "bigint":
+        # normalize ts to TIMESTAMP (ltz, session tz = UTC) whatever the
+        # writer emitted: nano-sourced files read as long (legacy conf),
+        # micros-NTZ files read as timestamp_ntz (both appear across
+        # driver-generated testdata vintages), re-staged copies (e.g. scale
+        # probes) already carry a proper timestamp. Values are identical to
+        # DuckDB's read in every case (UTC session).
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -46,6 +46,11 @@ class FakeClickHouse:
         self.row_counts: dict[str, int] = {}
         self.requests_seen = 0
         self.gzip_bodies_seen = 0
+        #: insert_deduplication_token support (real ClickHouse honors it on
+        #: the HTTP interface): an INSERT bearing an already-seen token is
+        #: acknowledged 200 but NOT stored — retried chunks are idempotent
+        self.tokens_seen: set[str] = set()
+        self.duplicate_inserts_dropped = 0
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -107,9 +112,12 @@ class FakeClickHouse:
             query, data = params["query"][0], body
         else:
             query, data = body.decode(), b""
-        return self.execute(query.strip(), data)
+        token = params.get("insert_deduplication_token", [None])[0]
+        return self.execute(query.strip(), data, token=token)
 
-    def execute(self, query: str, data: bytes) -> tuple[int, bytes]:
+    def execute(
+        self, query: str, data: bytes, token: str | None = None
+    ) -> tuple[int, bytes]:
         m = re.match(
             r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", query, re.I
         )
@@ -126,6 +134,11 @@ class FakeClickHouse:
             with self.lock:
                 if name not in self.tables:
                     return 500, f"Code: 60. Table {name} does not exist".encode()
+                if token is not None:
+                    if token in self.tokens_seen:
+                        self.duplicate_inserts_dropped += 1
+                        return 200, b""
+                    self.tokens_seen.add(token)
             if self.lite:
                 n = data.count(b"\n") + (0 if data.endswith(b"\n") or not data else 1)
                 with self.lock:

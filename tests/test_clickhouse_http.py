@@ -167,3 +167,55 @@ def test_service_cycle_through_clickhouse_sink(spark, tmp_path):
         state = {r["filename"]: r["status"]
                  for r in RegistryLog(spark, reg).state().collect()}
         assert state["AAA_PST_2024-03-13"] == "FINISHED"
+
+
+def test_insert_dedup_token_sent_and_idempotent(spark):
+    """Every insert chunk carries a content-hash insert_deduplication_token;
+    a re-POST of the same chunk (ambiguous-failure retry: server committed
+    but the response was lost) is dropped server-side, not duplicated."""
+    fake = FakeClickHouse()
+    url = fake.start()
+    try:
+        sink = ClickHouseHttpSink(url, "tickers_data", num_partitions=2)
+        sink.run_script(DDL)
+        sent = sink.write(_ticks_df(spark, 50), batch_id=1)
+        assert sent == 50
+        # tokens crossed the wire — one per non-empty chunk
+        assert len(fake.tokens_seen) >= 1
+        assert sink.count() == 50
+        # simulate the ambiguous-failure retry: identical payload + token
+        import gzip as _gzip
+        from crypto_data_service_loader_spark.sinks.clickhouse_http import _post
+        import hashlib
+        raw = b"T0,999,1.0,1.0,1.0,1.0,1.0,1.0,2024-03-14 06:46:40.000,1\n"
+        token = hashlib.md5(raw).hexdigest()
+        for _ in range(3):  # same chunk re-POSTed thrice
+            _post(url, "INSERT INTO tickers_data FORMAT CSV",
+                  _gzip.compress(raw), gzipped=True, timeout=10,
+                  params={"insert_deduplication_token": token})
+        assert sink.count() == 51  # stored once
+        assert fake.duplicate_inserts_dropped == 2
+    finally:
+        fake.stop()
+
+
+def test_control_statement_ships_as_body():
+    """execute() sends the statement AS the POST body (no ?query= param) —
+    long DDL must not ride the URL through proxy length limits."""
+    seen = {}
+
+    class RecordingFake(FakeClickHouse):
+        def handle(self, req):
+            from urllib.parse import parse_qs, urlparse
+            seen["params"] = parse_qs(urlparse(req.path).query)
+            return super().handle(req)
+
+    fake = RecordingFake()
+    url = fake.start()
+    try:
+        sink = ClickHouseHttpSink(url, "t")
+        sink.execute("CREATE TABLE t (x String) ENGINE = MergeTree ORDER BY x")
+        assert "query" not in seen["params"]
+        assert sink.count("t") == 0
+    finally:
+        fake.stop()

@@ -77,6 +77,74 @@ def test_reclaim_after_commit_does_not_duplicate(spark, tmp_path):
     assert {r["batch_id"] for r in out.select("batch_id").distinct().collect()} == {0}
 
 
+def test_partial_rollup_reclaim_rewrites_full_batch(spark, tmp_path):
+    """Crash window: cycle 0 claimed files A and B under sink batch 0,
+    committed BOTH files' rows, then died MID-rollup — A's FINISHED event
+    landed, B's did not. Cycle 1 reclaims only B; because the retry
+    overwrites the whole batch-0 partition, A must ride along as a
+    companion (its FINISHED event records sink_batch 0) or its committed
+    rows would be silently deleted by the subset rewrite."""
+    root = str(tmp_path / "data")
+    reg_path = str(tmp_path / "registry")
+    _mk_file(root, "2024-03-13", "AAA_PST_2024-03-13", lines=3)
+    _mk_file(root, "2024-03-13", "BBB_PST_2024-03-13", lines=2)
+
+    log = RegistryLog(spark, reg_path)
+    _append(log, [
+        ("AAA_PST_2024-03-13", D(2024, 3, 13), "DISCOVERED", 0, 0),
+        ("BBB_PST_2024-03-13", D(2024, 3, 13), "DISCOVERED", 0, 0),
+        ("AAA_PST_2024-03-13", D(2024, 3, 13), "IN_PROGRESS", 2, 0),
+        ("BBB_PST_2024-03-13", D(2024, 3, 13), "IN_PROGRESS", 2, 0),
+        # partial rollup: only A's FINISHED made it (batch_id = sink batch)
+        ("AAA_PST_2024-03-13", D(2024, 3, 13), "FINISHED", 3, 0),
+    ])
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    # the 5 rows cycle 0 committed for A+B before dying
+    sink.write(
+        spark.createDataFrame([("AVA-USDT",)] * 5, "ticker string"), batch_id=0
+    )
+
+    # reclaim must claim B (stale) AND companion A (FINISHED, same batch)
+    ready = claim_ready_files(log.state(), current_batch=1)
+    got = {r["filename"]: r["sink_batch"] for r in ready.collect()}
+    assert got == {"AAA_PST_2024-03-13": 0, "BBB_PST_2024-03-13": 0}
+
+    stats = run_cycle(spark, root, reg_path, sink, today="2024-03-14", cycle=1)
+    assert stats["uploaded"] == 2 and stats["failed"] == 0
+    final = {r["filename"]: r["status"] for r in log.state().collect()}
+    assert set(final.values()) == {"FINISHED"}
+    out = sink.read(spark)
+    # 5 rows total, all still in partition 0: the rewrite kept A's rows
+    assert out.count() == 5
+    assert {r["batch_id"] for r in out.select("batch_id").distinct().collect()} == {0}
+
+
+def test_claimed_file_deleted_after_claim_rolls_up_error(spark, tmp_path):
+    """A claimed file deleted from disk between claim and upload (e.g. a
+    racing retention cleanup) must roll up ERROR, not FINISHED: the batch
+    write committed zero rows for it. Outcomes are derived from the scanned
+    listing, not assumed ok=True."""
+    root = str(tmp_path / "data")
+    reg_path = str(tmp_path / "registry")
+    _mk_file(root, "2024-03-13", "AAA_PST_2024-03-13", lines=3)
+    # BBB is registered READY but its file is GONE from disk
+
+    log = RegistryLog(spark, reg_path)
+    _append(log, [
+        ("AAA_PST_2024-03-13", D(2024, 3, 13), "DISCOVERED", 0, 0),
+        ("BBB_PST_2024-03-13", D(2024, 3, 13), "DISCOVERED", 0, 0),
+        ("AAA_PST_2024-03-13", D(2024, 3, 13), "READY_FOR_PROCESSING", 1, 0),
+        ("BBB_PST_2024-03-13", D(2024, 3, 13), "READY_FOR_PROCESSING", 1, 0),
+    ])
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    stats = run_cycle(spark, root, reg_path, sink, today="2024-03-14", cycle=1)
+    assert stats["uploaded"] == 1 and stats["failed"] == 1
+    final = {r["filename"]: r["status"] for r in log.state().collect()}
+    assert final["AAA_PST_2024-03-13"] == "FINISHED"
+    assert final["BBB_PST_2024-03-13"] == "ERROR"
+    assert sink.read(spark).count() == 3  # only AAA's rows
+
+
 def test_double_crash_retries_keep_original_sink_batch(spark, tmp_path):
     """If the reclaiming cycle crashes at the same point, the NEXT reclaim
     must still target the original partition: the claim event preserves the

@@ -264,6 +264,23 @@ def test_frame_sampling_cadence(spark):
     assert [r["frame_idx"] for r in frames] == [0, 1, 2]
 
 
+def test_frame_sampling_negative_duration_yields_zero_frames(spark):
+    """A corrupt negative duration must produce zero frames for THAT row
+    (as the old per-row loop did) — not a np.repeat ValueError that poisons
+    the whole Arrow batch."""
+    media = spark.createDataFrame(
+        [
+            (1, "video", b"v", "video/mp4", None, None, -500),
+            (2, "video", b"v", "video/mp4", None, None, 2500),
+        ],
+        multimodal_schema(),
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000, fake=True).collect()
+    assert sorted((r["media_id"], r["frame_idx"]) for r in frames) == [
+        (2, 0), (2, 1),
+    ]
+
+
 def multimodal_schema():
     from crypto_data_service_loader_spark.schemas import MEDIA
 
