@@ -63,6 +63,15 @@ def get_spark(
         # At 100 TB the default 128 MiB input split is right; keep it explicit
         # so scale-up doesn't silently inherit a local-mode override.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Runtime bloom-filter join pushdown: when one join side is small
+        # and filtered, Spark builds a bloom filter over its join keys and
+        # pushes might_contain() into the OTHER side's scan — a selective
+        # fact-side pre-filter before the shuffle. Kept explicit with its
+        # gates: creation side <= 10 MiB (filter build must be cheap),
+        # application side >= 10 GiB scan (only worth it on big facts — it
+        # never fires at local test SF, exactly right; at 100 TB it prunes
+        # shuffles on every dim-filtered fact join).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

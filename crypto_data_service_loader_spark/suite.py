@@ -16,7 +16,15 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import asof, dedup, registry as R, relational as rel, similarity, text
+from .operators import (
+    asof,
+    dedup,
+    registry as R,
+    relational as rel,
+    similarity,
+    text,
+    training,
+)
 from .operators.relational import davg, dsum
 from .sources.csv_ingest import line_is_valid
 from .tables import (
@@ -2258,6 +2266,28 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
 
 
+def q_train_val_split(spark, sf_dir):
+    """Stable train/val/test assignment: membership is a pure function of
+    doc_id (multiplicative hash), so growing the corpus never moves an
+    existing doc between splits. Scan-local — no shuffle, no state."""
+    return training.train_val_test_split(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "split")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Segment packing of docs into fixed 8192-char budget bins per source
+    (n_chars as the token proxy; token_counts feeds the real pipeline).
+    One window cumsum per source partition — fully data-parallel."""
+    return training.pack_sequences(
+        load(spark, sf_dir, "documents"),
+        budget=8192,
+        tokens_col="n_chars",
+        id_col="doc_id",
+        group_col="source",
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-source corpus rebalance (rows-only: Bernoulli draws are
     engine-specific; determinism and stratum proportions are pinned by
@@ -2755,11 +2785,37 @@ _LLM_ORACLES = {
 # --------------------------------------------------------------------------
 
 # Key order matters: the driver's correctness snapshot covers the FIRST 50
-# dict keys. Rounds 1-2 verified the control-plane/relational block, so that
-# block now sits at the back; the previously-unverified keys (TPC-H, dedup,
-# text, similarity families) lead.
+# dict keys. Rounds 1-2 verified the control-plane/relational block, round 3
+# the TPC-H/dedup/text/similarity block; the 21 keys the driver has never
+# snapshotted lead in round 4, followed by the highest-value re-checks
+# (TPC-H + the scale-sensitive dedup/similarity paths).
 QUERIES = {
-    # --- front: never driver-verified through round 2 ---
+    # --- front: never driver-verified through round 3 ---
+    "agg_approx_topk": q_agg_approx_topk,
+    "ohlc_bars": q_ohlc_bars,
+    "stateful_running_total": q_stateful_running_total,
+    "scalar_math": q_scalar_math,
+    "scalar_json": q_scalar_json,
+    "scalar_conditional": q_scalar_conditional,
+    "scalar_array_funcs": q_scalar_array_funcs,
+    "agg_stats": q_agg_stats,
+    "agg_minmax_by": q_agg_minmax_by,
+    "agg_conditional": q_agg_conditional,
+    "subquery_exists": q_subquery_exists,
+    "subquery_scalar": q_subquery_scalar,
+    "subquery_in": q_subquery_in,
+    "gap_fill_bars": q_gap_fill_bars,
+    "stream_sliding_window": q_stream_sliding_window,
+    "unpivot_metrics": q_unpivot_metrics,
+    "agg_percentile": q_agg_percentile,
+    "distinct_pairs": q_distinct_pairs,
+    "join_salted_skew": q_join_salted_skew,
+    "sample_stratified": q_sample_stratified,
+    "multimodal_features": q_multimodal_features,
+    # --- new in round 4 (must sit in the front-50 driver window) ---
+    "train_val_split": q_train_val_split,
+    "pack_sequences": q_pack_sequences,
+    # --- re-checks: TPC-H + scale-sensitive paths (verified in r03) ---
     "tpch_q1": q_flagship,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -2788,11 +2844,11 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical_docs": q_dedup_canonical_docs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
     "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
@@ -2811,28 +2867,6 @@ QUERIES = {
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "docs_prep_pipeline": q_docs_prep_pipeline,
     "range_join_events": q_range_join_events,
-    "agg_approx_topk": q_agg_approx_topk,
-    "ohlc_bars": q_ohlc_bars,
-    "stateful_running_total": q_stateful_running_total,
-    # --- still unverified by the driver (will rotate forward next round) ---
-    "scalar_math": q_scalar_math,
-    "scalar_json": q_scalar_json,
-    "scalar_conditional": q_scalar_conditional,
-    "scalar_array_funcs": q_scalar_array_funcs,
-    "agg_stats": q_agg_stats,
-    "agg_minmax_by": q_agg_minmax_by,
-    "agg_conditional": q_agg_conditional,
-    "subquery_exists": q_subquery_exists,
-    "subquery_scalar": q_subquery_scalar,
-    "subquery_in": q_subquery_in,
-    "gap_fill_bars": q_gap_fill_bars,
-    "stream_sliding_window": q_stream_sliding_window,
-    "unpivot_metrics": q_unpivot_metrics,
-    "agg_percentile": q_agg_percentile,
-    "distinct_pairs": q_distinct_pairs,
-    "join_salted_skew": q_join_salted_skew,
-    "sample_stratified": q_sample_stratified,
-    "multimodal_features": q_multimodal_features,
     # --- back: driver-verified green in rounds 1 AND 2 ---
     "flagship_pricing_summary": q_flagship,
     # control plane (reference §2A)
@@ -2895,6 +2929,28 @@ ORACLES: dict[str, str] = {
     **_RELATIONAL_ORACLES,
     **_TPCH_ORACLES,
     **_LLM_ORACLES,
+    # training-set assembly (operators/training.py): the hash is plain
+    # integer arithmetic and the packing a window cumsum, so both are
+    # exactly portable to the DuckDB oracle
+    "train_val_split": """
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                      THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 950
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
+    "pack_sequences": """
+        SELECT doc_id, source, n_chars,
+               cb // 8192 AS bin_id,
+               cb % 8192 AS bin_offset
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cb
+            FROM documents)""",
     # intentionally absent (rows-only checks): agg_approx_distinct /
     # agg_approx_quantile (HLL/GK sketch estimates are engine-specific),
     # sim_cosine_topk_ivf (Lloyd-refined centroid assignment is iterative —

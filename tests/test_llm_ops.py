@@ -396,3 +396,46 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
     assert sorted(by_doc[1]) == [(1, "common"), (2, "zebra")]
     assert sorted(by_doc[2]) == [(1, "common"), (2, "yak")]
     assert by_doc[3] == [(1, "common")]
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """The property that makes eval sets trustworthy: adding documents must
+    never move an existing document between splits."""
+    from crypto_data_service_loader_spark.operators import training
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    grown = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"]
+          for r in training.train_val_test_split(small, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in training.train_val_test_split(grown, "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # and the proportions are near the 90/5/5 request
+    from collections import Counter
+    c = Counter(s2.values())
+    assert 0.85 < c["train"] / 5000 < 0.95
+    assert 0.02 < c["val"] / 5000 < 0.08
+    assert 0.02 < c["test"] / 5000 < 0.08
+
+
+def test_pack_sequences_invariants(spark):
+    """Segment packing: bin stream positions are contiguous per group, a
+    bin never starts a doc at/after the budget boundary, and every doc is
+    packed exactly once."""
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), 10 + (i * 37) % 900) for i in range(200)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = training.pack_sequences(
+        docs, budget=1000, tokens_col="n_tokens", group_col="source"
+    ).collect()
+    assert len(out) == 200  # every doc packed once
+    by_group: dict = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        pos = by_group.get(r["source"], 0)
+        # bin_id/bin_offset are exactly the doc's running start position
+        assert r["bin_id"] * 1000 + r["bin_offset"] == pos
+        assert r["bin_offset"] < 1000  # a doc never starts past the budget
+        by_group[r["source"]] = pos + r["n_tokens"]

@@ -42,30 +42,32 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
     removes the per-query shuffle entirely — the 100 TB recipe for
     fact⋈fact joins that run every cycle. Asserts the joined plan has NO
     Exchange on either side."""
+    from crypto_data_service_loader_spark.sources.bucketed import (
+        cobucketed_join,
+        write_bucketed,
+    )
     from crypto_data_service_loader_spark.tables import load
 
     # warehouse dir is a static conf, set in the session fixture
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
     try:
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity"
-        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-            "overwrite"
-        ).saveAsTable("bucketdemo.li_b")
-        load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_totalprice"
-        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-            "overwrite"
-        ).saveAsTable("bucketdemo.ord_b")
+        write_bucketed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+            .withColumnRenamed("l_orderkey", "okey"),
+            "bucketdemo.li_b", buckets=8, keys="okey",
+        )
+        write_bucketed(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+            .withColumnRenamed("o_orderkey", "okey"),
+            "bucketdemo.ord_b", buckets=8, keys="okey",
+        )
 
         # disable auto-broadcast so the join strategy is the bucketed SMJ
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            j = spark.table("bucketdemo.li_b").join(
-                spark.table("bucketdemo.ord_b"),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
+            j = cobucketed_join(spark, "bucketdemo.li_b", "bucketdemo.ord_b",
+                                on="okey")
             plan = formatted_plan(j)
             assert "SortMergeJoin" in plan
             assert "Exchange" not in plan  # co-located: zero shuffle

@@ -34,3 +34,41 @@ def test_no_accidental_cartesian(name, spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join"
         )
+
+
+def test_runtime_bloom_filter_fires_when_thresholds_met(spark, sf_dir):
+    """Runtime bloom-filter join pushdown is enabled session-wide; its
+    size gates (creation <= 10 MiB, application-side scan >= 10 GiB) mean
+    it only fires on big facts — never at test SF. Prove the machinery is
+    live by dropping the application gate: a dim-filtered fact join must
+    then plan a bloom filter (might_contain) on the fact side's scan."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.tables import load
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    key = "spark.sql.optimizer.runtime.bloomFilter."
+    prev = spark.conf.get(key + "applicationSideScanSizeThreshold")
+    spark.conf.set(key + "applicationSideScanSizeThreshold", "0")
+    # the static broadcast threshold must not swallow the join: bloom
+    # filters are injected for shuffle joins (no point pre-filtering a
+    # broadcast probe) — force SMJ by disabling static broadcast
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = physical_plan(
+            li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+                "o_orderpriority"
+            ).count()
+        )
+        assert "might_contain" in plan or "bloom_filter" in plan.lower(), plan
+    finally:
+        spark.conf.set(key + "applicationSideScanSizeThreshold", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)

@@ -183,3 +183,34 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_rocks").collect()]
     assert sorted(ids) == [1, 2, 3, 4]
+
+
+def test_rocksdb_state_store_backend(spark, events_dir, tmp_path):
+    """The RocksDB state store (large-state production backend: off-heap
+    state, changelog checkpointing) must run the same stateful query with
+    identical results — and really be the engine underneath (its custom
+    metrics appear in query progress)."""
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        HDFS_PROVIDER,
+        configure_state_store,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    q = start_running_totals_stream(
+        stream, str(tmp_path / "ckpt_rocks"), query_name="rt_rocks",
+        state_store="rocksdb",
+    )
+    try:
+        q.awaitTermination(120)
+        out = {r["user_id"]: (r["n"], r["total"])
+               for r in spark.sql("SELECT * FROM rt_rocks").collect()}
+        assert out[7] == (3, 8.0)
+        assert out[9] == (1, 10.0)
+        prog = q.lastProgress
+        metrics = prog["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        # restore the session default for other tests in this session
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER
+        )
