@@ -56,12 +56,63 @@ def train_val_test_split(
     )
 
 
+def mix_corpora(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus mixing: keep each row iff its id-hash bucket
+    falls under its source's sampling rate — the reproducible version of
+    `sampleBy` (same hash as `split_bucket`, so it is engine-portable and
+    oracle-exact, unlike Bernoulli draws).
+
+    Upsampling (weight > 1) is out of scope here (needs row replication —
+    explode over a repeat count); rates are clamped to [0, 1]. Scan-local:
+    the filter runs inside the scan, no shuffle, and composes with
+    `train_val_test_split` (independent hashes would need distinct salts;
+    here bucket reuse is fine because mixing happens before splitting in
+    the pipeline order).
+    """
+    bucket = split_bucket(id_col)
+    rate = None
+    for src, w in sorted(weights.items()):
+        thresh = int(max(0.0, min(1.0, w)) * _BUCKETS)
+        cond = F.col(source_col) == src
+        rate = F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+    rate = rate.otherwise(int(max(0.0, min(1.0, default)) * _BUCKETS))
+    return df.filter(bucket < rate)
+
+
+def write_sorted_shards(
+    df: DataFrame,
+    path: str,
+    shards: int,
+    order_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the training set as globally ordered shards:
+    `repartitionByRange` samples range boundaries (one pass), each shard is
+    sorted within, and shard k's keys all precede shard k+1's — the layout
+    sequence loaders expect. One range shuffle total; no global sort
+    materialization on any single node."""
+    (
+        df.repartitionByRange(shards, F.col(order_col).asc())
+        .sortWithinPartitions(order_col)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     group_col: str | None = None,
+    shard_docs: int | None = None,
 ) -> DataFrame:
     """Segment packing: assign docs to fixed-token-budget bins via a single
     window cumulative sum — `bin_id = floor(cumsum_before / budget)`.
@@ -78,20 +129,38 @@ def pack_sequences(
     independently — at 100 TB the window runs per-partition after one
     shuffle on the group key; with `group_col=None` a single global
     ordering is used (fine for bounded inputs, not the 100 TB path).
+
+    `shard_docs` bounds the window-partition size when groups are huge or
+    few (the 100 TB skew guard): rows are sub-sharded by id range
+    (`doc_id // shard_docs`), each shard packs independently — bin ids are
+    globally disambiguated by shard, packing density loses at most one
+    partial bin per shard.
     """
-    order = F.col(id_col).asc()
-    w = (
-        Window.partitionBy(group_col).orderBy(order)
-        if group_col is not None
-        else Window.partitionBy().orderBy(order)
-    )
+    shard = None
+    if shard_docs is not None:
+        shard = (F.col(id_col).cast("long") / F.lit(shard_docs)).cast("long")
+        part_cols = ([group_col] if group_col else []) + [shard.alias("_shard")]
+        w = Window.partitionBy(*part_cols).orderBy(F.col(id_col).asc())
+    elif group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    else:
+        w = Window.partitionBy().orderBy(F.col(id_col).asc())
     cum_before = F.coalesce(
         F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     cols = [id_col] + ([group_col] if group_col else []) + [tokens_col]
+    # bins per shard is bounded by ceil(shard token mass / budget) <=
+    # shard_docs (each doc >= 1 token... not guaranteed; use the safe
+    # worst case: one bin per doc) -> shard stride = shard_docs + 1
+    bin_local = (cum_before / F.lit(budget)).cast("long")
+    bin_id = (
+        bin_local
+        if shard is None
+        else shard * F.lit(int(shard_docs) + 1) + bin_local
+    )
     return df.select(
         *cols,
-        (cum_before / F.lit(budget)).cast("long").alias("bin_id"),
+        bin_id.alias("bin_id"),
         (cum_before % F.lit(budget)).alias("bin_offset"),
     )

@@ -111,6 +111,78 @@ def _update_running_totals(
     yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
 
 
+def start_running_totals_tws(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "running_totals_tws",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Running totals via `transformWithStateInPandas` — Spark 4's
+    successor stateful API (SPARK-46815): typed per-key state handles
+    (ValueState/ListState/MapState), timers, and TTL replace the single
+    opaque tuple of `applyInPandasWithState`. It REQUIRES the RocksDB
+    state store, which this helper configures; semantics here are
+    identical to `start_running_totals_stream` (asserted in tests).
+
+    At 100 TB this is the API that scales: per-key state lives in RocksDB
+    column families (off-heap, spillable), and state variables are read
+    lazily per key instead of deserialized wholesale per batch.
+
+    Environment gate: the API's state-server wire protocol imports
+    google.protobuf at query start; images without protobuf raise
+    ImportError from the Spark driver worker — callers should fall back to
+    `start_running_totals_stream` (identical semantics, legacy API).
+    """
+    import pandas as pd  # noqa: F811 — executor-side import parity
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    configure_state_store(events_stream.sparkSession, "rocksdb")
+    out = (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_running_totals_stream(
     events_stream: DataFrame,
     checkpoint: str,

@@ -2288,6 +2288,16 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic per-source corpus rebalance: the oracle-exact twin of
+    `sample_stratified` (hash-gated membership instead of Bernoulli draws —
+    same rates, reproducible across engines and runs)."""
+    return training.mix_corpora(
+        load(spark, sf_dir, "documents"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+    ).select("doc_id", "source")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-source corpus rebalance (rows-only: Bernoulli draws are
     engine-specific; determinism and stratum proportions are pinned by
@@ -2815,6 +2825,7 @@ QUERIES = {
     # --- new in round 4 (must sit in the front-50 driver window) ---
     "train_val_split": q_train_val_split,
     "pack_sequences": q_pack_sequences,
+    "corpus_mix": q_corpus_mix,
     # --- re-checks: TPC-H + scale-sensitive paths (verified in r03) ---
     "tpch_q1": q_flagship,
     "tpch_q2": q_tpch_q2,
@@ -2940,6 +2951,14 @@ ORACLES: dict[str, str] = {
                       THEN 'val'
                     ELSE 'test' END AS split
         FROM documents""",
+    "corpus_mix": """
+        SELECT doc_id, source
+        FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+              CASE source WHEN 'src0' THEN 1000
+                          WHEN 'src1' THEN 500
+                          WHEN 'src2' THEN 250
+                          ELSE 0 END""",
     "pack_sequences": """
         SELECT doc_id, source, n_chars,
                cb // 8192 AS bin_id,

@@ -439,3 +439,77 @@ def test_pack_sequences_invariants(spark):
         assert r["bin_id"] * 1000 + r["bin_offset"] == pos
         assert r["bin_offset"] < 1000  # a doc never starts past the budget
         by_group[r["source"]] = pos + r["n_tokens"]
+
+
+def test_pack_sequences_sharded_bounds_window_partitions(spark):
+    """The 100 TB skew guard: sub-sharding by id range must keep every
+    doc packed exactly once, keep offsets under budget, and never collide
+    bin ids across shards."""
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 900) for i in range(500)],
+        "doc_id long, n_tokens long",
+    )
+    out = training.pack_sequences(
+        docs, budget=1000, tokens_col="n_tokens", shard_docs=100
+    ).collect()
+    assert len(out) == 500
+    seen_bins_by_shard: dict = {}
+    for r in out:
+        assert r["bin_offset"] < 1000
+        shard = r["doc_id"] // 100
+        seen_bins_by_shard.setdefault(shard, set()).add(r["bin_id"])
+    shards = sorted(seen_bins_by_shard)
+    for a, b in zip(shards, shards[1:]):
+        assert max(seen_bins_by_shard[a]) < min(seen_bins_by_shard[b])
+
+
+def test_mix_corpora_deterministic_rates(spark):
+    """Hash-gated mixing: reproducible membership (same rows every run),
+    per-source keep rates near the requested weights, unlisted sources
+    dropped by default."""
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(3000)],
+        "doc_id long, source string",
+    )
+    kept1 = {r["doc_id"] for r in
+             training.mix_corpora(docs, {"a": 1.0, "b": 0.3}).collect()}
+    kept2 = {r["doc_id"] for r in
+             training.mix_corpora(docs, {"a": 1.0, "b": 0.3}).collect()}
+    assert kept1 == kept2  # deterministic
+    a_total = b_total = 1000
+    a_kept = sum(1 for i in kept1 if i % 3 == 0)
+    b_kept = sum(1 for i in kept1 if i % 3 == 1)
+    c_kept = sum(1 for i in kept1 if i % 3 == 2)
+    assert a_kept == a_total          # weight 1.0 keeps everything
+    assert 0.2 < b_kept / b_total < 0.4
+    assert c_kept == 0                # unlisted source dropped
+
+
+def test_write_sorted_shards_global_order(spark, tmp_path):
+    """Range-sharded write: every shard internally sorted AND shard ranges
+    non-overlapping — concatenating shards in order yields the global
+    order without any single-node sort."""
+    import glob as globmod
+
+    from crypto_data_service_loader_spark.operators import training
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id").select(
+        F.col("doc_id"), (F.col("doc_id") * 7 % 100).alias("payload")
+    )
+    out = str(tmp_path / "shards")
+    training.write_sorted_shards(df, out, shards=8)
+    files = sorted(globmod.glob(out + "/part-*"))
+    assert len(files) == 8
+    prev_max = -1
+    total = 0
+    for f in files:
+        ids = [r["doc_id"] for r in spark.read.parquet(f).collect()]
+        assert ids == sorted(ids)          # sorted within shard
+        assert ids[0] > prev_max           # ranges are disjoint + ordered
+        prev_max = ids[-1]
+        total += len(ids)
+    assert total == 10000

@@ -214,3 +214,30 @@ def test_rocksdb_state_store_backend(spark, events_dir, tmp_path):
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER
         )
+
+
+def test_transform_with_state_matches_legacy_api(spark, events_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB-only)
+    must produce exactly the applyInPandasWithState totals. The API's
+    state-server protocol needs google.protobuf, which this image may not
+    ship — skip (not fail) when absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        HDFS_PROVIDER,
+        start_running_totals_tws,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    q = start_running_totals_tws(
+        stream, str(tmp_path / "ckpt_tws"), query_name="rt_tws"
+    )
+    try:
+        q.awaitTermination(120)
+        out = {r["user_id"]: (r["n"], r["total"])
+               for r in spark.sql("SELECT * FROM rt_tws").collect()}
+        assert out[7] == (3, 8.0)
+        assert out[9] == (1, 10.0)
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER
+        )

@@ -45,6 +45,8 @@ PROBE_QUERIES = [
     "text_repetition",
     "ohlc_bars",
     "dedup_clusters",
+    "train_val_split",
+    "pack_sequences",
 ]
 
 #: key columns that must stay unique when replicating (dedup/minhash pair
