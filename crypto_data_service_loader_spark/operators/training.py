@@ -68,12 +68,12 @@ def mix_corpora(
     `sampleBy` (same hash as `split_bucket`, so it is engine-portable and
     oracle-exact, unlike Bernoulli draws).
 
-    Upsampling (weight > 1) is out of scope here (needs row replication —
-    explode over a repeat count); rates are clamped to [0, 1]. Scan-local:
-    the filter runs inside the scan, no shuffle, and composes with
-    `train_val_test_split` (independent hashes would need distinct salts;
-    here bucket reuse is fine because mixing happens before splitting in
-    the pipeline order).
+    Upsampling (weight > 1) lives in `mix_corpora_upsampled` (row
+    replication changes the output shape); rates here are clamped to
+    [0, 1]. Scan-local: the filter runs inside the scan, no shuffle, and
+    composes with `train_val_test_split` (independent hashes would need
+    distinct salts; here bucket reuse is fine because mixing happens
+    before splitting in the pipeline order).
     """
     bucket = split_bucket(id_col)
     rate = None
@@ -83,6 +83,44 @@ def mix_corpora(
         rate = F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
     rate = rate.otherwise(int(max(0.0, min(1.0, default)) * _BUCKETS))
     return df.filter(bucket < rate)
+
+
+def mix_corpora_upsampled(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing with upsampling: weight 2.5 yields 2 copies of every
+    row plus a 3rd for the hash-gated 50% — expected copies == weight,
+    deterministic per row. Output adds `copy_id` (1..n) so downstream
+    shuffles/dedups see distinct rows. Replication is a scan-local
+    explode over `sequence(1, copies)` — no shuffle, no driver loop; at
+    100 TB output volume is the sum of weights times input, produced
+    streaming per task.
+    """
+    bucket = split_bucket(id_col)
+    thresh = None
+    for src, w in sorted(weights.items()):
+        t = int(max(0.0, w) * _BUCKETS)
+        cond = F.col(source_col) == src
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(int(max(0.0, default) * _BUCKETS))
+    copies = (thresh / F.lit(_BUCKETS)).cast("long") + F.when(
+        bucket < thresh % F.lit(_BUCKETS), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "copy_id",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("_copies"))
+            ),
+        )
+        .drop("_copies")
+    )
 
 
 def write_sorted_shards(

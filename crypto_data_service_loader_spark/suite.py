@@ -2298,6 +2298,16 @@ def q_corpus_mix(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_corpus_mix_upsampled(spark, sf_dir):
+    """Mixing with upsampling: src0 at 2.5x (2 copies + hash-gated 50%),
+    src1 kept, src2 quarter-sampled — expected copies == weight,
+    deterministic, scan-local explode."""
+    return training.mix_corpora_upsampled(
+        load(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 1.0, "src2": 0.25},
+    ).select("doc_id", "source", "copy_id")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-source corpus rebalance (rows-only: Bernoulli draws are
     engine-specific; determinism and stratum proportions are pinned by
@@ -2826,6 +2836,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "pack_sequences": q_pack_sequences,
     "corpus_mix": q_corpus_mix,
+    "corpus_mix_upsampled": q_corpus_mix_upsampled,
     # --- re-checks: TPC-H + scale-sensitive paths (verified in r03) ---
     "tpch_q1": q_flagship,
     "tpch_q2": q_tpch_q2,
@@ -2959,6 +2970,23 @@ ORACLES: dict[str, str] = {
                           WHEN 'src1' THEN 500
                           WHEN 'src2' THEN 250
                           ELSE 0 END""",
+    "corpus_mix_upsampled": """
+        SELECT doc_id, source,
+               UNNEST(range(1, copies + 1)) AS copy_id
+        FROM (
+            SELECT doc_id, source,
+                   t // 1000
+                   + CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000
+                               < t % 1000
+                          THEN 1 ELSE 0 END AS copies
+            FROM (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src0' THEN 2500
+                                   WHEN 'src1' THEN 1000
+                                   WHEN 'src2' THEN 250
+                                   ELSE 0 END AS t
+                FROM documents))
+        WHERE copies > 0""",
     "pack_sequences": """
         SELECT doc_id, source, n_chars,
                cb // 8192 AS bin_id,

@@ -513,3 +513,25 @@ def test_write_sorted_shards_global_order(spark, tmp_path):
         prev_max = ids[-1]
         total += len(ids)
     assert total == 10000
+
+
+def test_mix_corpora_upsampled_expected_copies(spark):
+    """Weight 2.5 must yield exactly 2 or 3 copies per row (mean ~2.5),
+    weight 1.0 exactly one, weight 0 zero; copy ids are 1..n."""
+    from collections import Counter
+
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = training.mix_corpora_upsampled(docs, {"a": 2.5, "b": 1.0}).collect()
+    per_doc = Counter(r["doc_id"] for r in out)
+    a_counts = [per_doc[i] for i in range(0, 2000, 2)]
+    b_counts = [per_doc[i] for i in range(1, 2000, 2)]
+    assert set(a_counts) == {2, 3}
+    assert 2.3 < sum(a_counts) / len(a_counts) < 2.7
+    assert set(b_counts) == {1}
+    for r in out:
+        assert 1 <= r["copy_id"] <= per_doc[r["doc_id"]]
