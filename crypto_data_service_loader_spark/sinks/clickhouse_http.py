@@ -7,9 +7,12 @@ CompressionHandler.java:48-111 feeds it buffered gzip'd CSV lines. On the
 wire that is `POST /?query=INSERT%20INTO%20t%20FORMAT%20CSV` with a
 `Content-Encoding: gzip` body — plain HTTP, no driver jar needed.
 
-Spark-first shape: `df.mapInPandas` — each of the `num_partitions` output
-partitions (32 mirrors the reference's `divideDataPartsQuantity`) turns its
-Arrow batches into CSV with pandas (vectorized), gzips, and POSTs straight
+Spark-first shape: `df.mapInArrow` — each of the `num_partitions` output
+partitions (32 mirrors the reference's `divideDataPartsQuantity`) renders
+its rows to CSV lines JVM-side (whole-stage codegen, trailing newline
+included), so the newline-joined POST payload is *exactly the Arrow string
+column's data buffer* — assembled zero-copy from buffer offsets, no pandas
+conversion, no per-row Python strings — then gzips and POSTs straight
 from the executor. The driver never materializes or relays the data, so
 throughput scales with executors, exactly like adding CompressionHandler
 threads — except distributed. Per-chunk retry mirrors the reference's
@@ -54,7 +57,10 @@ def _csv_line(df: DataFrame) -> DataFrame:
     Decimal/naive-datetime objects and to_csv str-formats per value, which
     dwarfs gzip+POST. Framing matches the reference's pass-thru lines
     (CompressionHandler.java:72-80): raw comma join — field values must not
-    themselves contain commas/newlines (true for the tick wire format)."""
+    themselves contain commas/newlines (true for the tick wire format).
+    Each line carries its trailing newline so a partition's wire payload is
+    the byte-concatenation of its lines — which is literally the Arrow
+    string column's data buffer (see `_payload`)."""
     parts = []
     for f in df.schema.fields:
         c = F.col(f.name)
@@ -64,7 +70,35 @@ def _csv_line(df: DataFrame) -> DataFrame:
             else c.cast("string")
         )
         parts.append(F.coalesce(s, F.lit(r"\N")))
-    return df.select(F.concat_ws(",", *parts).alias("line"))
+    return df.select(
+        F.concat(F.concat_ws(",", *parts), F.lit("\n")).alias("line")
+    )
+
+
+def _payload(arr) -> memoryview | bytes:
+    """Zero-copy wire payload for one Arrow batch: for a null-free
+    (Large)String array the values live back-to-back in the data buffer,
+    so the newline-joined payload is data[offsets[0]:offsets[-1]] — a
+    memoryview, no copy, no Python-string materialization. Falls back to a
+    plain join for any other layout (never hit on the sink's own render)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if arr.null_count == 0:
+        if pa.types.is_string(arr.type):
+            odt = np.int32
+        elif pa.types.is_large_string(arr.type):
+            odt = np.int64
+        else:
+            odt = None
+        if odt is not None:
+            _, offsets_buf, data = arr.buffers()
+            off = np.frombuffer(
+                offsets_buf, dtype=odt, count=len(arr) + 1,
+                offset=arr.offset * np.dtype(odt).itemsize,
+            )
+            return memoryview(data)[off[0]:off[-1]]
+    return b"".join(v.encode() for v in arr.to_pylist() if v is not None)
 
 
 def _post(
@@ -114,7 +148,7 @@ class ClickHouseHttpSink(Sink):
     # -- bulk write (the hot path) ------------------------------------------
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         """Bulk-insert `df` as gzip'd CSV chunks, one POST per partition.
-        Returns rows sent (the count rides back on the mapInPandas output —
+        Returns rows sent (the count rides back on the mapInArrow output —
         no second pass over the data)."""
         if self.send_batch_id and batch_id is not None:
             df = df.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
@@ -129,15 +163,15 @@ class ClickHouseHttpSink(Sink):
         def _send(batches):
             import hashlib
 
-            import pandas as pd
+            import pyarrow as pa
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
             pid = -1 if ctx is None else ctx.partitionId()
-            for ci, pdf in enumerate(batches):
-                if len(pdf) == 0:
+            for ci, rb in enumerate(batches):
+                if rb.num_rows == 0:
                     continue
-                raw = ("\n".join(pdf["line"]) + "\n").encode()
+                raw = _payload(rb.column(0))
                 payload = gzip.compress(raw, level)
                 # Per-chunk insert_deduplication_token: a retry after an
                 # AMBIGUOUS failure — server committed the insert but the
@@ -151,9 +185,9 @@ class ClickHouseHttpSink(Sink):
                 # identical bytes (duplicate source rows split across
                 # partitions) must NOT collide, while a retried POST of the
                 # same chunk keeps the same token.
-                token = hashlib.md5(
-                    f"{table}:{batch_tag}:{pid}:{ci}:".encode() + raw
-                ).hexdigest()
+                h = hashlib.md5(f"{table}:{batch_tag}:{pid}:{ci}:".encode())
+                h.update(raw)
+                token = h.hexdigest()
                 last: Exception | None = None
                 for i in range(attempts):
                     try:
@@ -168,10 +202,11 @@ class ClickHouseHttpSink(Sink):
                             time.sleep(sleep_sec)
                 if last is not None:
                     raise last
-                yield pd.DataFrame(
+                nraw = raw.nbytes if isinstance(raw, memoryview) else len(raw)
+                yield pa.RecordBatch.from_pydict(
                     {
-                        "rows_sent": [len(pdf)],
-                        "bytes_raw": [len(raw)],
+                        "rows_sent": [rb.num_rows],
+                        "bytes_raw": [nraw],
                         "bytes_gz": [len(payload)],
                     }
                 )
@@ -189,7 +224,7 @@ class ClickHouseHttpSink(Sink):
             agg = (
                 _csv_line(df)
                 .repartition(self.num_partitions)
-                .mapInPandas(_send, schema=(
+                .mapInArrow(_send, schema=(
                     "rows_sent long, bytes_raw long, bytes_gz long"
                 ))
                 .agg(

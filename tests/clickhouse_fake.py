@@ -46,6 +46,7 @@ class FakeClickHouse:
         self.row_counts: dict[str, int] = {}
         self.requests_seen = 0
         self.gzip_bodies_seen = 0
+        self.gz_bytes_received = 0
         #: insert_deduplication_token support (real ClickHouse honors it on
         #: the HTTP interface): an INSERT bearing an already-seen token is
         #: acknowledged 200 but NOT stored — retried chunks are idempotent
@@ -101,10 +102,19 @@ class FakeClickHouse:
                 return 500, b"Code: 999. injected failure"
         length = int(req.headers.get("Content-Length") or 0)
         body = req.rfile.read(length) if length else b""
+        raw_gzip = False
         if req.headers.get("Content-Encoding") == "gzip":
-            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
             with self.lock:
                 self.gzip_bodies_seen += 1
+            if self.lite:
+                # lite = protocol-ack throughput mode: decompressing the
+                # body here would burn CPU in the SAME process as the
+                # client pipeline under measurement — server-side work the
+                # reference's client-throughput number (remote ClickHouse
+                # Cloud) never includes. Ack the bytes, skip the inflate.
+                raw_gzip = True
+            else:
+                body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
         params = urllib.parse.parse_qs(
             urllib.parse.urlparse(req.path).query
         )
@@ -113,10 +123,12 @@ class FakeClickHouse:
         else:
             query, data = body.decode(), b""
         token = params.get("insert_deduplication_token", [None])[0]
-        return self.execute(query.strip(), data, token=token)
+        return self.execute(query.strip(), data, token=token,
+                            raw_gzip=raw_gzip)
 
     def execute(
-        self, query: str, data: bytes, token: str | None = None
+        self, query: str, data: bytes, token: str | None = None,
+        raw_gzip: bool = False,
     ) -> tuple[int, bytes]:
         m = re.match(
             r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", query, re.I
@@ -140,6 +152,12 @@ class FakeClickHouse:
                         return 200, b""
                     self.tokens_seen.add(token)
             if self.lite:
+                if raw_gzip:
+                    # body left compressed (see handle()); rows are
+                    # accounted client-side in this mode — record bytes
+                    with self.lock:
+                        self.gz_bytes_received += len(data)
+                    return 200, b""
                 n = data.count(b"\n") + (0 if data.endswith(b"\n") or not data else 1)
                 with self.lock:
                     self.row_counts[name] = self.row_counts.get(name, 0) + n
