@@ -81,8 +81,15 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
         trials: list[float] = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
-            _run_noop(fn(spark, SF_DIR))
+            try:
+                _run_noop(fn(spark, SF_DIR))
+            except Exception:  # noqa: BLE001 — one broken query must not
+                continue  # silence the whole bench line
             trials.append(time.perf_counter() - t0)
+        if not trials:
+            times[name] = -1.0
+            stats[name] = {"median": -1.0, "spread": 0.0}
+            continue
         trials.sort()
         times[name] = round(trials[0], 4)
         stats[name] = {
@@ -218,7 +225,10 @@ def main() -> None:
     # residue (GC pressure, listener/shuffle state) to triple the measured
     # ClickHouse segment (4.0s vs 1.6s fresh) — sustained-throughput numbers
     # come from the clean process, like the reference's
-    ingest = bench_ingest(spark)
+    try:
+        ingest = bench_ingest(spark)
+    except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
+        ingest = {"ingest_error": str(exc)[:120]}
     queries, qstats = bench_queries(spark)
     total = round(sum(queries.values()), 4)
     medians = {k: v["median"] for k, v in qstats.items()}
@@ -251,7 +261,7 @@ def main() -> None:
             **{k: ingest[k] for k in (
                 "ingest_rows", "ingest_sec", "ingest_rows_per_sec",
                 "ingest_mb_per_sec", "clickhouse_http_sec",
-                "clickhouse_http_rows_per_sec",
+                "clickhouse_http_rows_per_sec", "ingest_error",
             ) if k in ingest},
             "baseline_rows_per_sec": "300000-500000",
             "suite_total_median": round(sum(medians.values()), 4),

@@ -219,3 +219,55 @@ def test_control_statement_ships_as_body():
         assert sink.count("t") == 0
     finally:
         fake.stop()
+
+
+def test_payload_zero_copy_layouts():
+    """_payload assembles the wire bytes straight from the Arrow string
+    column's data buffer: plain, sliced, and large_string arrays all yield
+    the exact byte-concatenation of the lines; null-bearing arrays fall
+    back to a safe join that drops the nulls."""
+    import pyarrow as pa
+
+    from crypto_data_service_loader_spark.sinks.clickhouse_http import _payload
+
+    lines = ["a,1\n", "b,2\n", "c,3\n"]
+    plain = pa.array(lines, type=pa.string())
+    assert bytes(_payload(plain)) == b"a,1\nb,2\nc,3\n"
+    assert isinstance(_payload(plain), memoryview)  # zero-copy branch
+
+    # sliced array: offsets no longer start at 0 — the slice must honor
+    # arr.offset or the payload silently includes evicted rows
+    assert bytes(_payload(plain.slice(1))) == b"b,2\nc,3\n"
+    assert bytes(_payload(plain.slice(1, 1))) == b"b,2\n"
+
+    large = pa.array(lines, type=pa.large_string())
+    assert bytes(_payload(large)) == b"a,1\nb,2\nc,3\n"
+    assert bytes(_payload(large.slice(2))) == b"c,3\n"
+
+    with_null = pa.array(["a,1\n", None, "c,3\n"], type=pa.string())
+    assert bytes(_payload(with_null)) == b"a,1\nc,3\n"
+
+    empty = pa.array([], type=pa.string())
+    assert bytes(_payload(empty)) == b""
+
+
+def test_lite_fake_acks_gzip_without_inflating(spark):
+    """Lite mode (bench throughput double) must count the compressed bytes
+    and ack without decompressing; the client-side rows_sent accounting is
+    the source of truth there."""
+    import gzip as _gzip
+
+    fake = FakeClickHouse(lite=True)
+    url = fake.start()
+    try:
+        sink = ClickHouseHttpSink(url, "t", num_partitions=2,
+                                  send_batch_id=False)
+        sink.execute("CREATE TABLE t (x String) ENGINE = Null")
+        df = spark.range(1000).selectExpr("cast(id as string) AS s")
+        sent = sink.write(df)
+        assert sent == 1000
+        assert fake.gz_bytes_received > 0
+        assert fake.row_counts == {}  # rows never parsed server-side
+        assert fake.gzip_bodies_seen >= 1
+    finally:
+        fake.stop()
