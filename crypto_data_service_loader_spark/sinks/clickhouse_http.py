@@ -133,7 +133,13 @@ class ClickHouseHttpSink(Sink):
 
     url: str  # e.g. http://host:8123  (database via ?database= on the url)
     table: str
-    num_partitions: int = 32  # reference divideDataPartsQuantity: 32
+    #: None = post straight from the input partitioning (no shuffle) — the
+    #: 100 TB shape: one task per upstream split, each streaming its own
+    #: chunks; an int mirrors the reference's fixed 32-bundle split
+    #: (divideDataPartsQuantity) via a round-robin repartition, right when
+    #: the upstream partitioning is skewed or far wider than the server's
+    #: useful insert concurrency
+    num_partitions: int | None = 32
     attempts: int = 3  # reference maxFlushDataAttempts: 3
     sleep_sec: float = 0.5  # reference sleepOnReconnectMs: 500
     gzip_level: int = 6
@@ -221,9 +227,11 @@ class ClickHouseHttpSink(Sink):
         spark.conf.set(key, "200000")
         t0 = time.perf_counter()
         try:
+            lines = _csv_line(df)
+            if self.num_partitions is not None:
+                lines = lines.repartition(self.num_partitions)
             agg = (
-                _csv_line(df)
-                .repartition(self.num_partitions)
+                lines
                 .mapInArrow(_send, schema=(
                     "rows_sent long, bytes_raw long, bytes_gz long"
                 ))

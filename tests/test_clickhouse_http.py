@@ -271,3 +271,24 @@ def test_lite_fake_acks_gzip_without_inflating(spark):
         assert fake.gzip_bodies_seen >= 1
     finally:
         fake.stop()
+
+
+def test_no_shuffle_when_num_partitions_none(spark):
+    """num_partitions=None posts from the input partitioning — the plan
+    must carry no Exchange (at 100 TB a repartition of the rendered lines
+    is a full shuffle of the payload)."""
+    fake = FakeClickHouse(lite=True)
+    url = fake.start()
+    try:
+        sink = ClickHouseHttpSink(url, "t", num_partitions=None,
+                                  send_batch_id=False)
+        sink.execute("CREATE TABLE t (x String) ENGINE = Null")
+        df = spark.range(0, 10000, 1, 8).selectExpr("cast(id as string) AS s")
+        from crypto_data_service_loader_spark.sinks.clickhouse_http import (
+            _csv_line,
+        )
+        plan = _csv_line(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert sink.write(df) == 10000
+    finally:
+        fake.stop()
