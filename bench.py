@@ -230,7 +230,6 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
         ingest = {"ingest_error": str(exc)[:120]}
     queries, qstats = bench_queries(spark)
-    total = round(sum(queries.values()), 4)
     medians = {k: v["median"] for k, v in qstats.items()}
     # The driver captures only the LAST 2000 chars of stdout and json-parses
     # that tail; BENCH_r03 came back parsed=null because the full
@@ -251,12 +250,24 @@ def main() -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
+    print(format_line(queries, medians, ingest, SF_DIR))
+
+
+def format_line(
+    queries: dict[str, float],
+    medians: dict[str, float],
+    ingest: dict,
+    sf_dir: str,
+) -> str:
+    """The driver-facing stdout line. MUST stay under 1900 chars: the
+    driver json-parses only the last 2000 chars of stdout, and BENCH_r03
+    was lost to an overlong line (tests/test_bench_contract.py pins this)."""
     out = {
         "metric": "suite_total",
-        "value": total,
+        "value": round(sum(v for v in queries.values() if v >= 0), 4),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
-        "sf": SF_DIR,
+        "sf": sf_dir,
         "extra": {
             **{k: ingest[k] for k in (
                 "ingest_rows", "ingest_sec", "ingest_rows_per_sec",
@@ -274,7 +285,7 @@ def main() -> None:
         out.pop("queries", None)
         out["extra"]["queries_omitted"] = "see BENCH_DETAIL.json"
         line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,61 @@
+"""The driver reads ONE JSON line from bench.py stdout — and captures only
+the last 2000 characters of it. BENCH_r03 was recorded `parsed: null`
+because the line, with per-query medians and spreads inlined, overran
+that window. These tests pin the contract without running Spark."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_stats(n_queries: int):
+    queries = {f"very_long_query_name_number_{i:03d}": 1.2345 for i in range(n_queries)}
+    medians = {k: 1.5 for k in queries}
+    ingest = {
+        "ingest_rows": 600000,
+        "ingest_sec": 0.7261,
+        "ingest_rows_per_sec": 826282.4,
+        "ingest_mb_per_sec": 60.9,
+        "clickhouse_http_sec": 1.3211,
+        "clickhouse_http_rows_per_sec": 454172.9,
+    }
+    return queries, medians, ingest
+
+
+def test_line_parses_and_fits_tail_window():
+    queries, medians, ingest = _fake_stats(len(bench.HEADLINE))
+    line = bench.format_line(queries, medians, ingest, "/root/testdata/sf0.1")
+    assert len(line) < 1900
+    d = json.loads(line)
+    assert d["metric"] == "suite_total"
+    assert d["unit"] == "sec"
+    assert len(d["queries"]) == len(bench.HEADLINE)
+    assert d["extra"]["clickhouse_http_rows_per_sec"] == 454172.9
+
+
+def test_overlong_line_degrades_to_detail_pointer():
+    # 200 long-named queries cannot fit: the guard must drop the per-query
+    # map rather than emit an unparseable tail
+    queries, medians, ingest = _fake_stats(200)
+    line = bench.format_line(queries, medians, ingest, "/root/testdata/sf0.1")
+    assert len(line) < 1900
+    d = json.loads(line)
+    assert "queries" not in d
+    assert d["extra"]["queries_omitted"] == "see BENCH_DETAIL.json"
+
+
+def test_failed_queries_excluded_from_total():
+    queries, medians, ingest = _fake_stats(5)
+    queries["broken_query"] = -1.0
+    line = bench.format_line(queries, medians, ingest, "sf")
+    d = json.loads(line)
+    assert d["value"] == round(5 * 1.2345, 4)
+
+
+def test_ingest_error_key_rides_along():
+    queries, medians, _ = _fake_stats(3)
+    line = bench.format_line(queries, medians, {"ingest_error": "boom"}, "sf")
+    d = json.loads(line)
+    assert d["extra"]["ingest_error"] == "boom"
