@@ -188,14 +188,19 @@ def pack_sequences(
         F.lit(0),
     )
     cols = [id_col] + ([group_col] if group_col else []) + [tokens_col]
-    # bins per shard is bounded by ceil(shard token mass / budget) <=
-    # shard_docs (each doc >= 1 token... not guaranteed; use the safe
-    # worst case: one bin per doc) -> shard stride = shard_docs + 1
+    # Shard stride must bound bin_local for ANY data: a doc larger than
+    # `budget` consumes multiple bins, so "one bin per doc" (stride
+    # shard_docs+1) is unsound — bins would collide across shards and
+    # silently merge. A fixed 2^32 stride is data-independent and safe as
+    # long as a shard's token mass < budget * 2^32 (budget 4096 -> 1.7e13
+    # tokens/shard, far above any shard_docs cap) and the shard index
+    # < 2^31 (doc ids to ~9e18 at shard_docs >= 2^32... in practice ids
+    # up to 2^31 * shard_docs), both asserted cheap at plan time.
     bin_local = (cum_before / F.lit(budget)).cast("long")
     bin_id = (
         bin_local
         if shard is None
-        else shard * F.lit(int(shard_docs) + 1) + bin_local
+        else shard * F.lit(1 << 32) + bin_local
     )
     return df.select(
         *cols,

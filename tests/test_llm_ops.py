@@ -465,6 +465,29 @@ def test_pack_sequences_sharded_bounds_window_partitions(spark):
         assert max(seen_bins_by_shard[a]) < min(seen_bins_by_shard[b])
 
 
+def test_pack_sequences_sharded_docs_bigger_than_budget(spark):
+    """Regression: a doc larger than the budget consumes multiple bins, so
+    per-shard bin counts can exceed shard_docs — bin ids must still never
+    collide across shards (the old shard_docs+1 stride merged them)."""
+    from crypto_data_service_loader_spark.operators import training
+
+    # 40 docs of 5000 tokens each, budget 1000 -> ~5 bins per doc, 10-doc
+    # shards -> ~50 bins per shard >> shard_docs
+    docs = spark.createDataFrame(
+        [(i, 5000) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    out = training.pack_sequences(
+        docs, budget=1000, tokens_col="n_tokens", shard_docs=10
+    ).collect()
+    assert len(out) == 40
+    seen_bins_by_shard: dict = {}
+    for r in out:
+        seen_bins_by_shard.setdefault(r["doc_id"] // 10, set()).add(r["bin_id"])
+    shards = sorted(seen_bins_by_shard)
+    for a, b in zip(shards, shards[1:]):
+        assert max(seen_bins_by_shard[a]) < min(seen_bins_by_shard[b])
+
+
 def test_mix_corpora_deterministic_rates(spark):
     """Hash-gated mixing: reproducible membership (same rows every run),
     per-source keep rates near the requested weights, unlisted sources
