@@ -58,6 +58,11 @@ HEADLINE = [
     "ohlc_bars",
     "stateful_running_total",
     "stream_sliding_window",
+    "range_join_events",
+    "docs_prep_pipeline",
+    "train_val_split",
+    "pack_sequences",
+    "corpus_mix",
 ]
 
 
