@@ -2319,6 +2319,43 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_training_set_pipeline(spark, sf_dir):
+    """The LLM-side flagship: full training-set assembly as ONE declarative
+    plan — Gopher quality gate -> exact dedup (keep lowest doc_id) ->
+    whitespace token counts -> stable train/val/test split (hash of
+    doc_id) -> per-split sequence packing (window cumsum, budget 8192).
+    Every stage is an independently-oracled operator; this verifies the
+    composition end-to-end. Scale shape: two semi-joins on doc_id + one
+    fingerprint groupBy + one window per split partition — no collect, no
+    crossJoin, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    passed = docs.join(
+        text.gopher_quality_flags(docs)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keep = (
+        text.doc_fingerprints(passed)
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = passed.join(keep, "doc_id", "left_semi")
+    toks = text.token_counts(kept).select("doc_id", "ws_tokens")
+    split = training.train_val_test_split(toks, "doc_id").select(
+        "doc_id", "ws_tokens", "split"
+    )
+    return training.pack_sequences(
+        split,
+        budget=8192,
+        tokens_col="ws_tokens",
+        id_col="doc_id",
+        group_col="split",
+    ).select("doc_id", "split", "ws_tokens", "bin_id", "bin_offset")
+
+
 def q_docs_prep_pipeline(spark, sf_dir):
     """End-to-end pretraining data prep as ONE composed plan: Gopher
     quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
@@ -2748,6 +2785,55 @@ _LLM_ORACLES = {
                CAST(len(regexp_extract_all(lower(trim(text)),
                     '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
         FROM passed WHERE doc_id IN (SELECT doc_id FROM keep)""",
+    "training_set_pipeline": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_words,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x))) AS DOUBLE)
+                       / len({_TOKS}) AS mean_word_len,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len({_TOKS}) AS alpha_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS DOUBLE)
+                       / len({_TOKS}) AS symbol_word_ratio,
+                   len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in'], x)))
+                       AS stop_hits
+            FROM documents),
+        passed AS (
+            SELECT d.* FROM documents d JOIN m USING (doc_id)
+            WHERE n_words >= 10 AND n_words <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+              AND alpha_word_ratio >= 0.7 AND symbol_word_ratio <= 0.1
+              AND stop_hits >= 1),
+        keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+                  FROM passed)
+            GROUP BY fp),
+        t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS ws_tokens
+            FROM passed WHERE doc_id IN (SELECT doc_id FROM keep)),
+        s AS (
+            SELECT doc_id, ws_tokens,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                            THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 950
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t),
+        c AS (
+            SELECT doc_id, split, ws_tokens,
+                   CAST(COALESCE(SUM(ws_tokens) OVER (
+                       PARTITION BY split ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum
+            FROM s)
+        SELECT doc_id, split, ws_tokens,
+               CAST(FLOOR(CAST(cum AS DOUBLE) / 8192) AS BIGINT) AS bin_id,
+               cum % 8192 AS bin_offset
+        FROM c""",
     "lang_id": f"""
         WITH s AS (
             SELECT doc_id,
@@ -2837,6 +2923,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "corpus_mix": q_corpus_mix,
     "corpus_mix_upsampled": q_corpus_mix_upsampled,
+    "training_set_pipeline": q_training_set_pipeline,
     # --- re-checks: TPC-H + scale-sensitive paths (verified in r03) ---
     "tpch_q1": q_flagship,
     "tpch_q2": q_tpch_q2,
