@@ -2326,8 +2326,10 @@ def q_training_set_pipeline(spark, sf_dir):
     doc_id) -> per-split sequence packing (window cumsum, budget 8192).
     Every stage is an independently-oracled operator; this verifies the
     composition end-to-end. Scale shape: two semi-joins on doc_id + one
-    fingerprint groupBy + one window per split partition — no collect, no
-    crossJoin, no Python."""
+    fingerprint groupBy + windows partitioned by (split, id-range shard)
+    — `shard_docs` bounds every window partition to 200 docs, so packing
+    parallelism scales with the corpus instead of collapsing to the 3
+    split values; no collect, no crossJoin, no Python."""
     docs = load(spark, sf_dir, "documents")
     passed = docs.join(
         text.gopher_quality_flags(docs)
@@ -2353,6 +2355,7 @@ def q_training_set_pipeline(spark, sf_dir):
         tokens_col="ws_tokens",
         id_col="doc_id",
         group_col="split",
+        shard_docs=200,
     ).select("doc_id", "split", "ws_tokens", "bin_id", "bin_offset")
 
 
@@ -2825,13 +2828,17 @@ _LLM_ORACLES = {
             FROM t),
         c AS (
             SELECT doc_id, split, ws_tokens,
+                   CAST(FLOOR(doc_id / 200) AS BIGINT) AS shard,
                    CAST(COALESCE(SUM(ws_tokens) OVER (
-                       PARTITION BY split ORDER BY doc_id
+                       PARTITION BY split, CAST(FLOOR(doc_id / 200) AS BIGINT)
+                       ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS BIGINT) AS cum
             FROM s)
         SELECT doc_id, split, ws_tokens,
-               CAST(FLOOR(CAST(cum AS DOUBLE) / 8192) AS BIGINT) AS bin_id,
+               shard * 4294967296
+                   + CAST(FLOOR(CAST(cum AS DOUBLE) / 8192) AS BIGINT)
+                   AS bin_id,
                cum % 8192 AS bin_offset
         FROM c""",
     "lang_id": f"""
