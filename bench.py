@@ -63,6 +63,7 @@ HEADLINE = [
     "train_val_split",
     "pack_sequences",
     "corpus_mix",
+    "training_set_pipeline",
 ]
 
 

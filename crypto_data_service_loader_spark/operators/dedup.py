@@ -62,15 +62,41 @@ def shingles(text_col: Column, k: int = 3) -> Column:
     )
 
 
+#: Mersenne prime 2^31-1: permutation arithmetic stays inside int64
+#: (a*h < 2^62) in both Spark and the DuckDB oracle — no 128-bit needed.
+_MH_P = (1 << 31) - 1
+#: Knuth multiplicative constant; seeds the per-function (a, b) params.
+_MH_KNUTH = 2654435761
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash params for permutation i: a in [1, p),
+    b in [0, p) — fixed integers, identical across engines/runs."""
+    a = (_MH_KNUTH * (2 * i + 1)) % _MH_P or 1
+    b = (_MH_KNUTH * _MH_KNUTH * (i + 1)) % _MH_P
+    return a, b
+
+
+def _shingle_base_hash(s: Column) -> Column:
+    """One md5 per shingle, folded to a 32-bit int (first 8 hex chars) and
+    reduced mod p. The k permutations derive from THIS single digest with
+    linear arithmetic — the textbook minhash trick: k independent md5s per
+    shingle would cost k× the digest work for no statistical gain."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _MH_P
+
+
 def _seeded_min_hash(sh: Column, seed: int) -> Column:
+    a, b = _mh_params(seed)
     # single-arg lambda: a two-arg lambda would make F.transform bind the
     # second parameter to the array index, not the seed
-    prefix = f"{seed}:"
-    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+    return F.array_min(
+        F.transform(sh, lambda s: (_shingle_base_hash(s) * a + b) % _MH_P)
+    )
 
 
 def minhash_signature(text_col: Column, num_hashes: int = 8, k: int = 3) -> Column:
-    """MinHash signature: per seed, min md5('<seed>:'||shingle) over shingles."""
+    """MinHash signature: per permutation i, min of (a_i*h(shingle)+b_i) mod p
+    over shingles, with h = md5 folded to 32 bits (one digest per shingle)."""
     sh = shingles(text_col, k)
     return F.array(*[_seeded_min_hash(sh, i) for i in range(num_hashes)])
 
@@ -105,11 +131,13 @@ def minhash_lsh_pairs(
     count, not n². Skewed buckets (boilerplate-heavy corpora) are split by
     AQE skew-join handling.
 
-    Shape: explode shingles -> per-shingle seed hashes -> groupBy(doc) MIN.
-    Each hash is computed exactly once (array-lambda formulations get
-    re-evaluated per use: Spark's subexpression elimination skips
-    LambdaFunction trees), the MIN aggregate combines map-side, and the
-    shuffle carries only (doc, 8×32-hex) rows. Docs with < k tokens have no
+    Shape: explode shingles -> ONE md5 per shingle folded to 32 bits ->
+    k linear permutations (a_i*h+b_i mod 2^31-1, plain int64 codegen) ->
+    groupBy(doc) MIN. The single-digest formulation is ~k× cheaper than
+    per-seed md5s; hashes are computed outside array lambdas (Spark's
+    subexpression elimination skips LambdaFunction trees), the MIN
+    aggregate combines map-side, and the shuffle carries only
+    (doc, 8×int64) rows. Docs with < k tokens have no
     shingles and are excluded from LSH by construction (explode drops them).
     """
     rows_per_band = num_hashes // bands
@@ -117,10 +145,15 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), k)).alias("s"),
     )
-    hashed = exploded.select(
+    base = exploded.select(
+        "doc", _shingle_base_hash(F.col("s")).alias("h")
+    )
+    hashed = base.select(
         "doc",
         *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"m{i}")
+            ((F.col("h") * _mh_params(i)[0] + _mh_params(i)[1]) % _MH_P).alias(
+                f"m{i}"
+            )
             for i in range(num_hashes)
         ],
     )

@@ -2424,8 +2424,16 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> tuple[str, str, str]:
     """Returns (full pair query, CTE body, final select) so the clusters
     oracle can splice the pair pipeline into a recursive-closure query."""
     rows = num_hashes // bands
+    # mirror of dedup._shingle_base_hash/_mh_params: one md5 per shingle
+    # folded to 32 bits mod p, then k linear permutations — the '0x'||hex
+    # cast is DuckDB's portable hex->int
+    p = dedup._MH_P
+    base = f"(('0x'||substr(md5(s),1,8))::BIGINT % {p})"
     sig_exprs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS h{i}"
+        "list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {p})) AS h{i}".format(
+            a=dedup._mh_params(i)[0], b=dedup._mh_params(i)[1],
+            base=base, p=p, i=i,
+        )
         for i in range(num_hashes)
     )
     band_exprs = ", ".join(
