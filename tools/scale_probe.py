@@ -47,6 +47,7 @@ PROBE_QUERIES = [
     "dedup_clusters",
     "train_val_split",
     "pack_sequences",
+    "training_set_pipeline",
 ]
 
 #: key columns that must stay unique when replicating (dedup/minhash pair
