@@ -205,9 +205,21 @@ def ngram_jaccard(
     """Exact Jaccard over k-word shingle sets for candidate pairs.
 
     Joins shingle sets onto the (small) candidate-pair set — the verify
-    stage after LSH. array_intersect/union run JVM-side per row.
+    stage after LSH. array_intersect/union run JVM-side per row. Docs are
+    semi-join-pruned to ids that appear in some candidate pair BEFORE
+    shingling: without it the verify stage re-shingles the ENTIRE corpus
+    twice (once per join side) to serve a candidate set that is
+    O(collisions) — at 100 TB that dwarfs the verify itself.
     """
-    sets = docs.select(
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_cid"))
+        .union(pairs.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    pruned = docs.join(
+        cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi"
+    )
+    sets = pruned.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
     )
