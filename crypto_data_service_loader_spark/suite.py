@@ -2939,6 +2939,12 @@ QUERIES = {
     "corpus_mix": q_corpus_mix,
     "corpus_mix_upsampled": q_corpus_mix_upsampled,
     "training_set_pipeline": q_training_set_pipeline,
+    # --- changed this round (minhash permutation rewrite + jaccard prune):
+    #     keep inside the driver's 50-key window for a hard re-check ---
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical_docs": q_dedup_canonical_docs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     # --- re-checks: TPC-H + scale-sensitive paths (verified in r03) ---
     "tpch_q1": q_flagship,
     "tpch_q2": q_tpch_q2,
@@ -2962,12 +2968,8 @@ QUERIES = {
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
-    # LLM-pipeline EXT
+    # LLM-pipeline EXT (minhash family registered in the front window above)
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_canonical_docs": q_dedup_canonical_docs,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
