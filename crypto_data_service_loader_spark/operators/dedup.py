@@ -211,11 +211,13 @@ def ngram_jaccard(
     twice (once per join side) to serve a candidate set that is
     O(collisions) — at 100 TB that dwarfs the verify itself.
     """
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("_cid"))
-        .union(pairs.select(F.col("id_b").alias("_cid")))
-        .distinct()
-    )
+    # one reference to the pairs subplan (explode, not a 2-branch union):
+    # candidate generation (e.g. the MinHash pipeline) is itself expensive,
+    # and every extra reference re-computes it unless an identical exchange
+    # gets reused
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("_cid")
+    ).distinct()
     pruned = docs.join(
         cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi"
     )

@@ -2137,9 +2137,14 @@ def q_dedup_canonical_docs(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact shingle-Jaccard verify over the MinHash-LSH candidate set —
     the classic two-stage near-dup pipeline (candidates O(collisions), not
-    O(n²): no crossJoin anywhere in the plan)."""
+    O(n²): no crossJoin anywhere in the plan). The candidate set is
+    materialized once (localCheckpoint): the verify stage references it
+    twice (id pruning + the pair join), and without materialization each
+    reference re-runs the whole MinHash pipeline — at 100 TB the two
+    phases would be separate jobs with the candidates persisted between
+    them, which this mirrors in-session."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs)
+    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint()
     return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") > 0.2)
 
 

@@ -2,7 +2,7 @@
 per-query wall time against the base scale — the empirical check behind
 every "would this survive 100x" claim in the operator docstrings.
 
-Usage: python tools/scale_probe.py [factor] [sf_dir]
+Usage: python tools/scale_probe.py [factor] [sf_dir] [q1,q2,...]
 Prints one JSON line: base vs scaled timings + scaling ratios.
 """
 
@@ -96,6 +96,9 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 3:  # optional comma-separated query subset
+        global PROBE_QUERIES
+        PROBE_QUERIES = [q for q in sys.argv[3].split(",") if q in QUERIES]
     spark = get_spark("scale_probe")
     spark.range(1000).selectExpr("sum(id)").collect()
 
