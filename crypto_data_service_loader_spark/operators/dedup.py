@@ -329,11 +329,17 @@ def connected_components(
     on a real cluster swap cache for localCheckpoint every few rounds.
     Deterministic: min-label is order-independent, no RNG.
     """
+    # Materialize the edge set ONCE before iterating: `edges` is referenced
+    # every round, and an unmaterialized candidate pipeline (e.g. the
+    # MinHash pairs feeding dedup_clusters) would re-run per round — at a
+    # 30x probe that turned a ~20s job into 153s. localCheckpoint is the
+    # in-session analog of the stage boundary a production pipeline would
+    # put here (candidates persisted between jobs).
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
+    ).localCheckpoint()
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).cache()
@@ -362,7 +368,12 @@ def connected_components(
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    # Pin the converged labels and release the loop's cache: returning a
+    # projection of the cached `labels` would leak that cache entry for the
+    # session's lifetime (the CacheManager also plan-matches it into later
+    # identical queries, silently serving stale-looking instant results).
     out = labels.select(
         F.col("node").alias(node_col), F.col("label").alias("cluster_id")
-    )
+    ).localCheckpoint()
+    labels.unpersist()
     return out
