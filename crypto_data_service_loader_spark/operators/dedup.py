@@ -316,17 +316,22 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     node_col: str = "doc_id",
-    max_iter: int = 15,
+    max_iter: int = 64,
 ) -> DataFrame:
     """Cluster pairwise near-dup matches into duplicate groups: each node's
     cluster_id converges to the MIN node id reachable from it.
 
     Iterative min-label propagation: per round, every node takes the min of
-    its own label and its neighbors' labels (edge join + groupBy-min — two
-    narrow shuffles per round). Rounds needed = graph diameter; near-dup
-    graphs are unions of small cliques, so convergence is typically 2-3
-    rounds. Each round materializes (cache + count) to keep lineage flat —
-    on a real cluster swap cache for localCheckpoint every few rounds.
+    its own label and its neighbors' labels (edge join + groupBy-min),
+    followed by one POINTER-JUMPING step (each node also takes its current
+    label's label) — jumping halves the remaining distance every round, so
+    convergence is O(log diameter) instead of O(diameter). That matters
+    beyond constant factors: the sf0.1 embedding graph (threshold 0.4)
+    has diameter 16, which silently exceeded the old plain-propagation
+    cap of 15 — chain-shaped graphs at 100 TB would be far deeper, while
+    log2 keeps any realistic component under the 64-round valve. Each
+    round rebases `labels` with localCheckpoint — see the in-loop comment
+    for why cache() is NOT sufficient (exponential logical-plan growth).
     Deterministic: min-label is order-independent, no RNG.
     """
     # Materialize the edge set ONCE before iterating: `edges` is referenced
@@ -335,15 +340,22 @@ def connected_components(
     # 30x probe that turned a ~20s job into 153s. localCheckpoint is the
     # in-session analog of the stage boundary a production pipeline would
     # put here (candidates persisted between jobs).
+    pairs = pairs.localCheckpoint()  # the union below references it twice
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).localCheckpoint()
+    # Each round MUST truncate lineage with localCheckpoint, not cache():
+    # the step plan references `labels` twice (neighbor join + carry-through
+    # join), so the LOGICAL plan doubles per round — a cached DataFrame
+    # still pays Catalyst analysis/canonicalization over that 2^rounds
+    # plan (measured: round 7 took 50s, round 8 never finished on a
+    # 15-round-diameter graph). localCheckpoint rebases each round on an
+    # RDD-backed scan: constant-size plan, constant per-round cost.
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).cache()
-    labels.count()
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == F.col("node"))
@@ -352,28 +364,35 @@ def connected_components(
         )
         # carry the old label through the step so convergence is a filter on
         # the SAME materialization — one job per round, not a second join
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: also adopt the current label's own label —
+        # halves remaining propagation distance each round
+        lut = stepped.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
         stepped = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            stepped.join(lut, stepped.label == lut._ln, "left")
             .select(
                 "node",
-                F.col("label").alias("old"),
+                "old",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = stepped.filter(F.col("label") != F.col("old")).count()
-        labels.unpersist()
         labels = stepped.select("node", "label")
         if changed == 0:
             break
-    # Pin the converged labels and release the loop's cache: returning a
-    # projection of the cached `labels` would leak that cache entry for the
-    # session's lifetime (the CacheManager also plan-matches it into later
-    # identical queries, silently serving stale-looking instant results).
-    out = labels.select(
+    return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("cluster_id")
-    ).localCheckpoint()
-    labels.unpersist()
-    return out
+    )
