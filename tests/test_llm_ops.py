@@ -558,3 +558,20 @@ def test_mix_corpora_upsampled_expected_copies(spark):
     assert set(b_counts) == {1}
     for r in out:
         assert 1 <= r["copy_id"] <= per_doc[r["doc_id"]]
+
+
+def test_connected_components_deep_chain(spark):
+    """Regression: a chain graph's diameter exceeds any fixed small round
+    cap for plain propagation (the sf0.1 embedding graph's diameter-16
+    silently beat the old max_iter=15). Pointer jumping must converge a
+    200-deep chain to a single min-labeled component within the 64-round
+    valve — and in far fewer rounds than the diameter."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    nodes = spark.range(201).withColumnRenamed("id", "doc_id")
+    out = dedup.connected_components(chain, nodes).collect()
+    assert len(out) == 201
+    assert {r["cluster_id"] for r in out} == {0}  # one component, min label
