@@ -59,3 +59,12 @@ def test_ingest_error_key_rides_along():
     line = bench.format_line(queries, medians, {"ingest_error": "boom"}, "sf")
     d = json.loads(line)
     assert d["extra"]["ingest_error"] == "boom"
+
+
+def test_headline_queries_registered():
+    """Every bench headline name must be a registered query — a renamed
+    key would otherwise KeyError the whole bench at driver time."""
+    from crypto_data_service_loader_spark.suite import QUERIES
+
+    missing = [q for q in bench.HEADLINE if q not in QUERIES]
+    assert not missing, f"bench.HEADLINE references unknown queries: {missing}"
