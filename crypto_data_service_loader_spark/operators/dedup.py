@@ -50,6 +50,33 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus fingerprint index — the
+    production shape of exact dedup (each crawl dedups against everything
+    already ingested; the corpus is never re-fingerprinted).
+
+    Two stages, both fingerprint-only shuffles (bodies never move):
+    within-batch collapse (min-id per fingerprint) then a left-anti join
+    against the index's distinct fingerprints. At 100 TB the index side is
+    a bucketed fingerprint table, making the anti-join co-partitioned and
+    exchange-free on the index side.
+
+    Returns the surviving new docs: (fingerprint, keep_id, n_docs) — n_docs
+    counts the within-batch collapse, so `sum(n_docs)` + dropped-by-index
+    reconciles to the batch size.
+    """
+    idx = index_docs.select(
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    fresh = exact_dedup(new_docs, text_col, id_col)
+    return fresh.join(idx, ["fingerprint"], "left_anti")
+
+
 def shingles(text_col: Column, k: int = 3) -> Column:
     """All k-word shingles of the text (empty array when < k tokens)."""
     toks = _tokens(text_col)

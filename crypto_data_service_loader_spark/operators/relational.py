@@ -173,6 +173,46 @@ def salted_join(
     return l.join(r, [on, "_salt"], how).drop("_salt")
 
 
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score outlier flags: |z| >= threshold vs the group's own
+    mean/stddev — the standard distributional data-validation gate (flag
+    anomalous metric values per series before they poison downstream aggs).
+
+    Group moments come from exact decimal sums (the q_agg_stats trick:
+    decimal addition is associative, so the result is independent of
+    partition merge order — the double formula var=(ssq-s²/n)/(n-1) then
+    evaluates identically everywhere). Stats are one partial-aggregated
+    groupBy over the keys (tiny), broadcast back onto the scan — the fact
+    table is read once and never shuffled.
+    """
+    s = F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double")
+    ssq = F.sum(
+        (F.col(value_col) * F.col(value_col)).cast("decimal(38,12)")
+    ).cast("double")
+    n = F.count(value_col)
+    var = (ssq - s * s / n) / (n - 1)
+    stats = df.groupBy(key_col).agg(
+        (s / n).alias("_mean"), F.sqrt(var).alias("_std")
+    )
+    z = F.round((F.col(value_col) - F.col("_mean")) / F.col("_std"), 6)
+    return (
+        df.join(F.broadcast(stats), [key_col])
+        .select(
+            id_col,
+            key_col,
+            value_col,
+            z.alias("z"),
+            (F.abs(z) >= z_threshold).alias("is_outlier"),
+        )
+    )
+
+
 def sample_stratified(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

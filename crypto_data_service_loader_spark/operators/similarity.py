@@ -409,6 +409,133 @@ def ivf_tune_nprobe(
         assigned.unpersist()
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    k_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public recipe: Abbas et al.
+    2023, "SemDeDup" — cluster first, compare only within clusters).
+
+    1. Quantize every vector to its nearest centroid (deterministic seed
+       centroids = the k lowest-id vectors; broadcast + min_by — one scan).
+    2. Pairwise cosine ONLY within a cluster (equi-join on centroid_id), so
+       the O(n²) pair stage becomes Σ per-cluster n_c² — the published trick
+       that makes semantic dedup tractable at corpus scale.
+    3. The higher-id member of every pair at/above `threshold` is flagged a
+       semantic duplicate (keep-lowest-id policy, matching exact_dedup).
+
+    Returns one row per vector: (id, centroid_id, is_dup). At 100 TB:
+    centroids come from `ivf_train` on a sample, the table is written
+    partitioned by centroid_id, and the pair join is partition-local.
+    """
+    centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
+    assigned = _assign_to_centroids(embeddings, centroids, vec_col, id_col)
+    v = _as_double(F.col(vec_col))
+    normed = assigned.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        "centroid_id",
+    )
+    a = normed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"), "centroid_id",
+    )
+    b = normed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), "centroid_id",
+    )
+    dups = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                scale,
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dups, [id_col], "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate k-NN graph: per-vector top-k cosine neighbors, candidates
+    restricted to the vector's sign-LSH bucket (equi-join, no all-pairs).
+
+    The standard input to graph-based corpus analyses (semantic clustering,
+    label propagation, graph dedup). Recall < 1 by construction — a vector's
+    true neighbor in another bucket is missed (tested against brute force).
+    Rank is dense within (score desc, neighbor id asc), deterministic.
+    At 100 TB the per-bucket candidate join shuffles on bucket id and the
+    top-k is a per-source-id window — both partition-parallel; more planes
+    shrink buckets (recall vs. cost dial).
+    """
+    from pyspark.sql import Window
+
+    head = embeddings.select(vec_col).head(1)
+    if not head:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, neighbor_id long, score double, rank int"
+        )
+    dim = len(head[0][0])
+    v = _as_double(F.col(vec_col))
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        "bucket",
+    )
+    a = bucketed.select(F.col("_id").alias("_src"), F.col("_v").alias("va"),
+                        F.col("_n").alias("na"), "bucket")
+    b = bucketed.select(F.col("_id").alias("neighbor_id"),
+                        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+                        "bucket")
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("_src") != F.col("neighbor_id"))
+        .select(
+            "_src",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                scale,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_src").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_src").alias(id_col), "neighbor_id", "score", "rank")
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
 

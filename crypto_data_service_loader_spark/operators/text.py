@@ -74,6 +74,50 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+#: Fixed linear-model weights for the classifier-style quality gate.
+#: Stand-in for a trained fastText/logreg document-quality model: the
+#: operator contract is "deterministic learned-model score + threshold
+#: keep flag", not these particular weights.
+QUALITY_CLF_WEIGHTS = {
+    "bias": -1.0,
+    "sqrt_tokens": 0.12,
+    "stopword_ratio": 6.0,
+    "diversity": 1.5,
+    "avg_token_len": -0.35,
+}
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Classifier-style quality gate: linear model over the text_stats
+    feature block, squashed to (0,1), keep = score at/above 0.5.
+
+    Deliberately transcendental-free so the score is bit-identical across
+    engines: sqrt is IEEE-correctly-rounded (unlike log/exp, which differ
+    across libm implementations), and the squash is the softsign
+    0.5*(1 + z/(1+|z|)) — same shape as a sigmoid, only +,*,/,abs.
+    keep ⇔ z >= 0 exactly, so the flag can never disagree with the score.
+    One scan, no shuffle; the gate composes with dedup/split downstream.
+    """
+    w = QUALITY_CLF_WEIGHTS
+    stats = text_stats(docs, text_col, id_col)
+    diversity = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["sqrt_tokens"]) * F.sqrt(F.col("n_tokens").cast("double"))
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["diversity"]) * diversity
+        + F.lit(w["avg_token_len"]) * F.col("avg_token_len")
+    )
+    score = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+    return stats.select(
+        F.col(id_col),
+        F.round(score, 6).alias("lm_quality"),
+        (z >= 0).alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hits,
     ties broken by LANG_ORDER, all-zero -> 'und'."""

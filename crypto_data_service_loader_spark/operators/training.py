@@ -56,6 +56,41 @@ def train_val_test_split(
     )
 
 
+def corpus_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dataset-card rollup per (source, lang): doc/token/char totals,
+    distinct-content count, and the implied exact-duplicate rate.
+
+    The numbers a dataset release publishes (and a mixing policy consumes).
+    One scan + one partial-aggregated groupBy; the fingerprint distinct is
+    the only rehash, and it shuffles 32-byte digests, not bodies. All
+    outputs are integer sums or a single integer division — no float
+    summation order anywhere, so the report is oracle-exact.
+    """
+    from .dedup import normalized_fingerprint
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.length(text_col).alias("n_chars"),
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_unique = F.countDistinct("fingerprint")
+    return base.groupBy("source", "lang").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        n_unique.alias("n_unique_docs"),
+        F.round(
+            F.lit(1.0) - n_unique.cast("double") / n_docs.cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
 def mix_corpora(
     df: DataFrame,
     weights: dict[str, float],

@@ -1681,6 +1681,83 @@ _RELATIONAL_ORACLES = {
         WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
                     i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
                     / (a.n * b.n), 6) >= 0.4""",
+    # Mirrors similarity.semantic_dedup exactly: seed centroids = the 8
+    # lowest-id vectors (cid = id rank), argmin L2 assignment with (dist,
+    # cid) tie-break, intra-cluster cosine pairs at >= 0.35, higher id of
+    # each pair flagged. list_sum folds in index order like Spark's
+    # aggregate(), so distances/scores agree to the last ulp.
+    "semantic_dedup": """
+        WITH seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        dists AS (
+            SELECT vecs.vec_id, vecs.v, seeds.cid,
+                   list_sum(list_transform(range(1, len(v) + 1),
+                        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) AS d
+            FROM vecs, seeds),
+        assigned AS (
+            SELECT vec_id, v, cid AS centroid_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d, cid) AS rn
+                  FROM dists) WHERE rn = 1),
+        normed AS (
+            SELECT vec_id, v, centroid_id,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+            FROM assigned),
+        dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM normed a JOIN normed b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i])) / (a.n * b.n), 6) >= 0.35)
+        SELECT asg.vec_id, asg.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+        FROM assigned asg LEFT JOIN dups d ON asg.vec_id = d.vec_id""",
+    # Same deterministic 4-plane sign-LSH twin as dedup_embedding_lsh, then
+    # top-3 neighbors per vector by (score desc, id) within the bucket.
+    "knn_graph_lsh": """
+        WITH planes AS (
+            SELECT p.p, i.i,
+                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                        CAST(i.i AS VARCHAR)), 8, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM (SELECT unnest(range(4)) AS p) p,
+                 (SELECT unnest(range((SELECT max(len(embedding))
+                                       FROM embeddings))) AS i) i),
+        normed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        dots AS (
+            SELECT nv.vec_id, pl.p,
+                   sum(nv.v[pl.i + 1] * pl.w) AS d
+            FROM normed nv JOIN planes pl ON TRUE
+            GROUP BY nv.vec_id, pl.p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        bv AS (
+            SELECT nv.vec_id, nv.v, nv.n, bk.bucket
+            FROM normed nv JOIN buckets bk USING (vec_id)),
+        pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])) / (a.n * b.n), 6) AS score
+            FROM bv a JOIN bv b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT vec_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, neighbor_id) AS rn FROM pairs)
+        WHERE rn <= 3""",
     "udf_grouped_range": """
         SELECT user_id, MAX(value) - MIN(value) AS value_range
         FROM events GROUP BY user_id""",
@@ -2364,6 +2441,75 @@ def q_training_set_pipeline(spark, sf_dir):
     ).select("doc_id", "split", "ws_tokens", "bin_id", "bin_offset")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-compare): deterministic k-means quantizer ->
+    intra-cluster cosine pairs -> flag the higher id of every pair >= 0.35.
+    The O(n²) pair stage is confined to per-cluster equi-join partitions —
+    the published recipe for semantic dedup at corpus scale."""
+    return similarity.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, k_centroids=8
+    )
+
+
+def q_knn_graph_lsh(spark, sf_dir):
+    """Approximate k-NN graph (top-3 cosine neighbors per vector) with
+    candidates restricted to sign-LSH buckets — the input artifact for
+    graph-based clustering/label-propagation over a corpus. The oracle
+    replicates the deterministic hyperplanes, so recall behavior itself is
+    value-verified, not just the exact-scoring stage."""
+    return similarity.knn_graph(
+        load(spark, sf_dir, "embeddings"), k=3, n_planes=4
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a 'new crawl' batch (doc_id % 10 < 2) collapsed
+    within-batch then anti-joined against the existing corpus fingerprint
+    index — the production shape where the corpus is never re-read."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 < 2),
+        docs.filter(F.col("doc_id") % 10 >= 2),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Classifier-style quality gate: fixed linear model over the
+    text_stats feature block, softsign squash (transcendental-free, so
+    bit-identical across engines), keep = score >= 0.5."""
+    return text.quality_classifier(load(spark, sf_dir, "documents"))
+
+
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card rollup per (source, lang): docs/tokens/chars, distinct
+    contents, exact-duplicate rate. Integer sums + one division only."""
+    return training.corpus_report(load(spark, sf_dir, "documents"))
+
+
+def q_events_zscore(spark, sf_dir):
+    """Per-type z-score outlier flags from exact decimal moments — the
+    distributional validation gate over the events stream."""
+    return rel.zscore_outliers(load(spark, sf_dir, "events"))
+
+
+def q_win_cume_ntile(spark, sf_dir):
+    """Distribution-rank window suite: ntile/cume_dist/percent_rank over a
+    tie-free (value, event_id) order within each event type."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def q_docs_prep_pipeline(spark, sf_dir):
     """End-to-end pretraining data prep as ONE composed plan: Gopher
     quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
@@ -2468,6 +2614,79 @@ _LLM_ORACLES = {
         SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
                MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
+    "dedup_incremental": f"""
+        WITH fresh AS (
+            SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+            FROM documents WHERE doc_id % 10 < 2 GROUP BY 1),
+        idx AS (
+            SELECT DISTINCT md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+            FROM documents WHERE doc_id % 10 >= 2)
+        SELECT f.fingerprint, f.keep_id, f.n_docs
+        FROM fresh f ANTI JOIN idx i ON f.fingerprint = i.fingerprint""",
+    # Mirrors text.quality_classifier: same feature block as text_stats,
+    # same term order in z (float addition is order-sensitive), softsign
+    # squash — only +,*,/,abs,sqrt, all IEEE-identical across engines.
+    "quality_classifier": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+                       / len({_TOKS}) AS avg_token_len,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS}) AS stopword_ratio
+            FROM documents),
+        z AS (
+            SELECT doc_id,
+                   -1.0 + 0.12 * sqrt(CAST(n_tokens AS DOUBLE))
+                        + 6.0 * stopword_ratio
+                        + 1.5 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                        + -0.35 * avg_token_len AS z
+            FROM s)
+        SELECT doc_id,
+               round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS lm_quality,
+               z >= 0 AS keep
+        FROM z""",
+    "corpus_report": f"""
+        WITH base AS (
+            SELECT source, lang,
+                   len({_TOKS}) AS n_tok,
+                   length(text) AS n_chars,
+                   md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+            FROM documents)
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               COUNT(DISTINCT fingerprint) AS n_unique_docs,
+               round(1.0 - CAST(COUNT(DISTINCT fingerprint) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        FROM base GROUP BY source, lang""",
+    # Exact-decimal group moments (the agg_stats trick) broadcast back onto
+    # the scan; z/flag formulas identical term-for-term to rel.zscore_outliers.
+    "events_zscore": """
+        WITH st AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ssq,
+                   COUNT(value) AS n
+            FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - sv / n)
+                     / sqrt((ssq - sv * sv / n) / (n - 1)), 6) AS z,
+               abs(round((e.value - sv / n)
+                     / sqrt((ssq - sv * sv / n) / (n - 1)), 6)) >= 2.5
+                   AS is_outlier
+        FROM events e JOIN st USING (event_type)""",
+    "win_cume_ntile": """
+        SELECT event_id, event_type,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(cume_dist() OVER w, 6) AS cume,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
     "dedup_minhash_lsh": _minhash_sql()[0],
     "dedup_clusters": f"""
         WITH RECURSIVE {_minhash_sql()[1]},
@@ -2944,6 +3163,14 @@ QUERIES = {
     "corpus_mix": q_corpus_mix,
     "corpus_mix_upsampled": q_corpus_mix_upsampled,
     "training_set_pipeline": q_training_set_pipeline,
+    # --- new in round 4, third session (front window for driver verify) ---
+    "semantic_dedup": q_semantic_dedup,
+    "knn_graph_lsh": q_knn_graph_lsh,
+    "dedup_incremental": q_dedup_incremental,
+    "quality_classifier": q_quality_classifier,
+    "corpus_report": q_corpus_report,
+    "events_zscore": q_events_zscore,
+    "win_cume_ntile": q_win_cume_ntile,
     # --- changed this round (minhash permutation rewrite + jaccard prune):
     #     keep inside the driver's 50-key window for a hard re-check ---
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -575,3 +575,127 @@ def test_connected_components_deep_chain(spark):
     out = dedup.connected_components(chain, nodes).collect()
     assert len(out) == 201
     assert {r["cluster_id"] for r in out} == {0}  # one component, min label
+
+
+# ---------------------------------------------------------------------------
+# round-4 third-session additions: semantic dedup, kNN graph, incremental
+# dedup, classifier gate, corpus report, z-score outliers
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_flags_match_within_cluster_bruteforce(spark, sf_dir):
+    """Every flagged vector must have a smaller-id same-cluster partner at
+    >= threshold cosine, and only those — re-derived via the brute-force
+    pair scorer restricted to the operator's own cluster assignment."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    out = similarity.semantic_dedup(emb, threshold=0.35, k_centroids=4)
+    rows = out.collect()
+    assert len(rows) == 120
+    cluster = {r["vec_id"]: r["centroid_id"] for r in rows}
+    brute = similarity.embedding_near_dups_bruteforce(emb, threshold=0.35)
+    expected_dups = {
+        r["id_b"]
+        for r in brute.collect()
+        if cluster[r["id_a"]] == cluster[r["id_b"]]
+    }
+    assert {r["vec_id"] for r in rows if r["is_dup"]} == expected_dups
+
+
+def test_semantic_dedup_cluster_count_bounded(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    out = similarity.semantic_dedup(emb, k_centroids=4).collect()
+    assert {r["centroid_id"] for r in out} <= set(range(4))
+
+
+def test_knn_graph_scores_agree_with_bruteforce_and_recall(spark, sf_dir):
+    """Every (src, neighbor) edge's score must equal the brute-force cosine
+    for that pair, ranks must be 1..k dense per source, and bucket-limited
+    recall@3 vs the unrestricted top-3 must clear a sanity floor."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    edges = similarity.knn_graph(emb, k=3, n_planes=2).collect()
+    per_src = {}
+    for r in edges:
+        per_src.setdefault(r["vec_id"], []).append(r)
+    for src, rs in per_src.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+    # scores match the exact pairwise cosine
+    brute = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.embedding_near_dups_bruteforce(
+            emb, threshold=-1.0
+        ).collect()
+    }
+    for r in edges:
+        key = (min(r["vec_id"], r["neighbor_id"]), max(r["vec_id"], r["neighbor_id"]))
+        assert brute[key] == r["score"]
+    # recall floor: deterministic hyperplanes -> stable measured recall.
+    # On these near-random vectors recall@3 is 0.58/0.33/0.19 at 1/2/3
+    # planes (the cost-vs-recall dial); 2 planes with a 0.2 floor leaves
+    # real margin while still proving buckets beat chance (3/99 ~ 3%).
+    import heapq
+
+    truth_hits = total = 0
+    for src, rs in per_src.items():
+        scored = [
+            (s, b if a == src else a)
+            for (a, b), s in brute.items()
+            if src in (a, b)
+        ]
+        top3 = {i for _, i in heapq.nlargest(3, scored)}
+        truth_hits += len(top3 & {x["neighbor_id"] for x in rs})
+        total += 3
+    assert truth_hits / total > 0.2
+
+
+def test_incremental_dedup_consistent_with_full_rebuild(spark, sf_dir):
+    """Survivors of (index ∪ batch-dedup-vs-index) must cover exactly the
+    fingerprint space of a from-scratch dedup over everything."""
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 < 2)
+    index = docs.filter(F.col("doc_id") % 10 >= 2)
+    survivors = dedup.incremental_dedup(batch, index)
+    idx_fps = {r["fingerprint"] for r in dedup.exact_dedup(index).collect()}
+    new_fps = {r["fingerprint"] for r in survivors.collect()}
+    all_fps = {r["fingerprint"] for r in dedup.exact_dedup(docs).collect()}
+    assert new_fps.isdisjoint(idx_fps)
+    assert idx_fps | new_fps == all_fps
+
+
+def test_quality_classifier_flag_consistent(spark, sf_dir):
+    from crypto_data_service_loader_spark.operators import text
+
+    out = text.quality_classifier(load(spark, sf_dir, "documents")).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["lm_quality"] <= 1.0
+        assert r["keep"] == (r["lm_quality"] >= 0.5)
+
+
+def test_corpus_report_reconciles(spark, sf_dir):
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = load(spark, sf_dir, "documents")
+    rep = training.corpus_report(docs).collect()
+    assert sum(r["n_docs"] for r in rep) == docs.count()
+    for r in rep:
+        assert 0 < r["n_unique_docs"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_zscore_outliers_moments(spark, sf_dir):
+    """Per-group z scores must be standardized (mean ~0, std ~1) and the
+    flag must match |z| >= threshold exactly."""
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    ev = load(spark, sf_dir, "events")
+    out = rel.zscore_outliers(ev, z_threshold=2.5)
+    agg = out.groupBy("event_type").agg(
+        F.avg("z").alias("mz"), F.stddev("z").alias("sz")
+    ).collect()
+    for r in agg:
+        assert abs(r["mz"]) < 1e-3
+        assert abs(r["sz"] - 1.0) < 1e-3
+    bad = out.filter(
+        (F.abs(F.col("z")) >= 2.5) != F.col("is_outlier")
+    ).count()
+    assert bad == 0

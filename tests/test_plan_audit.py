@@ -21,6 +21,7 @@ from crypto_data_service_loader_spark.suite import QUERIES
 #: equi-join, so the whole suite plans zero data-dependent nested loops.
 NESTED_LOOP_OK = {
     "sim_cosine_topk_ivf",  # broadcast of a 16-row centroid table
+    "semantic_dedup",  # broadcast of an 8-row centroid table (quantizer)
     "tpch_q22",  # scalar-subquery threshold: single-row aggregate broadcast
     "tpch_q11",  # HAVING scalar subquery: single-row aggregate broadcast
     "text_tfidf_top_terms",  # corpus-count N: single-row aggregate broadcast
