@@ -97,3 +97,47 @@ def test_salted_join_correct_under_skew(spark):
     ).first()
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
     assert plain["n"] >= n * 9 // 10  # the hot key really is hot
+
+
+def test_incremental_dedup_over_bucketed_index_no_index_shuffle(spark, sf_dir):
+    """The production incremental-dedup layout: the corpus fingerprint
+    index is a bucketed table (shuffle paid once at ingest), each new
+    crawl's fingerprints bucket the same way, and the anti-join is then
+    exchange-free — at 100 TB the index (the big side) is never reshuffled
+    per batch. Correctness must equal the plain DataFrame path."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import dedup
+    from crypto_data_service_loader_spark.sources.bucketed import write_bucketed
+    from crypto_data_service_loader_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 < 2)
+    index = docs.filter(F.col("doc_id") % 10 >= 2)
+    expected = {r["fingerprint"] for r in dedup.incremental_dedup(batch, index).collect()}
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dedupdemo")
+    try:
+        write_bucketed(
+            index.select(
+                dedup.normalized_fingerprint(F.col("text")).alias("fingerprint")
+            ).distinct(),
+            "dedupdemo.fp_index", buckets=8, keys="fingerprint",
+        )
+        write_bucketed(
+            dedup.exact_dedup(batch),
+            "dedupdemo.fp_batch", buckets=8, keys="fingerprint",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            survivors = spark.table("dedupdemo.fp_batch").join(
+                spark.table("dedupdemo.fp_index"), "fingerprint", "left_anti"
+            )
+            plan = formatted_plan(survivors)
+            assert "Exchange" not in plan  # both sides pre-bucketed
+            assert {r["fingerprint"] for r in survivors.collect()} == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS dedupdemo CASCADE")
