@@ -64,6 +64,10 @@ HEADLINE = [
     "pack_sequences",
     "corpus_mix",
     "training_set_pipeline",
+    "semantic_dedup",
+    "knn_graph_lsh",
+    "dedup_incremental",
+    "corpus_report",
 ]
 
 

@@ -25,7 +25,10 @@ def _fake_stats(n_queries: int):
 
 
 def test_line_parses_and_fits_tail_window():
-    queries, medians, ingest = _fake_stats(len(bench.HEADLINE))
+    # the REAL headline names — the actual contract is that the current
+    # suite's stdout line fits the driver's 2000-char tail capture
+    _, medians, ingest = _fake_stats(len(bench.HEADLINE))
+    queries = {name: 123.456 for name in bench.HEADLINE}
     line = bench.format_line(queries, medians, ingest, "/root/testdata/sf0.1")
     assert len(line) < 1900
     d = json.loads(line)
