@@ -89,6 +89,57 @@ def shingles(text_col: Column, k: int = 3) -> Column:
     )
 
 
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated n-gram detection — the n-gram-granular
+    approximation of exact substring dedup (public recipe: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; RefinedWeb
+    applies it at 13-gram granularity, hence the default).
+
+    A window is "duplicated" when its n-gram occurs in more than one
+    DISTINCT document (within-doc repetition alone doesn't count — that is
+    repetition_stats' job). Returns per doc: total windows, duplicated
+    window count, and the duplicated fraction — the signal used to drop or
+    trim boilerplate-heavy documents.
+
+    Scale shape: the token stream explodes to one md5 per window (the
+    irreducible cost of substring-level dedup without a suffix array — at
+    100 TB this is THE dominant shuffle, ~32 bytes x total tokens), then
+    two fingerprint-keyed aggregations with map-side partials. Bodies
+    never shuffle. For corpora where even that is too much, run on a
+    Bernoulli sample of windows and extrapolate the ratio.
+    """
+    sh = shingles(F.col(text_col), k=n)
+    grams = _spread(docs).select(
+        F.col(id_col), F.explode(sh).alias("gram")
+    ).select(F.col(id_col), F.md5(F.col("gram")).alias("gh"))
+    cross_doc = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    per_doc_dup = (
+        grams.join(cross_doc, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    totals = docs.select(F.col(id_col), F.size(sh).alias("n_windows"))
+    dupw = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("int")
+    return totals.join(per_doc_dup, [id_col], "left").select(
+        id_col,
+        "n_windows",
+        dupw.alias("n_dup_windows"),
+        F.when(F.col("n_windows") > 0, dupw.cast("double") / F.col("n_windows"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_window_ratio"),
+    )
+
+
 #: Mersenne prime 2^31-1: permutation arithmetic stays inside int64
 #: (a*h < 2^62) in both Spark and the DuckDB oracle — no 128-bit needed.
 _MH_P = (1 << 31) - 1

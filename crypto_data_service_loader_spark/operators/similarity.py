@@ -433,7 +433,13 @@ def semantic_dedup(
     partitioned by centroid_id, and the pair join is partition-local.
     """
     centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
-    assigned = _assign_to_centroids(embeddings, centroids, vec_col, id_col)
+    # materialize the assignment once: the plan references it three times
+    # (result rows + both sides of the pair join) and would otherwise run
+    # the centroid scan+min_by 3x — same localCheckpoint discipline as the
+    # MinHash candidate pipeline
+    assigned = _assign_to_centroids(
+        embeddings, centroids, vec_col, id_col
+    ).localCheckpoint()
     v = _as_double(F.col(vec_col))
     normed = assigned.select(
         F.col(id_col).alias("_id"),

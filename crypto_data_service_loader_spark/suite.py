@@ -1441,6 +1441,15 @@ _SHINGLES = (
 ).format(t=_TOKS)
 
 
+#: 13-word windows for the substring-dedup approximation (same shape as
+#: _SHINGLES at k=13: len-12 windows, empty below 13 tokens)
+_SHINGLES13 = (
+    "CASE WHEN len({t}) < 13 THEN [] "
+    "ELSE list_transform(range(1, len({t}) - 11), "
+    "i -> array_to_string(list_slice({t}, i, i + 12), ' ')) END"
+).format(t=_TOKS)
+
+
 _RELATIONAL_ORACLES = {
     "join_broadcast_dim": f"""
         SELECT p_brand,
@@ -2510,6 +2519,14 @@ def q_win_cume_ntile(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_spans(spark, sf_dir):
+    """Cross-document repeated 13-gram detection — the n-gram-granular
+    approximation of exact substring dedup (Lee et al. 2022 / RefinedWeb).
+    Exploded window hashes + two fingerprint-keyed aggregations; the
+    irreducible shuffle is md5-per-window, never document bodies."""
+    return dedup.duplicated_ngram_spans(load(spark, sf_dir, "documents"), n=13)
+
+
 def q_docs_prep_pipeline(spark, sf_dir):
     """End-to-end pretraining data prep as ONE composed plan: Gopher
     quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
@@ -2614,6 +2631,23 @@ _LLM_ORACLES = {
         SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
                MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
+    "dedup_ngram_spans": f"""
+        WITH t AS (SELECT doc_id, {_SHINGLES13} AS sh FROM documents),
+        g0 AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+        g AS (SELECT doc_id, md5(gram) AS gh FROM g0),
+        crossdoc AS (
+            SELECT gh FROM g GROUP BY gh
+            HAVING count(DISTINCT doc_id) > 1),
+        perdoc AS (
+            SELECT doc_id, count(*) AS ndw
+            FROM g JOIN crossdoc USING (gh) GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_windows FROM t)
+        SELECT tot.doc_id, n_windows,
+               CAST(coalesce(ndw, 0) AS INTEGER) AS n_dup_windows,
+               CASE WHEN n_windows > 0
+                    THEN CAST(coalesce(ndw, 0) AS DOUBLE) / n_windows
+                    ELSE 0.0 END AS dup_window_ratio
+        FROM tot LEFT JOIN perdoc USING (doc_id)""",
     "dedup_incremental": f"""
         WITH fresh AS (
             SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
@@ -3167,6 +3201,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "knn_graph_lsh": q_knn_graph_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_ngram_spans": q_dedup_ngram_spans,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,

@@ -699,3 +699,28 @@ def test_zscore_outliers_moments(spark, sf_dir):
         (F.abs(F.col("z")) >= 2.5) != F.col("is_outlier")
     ).count()
     assert bad == 0
+
+
+def test_duplicated_ngram_spans_planted(spark):
+    """Exact-dup docs: every window duplicated; a unique doc: none; a doc
+    sharing only a 13-token prefix with another: exactly the windows inside
+    the shared span. Short docs (< n tokens) report zero windows."""
+    w = [f"w{i}" for i in range(30)]
+    shared = " ".join(w[:13])
+    base = [
+        (0, " ".join(w)),                       # full 30-token doc
+        (1, " ".join(w)),                       # exact dup of 0
+        (2, shared + " unique tail of doc two only here now indeed"),
+        (3, "totally different words " + " ".join(f"x{i}" for i in range(20))),
+        (4, "tiny doc"),                        # < 13 tokens -> 0 windows
+    ]
+    from crypto_data_service_loader_spark.operators import dedup
+
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.duplicated_ngram_spans(docs, n=13).collect()}
+    assert out[0]["n_windows"] == 30 - 12
+    assert out[0]["n_dup_windows"] == out[0]["n_windows"]  # dup of doc 1
+    assert out[1]["n_dup_windows"] == out[1]["n_windows"]
+    assert out[2]["n_dup_windows"] == 1  # only the shared 13-token prefix
+    assert out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
