@@ -1,0 +1,77 @@
+"""Streaming corpus ingestion with cross-batch incremental dedup:
+end-to-end dedup across epochs, and exactly-once under epoch replay —
+including the reprocess-vs-self trap (a replayed epoch must dedup against
+the PRIOR index, not its own first attempt)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.streaming.corpus_ingest import CorpusIngest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture
+def ingest(tmp_path):
+    return CorpusIngest(
+        input_dir=str(tmp_path / "in"),
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+
+
+def test_stream_dedups_within_and_across_epochs(spark, ingest, tmp_path):
+    wave1 = _docs(spark, [(0, "alpha beta gamma"), (1, "alpha beta gamma"),
+                          (2, "delta epsilon zeta")])
+    wave2 = _docs(spark, [(3, "alpha beta gamma"),   # dup of epoch-1 content
+                          (4, "eta theta iota"),
+                          (5, "eta theta iota")])    # within-batch dup
+    wave1.write.parquet(str(tmp_path / "in"), mode="append")
+    q = ingest.start(available_now=True)
+    q.awaitTermination(120)
+    wave2.write.parquet(str(tmp_path / "in"), mode="append")
+    q = ingest.start(available_now=True)
+    q.awaitTermination(120)
+
+    corpus = ingest.corpus(spark).collect()
+    kept = {r["doc_id"] for r in corpus}
+    # first occurrence wins within a batch; cross-epoch dups dropped
+    assert kept == {0, 2, 4}
+    index = ingest.index(spark)
+    assert index.count() == index.select("fingerprint").distinct().count() == 3
+
+
+def test_replayed_epoch_is_idempotent(spark, ingest):
+    """Calling process_batch twice with the same epoch id (the crash-replay
+    path: sink committed, checkpoint didn't) must leave corpus and index
+    EXACTLY as after the first call — in particular the batch must NOT be
+    deduplicated against its own first attempt and dropped."""
+    batch = _docs(spark, [(0, "alpha beta gamma"), (1, "delta epsilon zeta")])
+    ingest.process_batch(batch, 0)
+    first = sorted(r["doc_id"] for r in ingest.corpus(spark).collect())
+    assert first == [0, 1]
+    ingest.process_batch(batch, 0)  # replay
+    again = sorted(r["doc_id"] for r in ingest.corpus(spark).collect())
+    assert again == first
+    assert ingest.index(spark).count() == 2
+
+    # and a LATER epoch still dedups against epoch 0's index
+    ingest.process_batch(
+        _docs(spark, [(2, "alpha beta gamma"), (3, "fresh new content")]), 1
+    )
+    kept = sorted(r["doc_id"] for r in ingest.corpus(spark).collect())
+    assert kept == [0, 1, 3]
+
+
+def test_bootstrap_without_index(spark, ingest):
+    ingest.process_batch(_docs(spark, [(7, "only doc")]), 5)
+    assert [r["doc_id"] for r in ingest.corpus(spark).collect()] == [7]
+    assert ingest.index(spark).count() == 1
