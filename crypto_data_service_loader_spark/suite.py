@@ -510,6 +510,34 @@ def q_setop_except(spark, sf_dir):
     return cust.subtract(supp)
 
 
+def q_setop_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiplicity-aware: a nation appearing 5x
+    among customers and 2x among suppliers survives 3x)."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.exceptAll(supp)
+
+
+def q_join_full_outer(spark, sf_dir):
+    """Full outer join of two per-user aggregates: users with only clicks,
+    only views, or both — null-preserving on BOTH sides (the reconciliation
+    shape: left/semi/anti cannot express it)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    return clicks.join(views, ["user_id"], "full_outer").select(
+        "user_id", "n_clicks", "n_views"
+    )
+
+
 def q_setop_intersect(spark, sf_dir):
     cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -1558,6 +1586,20 @@ _RELATIONAL_ORACLES = {
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
         SELECT s_nationkey AS nationkey FROM supplier""",
+    "setop_except_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier""",
+    "join_full_outer": """
+        WITH clicks AS (
+            SELECT user_id, COUNT(*) AS n_clicks FROM events
+            WHERE event_type = 'click' GROUP BY user_id),
+        views AS (
+            SELECT user_id, COUNT(*) AS n_views FROM events
+            WHERE event_type = 'view' GROUP BY user_id)
+        SELECT coalesce(c.user_id, v.user_id) AS user_id,
+               c.n_clicks, v.n_views
+        FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id""",
     "setop_intersect": """
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT
@@ -3202,6 +3244,8 @@ QUERIES = {
     "knn_graph_lsh": q_knn_graph_lsh,
     "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_spans": q_dedup_ngram_spans,
+    "setop_except_all": q_setop_except_all,
+    "join_full_outer": q_join_full_outer,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,
