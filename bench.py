@@ -68,6 +68,7 @@ HEADLINE = [
     "knn_graph_lsh",
     "dedup_incremental",
     "corpus_report",
+    "dedup_ngram_spans",
 ]
 
 

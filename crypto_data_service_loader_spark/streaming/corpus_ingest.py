@@ -43,8 +43,16 @@ DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long
 
 @dataclass
 class CorpusIngest:
-    """foreachBatch pipeline: within-batch collapse -> anti-join vs the
-    prior-epoch fingerprint index -> idempotent corpus + index appends."""
+    """foreachBatch pipeline: (optional quality gate) -> within-batch
+    collapse -> anti-join vs the prior-epoch fingerprint index ->
+    idempotent corpus + index appends.
+
+    `quality_gate` is any DataFrame -> DataFrame filter (e.g.
+    ``lambda df: df.join(gopher_quality_flags(df).filter("passes_gopher")
+    .select("doc_id"), "doc_id", "left_semi")``) applied BEFORE dedup, so
+    rejected documents never enter the fingerprint index — a later clean
+    copy of gated-out content can still be admitted, matching the batch
+    pipeline's gate-then-dedup order (q_training_set_pipeline)."""
 
     input_dir: str
     corpus_dir: str
@@ -53,6 +61,7 @@ class CorpusIngest:
     id_col: str = "doc_id"
     text_col: str = "text"
     schema: str = DOC_SCHEMA
+    quality_gate: object = None  # Callable[[DataFrame], DataFrame] | None
     _corpus: IdempotentParquetSink = field(init=False)
     _index: IdempotentParquetSink = field(init=False)
 
@@ -72,6 +81,8 @@ class CorpusIngest:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         spark = batch_df.sparkSession
+        if self.quality_gate is not None:
+            batch_df = self.quality_gate(batch_df)
         fresh = exact_dedup(batch_df, self.text_col, self.id_col)
         prior = self._prior_index(spark, bid)
         if prior is not None:

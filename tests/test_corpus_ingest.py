@@ -75,3 +75,26 @@ def test_bootstrap_without_index(spark, ingest):
     ingest.process_batch(_docs(spark, [(7, "only doc")]), 5)
     assert [r["doc_id"] for r in ingest.corpus(spark).collect()] == [7]
     assert ingest.index(spark).count() == 1
+
+
+def test_quality_gate_runs_before_dedup(spark, tmp_path):
+    """Gated-out docs never enter the fingerprint index, so a later CLEAN
+    duplicate of rejected content is still admitted (gate-then-dedup order,
+    matching the batch training pipeline)."""
+    gate = lambda df: df.filter(F.col("n_chars") >= 15)  # noqa: E731
+    ingest = CorpusIngest(
+        input_dir=str(tmp_path / "in"),
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        quality_gate=gate,
+    )
+    short = "alpha beta"  # 10 chars -> gated out in epoch 0
+    ingest.process_batch(_docs(spark, [(0, short), (1, "long enough document")]), 0)
+    assert sorted(r["doc_id"] for r in ingest.corpus(spark).collect()) == [1]
+    # epoch 1 re-submits the same short content padded past the gate: its
+    # fingerprint differs (different text), but also re-submits the SHORT
+    # text verbatim — still gated, never deduped
+    ingest.process_batch(_docs(spark, [(2, short), (3, "another long document here")]), 1)
+    assert sorted(r["doc_id"] for r in ingest.corpus(spark).collect()) == [1, 3]
+    assert ingest.index(spark).count() == 2  # only admitted docs indexed
