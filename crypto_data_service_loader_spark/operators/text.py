@@ -164,11 +164,18 @@ def lang_id_trigram(
             lambda i: s.substr(i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    scored = docs.select(
+    # project the trigram array ONCE, then score the 4 profiles off the
+    # column: inlining `grams` into each size(filter(...)) builds the array
+    # 4x per row (no CSE inside HOF lambdas) — measured 13.3s -> 3.7s at
+    # sf0.1; CollapseProject keeps the expensive transform un-inlined
+    # (1 substr in the final plan).
+    gdf = docs.select(F.col(id_col), grams.alias("_grams"))
+    scored = gdf.select(
         F.col(id_col),
         *[
-            F.size(F.filter(grams, lambda g: g.isin(*TRIGRAM_PROFILES[lang])))
-            .alias(f"t_{lang}")
+            F.size(
+                F.filter(F.col("_grams"), lambda g: g.isin(*TRIGRAM_PROFILES[lang]))
+            ).alias(f"t_{lang}")
             for lang in LANG_ORDER
         ],
     )
