@@ -213,6 +213,82 @@ def zscore_outliers(
     )
 
 
+def funnel(
+    df: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how far each user progresses through the
+    stage sequence, where stage k+1 only counts if it happens strictly
+    AFTER the user's first qualifying stage-k event.
+
+    One shuffle total: chained full-frame window minimums over the same
+    user partitioning (each stage's first-time refers to the previous
+    stage's column — Catalyst plans all of them after a single exchange),
+    then a per-user rollup. No self-joins — the classic k-way-join funnel
+    formulation shuffles the fact k times; this shuffles it once.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    out = df
+    prev: str | None = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        col = f"_t{i}"
+        out = out.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = col
+    stage_expr = F.lit(0)
+    for i in range(len(stages)):
+        stage_expr = F.when(F.col(f"_t{i}").isNotNull(), i + 1).otherwise(
+            stage_expr
+        )
+    # evaluate deepest stage first: _t{i} non-null implies all earlier
+    agg_cols = [F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
+    rolled = out.groupBy(user_col).agg(*agg_cols)
+    return rolled.select(
+        user_col,
+        *[
+            F.col(f"_t{i}").isNotNull().alias(f"reached_{s}")
+            for i, s in enumerate(stages)
+        ],
+        stage_expr.cast("int").alias("funnel_stage"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for each
+    (cohort_date, day_offset) the count of cohort members active that day.
+
+    Two narrow shuffles (first-day agg on user, final agg on cohort/offset)
+    plus one user-keyed join — at scale both aggs are partial-combined and
+    the join co-partitions on user_id. The activity set is de-duplicated to
+    (user, day) before joining, so the join input is bounded by
+    users x active-days, not raw events.
+    """
+    day = F.to_date(F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(day).alias("cohort_date"))
+    active = df.select(F.col(user_col), day.alias("_day")).distinct()
+    return (
+        active.join(first, [user_col])
+        .select(
+            "cohort_date",
+            F.datediff(F.col("_day"), F.col("cohort_date")).alias("day_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
 def sample_stratified(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

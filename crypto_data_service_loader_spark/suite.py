@@ -538,6 +538,20 @@ def q_join_full_outer(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel per user (stage k+1 must
+    follow the FIRST stage-k event). One shuffle: chained window minimums
+    over the user partition, not the k-way self-join formulation."""
+    return rel.funnel(load(spark, sf_dir, "events"))
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: first-activity date x day offset ->
+    distinct active users. Two partial-combined aggs + one user-keyed
+    join over the (user, day)-deduplicated activity set."""
+    return rel.retention_cohorts(load(spark, sf_dir, "events"))
+
+
 def q_setop_intersect(spark, sf_dir):
     cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -1600,6 +1614,44 @@ _RELATIONAL_ORACLES = {
         SELECT coalesce(c.user_id, v.user_id) AS user_id,
                c.n_clicks, v.n_views
         FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id""",
+    # Mirrors rel.funnel: chained full-frame window minimums (stage k+1
+    # strictly after the first stage-k time), rolled up per user.
+    "events_funnel": """
+        WITH s1 AS (
+            SELECT user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t0
+            FROM events),
+        s2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t1
+            FROM s1),
+        s3 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM s2)
+        SELECT user_id,
+               MAX(t0) IS NOT NULL AS reached_view,
+               MAX(t1) IS NOT NULL AS reached_click,
+               MAX(t2) IS NOT NULL AS reached_purchase,
+               CAST(CASE WHEN MAX(t2) IS NOT NULL THEN 3
+                         WHEN MAX(t1) IS NOT NULL THEN 2
+                         WHEN MAX(t0) IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS funnel_stage
+        FROM s3 GROUP BY user_id""",
+    "retention_cohorts": """
+        WITH first AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        SELECT cohort_date,
+               CAST(d - cohort_date AS INTEGER) AS day_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM active JOIN first USING (user_id)
+        GROUP BY cohort_date, day_offset""",
     "setop_intersect": """
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT
@@ -3246,6 +3298,8 @@ QUERIES = {
     "dedup_ngram_spans": q_dedup_ngram_spans,
     "setop_except_all": q_setop_except_all,
     "join_full_outer": q_join_full_outer,
+    "events_funnel": q_events_funnel,
+    "retention_cohorts": q_retention_cohorts,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,

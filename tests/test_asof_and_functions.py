@@ -193,3 +193,44 @@ def test_asof_nearest_ties_prefer_backward(spark):
         on="ts", by="k", direction="nearest",
     )
     assert exp["px"][0] == 100.0
+
+
+def test_funnel_ordering_semantics(spark):
+    """Stage k+1 counts only strictly AFTER the first stage-k event: a
+    click before the first view must not advance the funnel."""
+    from datetime import datetime
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: click BEFORE first view -> stuck at stage 1
+        (2, "click", t(1)), (2, "view", t(2)), (2, "purchase", t(3)),
+        # wait - purchase after view but no click after view: still stage 1
+        # user 3: view then click, purchase before click -> stage 2
+        (3, "purchase", t(1)), (3, "view", t(2)), (3, "click", t(3)),
+        # user 4: no funnel events at all
+        (4, "error", t(1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: r for r in rel.funnel(ev).collect()}
+    assert out[1]["funnel_stage"] == 3
+    assert out[2]["funnel_stage"] == 1 and not out[2]["reached_click"]
+    assert out[3]["funnel_stage"] == 2 and not out[3]["reached_purchase"]
+    assert out[4]["funnel_stage"] == 0
+
+
+def test_retention_cohorts_reconciles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    out = rel.retention_cohorts(ev)
+    day0 = out.filter(F.col("day_offset") == 0)
+    # every user appears in their own cohort's day-0 cell
+    assert day0.agg(F.sum("n_users")).collect()[0][0] == ev.select("user_id").distinct().count()
+    assert out.filter(F.col("day_offset") < 0).count() == 0
