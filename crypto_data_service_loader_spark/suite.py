@@ -552,6 +552,26 @@ def q_retention_cohorts(spark, sf_dir):
     return rel.retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def q_vwap_bars(spark, sf_dir):
+    """Volume-weighted average price per (returnflag, ship month) — the
+    weighted-mean bar the tick consumers pair with OHLC. Both the weighted
+    sum and the weight accumulate in DECIMAL(38,6) (order-independent),
+    the division is a single double op — oracle-exact. One shuffle with
+    map-side partials."""
+    li = load(spark, sf_dir, "lineitem")
+    num = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,6)")
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+    return li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("bar_start")
+    ).agg(
+        F.round(num / den, 6).alias("vwap"),
+        rel.dsum("l_quantity").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
 def q_setop_intersect(spark, sf_dir):
     cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -1614,6 +1634,14 @@ _RELATIONAL_ORACLES = {
         SELECT coalesce(c.user_id, v.user_id) AS user_id,
                c.n_clicks, v.n_views
         FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id""",
+    "vwap_bars": f"""
+        SELECT l_returnflag,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS bar_start,
+               round({_DSUM.format(x='l_extendedprice * l_quantity')}
+                     / {_DSUM.format(x='l_quantity')}, 6) AS vwap,
+               {_DSUM.format(x='l_quantity')} AS volume,
+               COUNT(*) AS n_trades
+        FROM lineitem GROUP BY l_returnflag, bar_start""",
     # Mirrors rel.funnel: chained full-frame window minimums (stage k+1
     # strictly after the first stage-k time), rolled up per user.
     "events_funnel": """
@@ -3300,6 +3328,7 @@ QUERIES = {
     "join_full_outer": q_join_full_outer,
     "events_funnel": q_events_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "vwap_bars": q_vwap_bars,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,
