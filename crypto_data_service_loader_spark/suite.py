@@ -552,6 +552,39 @@ def q_retention_cohorts(spark, sf_dir):
     return rel.retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def q_win_ewma(spark, sf_dir):
+    """Trailing exponentially-weighted moving average (half-life weights,
+    truncated to the last 50 rows — 2^-50 of tail mass, the standard
+    practical EWMA form; the exact prefix-sum formulation overflows
+    (1-a)^-k at production series lengths).
+
+    Engineered for cross-engine exactness: alpha = 1/2 makes the whole
+    computation a left fold `acc/2 + x` over the frame-ordered array —
+    halving is an exponent shift (no rounding anywhere), both engines
+    fold in identical index order, and the weights never materialize (no
+    pow(), whose last-ulp behavior differs across libm). One shuffle on
+    the series key, JVM-side higher-order functions — no Python, no
+    recursion."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-49, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    base = ev.select("event_id", "user_id", "ts", vals.alias("_vals"))
+    fold = lambda arr: F.aggregate(  # noqa: E731 — acc/2 + x recurrence
+        arr, F.lit(0.0), lambda acc, x: acc / F.lit(2.0) + x
+    )
+    num = fold(F.col("_vals"))
+    den = fold(F.transform(F.col("_vals"), lambda x: F.lit(1.0)))
+    return base.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
 def q_vwap_bars(spark, sf_dir):
     """Volume-weighted average price per (returnflag, ship month) — the
     weighted-mean bar the tick consumers pair with OHLC. Both the weighted
@@ -1634,6 +1667,24 @@ _RELATIONAL_ORACLES = {
         SELECT coalesce(c.user_id, v.user_id) AS user_id,
                c.n_clicks, v.n_views
         FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id""",
+    # Mirrors q_win_ewma exactly: same frame-ordered array, same acc/2+x
+    # left fold (list_reduce's first-element init equals folding from 0).
+    "win_ewma": """
+        WITH b AS (
+            SELECT event_id, user_id,
+                   list(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+                       AS vals
+            FROM events)
+        SELECT event_id, user_id,
+               round(
+                 list_reduce(list_transform(vals, x -> CAST(x AS DOUBLE)),
+                             (a, x) -> a / 2.0 + x)
+                 / list_reduce(list_transform(vals, x -> CAST(1.0 AS DOUBLE)),
+                               (a, x) -> a / 2.0 + x),
+                 6) AS ewma
+        FROM b""",
     "vwap_bars": f"""
         SELECT l_returnflag,
                CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS bar_start,
@@ -3329,6 +3380,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "retention_cohorts": q_retention_cohorts,
     "vwap_bars": q_vwap_bars,
+    "win_ewma": q_win_ewma,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,

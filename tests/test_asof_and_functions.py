@@ -234,3 +234,26 @@ def test_retention_cohorts_reconciles(spark, sf_dir):
     # every user appears in their own cohort's day-0 cell
     assert day0.agg(F.sum("n_users")).collect()[0][0] == ev.select("user_id").distinct().count()
     assert out.filter(F.col("day_offset") < 0).count() == 0
+
+
+def test_win_ewma_semantics(spark, monkeypatch, tmp_path):
+    """Constant series -> EWMA equals the constant; a step change moves
+    the EWMA strictly toward the new level, most-recent value weighted
+    highest (half-life weights)."""
+    from datetime import datetime
+
+    import crypto_data_service_loader_spark.suite as suite
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, "click", 10.0 if i < 5 else 20.0, "{}")
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(suite, "load", lambda s, d, t: ev)
+    out = {r["event_id"]: r["ewma"] for r in suite.q_win_ewma(spark, "unused").collect()}
+    assert out[0] == 10.0 and out[4] == 10.0           # constant prefix
+    assert 10.0 < out[5] < 20.0                         # step begins
+    assert out[5] > 14.9                                # newest dominates (w=1/2)
+    assert out[9] > out[5]                              # converging to 20
