@@ -69,6 +69,9 @@ HEADLINE = [
     "dedup_incremental",
     "corpus_report",
     "dedup_ngram_spans",
+    "events_funnel",
+    "vwap_bars",
+    "win_ewma",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Graph analytics over corpus-derived edge sets.
+
+Connected components (dedup clustering) lives in operators/dedup.py; this
+module holds the spectral/centrality side. Everything here is expressed as
+joins + aggregations with DECIMAL-accumulated float sums, so fixed-
+iteration algorithms stay oracle-exact (the DuckDB twin chains the same
+iterations as CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: teleport/damping as explicit literals — BOTH engines parse "0.15" /
+#: "0.85" to the same nearest-double; computing 1 - 0.85 driver-side
+#: would yield 0.15000000000000002 and break oracle equality.
+DAMPING = 0.85
+TELEPORT = 0.15
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank (power iteration, damping 0.85).
+
+    pr'(v) = 0.15/N + 0.85 * Σ_{u->v} pr(u)/outdeg(u); dangling nodes
+    (no out-edges) simply leak their mass — the simplified variant, chosen
+    because it is exactly expressible in both engines.
+
+    Scale shape per iteration: one equi-join of the edge list against the
+    (narrow) rank vector + one aggregation on the destination key, both
+    with map-side partials; contributions accumulate in DECIMAL(38,18) so
+    the sum is independent of partition merge order (oracle-exact). The
+    edge list and degree table are materialized once (localCheckpoint) —
+    each unrolled iteration references them, and rebuilding a derived
+    edge set (e.g. the LSH kNN graph) per iteration would dominate.
+
+    At 100 TB: partition edges by dst (the aggregation key) and the rank
+    vector co-partitions after the first iteration — each subsequent
+    round is a narrow join + partial agg; iters stays O(10).
+    """
+    n = nodes.count()
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+    ids = nodes.select(F.col(id_col).alias("_id"))
+    pr = ids.select("_id", (F.lit(1.0) / F.lit(float(n))).alias("_pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["_src"] == pr["_id"])
+            .join(deg, "_src")
+            .select(
+                F.col("_dst"),
+                (F.col("_pr") / F.col("_deg")).alias("_c"),
+            )
+        )
+        summed = contrib.groupBy("_dst").agg(
+            F.sum(F.col("_c").cast("decimal(38,18)")).cast("double").alias("_s")
+        )
+        pr = ids.join(summed, ids["_id"] == summed["_dst"], "left").select(
+            "_id",
+            (
+                F.lit(TELEPORT) / F.lit(float(n))
+                + F.lit(DAMPING) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("_pr"),
+        )
+    return pr.select(
+        F.col("_id").alias(id_col), F.round("_pr", 9).alias("pagerank")
+    )

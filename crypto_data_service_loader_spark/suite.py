@@ -585,6 +585,22 @@ def q_win_ewma(spark, sf_dir):
     )
 
 
+def q_pagerank_knn(spark, sf_dir):
+    """PageRank centrality over the LSH kNN graph (3 power iterations,
+    damping 0.85) — "which documents sit at the center of their semantic
+    neighborhood", the graph-side importance signal for corpus curation.
+    Each iteration is one edge⋈rank join + one destination-keyed agg with
+    DECIMAL-accumulated contributions (merge-order independent); the edge
+    set and degrees materialize once."""
+    from .operators import graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=3, n_planes=4).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return graph.pagerank(edges, emb.select("vec_id"), iters=3, id_col="vec_id")
+
+
 def q_vwap_bars(spark, sf_dir):
     """Volume-weighted average price per (returnflag, ship month) — the
     weighted-mean bar the tick consumers pair with OHLC. Both the weighted
@@ -1545,6 +1561,81 @@ _SHINGLES13 = (
 ).format(t=_TOKS)
 
 
+#: LSH kNN graph oracle — shared by knn_graph_lsh and pagerank_knn
+_KNN_SQL = """
+        WITH planes AS (
+            SELECT p.p, i.i,
+                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                        CAST(i.i AS VARCHAR)), 8, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM (SELECT unnest(range(4)) AS p) p,
+                 (SELECT unnest(range((SELECT max(len(embedding))
+                                       FROM embeddings))) AS i) i),
+        normed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        dots AS (
+            SELECT nv.vec_id, pl.p,
+                   sum(nv.v[pl.i + 1] * pl.w) AS d
+            FROM normed nv JOIN planes pl ON TRUE
+            GROUP BY nv.vec_id, pl.p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        bv AS (
+            SELECT nv.vec_id, nv.v, nv.n, bk.bucket
+            FROM normed nv JOIN buckets bk USING (vec_id)),
+        pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])) / (a.n * b.n), 6) AS score
+            FROM bv a JOIN bv b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT vec_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, neighbor_id) AS rn FROM pairs)
+        WHERE rn <= 3"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE mirror of graph.pagerank over the LSH kNN edge set:
+    same teleport/damping literals, same DECIMAL(38,18) contribution
+    accumulation, one CTE per power iteration."""
+    step = """it{i} AS (
+        SELECT ids.id,
+               CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE))
+                   AS pr
+        FROM ids LEFT JOIN (
+            SELECT e.dst AS id,
+                   CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s
+            FROM edges e JOIN {prev} p ON e.src = p.id
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON ids.id = s.id)"""
+    its, prev = [], "pr0"
+    for i in range(1, iters + 1):
+        its.append(step.format(i=i, prev=prev))
+        prev = f"it{i}"
+    return f"""
+        WITH knn AS ({_KNN_SQL}),
+        edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        ids AS (SELECT vec_id AS id FROM embeddings),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+        pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+                FROM ids),
+        {', '.join(its)}
+        SELECT id AS vec_id, round(pr, 9) AS pagerank FROM {prev}"""
+
+
 _RELATIONAL_ORACLES = {
     "join_broadcast_dim": f"""
         SELECT p_brand,
@@ -1900,46 +1991,9 @@ _RELATIONAL_ORACLES = {
         FROM assigned asg LEFT JOIN dups d ON asg.vec_id = d.vec_id""",
     # Same deterministic 4-plane sign-LSH twin as dedup_embedding_lsh, then
     # top-3 neighbors per vector by (score desc, id) within the bucket.
-    "knn_graph_lsh": """
-        WITH planes AS (
-            SELECT p.p, i.i,
-                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
-                                        CAST(i.i AS VARCHAR)), 8, 1)
-                             IN ('0','2','4','6','8','a','c','e')
-                        THEN 1.0 ELSE -1.0 END AS w
-            FROM (SELECT unnest(range(4)) AS p) p,
-                 (SELECT unnest(range((SELECT max(len(embedding))
-                                       FROM embeddings))) AS i) i),
-        normed AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                   sqrt(list_sum(list_transform(embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
-            FROM embeddings),
-        dots AS (
-            SELECT nv.vec_id, pl.p,
-                   sum(nv.v[pl.i + 1] * pl.w) AS d
-            FROM normed nv JOIN planes pl ON TRUE
-            GROUP BY nv.vec_id, pl.p),
-        buckets AS (
-            SELECT vec_id,
-                   CAST(sum(CASE WHEN d >= 0
-                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
-                        AS BIGINT) AS bucket
-            FROM dots GROUP BY vec_id),
-        bv AS (
-            SELECT nv.vec_id, nv.v, nv.n, bk.bucket
-            FROM normed nv JOIN buckets bk USING (vec_id)),
-        pairs AS (
-            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-                   round(list_sum(list_transform(range(1, len(a.v) + 1),
-                         i -> a.v[i] * b.v[i])) / (a.n * b.n), 6) AS score
-            FROM bv a JOIN bv b
-              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-        SELECT vec_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                        ORDER BY score DESC, neighbor_id) AS rn FROM pairs)
-        WHERE rn <= 3""",
+    "knn_graph_lsh": _KNN_SQL,
+    "pagerank_knn": _pagerank_sql(3),
+    
     "udf_grouped_range": """
         SELECT user_id, MAX(value) - MIN(value) AS value_range
         FROM events GROUP BY user_id""",
@@ -3381,6 +3435,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "vwap_bars": q_vwap_bars,
     "win_ewma": q_win_ewma,
+    "pagerank_knn": q_pagerank_knn,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,

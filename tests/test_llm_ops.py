@@ -724,3 +724,30 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[2]["n_dup_windows"] == 1  # only the shared 13-token prefix
     assert out[3]["n_dup_windows"] == 0
     assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
+
+
+def test_pagerank_semantics(spark):
+    """Ring graph -> uniform rank (symmetry); star graph -> the hub
+    dominates; total rank stays <= 1 (dangling mass leaks, never grows)."""
+    from crypto_data_service_loader_spark.operators import graph
+
+    n = 10
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "vid")
+    pr = {r["vid"]: r["pagerank"] for r in
+          graph.pagerank(ring, nodes, iters=5, id_col="vid").collect()}
+    assert len(set(pr.values())) == 1            # symmetric -> uniform
+    assert abs(sum(pr.values()) - 1.0) < 1e-6    # ring has no dangling mass
+
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)], "src long, dst long"
+    )
+    spr = {r["vid"]: r["pagerank"] for r in
+           graph.pagerank(star, nodes, iters=3, id_col="vid").collect()}
+    # hub is dangling, so its collected mass leaks each round — assert
+    # relative dominance (0.12975 vs 0.015 spokes), not absolute share
+    assert spr[0] == max(spr.values())
+    assert spr[0] > 5 * max(v for k, v in spr.items() if k != 0)
+    assert sum(spr.values()) <= 1.0 + 1e-9       # hub dangles -> mass leaks
