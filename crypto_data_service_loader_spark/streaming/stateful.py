@@ -103,7 +103,10 @@ def _update_running_totals(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get() if state.exists else (0, 0.0)
+    # NOTE: GroupState.get is a PROPERTY (calling the returned tuple
+    # raises); only multi-batch runs reach this branch, which the
+    # single-drain totals test never did — caught by the EWMA twin's test
+    n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
@@ -209,6 +212,95 @@ def start_running_totals_stream(
             _update_running_totals,
             outputStructType=RUNNING_SCHEMA,
             stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA — the RECURSIVE exponential moving average (y' = y/2 + x/2,
+# alpha = 1/2). This is the op that genuinely needs keyed state: the batch
+# engine's window form (suite.q_win_ewma) must truncate to a trailing frame
+# because the exact prefix-sum formulation overflows (1-a)^-k, while keyed
+# state carries y across micro-batches forever in O(1) per key.
+# ---------------------------------------------------------------------------
+
+EWMA_SCHEMA = "user_id long, ewma double"
+
+
+def ewma_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the streaming EWMA: the same y/2 + x/2 recurrence run
+    per key over (ts, event_id)-ordered rows, emitting the final state.
+    Used by tests to prove stream == batch on identical input."""
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        y = None
+        for x in pdf["value"]:
+            x = float(x)
+            y = x if y is None else y / 2.0 + x / 2.0
+        return pd.DataFrame({"user_id": pdf["user_id"].iloc[:1], "ewma": [y]})
+
+    n_parts = events.sparkSession.sparkContext.defaultParallelism
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .repartition(n_parts, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(per_user, schema=EWMA_SCHEMA)
+    )
+
+
+def _update_ewma(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    y = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    for x in rows["value"]:
+        x = float(x)
+        y = x if y is None else y / 2.0 + x / 2.0
+    state.update((y,))
+    yield pd.DataFrame({"user_id": [user_id], "ewma": [y]})
+
+
+def start_ewma_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "ewma",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming recursive EWMA -> in-memory table `query_name`.
+
+    State is one double per key (the current average) — the minimal
+    demonstration that keyed state makes an unbounded-horizon recursive
+    aggregate O(1) per key, where any windowed formulation either
+    truncates or overflows. Rows are ordered (ts, event_id) within each
+    micro-batch; cross-batch order is the stream's arrival order, exactly
+    like the reference-model EWMA over a live feed.
+    """
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType="y double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

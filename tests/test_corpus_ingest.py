@@ -98,3 +98,36 @@ def test_quality_gate_runs_before_dedup(spark, tmp_path):
     ingest.process_batch(_docs(spark, [(2, short), (3, "another long document here")]), 1)
     assert sorted(r["doc_id"] for r in ingest.corpus(spark).collect()) == [1, 3]
     assert ingest.index(spark).count() == 2  # only admitted docs indexed
+
+
+def test_compact_index_preserves_dedup_and_replay(spark, ingest):
+    """Compaction folds settled epochs into batch_id=-1, keeps the
+    replayable tip epoch as a delta, and changes neither dedup behavior
+    nor replay idempotence."""
+    import os
+
+    ingest.process_batch(_docs(spark, [(0, "alpha beta gamma")]), 0)
+    ingest.process_batch(_docs(spark, [(1, "delta epsilon zeta")]), 1)
+    ingest.process_batch(_docs(spark, [(2, "eta theta iota")]), 2)
+    ingest.compact_index(spark)
+
+    parts = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(ingest.index_dir)
+        if d.startswith("batch_id=")
+    )
+    assert parts == [-1, 2]  # epochs 0,1 folded; tip 2 kept as delta
+    assert ingest.index(spark).select("fingerprint").distinct().count() == 3
+
+    # dedup against the compacted index still works
+    ingest.process_batch(
+        _docs(spark, [(3, "alpha beta gamma"), (4, "fresh content here")]), 3
+    )
+    kept = sorted(r["doc_id"] for r in ingest.corpus(spark).collect())
+    assert kept == [0, 1, 2, 4]
+
+    # replay of the tip epoch after compaction stays idempotent
+    ingest.process_batch(
+        _docs(spark, [(3, "alpha beta gamma"), (4, "fresh content here")]), 3
+    )
+    assert sorted(r["doc_id"] for r in ingest.corpus(spark).collect()) == kept

@@ -241,3 +241,82 @@ def test_transform_with_state_matches_legacy_api(spark, events_dir, tmp_path):
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER
         )
+
+
+def test_streaming_ewma_matches_batch_recurrence(spark, tmp_path):
+    """Recursive EWMA (y' = y/2 + x/2) across TWO micro-batches must equal
+    the batch recurrence over the concatenated, time-ordered input — the
+    keyed state carries y between epochs."""
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        ewma_batch,
+        start_ewma_stream,
+    )
+
+    wave1 = [
+        (1, TS(2024, 1, 1, 10, 0, 0), 7, "click", 8.0),
+        (2, TS(2024, 1, 1, 10, 1, 0), 7, "view", 4.0),
+        (3, TS(2024, 1, 1, 10, 2, 0), 9, "click", 10.0),
+    ]
+    wave2 = [
+        (4, TS(2024, 1, 1, 11, 0, 0), 7, "click", 2.0),
+        (5, TS(2024, 1, 1, 11, 1, 0), 9, "view", 20.0),
+    ]
+    import time as _time
+
+    # one file per wave, 1.1s apart: the file source orders batches by
+    # modification time, and maxFilesPerTrigger=1 forces one micro-batch
+    # per file within a single availableNow run (the memory sink cannot
+    # recover a checkpoint across restarts, so the state carry is proven
+    # across batches of one run instead)
+    src = str(tmp_path / "ewma_src")
+    spark.createDataFrame(wave1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(wave2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ewma_stream(stream, str(tmp_path / "ewma_ckpt"), query_name="ewma_t")
+    q.awaitTermination(120)
+
+    got = {r["user_id"]: r["ewma"]
+           for r in spark.sql("SELECT * FROM ewma_t").collect()}
+    # user 7: 8 -> 8/2+4/2=6 -> 6/2+2/2=4 ; user 9: 10 -> 10/2+20/2=15
+    assert got[7] == 4.0 and got[9] == 15.0
+
+    batch = {r["user_id"]: r["ewma"]
+             for r in ewma_batch(
+                 spark.createDataFrame(wave1 + wave2, SCHEMA)).collect()}
+    assert batch == got
+
+
+def test_running_totals_state_carries_across_batches(spark, tmp_path):
+    """Regression for the GroupState.get-as-property bug: the state-exists
+    branch of _update_running_totals only executes when a SECOND
+    micro-batch arrives for a key — the single-drain test never reached
+    it (state.get() raised 'tuple is not callable' there)."""
+    import time as _time
+
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_running_totals_stream,
+    )
+
+    w1 = [(1, TS(2024, 1, 1, 10, 0, 0), 7, "click", 1.0)]
+    w2 = [(2, TS(2024, 1, 1, 11, 0, 0), 7, "view", 2.0)]
+    src = str(tmp_path / "rt2_src")
+    spark.createDataFrame(w1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(w2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_running_totals_stream(
+        stream, str(tmp_path / "rt2_ckpt"), query_name="rt2_test"
+    )
+    q.awaitTermination(120)
+    out = {r["user_id"]: (r["n"], r["total"])
+           for r in spark.sql("SELECT * FROM rt2_test").collect()}
+    assert out[7] == (2, 3.0)  # state (1, 1.0) carried into batch 2
