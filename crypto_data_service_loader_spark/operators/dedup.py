@@ -342,6 +342,42 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup verify: shingle containment |A∩B|/|A| and
+    |A∩B|/|B| for candidate pairs — catches the quote/excerpt case
+    Jaccard misses (a small doc fully contained in a large one has low
+    Jaccard but containment 1.0; the standard signal for dropping the
+    contained copy). Same prune-then-join shape as ngram_jaccard: docs
+    are semi-join-pruned to candidate ids before shingling."""
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("_cid")
+    ).distinct()
+    pruned = docs.join(
+        cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi"
+    )
+    sets = pruned.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sh_a"), 6).alias("containment_a"),
+            F.round(inter / F.size("sh_b"), 6).alias("containment_b"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash fingerprint: sign-sum of per-token hash bits.
 

@@ -2461,6 +2461,47 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") > 0.2)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment verify over the MinHash-LSH candidate set:
+    |A∩B|/|A| and |A∩B|/|B| — flags excerpt/quote containment that
+    symmetric Jaccard misses. Same two-stage shape as the Jaccard verify
+    (candidates O(collisions), docs pruned before shingling)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint()
+    return dedup.ngram_containment(docs, pairs)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: distinct contents shared by each
+    source pair — the dataset-card number that tells you two crawl
+    sources overlap before you mix them. Uses the order-insensitive
+    bag-of-words fingerprint (doc_fingerprints' bag_fp): re-ordered copies
+    across crawls are exactly the near-dup class this report exists to
+    catch (exact-fingerprint overlap is the stricter subset).
+    Fingerprints-only shuffle (32-byte digests), self equi-join."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("fingerprint"),
+        "source",
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.countDistinct("a.fingerprint").alias("n_shared"))
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(load(spark, sf_dir, "documents"))
 
@@ -3153,6 +3194,32 @@ _LLM_ORACLES = {
         FROM normed nv JOIN buckets bk USING (vec_id) CROSS JOIN q
         WHERE bk.bucket = q.qb
         ORDER BY score DESC, nv.vec_id ASC LIMIT 10""",
+    "dedup_containment": f"""
+        WITH {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        sets AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+            FROM documents)
+        SELECT p.id_a, p.id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh), 6) AS containment_a,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(b.sh), 6) AS containment_b
+        FROM pairs p
+        JOIN sets a ON p.id_a = a.doc_id
+        JOIN sets b ON p.id_b = b.doc_id""",
+    "source_overlap": f"""
+        WITH fps AS (
+            SELECT DISTINCT
+                   md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                       AS fingerprint,
+                   source
+            FROM documents)
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(DISTINCT a.fingerprint) AS n_shared
+        FROM fps a JOIN fps b
+          ON a.fingerprint = b.fingerprint AND a.source < b.source
+        GROUP BY 1, 2""",
     "dedup_simhash": f"""
         WITH tok AS (
             SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
@@ -3436,6 +3503,8 @@ QUERIES = {
     "vwap_bars": q_vwap_bars,
     "win_ewma": q_win_ewma,
     "pagerank_knn": q_pagerank_knn,
+    "dedup_containment": q_dedup_containment,
+    "source_overlap": q_source_overlap,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,

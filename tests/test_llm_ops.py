@@ -751,3 +751,20 @@ def test_pagerank_semantics(spark):
     assert spr[0] == max(spr.values())
     assert spr[0] > 5 * max(v for k, v in spr.items() if k != 0)
     assert sum(spr.values()) <= 1.0 + 1e-9       # hub dangles -> mass leaks
+
+
+def test_ngram_containment_catches_excerpts(spark):
+    """A short doc fully contained in a long one: containment for the
+    short side is 1.0 while Jaccard is low — the asymmetric signal that
+    justifies this operator beside the Jaccard verify."""
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 18))  # 8 tokens inside
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, excerpt)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = dedup.ngram_containment(docs, pairs).collect()[0]
+    jac = dedup.ngram_jaccard(docs, pairs).collect()[0]["jaccard"]
+    assert out["containment_b"] == 1.0   # excerpt fully inside the long doc
+    assert out["containment_a"] < 0.2    # long doc barely covered
+    assert jac < 0.2                     # Jaccard alone would miss it
