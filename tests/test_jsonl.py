@@ -1,0 +1,56 @@
+"""JSONL source/sink: validated read with corrupt-line quarantine,
+ordered-shard write round-trip."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.sources.jsonl import (
+    read_documents_jsonl,
+    write_jsonl_shards,
+)
+from crypto_data_service_loader_spark.tables import load
+
+
+def test_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "good one", "lang": "en",
+                    "source": "s0", "n_chars": 8}),
+        "{this is not json",
+        json.dumps({"doc_id": 2, "text": "also good", "lang": "en",
+                    "source": "s0", "n_chars": 9}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = read_documents_jsonl(spark, str(p))
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    quarantined = [r["line"] for r in bad.collect()]
+    assert quarantined == ["{this is not json"]
+
+
+def test_jsonl_shard_roundtrip_ordered(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(docs, out, shards=4)
+    files = sorted(glob.glob(out + "/part-*.json.gz"))
+    assert len(files) == 4
+    # global order across shards: each file's ids precede the next file's
+    last = -1
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            ids = [json.loads(line)["doc_id"] for line in fh if line.strip()]
+        assert ids == sorted(ids)          # in-shard order
+        if ids:
+            assert ids[0] > last           # cross-shard range order
+            last = ids[-1]
+    # round-trip: same rows come back through the validated reader
+    good, bad = read_documents_jsonl(spark, out)
+    assert bad.count() == 0
+    assert good.count() == docs.count()
+    orig = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    got = {r["doc_id"] for r in good.select("doc_id").collect()}
+    assert got == orig
