@@ -170,3 +170,83 @@ def test_stratified_sample_proportions_and_determinism(spark):
     # binomial 5-sigma bounds: n_a=1000 p=.8 -> sd~12.6; n_b=3000 p=.1 -> sd~16.4
     assert abs(counts["a"] - 800) < 65
     assert abs(counts["b"] - 300) < 85
+
+
+# --------------------------------------------------------------------------
+# round-4 session-3 operator invariants
+# --------------------------------------------------------------------------
+
+doc_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=60), min_size=1, max_size=12
+)
+
+
+@SLOW
+@given(texts=doc_texts)
+def test_containment_bounds_and_dominates_jaccard(spark, texts):
+    """For every pair: 0 <= jaccard <= min(containment_a, containment_b)
+    <= max(...) <= 1 — containment is jaccard's upper bound by definition
+    (|A∩B|/|A| >= |A∩B|/|A∪B|). Pairs restricted to docs with shingles."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    with_sh = [
+        i for i, t in enumerate(texts) if len(t.split()) >= 3
+    ]
+    if len(with_sh) < 2:
+        return
+    pairs = spark.createDataFrame(
+        [(with_sh[0], with_sh[1])], "id_a long, id_b long"
+    )
+    j = dedup.ngram_jaccard(docs, pairs).collect()[0]["jaccard"]
+    c = dedup.ngram_containment(docs, pairs).collect()[0]
+    ca, cb = c["containment_a"], c["containment_b"]
+    assert 0.0 <= j <= min(ca, cb) + 1e-9
+    assert max(ca, cb) <= 1.0
+
+
+@SLOW
+@given(
+    shift=st.floats(-100, 100, allow_nan=False),
+    scale=st.floats(0.5, 10, allow_nan=False),
+)
+def test_zscore_invariant_under_affine_transform(spark, shift, scale):
+    """z-scores are invariant under y = a*x + b (a > 0): the outlier set
+    must not change when the series is shifted/scaled."""
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    base = [(i, "t", 10.0 + (i % 7) + (25.0 if i == 13 else 0.0))
+            for i in range(40)]
+    ev = spark.createDataFrame(base, "event_id long, event_type string, value double")
+    ev2 = ev.withColumn("value", F.col("value") * float(scale) + float(shift))
+    z1 = {r["event_id"]: r["is_outlier"]
+          for r in rel.zscore_outliers(ev).collect()}
+    z2 = {r["event_id"]: r["is_outlier"]
+          for r in rel.zscore_outliers(ev2).collect()}
+    assert z1 == z2
+    assert z1[13] is True  # the planted spike is flagged
+
+
+@SLOW
+@given(extra=st.integers(0, 3))
+def test_funnel_stage_monotone_in_events(spark, extra):
+    """Adding MORE events to a user can never LOWER their funnel stage."""
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    base = [
+        (1, "view", datetime.datetime(2024, 1, 1, 0, 1)),
+        (2, "click", datetime.datetime(2024, 1, 1, 0, 2)),
+    ]
+    added = [
+        (10 + i, t, datetime.datetime(2024, 1, 1, 0, 3 + i))
+        for i, t in enumerate(["purchase", "view", "click"][:extra])
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(eid, 1, ty, ts) for eid, ty, ts in rows],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    s0 = rel.funnel(mk(base)).collect()[0]["funnel_stage"]
+    s1 = rel.funnel(mk(base + added)).collect()[0]["funnel_stage"]
+    assert s1 >= s0
