@@ -329,6 +329,24 @@ def q_asof_last_tick(spark, sf_dir):
     ).select("event_id", "user_id", "ts", F.col("value_asof"))
 
 
+def q_asof_nearest_tolerance(spark, sf_dir):
+    """Nearest-direction as-of with a 10-minute tolerance: each click gets
+    the closest view either side (ties prefer backward, merge_asof
+    parity), nulled when the nearest is farther than the bound — the
+    market-data join for sparse series where a stale match is worse than
+    none. Same single-shuffle union-window plan; the tolerance test rides
+    the carried right timestamp for free."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof.asof_join(
+        clicks, views, by=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["value"], direction="nearest", tolerance_seconds=600,
+    ).select("event_id", "user_id", "ts", F.col("value_asof"))
+
+
 def q_asof_next_tick(spark, sf_dir):
     """Forward as-of: the NEXT view at-or-after each click (merge_asof
     direction='forward' parity; DuckDB oracle flips the ASOF inequality)."""
@@ -3208,6 +3226,22 @@ _LLM_ORACLES = {
         FROM pairs p
         JOIN sets a ON p.id_a = a.doc_id
         JOIN sets b ON p.id_b = b.doc_id""",
+    "asof_nearest_tolerance": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        v AS (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'view'),
+        ranked AS (
+            SELECT c.event_id, c.user_id, c.ts, v.value,
+                   abs(epoch_us(c.ts) - epoch_us(v.ts)) AS adiff,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY abs(epoch_us(c.ts) - epoch_us(v.ts)),
+                                (v.ts > c.ts), v.ts) AS rn
+            FROM c LEFT JOIN v ON c.user_id = v.user_id)
+        SELECT event_id, user_id, ts,
+               CASE WHEN adiff <= 600 * 1000000 THEN value END AS value_asof
+        FROM ranked WHERE rn = 1""",
     "source_overlap": f"""
         WITH fps AS (
             SELECT DISTINCT
@@ -3505,6 +3539,7 @@ QUERIES = {
     "pagerank_knn": q_pagerank_knn,
     "dedup_containment": q_dedup_containment,
     "source_overlap": q_source_overlap,
+    "asof_nearest_tolerance": q_asof_nearest_tolerance,
     "quality_classifier": q_quality_classifier,
     "corpus_report": q_corpus_report,
     "events_zscore": q_events_zscore,
