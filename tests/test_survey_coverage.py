@@ -47,3 +47,16 @@ def test_survey_2c_table_matches_registry():
         f"§2C drift: +{sorted(set(E.queries()) - listed)} "
         f"-{sorted(listed - set(E.queries()))}"
     )
+
+
+def test_operators_md_in_sync():
+    """OPERATORS.md must match the live registry exactly — regenerate
+    with `python tools/gen_operators_md.py` after adding a key."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import gen_operators_md
+
+    assert open("OPERATORS.md").read() == gen_operators_md.render()
