@@ -542,6 +542,27 @@ def knn_graph(
     )
 
 
+def auto_planes(n_vectors: int, target_bucket: int = 256) -> int:
+    """The n_planes dial as a function of corpus size: enough sign-LSH
+    planes that the EXPECTED bucket population is ~`target_bucket`
+    (buckets = 2^planes; per-bucket pair work is n_b², so holding n_b
+    constant keeps total pair work linear in the corpus). Verified
+    empirically in SCALE_NOTES — at fixed planes a 4x corpus costs ~16x;
+    with planes scaled by this rule it stays ~linear. Clamped to [1, 24]
+    (2^24 buckets ~ the useful ceiling before recall collapses)."""
+    planes = max(1, math.ceil(math.log2(max(n_vectors, 2) / target_bucket)))
+    return min(planes, 24)
+
+
+def auto_centroids(n_vectors: int, target_cluster: int = 256) -> int:
+    """The k_centroids dial for semantic_dedup / IVF: one centroid per
+    ~`target_cluster` vectors, so per-cluster pair work stays bounded as
+    the corpus grows (measured: 10x data at fixed k=8 cost 21x; with k
+    scaled 10x, ~2x). At very large k, train centroids on a sample via
+    `ivf_train` and persist the table partitioned by centroid_id."""
+    return max(2, math.ceil(n_vectors / target_cluster))
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
 

@@ -54,3 +54,29 @@ def test_jsonl_shard_roundtrip_ordered(spark, sf_dir, tmp_path):
     orig = {r["doc_id"] for r in docs.select("doc_id").collect()}
     got = {r["doc_id"] for r in good.select("doc_id").collect()}
     assert got == orig
+
+
+def test_training_pipeline_to_jsonl_release(spark, sf_dir, tmp_path):
+    """End-to-end release path: the composed training pipeline's packed
+    output written as ordered JSONL shards and read back losslessly — the
+    full assemble -> release -> consume loop a trainer runs."""
+    import gzip as _gzip
+    import json as _json
+
+    from crypto_data_service_loader_spark.sources.jsonl import write_jsonl_shards
+    from crypto_data_service_loader_spark.suite import q_training_set_pipeline
+
+    packed = q_training_set_pipeline(spark, sf_dir)
+    out = str(tmp_path / "release")
+    write_jsonl_shards(packed, out, shards=3, order_col="doc_id")
+    files = sorted(glob.glob(out + "/part-*.json.gz"))
+    assert len(files) == 3
+    rows = []
+    for f in files:
+        with _gzip.open(f, "rt") as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    expected = {r["doc_id"]: (r["split"], r["bin_id"])
+                for r in packed.collect()}
+    got = {r["doc_id"]: (r["split"], r["bin_id"]) for r in rows}
+    assert got == expected
+    assert len(rows) == len(expected)

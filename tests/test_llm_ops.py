@@ -768,3 +768,23 @@ def test_ngram_containment_catches_excerpts(spark):
     assert out["containment_b"] == 1.0   # excerpt fully inside the long doc
     assert out["containment_a"] < 0.2    # long doc barely covered
     assert jac < 0.2                     # Jaccard alone would miss it
+
+
+def test_auto_dials_scale_with_corpus():
+    """Bucket dials must hold expected bucket/cluster population constant:
+    corpus x4 -> planes +2, centroids x4."""
+    assert similarity.auto_planes(1024, target_bucket=256) == 2
+    assert similarity.auto_planes(4096, target_bucket=256) == 4
+    assert similarity.auto_planes(10, target_bucket=256) == 1  # floor
+    assert similarity.auto_planes(10**12) == 24                # ceiling
+    assert similarity.auto_centroids(1024, target_cluster=256) == 4
+    assert similarity.auto_centroids(4096, target_cluster=256) == 16
+    assert similarity.auto_centroids(1) == 2                   # floor
+
+
+def test_semantic_dedup_with_auto_centroids(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 128)
+    k = similarity.auto_centroids(128, target_cluster=32)
+    out = similarity.semantic_dedup(emb, k_centroids=k).collect()
+    assert len(out) == 128
+    assert {r["centroid_id"] for r in out} <= set(range(k))
