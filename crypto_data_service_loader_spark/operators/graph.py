@@ -45,6 +45,11 @@ def pagerank(
     round is a narrow join + partial agg; iters stays O(10).
     """
     n = nodes.count()
+    if n == 0:  # empty node set: no ranks (and no 1/N teleport to divide)
+        id_type = nodes.schema[id_col].dataType.simpleString()
+        return nodes.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, pagerank double"
+        )
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).localCheckpoint()

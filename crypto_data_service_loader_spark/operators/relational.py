@@ -197,10 +197,17 @@ def zscore_outliers(
     ).cast("double")
     n = F.count(value_col)
     var = (ssq - s * s / n) / (n - 1)
+    # degenerate groups (n == 1: no sample stddev; zero variance: z is
+    # undefined) get _std = null -> z = null, is_outlier = false — a
+    # single-member series is never "anomalous vs itself"
     stats = df.groupBy(key_col).agg(
-        (s / n).alias("_mean"), F.sqrt(var).alias("_std")
+        (s / n).alias("_mean"),
+        F.when(n > 1, F.sqrt(var)).alias("_std"),
     )
-    z = F.round((F.col(value_col) - F.col("_mean")) / F.col("_std"), 6)
+    z = F.when(
+        F.col("_std") > 0,
+        F.round((F.col(value_col) - F.col("_mean")) / F.col("_std"), 6),
+    )
     return (
         df.join(F.broadcast(stats), [key_col])
         .select(
@@ -208,7 +215,9 @@ def zscore_outliers(
             key_col,
             value_col,
             z.alias("z"),
-            (F.abs(z) >= z_threshold).alias("is_outlier"),
+            F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias(
+                "is_outlier"
+            ),
         )
     )
 

@@ -180,20 +180,27 @@ def embedding_near_dups(
 def embedding_near_dups_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 6,
+    n_vectors_hint: int | None = None,
 ) -> DataFrame:
     """Scale twin of embedding_near_dups: candidate pairs only within the
     same sign-LSH bucket (equi-join on bucket id), then the exact cosine
     verify. Recall < 1 (tested against the brute-force baseline); the n²
-    stage becomes per-bucket n²/2^planes."""
+    stage becomes per-bucket n²/2^planes.
+
+    `n_planes=None` (the default) derives the dial from the corpus size
+    via `auto_planes` — pass `n_vectors_hint` to skip the count job, or an
+    explicit `n_planes` to pin it (tests / oracle twins do)."""
     head = embeddings.select(vec_col).head(1)
     if not head:  # empty corpus -> empty pair set (match the brute twin)
+        id_type = embeddings.schema[id_col].dataType.simpleString()
         return embeddings.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, score double"
+            [], f"id_a {id_type}, id_b {id_type}, score double"
         )
+    n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
     dim = len(head[0][0])
     v = _as_double(F.col(vec_col))
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
@@ -412,10 +419,11 @@ def ivf_tune_nprobe(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    k_centroids: int = 8,
+    k_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 6,
+    n_vectors_hint: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public recipe: Abbas et al.
     2023, "SemDeDup" — cluster first, compare only within clusters).
@@ -431,7 +439,16 @@ def semantic_dedup(
     Returns one row per vector: (id, centroid_id, is_dup). At 100 TB:
     centroids come from `ivf_train` on a sample, the table is written
     partitioned by centroid_id, and the pair join is partition-local.
+
+    `k_centroids=None` (the default) derives the dial from the corpus size
+    via `auto_centroids` so per-cluster pair work stays bounded as the
+    corpus grows (measured: 10x data at fixed k=8 cost 21x; with k scaled,
+    ~2x — SCALE_NOTES). Pass `n_vectors_hint` to skip the count job, or an
+    explicit `k_centroids` to pin it (tests / oracle twins do).
     """
+    if k_centroids is None:
+        n = n_vectors_hint if n_vectors_hint is not None else embeddings.count()
+        k_centroids = auto_centroids(n)
     centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
     # materialize the assignment once: the plan references it three times
     # (result rows + both sides of the pair join) and would otherwise run
@@ -484,10 +501,11 @@ def semantic_dedup(
 def knn_graph(
     embeddings: DataFrame,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 6,
+    n_vectors_hint: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph: per-vector top-k cosine neighbors, candidates
     restricted to the vector's sign-LSH bucket (equi-join, no all-pairs).
@@ -499,14 +517,21 @@ def knn_graph(
     At 100 TB the per-bucket candidate join shuffles on bucket id and the
     top-k is a per-source-id window — both partition-parallel; more planes
     shrink buckets (recall vs. cost dial).
+
+    `n_planes=None` (the default) derives the dial from the corpus size
+    via `auto_planes` so per-bucket pair work stays bounded as the corpus
+    grows; pass `n_vectors_hint` to skip the count job, or an explicit
+    `n_planes` to pin it (tests / oracle twins do).
     """
     from pyspark.sql import Window
 
     head = embeddings.select(vec_col).head(1)
     if not head:
+        id_type = embeddings.schema[id_col].dataType.simpleString()
         return embeddings.sparkSession.createDataFrame(
-            [], f"{id_col} long, neighbor_id long, score double, rank int"
+            [], f"{id_col} {id_type}, neighbor_id {id_type}, score double, rank int"
         )
+    n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
     dim = len(head[0][0])
     v = _as_double(F.col(vec_col))
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
@@ -540,6 +565,18 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select(F.col("_src").alias(id_col), "neighbor_id", "score", "rank")
     )
+
+
+def _resolve_planes(
+    embeddings: DataFrame, n_planes: int | None, n_vectors_hint: int | None
+) -> int:
+    """Production default for the LSH dial: explicit value wins; otherwise
+    derive from the corpus size (hint if given, else one cheap count-only
+    scan — column-pruned to metadata on parquet)."""
+    if n_planes is not None:
+        return n_planes
+    n = n_vectors_hint if n_vectors_hint is not None else embeddings.count()
+    return auto_planes(n)
 
 
 def auto_planes(n_vectors: int, target_bucket: int = 256) -> int:

@@ -12,6 +12,8 @@ gzip-compressed JSON lines.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: explicit schema for the documents-shaped corpus interchange files;
@@ -27,13 +29,19 @@ def read_documents_jsonl(
     spark: SparkSession,
     path: str,
     schema: str = DOCUMENT_JSONL_SCHEMA,
-) -> tuple[DataFrame, DataFrame]:
-    """Validated JSONL read: returns (good_rows, quarantined_lines).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Validated JSONL read: returns (good_rows, quarantined_lines, scan).
 
     PERMISSIVE mode parses what it can; a line that fails to parse (or
     whose types don't cast) lands whole in `_corrupt_record` with nulls
     elsewhere. Callers ship `quarantined` to a dead-letter location and
     continue — a single bad line must never fail a corpus ingest.
+
+    The third return is the CACHED parsed scan both branches share (the
+    cache is required — see inline note). Call `scan.unpersist()` once
+    good/bad are drained, or use `open_documents_jsonl` which does it for
+    you; repeated ingest calls would otherwise accumulate cached plans in
+    executor storage.
     """
     raw = (
         spark.read.schema(f"{schema}, {_CORRUPT} string")
@@ -50,7 +58,23 @@ def read_documents_jsonl(
     bad = raw.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("line")
     )
-    return good, bad
+    return good, bad, raw
+
+
+@contextmanager
+def open_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENT_JSONL_SCHEMA,
+):
+    """Context-manager form of `read_documents_jsonl`: yields (good, bad)
+    and unpersists the shared cached scan on exit, so repeated ingests
+    never leak executor storage."""
+    good, bad, raw = read_documents_jsonl(spark, path, schema)
+    try:
+        yield good, bad
+    finally:
+        raw.unpersist()
 
 
 def write_jsonl_shards(

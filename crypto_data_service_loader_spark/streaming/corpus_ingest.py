@@ -153,6 +153,11 @@ class CorpusIngest:
             idx.filter(F.col("batch_id").isin(fold))
             .select("fingerprint")
             .distinct()
+            # materialize BEFORE the write: the folded set is read from the
+            # same directory the write below dynamically overwrites
+            # (batch_id=-1). Without the checkpoint a task retry could
+            # lazily re-read a partition the overwrite already staged away.
+            .localCheckpoint()
         )
         self._index.write(base, -1)  # dynamic overwrite of batch_id=-1
         for b in fold:

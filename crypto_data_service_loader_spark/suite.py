@@ -2561,7 +2561,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     bucketed candidate semantics themselves (including sub-1.0 recall),
     not just a superset."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups_lsh(emb, threshold=0.4)
+    # n_planes pinned so the DuckDB twin's replicated hyperplanes match;
+    # production callers omit it and get the auto_planes corpus-size dial
+    return similarity.embedding_near_dups_lsh(emb, threshold=0.4, n_planes=4)
 
 
 def q_dedup_embedding_clusters(spark, sf_dir):
@@ -2992,14 +2994,19 @@ _LLM_ORACLES = {
                    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
                    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ssq,
                    COUNT(value) AS n
-            FROM events GROUP BY event_type)
+            FROM events GROUP BY event_type),
+        m AS (
+            SELECT event_type, sv / n AS mean,
+                   CASE WHEN n > 1
+                        THEN sqrt((ssq - sv * sv / n) / (n - 1)) END AS std
+            FROM st)
         SELECT e.event_id, e.event_type, e.value,
-               round((e.value - sv / n)
-                     / sqrt((ssq - sv * sv / n) / (n - 1)), 6) AS z,
-               abs(round((e.value - sv / n)
-                     / sqrt((ssq - sv * sv / n) / (n - 1)), 6)) >= 2.5
-                   AS is_outlier
-        FROM events e JOIN st USING (event_type)""",
+               CASE WHEN std > 0
+                    THEN round((e.value - mean) / std, 6) END AS z,
+               coalesce(CASE WHEN std > 0
+                             THEN abs(round((e.value - mean) / std, 6)) >= 2.5
+                        END, false) AS is_outlier
+        FROM events e JOIN m USING (event_type)""",
     "win_cume_ntile": """
         SELECT event_id, event_type,
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,

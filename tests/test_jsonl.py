@@ -26,10 +26,30 @@ def test_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
                     "source": "s0", "n_chars": 9}),
     ]
     p.write_text("\n".join(lines) + "\n")
-    good, bad = read_documents_jsonl(spark, str(p))
+    good, bad, scan = read_documents_jsonl(spark, str(p))
     assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
     quarantined = [r["line"] for r in bad.collect()]
     assert quarantined == ["{this is not json"]
+    assert scan.storageLevel.useMemory  # shared cached scan is live...
+    scan.unpersist()
+    assert not scan.storageLevel.useMemory  # ...and releasable by callers
+
+
+def test_open_documents_jsonl_unpersists_on_exit(spark, tmp_path):
+    from crypto_data_service_loader_spark.sources.jsonl import (
+        open_documents_jsonl,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(json.dumps({"doc_id": 7, "text": "x", "lang": "en",
+                             "source": "s0", "n_chars": 1}) + "\n")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with open_documents_jsonl(spark, str(p)) as (good, bad):
+        assert good.count() == 1 and bad.count() == 0
+        during = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert during == before + 1  # the shared scan is cached inside...
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before  # ...and released on exit (no storage leak)
 
 
 def test_jsonl_shard_roundtrip_ordered(spark, sf_dir, tmp_path):
@@ -48,12 +68,13 @@ def test_jsonl_shard_roundtrip_ordered(spark, sf_dir, tmp_path):
             assert ids[0] > last           # cross-shard range order
             last = ids[-1]
     # round-trip: same rows come back through the validated reader
-    good, bad = read_documents_jsonl(spark, out)
+    good, bad, scan = read_documents_jsonl(spark, out)
     assert bad.count() == 0
     assert good.count() == docs.count()
     orig = {r["doc_id"] for r in docs.select("doc_id").collect()}
     got = {r["doc_id"] for r in good.select("doc_id").collect()}
     assert got == orig
+    scan.unpersist()
 
 
 def test_training_pipeline_to_jsonl_release(spark, sf_dir, tmp_path):

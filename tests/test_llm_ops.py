@@ -682,6 +682,28 @@ def test_corpus_report_reconciles(spark, sf_dir):
         assert 0.0 <= r["dup_rate"] < 1.0
 
 
+def test_zscore_degenerate_groups_flag_false_not_null(spark):
+    """n == 1 and zero-variance groups have no defined z — they must come
+    back with z null and is_outlier FALSE (not null): a single-member or
+    constant series is never anomalous vs itself."""
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    ev = spark.createDataFrame(
+        [
+            (1, "solo", 42.0),               # n == 1
+            (2, "flat", 7.0), (3, "flat", 7.0), (4, "flat", 7.0),  # var 0
+            (5, "ok", 1.0), (6, "ok", 2.0), (7, "ok", 30.0),
+        ],
+        "event_id long, event_type string, value double",
+    )
+    rows = {r["event_id"]: r for r in rel.zscore_outliers(ev).collect()}
+    assert len(rows) == 7
+    for eid in (1, 2, 3, 4):
+        assert rows[eid]["z"] is None
+        assert rows[eid]["is_outlier"] is False  # false, never null
+    assert all(rows[eid]["z"] is not None for eid in (5, 6, 7))
+
+
 def test_zscore_outliers_moments(spark, sf_dir):
     """Per-group z scores must be standardized (mean ~0, std ~1) and the
     flag must match |z| >= threshold exactly."""
@@ -724,6 +746,18 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[2]["n_dup_windows"] == 1  # only the shared 13-token prefix
     assert out[3]["n_dup_windows"] == 0
     assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
+
+
+def test_pagerank_empty_node_set_returns_empty(spark):
+    """No nodes -> empty (id, pagerank) frame, not ZeroDivisionError."""
+    from crypto_data_service_loader_spark.operators import graph
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    nodes = spark.createDataFrame([], "vid string")
+    out = graph.pagerank(edges, nodes, iters=2, id_col="vid")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vid", "pagerank"]
+    assert out.schema["vid"].dataType.simpleString() == "string"
 
 
 def test_pagerank_semantics(spark):
@@ -780,6 +814,31 @@ def test_auto_dials_scale_with_corpus():
     assert similarity.auto_centroids(1024, target_cluster=256) == 4
     assert similarity.auto_centroids(4096, target_cluster=256) == 16
     assert similarity.auto_centroids(1) == 2                   # floor
+
+
+def test_auto_dials_are_the_default_and_grow_with_corpus(spark, sf_dir):
+    """Production default: omitting the dial derives it from corpus size.
+    knn_graph/embedding_near_dups_lsh bucket counts and semantic_dedup
+    cluster counts must GROW as the corpus grows (the property that keeps
+    per-bucket pair work linear at 100 TB)."""
+    emb = load(spark, sf_dir, "embeddings")
+    small = emb.filter(F.col("vec_id") < 40)
+    # the dial the default resolves to, at two corpus sizes
+    p_small = similarity._resolve_planes(small, None, None)
+    p_big = similarity._resolve_planes(emb, None, 10_000_000)
+    assert p_big > p_small
+    assert similarity.auto_centroids(10_000_000) > similarity.auto_centroids(40)
+    # no-dial calls run end-to-end (auto path), hint skips the count job
+    edges = similarity.knn_graph(small, k=2, n_vectors_hint=40)
+    assert edges.count() >= 0
+    out = similarity.semantic_dedup(small, n_vectors_hint=40)
+    assert out.count() == 40
+    k_used = max(r["centroid_id"] for r in out.collect()) + 1
+    assert k_used <= similarity.auto_centroids(40)
+    pairs = similarity.embedding_near_dups_lsh(
+        small, threshold=0.35, n_vectors_hint=40
+    )
+    assert pairs.count() >= 0
 
 
 def test_semantic_dedup_with_auto_centroids(spark, sf_dir):
