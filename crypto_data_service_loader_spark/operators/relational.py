@@ -299,16 +299,47 @@ def retention_cohorts(
 
 
 def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the standard corpus rebalancing
+    step (e.g. downweight a dominant source before training).
+
+    Membership is a SEEDED id-hash gate (the `corpus_mix` technique with
+    the seed folded into the multiplicative hash): keep a row iff
+    ((id + seed) * KNUTH) mod 2^32 mod 1000 < fraction * 1000. Scan-local
+    (no shuffle, no collect), identical on reruns by construction,
+    different seeds draw genuinely different samples, and — unlike
+    `sampleBy`'s engine-private Bernoulli RNG — the gate is plain integer
+    arithmetic, so the DuckDB oracle reproduces it bit-for-bit. Stratum
+    proportions hold to binomial-like tolerance because the Knuth hash
+    spreads sequential ids uniformly (property-tested). For engine-RNG
+    sampling semantics use `sample_stratified_bernoulli`.
+    """
+    from .training import _BUCKETS, _KNUTH
+
+    bucket = (
+        (F.col(id_col).cast("long") + F.lit(int(seed))) * F.lit(_KNUTH)
+    ) % F.lit(2**32) % F.lit(_BUCKETS)
+    rate = None
+    for stratum, frac in sorted(fractions.items()):
+        thresh = int(max(0.0, min(1.0, float(frac))) * _BUCKETS)
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+    rate = rate.otherwise(0)
+    return df.filter(bucket < rate)
+
+
+def sample_stratified_bernoulli(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (`sampleBy`) — the standard corpus
-    rebalancing step (e.g. downweight a dominant source before training).
-
-    Scan-local: each row draws against its stratum's fraction, no shuffle,
-    no collect. Deterministic per (seed, row) within an engine but not
-    across engines — verified by property tests (stratum counts within
-    binomial tolerance; same-seed reruns identical), not a SQL oracle.
-    """
+    """Per-stratum Bernoulli sampling (`sampleBy`): deterministic per
+    (seed, row) within an engine but not across engines — kept for callers
+    who want Spark's native sampling RNG; the hash-gated
+    `sample_stratified` is the oracle-exact default."""
     return df.sampleBy(strata_col, fractions, seed)
 
 

@@ -2688,9 +2688,10 @@ def q_corpus_mix_upsampled(spark, sf_dir):
 
 
 def q_sample_stratified(spark, sf_dir):
-    """Per-source corpus rebalance (rows-only: Bernoulli draws are
-    engine-specific; determinism and stratum proportions are pinned by
-    property tests in tests/test_properties.py)."""
+    """Per-source corpus rebalance via the SEEDED id-hash gate —
+    oracle-exact (the gate is plain integer arithmetic, reproduced
+    term-for-term in the DuckDB twin), deterministic across runs, and a
+    different seed draws a different sample."""
     docs = load(spark, sf_dir, "documents")
     fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
     return rel.sample_stratified(docs, "source", fractions, seed=42).select(
@@ -2847,18 +2848,22 @@ def q_docs_prep_pipeline(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end (rows-only): binary payloads derived
+    """Multimodal plumbing end-to-end: binary payloads derived
     deterministically from documents, decoded via the mapInPandas stub,
     features fed to the similarity operators' schema. Codecs are fakes
     (none installed); the Spark path — schema, Arrow batches, partitioning
-    — is the real thing."""
+    — is the real thing. ORACLE-EXACT: the payload is the UTF-8 bytes of
+    md5(text), so the fake's md5(payload)-derived features are
+    md5(md5(text)) — expressible in DuckDB byte-for-byte (its md5() takes
+    VARCHAR only, which is why the payload is hex TEXT bytes, not raw
+    digest bytes)."""
     from .operators.multimodal import decode_and_featurize
 
-    docs = load(spark, sf_dir, "documents").limit(200)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+        F.encode(F.md5("text"), "UTF-8").alias("payload"),
         F.lit("image/png").alias("mime"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
@@ -3714,13 +3719,80 @@ ORACLES: dict[str, str] = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS BIGINT) AS cb
             FROM documents)""",
+    # Seeded id-hash gate, term-for-term the rel.sample_stratified filter.
+    "sample_stratified": """
+        SELECT doc_id, source FROM documents
+        WHERE ((doc_id + 42) * 2654435761) % 4294967296 % 1000 <
+              CASE source WHEN 'src0' THEN 1000
+                          WHEN 'src1' THEN 500
+                          WHEN 'src2' THEN 250
+                          ELSE 0 END""",
+    # The codec fake's features are bytes of md5(payload) / 255 where the
+    # payload is the UTF-8 hex of md5(text) — i.e. md5(md5(text)), which
+    # DuckDB's VARCHAR-only md5() can reproduce; the chained + mirrors the
+    # Spark left-fold addition order exactly.
+    "multimodal_features": """
+        SELECT doc_id AS media_id, 'image' AS kind,
+               round(CAST(('0x' || substr(h, 1, 2)) AS INT) / 255.0
+                   + CAST(('0x' || substr(h, 3, 2)) AS INT) / 255.0
+                   + CAST(('0x' || substr(h, 5, 2)) AS INT) / 255.0
+                   + CAST(('0x' || substr(h, 7, 2)) AS INT) / 255.0
+                   + CAST(('0x' || substr(h, 9, 2)) AS INT) / 255.0
+                   + CAST(('0x' || substr(h, 11, 2)) AS INT) / 255.0
+                   + CAST(('0x' || substr(h, 13, 2)) AS INT) / 255.0
+                   + CAST(('0x' || substr(h, 15, 2)) AS INT) / 255.0,
+                     6) AS feature_sum,
+               true AS decode_ok
+        FROM (SELECT doc_id, md5(md5(text)) AS h
+              FROM documents WHERE doc_id < 200)""",
+    # IVF top-k with train_iters=0 is fully deterministic: seed centroids =
+    # the 16 lowest-id vectors (cid = id rank), nearest-centroid assignment
+    # by squared L2 (tie -> lowest cid, the min_by struct order), probe the
+    # 4 centroids nearest the query (Python's stable sort -> ties by cid),
+    # then exact cosine top-10 over the probed clusters.
+    "sim_cosine_topk_ivf": """
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                       AS cid, v AS cv
+            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)),
+        dists AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+            FROM emb e CROSS JOIN cent c),
+        assigned AS (
+            SELECT vec_id, v, cid
+            FROM (SELECT vec_id, v, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+                  FROM dists)
+            WHERE rn = 1),
+        q AS (SELECT v AS qv,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+              FROM emb WHERE vec_id = 0),
+        probe AS (
+            SELECT c.cid
+            FROM cent c CROSS JOIN q
+            ORDER BY list_sum(list_transform(range(1, len(c.cv) + 1),
+                     i -> (c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i]))),
+                     c.cid
+            LIMIT 4)
+        SELECT a.vec_id,
+               round(list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * q.qn), 6) AS score
+        FROM assigned a CROSS JOIN q
+        WHERE a.cid IN (SELECT cid FROM probe)
+        ORDER BY score DESC, a.vec_id ASC LIMIT 10""",
     # intentionally absent (rows-only checks): agg_approx_distinct /
-    # agg_approx_quantile (HLL/GK sketch estimates are engine-specific),
-    # sim_cosine_topk_ivf (Lloyd-refined centroid assignment is iterative —
-    # exactness vs brute force at nprobe=k is asserted in tests instead),
-    # sample_stratified (Bernoulli draws are engine-specific; stratum
-    # proportions property-tested), multimodal_features (feature source is
-    # the documented codec fake). Everything else — including both LSH
-    # paths, whose oracles replicate the deterministic hyperplane buckets
-    # in SQL — is value-hash-checked against DuckDB.
+    # agg_approx_quantile (HLL/GK sketch estimates are engine-specific).
+    # Everything else — including both LSH paths (oracles replicate the
+    # deterministic hyperplane buckets), IVF (deterministic seed
+    # quantizer), the hash-gated stratified sample, and the multimodal
+    # codec fake (md5-derived) — is value-hash-checked against DuckDB.
 }

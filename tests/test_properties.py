@@ -160,14 +160,17 @@ def test_stratified_sample_proportions_and_determinism(spark):
         F.when(F.col("id") % 4 == 0, "a").otherwise("b").alias("stratum"),
     )
     fractions = {"a": 0.8, "b": 0.1}
-    s1 = sample_stratified(df, "stratum", fractions, seed=7)
-    s2 = sample_stratified(df, "stratum", fractions, seed=7)
+    s1 = sample_stratified(df, "stratum", fractions, seed=7, id_col="id")
+    s2 = sample_stratified(df, "stratum", fractions, seed=7, id_col="id")
     rows1 = sorted(r["id"] for r in s1.collect())
     rows2 = sorted(r["id"] for r in s2.collect())
     assert rows1 == rows2  # same seed -> identical sample
+    s3 = sample_stratified(df, "stratum", fractions, seed=8, id_col="id")
+    rows3 = sorted(r["id"] for r in s3.collect())
+    assert rows1 != rows3  # different seed -> different draw
     counts = {r["stratum"]: r["n"] for r in
               s1.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
-    # binomial 5-sigma bounds: n_a=1000 p=.8 -> sd~12.6; n_b=3000 p=.1 -> sd~16.4
+    # hash-gate spread: n_a=1000 p=.8; n_b=3000 p=.1 (binomial-like bounds)
     assert abs(counts["a"] - 800) < 65
     assert abs(counts["b"] - 300) < 85
 
