@@ -68,19 +68,28 @@ class ClickHouseJdbcSink(Sink):
     sleep_sec: float = 0.5
     properties: dict = field(default_factory=dict)
 
+    def options_dict(self) -> dict[str, str]:
+        """The full option set handed to the JDBC writer — factored out so
+        tests pin it without a driver on the classpath."""
+        return {
+            "url": self.url,
+            "dbtable": self.table,
+            "batchsize": str(self.batchsize),
+            "numPartitions": str(self.num_partitions),
+            **{k: str(v) for k, v in self.properties.items()},
+        }
+
+    def _save(self, df: DataFrame) -> None:
+        """The one line that needs a JDBC driver jar (none ships in this
+        image — tests override this seam; see tests/test_idempotent_sink.py
+        for the no-driver coverage and the integration recipe)."""
+        df.write.format("jdbc").options(**self.options_dict()).mode(
+            "append"
+        ).save()
+
     def write(self, df: DataFrame, batch_id: int | None = None) -> None:
         def _do() -> None:
-            (
-                df.repartition(self.num_partitions)
-                .write.format("jdbc")
-                .option("url", self.url)
-                .option("dbtable", self.table)
-                .option("batchsize", str(self.batchsize))
-                .option("numPartitions", str(self.num_partitions))
-                .options(**self.properties)
-                .mode("append")
-                .save()
-            )
+            self._save(df.repartition(self.num_partitions))
 
         retry(_do, attempts=self.attempts, sleep_sec=self.sleep_sec,
               what=f"jdbc write to {self.table}")

@@ -185,3 +185,53 @@ def test_cli_entrypoint(spark, tmp_path):
     assert rc == 0
     out = spark.read.parquet(root.rstrip("/") + "_out")
     assert out.count() == 1
+
+
+def test_two_day_rollover_soak(spark, tmp_path):
+    """Two clock rollovers with discovery, upload, AND cleanup running in
+    every cycle — the reference's day-rollover re-init hazard
+    (SaveNewFilesToDbFlow.java:254-272). Each day's new file must upload
+    exactly once after its date rolls past, retention cleanup must trail
+    the upload watermark (delete < last_uploaded - 1, never fresher), and
+    no file may regress status across the rollovers."""
+    root = str(tmp_path / "data")
+    reg = str(tmp_path / "registry")
+    _mk_tree(root, {
+        "2024-03-11": {"AAA_PST_2024-03-11": [VALID, VALID]},
+        "2024-03-12": {"BBB_PST_2024-03-12": [VALID]},
+    })
+    sink = MemorySink()
+
+    # day 1 (today = 03-13): backfill uploads both past days; window
+    # [03-11, 03-12] is too fresh for any deletion (cutoff 03-11)
+    s0 = run_cycle(spark, root, reg, sink, today="2024-03-13", cycle=0,
+                   do_cleanup=True)
+    assert s0["discovered"] == 2 and s0["uploaded"] == 2 and s0["failed"] == 0
+    assert s0["skipped"] is False and s0["deleted"] == 0
+
+    # rollover 1: a file lands in yesterday's dir (03-13), clock -> 03-14
+    _mk_tree(root, {"2024-03-13": {"CCC_PST_2024-03-13": [VALID, VALID, VALID]}})
+    s1 = run_cycle(spark, root, reg, sink, today="2024-03-14", cycle=1,
+                   do_cleanup=True)
+    assert s1["discovered"] == 1 and s1["uploaded"] == 1 and s1["failed"] == 0
+    # watermark moved to 03-13 -> 03-11 (< 03-12) is now deletable
+    assert s1["deleted"] == 1 and s1["dirs_removed"] == 1
+    assert not os.path.exists(os.path.join(root, "2024-03-11"))
+    assert os.path.exists(os.path.join(root, "2024-03-12"))
+
+    # rollover 2: same pattern one day later
+    _mk_tree(root, {"2024-03-14": {"DDD_PST_2024-03-14": [VALID]}})
+    s2 = run_cycle(spark, root, reg, sink, today="2024-03-15", cycle=2,
+                   do_cleanup=True)
+    assert s2["discovered"] == 1 and s2["uploaded"] == 1 and s2["failed"] == 0
+    assert s2["deleted"] == 1 and s2["dirs_removed"] == 1
+    assert not os.path.exists(os.path.join(root, "2024-03-12"))
+    assert os.path.exists(os.path.join(root, "2024-03-13"))
+    assert os.path.exists(os.path.join(root, "2024-03-14"))
+
+    # nothing regressed, nothing double-uploaded: 4 files FINISHED (the
+    # registry remembers deleted files), 7 valid rows landed exactly once
+    state = {r["filename"]: r["status"]
+             for r in RegistryLog(spark, reg).state().collect()}
+    assert set(state.values()) == {"FINISHED"} and len(state) == 4
+    assert sum(len(b[1]) for b in sink.batches) == 7
