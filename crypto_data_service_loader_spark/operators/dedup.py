@@ -164,6 +164,83 @@ def duplicated_ngram_spans(
     )
 
 
+def duplicated_ngram_spans_sampled(
+    docs: DataFrame,
+    n: int = 13,
+    rate: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100-TB fallback for `duplicated_ngram_spans`: estimate the
+    per-doc duplicated-window ratio from a deterministic sample of the
+    GRAM space instead of every window.
+
+    The sample gates on the gram's own hash (keep a window iff the first 8
+    hex digits of md5(gram) mod 1000 < rate*1000), so every occurrence of
+    a kept gram — across all documents — survives together: the
+    cross-document test is EXACT within the sampled gram stratum, and the
+    per-doc ratio is the plain sample estimate (unbiased over the gram
+    strata; `rate=1.0` reproduces the exact operator's numbers). This cuts
+    the dominant md5-per-window shuffle to `rate` of the corpus' token
+    volume. Deterministic (no RNG), hence oracle-exact.
+
+    Returns per doc: sampled window count, sampled duplicated count, and
+    the estimated duplicated fraction.
+    """
+    keep = int(max(0.0, min(1.0, float(rate))) * 1000)
+    sh = shingles(F.col(text_col), k=n)
+    grams = (
+        _spread(docs)
+        .select(F.col(id_col), F.explode(sh).alias("gram"))
+        .select(F.col(id_col), F.md5(F.col("gram")).alias("gh"))
+        # the gate runs scan-side, BEFORE the localCheckpoint and the
+        # fingerprint shuffles — dropped windows never move
+        .filter(
+            F.conv(F.substring("gh", 1, 8), 16, 10).cast("long") % 1000 < keep
+        )
+        .localCheckpoint()
+    )
+    cross_doc = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    per_doc_dup = (
+        grams.join(cross_doc, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("ndw"))
+    )
+    totals = (
+        docs.select(F.col(id_col))
+        .join(
+            grams.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("int").alias("n_windows_sampled")
+            ),
+            [id_col],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_windows_sampled"), F.lit(0))
+            .cast("int")
+            .alias("n_windows_sampled"),
+        )
+    )
+    dupw = F.coalesce(F.col("ndw"), F.lit(0)).cast("int")
+    return totals.join(per_doc_dup, [id_col], "left").select(
+        id_col,
+        "n_windows_sampled",
+        dupw.alias("n_dup_windows_sampled"),
+        F.when(
+            F.col("n_windows_sampled") > 0,
+            dupw.cast("double") / F.col("n_windows_sampled"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_window_ratio_est"),
+    )
+
+
 #: Mersenne prime 2^31-1: permutation arithmetic stays inside int64
 #: (a*h < 2^62) in both Spark and the DuckDB oracle — no 128-bit needed.
 _MH_P = (1 << 31) - 1

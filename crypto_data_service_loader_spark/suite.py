@@ -2816,6 +2816,18 @@ def q_dedup_ngram_spans(spark, sf_dir):
     return dedup.duplicated_ngram_spans(load(spark, sf_dir, "documents"), n=13)
 
 
+def q_dedup_ngram_spans_sampled(spark, sf_dir):
+    """The 100-TB fallback for dedup_ngram_spans as code, not a docstring:
+    gram-hash-gated 25% sample of the window space. Gating on the gram's
+    own hash keeps all occurrences of a kept gram together, so the
+    cross-document test stays exact within the sample and the md5-window
+    shuffle shrinks to `rate` of the token volume. Deterministic ->
+    oracle-exact."""
+    return dedup.duplicated_ngram_spans_sampled(
+        load(spark, sf_dir, "documents"), n=13, rate=0.25
+    )
+
+
 def q_docs_prep_pipeline(spark, sf_dir):
     """End-to-end pretraining data prep as ONE composed plan: Gopher
     quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
@@ -2940,6 +2952,30 @@ _LLM_ORACLES = {
                CASE WHEN n_windows > 0
                     THEN CAST(coalesce(ndw, 0) AS DOUBLE) / n_windows
                     ELSE 0.0 END AS dup_window_ratio
+        FROM tot LEFT JOIN perdoc USING (doc_id)""",
+    "dedup_ngram_spans_sampled": f"""
+        WITH t AS (SELECT doc_id, {_SHINGLES13} AS sh FROM documents),
+        g0 AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+        g1 AS (SELECT doc_id, md5(gram) AS gh FROM g0),
+        g AS (SELECT doc_id, gh FROM g1
+              WHERE CAST(('0x' || substr(gh, 1, 8)) AS BIGINT) % 1000 < 250),
+        crossdoc AS (
+            SELECT gh FROM g GROUP BY gh
+            HAVING count(DISTINCT doc_id) > 1),
+        perdoc AS (
+            SELECT doc_id, count(*) AS ndw
+            FROM g JOIN crossdoc USING (gh) GROUP BY doc_id),
+        tot AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(s.nw, 0) AS INTEGER) AS n_windows_sampled
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, count(*) AS nw FROM g GROUP BY doc_id)
+                s USING (doc_id))
+        SELECT tot.doc_id, n_windows_sampled,
+               CAST(coalesce(ndw, 0) AS INTEGER) AS n_dup_windows_sampled,
+               CASE WHEN n_windows_sampled > 0
+                    THEN CAST(coalesce(ndw, 0) AS DOUBLE) / n_windows_sampled
+                    ELSE 0.0 END AS dup_window_ratio_est
         FROM tot LEFT JOIN perdoc USING (doc_id)""",
     "dedup_incremental": f"""
         WITH fresh AS (
@@ -3542,6 +3578,7 @@ QUERIES = {
     "knn_graph_lsh": q_knn_graph_lsh,
     "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_spans": q_dedup_ngram_spans,
+    "dedup_ngram_spans_sampled": q_dedup_ngram_spans_sampled,
     "setop_except_all": q_setop_except_all,
     "join_full_outer": q_join_full_outer,
     "events_funnel": q_events_funnel,

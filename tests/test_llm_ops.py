@@ -748,6 +748,38 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
 
 
+def test_ngram_spans_sampled_approximates_exact(spark, sf_dir):
+    """rate=1.0 reproduces the exact operator's numbers column-for-column;
+    rate=0.25 keeps roughly a quarter of the windows and its corpus-level
+    duplicated fraction lands near the exact one (the gram-hash gate keeps
+    all occurrences of a kept gram together, so cross-doc detection is
+    exact within the sample)."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    exact = {r["doc_id"]: r for r in
+             dedup.duplicated_ngram_spans(docs, n=13).collect()}
+    full = {r["doc_id"]: r for r in
+            dedup.duplicated_ngram_spans_sampled(docs, n=13, rate=1.0).collect()}
+    assert set(full) == set(exact)
+    for did, r in full.items():
+        assert r["n_windows_sampled"] == exact[did]["n_windows"]
+        assert r["n_dup_windows_sampled"] == exact[did]["n_dup_windows"]
+
+    sampled = dedup.duplicated_ngram_spans_sampled(docs, n=13, rate=0.25)
+    agg = sampled.agg(
+        F.sum("n_windows_sampled").alias("w"),
+        F.sum("n_dup_windows_sampled").alias("d"),
+    ).first()
+    tot_w = sum(r["n_windows"] for r in exact.values())
+    tot_d = sum(r["n_dup_windows"] for r in exact.values())
+    # ~25% of window volume kept (hash spread, not Bernoulli variance)
+    assert 0.15 * tot_w < agg["w"] < 0.35 * tot_w
+    est = agg["d"] / agg["w"]
+    true = tot_d / tot_w
+    assert abs(est - true) < max(0.05, 0.5 * true)
+
+
 def test_pagerank_empty_node_set_returns_empty(spark):
     """No nodes -> empty (id, pagerank) frame, not ZeroDivisionError."""
     from crypto_data_service_loader_spark.operators import graph
