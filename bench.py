@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_incremental",
     "corpus_report",
     "dedup_ngram_spans",
+    "dedup_ngram_spans_sampled",
     "events_funnel",
     "vwap_bars",
     "win_ewma",
