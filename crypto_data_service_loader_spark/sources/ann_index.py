@@ -1,0 +1,188 @@
+"""Persisted ANN indexes — the precompute-once / query-many path for the
+similarity operators.
+
+The inline operators (`similarity.cosine_topk_lsh`, `similarity.ivf_topk`)
+recompute bucket / centroid assignment per query — right for one-shot
+batch jobs, wasteful for a query service. The production shape at 100 TB
+is an on-disk index: write the corpus PARTITIONED BY its sign-LSH bucket
+(or IVF centroid), then every query is partition pruning — Spark's
+FileIndex lists only the probed partition directories, so query cost is
+per-bucket, not per-corpus (plan-tested: the scan shows a
+``PartitionFilters`` entry and touches only the probed directories).
+
+Determinism contract: the hyperplanes are the same md5-derived planes the
+inline operator uses and the IVF centroids are the deterministic seed /
+Lloyd pipeline, so an index query returns EXACTLY what the inline
+operator returns on the same corpus (equality-tested). Index metadata
+(planes, dim, centroids) rides in an ``_ann_meta.json`` sidecar inside
+the index directory — underscore-prefixed, so Spark's file listing
+ignores it.
+
+Refresh strategy at scale: LSH buckets are append-friendly (a new crawl's
+vectors append into their bucket partitions — dynamic partition
+overwrite per epoch composes with sinks/idempotent.py); IVF requires the
+quantizer to stay frozen once written (append assigns new vectors with
+the SAVED centroids, never re-trains, or old partitions go stale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import (
+    _assign_to_centroids,
+    _hyperplane,
+    _resolve_planes,
+    cosine_topk,
+    ivf_assign,
+    lsh_bucket_ids,
+)
+
+_META = "_ann_meta.json"
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
+    head = embeddings.select(vec_col).head(1)
+    if not head:
+        raise ValueError("cannot index an empty embedding table")
+    return len(head[0][0])
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, _META), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_vectors_hint: int | None = None,
+) -> int:
+    """Write the corpus partitioned by sign-LSH bucket; returns the plane
+    count used (auto-derived from corpus size unless pinned).
+
+    One scan, no shuffle: the bucket is computed scan-side and
+    ``partitionBy`` routes rows to their directory. Bucket count = 2^planes
+    directories — the auto dial targets ~256 vectors/bucket, so directory
+    count tracks corpus size the way partition sizing wants.
+    """
+    dim = _dim_of(embeddings, vec_col)
+    n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
+    (
+        lsh_bucket_ids(embeddings, dim, n_planes, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    _write_meta(path, {"kind": "lsh", "n_planes": n_planes, "dim": dim,
+                       "vec_col": vec_col, "id_col": id_col})
+    return n_planes
+
+
+def lsh_index_topk(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k against a persisted LSH index: the query's bucket is
+    computed driver-side from the saved planes, and the scan filter
+    `bucket == q` becomes a partition filter — only that directory is
+    read. Result equals `similarity.cosine_topk_lsh` on the same corpus
+    with the saved plane count (equality-tested)."""
+    meta = _read_meta(path)
+    qbucket = 0
+    for p in range(meta["n_planes"]):
+        plane = _hyperplane(meta["dim"], p)
+        if sum(float(a) * b for a, b in zip(query, plane)) >= 0:
+            qbucket += 2**p
+    scan = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
+    return cosine_topk(
+        scan.drop("bucket"), query, k, meta["vec_col"], meta["id_col"]
+    )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    k_centroids: int = 16,
+    train_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Write the corpus partitioned by IVF centroid; returns the trained
+    centroids (also saved in the sidecar for the query side).
+
+    The quantizer is frozen at write time: `append_to_ivf_index` assigns
+    new vectors with the SAVED centroids so old partitions never go stale.
+    """
+    assigned, centroids = ivf_assign(
+        embeddings, k_centroids, vec_col, id_col, train_iters
+    )
+    (
+        assigned.select(id_col, vec_col, "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    _write_meta(path, {"kind": "ivf", "dim": _dim_of(embeddings, vec_col),
+                       "vec_col": vec_col, "id_col": id_col,
+                       "centroids": [[cid, list(vec)] for cid, vec in centroids]})
+    return centroids
+
+
+def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
+    """Assign a new batch with the index's FROZEN centroids and append into
+    the matching partitions — the incremental-crawl refresh path."""
+    meta = _read_meta(path)
+    centroids = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in meta["centroids"]]
+    assigned = _assign_to_centroids(
+        new_vectors, centroids, meta["vec_col"], meta["id_col"]
+    )
+    (
+        assigned.select(meta["id_col"], meta["vec_col"], "centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: probe centroids are ranked
+    driver-side from the sidecar (k×dim floats), and `centroid_id IN
+    (probes)` prunes to `nprobe` partition directories. Result equals
+    `similarity.ivf_topk` with the same quantizer (equality-tested)."""
+    meta = _read_meta(path)
+    centroids = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in meta["centroids"]]
+
+    def d2(a, b):
+        return sum((float(x) - float(y)) * (float(x) - float(y))
+                   for x, y in zip(a, b))
+
+    probe = sorted(centroids, key=lambda c: d2(c[1], query))
+    probe_ids = [c[0] for c in probe[:nprobe]]
+    scan = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return cosine_topk(
+        scan.drop("centroid_id"), query, k, meta["vec_col"], meta["id_col"]
+    )

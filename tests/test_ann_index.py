@@ -1,0 +1,118 @@
+"""Persisted ANN indexes: index queries must (a) return exactly what the
+inline operators return, and (b) provably prune to the probed partition
+directories — the 100-TB query path made concrete."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.operators import similarity
+from crypto_data_service_loader_spark.plans.explain import physical_plan
+from crypto_data_service_loader_spark.sources import ann_index
+from crypto_data_service_loader_spark.tables import load
+
+
+def _query_vec(emb):
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_lsh_index_topk_matches_inline_operator(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "lsh_idx")
+    planes = ann_index.write_lsh_index(emb, path, n_planes=4)
+    assert planes == 4
+    got = ann_index.lsh_index_topk(spark, path, q, k=10).collect()
+    want = similarity.cosine_topk_lsh(emb, q, k=10, n_planes=4).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+    assert len(got) > 0
+
+
+def test_lsh_index_query_prunes_partitions(spark, sf_dir, tmp_path):
+    """The bucket filter must reach the FileIndex as a PartitionFilter —
+    only the probed bucket's directory is scanned."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "lsh_idx")
+    ann_index.write_lsh_index(emb, path, n_planes=4)
+    plan = physical_plan(ann_index.lsh_index_topk(spark, path, q, k=5))
+    assert "PartitionFilters" in plan
+    # the equality predicate on the partition column is in the filter list
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in pf and "=" in pf
+
+
+def test_lsh_index_auto_planes_default(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "lsh_auto")
+    planes = ann_index.write_lsh_index(emb, path, n_vectors_hint=n)
+    assert planes == similarity.auto_planes(n)
+
+
+def test_ivf_index_topk_matches_inline_operator(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "ivf_idx")
+    ann_index.write_ivf_index(emb, path, k_centroids=8, train_iters=1)
+    got = ann_index.ivf_index_topk(spark, path, q, k=10, nprobe=3).collect()
+    want = similarity.ivf_topk(
+        emb, q, k=10, k_centroids=8, nprobe=3, train_iters=1
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+    assert len(got) > 0
+
+
+def test_ivf_index_query_prunes_partitions(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "ivf_idx")
+    ann_index.write_ivf_index(emb, path, k_centroids=8)
+    plan = physical_plan(ann_index.ivf_index_topk(spark, path, q, nprobe=2))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf
+
+
+def test_ivf_append_uses_frozen_centroids_and_probe_all_is_exact(
+    spark, sf_dir, tmp_path
+):
+    """Appending a new crawl must assign with the SAVED quantizer (no
+    retrain — old partitions would go stale), and probing every partition
+    of the refreshed index is exact brute-force search over the full
+    corpus."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    q = _query_vec(emb)
+    path = str(tmp_path / "ivf_idx")
+    centroids = ann_index.write_ivf_index(first, path, k_centroids=4)
+    ann_index.append_to_ivf_index(second, path)
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    # appended rows sit in the partition the frozen quantizer dictates
+    expect = similarity._assign_to_centroids(
+        second, centroids, "embedding", "vec_id"
+    )
+    mismatch = (
+        idx.select("vec_id", "centroid_id")
+        .join(
+            expect.select("vec_id", F.col("centroid_id").alias("want")),
+            "vec_id",
+        )
+        .filter(F.col("centroid_id") != F.col("want"))
+        .count()
+    )
+    assert mismatch == 0
+    # probe-all == exact search over the whole (original + appended) corpus
+    got = ann_index.ivf_index_topk(spark, path, q, k=10, nprobe=4).collect()
+    want = similarity.cosine_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
