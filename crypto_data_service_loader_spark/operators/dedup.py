@@ -241,6 +241,64 @@ def duplicated_ngram_spans_sampled(
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_doc_freq: int = 2,
+    delimiter: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal (public recipe: CCNet / RefinedWeb
+    line dedup): a line occurring in more than `max_doc_freq` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, legal footers) and
+    is dropped from EVERY document, which is then rebuilt in original line
+    order. Returns (id, text_clean, n_lines, n_removed) — documents whose
+    every line was boilerplate come back with empty text (downstream
+    min-length gates drop them).
+
+    Scale shape: lines shrink to md5 before the only wide shuffle (the
+    distinct-doc frequency agg, map-side partials); the anti-join against
+    the boilerplate set broadcasts at any realistic threshold (boilerplate
+    lines are by definition few and heavy); the rebuild is one per-doc
+    aggregation carrying each line exactly once.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > max_doc_freq)
+        .select("lh")
+    )
+    kept = lines.join(boiler, ["lh"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("int").alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("int").alias("n_removed"),
+        )
+    )
+
+
 #: Mersenne prime 2^31-1: permutation arithmetic stays inside int64
 #: (a*h < 2^62) in both Spark and the DuckDB oracle — no 128-bit needed.
 _MH_P = (1 << 31) - 1

@@ -2828,6 +2828,17 @@ def q_dedup_ngram_spans_sampled(spark, sf_dir):
     )
 
 
+def q_dedup_boilerplate_lines(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/RefinedWeb recipe): lines in
+    more than 2 distinct documents are dropped everywhere and documents
+    are rebuilt in line order — on the single-line fixture corpus this
+    empties exact-duplicate cliques of size > 2, leaving unique and
+    lightly-duplicated docs intact."""
+    return dedup.remove_boilerplate_lines(
+        load(spark, sf_dir, "documents"), max_doc_freq=2
+    )
+
+
 def q_docs_prep_pipeline(spark, sf_dir):
     """End-to-end pretraining data prep as ONE composed plan: Gopher
     quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
@@ -2953,6 +2964,34 @@ _LLM_ORACLES = {
                     THEN CAST(coalesce(ndw, 0) AS DOUBLE) / n_windows
                     ELSE 0.0 END AS dup_window_ratio
         FROM tot LEFT JOIN perdoc USING (doc_id)""",
+    # Line-level boilerplate removal; chr(10) split mirrors Spark's
+    # split(text, '\\n'), string_agg(... ORDER BY pos) mirrors the
+    # array_sort(collect_list(struct(pos, line))) rebuild.
+    "dedup_boilerplate_lines": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        l AS (
+            SELECT doc_id, i AS pos, ls[i] AS ln
+            FROM t, unnest(range(1, len(ls) + 1)) AS u(i)),
+        boiler AS (
+            SELECT md5(ln) AS lh FROM l GROUP BY 1
+            HAVING count(DISTINCT doc_id) > 2),
+        kept AS (
+            SELECT doc_id, pos, ln FROM l
+            WHERE md5(ln) NOT IN (SELECT lh FROM boiler)),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+                   CAST(count(*) AS INTEGER) AS n_kept
+            FROM kept GROUP BY doc_id),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines
+            FROM l GROUP BY doc_id)
+        SELECT tot.doc_id,
+               coalesce(text_clean, '') AS text_clean,
+               n_lines,
+               CAST(n_lines - coalesce(n_kept, 0) AS INTEGER) AS n_removed
+        FROM tot LEFT JOIN rebuilt USING (doc_id)""",
     "dedup_ngram_spans_sampled": f"""
         WITH t AS (SELECT doc_id, {_SHINGLES13} AS sh FROM documents),
         g0 AS (SELECT doc_id, unnest(sh) AS gram FROM t),
@@ -3579,6 +3618,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_spans": q_dedup_ngram_spans,
     "dedup_ngram_spans_sampled": q_dedup_ngram_spans_sampled,
+    "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
     "setop_except_all": q_setop_except_all,
     "join_full_outer": q_join_full_outer,
     "events_funnel": q_events_funnel,

@@ -748,6 +748,34 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
 
 
+def test_remove_boilerplate_lines_planted(spark):
+    """Shared header/footer lines (in > max_doc_freq docs) vanish from
+    every doc; body lines survive in original order; a doc that was all
+    boilerplate comes back empty; within-doc repetition alone does not
+    make a line boilerplate."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    hdr, ftr = "SITE NAV HOME ABOUT", "(c) 2024 example inc"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{hdr}\nalpha body one\nbeta body two\n{ftr}"),
+            (1, f"{hdr}\ngamma body\n{ftr}"),
+            (2, f"{hdr}\ndelta body\n{ftr}"),
+            (3, f"{hdr}\n{ftr}"),                      # all boilerplate
+            (4, "solo\nsolo\nsolo"),                   # within-doc repeat only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.remove_boilerplate_lines(docs, max_doc_freq=2).collect()}
+    assert out[0]["text_clean"] == "alpha body one\nbeta body two"
+    assert out[0]["n_lines"] == 4 and out[0]["n_removed"] == 2
+    assert out[1]["text_clean"] == "gamma body"
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["text_clean"] == "solo\nsolo\nsolo"  # freq is per-DOC
+    assert out[4]["n_removed"] == 0
+
+
 def test_ngram_spans_sampled_approximates_exact(spark, sf_dir):
     """rate=1.0 reproduces the exact operator's numbers column-for-column;
     rate=0.25 keeps roughly a quarter of the windows and its corpus-level
