@@ -242,3 +242,58 @@ def pack_sequences(
         bin_id.alias("bin_id"),
         (cum_before % F.lit(budget)).alias("bin_offset"),
     )
+
+
+def select_top_quality_percent(
+    scored: DataFrame,
+    frac: float = 0.5,
+    score_col: str = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quality percentile gate: keep the best `frac` of every
+    group by EXACT percent_rank (score desc, id asc tie-break — fully
+    deterministic, no quantile sketch).
+
+    The standard "keep the top X% per domain" selection step — an
+    absolute score threshold drifts as the corpus mix shifts, a per-group
+    percentile doesn't. One window shuffle on the group key (the same
+    exchange a per-group sort would pay); at 100 TB groups are domains,
+    so the partition key is well-spread and AQE splits stragglers.
+    Emits `pct_rank` (rounded, deterministic) alongside the input columns.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pct_rank") <= frac)
+    )
+
+
+def token_budget_fill(
+    docs: DataFrame,
+    budget: int,
+    tokens_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a per-group token budget in deterministic priority order
+    (id asc): a document is kept iff the running total BEFORE it is still
+    under `budget` — the "fill until full" selection a fixed-size training
+    mix needs (the last kept document may overflow the budget once, the
+    standard semantics; pre-sort by a quality rank upstream to make
+    priority mean quality).
+
+    One window cumsum per group (same exchange as the packer); emits
+    `cum_before` so downstream can audit the fill level.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return docs.withColumn("cum_before", cum_before).filter(
+        F.col("cum_before") < budget
+    )

@@ -2839,6 +2839,29 @@ def q_dedup_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_quality_percentile_gate(spark, sf_dir):
+    """Per-source top-50% quality selection via exact percent_rank — the
+    drift-free version of an absolute score threshold. Composes the
+    quality scorer with the training-side gate."""
+    docs = load(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return training.select_top_quality_percent(scored, frac=0.5).select(
+        "doc_id", "source", "quality", "pct_rank"
+    )
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Per-source 'fill until full' token-budget selection: window cumsum
+    in deterministic id order, keep while the running total before the doc
+    is under budget."""
+    return training.token_budget_fill(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        budget=5_000,
+    )
+
+
 def q_docs_prep_pipeline(spark, sf_dir):
     """End-to-end pretraining data prep as ONE composed plan: Gopher
     quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
@@ -3390,6 +3413,41 @@ _LLM_ORACLES = {
                      + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
                      + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
         FROM s""",
+    # Same quality formula as text_quality, gated by exact per-source
+    # percent_rank (score desc, doc_id asc) <= 0.5.
+    "quality_percentile_gate": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS}) AS stopword_ratio
+            FROM documents),
+        q AS (
+            SELECT doc_id,
+                   round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                         + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
+                         + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+            FROM s),
+        r AS (
+            SELECT q.doc_id, d.source, q.quality,
+                   round(percent_rank() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.quality DESC, q.doc_id ASC), 6) AS pct_rank
+            FROM q JOIN documents d USING (doc_id))
+        SELECT doc_id, source, quality, pct_rank
+        FROM r WHERE pct_rank <= 0.5""",
+    "corpus_token_budget": """
+        SELECT doc_id, source, n_chars, cum_before
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(coalesce(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM documents)
+        WHERE cum_before < 5000""",
     "text_gopher_quality": f"""
         WITH m AS (
             SELECT doc_id,
@@ -3619,6 +3677,8 @@ QUERIES = {
     "dedup_ngram_spans": q_dedup_ngram_spans,
     "dedup_ngram_spans_sampled": q_dedup_ngram_spans_sampled,
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+    "quality_percentile_gate": q_quality_percentile_gate,
+    "corpus_token_budget": q_corpus_token_budget,
     "setop_except_all": q_setop_except_all,
     "join_full_outer": q_join_full_outer,
     "events_funnel": q_events_funnel,

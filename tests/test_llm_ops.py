@@ -748,6 +748,42 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
 
 
+def test_select_top_quality_percent_semantics(spark):
+    """Exactly the best half of each group survives (percent_rank is a
+    closed [0,1] rank: the <= frac cut keeps ceil-ish top share), the cut
+    is per-group not global, and ties break deterministically on id."""
+    from crypto_data_service_loader_spark.operators import training
+
+    rows = [(i, "a", float(i)) for i in range(10)]          # quality 0..9
+    rows += [(100 + i, "b", 5.0) for i in range(4)]         # all tied
+    scored = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = training.select_top_quality_percent(scored, frac=0.5).collect()
+    got_a = sorted(r["doc_id"] for r in out if r["source"] == "a")
+    # group a: pct_rank = (rank-1)/9 -> scores 9..5 at 0, 1/9..4/9 <= 0.5
+    assert got_a == [5, 6, 7, 8, 9]
+    got_b = sorted(r["doc_id"] for r in out if r["source"] == "b")
+    # group b all tied: ranks 0, 1/3, 2/3, 1 -> ids 100,101 survive (<= .5)
+    assert got_b == [100, 101]
+
+
+def test_token_budget_fill_semantics(spark):
+    """Docs fill in id order until the pre-doc running total hits the
+    budget; the overflowing doc is kept once (fill-until-full), later
+    docs are cut; groups fill independently."""
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(1, "a", 40), (2, "a", 50), (3, "a", 30), (4, "a", 10),
+         (5, "b", 200), (6, "b", 1)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r["cum_before"] for r in
+           training.token_budget_fill(docs, budget=100).collect()}
+    # a: 1 (0) + 2 (40) + 3 (90 < 100, overflows once) kept; 4 (120) cut
+    # b: 5 (0) kept; 6 (200 >= 100) cut
+    assert out == {1: 0, 2: 40, 3: 90, 5: 0}
+
+
 def test_remove_boilerplate_lines_planted(spark):
     """Shared header/footer lines (in > max_doc_freq docs) vanish from
     every doc; body lines survive in original order; a doc that was all
