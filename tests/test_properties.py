@@ -253,3 +253,53 @@ def test_funnel_stage_monotone_in_events(spark, extra):
     s0 = rel.funnel(mk(base)).collect()[0]["funnel_stage"]
     s1 = rel.funnel(mk(base + added)).collect()[0]["funnel_stage"]
     assert s1 >= s0
+
+
+@SLOW
+@given(freq=st.integers(1, 3))
+def test_boilerplate_removal_is_idempotent(spark, freq):
+    """Removing boilerplate from an already-cleaned corpus removes nothing:
+    surviving lines keep ALL their occurrences in pass 1 (their corpus
+    frequency was already <= max_doc_freq), so pass 2 sees the same
+    frequencies and drops zero lines."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    hdr = "shared header line"
+    docs = spark.createDataFrame(
+        [(i, f"{hdr}\nbody {i} alpha\nbody {i} beta") for i in range(5)]
+        + [(10, "unique one\nunique two")],
+        "doc_id long, text string",
+    )
+    once = dedup.remove_boilerplate_lines(docs, max_doc_freq=freq)
+    again = dedup.remove_boilerplate_lines(
+        once.select("doc_id", F.col("text_clean").alias("text")),
+        max_doc_freq=freq,
+    )
+    pass1 = {r["doc_id"]: r["text_clean"] for r in once.collect()}
+    pass2 = {r["doc_id"]: r["text_clean"] for r in again.collect()}
+    assert pass1 == pass2
+    removed_again = sum(r["n_removed"] for r in again.collect())
+    assert removed_again == 0
+
+
+@SLOW
+@given(budget=st.integers(1, 400))
+def test_token_budget_fill_keeps_a_per_group_prefix(spark, budget):
+    """The kept set is always an id-ordered PREFIX of each group (never a
+    gap), and every kept doc's pre-total is under budget."""
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(i, "ab"[i % 2], 10 + (i * 37) % 90) for i in range(20)],
+        "doc_id long, source string, n_chars long",
+    )
+    kept = training.token_budget_fill(docs, budget=budget).collect()
+    assert all(r["cum_before"] < budget for r in kept)
+    by_group: dict = {}
+    for r in kept:
+        by_group.setdefault(r["source"], []).append(r["doc_id"])
+    all_ids = {g: sorted(r["doc_id"] for r in docs.collect()
+                         if r["source"] == g) for g in ("a", "b")}
+    for g, ids in by_group.items():
+        ids = sorted(ids)
+        assert ids == all_ids[g][: len(ids)]  # an exact prefix
