@@ -70,6 +70,8 @@ HEADLINE = [
     "corpus_report",
     "dedup_ngram_spans",
     "dedup_ngram_spans_sampled",
+    "dedup_boilerplate_lines",
+    "quality_percentile_gate",
     "events_funnel",
     "vwap_bars",
     "win_ewma",

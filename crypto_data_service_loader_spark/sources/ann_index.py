@@ -90,6 +90,21 @@ def write_lsh_index(
     return n_planes
 
 
+def append_to_lsh_index(new_vectors: DataFrame, path: str) -> None:
+    """Bucket a new crawl's vectors with the index's SAVED planes and
+    append into the matching partitions — LSH is append-friendly (the
+    plane set is frozen metadata, so old partitions never go stale)."""
+    meta = _read_meta(path)
+    (
+        lsh_bucket_ids(
+            new_vectors, meta["dim"], meta["n_planes"], meta["vec_col"]
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def lsh_index_topk(
     spark: SparkSession,
     path: str,

@@ -53,6 +53,24 @@ def test_lsh_index_auto_planes_default(spark, sf_dir, tmp_path):
     assert planes == similarity.auto_planes(n)
 
 
+def test_lsh_append_uses_frozen_planes(spark, sf_dir, tmp_path):
+    """Appending buckets with the SAVED planes: a query over the refreshed
+    index equals the inline operator over the full corpus at the same
+    plane count."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = _query_vec(emb)
+    path = str(tmp_path / "lsh_idx")
+    ann_index.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path,
+                              n_planes=3)
+    ann_index.append_to_lsh_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    assert spark.read.parquet(path).count() == emb.count()
+    got = ann_index.lsh_index_topk(spark, path, q, k=10).collect()
+    want = similarity.cosine_topk_lsh(emb, q, k=10, n_planes=3).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+
+
 def test_ivf_index_topk_matches_inline_operator(spark, sf_dir, tmp_path):
     emb = load(spark, sf_dir, "embeddings")
     q = _query_vec(emb)
