@@ -64,6 +64,7 @@ HEADLINE = [
     "pack_sequences",
     "corpus_mix",
     "training_set_pipeline",
+    "corpus_curation_pipeline",
     "semantic_dedup",
     "knn_graph_lsh",
     "dedup_incremental",

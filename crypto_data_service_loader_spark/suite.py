@@ -1563,6 +1563,10 @@ _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+#: same tokenizer over the boilerplate-cleaned text column (the curation
+#: pipeline's downstream stages all run on text_clean)
+_TOKS_CLEAN = _TOKS.replace("trim(text)", "trim(text_clean)")
+
 _SHINGLES = (
     "CASE WHEN len({t}) < 3 THEN [] "
     "ELSE list_transform(range(1, len({t}) - 1), "
@@ -2699,6 +2703,48 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """The curation-side flagship, composing this round's operators as ONE
+    declarative plan: line-level boilerplate removal (in-order rebuild) ->
+    drop emptied docs -> per-source top-50% quality gate (exact
+    percent_rank over the CLEANED text) -> exact dedup on cleaned content
+    (keep lowest doc_id) -> per-source token-budget fill. Every stage is
+    an independently-oracled operator; this verifies the composition.
+    Scale shape: one line-hash agg + broadcast anti-join, two per-source
+    window exchanges (rank + cumsum), one fingerprint groupBy, two
+    semi-joins on doc_id — no collect, no crossJoin, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = dedup.remove_boilerplate_lines(docs, max_doc_freq=2)
+    alive = (
+        cleaned.filter(F.col("text_clean") != "")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "text_clean",
+            F.length("text_clean").alias("n_chars_clean"),
+        )
+    )
+    scored = text.quality_score(
+        alive.select("doc_id", F.col("text_clean").alias("text"))
+    )
+    gated = training.select_top_quality_percent(
+        scored.join(alive, "doc_id"), frac=0.5
+    )
+    keep = (
+        dedup.exact_dedup(
+            gated.select("doc_id", F.col("text_clean").alias("text"))
+        )
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    survivors = gated.join(keep, "doc_id", "left_semi")
+    return training.token_budget_fill(
+        survivors.select("doc_id", "source", "n_chars_clean"),
+        budget=5_000,
+        tokens_col="n_chars_clean",
+    ).select("doc_id", "source", "n_chars_clean", "cum_before")
+
+
 def q_training_set_pipeline(spark, sf_dir):
     """The LLM-side flagship: full training-set assembly as ONE declarative
     plan — Gopher quality gate -> exact dedup (keep lowest doc_id) ->
@@ -2987,6 +3033,69 @@ _LLM_ORACLES = {
                     THEN CAST(coalesce(ndw, 0) AS DOUBLE) / n_windows
                     ELSE 0.0 END AS dup_window_ratio
         FROM tot LEFT JOIN perdoc USING (doc_id)""",
+    # The curation flagship: every stage's CTE is lifted verbatim from its
+    # standalone oracle (boilerplate lines -> quality formula over
+    # text_clean -> percent_rank gate -> min-id dedup -> budget cumsum).
+    "corpus_curation_pipeline": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        l AS (
+            SELECT doc_id, i AS pos, ls[i] AS ln
+            FROM t, unnest(range(1, len(ls) + 1)) AS u(i)),
+        boiler AS (
+            SELECT md5(ln) AS lh FROM l GROUP BY 1
+            HAVING count(DISTINCT doc_id) > 2),
+        kept_l AS (
+            SELECT doc_id, pos, ln FROM l
+            WHERE md5(ln) NOT IN (SELECT lh FROM boiler)),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+            FROM kept_l GROUP BY doc_id),
+        alive AS (
+            SELECT r.doc_id, d.source, r.text_clean,
+                   CAST(length(r.text_clean) AS INTEGER) AS n_chars_clean
+            FROM rebuilt r JOIN documents d USING (doc_id)
+            WHERE r.text_clean <> ''),
+        s AS (
+            SELECT doc_id,
+                   len({_TOKS_CLEAN}) AS n_tokens,
+                   len(list_distinct({_TOKS_CLEAN})) AS n_distinct_tokens,
+                   CAST(len(list_filter({_TOKS_CLEAN},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS_CLEAN}) AS stopword_ratio
+            FROM alive),
+        q AS (
+            SELECT doc_id,
+                   round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                         + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
+                         + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+            FROM s),
+        r AS (
+            SELECT a.doc_id, a.source, a.text_clean, a.n_chars_clean,
+                   round(percent_rank() OVER (
+                       PARTITION BY a.source
+                       ORDER BY q.quality DESC, q.doc_id ASC), 6) AS pr
+            FROM q JOIN alive a USING (doc_id)),
+        g AS (SELECT * FROM r WHERE pr <= 0.5),
+        grp AS (
+            SELECT MIN(doc_id) AS keep_id
+            FROM (SELECT doc_id,
+                         md5(array_to_string({_TOKS_CLEAN}, ' ')) AS fp
+                  FROM g)
+            GROUP BY fp),
+        surv AS (
+            SELECT doc_id, source, n_chars_clean FROM g
+            WHERE doc_id IN (SELECT keep_id FROM grp))
+        SELECT doc_id, source, n_chars_clean, cum_before
+        FROM (
+            SELECT doc_id, source, n_chars_clean,
+                   CAST(coalesce(SUM(n_chars_clean) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM surv)
+        WHERE cum_before < 5000""",
     # Line-level boilerplate removal; chr(10) split mirrors Spark's
     # split(text, '\\n'), string_agg(... ORDER BY pos) mirrors the
     # array_sort(collect_list(struct(pos, line))) rebuild.
@@ -3679,6 +3788,7 @@ QUERIES = {
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
     "quality_percentile_gate": q_quality_percentile_gate,
     "corpus_token_budget": q_corpus_token_budget,
+    "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "setop_except_all": q_setop_except_all,
     "join_full_outer": q_join_full_outer,
     "events_funnel": q_events_funnel,

@@ -784,6 +784,30 @@ def test_token_budget_fill_semantics(spark):
     assert out == {1: 0, 2: 40, 3: 90, 5: 0}
 
 
+def test_corpus_curation_pipeline_invariants(spark, sf_dir):
+    """Composition invariants of the curation flagship: output ids unique
+    (dedup held), per-source budget respected, and cum_before is exactly
+    the running sum of the prior kept docs per source (the kept set is an
+    id-ordered prefix of the survivors)."""
+    from crypto_data_service_loader_spark.suite import (
+        q_corpus_curation_pipeline,
+    )
+
+    rows = q_corpus_curation_pipeline(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    by_src: dict = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        run = 0
+        for r in rs:
+            assert r["cum_before"] == run
+            assert r["cum_before"] < 5000
+            run += r["n_chars_clean"]
+
+
 def test_remove_boilerplate_lines_planted(spark):
     """Shared header/footer lines (in > max_doc_freq docs) vanish from
     every doc; body lines survive in original order; a doc that was all
