@@ -262,10 +262,20 @@ def remove_boilerplate_lines(
     lines are by definition few and heavy); the rebuild is one per-doc
     aggregation carrying each line exactly once.
     """
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
-    ).withColumn("lh", F.md5(F.col("line")))
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("lh", F.md5(F.col("line")))
+        # materialize once: the exploded lines feed three consumers (the
+        # frequency agg, the anti-join probe, the per-doc totals) and the
+        # document scan + explode would otherwise run per reference —
+        # same localCheckpoint discipline as duplicated_ngram_spans
+        .localCheckpoint()
+    )
     boiler = (
         lines.groupBy("lh")
         .agg(F.countDistinct(id_col).alias("nd"))

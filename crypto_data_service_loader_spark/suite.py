@@ -2715,6 +2715,9 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     semi-joins on doc_id — no collect, no crossJoin, no Python."""
     docs = load(spark, sf_dir, "documents")
     cleaned = dedup.remove_boilerplate_lines(docs, max_doc_freq=2)
+    # materialize the cleaned corpus once: quality features, the rank
+    # join, and the dedup fingerprints all re-read it, and each reference
+    # would otherwise re-run the whole line-explode + string_agg rebuild
     alive = (
         cleaned.filter(F.col("text_clean") != "")
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -2724,6 +2727,7 @@ def q_corpus_curation_pipeline(spark, sf_dir):
             "text_clean",
             F.length("text_clean").alias("n_chars_clean"),
         )
+        .localCheckpoint()
     )
     scored = text.quality_score(
         alive.select("doc_id", F.col("text_clean").alias("text"))
