@@ -50,5 +50,17 @@ def uses_sortmerge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in formatted_plan(df)
 
 
-def whole_stage_codegen_spans(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+def whole_stage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
+    """Number of distinct WholeStageCodegen spans (the `*(n)` markers).
+
+    Under AQE no codegen markers exist before execution (the adaptive
+    plan is not final — the old formatted-string count was always 0), so
+    by default this EXECUTES the frame once (collect) and reads the final
+    plan; pass execute=False only for a frame already run through its own
+    queryExecution."""
+    import re
+
+    if execute:
+        df.collect()
+    p = physical_plan(df)
+    return len(set(re.findall(r"\*\((\d+)\)", p)))
