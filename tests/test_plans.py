@@ -83,3 +83,18 @@ def test_flagship_partial_aggregation(spark, sf_dir):
     plan = physical_plan(q_flagship(spark, sf_dir))
     assert "partial" in plan.lower()
     assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_hot_queries_stay_in_whole_stage_codegen(spark, sf_dir):
+    """The charter's 'stay JVM-side' bar, measured: the flagship scan-agg
+    and a TPC-H join pipeline must run inside WholeStageCodegen spans
+    (final adaptive plan, counted post-execution). Zero spans would mean
+    an interpreted pipeline — a silent 2-10x regression."""
+    from crypto_data_service_loader_spark.plans.explain import (
+        whole_stage_codegen_spans,
+    )
+    from crypto_data_service_loader_spark.suite import QUERIES
+
+    for name in ("flagship_pricing_summary", "tpch_q3", "win_moving_avg"):
+        spans = whole_stage_codegen_spans(QUERIES[name](spark, sf_dir))
+        assert spans >= 1, f"{name} runs with no codegen span"
