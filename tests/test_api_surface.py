@@ -107,3 +107,40 @@ def test_whole_stage_codegen_spans_counts(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("q"))
     )
     assert whole_stage_codegen_spans(df) >= 1  # agg pipeline is codegen'd
+
+
+def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
+    """The rows-only HLL key is still ACCURACY-tested: estimates must land
+    within 3x the default relative standard deviation (rsd 0.05) of the
+    exact distinct counts."""
+    from crypto_data_service_loader_spark.suite import QUERIES
+
+    got = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_id").alias("e"),
+    ).collect()[0]
+    for est, true in ((got["approx_users"], exact["u"]),
+                      (got["approx_events"], exact["e"])):
+        assert abs(est - true) <= max(3, 0.15 * true)
+
+
+def test_approx_quantile_within_rank_tolerance(spark, sf_dir):
+    """percentile_approx estimates must sit between nearby exact
+    percentiles (p50 in [p40, p60]; p99 in [p95, p100]) per group."""
+    from crypto_data_service_loader_spark.suite import QUERIES
+
+    got = {r["l_returnflag"]: r for r in
+           QUERIES["agg_approx_quantile"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r for r in li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.max("l_extendedprice").alias("p100"),
+    ).collect()}
+    for flag, r in got.items():
+        e = exact[flag]
+        assert float(e["p40"]) <= float(r["p50_approx"]) <= float(e["p60"])
+        assert float(e["p95"]) <= float(r["p99_approx"]) <= float(e["p100"])
