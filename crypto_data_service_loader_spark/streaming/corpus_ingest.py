@@ -63,6 +63,14 @@ class CorpusIngest:
     text_col: str = "text"
     schema: str = DOC_SCHEMA
     quality_gate: object = None  # Callable[[DataFrame], DataFrame] | None
+    #: optional REWRITE applied before gate+dedup (e.g. per-batch
+    #: boilerplate-line removal): must return the same schema with
+    #: `text_col` rewritten. Fingerprints, the index, and the stored
+    #: corpus all see the cleaned text, so two docs that differ only in
+    #: boilerplate collapse. Per-BATCH semantics by construction (a
+    #: micro-batch only sees its own line frequencies — the streaming
+    #: analogue of CCNet's per-snapshot cleaning).
+    pre_transform: object = None  # Callable[[DataFrame], DataFrame] | None
     _corpus: IdempotentParquetSink = field(init=False)
     _index: IdempotentParquetSink = field(init=False)
 
@@ -82,6 +90,8 @@ class CorpusIngest:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         spark = batch_df.sparkSession
+        if self.pre_transform is not None:
+            batch_df = self.pre_transform(batch_df)
         if self.quality_gate is not None:
             batch_df = self.quality_gate(batch_df)
         fresh = exact_dedup(batch_df, self.text_col, self.id_col)

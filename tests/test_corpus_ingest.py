@@ -131,3 +131,48 @@ def test_compact_index_preserves_dedup_and_replay(spark, ingest):
         _docs(spark, [(3, "alpha beta gamma"), (4, "fresh content here")]), 3
     )
     assert sorted(r["doc_id"] for r in ingest.corpus(spark).collect()) == kept
+
+
+def test_pre_transform_cleans_before_dedup_and_storage(spark, tmp_path):
+    """Streaming curation: a boilerplate-cleaning pre_transform rewrites
+    text BEFORE fingerprinting, so (a) the stored corpus is cleaned and
+    (b) two docs that differ only in boilerplate collapse to one."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    def clean(batch):
+        cleaned = remove_boilerplate_lines(batch, max_doc_freq=2)
+        return (
+            batch.drop("text", "n_chars")
+            .join(cleaned.select("doc_id",
+                                 F.col("text_clean").alias("text")),
+                  "doc_id")
+            .withColumn("n_chars", F.length("text"))
+            .filter(F.col("text") != "")
+        )
+
+    ingest = CorpusIngest(
+        input_dir=str(tmp_path / "in"),
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        pre_transform=clean,
+    )
+    hdr = "COOKIE BANNER"
+    wave = _docs(spark, [
+        (0, f"{hdr}\nunique body one"),
+        (1, f"{hdr}\nunique body two"),
+        (2, f"{hdr}\nunique body one"),   # same as 0 after cleaning
+        (3, f"{hdr}"),                    # all boilerplate -> dropped
+    ])
+    wave.write.parquet(str(tmp_path / "in"), mode="append")
+    q = ingest.start(available_now=True)
+    q.awaitTermination(120)
+
+    corpus = {r["doc_id"]: r["text"] for r in ingest.corpus(spark).collect()}
+    assert set(corpus) == {0, 1}          # 2 collapsed into 0; 3 emptied out
+    assert all(hdr not in t for t in corpus.values())  # stored text cleaned
+    assert corpus[0] == "unique body one"
