@@ -47,3 +47,31 @@ def mid_price(best_bid: pd.Series, best_ask: pd.Series) -> pd.Series:
     proof. Built-in `(bid+ask)/2` is preferred in production plans; this
     exists to exercise/benchmark the Pandas-UDF path."""
     return (best_bid + best_ask) / 2.0
+
+
+try:  # Python UDTFs need PySpark >= 3.5; gate the import like the charter asks
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="component string, amount double")
+    class ChargeLegsUDTF:
+        """Python UDTF surface proof (§2B EXT, completing the
+        UDF/UDAF/UDTF row): expand each lineitem into its charge
+        components — (base, e), (discount, e*d), (tax, e*(1-d)*t).
+
+        Row-at-a-time Python is the SLOW path — the declarative twin is a
+        3-way stack()/UNION ALL and is what production plans should use;
+        this class exists to exercise and verify the lateral-UDTF
+        machinery end-to-end (registered, driver-gated, oracle-exact:
+        the arithmetic mirrors the SQL twin's operation order on IEEE
+        doubles, and rounding happens OUTSIDE the UDTF in engine SQL so
+        Python's banker's rounding never touches the values)."""
+
+        def eval(self, extendedprice: float, discount: float, tax: float):
+            if extendedprice is None:
+                return
+            yield ("base", extendedprice)
+            yield ("discount", extendedprice * discount)
+            yield ("tax", (extendedprice * (1.0 - discount)) * tax)
+
+except ImportError:  # pragma: no cover - PySpark < 3.5
+    ChargeLegsUDTF = None

@@ -2889,6 +2889,23 @@ def q_dedup_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_udtf_charge_legs(spark, sf_dir):
+    """Python UDTF in a LATERAL join (the §2B UDF/UDAF/UDTF surface's
+    table-function leg): each lineitem expands to its three charge
+    components. Rounding happens in engine SQL (HALF_UP both sides);
+    the UDTF emits raw IEEE doubles mirroring the oracle's op order."""
+    from .functions.scalars import ChargeLegsUDTF
+
+    spark.udtf.register("charge_legs", ChargeLegsUDTF)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_udtf")
+    return spark.sql("""
+        SELECT l.l_orderkey, l.l_linenumber, legs.component,
+               round(legs.amount, 6) AS amount
+        FROM _li_udtf AS l,
+        LATERAL charge_legs(l.l_extendedprice, l.l_discount, l.l_tax) AS legs
+    """)
+
+
 def q_quality_percentile_gate(spark, sf_dir):
     """Per-source top-50% quality selection via exact percent_rank — the
     drift-free version of an absolute score threshold. Composes the
@@ -3551,6 +3568,18 @@ _LLM_ORACLES = {
             FROM q JOIN documents d USING (doc_id))
         SELECT doc_id, source, quality, pct_rank
         FROM r WHERE pct_rank <= 0.5""",
+    # Declarative twin of the Python UDTF: UNION ALL with identical
+    # IEEE-double op order; round applied engine-side on both paths.
+    "udtf_charge_legs": """
+        SELECT l_orderkey, l_linenumber, 'base' AS component,
+               round(l_extendedprice, 6) AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               round(l_extendedprice * l_discount, 6) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax',
+               round((l_extendedprice * (1.0 - l_discount)) * l_tax, 6)
+        FROM lineitem""",
     "corpus_token_budget": """
         SELECT doc_id, source, n_chars, cum_before
         FROM (
@@ -3793,6 +3822,7 @@ QUERIES = {
     "quality_percentile_gate": q_quality_percentile_gate,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "udtf_charge_legs": q_udtf_charge_legs,
     "setop_except_all": q_setop_except_all,
     "join_full_outer": q_join_full_outer,
     "events_funnel": q_events_funnel,
