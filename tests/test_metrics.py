@@ -84,3 +84,23 @@ def test_streaming_progress_listener(spark, tmp_path):
     assert total == 100
     assert all(r["query_name"] == "prog_test" for r in rows)
     assert any(r["state_rows_total"] == 10 for r in rows)  # 10 agg groups
+
+
+def test_observe_counts_rides_the_write_pass(spark):
+    """Observation metrics must equal the exact counts and be collected by
+    the SAME action that writes — no second scan (the assertion: values
+    are available right after one noop write of the observed frame)."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.functions.metrics import (
+        observe_counts,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    observed, obs = observe_counts(df, name="probe", value_col="v")
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == 1000
+    assert got["sum_v"] == sum(i % 7 for i in range(1000))
