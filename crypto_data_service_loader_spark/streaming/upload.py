@@ -32,6 +32,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.metrics import observe_counts
 from ..operators.registry import (
     bundle_split,
     filter_status_in,
@@ -200,7 +201,21 @@ def _upload_group(
     )
     ticks = bundle_split(sort_by_filename(ticks), bundles)
     try:
-        sink.write(ticks.drop("filename"), batch_id=sink_batch)
+        # task-side accounting: the row count aggregates on the executors
+        # during the sink write itself (no second scan of the CSVs — at
+        # scale a post-hoc count() would double the read cost)
+        payload, obs = observe_counts(
+            ticks.drop("filename"), name="upload_rows"
+        )
+        sink.write(payload, batch_id=sink_batch)
+        try:
+            logger.info(
+                "sink batch %s committed %s rows",
+                sink_batch,
+                obs.get.get("rows"),
+            )
+        except Exception:  # noqa: BLE001 — a sink that never ran an action
+            pass
         # ok is derived from the scanned lineage, not assumed: a claimed
         # file deleted from disk after the claim (e.g. retention cleanup)
         # is absent from the listing and must roll up ERROR, not FINISHED —
