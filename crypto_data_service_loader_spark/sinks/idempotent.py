@@ -43,3 +43,56 @@ class IdempotentParquetSink:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
+
+    def compact(
+        self, spark: SparkSession, dedup_cols: list[str] | None = None
+    ) -> int:
+        """Fold committed epoch partitions into one base partition
+        (batch_id = -1), keeping the MOST RECENT epoch as a delta — the
+        small-files fix for long-running streams (one dir per epoch means
+        thousands of tiny files per year of micro-batches).
+
+        The tip epoch stays separate because it is the only epoch
+        foreachBatch can ever replay (earlier epochs are implied committed
+        by a later one existing), and a replay must still be able to
+        exclude/overwrite its own partition. Crash-safety is by
+        construction: the base rewrite commits first (materialized via
+        localCheckpoint so the write never reads the directory it
+        overwrites), and if the process dies before the folded epoch dirs
+        are deleted, re-running compact() is self-healing — the refold
+        re-reads base ∪ leftover epochs and `dedup_cols` collapses the
+        overlap (pass the row identity, e.g. ["doc_id"] for a corpus or
+        ["fingerprint"] for an index; consumers that already read
+        DISTINCT values may pass None and tolerate transient duplicates).
+
+        Returns the number of partitions folded (0 = nothing to do).
+        """
+        import os
+        import shutil
+
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            df = spark.read.parquet(self.path)
+        except AnalysisException:
+            return 0
+        bids = sorted(
+            r[0] for r in df.select("batch_id").distinct().collect()
+        )
+        epochs = [b for b in bids if b >= 0]
+        if len(epochs) < 2:
+            return 0  # nothing committed beyond the replayable tip
+        tip = epochs[-1]
+        fold = [b for b in bids if b != tip]  # old base (-1) + settled epochs
+        base = df.filter(F.col("batch_id").isin(fold)).drop("batch_id")
+        if dedup_cols:
+            base = base.dropDuplicates(dedup_cols)
+        base = base.localCheckpoint()
+        self.write(base, -1)
+        for b in fold:
+            if b != -1:
+                shutil.rmtree(
+                    os.path.join(self.path, f"batch_id={b}"),
+                    ignore_errors=True,
+                )
+        return len(fold)

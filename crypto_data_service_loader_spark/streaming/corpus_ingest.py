@@ -29,7 +29,6 @@ to make the per-epoch anti-join exchange-free on the index side.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -130,49 +129,18 @@ class CorpusIngest:
         return self._index.read(spark)
 
     def compact_index(self, spark: SparkSession) -> None:
-        """Fold committed epochs' fingerprints into one base partition
-        (batch_id = -1) — the small-files fix: one partition per epoch
-        means thousands of tiny files per year of crawls, and the
-        per-epoch anti-join pays the listing every batch.
+        """Fold committed epochs' fingerprints into one base partition —
+        the small-files fix for the per-epoch anti-join's listing cost.
+        Full fold/tip/crash-safety semantics live in
+        `IdempotentParquetSink.compact`; fingerprints dedup on themselves
+        (the folded base is the distinct set)."""
+        self._index.compact(spark, dedup_cols=["fingerprint"])
 
-        The MOST RECENT epoch partition is kept as a delta: it is the only
-        epoch foreachBatch can ever replay (earlier epochs are implied
-        committed by the existence of a later one), and a replay must
-        still be able to exclude its own partition. Crash-safety is by
-        construction rather than by protocol: the base rewrite commits
-        first, and if the process dies before the folded epoch partitions
-        are deleted, the duplicated fingerprints are harmless — dedup
-        consumes the DISTINCT fingerprint set — costing only space until
-        the next compaction.
-        """
-        import shutil
-
-        try:
-            idx = spark.read.parquet(self.index_dir)
-        except AnalysisException:
-            return
-        bids = sorted(
-            r[0] for r in idx.select("batch_id").distinct().collect()
-        )
-        epochs = [b for b in bids if b >= 0]
-        if len(epochs) < 2:
-            return  # nothing committed beyond the replayable tip
-        tip = epochs[-1]
-        fold = [b for b in bids if b != tip]  # old base (-1) + settled epochs
-        base = (
-            idx.filter(F.col("batch_id").isin(fold))
-            .select("fingerprint")
-            .distinct()
-            # materialize BEFORE the write: the folded set is read from the
-            # same directory the write below dynamically overwrites
-            # (batch_id=-1). Without the checkpoint a task retry could
-            # lazily re-read a partition the overwrite already staged away.
-            .localCheckpoint()
-        )
-        self._index.write(base, -1)  # dynamic overwrite of batch_id=-1
-        for b in fold:
-            if b != -1:
-                shutil.rmtree(
-                    os.path.join(self.index_dir, f"batch_id={b}"),
-                    ignore_errors=True,
-                )
+    def compact_corpus(self, spark: SparkSession) -> int:
+        """Corpus-side small-files fold: same tip-as-delta discipline as
+        the index, deduped on the document id — which also makes a
+        crash-between-commit-and-delete self-healing (the refold
+        collapses base ∪ leftover epochs back to one row per doc).
+        Readers in the crash window may transiently see a doc twice; run
+        compaction in quiet windows or have readers collapse on id."""
+        return self._corpus.compact(spark, dedup_cols=[self.id_col])

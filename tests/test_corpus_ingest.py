@@ -176,3 +176,52 @@ def test_pre_transform_cleans_before_dedup_and_storage(spark, tmp_path):
     assert set(corpus) == {0, 1}          # 2 collapsed into 0; 3 emptied out
     assert all(hdr not in t for t in corpus.values())  # stored text cleaned
     assert corpus[0] == "unique body one"
+
+
+def test_compact_corpus_folds_and_preserves_content(spark, ingest):
+    """Corpus compaction mirrors index compaction: settled epochs fold to
+    batch_id=-1, the replayable tip stays a delta, content is unchanged,
+    and a tip replay after compaction is still idempotent."""
+    import os
+
+    ingest.process_batch(_docs(spark, [(0, "alpha beta gamma")]), 0)
+    ingest.process_batch(_docs(spark, [(1, "delta epsilon zeta")]), 1)
+    ingest.process_batch(_docs(spark, [(2, "eta theta iota")]), 2)
+    before = sorted(r["doc_id"] for r in ingest.corpus(spark).collect())
+    folded = ingest.compact_corpus(spark)
+    assert folded == 2  # epochs 0 and 1
+
+    parts = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(ingest.corpus_dir)
+        if d.startswith("batch_id=")
+    )
+    assert parts == [-1, 2]
+    assert sorted(r["doc_id"] for r in ingest.corpus(spark).collect()) == before
+
+    # tip replay after compaction overwrites its own partition, no dups
+    ingest.process_batch(_docs(spark, [(2, "eta theta iota")]), 2)
+    assert sorted(r["doc_id"] for r in ingest.corpus(spark).collect()) == before
+
+
+def test_compact_corpus_crash_recovery_self_heals(spark, ingest, tmp_path):
+    """Crash window: the folded base committed but the epoch deletions did
+    not happen. Re-running compaction must collapse the duplicated rows
+    (dedup on doc_id) back to one row per document."""
+    import shutil
+
+    ingest.process_batch(_docs(spark, [(0, "alpha beta gamma")]), 0)
+    ingest.process_batch(_docs(spark, [(1, "delta epsilon zeta")]), 1)
+    ingest.process_batch(_docs(spark, [(2, "eta theta iota")]), 2)
+
+    # simulate the crash: preserve epoch 0's partition, compact, restore it
+    saved = str(tmp_path / "saved_epoch0")
+    shutil.copytree(f"{ingest.corpus_dir}/batch_id=0", saved)
+    ingest.compact_corpus(spark)
+    shutil.copytree(saved, f"{ingest.corpus_dir}/batch_id=0")
+
+    # doc 0 now exists in base AND the resurrected epoch dir
+    assert ingest.corpus(spark).filter("doc_id = 0").count() == 2
+    ingest.compact_corpus(spark)  # recovery run
+    docs = [r["doc_id"] for r in ingest.corpus(spark).collect()]
+    assert sorted(docs) == [0, 1, 2]  # self-healed, one row per doc
