@@ -20,7 +20,12 @@ import datetime
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Knuth multiplicative constant — same engine-portable integer hashing
 #: discipline as operators/training.py.
@@ -66,6 +71,9 @@ class TickGenDataSource(DataSource):
     def reader(self, schema) -> "TickGenReader":
         return TickGenReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "TickGenStreamReader":
+        return TickGenStreamReader(self.options)
+
 
 class TickGenReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -84,6 +92,39 @@ class TickGenReader(DataSourceReader):
     def read(self, partition: _Range) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
             yield tick_row(self.seed, i, self.tickers)
+
+
+class TickGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half (`spark.readStream.format("tickgen")`): a
+    deterministic rate-like source — each micro-batch emits the next
+    `rows_per_batch` indexes of the SAME (seed, index) tick function the
+    batch reader uses, so a streaming pipeline's input is replayable
+    byte-for-byte. Offsets are plain row indexes ({"index": n}), which
+    makes exactly-once restart semantics trivially auditable:
+    readBetweenOffsets(start, end) regenerates [start, end) identically
+    on replay."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.tickers = max(1, int(options.get("tickers", 16)))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict) -> tuple:
+        lo = int(start["index"])
+        hi = lo + self.rows_per_batch
+        # lists, not generators: the engine's prefetch cache copies the
+        # returned iterator, and generators aren't copyable
+        rows = [tick_row(self.seed, i, self.tickers) for i in range(lo, hi)]
+        return rows, {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            tick_row(self.seed, i, self.tickers)
+            for i in range(int(start["index"]), int(end["index"]))
+        ]
 
 
 def register(spark) -> None:

@@ -64,3 +64,36 @@ def test_tickgen_feeds_the_engine_operators(spark):
     assert len(agg) == 4
     assert sum(r["n"] for r in agg) == 2000
     assert all(100.0 <= r["avg_px"] <= 200.0 for r in agg)
+
+
+def test_tickgen_streaming_batches_continue_the_sequence(spark, tmp_path):
+    """The streaming reader advances the index offset per micro-batch and
+    a restart from the checkpoint resumes exactly where it stopped —
+    offsets are plain row indexes, so the assertion is a gap-free,
+    duplicate-free sequence across two separate runs."""
+    tickgen.register(spark)
+    out: list = []
+
+    def sink(batch, _bid):
+        out.extend(r["sequence"] for r in batch.collect())
+
+    def run_once():
+        q = (
+            spark.readStream.format("tickgen")
+            .option("rows_per_batch", 25)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = list(out)
+    assert len(first) > 0
+    assert sorted(first) == list(range(len(first)))  # gap-free from 0
+
+    run_once()  # restart from checkpoint: continues, never repeats
+    assert sorted(out) == list(range(len(out)))
+    assert len(out) > len(first)
