@@ -69,9 +69,18 @@ try:  # Python UDTFs need PySpark >= 3.5; gate the import like the charter asks
         def eval(self, extendedprice: float, discount: float, tax: float):
             if extendedprice is None:
                 return
+            # null discount/tax propagate as null amounts — SQL semantics,
+            # mirroring the UNION ALL twin (Python would otherwise raise)
             yield ("base", extendedprice)
-            yield ("discount", extendedprice * discount)
-            yield ("tax", (extendedprice * (1.0 - discount)) * tax)
+            yield (
+                "discount",
+                None if discount is None else extendedprice * discount,
+            )
+            yield (
+                "tax",
+                None if discount is None or tax is None
+                else (extendedprice * (1.0 - discount)) * tax,
+            )
 
 except ImportError:  # pragma: no cover - PySpark < 3.5
     ChargeLegsUDTF = None

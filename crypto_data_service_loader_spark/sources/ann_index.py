@@ -80,7 +80,9 @@ def write_lsh_index(
     dim = _dim_of(embeddings, vec_col)
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
     (
-        lsh_bucket_ids(embeddings, dim, n_planes, vec_col)
+        # fixed index schema (id, vec, bucket): appends from callers with
+        # extra columns would otherwise write mismatched parquet schemas
+        lsh_bucket_ids(embeddings.select(id_col, vec_col), dim, n_planes, vec_col)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -97,7 +99,8 @@ def append_to_lsh_index(new_vectors: DataFrame, path: str) -> None:
     meta = _read_meta(path)
     (
         lsh_bucket_ids(
-            new_vectors, meta["dim"], meta["n_planes"], meta["vec_col"]
+            new_vectors.select(meta["id_col"], meta["vec_col"]),
+            meta["dim"], meta["n_planes"], meta["vec_col"],
         )
         .write.mode("append")
         .partitionBy("bucket")

@@ -105,7 +105,9 @@ class TickGenStreamReader(SimpleDataSourceStreamReader):
     on replay."""
 
     def __init__(self, options: dict):
-        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        # floor 1: a zero batch size would make every trigger an empty
+        # batch and availableNow would never terminate usefully
+        self.rows_per_batch = max(1, int(options.get("rows_per_batch", 100)))
         self.tickers = max(1, int(options.get("tickers", 16)))
         self.seed = int(options.get("seed", 42))
 
