@@ -43,10 +43,30 @@ def main(argv: list[str] | None = None) -> int:
                            "drains once with --cycles 0)")
     runp.add_argument("--checkpoint", default=None,
                       help="stream-mode checkpoint dir (default: <registry>_ckpt)")
+    corp = sub.add_parser(
+        "ingest-corpus",
+        help="streaming corpus ingestion with cross-epoch incremental dedup",
+    )
+    corp.add_argument("--input", required=True, help="document parquet drop dir")
+    corp.add_argument("--corpus", required=True, help="deduped corpus dir")
+    corp.add_argument("--index", required=True, help="fingerprint index dir")
+    corp.add_argument("--checkpoint", default=None,
+                      help="checkpoint dir (default: <corpus>_ckpt)")
+    corp.add_argument("--clean-boilerplate", action="store_true",
+                      help="per-batch line-level boilerplate removal before "
+                           "dedup (cleaned text is fingerprinted and stored)")
+    corp.add_argument("--compact", action="store_true",
+                      help="fold settled epoch partitions after the drain")
+    corp.add_argument("--follow", action="store_true",
+                      help="keep watching (default: drain once and exit)")
     args = p.parse_args(argv)
 
-    cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
     spark = get_spark("crypto_data_service_loader_spark")
+
+    if args.cmd == "ingest-corpus":
+        return _ingest_corpus(spark, args)
+
+    cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
 
     # default sink lives NEXT TO the tree, never inside it (the discovery
     # scan must not see sink output); idempotent = exactly-once per cycle
@@ -98,6 +118,50 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cycle": cycle, "today": today, **stats}))
         if i + 1 < args.cycles and interval > 0:
             time.sleep(interval)
+    return 0
+
+
+def _ingest_corpus(spark, args) -> int:
+    """Drive streaming corpus ingestion from the CLI: drain (or follow)
+    the drop directory through gate-free incremental dedup, optionally
+    cleaning boilerplate per batch and compacting epoch partitions after
+    the drain."""
+    from .streaming.corpus_ingest import CorpusIngest
+
+    pre = None
+    if args.clean_boilerplate:
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import remove_boilerplate_lines
+
+        def pre(batch):  # noqa: F811 — the optional hook
+            cleaned = remove_boilerplate_lines(batch, max_doc_freq=2)
+            return (
+                batch.drop("text", "n_chars")
+                .join(cleaned.select(
+                    "doc_id", F.col("text_clean").alias("text")), "doc_id")
+                .withColumn("n_chars", F.length("text"))
+                .filter(F.col("text") != "")
+            )
+
+    ingest = CorpusIngest(
+        input_dir=args.input,
+        corpus_dir=args.corpus,
+        index_dir=args.index,
+        checkpoint_dir=args.checkpoint or f"{args.corpus.rstrip('/')}_ckpt",
+        pre_transform=pre,
+    )
+    q = ingest.start(available_now=not args.follow)
+    q.awaitTermination()
+    stats = {"mode": "follow" if args.follow else "drain"}
+    if args.compact:
+        ingest.compact_index(spark)
+        stats["corpus_partitions_folded"] = ingest.compact_corpus(spark)
+    try:
+        stats["corpus_docs"] = ingest.corpus(spark).count()
+    except Exception:  # noqa: BLE001 — nothing ingested yet
+        stats["corpus_docs"] = 0
+    print(json.dumps(stats))
     return 0
 
 

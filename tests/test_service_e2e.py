@@ -235,3 +235,34 @@ def test_two_day_rollover_soak(spark, tmp_path):
              for r in RegistryLog(spark, reg).state().collect()}
     assert set(state.values()) == {"FINISHED"} and len(state) == 4
     assert sum(len(b[1]) for b in sink.batches) == 7
+
+
+def test_cli_ingest_corpus(spark, tmp_path):
+    """The ingest-corpus subcommand drains a drop dir through incremental
+    dedup (with boilerplate cleaning + compaction flags) end-to-end."""
+    import json as _json
+
+    from crypto_data_service_loader_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(0, "HEADER\nunique one"), (1, "HEADER\nunique two"),
+         (2, "HEADER\nunique one"), (3, "HEADER")],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    )
+    docs.write.parquet(str(tmp_path / "drop"), mode="append")
+    rc = main([
+        "ingest-corpus",
+        "--input", str(tmp_path / "drop"),
+        "--corpus", str(tmp_path / "corpus"),
+        "--index", str(tmp_path / "index"),
+        "--clean-boilerplate", "--compact",
+    ])
+    assert rc == 0
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    # header stripped everywhere; 2 collapsed into 0; all-boilerplate 3 gone
+    assert set(corpus) == {0, 1}
+    assert corpus[0] == "unique one"
