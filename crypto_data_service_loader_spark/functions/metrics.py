@@ -95,3 +95,30 @@ def observe_counts(
     if value_col is not None:
         metrics.append(F.sum(value_col).alias(f"sum_{value_col}"))
     return df.observe(obs, *metrics), obs
+
+
+def observed_metrics(obs, timeout: float = 5.0) -> dict | None:
+    """Read an Observation's metrics with a bounded wait.
+
+    `Observation.get` BLOCKS until the first action runs over the observed
+    plan (getRow() waits indefinitely) — so reading it after a sink that
+    never executed the plan would hang the caller, not raise. This helper
+    polls on a daemon thread and gives up after `timeout` seconds,
+    returning the metrics dict or None (metrics not yet available). The
+    abandoned daemon thread parks on the JVM wait and dies with the
+    process — it holds no locks the caller needs.
+    """
+    import threading
+
+    box: dict = {}
+
+    def _read() -> None:
+        try:
+            box["m"] = dict(obs.get)
+        except Exception:  # noqa: BLE001 — treat any read error as absent
+            pass
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout)
+    return box.get("m")

@@ -310,20 +310,32 @@ def sample_stratified(
 
     Membership is a SEEDED id-hash gate (the `corpus_mix` technique with
     the seed folded into the multiplicative hash): keep a row iff
-    ((id + seed) * KNUTH) mod 2^32 mod 1000 < fraction * 1000. Scan-local
-    (no shuffle, no collect), identical on reruns by construction,
-    different seeds draw genuinely different samples, and — unlike
-    `sampleBy`'s engine-private Bernoulli RNG — the gate is plain integer
-    arithmetic, so the DuckDB oracle reproduces it bit-for-bit. Stratum
-    proportions hold to binomial-like tolerance because the Knuth hash
-    spreads sequential ids uniformly (property-tested). For engine-RNG
-    sampling semantics use `sample_stratified_bernoulli`.
+    (pmod(id + seed, 2^31) * KNUTH) mod 2^32 mod 1000 < fraction * 1000.
+    Scan-local (no shuffle, no collect), identical on reruns by
+    construction, different seeds draw genuinely different samples, and —
+    unlike `sampleBy`'s engine-private Bernoulli RNG — the gate is plain
+    integer arithmetic, so the DuckDB oracle reproduces it bit-for-bit.
+    Stratum proportions hold to binomial-like tolerance because the Knuth
+    hash spreads sequential ids uniformly (property-tested). For
+    engine-RNG sampling semantics use `sample_stratified_bernoulli`.
+
+    Id contract: `id_col` must cast to a 64-bit integer. The id is
+    pre-reduced with pmod into [0, 2^31) BEFORE the multiply, so the gate
+    never overflows int64 (max product (2^31-1) * KNUTH < 2^63) — any
+    long id, including negative ones, gets a well-defined bucket on both
+    engines. A non-numeric id casts to NULL and the row is dropped (a
+    null bucket satisfies no threshold); pass a numeric surrogate for
+    string keys. An empty `fractions` dict selects nothing.
     """
     from .training import _BUCKETS, _KNUTH
 
-    bucket = (
-        (F.col(id_col).cast("long") + F.lit(int(seed))) * F.lit(_KNUTH)
-    ) % F.lit(2**32) % F.lit(_BUCKETS)
+    if not fractions:
+        return df.filter(F.lit(False))
+    bucket = F.pmod(
+        F.pmod(F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(2**31))
+        * F.lit(_KNUTH),
+        F.lit(2**32),
+    ) % F.lit(_BUCKETS)
     rate = None
     for stratum, frac in sorted(fractions.items()):
         thresh = int(max(0.0, min(1.0, float(frac))) * _BUCKETS)

@@ -277,20 +277,34 @@ def token_budget_fill(
     tokens_col: str = "n_chars",
     group_col: str = "source",
     id_col: str = "doc_id",
+    order_col: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
-    """Fill a per-group token budget in deterministic priority order
-    (id asc): a document is kept iff the running total BEFORE it is still
-    under `budget` — the "fill until full" selection a fixed-size training
-    mix needs (the last kept document may overflow the budget once, the
-    standard semantics; pre-sort by a quality rank upstream to make
-    priority mean quality).
+    """Fill a per-group token budget in deterministic priority order: a
+    document is kept iff the running total BEFORE it is still under
+    `budget` — the "fill until full" selection a fixed-size training mix
+    needs (the last kept document may overflow the budget once, the
+    standard semantics).
+
+    Priority is `order_col` (id asc as the tie-break, so the fill is
+    total-ordered and rerun-stable even with duplicate priorities);
+    `descending=True` fills highest-first — the quality-priority fill
+    (order_col="quality", descending=True) keeps the best docs that fit.
+    With no `order_col` the fill order is id asc. NOTE: the input's own
+    row order never matters — the window re-sorts; priority must arrive
+    as a column, not as an upstream sort.
 
     One window cumsum per group (same exchange as the packer); emits
     `cum_before` so downstream can audit the fill level.
     """
+    prio = F.col(order_col) if order_col is not None else F.col(id_col)
+    order = [
+        prio.desc() if descending else prio.asc(),
+        F.col(id_col).asc(),
+    ]
     w = (
         Window.partitionBy(group_col)
-        .orderBy(F.col(id_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")

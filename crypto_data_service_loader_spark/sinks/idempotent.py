@@ -61,9 +61,11 @@ class IdempotentParquetSink:
         overwrites), and if the process dies before the folded epoch dirs
         are deleted, re-running compact() is self-healing — the refold
         re-reads base ∪ leftover epochs and `dedup_cols` collapses the
-        overlap (pass the row identity, e.g. ["doc_id"] for a corpus or
-        ["fingerprint"] for an index; consumers that already read
-        DISTINCT values may pass None and tolerate transient duplicates).
+        overlap. `dedup_cols` is therefore REQUIRED (the row identity,
+        e.g. ["doc_id"] for a corpus or ["fingerprint"] for an index):
+        without it a crash-window re-run would re-union the already-folded
+        rows into the new base, making the duplicates PERMANENT, not
+        transient — so passing None raises instead of silently degrading.
 
         Returns the number of partitions folded (0 = nothing to do).
         """
@@ -72,6 +74,13 @@ class IdempotentParquetSink:
 
         from pyspark.sql.utils import AnalysisException
 
+        if not dedup_cols:
+            raise ValueError(
+                "compact() needs the row identity in dedup_cols: a refold "
+                "after a crash between the base rewrite and the epoch-dir "
+                "deletes re-unions already-folded rows, and only the "
+                "identity dedup makes that self-healing"
+            )
         try:
             df = spark.read.parquet(self.path)
         except AnalysisException:
@@ -84,10 +93,12 @@ class IdempotentParquetSink:
             return 0  # nothing committed beyond the replayable tip
         tip = epochs[-1]
         fold = [b for b in bids if b != tip]  # old base (-1) + settled epochs
-        base = df.filter(F.col("batch_id").isin(fold)).drop("batch_id")
-        if dedup_cols:
-            base = base.dropDuplicates(dedup_cols)
-        base = base.localCheckpoint()
+        base = (
+            df.filter(F.col("batch_id").isin(fold))
+            .drop("batch_id")
+            .dropDuplicates(dedup_cols)
+            .localCheckpoint()
+        )
         self.write(base, -1)
         for b in fold:
             if b != -1:

@@ -83,6 +83,12 @@ class TickGenReader(DataSourceReader):
         self.seed = int(options.get("seed", 42))
 
     def partitions(self) -> list[_Range]:
+        if self.rows <= 0:
+            # rows=0 is a legal empty load — without this guard the ceil
+            # step is 0 and range(0, 0, 0) raises ValueError. One empty
+            # range, not []: the engine still schedules a task when the
+            # partition list is empty and hands read() a None partition.
+            return [_Range(0, 0)]
         step = -(-self.rows // self.n_parts)  # ceil division
         return [
             _Range(lo, min(lo + step, self.rows))

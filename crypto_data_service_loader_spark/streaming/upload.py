@@ -32,7 +32,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.metrics import observe_counts
+from ..functions.metrics import observe_counts, observed_metrics
 from ..operators.registry import (
     bundle_split,
     filter_status_in,
@@ -208,14 +208,18 @@ def _upload_group(
             ticks.drop("filename"), name="upload_rows"
         )
         sink.write(payload, batch_id=sink_batch)
-        try:
+        # bounded wait: Observation.get BLOCKS until the observed plan has
+        # run an action — a custom sink that never executed `payload`
+        # would hang here, not raise, so read via the timeout helper
+        got = observed_metrics(obs, timeout=5.0)
+        if got is not None:
             logger.info(
-                "sink batch %s committed %s rows",
-                sink_batch,
-                obs.get.get("rows"),
+                "sink batch %s committed %s rows", sink_batch, got.get("rows")
             )
-        except Exception:  # noqa: BLE001 — a sink that never ran an action
-            pass
+        else:
+            logger.info(
+                "sink batch %s committed (row count unavailable)", sink_batch
+            )
         # ok is derived from the scanned lineage, not assumed: a claimed
         # file deleted from disk after the claim (e.g. retention cleanup)
         # is absent from the listing and must roll up ERROR, not FINISHED —

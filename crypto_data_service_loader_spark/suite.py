@@ -4000,10 +4000,14 @@ ORACLES: dict[str, str] = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS BIGINT) AS cb
             FROM documents)""",
-    # Seeded id-hash gate, term-for-term the rel.sample_stratified filter.
+    # Seeded id-hash gate, term-for-term the rel.sample_stratified filter
+    # (pmod pre-reduction mirrored as ((x % m) + m) % m — DuckDB's % keeps
+    # the dividend's sign like Spark's).
     "sample_stratified": """
         SELECT doc_id, source FROM documents
-        WHERE ((doc_id + 42) * 2654435761) % 4294967296 % 1000 <
+        WHERE ((((doc_id + 42) % 2147483648 + 2147483648) % 2147483648
+                * 2654435761) % 4294967296 + 4294967296) % 4294967296
+              % 1000 <
               CASE source WHEN 'src0' THEN 1000
                           WHEN 'src1' THEN 500
                           WHEN 'src2' THEN 250

@@ -155,3 +155,18 @@ def test_jdbc_sink_exhausted_retries_rethrow(spark):
                       attempts=2, sleep_sec=0.0)
     with _pytest.raises(RuntimeError, match="connection refused"):
         sink.write(spark.range(1))
+
+
+def test_compact_requires_row_identity(spark, tmp_path):
+    """ADVICE r5: a refold after a crash between the base rewrite and the
+    epoch-dir deletes re-unions already-folded rows; without dedup_cols
+    those duplicates would become PERMANENT — so compact() refuses None
+    instead of silently degrading."""
+    import pytest
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    sink.write(spark.range(3).withColumnRenamed("id", "v"), batch_id=0)
+    with pytest.raises(ValueError, match="dedup_cols"):
+        sink.compact(spark)
+    with pytest.raises(ValueError, match="dedup_cols"):
+        sink.compact(spark, dedup_cols=[])

@@ -784,6 +784,30 @@ def test_token_budget_fill_semantics(spark):
     assert out == {1: 0, 2: 40, 3: 90, 5: 0}
 
 
+def test_token_budget_fill_quality_priority(spark):
+    """ADVICE r5: priority must arrive as a column — order_col (with
+    descending) makes the fill keep the BEST docs that fit, with id as
+    the deterministic tie-break; input row order never matters."""
+    from crypto_data_service_loader_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(1, "a", 60, 0.1), (2, "a", 60, 0.9), (3, "a", 60, 0.5),
+         (4, "a", 60, 0.9)],
+        "doc_id long, source string, n_chars long, quality double",
+    )
+    out = {r["doc_id"]: r["cum_before"] for r in
+           training.token_budget_fill(
+               docs, budget=100, order_col="quality", descending=True
+           ).collect()}
+    # fill order: q .9 id 2 (0), q .9 id 4 (60 < 100 overflows once);
+    # q .5 id 3 (120) and q .1 id 1 cut
+    assert out == {2: 0, 4: 60}
+    # no order_col -> id asc (back-compat with the registered oracle)
+    out2 = {r["doc_id"] for r in
+            training.token_budget_fill(docs, budget=100).collect()}
+    assert out2 == {1, 2}
+
+
 def test_corpus_curation_pipeline_invariants(spark, sf_dir):
     """Composition invariants of the curation flagship: output ids unique
     (dedup held), per-source budget respected, and cum_before is exactly

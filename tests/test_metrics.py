@@ -104,3 +104,27 @@ def test_observe_counts_rides_the_write_pass(spark):
     got = obs.get
     assert got["rows"] == 1000
     assert got["sum_v"] == sum(i % 7 for i in range(1000))
+
+
+def test_observed_metrics_bounded_wait(spark):
+    """ADVICE r5: Observation.get BLOCKS until the observed plan runs an
+    action — a sink that never executed the plan would hang the caller.
+    observed_metrics() must give up within its timeout, and must return
+    the real metrics once an action has run."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.functions.metrics import (
+        observe_counts,
+        observed_metrics,
+    )
+
+    df = spark.range(100).select(F.col("id"))
+    observed, obs = observe_counts(df, name="bounded_probe")
+    t0 = time.perf_counter()
+    assert observed_metrics(obs, timeout=1.0) is None  # no action yet
+    assert time.perf_counter() - t0 < 5.0  # bounded, not a hang
+    observed.write.format("noop").mode("overwrite").save()
+    got = observed_metrics(obs, timeout=5.0)
+    assert got is not None and got["rows"] == 100

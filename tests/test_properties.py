@@ -303,3 +303,31 @@ def test_token_budget_fill_keeps_a_per_group_prefix(spark, budget):
     for g, ids in by_group.items():
         ids = sorted(ids)
         assert ids == all_ids[g][: len(ids)]  # an exact prefix
+
+
+def test_stratified_sample_edge_ids_and_empty_fractions(spark):
+    """ADVICE r5: the gate must be int64-safe for ANY long id (pmod
+    pre-reduction — no wrap-to-negative buckets), fraction 0 must exclude
+    every row including huge/negative ids, and an empty fractions dict
+    selects nothing instead of raising."""
+    from crypto_data_service_loader_spark.operators.relational import (
+        sample_stratified,
+    )
+
+    rows = [(2**62, "a"), (2**33 + 7, "a"), (-5, "a"),
+            (2**62 - 1, "b"), (-(2**40), "b"), (123, "b")]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    # fraction 0 -> empty, even for ids that used to wrap negative
+    assert sample_stratified(
+        df, "stratum", {"a": 0.0, "b": 0.0}, id_col="id"
+    ).count() == 0
+    # fraction 1 -> everything, and reruns are identical
+    s1 = sample_stratified(df, "stratum", {"a": 1.0, "b": 1.0}, id_col="id")
+    assert sorted(r["id"] for r in s1.collect()) == sorted(r[0] for r in rows)
+    mixed = sample_stratified(df, "stratum", {"a": 0.5, "b": 0.5}, id_col="id")
+    assert sorted(r["id"] for r in mixed.collect()) == \
+        sorted(r["id"] for r in mixed.collect())
+    # empty fractions: no rows, schema preserved, no AttributeError
+    empty = sample_stratified(df, "stratum", {}, id_col="id")
+    assert empty.count() == 0
+    assert empty.columns == df.columns

@@ -97,3 +97,13 @@ def test_tickgen_streaming_batches_continue_the_sequence(spark, tmp_path):
     run_once()  # restart from checkpoint: continues, never repeats
     assert sorted(out) == list(range(len(out)))
     assert len(out) > len(first)
+
+
+def test_tickgen_zero_rows_is_an_empty_frame(spark):
+    """ADVICE r5: rows=0 must be a legal empty load, not a range() crash
+    in partition planning."""
+    df = _read(spark, rows=0, partitions=4)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "ticker", "sequence", "price", "size", "ts",
+    ]
