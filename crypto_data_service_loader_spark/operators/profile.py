@@ -1,0 +1,124 @@
+"""Data profiling / observability operators — the dataset-card and
+data-quality-monitoring layer of a large-scale pipeline (no reference
+analogue; charter EXT: the reference ships only COUNT(*) diagnostics,
+ClickHouseDAO.java's count helpers — a 100-TB corpus needs per-column
+health metrics and distribution rollups as first-class, single-pass ops).
+
+Scale design notes:
+
+- `profile_columns` is ONE aggregation job over ONE scan: every
+  per-column statistic (non-null count, exact distinct, min/max) is an
+  expression in the same agg, and the per-column rows are produced by
+  unpivoting the single 1-row result driver-side (constant size). Exact
+  multi-column COUNT(DISTINCT) plans an Expand (one input row per
+  distinct-agg), which is the standard exact-profiling cost; pass
+  ``exact_distinct=False`` to swap in HLL sketches
+  (`approx_count_distinct`) and keep the scan expand-free at 100 TB.
+- `numeric_histogram` is a scan-local bin assignment + one partial
+  aggregated groupBy on a bounded key space (n_bins + 2) — the shuffle
+  carries at most n_bins+2 rows per task regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile: row count, null count, distinct count, and
+    min/max (rendered as strings so heterogeneous columns share one
+    schema). Output: one row per column, alphabetical —
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+
+    All statistics ride a single aggregation (one scan). NULLs: distinct
+    counts EXCLUDE null (count(distinct) semantics on both engines);
+    min/max of an all-null column render as null. String rendering of
+    floating-point values is engine-formatted — keep profiled columns to
+    integer/string/date types when cross-engine exactness matters.
+    """
+    cols = sorted(columns if columns is not None else df.columns)
+    n_distinct = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(n_distinct(c).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    # unpivot the 1-row aggregate into per-column rows: constant-size
+    # driver-side plan surgery, no second scan, no collect
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").alias("n_rows"),
+            (F.col("_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return one.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Fixed-width histogram over [lo, hi): bin_id in [0, n_bins) plus
+    underflow (-1) and overflow (n_bins) buckets; NULL values are dropped.
+    Output: (bin_id, bin_lo, bin_hi, n_rows) for non-empty bins, bin_lo /
+    bin_hi rendered for the edge buckets too (-inf / +inf stay finite as
+    the clamp boundaries).
+
+    The distribution rollup a dataset card publishes (doc lengths, score
+    distributions, event values). Bin assignment is pure scan-side
+    arithmetic — floor((x - lo) / width) with an identical expression on
+    the oracle side, so IEEE double semantics agree term-for-term; the
+    groupBy key space is bounded by n_bins + 2, so the exchange is
+    constant-width no matter the input size.
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (float(hi) - float(lo)) / int(n_bins)
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
+    bin_id = (
+        F.when(x < F.lit(float(lo)), F.lit(-1))
+        .when(x >= F.lit(float(hi)), F.lit(int(n_bins)))
+        # boundary safety: floating division can land exactly on n_bins
+        # for x just under hi — clamp keeps the contract
+        .otherwise(F.least(raw, F.lit(int(n_bins) - 1)))
+        .cast("int")
+    )
+    return (
+        df.filter(x.isNotNull())
+        .select(bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin_id",
+            F.round(
+                F.lit(float(lo)) + F.col("bin_id") * F.lit(width), 6
+            ).alias("bin_lo"),
+            F.round(
+                F.lit(float(lo)) + (F.col("bin_id") + 1) * F.lit(width), 6
+            ).alias("bin_hi"),
+            "n_rows",
+        )
+    )

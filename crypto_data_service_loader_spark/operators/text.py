@@ -470,3 +470,93 @@ def tf_idf_top_terms(
         )
         .filter(F.col("term_rank") <= k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval over the corpus: top-k documents per query by the
+    Okapi BM25 score (Robertson et al.; Lucene-style idf
+    ln(1 + (N - df + 0.5) / (df + 0.5)) — public formula). The retrieval
+    primitive a curation pipeline uses for targeted quality mining and
+    contamination triage ("which training docs answer this eval query").
+
+    `queries` is (query_id, query_text). Scale design: the query set is
+    tiny next to the corpus, so its distinct term list broadcasts and
+    prunes the corpus postings FIRST — document frequencies, the
+    per-(query, doc) join, and the scoring all run over query-term
+    postings only; full-vocabulary statistics are never materialized.
+    Corpus-wide constants (N, avgdl) are single-row broadcasts. Per-term
+    partial scores are rounded to 6dp and DECIMAL-summed so the
+    per-(query, doc) total is independent of partition merge order, then
+    ranked (score desc, id asc) — fully engine-exact.
+    """
+    from pyspark.sql import Window
+
+    from .relational import dsum
+
+    toks = _tokens(F.col(text_col))
+    dl = docs.select(
+        F.col(id_col), F.size(toks).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (dsum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(_tokens(F.col("query_text")))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        # prune to query terms BEFORE any aggregation: the broadcast join
+        # keeps the postings build proportional to the matched subset
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+    )
+    part = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                idf * F.col("tf") * F.lit(float(k1) + 1.0) / norm, 6
+            ).alias("part_score"),
+        )
+    )
+    scored = part.groupBy("query_id", id_col).agg(
+        F.round(dsum("part_score"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        "query_id", id_col, "score", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)

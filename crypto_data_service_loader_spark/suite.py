@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators import (
     asof,
     dedup,
+    profile,
     registry as R,
     relational as rel,
     similarity,
@@ -3783,7 +3784,50 @@ _LLM_ORACLES = {
 # the TPC-H/dedup/text/similarity block; the 21 keys the driver has never
 # snapshotted lead in round 4, followed by the highest-value re-checks
 # (TPC-H + the scale-sensitive dedup/similarity paths).
+#: deterministic retrieval workload for the BM25 key — terms drawn from
+#: the synthetic corpus vocabulary so every query has real matches
+_BM25_QUERIES = [
+    (1, "fast table scan"),
+    (2, "stream window agg"),
+    (3, "customer join query"),
+    (4, "vector hash merge batch"),
+]
+
+
+def q_profile_columns(spark, sf_dir):
+    """Single-pass per-column profile (rows / nulls / exact distincts /
+    min-max) of the documents table — one agg job over one scan, rows
+    produced by unpivoting the 1-row aggregate. Long/string columns only
+    so the min/max string rendering is engine-exact."""
+    return profile.profile_columns(
+        load(spark, sf_dir, "documents"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+def q_numeric_histogram(spark, sf_dir):
+    """Fixed-width value histogram over events (10 bins on [0, 500) plus
+    under/overflow) — scan-local bin assignment, bounded-key groupBy."""
+    return profile.numeric_histogram(
+        load(spark, sf_dir, "events"), "value", lo=0.0, hi=500.0, n_bins=10
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-5 docs for a fixed 4-query workload — query-term
+    broadcast prunes the postings before any aggregation; partial scores
+    round-then-DECIMAL-sum so ranking is engine-exact."""
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return text.bm25_topk(load(spark, sf_dir, "documents"), qdf, k=5)
+
+
 QUERIES = {
+    # --- new in round 6 (front-50 driver window) ---
+    "profile_columns": q_profile_columns,
+    "numeric_histogram": q_numeric_histogram,
+    "bm25_topk": q_bm25_topk,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,
@@ -3947,6 +3991,85 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    # One aggregate per column, unioned — the 1-row-agg-then-unpivot twin.
+    "profile_columns": """
+        SELECT 'doc_id' AS "column", count(*) AS n_rows,
+               count(*) - count(doc_id) AS n_nulls,
+               count(DISTINCT doc_id) AS n_distinct,
+               CAST(min(doc_id) AS VARCHAR) AS min_value,
+               CAST(max(doc_id) AS VARCHAR) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang),
+               count(DISTINCT lang),
+               CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(*) - count(n_chars),
+               count(DISTINCT n_chars),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source),
+               count(DISTINCT source),
+               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents""",
+    # Identical IEEE bin arithmetic: floor((x - lo) / width), width exact.
+    "numeric_histogram": """
+        WITH b AS (
+            SELECT CAST(CASE WHEN value < 0.0 THEN -1
+                             WHEN value >= 500.0 THEN 10
+                             ELSE least(CAST(floor((value - 0.0) / 50.0)
+                                             AS BIGINT), 9)
+                        END AS INTEGER) AS bin_id
+            FROM events WHERE value IS NOT NULL)
+        SELECT bin_id,
+               round(CAST(0.0 + bin_id * 50.0 AS DOUBLE), 6) AS bin_lo,
+               round(CAST(0.0 + (bin_id + 1) * 50.0 AS DOUBLE), 6) AS bin_hi,
+               count(*) AS n_rows
+        FROM b GROUP BY bin_id""",
+    # BM25 (Lucene idf), term-for-term the Spark plan: query-term-pruned
+    # postings, per-term score rounded then DECIMAL-summed per (query,
+    # doc), rank (score desc, id asc).
+    "bm25_topk": f"""
+        WITH q(query_id, query_text) AS (VALUES
+            (1, 'fast table scan'), (2, 'stream window agg'),
+            (3, 'customer join query'), (4, 'vector hash merge batch')),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(regexp_split_to_array(lower(trim(query_text)),
+                                                   '\\s+')) AS term
+               FROM q),
+        dl AS (SELECT doc_id, CAST(len({{toks}}) AS DOUBLE) AS dl
+               FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                         CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+                             / count(*) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM (SELECT doc_id, unnest({{toks}}) AS term FROM documents)
+               WHERE term IN (SELECT term FROM qt)
+               GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+               FROM tf GROUP BY term),
+        part AS (
+            SELECT qt.query_id, tf.doc_id,
+                   round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                         6) AS part_score
+            FROM tf JOIN df USING (term) JOIN qt USING (term)
+                    JOIN dl USING (doc_id) CROSS JOIN stats),
+        scored AS (
+            SELECT query_id, doc_id,
+                   round(CAST(SUM(CAST(part_score AS DECIMAL(38,6)))
+                              AS DOUBLE), 6) AS score
+            FROM part GROUP BY query_id, doc_id),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS r
+            FROM scored)
+        SELECT query_id, doc_id, score, CAST(r AS INTEGER) AS rank
+        FROM ranked WHERE r <= 5""".replace("{toks}", _TOKS),
     "flagship_pricing_summary": _FLAGSHIP_SQL,
     "tpch_q1": _FLAGSHIP_SQL,
     **_REGISTRY_ORACLES,

@@ -991,3 +991,47 @@ def test_semantic_dedup_with_auto_centroids(spark, sf_dir):
     out = similarity.semantic_dedup(emb, k_centroids=k).collect()
     assert len(out) == 128
     assert {r["centroid_id"] for r in out} <= set(range(k))
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    """BM25 invariants on a crafted corpus: a doc matching more query
+    terms outranks single-term matches; a corpus-ubiquitous term carries
+    near-zero idf; ranks are dense 1..k with deterministic tie-break."""
+    from crypto_data_service_loader_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"),
+         (2, "alpha delta delta"),
+         (3, "beta beta beta epsilon"),
+         (4, "zeta eta theta"),
+         (5, "alpha beta")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id int, query_text string"
+    )
+    out = text.bm25_topk(docs, q, k=3).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # docs 1 and 5 match BOTH terms -> they occupy the top two slots
+    assert {out[0]["doc_id"], out[1]["doc_id"]} == {1, 5}
+    assert out[0]["score"] >= out[1]["score"] >= out[2]["score"]
+    # doc 4 matches nothing -> never retrieved even with a larger k
+    all_ids = {r["doc_id"] for r in text.bm25_topk(docs, q, k=10).collect()}
+    assert 4 not in all_ids
+
+
+def test_bm25_topk_prunes_postings_with_broadcast(spark):
+    """Scale contract: the query-term join must be a broadcast (the tiny
+    side) — the corpus postings never shuffle for the pruning step."""
+    from crypto_data_service_loader_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} filler words here") for i in range(100)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "term1 term2")], "query_id int, query_text string"
+    )
+    plan = text.bm25_topk(docs, q)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

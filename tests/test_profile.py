@@ -1,0 +1,72 @@
+"""Profiling operators: single-pass column profile and fixed-width
+histogram (charter EXT — dataset-card / data-quality layer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.operators import profile
+
+
+def test_profile_columns_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 10), (3, "b", None), (4, "a", 30)],
+        "id long, tag string, v long",
+    )
+    rows = {r["column"]: r for r in profile.profile_columns(df).collect()}
+    assert set(rows) == {"id", "tag", "v"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert rows["tag"]["n_nulls"] == 1 and rows["v"]["n_nulls"] == 1
+    # distinct excludes nulls (count-distinct semantics on both engines)
+    assert rows["tag"]["n_distinct"] == 2
+    assert rows["v"]["n_distinct"] == 2
+    assert (rows["id"]["min_value"], rows["id"]["max_value"]) == ("1", "4")
+    assert (rows["tag"]["min_value"], rows["tag"]["max_value"]) == ("a", "b")
+
+
+def test_profile_columns_single_scan_and_approx_mode(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).alias("m")
+    )
+    prof = profile.profile_columns(df, columns=["id", "m"])
+    # one aggregation job over one scan: exactly one FileScan/Range source
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 1000") == 1
+    # approx mode keeps the plan Expand-free (no exact-distinct blowup)
+    approx = profile.profile_columns(
+        df, columns=["id", "m"], exact_distinct=False
+    )
+    aplan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in aplan
+    got = {r["column"]: r for r in approx.collect()}
+    # HLL estimate lands near the exact counts at this cardinality
+    assert abs(got["id"]["n_distinct"] - 1000) < 60
+    assert got["m"]["n_distinct"] == 13  # tiny cardinality: exact
+
+
+def test_numeric_histogram_bins_and_edges(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (49.999,), (50.0,), (499.999,), (500.0,),
+         (1000.0,), (None,)],
+        "value double",
+    )
+    out = {r["bin_id"]: r for r in
+           profile.numeric_histogram(df, "value", 0.0, 500.0, 10).collect()}
+    assert out[-1]["n_rows"] == 1            # underflow
+    assert out[0]["n_rows"] == 2             # [0, 50): 0.0 and 49.999
+    assert out[1]["n_rows"] == 1             # [50, 100)
+    assert out[9]["n_rows"] == 1             # [450, 500)
+    assert out[10]["n_rows"] == 2            # overflow: 500.0 and 1000.0
+    assert sum(r["n_rows"] for r in out.values()) == 7  # null dropped
+    assert (out[0]["bin_lo"], out[0]["bin_hi"]) == (0.0, 50.0)
+    assert (out[9]["bin_lo"], out[9]["bin_hi"]) == (450.0, 500.0)
+
+
+def test_numeric_histogram_rejects_bad_dials(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError):
+        profile.numeric_histogram(df, "value", 0.0, 10.0, 0)
+    with pytest.raises(ValueError):
+        profile.numeric_histogram(df, "value", 10.0, 10.0, 4)
