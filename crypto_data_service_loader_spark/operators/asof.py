@@ -151,3 +151,49 @@ def forward_fill(
         out_col or f"{value_col}_filled",
         F.last(value_col, ignorenulls=True).over(w),
     )
+
+
+def interpolate_fill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation between the neighboring observations in each
+    key's timeline — the numeric complement of `forward_fill` (LOCF):
+    missing points get prev + (next - prev) * (t - t_prev) / (t_next -
+    t_prev); before the first observation the first value back-fills,
+    after the last the last value carries forward. `time_col` must be
+    numeric (an epoch/bar index — cast timestamps upstream).
+
+    Same single shuffle on the key as forward_fill; the two extra window
+    passes (preceding carry + following carry) run on the already-sorted
+    partition, no re-exchange. Interpolated values are rounded to 6dp so
+    ranking/threshold consumers are engine-exact; observed values pass
+    through untouched.
+    """
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t = F.col(time_col).cast("double")
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn)
+    interp = pv + (nv - pv) * (t - pt) / (nt - pt)
+    return df.withColumn(
+        out_col or f"{value_col}_interp",
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(F.round(interp, 6)),
+    )

@@ -345,6 +345,42 @@ def sample_stratified(
     return df.filter(bucket < rate)
 
 
+def sample_reservoir(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-SIZE per-group sample — the batch twin of
+    reservoir sampling (`sample_stratified` draws a fixed RATE; dataset
+    cards and eval pulls usually want "exactly k docs per source").
+
+    Rows rank by a seeded multiplicative id hash within their group
+    (id asc tie-break) and the first k win. Pure function of (id, seed):
+    rerun-stable, engine-portable (the DuckDB oracle replays the same
+    integer arithmetic), and growing the corpus only ever displaces
+    ranks — no RNG state. Same id contract as `sample_stratified`
+    (pmod pre-reduction, int64-safe for any long id; non-numeric ids
+    rank last as null). One window shuffle on the group key; emits
+    `sample_rank` (1..k).
+    """
+    from .training import _KNUTH
+
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(2**31))
+        * F.lit(_KNUTH),
+        F.lit(2**32),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+    )
+
+
 def sample_stratified_bernoulli(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

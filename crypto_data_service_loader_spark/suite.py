@@ -3813,6 +3813,54 @@ def q_numeric_histogram(spark, sf_dir):
     )
 
 
+def q_gap_fill_interpolate(spark, sf_dir):
+    """Linearly interpolated hourly close series over the same scaffold
+    as `gap_fill_bars` — missing hours get the line between neighboring
+    observed closes (LOCF's numeric complement); the hour index is the
+    numeric time axis."""
+    bars = q_ohlc_bars(spark, sf_dir).select("series", "bar_start", "close")
+    scaffold = (
+        bars.select("series")
+        .distinct()
+        .select(
+            "series", F.explode(F.sequence(F.lit(0), F.lit(719))).alias("h")
+        )
+        .select(
+            "series",
+            "h",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0)"
+            ).alias("bar_start"),
+        )
+    )
+    joined = scaffold.join(bars, ["series", "bar_start"], "left")
+    return asof.interpolate_fill(joined, "series", "h", "close").select(
+        "series",
+        F.col("h").cast("int").alias("h"),
+        "close_interp",
+        F.col("close").isNotNull().alias("observed"),
+    )
+
+
+def q_sample_reservoir(spark, sf_dir):
+    """Exactly-5-docs-per-source deterministic sample (seeded hash rank —
+    the fixed-size complement of the fixed-rate `sample_stratified`)."""
+    return rel.sample_reservoir(
+        load(spark, sf_dir, "documents"), "source", k=5, seed=42
+    ).select("doc_id", "source", "sample_rank")
+
+
+def q_agg_median_groups(spark, sf_dir):
+    """Exact interpolated quartiles (p25/median/p75) of event value per
+    type — percentile_cont semantics on both engines, rounded to 6dp."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-5 docs for a fixed 4-query workload — query-term
     broadcast prunes the postings before any aggregation; partial scores
@@ -3828,6 +3876,9 @@ QUERIES = {
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
     "bm25_topk": q_bm25_topk,
+    "gap_fill_interpolate": q_gap_fill_interpolate,
+    "sample_reservoir": q_sample_reservoir,
+    "agg_median_groups": q_agg_median_groups,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,
@@ -4028,6 +4079,80 @@ ORACLES: dict[str, str] = {
                round(CAST(0.0 + (bin_id + 1) * 50.0 AS DOUBLE), 6) AS bin_hi,
                count(*) AS n_rows
         FROM b GROUP BY bin_id""",
+    # Same scaffold as gap_fill_bars; interpolation arithmetic mirrored
+    # term-for-term (pv + (nv - pv) * (t - pt) / (nt - pt), round 6).
+    "gap_fill_interpolate": """
+        WITH base AS (
+            SELECT event_type AS series,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_start,
+                   value, ts, event_id
+            FROM events),
+        ranked AS (
+            SELECT series, bar_start, value,
+                   ROW_NUMBER() OVER (PARTITION BY series, bar_start
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM base),
+        bars AS (
+            SELECT series, bar_start, value AS close
+            FROM ranked WHERE rn_d = 1),
+        scaffold AS (
+            SELECT series, CAST(i AS BIGINT) AS h,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 1 HOUR)
+                       AS bar_start
+            FROM (SELECT DISTINCT event_type AS series FROM events)
+                 CROSS JOIN range(720) t(i)),
+        joined AS (
+            SELECT s.series, s.h, b.close
+            FROM scaffold s LEFT JOIN bars b USING (series, bar_start)),
+        win AS (
+            SELECT series, h, close,
+                   last_value(close IGNORE NULLS) OVER wp AS pv,
+                   last_value(CASE WHEN close IS NOT NULL
+                                   THEN CAST(h AS DOUBLE) END IGNORE NULLS)
+                       OVER wp AS pt,
+                   first_value(close IGNORE NULLS) OVER wn AS nv,
+                   first_value(CASE WHEN close IS NOT NULL
+                                    THEN CAST(h AS DOUBLE) END IGNORE NULLS)
+                       OVER wn AS nt
+            FROM joined
+            WINDOW wp AS (PARTITION BY series ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY series ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT series, CAST(h AS INTEGER) AS h,
+               CASE WHEN close IS NOT NULL THEN close
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE round(pv + (nv - pv) * (CAST(h AS DOUBLE) - pt)
+                               / (nt - pt), 6)
+               END AS close_interp,
+               close IS NOT NULL AS observed
+        FROM win""",
+    # The seeded hash rank replayed exactly (same pmod arithmetic as
+    # sample_stratified, full 2^32 resolution — no % 1000).
+    "sample_reservoir": """
+        WITH h AS (
+            SELECT doc_id, source,
+                   ((((doc_id + 42) % 2147483648 + 2147483648) % 2147483648
+                     * 2654435761) % 4294967296 + 4294967296) % 4294967296
+                       AS hv
+            FROM documents),
+        r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY hv ASC, doc_id ASC)
+                       AS sample_rank
+            FROM h)
+        SELECT doc_id, source, CAST(sample_rank AS INTEGER) AS sample_rank
+        FROM r WHERE sample_rank <= 5""",
+    # percentile_cont semantics on both engines (pos = p*(n-1), linear
+    # interpolation), rounded to 6dp.
+    "agg_median_groups": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS median,
+               round(quantile_cont(value, 0.75), 6) AS p75
+        FROM events GROUP BY event_type""",
     # BM25 (Lucene idf), term-for-term the Spark plan: query-term-pruned
     # postings, per-term score rounded then DECIMAL-summed per (query,
     # doc), rank (score desc, id asc).

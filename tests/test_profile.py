@@ -70,3 +70,18 @@ def test_numeric_histogram_rejects_bad_dials(spark):
         profile.numeric_histogram(df, "value", 0.0, 10.0, 0)
     with pytest.raises(ValueError):
         profile.numeric_histogram(df, "value", 10.0, 10.0, 4)
+
+
+def test_agg_median_exact_interpolation(spark):
+    """percentile() must interpolate exactly: median of [1,2,3,4] is 2.5,
+    p25 is 1.75 (pos = p * (n-1))."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)], "g string, v double"
+    )
+    r = df.groupBy("g").agg(
+        F.percentile("v", F.lit(0.25)).alias("p25"),
+        F.percentile("v", F.lit(0.5)).alias("med"),
+    ).collect()[0]
+    assert (r["p25"], r["med"]) == (1.75, 2.5)

@@ -331,3 +331,33 @@ def test_stratified_sample_edge_ids_and_empty_fractions(spark):
     empty = sample_stratified(df, "stratum", {}, id_col="id")
     assert empty.count() == 0
     assert empty.columns == df.columns
+
+
+def test_sample_reservoir_fixed_size_and_stability(spark):
+    """Exactly min(k, group size) rows per group; a grown corpus keeps a
+    deterministic (possibly displaced) sample; different seeds differ."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators.relational import (
+        sample_reservoir,
+    )
+
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = sample_reservoir(df, "g", k=7, seed=1, id_col="id")
+    sizes = {r["g"]: r["n"] for r in
+             out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"0": 7, "1": 7, "2": 7}
+    # rerun-stable
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in
+                  sample_reservoir(df, "g", k=7, seed=1, id_col="id").collect())
+    assert ids1 == ids2
+    # seed changes the draw
+    ids3 = sorted(r["id"] for r in
+                  sample_reservoir(df, "g", k=7, seed=2, id_col="id").collect())
+    assert ids1 != ids3
+    # undersized group: keeps everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+    assert sample_reservoir(tiny, "g", k=7, id_col="id").count() == 2
