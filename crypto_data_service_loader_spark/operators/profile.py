@@ -122,3 +122,69 @@ def numeric_histogram(
             "n_rows",
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Exact interpolated quantiles (percentile_cont semantics: pos =
+    q * (n - 1), linear interpolation) per group, computed scale-out.
+
+    Spark's built-in exact `percentile` buffers EVERY group value inside
+    one aggregation task — with few groups that is a single-threaded sort
+    of the whole group (measured 7x at a 10x scale-up) and an OOM at
+    100 TB. This version distributes: (1) a per-(group, value) frequency
+    count — an ordinary partial-combined shuffle that spreads over the
+    cluster, (2) a cumulative-count window over DISTINCT values only, so
+    the per-group serial portion is bounded by value cardinality, not row
+    count, (3) the two order statistics each quantile needs are picked by
+    cumulative-range containment and interpolated. Exact for any value
+    distribution; cheap whenever the value domain is bounded (metrics,
+    prices, scores). For unbounded-cardinality doubles at extreme scale
+    use `approx_percentile` instead — exactness there costs a sort by
+    construction.
+
+    `qs` maps output column name -> quantile in [0, 1]. Results are
+    rounded to 6dp (engine-exact).
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.filter(F.col(value_col).isNotNull())  # percentile_cont semantics
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wv = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = F.sum("_cnt").over(wv)
+    ranked = freq.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+        cum.alias("_cum"),
+        (cum - F.col("_cnt")).alias("_cumb"),
+        F.sum("_cnt").over(wall).alias("_n"),
+    )
+    aggs = []
+    for name, q in qs.items():
+        pos = F.lit(float(q)) * (F.col("_n") - F.lit(1)).cast("double")
+        i0 = F.floor(pos)
+        i1 = -F.floor(-pos)  # ceil
+        lo = F.min(
+            F.when((F.col("_cumb") <= i0) & (i0 < F.col("_cum")), F.col("_v"))
+        )
+        hi = F.min(
+            F.when((F.col("_cumb") <= i1) & (i1 < F.col("_cum")), F.col("_v"))
+        )
+        frac = pos - i0.cast("double")
+        # lo/hi/frac are all aggregates over the group (frac is constant
+        # per group — min() just collapses it); interpolation mirrors
+        # percentile_cont: lo + (hi - lo) * frac
+        aggs.append(F.round(lo + (hi - lo) * F.min(frac), 6).alias(name))
+    return ranked.groupBy(group_col).agg(*aggs)

@@ -3852,12 +3852,14 @@ def q_sample_reservoir(spark, sf_dir):
 
 def q_agg_median_groups(spark, sf_dir):
     """Exact interpolated quartiles (p25/median/p75) of event value per
-    type — percentile_cont semantics on both engines, rounded to 6dp."""
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median"),
-        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    type — percentile_cont semantics, computed scale-out via the
+    frequency-table quantile (Spark's built-in exact percentile buffers
+    whole groups in single tasks: measured 7x at a 10x probe)."""
+    return profile.exact_quantiles(
+        load(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        {"p25": 0.25, "median": 0.5, "p75": 0.75},
     )
 
 

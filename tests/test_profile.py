@@ -85,3 +85,31 @@ def test_agg_median_exact_interpolation(spark):
         F.percentile("v", F.lit(0.5)).alias("med"),
     ).collect()[0]
     assert (r["p25"], r["med"]) == (1.75, 2.5)
+
+
+def test_exact_quantiles_matches_builtin_percentile(spark):
+    """The frequency-table quantile must equal Spark's exact percentile
+    (percentile_cont semantics) on ties, nulls, and ragged group sizes —
+    while distributing the heavy aggregation instead of buffering whole
+    groups in single tasks."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i % 3}", float(rng.randint(0, 50)) / 2 if i % 11 else None)
+        for i in range(500)
+    ] + [("g3", 42.0)]  # single-row group: all quantiles = the value
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = {"p10": 0.1, "p50": 0.5, "p99": 0.99}
+    got = {r["g"]: (r["p10"], r["p50"], r["p99"]) for r in
+           profile.exact_quantiles(df, "g", "v", qs).collect()}
+    ref = {r["g"]: (r["p10"], r["p50"], r["p99"]) for r in
+           df.groupBy("g").agg(
+               F.round(F.percentile("v", F.lit(0.1)), 6).alias("p10"),
+               F.round(F.percentile("v", F.lit(0.5)), 6).alias("p50"),
+               F.round(F.percentile("v", F.lit(0.99)), 6).alias("p99"),
+           ).collect()}
+    assert got == ref
+    assert got["g3"] == (42.0, 42.0, 42.0)
