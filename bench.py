@@ -76,6 +76,10 @@ HEADLINE = [
     "events_funnel",
     "vwap_bars",
     "win_ewma",
+    "profile_columns",
+    "bm25_topk",
+    "gap_fill_interpolate",
+    "agg_median_groups",
 ]
 
 
