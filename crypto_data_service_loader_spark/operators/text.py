@@ -497,8 +497,6 @@ def bm25_topk(
     per-(query, doc) total is independent of partition merge order, then
     ranked (score desc, id asc) — fully engine-exact.
     """
-    from pyspark.sql import Window
-
     from .relational import dsum
 
     toks = _tokens(F.col(text_col))
@@ -509,15 +507,7 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (dsum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qterms = (
-        queries.select(
-            "query_id",
-            F.explode(
-                F.array_distinct(_tokens(F.col("query_text")))
-            ).alias("term"),
-        )
-        .distinct()
-    )
+    qterms = query_terms(queries)
     tf = (
         docs.select(F.col(id_col), F.explode(toks).alias("term"))
         # prune to query terms BEFORE any aggregation: the broadcast join
@@ -526,6 +516,46 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+    return bm25_rank(tf, dl, stats, qterms, k1=k1, b=b, k=k, id_col=id_col)
+
+
+def query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, query_text) -> distinct (query_id, term) rows, with the
+    corpus tokenizer applied to the query text."""
+    return (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(_tokens(F.col("query_text")))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def bm25_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 scoring core over prepared parts — shared by the inline
+    `bm25_topk` (parts built from the raw corpus) and the persisted
+    postings index (parts loaded from the pruned on-disk scan), so the
+    two paths return EXACTLY the same ranking by construction.
+
+    `tf` is (id, term, tf), `dl` is (id, dl), `stats` a single row
+    (n_docs, avgdl), `qterms` (query_id, term). Document frequencies are
+    derived from `tf`, which both callers restrict to query terms first.
+    """
+    from pyspark.sql import Window
+
+    from .relational import dsum
+
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
