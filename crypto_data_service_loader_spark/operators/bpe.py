@@ -1,0 +1,146 @@
+"""BPE tokenizer training and application — byte-pair-encoding merge
+learning (Sennrich et al. 2016, public method), the tokenizer-training
+step of an LLM data pipeline, expressed Spark-first.
+
+Scale design — the core trick is that BPE training never needs the
+corpus after one scan:
+
+1. ONE corpus scan builds the word-frequency table (whitespace words ->
+   counts). Everything after runs on the VOCABULARY (distinct words),
+   which is orders of magnitude smaller than the corpus and grows
+   sublinearly with it (Heaps' law).
+2. Each merge iteration is: explode adjacent symbol pairs weighted by
+   word count -> partial-aggregated groupBy(pair) -> take the single max
+   row (driver collect of ONE row — bounded by construction) -> rewrite
+   the vocab's symbol arrays with a scan-local left-to-right fold
+   (`F.aggregate`, no shuffle). The vocab frame is localCheckpoint'd per
+   round — the same iterative-plan-blowup fix connected_components
+   needed (each round would otherwise double the logical plan).
+3. Applying learned merges to documents (`bpe_segment`) is pure
+   scan-side array folding — zero shuffles, arbitrarily parallel.
+
+Determinism: ties on pair count break lexicographically (left asc,
+right asc), so the merge sequence is a pure function of the corpus.
+Training is genuinely iterative (each merge depends on the last), so
+the registered key is rows-only by nature; correctness is pinned by an
+independent pure-Python reference implementation equivalence test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: end-of-word marker (classic BPE: lets merges distinguish suffixes
+#: from mid-word sequences; also what makes segmentation reversible)
+EOW = "</w>"
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _initial_symbols(vocab: DataFrame) -> DataFrame:
+    # word -> array of single-char symbols + EOW terminator
+    return vocab.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(EOW))
+        ).alias("syms"),
+    )
+
+
+def _merge_expr(syms, left: str, right: str):
+    """Left-to-right single-pass merge of adjacent (left, right) into
+    left||right — the exact greedy order reference BPE uses (an 'aaa'
+    with merge (a,a) becomes ['aa','a'])."""
+    step = F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return step
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    spark: SparkSession | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Learn the top-`n_merges` BPE merge rules from the corpus.
+
+    Returns [(rank, left, right, pair_count), ...] in merge order —
+    driver-side by design: the merge table IS the tokenizer artifact (a
+    few thousand rows shipped to every consumer), never big data.
+    Stops early if no pair occurs twice.
+    """
+    vocab = _initial_symbols(_word_freqs(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("left"), b.alias("right")
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair.left", "pair.right")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.col("n").desc(), F.col("left").asc(), F.col("right").asc()
+        ).head(1)  # bounded: ONE row
+        if not top or top[0]["n"] < 2:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        merges.append((rank + 1, left, right, n))
+        vocab = vocab.select(
+            "word", "freq", _merge_expr(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()  # rebase the plan: no 2^rounds re-analysis
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned merges to documents: per doc, the BPE token array
+    and token count. Pure scan-side folding (one array rewrite per merge
+    rule, applied in rank order — the order IS the tokenizer); zero
+    shuffles, so it composes into any pipeline scan."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # per word: chars + EOW, merges folded in rank order
+    def seg_word(w):
+        syms = F.concat(F.split(w, ""), F.array(F.lit(EOW)))
+        for _, left, right, _n in sorted(merges):
+            syms = _merge_expr(syms, left, right)
+        return syms
+
+    flat = F.flatten(F.transform(toks, seg_word))
+    return docs.select(
+        F.col(id_col),
+        flat.alias("bpe_tokens"),
+        F.size(flat).cast("int").alias("n_bpe_tokens"),
+    )

@@ -3863,6 +3863,21 @@ def q_agg_median_groups(spark, sf_dir):
     )
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer training + segmentation (rows-only by nature: each
+    merge depends on the previous one — no SQL unrolling; correctness is
+    pinned by the pure-Python reference equivalence tests). Trains 6
+    merges on a bounded doc sample, then segments scan-side (zero
+    shuffles in the apply path)."""
+    from .operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.bpe_train_merges(docs.filter(F.col("doc_id") < 100), 6)
+    return bpe.bpe_segment(
+        docs.filter(F.col("doc_id") < 200), merges
+    ).select("doc_id", "n_bpe_tokens")
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-5 docs for a fixed 4-query workload — query-term
     broadcast prunes the postings before any aggregation; partial scores
@@ -3881,6 +3896,7 @@ QUERIES = {
     "gap_fill_interpolate": q_gap_fill_interpolate,
     "sample_reservoir": q_sample_reservoir,
     "agg_median_groups": q_agg_median_groups,
+    "bpe_tokenize": q_bpe_tokenize,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,
