@@ -78,3 +78,73 @@ def pagerank(
     return pr.select(
         F.col("_id").alias(id_col), F.round("_pr", 9).alias("pagerank")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count, undirected degree, and local clustering
+    coefficient (2*tri / (deg*(deg-1))) — the cohesion signal over a kNN
+    graph: high coefficient = the doc sits in a dense semantic cluster
+    (near-dup hotspot), coefficient ~0 = a hub bridging topics.
+
+    Canonicalizes to undirected distinct edges (a < b), then counts each
+    triangle once via the ordered wedge join: (a,b)⋈(b,c) gives wedges
+    with a < b < c by construction, and an edge-set semi-check on (a,c)
+    closes them. All equi-joins on node ids — O(sum of deg^2) wedge
+    candidates, the standard bound; on a kNN graph degree is capped by
+    construction (~2k), so candidates are linear in nodes and no skew
+    materializes. Zero-triangle/low-degree nodes get coefficient 0.
+    """
+    und = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .distinct()
+        # referenced three times by the wedge join below — materialize
+        # once or each reference re-runs the full upstream edge pipeline
+        .localCheckpoint()
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+    tris = (
+        und.join(e2, "b")                     # wedges a < b < c
+        .join(e3, (F.col("a") == F.col("wa")) & (F.col("c") == F.col("wc")),
+              "left_semi")                    # close the (a, c) edge
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(per_node, "node", "left")
+        .join(deg, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.round(
+                    F.lit(2.0) * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -2016,6 +2016,38 @@ _RELATIONAL_ORACLES = {
     # top-3 neighbors per vector by (score desc, id) within the bucket.
     "knn_graph_lsh": _KNN_SQL,
     "pagerank_knn": _pagerank_sql(3),
+    # Triangle closure over the same kNN edge CTE: ordered wedges
+    # (a < b < c by canonicalization) closed by an (a, c) edge EXISTS.
+    "knn_triangles": f"""
+        WITH knn AS ({{knn}}),
+        edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst),
+        wedge AS (SELECT e1.a, e1.b, e2.b AS c
+                  FROM und e1 JOIN und e2 ON e1.b = e2.a),
+        tri AS (SELECT w.a, w.b, w.c FROM wedge w
+                WHERE EXISTS (SELECT 1 FROM und e3
+                              WHERE e3.a = w.a AND e3.b = w.c)),
+        pn AS (SELECT node, count(*) AS n_triangles
+               FROM (SELECT a AS node FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
+               GROUP BY node),
+        deg AS (SELECT node, count(*) AS degree
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY node)
+        SELECT e.vec_id,
+               coalesce(n_triangles, 0) AS n_triangles,
+               coalesce(degree, 0) AS degree,
+               CASE WHEN coalesce(degree, 0) >= 2
+                    THEN round(CAST(2.0 AS DOUBLE) * coalesce(n_triangles, 0)
+                               / (degree * (degree - 1)), 6)
+                    ELSE CAST(0.0 AS DOUBLE)
+               END AS clustering_coeff
+        FROM embeddings e
+        LEFT JOIN pn ON e.vec_id = pn.node
+        LEFT JOIN deg ON e.vec_id = deg.node""".replace("{knn}", _KNN_SQL),
     
     "udf_grouped_range": """
         SELECT user_id, MAX(value) - MIN(value) AS value_range
@@ -3863,6 +3895,21 @@ def q_agg_median_groups(spark, sf_dir):
     )
 
 
+def q_knn_triangles(spark, sf_dir):
+    """Per-node triangle count / degree / clustering coefficient over the
+    LSH kNN graph — the cohesion complement of pagerank_knn (dense
+    semantic clusters vs topic-bridging hubs), same edge set."""
+    from .operators import graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=3, n_planes=4).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return graph.triangle_counts(
+        edges, emb.select("vec_id"), id_col="vec_id"
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """BPE tokenizer training + segmentation (rows-only by nature: each
     merge depends on the previous one — no SQL unrolling; correctness is
@@ -3897,6 +3944,7 @@ QUERIES = {
     "sample_reservoir": q_sample_reservoir,
     "agg_median_groups": q_agg_median_groups,
     "bpe_tokenize": q_bpe_tokenize,
+    "knn_triangles": q_knn_triangles,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,

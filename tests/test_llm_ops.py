@@ -1035,3 +1035,29 @@ def test_bm25_topk_prunes_postings_with_broadcast(spark):
     plan = text.bm25_topk(docs, q)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """K4 minus one edge: triangles {1,2,3} and {1,2,4}; coefficients
+    2*tri/(deg*(deg-1)); isolated node gets zeros."""
+    from crypto_data_service_loader_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 2), (4, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    got = {r["id"]: (r["n_triangles"], r["degree"], r["clustering_coeff"])
+           for r in graph.triangle_counts(edges, nodes).collect()}
+    assert got == {
+        1: (2, 3, 0.666667), 2: (2, 3, 0.666667),
+        3: (1, 2, 1.0), 4: (1, 2, 1.0), 5: (0, 0, 0.0),
+    }
+    # direction/duplicate invariance: reversed + duplicated edges give
+    # the same undirected answer
+    rev = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (2, 3), (2, 4), (1, 2)],
+        "src long, dst long",
+    )
+    got2 = {r["id"]: (r["n_triangles"], r["degree"], r["clustering_coeff"])
+            for r in graph.triangle_counts(rev, nodes).collect()}
+    assert got2 == got
