@@ -67,6 +67,20 @@ SHOWCASE = {
     "pack_sequences": "One shuffle on the group key, one Window cumsum "
     "per group partition, bin assignment is scan-local arithmetic on the "
     "running sum — packing 100 TB costs exactly one exchange.",
+    "bm25_topk": "Query-term list broadcasts (BroadcastHashJoin) and "
+    "prunes the corpus postings BEFORE the tf aggregation; corpus stats "
+    "(N, avgdl) join as single-row broadcasts; only query-term postings "
+    "ever shuffle — full-vocabulary statistics never materialize.",
+    "profile_columns": "ONE aggregation over ONE scan: every per-column "
+    "statistic is an agg expression in the same HashAggregate (the exact "
+    "distinct adds the standard Expand); per-column output rows come "
+    "from exploding the 1-row aggregate — no per-column jobs, no second "
+    "scan.",
+    "agg_median_groups": "Exact quantiles WITHOUT buffering groups: "
+    "per-(group, value) frequency HashAggregate with map-side partials, "
+    "then a Window over DISTINCT values only — the per-group serial "
+    "portion is bounded by value cardinality, not row count (Spark's "
+    "builtin exact percentile would put whole groups in single tasks).",
 }
 
 
