@@ -404,3 +404,51 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
 def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """INTERSECT (set semantics)."""
     return a.intersect(b)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Derive SCD-type-2 version history from an event/change stream: per
+    key, consecutive rows with identical tracked attributes collapse into
+    one version row with [valid_from, valid_to) validity, a version
+    number, and an is_current flag (valid_to null). The
+    warehouse-standard way to turn an append-only change log into a
+    point-in-time dimension — the generalization of this repo's registry
+    status log (latest-wins compaction is SCD1; this keeps the history).
+
+    `order_cols` must totally order each key's timeline (e.g. [ts,
+    event_id]) or version boundaries are nondeterministic; `ts_col`
+    (default order_cols[0]) supplies the validity timestamps. Change
+    detection is null-safe (a NULL attribute is a value, not a wildcard).
+
+    One shuffle on the key; three window passes (lag-compare, lead, and
+    row_number) share the same sorted partition — no re-exchange.
+    """
+    ts_col = ts_col or order_cols[0]
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    changed = F.lit(False)
+    for a in attr_cols:
+        # null-safe inequality: NOT (a <=> lag(a))
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    first = F.row_number().over(w) == 1
+    versions = df.withColumn("_new_version", first | changed).filter(
+        F.col("_new_version")
+    )
+    wv = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return versions.select(
+        F.col(key_col),
+        *[F.col(a) for a in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(wv).alias("valid_to"),
+        F.row_number().over(wv).cast("int").alias("version"),
+        F.lead(F.col(ts_col)).over(wv).isNull().alias("is_current"),
+    )

@@ -3895,6 +3895,20 @@ def q_agg_median_groups(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD-type-2 version history from the event stream: per user,
+    consecutive same-event_type runs collapse into versions with
+    [valid_from, valid_to) validity — change-log -> point-in-time
+    dimension, the history-keeping generalization of the registry's
+    latest-wins compaction."""
+    return rel.scd2_history(
+        load(spark, sf_dir, "events"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        attr_cols=["event_type"],
+    )
+
+
 def q_knn_triangles(spark, sf_dir):
     """Per-node triangle count / degree / clustering coefficient over the
     LSH kNN graph — the cohesion complement of pagerank_knn (dense
@@ -3945,6 +3959,7 @@ QUERIES = {
     "agg_median_groups": q_agg_median_groups,
     "bpe_tokenize": q_bpe_tokenize,
     "knn_triangles": q_knn_triangles,
+    "scd2_history": q_scd2_history,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,
@@ -4145,6 +4160,26 @@ ORACLES: dict[str, str] = {
                round(CAST(0.0 + (bin_id + 1) * 50.0 AS DOUBLE), 6) AS bin_hi,
                count(*) AS n_rows
         FROM b GROUP BY bin_id""",
+    # Null-safe change detection (IS DISTINCT FROM == NOT eqNullSafe),
+    # same three window passes over one (user, ts, event_id) sort.
+    "scd2_history": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_type,
+                   row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        versions AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER wv AS valid_to,
+               CAST(row_number() OVER wv AS INTEGER) AS version,
+               lead(ts) OVER wv IS NULL AS is_current
+        FROM versions
+        WINDOW wv AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
     # Same scaffold as gap_fill_bars; interpolation arithmetic mirrored
     # term-for-term (pv + (nv - pv) * (t - pt) / (nt - pt), round 6).
     "gap_fill_interpolate": """
