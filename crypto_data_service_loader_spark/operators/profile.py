@@ -91,21 +91,8 @@ def numeric_histogram(
     groupBy key space is bounded by n_bins + 2, so the exchange is
     constant-width no matter the input size.
     """
-    if n_bins <= 0:
-        raise ValueError("n_bins must be positive")
-    if not hi > lo:
-        raise ValueError("need hi > lo")
-    width = (float(hi) - float(lo)) / int(n_bins)
     x = F.col(value_col).cast("double")
-    raw = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
-    bin_id = (
-        F.when(x < F.lit(float(lo)), F.lit(-1))
-        .when(x >= F.lit(float(hi)), F.lit(int(n_bins)))
-        # boundary safety: floating division can land exactly on n_bins
-        # for x just under hi — clamp keeps the contract
-        .otherwise(F.least(raw, F.lit(int(n_bins) - 1)))
-        .cast("int")
-    )
+    bin_id = histogram_bin_expr(x, lo, hi, n_bins)
     return (
         df.filter(x.isNotNull())
         .select(bin_id.alias("bin_id"))
@@ -113,15 +100,43 @@ def numeric_histogram(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
             "bin_id",
-            F.round(
-                F.lit(float(lo)) + F.col("bin_id") * F.lit(width), 6
-            ).alias("bin_lo"),
-            F.round(
-                F.lit(float(lo)) + (F.col("bin_id") + 1) * F.lit(width), 6
-            ).alias("bin_hi"),
+            *histogram_edge_exprs(lo, hi, n_bins),
             "n_rows",
         )
     )
+
+
+def histogram_bin_expr(x, lo: float, hi: float, n_bins: int):
+    """The bin-assignment expression shared by the batch histogram and
+    its streaming twin (same arithmetic => same buckets by construction).
+    `x` must already be a double column."""
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (float(hi) - float(lo)) / int(n_bins)
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
+    return (
+        F.when(x < F.lit(float(lo)), F.lit(-1))
+        .when(x >= F.lit(float(hi)), F.lit(int(n_bins)))
+        # boundary safety: floating division can land exactly on n_bins
+        # for x just under hi — clamp keeps the contract
+        .otherwise(F.least(raw, F.lit(int(n_bins) - 1)))
+        .cast("int")
+    )
+
+
+def histogram_edge_exprs(lo: float, hi: float, n_bins: int):
+    """bin_lo / bin_hi columns derived from a `bin_id` column."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    return [
+        F.round(
+            F.lit(float(lo)) + F.col("bin_id") * F.lit(width), 6
+        ).alias("bin_lo"),
+        F.round(
+            F.lit(float(lo)) + (F.col("bin_id") + 1) * F.lit(width), 6
+        ).alias("bin_hi"),
+    ]
 
 
 def exact_quantiles(

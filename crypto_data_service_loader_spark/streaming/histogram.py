@@ -1,0 +1,81 @@
+"""Streaming windowed histograms — the live twin of
+`operators/profile.numeric_histogram` (the distribution monitor a
+pipeline runs over its ingest stream: value drift shows up as bin-mass
+movement between windows long before any downstream metric breaks).
+
+The bin-assignment arithmetic is literally shared with the batch
+operator (`profile.histogram_bin_expr`), so a window's streaming
+histogram equals the batch histogram of that window's rows by
+construction (equality-tested). State per window is n_bins + 2 counters
+— bounded — and the watermark retires windows, so state size is
+(windows-in-flight x bins), independent of stream volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.profile import histogram_bin_expr, histogram_edge_exprs
+
+
+def windowed_histogram(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window histogram transformation (attach your own sink):
+    (win_start, bin_id, bin_lo, bin_hi, n_rows) per closed window.
+    Late rows beyond `delay` are dropped by the watermark — the standard
+    completeness/latency trade."""
+    x = F.col(value_col).cast("double")
+    return (
+        stream.withWatermark(ts_col, delay)
+        .filter(x.isNotNull())
+        .select(
+            F.col(ts_col),
+            histogram_bin_expr(x, lo, hi, n_bins).alias("bin_id"),
+        )
+        .groupBy(F.window(ts_col, window).alias("w"), "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "bin_id",
+            *histogram_edge_exprs(lo, hi, n_bins),
+            "n_rows",
+        )
+    )
+
+
+def start_histogram_stream(
+    stream: DataFrame,
+    checkpoint: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "1 hour",
+    query_name: str = "histogram",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the windowed histogram into an in-memory table `query_name`
+    (append mode: a window emits once, when the watermark closes it)."""
+    out = windowed_histogram(
+        stream, value_col, lo, hi, n_bins, ts_col, window, delay
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

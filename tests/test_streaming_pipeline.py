@@ -162,3 +162,52 @@ def test_full_status_machine_cycle(spark, tmp_path):
                              expected_status="IN_PROGRESS", seq=3, batch_id=3)
     final = {r["filename"]: r["status"] for r in current_state(ev).collect()}
     assert final == {"a": "FINISHED", "b": "DISCOVERED"}
+
+
+def test_streaming_histogram_matches_batch_twin(spark, tmp_path):
+    """Each closed window's streaming histogram equals the batch
+    numeric_histogram of exactly that window's rows (shared bin
+    arithmetic); the watermark controls which windows have emitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        numeric_histogram,
+    )
+    from crypto_data_service_loader_spark.streaming.histogram import (
+        start_histogram_stream,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = (
+        [(t(0, i), float(v)) for i, v in enumerate([-5, 0, 12, 25, 49])]
+        + [(t(1, i), float(v)) for i, v in enumerate([50, 75, 99, 100, 7])]
+        # sentinel hour: pushes the final watermark past hours 0-1
+        + [(t(5), 1.0)]
+    )
+    schema = "ts timestamp, value double"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_histogram_stream(
+        stream, str(tmp_path / "ckpt"), "value", 0.0, 100.0, n_bins=4,
+        window="1 hour", delay="1 hour", query_name="hist_t",
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("SELECT * FROM hist_t").collect():
+        got.setdefault(r["win_start"].hour, {})[r["bin_id"]] = (
+            r["bin_lo"], r["bin_hi"], r["n_rows"]
+        )
+    # hours 0 and 1 closed (watermark = 05:00 - 1h); 5 still open
+    assert set(got) == {0, 1}
+    batch = spark.createDataFrame(rows, schema)
+    for h in (0, 1):
+        window_rows = batch.filter(F.hour("ts") == h)
+        expect = {r["bin_id"]: (r["bin_lo"], r["bin_hi"], r["n_rows"])
+                  for r in numeric_histogram(
+                      window_rows, "value", 0.0, 100.0, 4).collect()}
+        assert got[h] == expect
+    # bounded state: every emitted row is one of the n_bins+2 buckets
+    assert all(-1 <= b <= 4 for per in got.values() for b in per)
