@@ -203,3 +203,47 @@ def exact_quantiles(
         # percentile_cont: lo + (hi - lo) * frac
         aggs.append(F.round(lo + (hi - lo) * F.min(frac), 6).alias(name))
     return ranked.groupBy(group_col).agg(*aggs)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the top-k heaviest keys with
+    their row counts and share of the table — run this BEFORE a big join
+    or aggregation to know whether the key needs salting / AQE skew
+    handling (the 100-TB failure mode is one power-law key pinning one
+    reducer; this report is how you see it for the cost of one count
+    aggregation).
+
+    One partial-combined groupBy, then the global top-k as
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    k-heaps + driver merge), NOT a global sort or single-partition
+    window; the rank window runs over the already-bounded k rows only.
+    Output: (key rendered as string, n_rows, share rounded 6dp,
+    skew_rank). NULL keys count as a key (they hash to one reducer too —
+    the classic surprise).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    top = counts.orderBy(
+        F.col("n_rows").desc(), F.col("key").asc_nulls_last()
+    ).limit(int(top_k))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
+    return (
+        top.withColumn("skew_rank", F.row_number().over(w))
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("_total"), 6
+            ).alias("share"),
+            F.col("skew_rank").cast("int").alias("skew_rank"),
+        )
+    )

@@ -67,3 +67,57 @@ def convert_corpus(
     write_columnar(df, dst_path, dst_fmt, n_files, sort_within_by)
     # columnar count() is a metadata/footer read, not a data re-scan
     return read_columnar(spark, dst_path, dst_fmt).count()
+
+
+def morton_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns into
+    one sort key — the multi-dimensional file-layout trick (Delta/Iceberg
+    Z-ORDER, public technique): sorting by the interleaved key keeps rows
+    close in BOTH dimensions close on disk, so min/max page skipping
+    prunes on either filter column, where a lexicographic (a, b) sort
+    only ever prunes on `a`.
+
+    Pure integer bit arithmetic (shift/and/or composed per bit — one
+    codegen expression, no UDF). `bits` per dimension, max 31; values are
+    masked into [0, 2^bits) — pre-bucket wider domains (e.g.
+    `pmod(hash, 2^bits)`).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 < bits <= 31:
+        raise ValueError("bits must be in (0, 31]")
+    mask = (1 << bits) - 1
+    a = col_a.cast("long").bitwiseAND(F.lit(mask))
+    b = col_b.cast("long").bitwiseAND(F.lit(mask))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    fmt: str = "parquet",
+    n_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Write with Z-order clustering on (col_a, col_b): range-partition
+    by the Morton key (globally clustered files) and sort within each
+    file — filters on EITHER column then prune via column min/max
+    statistics. The key is layout-only (dropped from the output)."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        "_zkey", morton_key(F.col(col_a), F.col(col_b), bits)
+    )
+    if n_files is not None:
+        keyed = keyed.repartitionByRange(int(n_files), F.col("_zkey"))
+    out = keyed.sortWithinPartitions("_zkey").drop("_zkey")
+    out.write.mode("overwrite").format(fmt).save(path)

@@ -3895,6 +3895,29 @@ def q_agg_median_groups(spark, sf_dir):
     )
 
 
+def q_key_skew_report(spark, sf_dir):
+    """Top-10 heaviest join keys with row share — the pre-join skew
+    diagnostic (one partial-agg groupBy + TakeOrderedAndProject top-k,
+    never a global sort)."""
+    return profile.key_skew_report(
+        load(spark, sf_dir, "events"), "user_id", top_k=10
+    )
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) interleave key for two-dimensional file
+    clustering — pure bit arithmetic in one codegen expression (the
+    layout `interchange.zorder_write` sorts by)."""
+    from .sources.interchange import morton_key
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        morton_key(F.col("user_id") % 256, F.col("event_id") % 256, 8)
+            .alias("zkey"),
+    )
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD-type-2 version history from the event stream: per user,
     consecutive same-event_type runs collapse into versions with
@@ -3960,6 +3983,8 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "knn_triangles": q_knn_triangles,
     "scd2_history": q_scd2_history,
+    "key_skew_report": q_key_skew_report,
+    "zorder_key": q_zorder_key,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,
@@ -4160,6 +4185,33 @@ ORACLES: dict[str, str] = {
                round(CAST(0.0 + (bin_id + 1) * 50.0 AS DOUBLE), 6) AS bin_hi,
                count(*) AS n_rows
         FROM b GROUP BY bin_id""",
+    # String-rendered keys so tie-break order is identical ('10' < '2'
+    # lexicographically on BOTH sides — the cast happens before ranking).
+    "key_skew_report": """
+        WITH counts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+            FROM events GROUP BY 1),
+        total AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM counts),
+        ranked AS (
+            SELECT key, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC,
+                                      key ASC NULLS LAST) AS skew_rank
+            FROM counts)
+        SELECT key, n_rows,
+               round(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+               CAST(skew_rank AS INTEGER) AS skew_rank
+        FROM ranked CROSS JOIN total WHERE skew_rank <= 10""",
+    # Bit-interleave mirrored term-for-term (DuckDB's >>, &, << on
+    # BIGINT match Spark's long shifts for these non-negative operands).
+    "zorder_key": """
+        SELECT event_id, ({z}) AS zkey FROM events""".replace(
+        "{z}",
+        " | ".join(
+            f"((((user_id % 256) >> {i}) & 1) << {2 * i})"
+            f" | ((((event_id % 256) >> {i}) & 1) << {2 * i + 1})"
+            for i in range(8)
+        ),
+    ),
     # Null-safe change detection (IS DISTINCT FROM == NOT eqNullSafe),
     # same three window passes over one (user, ts, event_id) sort.
     "scd2_history": """

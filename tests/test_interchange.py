@@ -68,3 +68,45 @@ def test_interchange_rejects_unknown_format(spark, tmp_path):
         interchange.write_columnar(df, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="fmt"):
         interchange.read_columnar(spark, str(tmp_path / "x"), "csvish")
+
+
+def test_morton_key_interleave_values(spark):
+    from crypto_data_service_loader_spark.sources.interchange import morton_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (5, 5)], "a long, b long"
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", morton_key(F.col("a"), F.col("b"), 4)
+                     .alias("z")).collect()}
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3,
+                   (2, 3): 14, (5, 5): 51}
+    with pytest.raises(ValueError):
+        morton_key(F.col("a"), F.col("b"), 0)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order files bound BOTH dimensions (the pruning property);
+    a lexicographic (a, b) sort would leave b spanning the full range
+    in every file."""
+    import itertools
+
+    from crypto_data_service_loader_spark.sources.interchange import (
+        zorder_write,
+    )
+
+    grid = [(a, b) for a, b in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(grid, "a long, b long")
+    dst = str(tmp_path / "z")
+    zorder_write(df, dst, "a", "b", n_files=4, bits=5)
+    files = glob.glob(f"{dst}/part-*")
+    assert len(files) == 4
+    for f in files:
+        rows = spark.read.parquet(f).collect()
+        spread_a = max(r["a"] for r in rows) - min(r["a"] for r in rows)
+        spread_b = max(r["b"] for r in rows) - min(r["b"] for r in rows)
+        # each quarter of the Z-curve covers a half-plane slab: at least
+        # one dimension is bounded to half the range, and neither file
+        # degenerates to "all of b for a sliver of a"
+        assert min(spread_a, spread_b) <= 16
+        assert spread_a < 32 or spread_b < 32

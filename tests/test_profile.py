@@ -113,3 +113,23 @@ def test_exact_quantiles_matches_builtin_percentile(spark):
            ).collect()}
     assert got == ref
     assert got["g3"] == (42.0, 42.0, 42.0)
+
+
+def test_key_skew_report_semantics(spark):
+    """Heaviest key first with its share; NULL keys are counted as a key;
+    ranks are dense; share denominators cover ALL rows (not just top-k)."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        key_skew_report,
+    )
+
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + [(None,)] * 10 + [
+        (f"cold{i}",) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert [r["skew_rank"] for r in out] == [1, 2, 3]
+    assert (out[0]["key"], out[0]["n_rows"], out[0]["share"]) == ("hot", 60, 0.6)
+    assert (out[1]["key"], out[1]["n_rows"]) == ("warm", 25)
+    assert out[2]["key"] is None and out[2]["n_rows"] == 10  # null is a key
