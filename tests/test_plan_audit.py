@@ -26,6 +26,7 @@ NESTED_LOOP_OK = {
     "tpch_q11",  # HAVING scalar subquery: single-row aggregate broadcast
     "text_tfidf_top_terms",  # corpus-count N: single-row aggregate broadcast
     "bm25_topk",  # corpus stats (N, avgdl): single-row aggregate broadcast
+    "key_skew_report",  # total row count: single-row aggregate broadcast
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
