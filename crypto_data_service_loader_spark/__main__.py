@@ -59,12 +59,71 @@ def main(argv: list[str] | None = None) -> int:
                       help="fold settled epoch partitions after the drain")
     corp.add_argument("--follow", action="store_true",
                       help="keep watching (default: drain once and exit)")
+    prof = sub.add_parser(
+        "profile",
+        help="per-column profile of a parquet/ORC table (one scan)",
+    )
+    prof.add_argument("--input", required=True, help="table path")
+    prof.add_argument("--format", default="parquet",
+                      choices=["parquet", "orc"])
+    prof.add_argument("--columns", default=None,
+                      help="comma-separated subset (default: all)")
+    prof.add_argument("--approx", action="store_true",
+                      help="HLL distinct counts (expand-free at scale)")
+    conv = sub.add_parser(
+        "convert",
+        help="one-pass columnar format conversion (parquet <-> orc)",
+    )
+    conv.add_argument("--input", required=True)
+    conv.add_argument("--output", required=True)
+    conv.add_argument("--from-format", default="parquet",
+                      choices=["parquet", "orc"], dest="src_fmt")
+    conv.add_argument("--to-format", default="orc",
+                      choices=["parquet", "orc"], dest="dst_fmt")
+    conv.add_argument("--files", type=int, default=None,
+                      help="target output file count")
+    conv.add_argument("--sort-by", default=None,
+                      help="comma-separated within-file sort columns")
+    conv.add_argument("--zorder", default=None,
+                      help="two comma-separated int columns for Z-order "
+                           "clustering (overrides --sort-by)")
     args = p.parse_args(argv)
 
     spark = get_spark("crypto_data_service_loader_spark")
 
     if args.cmd == "ingest-corpus":
         return _ingest_corpus(spark, args)
+    if args.cmd == "profile":
+        from .operators.profile import profile_columns
+        from .sources.interchange import read_columnar
+
+        df = read_columnar(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        for r in profile_columns(
+            df, cols, exact_distinct=not args.approx
+        ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "convert":
+        from .sources.interchange import convert_corpus, zorder_write, read_columnar
+
+        if args.zorder:
+            a, b = [c.strip() for c in args.zorder.split(",")]
+            zorder_write(
+                read_columnar(spark, args.input, args.src_fmt),
+                args.output, a, b, fmt=args.dst_fmt, n_files=args.files,
+            )
+            n = read_columnar(spark, args.output, args.dst_fmt).count()
+        else:
+            n = convert_corpus(
+                spark, args.input, args.output, args.src_fmt, args.dst_fmt,
+                n_files=args.files,
+                sort_within_by=(args.sort_by.split(",") if args.sort_by
+                                else None),
+            )
+        print(json.dumps({"rows": n, "output": args.output,
+                          "format": args.dst_fmt}))
+        return 0
 
     cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
 

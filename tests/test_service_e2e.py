@@ -266,3 +266,30 @@ def test_cli_ingest_corpus(spark, tmp_path):
     # header stripped everywhere; 2 collapsed into 0; all-boilerplate 3 gone
     assert set(corpus) == {0, 1}
     assert corpus[0] == "unique one"
+
+
+def test_cli_profile_and_convert(spark, tmp_path, capsys, sf_dir):
+    import json as _json
+
+    from crypto_data_service_loader_spark.__main__ import main
+
+    src = f"{sf_dir}/documents.parquet"
+    rc = main(["profile", "--input", src, "--columns", "doc_id,lang"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    byc = {l["column"]: l for l in lines}
+    assert byc["doc_id"]["n_nulls"] == 0
+    assert byc["doc_id"]["n_distinct"] == byc["doc_id"]["n_rows"]
+    dst = str(tmp_path / "orc")
+    rc = main(["convert", "--input", src, "--output", dst,
+               "--to-format", "orc", "--files", "2"])
+    assert rc == 0
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] == spark.read.parquet(src).count()
+    assert spark.read.orc(dst).count() == got["rows"]
+    zdst = str(tmp_path / "z")
+    rc = main(["convert", "--input", f"{sf_dir}/events.parquet",
+               "--output", zdst, "--zorder", "user_id,event_id",
+               "--files", "2"])
+    assert rc == 0
