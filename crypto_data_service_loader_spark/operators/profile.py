@@ -247,3 +247,46 @@ def key_skew_report(
             F.col("skew_rank").cast("int").alias("skew_rank"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation:
+    |x - median| > k * MAD. The distribution-free complement of the
+    z-score gate (`relational.zscore_outliers`): one wild value inflates
+    a stddev and HIDES other outliers (masking); the median/MAD pair is
+    insensitive to the outliers it is hunting — the standard robust
+    data-validation gate.
+
+    Both medians run through `exact_quantiles` (the distributed
+    frequency-table quantile — never buffers a group in one task); the
+    group-level (median, MAD) tables are tiny and broadcast back onto
+    the rows. Degenerate groups (MAD = 0: at least half the values sit
+    exactly on the median) flag any nonzero deviation — mirrored in the
+    oracle. Deviations round to 6dp before comparison so the flag is
+    engine-exact.
+    """
+    med = exact_quantiles(df, group_col, value_col, {"med": 0.5})
+    dev = df.join(F.broadcast(med), group_col).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(value_col),
+        F.col("med"),
+        F.round(F.abs(F.col(value_col) - F.col("med")), 6).alias("dev"),
+    )
+    mad = exact_quantiles(dev, group_col, "dev", {"mad": 0.5})
+    return dev.join(F.broadcast(mad), group_col).select(
+        id_col,
+        group_col,
+        value_col,
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, F.col("dev") > F.lit(float(k)) * F.col("mad"))
+        .otherwise(F.col("dev") > 0)
+        .alias("is_outlier"),
+    )

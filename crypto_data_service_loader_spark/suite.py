@@ -3895,6 +3895,15 @@ def q_agg_median_groups(spark, sf_dir):
     )
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier flags via median absolute deviation —
+    the masking-proof complement of events_zscore (both quantile passes
+    run through the distributed frequency-table quantile)."""
+    return profile.mad_outliers(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
 def q_key_skew_report(spark, sf_dir):
     """Top-10 heaviest join keys with row share — the pre-join skew
     diagnostic (one partial-agg groupBy + TakeOrderedAndProject top-k,
@@ -3985,6 +3994,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "key_skew_report": q_key_skew_report,
     "zorder_key": q_zorder_key,
+    "events_mad_outliers": q_events_mad_outliers,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,
@@ -4185,6 +4195,25 @@ ORACLES: dict[str, str] = {
                round(CAST(0.0 + (bin_id + 1) * 50.0 AS DOUBLE), 6) AS bin_hi,
                count(*) AS n_rows
         FROM b GROUP BY bin_id""",
+    # Median/MAD mirrored with the same 6dp rounding at each stage; the
+    # MAD=0 degenerate branch (any nonzero deviation flags) is explicit.
+    "events_mad_outliers": """
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS med
+            FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   round(abs(e.value - m.med), 6) AS dev
+            FROM events e JOIN med m USING (event_type)),
+        mad AS (
+            SELECT event_type,
+                   round(quantile_cont(dev, 0.5), 6) AS mad
+            FROM dev GROUP BY event_type)
+        SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+               CASE WHEN m.mad > 0 THEN d.dev > 3.0 * m.mad
+                    ELSE d.dev > 0 END AS is_outlier
+        FROM dev d JOIN mad m USING (event_type)""",
     # String-rendered keys so tie-break order is identical ('10' < '2'
     # lexicographically on BOTH sides — the cast happens before ranking).
     "key_skew_report": """

@@ -133,3 +133,29 @@ def test_key_skew_report_semantics(spark):
     assert (out[0]["key"], out[0]["n_rows"], out[0]["share"]) == ("hot", 60, 0.6)
     assert (out[1]["key"], out[1]["n_rows"]) == ("warm", 25)
     assert out[2]["key"] is None and out[2]["n_rows"] == 10  # null is a key
+
+
+def test_mad_outliers_robust_to_masking(spark):
+    """The defining property vs z-score: one extreme value inflates the
+    stddev enough to hide a second, moderate outlier — MAD flags both."""
+    from crypto_data_service_loader_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    vals = [10.0] * 5 + [11.0] * 5 + [9.0] * 5 + [25.0, 1000.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {r["id"]: r["is_outlier"] for r in
+           mad_outliers(df, "g", "v", "id").collect()}
+    assert out[16]  # the extreme value
+    assert out[15]  # the moderate one MAD still sees (z-score masks it)
+    assert not any(out[i] for i in range(15))
+    # degenerate group: MAD = 0 (majority at the median) -> any nonzero
+    # deviation flags
+    const = spark.createDataFrame(
+        [("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 5.0), ("c", 4, 5.1)],
+        "g string, id long, v double",
+    )
+    flags = {r["id"]: r["is_outlier"] for r in
+             mad_outliers(const, "g", "v", "id").collect()}
+    assert flags == {1: False, 2: False, 3: False, 4: True}
