@@ -80,6 +80,9 @@ HEADLINE = [
     "bm25_topk",
     "gap_fill_interpolate",
     "agg_median_groups",
+    "scd2_history",
+    "knn_triangles",
+    "events_mad_outliers",
 ]
 
 
