@@ -452,3 +452,51 @@ def scd2_history(
         F.row_number().over(wv).cast("int").alias("version"),
         F.lead(F.col(ts_col)).over(wv).isNull().alias("is_current"),
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two dataset
+    versions as added / removed / changed (unchanged rows are dropped —
+    at 100 TB the diff is the output you can afford to look at). The
+    release-to-release audit step every dataset card needs ("what moved
+    since v1"), and the verification side of any migration.
+
+    One full-outer join on the key (sort-merge, AQE-eligible); change
+    detection is null-safe per compared column (NULL is a value). Emits
+    the key columns, change_type, and each compared column's old/new
+    pair (old_<c>, new_<c>) so the diff is actionable without a second
+    lookup join.
+    """
+    o = old.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(changed, "changed")
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[c for cc in compare_cols for c in (f"old_{cc}", f"new_{cc}")],
+        )
+    )

@@ -3895,6 +3895,22 @@ def q_agg_median_groups(spark, sf_dir):
     )
 
 
+def q_dataset_diff(spark, sf_dir):
+    """Release-to-release dataset diff: v1 = documents minus every 7th
+    doc; v2 = documents with every 5th doc's n_chars bumped — classify
+    added/removed/changed keys with old/new value pairs (deterministic
+    derivation shared with the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.col("n_chars") + F.lit(1)
+        ).otherwise(F.col("n_chars")),
+    )
+    return rel.dataset_diff(v1, v2, ["doc_id"], ["n_chars", "source"])
+
+
 def q_events_mad_outliers(spark, sf_dir):
     """Robust per-type outlier flags via median absolute deviation —
     the masking-proof complement of events_zscore (both quantile passes
@@ -3995,6 +4011,7 @@ QUERIES = {
     "key_skew_report": q_key_skew_report,
     "zorder_key": q_zorder_key,
     "events_mad_outliers": q_events_mad_outliers,
+    "dataset_diff": q_dataset_diff,
     # --- front: never driver-verified through round 3 ---
     "agg_approx_topk": q_agg_approx_topk,
     "ohlc_bars": q_ohlc_bars,
@@ -4195,6 +4212,38 @@ ORACLES: dict[str, str] = {
                round(CAST(0.0 + (bin_id + 1) * 50.0 AS DOUBLE), 6) AS bin_hi,
                count(*) AS n_rows
         FROM b GROUP BY bin_id""",
+    # Full-outer reconciliation with null-safe per-column comparison
+    # (IS DISTINCT FROM); unchanged keys drop out.
+    "dataset_diff": """
+        WITH v1 AS (SELECT doc_id, n_chars, source FROM documents
+                    WHERE doc_id % 7 <> 0),
+        v2 AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+                           ELSE n_chars END AS n_chars,
+                      source
+               FROM documents),
+        j AS (
+            SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                   v1.n_chars AS old_n_chars, v2.n_chars AS new_n_chars,
+                   v1.source AS old_source, v2.source AS new_source,
+                   v1.doc_id IS NOT NULL AS in_old,
+                   v2.doc_id IS NOT NULL AS in_new
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT doc_id,
+               CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'removed'
+                    WHEN old_n_chars IS DISTINCT FROM new_n_chars
+                         OR old_source IS DISTINCT FROM new_source
+                         THEN 'changed'
+               END AS change_type,
+               old_n_chars, new_n_chars, old_source, new_source
+        FROM j
+        WHERE CASE WHEN NOT in_old THEN 'added'
+                   WHEN NOT in_new THEN 'removed'
+                   WHEN old_n_chars IS DISTINCT FROM new_n_chars
+                        OR old_source IS DISTINCT FROM new_source
+                        THEN 'changed'
+              END IS NOT NULL""",
     # Median/MAD mirrored with the same 6dp rounding at each stage; the
     # MAD=0 degenerate branch (any nonzero deviation flags) is explicit.
     "events_mad_outliers": """
