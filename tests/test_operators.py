@@ -1,0 +1,65 @@
+"""Relational operator behavior pins (SCD2 history, dataset diff)."""
+
+from __future__ import annotations
+
+
+def test_scd2_history_versions_and_validity(spark):
+    """Consecutive same-attribute rows collapse; validity intervals chain
+    [valid_from, valid_to) with exactly one current version per key;
+    null attributes are values (null-safe change detection)."""
+    import datetime as dt
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    t = lambda s: dt.datetime(2024, 1, 1, s)
+    rows = [
+        (1, t(1), 10, "A"), (1, t(2), 11, "A"),   # run of A collapses
+        (1, t(3), 12, "B"), (1, t(4), 13, None),  # -> B -> NULL
+        (1, t(5), 14, None),                      # null run collapses too
+        (2, t(1), 20, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, status string"
+    )
+    out = rel.scd2_history(
+        df, "user_id", ["ts", "event_id"], ["status"]
+    ).collect()
+    u1 = sorted([r for r in out if r["user_id"] == 1],
+                key=lambda r: r["version"])
+    assert [(r["status"], r["version"]) for r in u1] == [
+        ("A", 1), ("B", 2), (None, 3)
+    ]
+    # validity chains: each valid_to equals the next valid_from
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert sum(r["is_current"] for r in u1) == 1
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
+
+
+def test_dataset_diff_classification(spark):
+    """added/removed/changed classification with null-safe compares;
+    unchanged rows never appear; old/new value pairs ride along."""
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, "c"), (4, 40, "d")],
+        "id long, v long, tag string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "a"),          # unchanged -> dropped
+         (2, 20, "b"),          # null -> value = changed (null-safe)
+         (3, 31, "c"),          # value changed
+         (5, 50, "e")],         # added; 4 removed
+        "id long, v long, tag string",
+    )
+    out = {r["id"]: r for r in
+           rel.dataset_diff(old, new, ["id"], ["v", "tag"]).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2]["change_type"] == "changed"
+    assert (out[2]["old_tag"], out[2]["new_tag"]) == (None, "b")
+    assert out[3]["change_type"] == "changed"
+    assert (out[3]["old_v"], out[3]["new_v"]) == (30, 31)
+    assert out[4]["change_type"] == "removed" and out[4]["new_v"] is None
+    assert out[5]["change_type"] == "added" and out[5]["old_v"] is None
