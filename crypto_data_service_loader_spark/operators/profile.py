@@ -167,6 +167,12 @@ def exact_quantiles(
     """
     from pyspark.sql import Window
 
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    bad = {n: q for n, q in qs.items() if not 0.0 <= float(q) <= 1.0}
+    if bad:
+        raise ValueError(f"quantiles must be in [0, 1]: {bad}")
+
     freq = (
         df.filter(F.col(value_col).isNotNull())  # percentile_cont semantics
         .groupBy(group_col, value_col)

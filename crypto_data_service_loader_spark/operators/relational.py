@@ -429,6 +429,10 @@ def scd2_history(
     One shuffle on the key; three window passes (lag-compare, lead, and
     row_number) share the same sorted partition — no re-exchange.
     """
+    if not order_cols:
+        raise ValueError("order_cols must totally order each key's timeline")
+    if not attr_cols:
+        raise ValueError("attr_cols must name the tracked attributes")
     ts_col = ts_col or order_cols[0]
     w = Window.partitionBy(key_col).orderBy(
         *[F.col(c).asc() for c in order_cols]

@@ -151,6 +151,12 @@ def postings_index_bm25(
     `text.bm25_topk` on the same corpus is by construction (tested)."""
     meta = _read_meta(path)
     id_col = meta["id_col"]
+    if meta["n_docs"] == 0:
+        # a zero-doc index wrote no parquet files (nothing to scan) —
+        # answer the vacuous query without touching the path
+        return spark.createDataFrame(
+            [], f"query_id int, {id_col} long, score double, rank int"
+        )
     qdf = spark.createDataFrame(
         queries, "query_id int, query_text string"
     )
@@ -168,10 +174,12 @@ def postings_index_bm25(
         scan.join(F.broadcast(qterms.select("term").distinct()), "term")
         .select(id_col, "term", "tf", "dl")
     )
+    n_docs = float(meta["n_docs"])
+    # zero-doc index: scores are vacuously empty, but avgdl must not
+    # divide by zero building the stats row
+    avgdl = float(meta["total_tokens"]) / n_docs if n_docs else 0.0
     stats = spark.createDataFrame(
-        [(float(meta["n_docs"]),
-          float(meta["total_tokens"]) / float(meta["n_docs"]))],
-        "n_docs double, avgdl double",
+        [(n_docs, avgdl)], "n_docs double, avgdl double"
     )
     return bm25_rank(
         tf.select(id_col, "term", "tf"),

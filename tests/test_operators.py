@@ -63,3 +63,32 @@ def test_dataset_diff_classification(spark):
     assert (out[3]["old_v"], out[3]["new_v"]) == (30, 31)
     assert out[4]["change_type"] == "removed" and out[4]["new_v"] is None
     assert out[5]["change_type"] == "added" and out[5]["old_v"] is None
+
+
+def test_new_operator_dial_guards(spark, tmp_path):
+    """Edge-case guards: exact_quantiles refuses empty/out-of-range qs;
+    scd2 refuses empty column lists; a zero-doc postings index answers
+    queries with an empty frame instead of dividing by zero."""
+    import pytest
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.operators.profile import (
+        exact_quantiles,
+    )
+    from crypto_data_service_loader_spark.sources import text_index
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="at least one"):
+        exact_quantiles(df, "g", "v", {})
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        exact_quantiles(df, "g", "v", {"p": 1.5})
+    ev = spark.createDataFrame([(1, 1, "x")], "user_id long, id long, s string")
+    with pytest.raises(ValueError, match="order_cols"):
+        rel.scd2_history(ev, "user_id", [], ["s"])
+    with pytest.raises(ValueError, match="attr_cols"):
+        rel.scd2_history(ev, "user_id", ["id"], [])
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "pidx0")
+    assert text_index.write_postings_index(empty_docs, path) == 0
+    out = text_index.postings_index_bm25(spark, path, [(1, "anything")])
+    assert out.count() == 0
