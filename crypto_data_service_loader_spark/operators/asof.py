@@ -195,5 +195,10 @@ def interpolate_fill(
         F.when(v.isNotNull(), v)
         .when(pv.isNull(), nv)
         .when(nv.isNull(), pv)
+        # duplicate timestamps: a null-value row co-timestamped with an
+        # observation has pt == nt — the interpolation divisor is zero
+        # (Spark NULL, not an error), so return the co-timestamped
+        # observed value instead
+        .when(nt == pt, pv)
         .otherwise(F.round(interp, 6)),
     )

@@ -127,16 +127,48 @@ def bpe_segment(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Apply learned merges to documents: per doc, the BPE token array
-    and token count. Pure scan-side folding (one array rewrite per merge
-    rule, applied in rank order — the order IS the tokenizer); zero
-    shuffles, so it composes into any pipeline scan."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # per word: chars + EOW, merges folded in rank order
+    and token count. Pure scan-side string rewriting (one `replace` per
+    merge rule, applied in rank order — the order IS the tokenizer);
+    zero shuffles, so it composes into any pipeline scan. Empty words
+    (whitespace-only docs) segment to nothing, matching the trainer's
+    `_word_freqs` filter.
+
+    Encoding trick: a word's symbols are rendered as a string where
+    EVERY symbol carries its own leading and trailing space
+    (`" c  h  a  t  </w> "`), so one greedy left-to-right merge pass is
+    exactly a non-overlapping string `replace(" l  r ", " lr ")` —
+    adjacent matches never compete for a shared separator character
+    (with single separators, replace(" l r ") on " l r l r " consumes
+    the middle space and MISSES the second merge; the fold would not).
+    Symbols never contain whitespace (words are split on \\s+), so a
+    pattern hit is always a real symbol-pair adjacency. This replaces
+    the previous nested-`F.aggregate` fold whose expression DEPTH grew
+    with the merge count (Catalyst analysis blew up near ~100 rules);
+    chained `replace` nodes are flat and trivially codegen'd — tested
+    at 200 rules, and the same formulation is expressible in ANSI SQL
+    (the `bpe_segment_pinned` oracle mirrors it replace-for-replace).
+
+    Practical ceiling: expression COUNT still grows linearly with the
+    merge table (one replace node per rule) and each rule scans the
+    word string once, so apply cost is O(rules x word_len). Catalyst
+    handles low thousands of chained replaces; for a production 30k+
+    merge vocabulary, segment with a trained-tokenizer pandas UDF
+    instead — this operator's niche is oracle-exact, dependency-free
+    segmentation with bounded merge tables.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+
     def seg_word(w):
         syms = F.concat(F.split(w, ""), F.array(F.lit(EOW)))
+        s = F.concat(F.lit(" "), F.array_join(syms, "  "), F.lit(" "))
         for _, left, right, _n in sorted(merges):
-            syms = _merge_expr(syms, left, right)
-        return syms
+            s = F.replace(
+                s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        return F.split(F.trim(s), "  ")
 
     flat = F.flatten(F.transform(toks, seg_word))
     return docs.select(

@@ -107,6 +107,7 @@ def write_postings_index(
     _write_meta(path, {
         "n_buckets": int(n_buckets), "n_docs": n_docs,
         "total_tokens": total_tokens, "id_col": id_col,
+        "id_type": docs.schema[id_col].dataType.simpleString(),
     })
     return n_docs
 
@@ -151,23 +152,26 @@ def postings_index_bm25(
     `text.bm25_topk` on the same corpus is by construction (tested)."""
     meta = _read_meta(path)
     id_col = meta["id_col"]
+    # indexes written before id_type landed in the sidecar were all long
+    id_type = meta.get("id_type", "bigint")
     if meta["n_docs"] == 0:
         # a zero-doc index wrote no parquet files (nothing to scan) —
-        # answer the vacuous query without touching the path
+        # answer the vacuous query without touching the path, with the
+        # same id type the non-empty path would return
         return spark.createDataFrame(
-            [], f"query_id int, {id_col} long, score double, rank int"
+            [], f"query_id int, {id_col} {id_type}, score double, rank int"
         )
     qdf = spark.createDataFrame(
         queries, "query_id int, query_text string"
     )
     qterms = query_terms(qdf)
-    # driver-side probe set: tokenize in Python with the same contract as
-    # _tokens (lower, trim, whitespace split)
-    terms = sorted({
-        t for _, qtext in queries
-        for t in str(qtext).lower().strip().split()
-        if t
-    })
+    # driver-side probe set: collect the SPARK-tokenized distinct terms
+    # (a tiny, driver-safe set — queries are a driver-side list already)
+    # instead of re-tokenizing in Python: Python's str.split breaks on
+    # Unicode whitespace (NBSP, U+2028) that the corpus tokenizer's \s+
+    # does not, which would probe the wrong buckets and silently miss
+    # the bucket holding the real term.
+    terms = sorted(r["term"] for r in qterms.select("term").distinct().collect())
     probes = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
     scan = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     tf = (

@@ -28,3 +28,17 @@ def test_interpolate_fill_semantics(spark):
     vals = [r["v_interp"] for r in
             asof.interpolate_fill(empty, "key", "t", "v").collect()]
     assert vals == [None, None]
+
+
+def test_interpolate_fill_duplicate_timestamp(spark):
+    """A null-value row co-timestamped with an observation has pt == nt
+    (zero divisor); it must take the observed value, not NULL."""
+    from crypto_data_service_loader_spark.operators import asof
+
+    rows = [("k", 1, 10.0), ("k", 1, None), ("k", 2, 20.0)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = asof.interpolate_fill(df, "key", "t", "v").collect()
+    by = {(r["t"], r["v"]): r["v_interp"] for r in out}
+    assert by[(1, None)] == 10.0   # co-timestamped observed value
+    assert by[(1, 10.0)] == 10.0
+    assert by[(2, 20.0)] == 20.0

@@ -51,6 +51,45 @@ def test_index_query_prunes_to_probe_buckets(spark, sf_dir, tmp_path):
     # pruned scan is complete, which the equality test above relies on
 
 
+def test_probe_set_uses_corpus_tokenizer(spark, tmp_path):
+    """Probe buckets must come from the SPARK-tokenized terms: Python's
+    str.split also breaks on NBSP (which the corpus \\s+ tokenizer does
+    not), so a Python-derived probe set would look in the wrong bucket
+    for a term containing one and silently return nothing."""
+    term = "hot word"  # NBSP inside: ONE term to \s+, two to Python
+    docs = spark.createDataFrame(
+        [(1, f"{term} extra"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pidx")
+    text_index.write_postings_index(docs, path, n_buckets=64)
+    hits = text_index.postings_index_bm25(spark, path, [(1, term)], k=5)
+    got = [r["doc_id"] for r in hits.collect()]
+    assert got == [1]
+
+
+def test_string_id_corpus_and_empty_schema_agreement(spark, tmp_path):
+    """The id column type is recorded in the sidecar so a zero-doc
+    index returns the same schema as a populated one (string ids)."""
+    schema = "doc_id string, text string"
+    path = str(tmp_path / "pidx_str")
+    docs = spark.createDataFrame([("a", "alpha beta"), ("b", "beta")], schema)
+    text_index.write_postings_index(docs, path, n_buckets=4, id_col="doc_id")
+    full = text_index.postings_index_bm25(spark, path, [(1, "beta")], k=5)
+    assert [r["doc_id"] for r in full.collect()] == ["a", "b"] or \
+        sorted(r["doc_id"] for r in full.collect()) == ["a", "b"]
+    empty_path = str(tmp_path / "pidx_empty")
+    text_index.write_postings_index(
+        docs.filter(F.lit(False)), empty_path, n_buckets=4, id_col="doc_id"
+    )
+    empty = text_index.postings_index_bm25(spark, empty_path, [(1, "beta")], k=5)
+    # names + types must agree (nullability legitimately differs:
+    # row_number makes the populated path's rank non-nullable)
+    assert [(f.name, f.dataType) for f in empty.schema] == \
+        [(f.name, f.dataType) for f in full.schema]
+    assert empty.unionByName(full).count() == full.count()
+
+
 def test_append_keeps_exact_stats_and_equality(spark, sf_dir, tmp_path):
     docs = load(spark, sf_dir, "documents")
     first = docs.filter(F.col("doc_id") % 2 == 0)
