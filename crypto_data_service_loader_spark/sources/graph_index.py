@@ -1,0 +1,174 @@
+"""Persisted kNN-graph (edge-set) index — the precompute-once /
+analyze-many path for the graph family, the graph twin of
+`sources/ann_index.py` / `sources/text_index.py`.
+
+The inline graph analytics (`suite.knn_triangles`, `suite.pagerank_knn`)
+re-derive the LSH kNN pipeline per run — right for one-shot jobs, but at
+100 TB the kNN construction (bucketed candidate join + per-source top-k
+window) dominates every downstream analytic that reuses the same graph.
+The production shape: build the edge set ONCE, write it partitioned by a
+source-id hash bucket, and let triangles / PageRank / clustering read
+the persisted edges — graph-analytic cost becomes a parquet scan of the
+(narrow) edge table instead of a rebuild of the ANN join.
+
+Layout under `path`:
+
+- ``edges/``  — (src=id, neighbor_id, score, rank) PARTITIONED BY
+  ``src_bucket`` (md5(src) mod n_buckets — md5 so the DRIVER can compute
+  probe buckets for point lookups in plain Python, same trick as the
+  postings index). Whole-graph analytics scan all buckets (one narrow
+  parquet scan, zero recompute); per-node neighbor lookups prune to the
+  probed directories (plan-tested ``PartitionFilters``).
+- ``nodes/``  — the full node-id set. The edge table alone under-counts
+  nodes (a vector alone in its LSH bucket has no edges but is still a
+  graph node, and triangle/PageRank outputs must carry it).
+- ``_graph_meta.json`` — frozen build parameters (k, n_planes, dim, id
+  column name/type, bucket count) so an index query is reproducible and
+  equality with the inline pipeline is checkable.
+
+Determinism contract: the edges are EXACTLY `similarity.knn_graph`'s
+output for the frozen (k, n_planes) — an analytic over the index equals
+the same analytic over the inline pipeline (equality-tested for both
+triangle counts and PageRank).
+
+Refresh strategy: REBUILD-ONLY, deliberately unlike the append-friendly
+LSH/postings indexes — inserting a vector into a kNN graph changes the
+neighbor sets of existing nodes (its new edges displace their rank-k
+neighbors), so appending edge rows would silently leave stale neighbors
+behind. Rebuild per corpus epoch (the edge build is the cost this index
+amortizes across the MANY analytics that read it, not across epochs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import knn_graph
+
+_META = "_graph_meta.json"
+
+
+def _bucket_of(node_id, n_buckets: int) -> int:
+    """Driver-side bucket of a node id (md5 of its string rendering)."""
+    s = str(node_id)
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _bucket_col(id_col, n_buckets: int):
+    # same arithmetic as _bucket_of: first 8 hex chars of md5(string), mod n
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(int(n_buckets)),
+    ).cast("int")
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, _META), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def is_built(path: str) -> bool:
+    """True iff a complete index exists at `path` (the meta sidecar is
+    written LAST, so its presence marks a finished build)."""
+    return os.path.exists(os.path.join(path, _META))
+
+
+def write_knn_graph(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 3,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = 32,
+) -> int:
+    """Build and persist the kNN edge set; returns the node count.
+
+    One kNN construction (the expensive bucketed candidate join — the
+    cost this index exists to amortize), then one partitioned write of
+    the narrow edge rows and one write of the node-id set. The meta
+    sidecar lands last as the completion marker.
+    """
+    edges = knn_graph(
+        embeddings, k=k, n_planes=n_planes, vec_col=vec_col, id_col=id_col
+    )
+    (
+        edges.withColumn("src_bucket", _bucket_col(F.col(id_col), n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("src_bucket")
+        .parquet(os.path.join(path, "edges"))
+    )
+    nodes = embeddings.select(id_col)
+    nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+    n_nodes = nodes.count()
+    _write_meta(path, {
+        "k": int(k),
+        "n_planes": n_planes if n_planes is None else int(n_planes),
+        "id_col": id_col,
+        "id_type": embeddings.schema[id_col].dataType.simpleString(),
+        "n_buckets": int(n_buckets),
+        "n_nodes": n_nodes,
+    })
+    return n_nodes
+
+
+def read_knn_graph(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted edge set — (id_col, neighbor_id, score, rank), the
+    same columns `similarity.knn_graph` emits. ONE narrow parquet scan,
+    zero ANN recompute; feed it to `graph.triangle_counts`,
+    `graph.pagerank`, `dedup.connected_components`, ..."""
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    if meta["n_nodes"] == 0:
+        it = meta["id_type"]
+        return spark.createDataFrame(
+            [], f"{id_col} {it}, neighbor_id {it}, score double, rank int"
+        )
+    return (
+        spark.read.parquet(os.path.join(path, "edges"))
+        .select(id_col, "neighbor_id", "score", "rank")
+    )
+
+
+def read_knn_nodes(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted node-id set (includes edge-less nodes)."""
+    meta = _read_meta(path)
+    if meta["n_nodes"] == 0:
+        return spark.createDataFrame(
+            [], f"{meta['id_col']} {meta['id_type']}"
+        )
+    return spark.read.parquet(os.path.join(path, "nodes"))
+
+
+def knn_neighbors_lookup(
+    spark: SparkSession, path: str, src_ids: list
+) -> DataFrame:
+    """Point lookup: the stored top-k neighbor lists for `src_ids`. Probe
+    buckets are computed DRIVER-side (plain Python md5 over the id
+    renderings — no corpus touch) and `src_bucket IN (probes)` prunes the
+    file listing to those directories, so a lookup reads per-bucket data,
+    not the whole edge set (plan-tested ``PartitionFilters``)."""
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    if meta["n_nodes"] == 0 or not src_ids:
+        it = meta["id_type"]
+        return spark.createDataFrame(
+            [], f"{id_col} {it}, neighbor_id {it}, score double, rank int"
+        )
+    probes = sorted({_bucket_of(i, meta["n_buckets"]) for i in src_ids})
+    return (
+        spark.read.parquet(os.path.join(path, "edges"))
+        .filter(F.col("src_bucket").isin(probes))
+        .filter(F.col(id_col).isin(list(src_ids)))
+        .select(id_col, "neighbor_id", "score", "rank")
+    )

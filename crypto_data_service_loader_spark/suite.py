@@ -3972,6 +3972,68 @@ def q_knn_triangles(spark, sf_dir):
     )
 
 
+#: root for build-if-missing persisted indexes used by *_indexed keys —
+#: outside the repo and testdata (both are off-limits for writes at
+#: driver time); the embeddings mtime is baked into the directory name
+#: so a regenerated testdata epoch can never hit a stale index.
+_IDX_ROOT = "/tmp/spark_graft_indexes"
+
+
+def _knn_index(spark, sf_dir: str) -> str:
+    """Path of the persisted kNN-graph index for `sf_dir`, building it
+    on first use (the ONE expensive ANN construction every graph
+    analytic afterwards reads instead of re-running)."""
+    import os
+
+    from .sources import graph_index
+
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    epoch = int(os.path.getmtime(emb_path))
+    base = os.path.basename(os.path.abspath(sf_dir)) or "sf"
+    path = os.path.join(_IDX_ROOT, f"knn_{base}_{epoch}_k3_p4")
+    if not graph_index.is_built(path):
+        graph_index.write_knn_graph(
+            load(spark, sf_dir, "embeddings"), path, k=3, n_planes=4
+        )
+    return path
+
+
+def q_knn_triangles_indexed(spark, sf_dir):
+    """Triangle counts / clustering coefficient over the PERSISTED kNN
+    edge set — the precompute-once path: the LSH kNN construction runs
+    once per corpus epoch (`sources/graph_index.py`) and every graph
+    analytic reads the narrow edge parquet instead of rebuilding the ANN
+    join (the dominant repeated cost at scale). Equality with the inline
+    `knn_triangles` is by construction (same frozen k/planes; tested)."""
+    from .operators import graph
+    from .sources import graph_index
+
+    path = _knn_index(spark, sf_dir)
+    edges = graph_index.read_knn_graph(spark, path).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return graph.triangle_counts(
+        edges, graph_index.read_knn_nodes(spark, path), id_col="vec_id"
+    )
+
+
+def q_pagerank_knn_indexed(spark, sf_dir):
+    """PageRank over the PERSISTED kNN edge set — same index read as
+    `knn_triangles_indexed`: one edge-parquet scan feeds the 3 power
+    iterations, zero ANN recompute."""
+    from .operators import graph
+    from .sources import graph_index
+
+    path = _knn_index(spark, sf_dir)
+    edges = graph_index.read_knn_graph(spark, path).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return graph.pagerank(
+        edges, graph_index.read_knn_nodes(spark, path), iters=3,
+        id_col="vec_id",
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """BPE tokenizer training + segmentation (rows-only by nature: each
     merge depends on the previous one — no SQL unrolling; correctness is
@@ -3998,6 +4060,9 @@ def q_bm25_topk(spark, sf_dir):
 
 
 QUERIES = {
+    # --- new in round 7 (front-50 driver window) ---
+    "knn_triangles_indexed": q_knn_triangles_indexed,
+    "pagerank_knn_indexed": q_pagerank_knn_indexed,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4560,3 +4625,9 @@ ORACLES: dict[str, str] = {
     # quantizer), the hash-gated stratified sample, and the multimodal
     # codec fake (md5-derived) — is value-hash-checked against DuckDB.
 }
+
+# The *_indexed graph keys read the persisted kNN edge set built with
+# the SAME frozen dials (k=3, 4 planes) the inline pipeline uses, so
+# their oracles are literally the inline oracles.
+ORACLES["knn_triangles_indexed"] = ORACLES["knn_triangles"]
+ORACLES["pagerank_knn_indexed"] = ORACLES["pagerank_knn"]
