@@ -458,6 +458,79 @@ def scd2_history(
     )
 
 
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    change_order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally apply a change batch to an existing SCD2 dimension
+    (the output of `scd2_history`): affected current rows close, new
+    versions append — touching ONLY the keys present in the batch. The
+    merge-increment a 100-TB dimension needs: a full rebuild re-shuffles
+    the entire history every batch; this prunes to the changed keys with
+    one semi-join and passes every other key's rows through untouched
+    (anti-join, no window).
+
+    Per affected key the stored versions are folded back into change
+    events (one per version, at its `valid_from`, ordered by version)
+    and re-derived together with the batch — the SCD2 invariant
+    (consecutive versions differ) makes that fold exact, so the result
+    EQUALS `scd2_history` on the full event union (equality-tested).
+    Version numbers for affected keys renumber from 1, exactly as a full
+    rebuild would.
+
+    Contracts: `dim` must satisfy SCD2 invariants (the `scd2_history`
+    output does); `ts_col` names the change batch's event timestamp; the
+    combined (key, timestamp) timeline should be unique per key — a new
+    change co-timestamped with a stored version orders AFTER it
+    (documented tie semantic, the only case where apply and full rebuild
+    can disagree, because the rebuild interleaves by the original
+    order_cols the dimension no longer carries). `change_order_cols`
+    tie-breaks same-timestamp rows WITHIN the batch (late-arriving data
+    is handled: a batch row older than the key's current version slots
+    into place, because the affected key's whole timeline re-derives).
+
+    Scale shape: distinct-keys agg on the (small) batch, one semi- and
+    one anti-join on the key (AQE broadcasts the key set when small),
+    and the three-window re-derive runs only over affected keys' rows.
+    """
+    ckeys = changes.select(key_col).distinct()
+    untouched = dim.join(ckeys, [key_col], "left_anti")
+    affected = dim.join(ckeys, [key_col], "left_semi")
+    old_ev = affected.select(
+        F.col(key_col),
+        *[F.col(a) for a in attr_cols],
+        F.col("valid_from").alias("_ts"),
+        F.lit(0).alias("_src"),
+        F.col("version").cast("long").alias("_seq"),
+    )
+    if change_order_cols:
+        wb = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).asc() for c in change_order_cols]
+        )
+        new_seq = F.row_number().over(wb).cast("long")
+    else:
+        new_seq = F.lit(0).cast("long")
+    new_ev = changes.select(
+        F.col(key_col),
+        *[F.col(a) for a in attr_cols],
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_src"),
+        new_seq.alias("_seq"),
+    )
+    rebuilt = scd2_history(
+        old_ev.unionByName(new_ev),
+        key_col,
+        order_cols=["_ts", "_src", "_seq"],
+        attr_cols=attr_cols,
+        ts_col="_ts",
+    )
+    return untouched.unionByName(rebuilt)
+
+
 def dataset_diff(
     old: DataFrame,
     new: DataFrame,

@@ -3998,6 +3998,32 @@ def _knn_index(spark, sf_dir: str) -> str:
     return path
 
 
+def q_scd2_apply(spark, sf_dir):
+    """Incremental SCD2 merge: the dimension is built from the first
+    half of the event log, then the second half applies as a change
+    batch — only affected keys re-derive (semi-join prune), untouched
+    rows pass through without a window. Equals the full rebuild on the
+    whole log (the oracle IS the full-rebuild SQL), the
+    incremental-vs-full pattern `dedup_incremental` established."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    dim = rel.scd2_history(
+        ev.filter(F.col("ts") < cutoff),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        attr_cols=["event_type"],
+    )
+    return rel.scd2_apply(
+        dim,
+        ev.filter(F.col("ts") >= cutoff)
+        .select("user_id", "event_type", "ts", "event_id"),
+        key_col="user_id",
+        attr_cols=["event_type"],
+        ts_col="ts",
+        change_order_cols=["event_id"],
+    )
+
+
 def q_knn_triangles_indexed(spark, sf_dir):
     """Triangle counts / clustering coefficient over the PERSISTED kNN
     edge set — the precompute-once path: the LSH kNN construction runs
@@ -4124,6 +4150,7 @@ QUERIES = {
     "knn_triangles_indexed": q_knn_triangles_indexed,
     "pagerank_knn_indexed": q_pagerank_knn_indexed,
     "bpe_segment_pinned": q_bpe_segment_pinned,
+    "scd2_apply": q_scd2_apply,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4693,3 +4720,6 @@ ORACLES: dict[str, str] = {
 ORACLES["knn_triangles_indexed"] = ORACLES["knn_triangles"]
 ORACLES["pagerank_knn_indexed"] = ORACLES["pagerank_knn"]
 ORACLES["bpe_segment_pinned"] = _bpe_pinned_sql()
+# Incremental apply == full rebuild on the union, so its oracle is
+# literally the full-rebuild SQL over the whole event log.
+ORACLES["scd2_apply"] = ORACLES["scd2_history"]

@@ -38,6 +38,70 @@ def test_scd2_history_versions_and_validity(spark):
     assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
 
 
+def test_scd2_apply_equals_full_rebuild(spark, tmp_path):
+    """Incremental apply == full rebuild on the union, across the tricky
+    cases: a batch change equal to the current version (collapses, no
+    new version), a key seen only in the batch, a LATE-arriving change
+    older than the key's current version (whole timeline re-slots), and
+    untouched keys passing through verbatim."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+
+    t = lambda s: dt.datetime(2024, 1, 1, s)
+    old_rows = [
+        (1, t(1), 10, "A"), (1, t(3), 12, "B"),
+        (2, t(1), 20, "X"), (2, t(2), 21, "Y"),
+        (3, t(1), 30, "K"),                      # untouched by the batch
+    ]
+    new_rows = [
+        (1, t(5), 14, "B"),    # equals current -> collapses
+        (1, t(6), 15, "C"),    # real new version
+        (2, dt.datetime(2024, 1, 1, 2, 30), 22, "Z"),
+        (4, t(2), 40, "N"),    # key only in the batch
+        (5, t(4), 50, "P"), (5, t(2), 51, "Q"),  # late arrival within batch
+    ]
+    schema = "user_id long, ts timestamp, event_id long, status string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    dim = rel.scd2_history(old, "user_id", ["ts", "event_id"], ["status"])
+    applied = rel.scd2_apply(
+        dim, new, "user_id", ["status"], "ts",
+        change_order_cols=["event_id"],
+    )
+    full = rel.scd2_history(
+        old.unionByName(new), "user_id", ["ts", "event_id"], ["status"]
+    )
+    key = lambda r: (r["user_id"], r["version"])
+    a = sorted(map(tuple, applied.collect()), key=lambda x: (x[0], x[-2]))
+    b = sorted(map(tuple, full.collect()), key=lambda x: (x[0], x[-2]))
+    assert a == b
+    # the untouched key's row is literally the dim row (no re-derive)
+    u3 = [r for r in applied.collect() if r["user_id"] == 3]
+    d3 = [r for r in dim.collect() if r["user_id"] == 3]
+    assert [tuple(r) for r in u3] == [tuple(r) for r in d3]
+    # production shape — dim persisted as a table: the whole apply plans
+    # exactly 4 window passes (1 batch tie-break + 3 re-derive), i.e.
+    # the untouched passthrough branch carries NO window/sort of its own
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    stored = spark.read.parquet(dim_path)
+    applied2 = rel.scd2_apply(
+        stored, new, "user_id", ["status"], "ts",
+        change_order_cols=["event_id"],
+    )
+    a2 = sorted(map(tuple, applied2.collect()), key=lambda x: (x[0], x[-2]))
+    assert a2 == b
+    plan = applied2._jdf.queryExecution().optimizedPlan().toString()
+    assert 1 <= plan.count("Window") <= 4
+    # the passthrough branch is the anti-join side: everything before
+    # the first Window mention must contain the LeftAnti join (i.e. the
+    # untouched branch plans no window of its own)
+    assert "LeftAnti" in plan.split("Window")[0]
+
+
 def test_dataset_diff_classification(spark):
     """added/removed/changed classification with null-safe compares;
     unchanged rows never appear; old/new value pairs ride along."""
