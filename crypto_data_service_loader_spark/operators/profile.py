@@ -255,6 +255,154 @@ def key_skew_report(
     )
 
 
+def windowed_histogram_batch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    ts_col: str = "ts",
+    window: str = "day",
+) -> DataFrame:
+    """Per-time-window fixed-width histogram — the BATCH twin of
+    `streaming/histogram.windowed_histogram` (same `histogram_bin_expr`
+    arithmetic, so a backfill over stored data produces exactly what the
+    live stream produced). `window` is a `date_trunc` unit. Output:
+    (win_start, bin_id, bin_lo, bin_hi, n_rows); the groupBy key space
+    is (windows x (n_bins + 2)) — bounded by the monitoring horizon."""
+    x = F.col(value_col).cast("double")
+    return (
+        df.filter(x.isNotNull())
+        .select(
+            F.date_trunc(window, F.col(ts_col)).alias("win_start"),
+            histogram_bin_expr(x, lo, hi, n_bins).alias("bin_id"),
+        )
+        .groupBy("win_start", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "win_start", "bin_id", *histogram_edge_exprs(lo, hi, n_bins),
+            "n_rows",
+        )
+    )
+
+
+def histogram_drift(
+    hists: DataFrame,
+    window_col: str = "win_start",
+    bin_col: str = "bin_id",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Distribution drift between CONSECUTIVE windows of a windowed
+    histogram — the alert a monitoring pipeline actually pages on (bin
+    mass moving between windows flags value drift long before any
+    downstream metric breaks). Per window (except the first):
+
+    - ``tvd``  — total-variation distance, 0.5 * sum |p_cur - p_prev|
+      over the union of both windows' bins (a bin absent from one window
+      counts as share 0). In [0, 1]: 0 = identical distributions,
+      1 = disjoint support.
+    - ``linf`` / ``linf_bin_id`` — the single worst bin's absolute share
+      delta and which bin it is (ties -> lowest bin id), the "where did
+      the mass go" pointer.
+
+    Deliberately transcendental-free (no PSI/KL): ln() bit-agreement
+    across engines is not guaranteed, while shares (one integer
+    division), deltas, and a DECIMAL-accumulated |delta| sum are exact
+    on both — the same reasoning that picked softsign for
+    `quality_classifier`. TVD and PSI order drifts near-identically for
+    alerting purposes.
+
+    Scale shape: bin counts partial-aggregate per (window, bin) — the
+    only input-sized pass; everything after runs on the bounded
+    (windows x bins) grid. The window-sequence row_number is a
+    single-partition window over DISTINCT window starts only (bounded by
+    the monitoring horizon, never by data volume).
+    """
+    from pyspark.sql import Window
+
+    h = (
+        hists.select(
+            F.col(window_col).alias("_win"),
+            F.col(bin_col).alias("_bin"),
+            F.col(count_col).alias("_cnt"),
+        )
+        .groupBy("_win", "_bin")
+        .agg(F.sum("_cnt").cast("long").alias("_n"))
+    )
+    # window sequencing + per-window totals as window functions over the
+    # (windows x bins) grid — no self-joins, no extra shuffles beyond
+    # the bounded-key grid exchange; dense_rank over the window starts
+    # IS the window sequence (single-partition over the bounded grid,
+    # never over raw data)
+    shares = (
+        h.withColumn("_seq", F.dense_rank().over(Window.orderBy("_win")))
+        .withColumn("_maxseq", F.max("_seq").over(
+            Window.partitionBy(F.lit(1))
+        ))
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy("_seq")))
+        .select(
+            "_seq", "_maxseq", "_win", "_bin",
+            (F.col("_n").cast("double") / F.col("_tot").cast("double"))
+            .alias("_p"),
+        )
+    )
+    # the ONE real self-join: current window vs predecessor, full outer
+    # per bin so mass appearing in (or vanishing from) a bin still
+    # counts; explicit aliases keep the lineage unambiguous even over
+    # view/memory-sink inputs
+    c, v = shares.alias("_c"), shares.alias("_v")
+    seq_out = F.coalesce(F.col("_c._seq"), F.col("_v._seq") + 1)
+    aligned = (
+        c.join(
+            v,
+            (F.col("_c._seq") == F.col("_v._seq") + 1)
+            & (F.col("_c._bin") == F.col("_v._bin")),
+            "full_outer",
+        )
+        # seq 1 has no predecessor; the prev side also fabricates
+        # max_seq + 1 (prev-only rows past the last real window)
+        .filter(
+            (seq_out >= 2)
+            & (seq_out <= F.coalesce(F.col("_c._maxseq"),
+                                     F.col("_v._maxseq")))
+        )
+        .select(
+            seq_out.alias("_seq"),
+            F.coalesce(F.col("_c._bin"), F.col("_v._bin")).alias("_bin"),
+            F.col("_c._win").alias("_cwin"),
+            F.col("_v._win").alias("_pwin"),
+            F.round(
+                F.coalesce(F.col("_c._p"), F.lit(0.0))
+                - F.coalesce(F.col("_v._p"), F.lit(0.0)),
+                9,
+            ).alias("_d"),
+        )
+    )
+    rankw = Window.partitionBy("_seq").orderBy(
+        F.abs(F.col("_d")).desc(), F.col("_bin").asc()
+    )
+    ranked = aligned.withColumn("_r", F.row_number().over(rankw))
+    return (
+        ranked.groupBy("_seq")
+        .agg(
+            # a nonempty window always contributes at least one
+            # present-side row, so the maxes recover both window starts
+            F.max("_cwin").alias("win_start"),
+            F.max("_pwin").alias("prev_win_start"),
+            F.round(
+                F.sum(F.abs(F.col("_d")).cast("decimal(38,18)"))
+                .cast("double") * F.lit(0.5),
+                9,
+            ).alias("tvd"),
+            F.max(F.when(F.col("_r") == 1, F.abs(F.col("_d"))))
+            .alias("linf"),
+            F.max(F.when(F.col("_r") == 1, F.col("_bin")))
+            .alias("linf_bin_id"),
+        )
+        .select("win_start", "prev_win_start", "tvd", "linf", "linf_bin_id")
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,

@@ -52,6 +52,28 @@ def windowed_histogram(
     )
 
 
+def histogram_drift_alerts(
+    spark, table: str, threshold: float = 0.1
+) -> DataFrame:
+    """Drift alerts over the CLOSED windows a histogram stream has
+    emitted (the table `start_histogram_stream` writes): the batch
+    `profile.histogram_drift` runs over the emitted rows — the math is
+    literally shared, so a stream-then-alert pipeline equals the batch
+    backfill by construction (equality-tested) — filtered to consecutive
+    window pairs whose total-variation distance exceeds `threshold`.
+
+    Run it per trigger epoch (foreachBatch) or as a scheduled batch job
+    over the sink table; append mode means a window emits exactly once,
+    so each pair's alert fires exactly once. State is the emitted
+    histogram rows themselves (windows x bins — bounded), never raw
+    events."""
+    from ..operators.profile import histogram_drift
+
+    return histogram_drift(spark.table(table)).filter(
+        F.col("tvd") > float(threshold)
+    )
+
+
 def start_histogram_stream(
     stream: DataFrame,
     checkpoint: str,

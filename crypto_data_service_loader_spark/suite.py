@@ -3998,6 +3998,20 @@ def _knn_index(spark, sf_dir: str) -> str:
     return path
 
 
+def q_histogram_drift(spark, sf_dir):
+    """Day-over-day distribution drift of the events value histogram —
+    TVD + worst-bin share delta between consecutive daily windows, the
+    monitoring alert a pipeline pages on. Bin math shared with
+    numeric_histogram AND the streaming histogram (one backfill produces
+    exactly what the live stream produced); transcendental-free so the
+    drift scores are engine-exact."""
+    hists = profile.windowed_histogram_batch(
+        load(spark, sf_dir, "events"), "value",
+        lo=0.0, hi=500.0, n_bins=10, ts_col="ts", window="day",
+    )
+    return profile.histogram_drift(hists)
+
+
 def q_scd2_apply(spark, sf_dir):
     """Incremental SCD2 merge: the dimension is built from the first
     half of the event log, then the second half applies as a change
@@ -4151,6 +4165,7 @@ QUERIES = {
     "pagerank_knn_indexed": q_pagerank_knn_indexed,
     "bpe_segment_pinned": q_bpe_segment_pinned,
     "scd2_apply": q_scd2_apply,
+    "histogram_drift": q_histogram_drift,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4723,3 +4738,42 @@ ORACLES["bpe_segment_pinned"] = _bpe_pinned_sql()
 # Incremental apply == full rebuild on the union, so its oracle is
 # literally the full-rebuild SQL over the whole event log.
 ORACLES["scd2_apply"] = ORACLES["scd2_history"]
+# Same bin arithmetic as numeric_histogram, then share deltas over the
+# union of consecutive windows' bins; TVD DECIMAL(38,18)-accumulated and
+# the worst bin picked by the deterministic (|d| DESC, bin ASC) rank.
+ORACLES["histogram_drift"] = """
+    WITH b AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+               CAST(CASE WHEN value < 0.0 THEN -1
+                         WHEN value >= 500.0 THEN 10
+                         ELSE least(CAST(floor((value - 0.0) / 50.0)
+                                         AS BIGINT), 9)
+                    END AS INTEGER) AS bin_id
+        FROM events WHERE value IS NOT NULL),
+    h AS (SELECT win_start, bin_id, count(*) AS n FROM b GROUP BY 1, 2),
+    wins AS (SELECT win_start, row_number() OVER (ORDER BY win_start) AS seq
+             FROM (SELECT DISTINCT win_start FROM h)),
+    hs AS (SELECT seq, bin_id, n FROM h JOIN wins USING (win_start)),
+    tot AS (SELECT seq, SUM(n) AS tot FROM hs GROUP BY seq),
+    sh AS (SELECT seq, bin_id, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+           FROM hs JOIN tot USING (seq)),
+    pv AS (SELECT seq + 1 AS seq, bin_id, p AS q FROM sh),
+    al AS (SELECT coalesce(sh.seq, pv.seq) AS seq,
+                  coalesce(sh.bin_id, pv.bin_id) AS bin_id,
+                  round(coalesce(sh.p, CAST(0.0 AS DOUBLE))
+                        - coalesce(pv.q, CAST(0.0 AS DOUBLE)), 9) AS d
+           FROM sh FULL OUTER JOIN pv
+             ON sh.seq = pv.seq AND sh.bin_id = pv.bin_id
+           WHERE coalesce(sh.seq, pv.seq) >= 2
+             AND coalesce(sh.seq, pv.seq) <= (SELECT max(seq) FROM wins)),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY seq
+                     ORDER BY abs(d) DESC, bin_id ASC) AS r FROM al),
+    summ AS (SELECT seq,
+                    round(CAST(SUM(CAST(abs(d) AS DECIMAL(38,18)))
+                               AS DOUBLE) * CAST(0.5 AS DOUBLE), 9) AS tvd,
+                    max(CASE WHEN r = 1 THEN abs(d) END) AS linf,
+                    max(CASE WHEN r = 1 THEN bin_id END) AS linf_bin_id
+             FROM rk GROUP BY seq)
+    SELECT w.win_start, p.win_start AS prev_win_start, tvd, linf,
+           linf_bin_id
+    FROM summ JOIN wins w USING (seq) JOIN wins p ON p.seq = summ.seq - 1"""

@@ -159,3 +159,41 @@ def test_mad_outliers_robust_to_masking(spark):
     flags = {r["id"]: r["is_outlier"] for r in
              mad_outliers(const, "g", "v", "id").collect()}
     assert flags == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_histogram_drift_semantics(spark):
+    """TVD bounds and bin alignment: identical windows -> 0, disjoint
+    support -> 1, a bin vanishing counts as mass moving, the first
+    window emits nothing, and linf ties break to the lowest bin id."""
+    import datetime as dt
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        histogram_drift,
+    )
+
+    w = lambda d: dt.datetime(2024, 1, d)
+    rows = [
+        # w1: bins {0: 2, 1: 2}; w2 identical -> tvd 0
+        (w(1), 0, 2), (w(1), 1, 2),
+        (w(2), 0, 2), (w(2), 1, 2),
+        # w3: disjoint support {2: 4} -> tvd 1 vs w2
+        (w(3), 2, 4),
+        # w4: half the mass moves 2 -> 3: tvd 0.5; linf tie between
+        # bins 2 (-0.5) and 3 (+0.5) -> lowest bin id wins
+        (w(4), 2, 2), (w(4), 3, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "win_start timestamp, bin_id int, n_rows long"
+    )
+    out = {r["win_start"].day: r for r in histogram_drift(df).collect()}
+    assert set(out) == {2, 3, 4}  # the first window has no predecessor
+    assert out[2]["tvd"] == 0.0
+    assert out[3]["tvd"] == 1.0
+    assert out[4]["tvd"] == 0.5
+    assert out[4]["linf"] == 0.5 and out[4]["linf_bin_id"] == 2
+    assert out[3]["prev_win_start"] == w(2)
+    # single-window input: no pairs at all
+    one = spark.createDataFrame(
+        [(w(1), 0, 5)], "win_start timestamp, bin_id int, n_rows long"
+    )
+    assert histogram_drift(one).count() == 0

@@ -211,3 +211,54 @@ def test_streaming_histogram_matches_batch_twin(spark, tmp_path):
         assert got[h] == expect
     # bounded state: every emitted row is one of the n_bins+2 buckets
     assert all(-1 <= b <= 4 for per in got.values() for b in per)
+
+
+def test_streaming_drift_alerts_match_batch_twin(spark, tmp_path):
+    """The stream-then-alert pipeline (windowed histogram stream ->
+    histogram_drift over the emitted windows) equals the batch backfill
+    (windowed_histogram_batch -> histogram_drift) on the same closed
+    windows — the shared-bin-math contract extended to the drift op."""
+    import datetime as dt
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        histogram_drift, windowed_histogram_batch,
+    )
+    from crypto_data_service_loader_spark.streaming.histogram import (
+        histogram_drift_alerts, start_histogram_stream,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = (
+        # hour 0: mass in low bins; hour 1: shifted up; hour 2: shifted
+        # hard (drift alert should fire for the 1->2 pair)
+        [(t(0, i), float(v)) for i, v in enumerate([5, 10, 15, 20, 30])]
+        + [(t(1, i), float(v)) for i, v in enumerate([30, 35, 55, 60, 5])]
+        + [(t(2, i), float(v)) for i, v in enumerate([90, 95, 99, 98, 97])]
+        + [(t(6), 1.0)]  # sentinel: watermark closes hours 0-2
+    )
+    schema = "ts timestamp, value double"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_histogram_stream(
+        stream, str(tmp_path / "ckpt"), "value", 0.0, 100.0, n_bins=4,
+        window="1 hour", delay="1 hour", query_name="hist_drift_t",
+    )
+    q.awaitTermination(120)
+    streamed = histogram_drift_alerts(spark, "hist_drift_t", threshold=0.0)
+    closed = spark.createDataFrame(
+        [r for r in rows if r[0].hour <= 2], schema
+    )
+    batch_h = windowed_histogram_batch(
+        closed, "value", 0.0, 100.0, n_bins=4, window="hour"
+    )
+    batch = histogram_drift(batch_h)
+    key = lambda r: r["win_start"]
+    assert sorted(map(tuple, streamed.collect()), key=lambda x: x[0]) == \
+        sorted(map(tuple, batch.collect()), key=lambda x: x[0])
+    # and the hard shift is the bigger drift of the two pairs
+    by_win = {r["win_start"].hour: r["tvd"] for r in batch.collect()}
+    assert by_win[2] > by_win[1]
+    assert histogram_drift_alerts(
+        spark, "hist_drift_t", threshold=0.99
+    ).count() <= 1
