@@ -45,7 +45,8 @@ def test_index_query_prunes_to_probe_buckets(spark, sf_dir, tmp_path):
     # only the probed directories are read
     import glob
 
-    touched = {int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{path}/bucket=*")}
+    touched = {int(p.rsplit("=", 1)[1])
+               for p in glob.glob(f"{path}/postings/bucket=*")}
     assert probes <= touched  # probe dirs exist on disk
     # a term's postings live in exactly one bucket: df derived from the
     # pruned scan is complete, which the equality test above relies on
@@ -101,5 +102,65 @@ def test_append_keeps_exact_stats_and_equality(spark, sf_dir, tmp_path):
     assert meta["n_docs"] == docs.count()
     qdf = spark.createDataFrame(QUERIES, "query_id int, query_text string")
     inline = text.bm25_topk(docs, qdf, k=5)
+    via_index = text_index.postings_index_bm25(spark, path, QUERIES, k=5)
+    assert _rows(via_index) == _rows(inline)
+
+
+def test_delete_then_query_equals_rebuild_then_query(spark, sf_dir, tmp_path):
+    """Tombstoned deletes: the index answers EXACTLY like an index
+    rebuilt on the surviving corpus (stats adjust exactly via doclens,
+    postings anti-join the tombstones), deletes are idempotent, appends
+    after deletes stay exact, and compaction changes nothing."""
+    docs = load(spark, sf_dir, "documents")
+    keep = docs.filter(F.col("doc_id") % 5 != 0)
+    gone_ids = [r["doc_id"] for r in
+                docs.filter(F.col("doc_id") % 5 == 0).collect()]
+    path = str(tmp_path / "pidx")
+    text_index.write_postings_index(docs, path, n_buckets=16)
+    n = text_index.delete_from_postings_index(spark, path, gone_ids)
+    assert n == len(gone_ids)
+    # idempotent: a replayed delete adjusts nothing
+    assert text_index.delete_from_postings_index(spark, path, gone_ids) == 0
+    # unknown ids adjust nothing
+    assert text_index.delete_from_postings_index(spark, path, [10**12]) == 0
+    rebuilt = str(tmp_path / "pidx_rebuilt")
+    text_index.write_postings_index(keep, rebuilt, n_buckets=16)
+    got = text_index.postings_index_bm25(spark, path, QUERIES, k=5)
+    want = text_index.postings_index_bm25(spark, rebuilt, QUERIES, k=5)
+    assert _rows(got) == _rows(want)
+    # no deleted doc can surface
+    assert not set(gone_ids) & {r["doc_id"] for r in got.collect()}
+    # stats adjusted exactly
+    ma, mb = text_index._read_meta(path), text_index._read_meta(rebuilt)
+    assert (ma["n_docs"], ma["total_tokens"]) == \
+        (mb["n_docs"], mb["total_tokens"])
+    # compaction folds tombstones; answers unchanged; tombstones cleared
+    assert text_index.compact_postings_index(spark, path) == len(gone_ids)
+    import os
+
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert _rows(
+        text_index.postings_index_bm25(spark, path, QUERIES, k=5)
+    ) == _rows(want)
+    # re-running compaction is a no-op (crash-window self-healing)
+    assert text_index.compact_postings_index(spark, path) == 0
+
+
+def test_append_after_delete_stays_exact(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 300)
+    extra = docs.filter(F.col("doc_id") >= 300)
+    gone = [r["doc_id"] for r in
+            first.filter(F.col("doc_id") % 7 == 0).collect()]
+    path = str(tmp_path / "pidx")
+    text_index.write_postings_index(first, path, n_buckets=8)
+    text_index.delete_from_postings_index(spark, path, gone)
+    text_index.append_to_postings_index(extra, path)
+    live = docs.filter(
+        (F.col("doc_id") >= 300)
+        | ((F.col("doc_id") < 300) & (F.col("doc_id") % 7 != 0))
+    )
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query_text string")
+    inline = text.bm25_topk(live, qdf, k=5)
     via_index = text_index.postings_index_bm25(spark, path, QUERIES, k=5)
     assert _rows(via_index) == _rows(inline)
