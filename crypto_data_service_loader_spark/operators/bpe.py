@@ -24,6 +24,22 @@ right asc), so the merge sequence is a pure function of the corpus.
 Training is genuinely iterative (each merge depends on the last), so
 the registered key is rows-only by nature; correctness is pinned by an
 independent pure-Python reference implementation equivalence test.
+Applying a FIXED merge table, by contrast, is a pure deterministic
+fold — the `bpe_segment_pinned` suite key is oracle-exact.
+
+Practical training ceiling: `bpe_train_merges` runs ONE Spark job per
+merge (the per-round argmax is a driver round-trip by design — the
+merge table is the artifact, never big data), so n_merges sequential
+job submissions dominate once per-job work is small. Measured on this
+box (sf0.1 corpus, local[32]): ~10 s fixed start (first pair count +
+checkpoint), then a FLAT ~0.22-0.27 s/merge from merge 10 through 200
+(localCheckpoint keeps the plan from growing; 50 merges = 13.5 s, a
+200-rule request = 24 s). Extrapolated, a production 32k-merge
+vocabulary would be ~2 h of mostly sequential job latency — the wrong
+tool past a few thousand merges: train large vocabularies on the
+aggregated word-frequency table pulled driver-side (it already fits —
+Heaps' law), or batch candidate evaluation; this operator's niche is
+exact distributed training for bounded merge tables.
 """
 
 from __future__ import annotations

@@ -4342,6 +4342,42 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
+# --- driver-window rotation (round 7) -------------------------------
+# The correctness driver verifies a ~50-key window from the FRONT of
+# QUERIES each round. Front = this round's new keys, then keys whose
+# implementation CHANGED this round (hard re-check), then the keys
+# verified longest ago (the round-2 cohort — every other key has a
+# round-3+ green row). The big literal above keeps its grouping for
+# readability; this reorder is the rotation policy, in one place.
+_R7_FRONT = [
+    # new in round 7
+    "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
+    "scd2_apply", "histogram_drift",
+    # changed in round 7: bpe_segment rewrite (chained replace) feeds
+    # bpe_tokenize; interpolate_fill gained the pt == nt guard
+    "bpe_tokenize", "gap_fill_interpolate",
+    # last driver-verified in round 2 (oldest coverage first)
+    "flagship_pricing_summary", "file_registry_scan", "agg_max_date",
+    "dedup_anti_join", "filter_status_in", "status_transition_case",
+    "status_update_merge", "point_lookup", "filter_date_eq",
+    "groupby_collect_set", "registry_fs_inner_join", "sort_by_filename",
+    "agg_min_max_filtered", "retention_guard", "agg_count_star",
+    "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
+    "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
+    "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
+    "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
+    "win_first_last", "agg_approx_quantile", "agg_corr",
+    "scalar_date_parts", "topk_by_price", "setop_union", "setop_except",
+    "setop_intersect", "scalar_dates", "scalar_strings", "log_event_json",
+    "udf_mid_price", "udf_grouped_range", "stream_tumbling_daily_count",
+    "agg_cube", "agg_grouping_sets", "pivot_status", "sessionize_events",
+    "session_window_agg", "win_range_frame",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_FRONT)},
+}
+
 ORACLES: dict[str, str] = {
     # One aggregate per column, unioned — the 1-row-agg-then-unpivot twin.
     "profile_columns": """
