@@ -3979,23 +3979,113 @@ def q_knn_triangles(spark, sf_dir):
 _IDX_ROOT = "/tmp/spark_graft_indexes"
 
 
+def _index_path(sf_dir: str, tag: str, source_table: str) -> str:
+    """Deterministic per-(sf_dir, source-epoch) index location: the
+    source parquet's mtime is baked into the directory name so a
+    regenerated testdata epoch can never hit a stale index."""
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{source_table}.parquet")
+    epoch = int(os.path.getmtime(src))
+    base = os.path.basename(os.path.abspath(sf_dir)) or "sf"
+    return os.path.join(_IDX_ROOT, f"{tag}_{base}_{epoch}")
+
+
 def _knn_index(spark, sf_dir: str) -> str:
     """Path of the persisted kNN-graph index for `sf_dir`, building it
     on first use (the ONE expensive ANN construction every graph
     analytic afterwards reads instead of re-running)."""
-    import os
-
     from .sources import graph_index
 
-    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    epoch = int(os.path.getmtime(emb_path))
-    base = os.path.basename(os.path.abspath(sf_dir)) or "sf"
-    path = os.path.join(_IDX_ROOT, f"knn_{base}_{epoch}_k3_p4")
+    path = _index_path(sf_dir, "knn_k3_p4", "embeddings")
     if not graph_index.is_built(path):
         graph_index.write_knn_graph(
             load(spark, sf_dir, "embeddings"), path, k=3, n_planes=4
         )
     return path
+
+
+def _ann_lsh_index(spark, sf_dir: str) -> str:
+    """Persisted sign-LSH ANN index (8 planes — the inline
+    `cosine_topk_lsh` default, so index-vs-inline equality holds)."""
+    import os
+
+    from .sources import ann_index
+
+    path = _index_path(sf_dir, "annlsh_p8", "embeddings")
+    if not os.path.exists(os.path.join(path, ann_index._META)):
+        ann_index.write_lsh_index(
+            load(spark, sf_dir, "embeddings"), path, n_planes=8
+        )
+    return path
+
+
+def _ann_ivf_index(spark, sf_dir: str) -> str:
+    """Persisted IVF index with the frozen deterministic quantizer
+    (k=16, no Lloyd iterations — the inline `ivf_topk` defaults)."""
+    import os
+
+    from .sources import ann_index
+
+    path = _index_path(sf_dir, "annivf_k16", "embeddings")
+    if not os.path.exists(os.path.join(path, ann_index._META)):
+        ann_index.write_ivf_index(
+            load(spark, sf_dir, "embeddings"), path,
+            k_centroids=16, train_iters=0,
+        )
+    return path
+
+
+def _bm25_index(spark, sf_dir: str) -> str:
+    """Persisted BM25 postings index over the documents corpus."""
+    import os
+
+    from .sources import text_index
+
+    path = _index_path(sf_dir, "postings_b64", "documents")
+    if not os.path.exists(os.path.join(path, text_index._META)):
+        text_index.write_postings_index(
+            load(spark, sf_dir, "documents"), path, n_buckets=64
+        )
+    return path
+
+
+def q_sim_topk_lsh_indexed(spark, sf_dir):
+    """ANN top-k against the PERSISTED LSH index: the query's bucket is
+    computed driver-side from the saved planes and the scan prunes to
+    that one partition directory — per-bucket cost, not per-corpus.
+    Equals the inline `sim_cosine_topk_lsh` (same frozen planes), so its
+    oracle is the inline oracle."""
+    from .sources import ann_index
+
+    path = _ann_lsh_index(spark, sf_dir)
+    return ann_index.lsh_index_topk(
+        spark, path, _query_vector(spark, sf_dir), k=10
+    )
+
+
+def q_sim_topk_ivf_indexed(spark, sf_dir):
+    """ANN top-k against the PERSISTED IVF index: probe centroids rank
+    driver-side from the sidecar (k x dim floats) and `centroid_id IN
+    probes` prunes to nprobe directories. Equals the inline
+    `sim_cosine_topk_ivf` (same frozen quantizer)."""
+    from .sources import ann_index
+
+    path = _ann_ivf_index(spark, sf_dir)
+    return ann_index.ivf_index_topk(
+        spark, path, _query_vector(spark, sf_dir), k=10, nprobe=4
+    )
+
+
+def q_bm25_topk_indexed(spark, sf_dir):
+    """BM25 against the PERSISTED postings index: probe buckets computed
+    driver-side from the query terms, the scan prunes to those term
+    buckets, and the shared scoring core uses the sidecar's exact corpus
+    stats — equals the inline `bm25_topk` by construction."""
+    from .sources import text_index
+
+    path = _bm25_index(spark, sf_dir)
+    return text_index.postings_index_bm25(spark, path, _BM25_QUERIES, k=5)
 
 
 def q_histogram_drift(spark, sf_dir):
@@ -4166,6 +4256,9 @@ QUERIES = {
     "bpe_segment_pinned": q_bpe_segment_pinned,
     "scd2_apply": q_scd2_apply,
     "histogram_drift": q_histogram_drift,
+    "sim_topk_lsh_indexed": q_sim_topk_lsh_indexed,
+    "sim_topk_ivf_indexed": q_sim_topk_ivf_indexed,
+    "bm25_topk_indexed": q_bm25_topk_indexed,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4352,7 +4445,8 @@ QUERIES = {
 _R7_FRONT = [
     # new in round 7
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
-    "scd2_apply", "histogram_drift",
+    "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
+    "sim_topk_ivf_indexed", "bm25_topk_indexed",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4370,8 +4464,9 @@ _R7_FRONT = [
     "scalar_date_parts", "topk_by_price", "setop_union", "setop_except",
     "setop_intersect", "scalar_dates", "scalar_strings", "log_event_json",
     "udf_mid_price", "udf_grouped_range", "stream_tumbling_daily_count",
-    "agg_cube", "agg_grouping_sets", "pivot_status", "sessionize_events",
-    "session_window_agg", "win_range_frame",
+    "agg_cube", "agg_grouping_sets", "pivot_status",
+    # (sessionize_events / session_window_agg / win_range_frame sit just
+    # past the 50-key window this round; they rotate in next)
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R7_FRONT},
@@ -4770,6 +4865,9 @@ ORACLES: dict[str, str] = {
 # their oracles are literally the inline oracles.
 ORACLES["knn_triangles_indexed"] = ORACLES["knn_triangles"]
 ORACLES["pagerank_knn_indexed"] = ORACLES["pagerank_knn"]
+ORACLES["sim_topk_lsh_indexed"] = ORACLES["sim_cosine_topk_lsh"]
+ORACLES["sim_topk_ivf_indexed"] = ORACLES["sim_cosine_topk_ivf"]
+ORACLES["bm25_topk_indexed"] = ORACLES["bm25_topk"]
 ORACLES["bpe_segment_pinned"] = _bpe_pinned_sql()
 # Incremental apply == full rebuild on the union, so its oracle is
 # literally the full-rebuild SQL over the whole event log.
