@@ -18,17 +18,27 @@ operator returns on the same corpus (equality-tested). Index metadata
 the index directory — underscore-prefixed, so Spark's file listing
 ignores it.
 
+Layout under `path`: ``vectors/`` holds the corpus PARTITIONED BY
+bucket / centroid_id; ``tombstones/`` holds deleted vector ids (queries
+anti-join them — broadcast, small between compactions — and
+`compact_ann_index` folds them into the vectors for good); the
+``_ann_meta.json`` sidecar carries the frozen dials.
+
 Refresh strategy at scale: LSH buckets are append-friendly (a new crawl's
 vectors append into their bucket partitions — dynamic partition
 overwrite per epoch composes with sinks/idempotent.py); IVF requires the
 quantizer to stay frozen once written (append assigns new vectors with
 the SAVED centroids, never re-trains, or old partitions go stale).
+Deletes are tombstones on BOTH kinds — no corpus stats ride the sidecar
+(cosine scores depend only on the candidate pair), so delete-then-query
+equals rebuild-then-query by the anti-join alone (equality-tested).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -42,6 +52,29 @@ from ..operators.similarity import (
 )
 
 _META = "_ann_meta.json"
+
+
+def _vectors_dir(path: str) -> str:
+    return os.path.join(path, "vectors")
+
+
+def _tombstones_dir(path: str) -> str:
+    return os.path.join(path, "tombstones")
+
+
+def _tombstones(spark: SparkSession, path: str, id_col: str) -> DataFrame | None:
+    d = _tombstones_dir(path)
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d)
+
+
+def _without_tombstones(spark: SparkSession, path: str, scan: DataFrame,
+                        id_col: str) -> DataFrame:
+    tombs = _tombstones(spark, path, id_col)
+    if tombs is None:
+        return scan
+    return scan.join(F.broadcast(tombs), [id_col], "left_anti")
 
 
 def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
@@ -85,7 +118,7 @@ def write_lsh_index(
         lsh_bucket_ids(embeddings.select(id_col, vec_col), dim, n_planes, vec_col)
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(path)
+        .parquet(_vectors_dir(path))
     )
     _write_meta(path, {"kind": "lsh", "n_planes": n_planes, "dim": dim,
                        "vec_col": vec_col, "id_col": id_col})
@@ -104,7 +137,7 @@ def append_to_lsh_index(new_vectors: DataFrame, path: str) -> None:
         )
         .write.mode("append")
         .partitionBy("bucket")
-        .parquet(path)
+        .parquet(_vectors_dir(path))
     )
 
 
@@ -146,7 +179,12 @@ def lsh_index_topk(
     probes = [qbucket] + [
         qbucket ^ (2**p) for p in flips[: max(0, int(nprobe) - 1)]
     ]
-    scan = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    scan = _without_tombstones(
+        spark, path,
+        spark.read.parquet(_vectors_dir(path))
+        .filter(F.col("bucket").isin(probes)),
+        meta["id_col"],
+    )
     return cosine_topk(
         scan.drop("bucket"), query, k, meta["vec_col"], meta["id_col"]
     )
@@ -173,7 +211,7 @@ def write_ivf_index(
         assigned.select(id_col, vec_col, "centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(path)
+        .parquet(_vectors_dir(path))
     )
     _write_meta(path, {"kind": "ivf", "dim": _dim_of(embeddings, vec_col),
                        "vec_col": vec_col, "id_col": id_col,
@@ -194,7 +232,7 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
         assigned.select(meta["id_col"], meta["vec_col"], "centroid_id")
         .write.mode("append")
         .partitionBy("centroid_id")
-        .parquet(path)
+        .parquet(_vectors_dir(path))
     )
 
 
@@ -219,9 +257,73 @@ def ivf_index_topk(
 
     probe = sorted(centroids, key=lambda c: d2(c[1], query))
     probe_ids = [c[0] for c in probe[:nprobe]]
-    scan = spark.read.parquet(path).filter(
-        F.col("centroid_id").isin(probe_ids)
+    scan = _without_tombstones(
+        spark, path,
+        spark.read.parquet(_vectors_dir(path))
+        .filter(F.col("centroid_id").isin(probe_ids)),
+        meta["id_col"],
     )
     return cosine_topk(
         scan.drop("centroid_id"), query, k, meta["vec_col"], meta["id_col"]
     )
+
+
+def delete_from_ann_index(spark: SparkSession, path: str, vec_ids: list) -> int:
+    """Delete vectors from an LSH or IVF index as TOMBSTONES — no bucket
+    rewrite: ids land in the tombstone store and every query path
+    anti-joins them (broadcast — small between compactions). Unlike the
+    postings index there are no corpus stats to adjust (cosine scores
+    depend only on the candidate pair), so delete-then-query equals
+    rebuild-then-query by the anti-join alone (equality-tested).
+
+    Idempotent: already-tombstoned ids are not re-recorded; returns how
+    many ids were newly tombstoned. Unknown ids are harmless (the
+    anti-join matches nothing) but still recorded — the index cannot
+    know the live id set without a full scan, and a tombstone for an
+    absent id folds away at compaction."""
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    if not vec_ids:
+        return 0
+    ids = spark.createDataFrame(
+        [(i,) for i in vec_ids], f"{id_col} long"
+    ).distinct()
+    existing = _tombstones(spark, path, id_col)
+    fresh = ids if existing is None else ids.join(
+        existing, [id_col], "left_anti"
+    )
+    fresh = fresh.localCheckpoint()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(_tombstones_dir(path))
+    return n
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> int:
+    """Fold tombstones into the index for good: rewrite the vectors
+    without the deleted ids, clear the tombstone store. Survivors
+    localCheckpoint before the overwrite (the write never reads the
+    directory it replaces — the `IdempotentParquetSink.compact`
+    discipline); a crash before the tombstone clear self-heals on re-run
+    (re-applying a tombstone to already-compacted vectors is a no-op).
+    Returns the number of tombstoned ids folded."""
+    meta = _read_meta(path)
+    tomb_dir = _tombstones_dir(path)
+    if not os.path.isdir(tomb_dir):
+        return 0
+    tombs = spark.read.parquet(tomb_dir).localCheckpoint()
+    n = tombs.count()
+    part_col = "bucket" if meta["kind"] == "lsh" else "centroid_id"
+    survivors = (
+        spark.read.parquet(_vectors_dir(path))
+        .join(F.broadcast(tombs), [meta["id_col"]], "left_anti")
+        .localCheckpoint()
+    )
+    (
+        survivors.select(meta["id_col"], meta["vec_col"], part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(_vectors_dir(path))
+    )
+    shutil.rmtree(tomb_dir)
+    return n

@@ -4012,7 +4012,7 @@ def _ann_lsh_index(spark, sf_dir: str) -> str:
 
     from .sources import ann_index
 
-    path = _index_path(sf_dir, "annlsh_p8", "embeddings")
+    path = _index_path(sf_dir, "annlsh2_p8", "embeddings")
     if not os.path.exists(os.path.join(path, ann_index._META)):
         ann_index.write_lsh_index(
             load(spark, sf_dir, "embeddings"), path, n_planes=8
@@ -4027,7 +4027,7 @@ def _ann_ivf_index(spark, sf_dir: str) -> str:
 
     from .sources import ann_index
 
-    path = _index_path(sf_dir, "annivf_k16", "embeddings")
+    path = _index_path(sf_dir, "annivf2_k16", "embeddings")
     if not os.path.exists(os.path.join(path, ann_index._META)):
         ann_index.write_ivf_index(
             load(spark, sf_dir, "embeddings"), path,

@@ -63,7 +63,7 @@ def test_lsh_append_uses_frozen_planes(spark, sf_dir, tmp_path):
     ann_index.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path,
                               n_planes=3)
     ann_index.append_to_lsh_index(emb.filter(F.col("vec_id") % 2 == 1), path)
-    assert spark.read.parquet(path).count() == emb.count()
+    assert spark.read.parquet(f"{path}/vectors").count() == emb.count()
     got = ann_index.lsh_index_topk(spark, path, q, k=10).collect()
     want = similarity.cosine_topk_lsh(emb, q, k=10, n_planes=3).collect()
     assert [(r["vec_id"], r["score"]) for r in got] == [
@@ -112,7 +112,7 @@ def test_ivf_append_uses_frozen_centroids_and_probe_all_is_exact(
     centroids = ann_index.write_ivf_index(first, path, k_centroids=4)
     ann_index.append_to_ivf_index(second, path)
 
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(f"{path}/vectors")
     assert idx.count() == emb.count()
     # appended rows sit in the partition the frozen quantizer dictates
     expect = similarity._assign_to_centroids(
@@ -175,3 +175,45 @@ def test_multiprobe_recall_monotone_and_pruned(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters: [" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:160]
+
+
+def test_ann_delete_then_query_equals_rebuild(spark, sf_dir, tmp_path):
+    """Tombstoned ANN deletes (both kinds): delete-then-query equals an
+    index rebuilt on the surviving vectors; deletes are idempotent;
+    compaction folds the tombstones and changes nothing."""
+    emb = load(spark, sf_dir, "embeddings")
+    keep = emb.filter(F.col("vec_id") % 4 != 1)
+    gone = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") % 4 == 1).select("vec_id").collect()]
+    q = _query_vec(emb)
+    for kind in ("lsh", "ivf"):
+        path = str(tmp_path / f"{kind}_idx")
+        rebuilt = str(tmp_path / f"{kind}_rebuilt")
+        if kind == "lsh":
+            ann_index.write_lsh_index(emb, path, n_planes=3)
+            ann_index.write_lsh_index(keep, rebuilt, n_planes=3)
+            run = lambda p: ann_index.lsh_index_topk(spark, p, q, k=10,
+                                                     nprobe=3)
+        else:
+            ann_index.write_ivf_index(emb, path, k_centroids=4)
+            # rebuild must keep the SAME quantizer for equality: the
+            # seed centroids depend on the vector set, so rebuild here
+            # means compacting a copy, not retraining
+            ann_index.write_ivf_index(emb, rebuilt, k_centroids=4)
+            ann_index.delete_from_ann_index(spark, rebuilt, gone)
+            ann_index.compact_ann_index(spark, rebuilt)
+            run = lambda p: ann_index.ivf_index_topk(spark, p, q, k=10,
+                                                     nprobe=4)
+        assert ann_index.delete_from_ann_index(spark, path, gone) == len(gone)
+        assert ann_index.delete_from_ann_index(spark, path, gone) == 0
+        got = [(r["vec_id"], r["score"]) for r in run(path).collect()]
+        want = [(r["vec_id"], r["score"]) for r in run(rebuilt).collect()]
+        assert got == want
+        assert not set(gone) & {v for v, _ in got}
+        # compaction: same answers, tombstones gone
+        assert ann_index.compact_ann_index(spark, path) == len(gone)
+        import os
+
+        assert not os.path.isdir(f"{path}/tombstones")
+        assert [(r["vec_id"], r["score"]) for r in run(path).collect()] == want
+        assert ann_index.compact_ann_index(spark, path) == 0
