@@ -590,3 +590,70 @@ def bm25_rank(
     return scored.select(
         "query_id", id_col, "score", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= k)
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 retrieves `n_candidates` docs per
+    query (lexical recall), then cosine similarity against the query
+    embedding re-ranks them to the final top-k (semantic precision) —
+    the standard retrieve-then-rerank shape every RAG / eval-mining
+    pipeline runs. Emits both scores so consumers can audit the rerank.
+
+    Query embeddings come from the `embeddings` table at
+    `vec_id == query_id` (the caller aligns ids — the encode-the-query
+    step, kept dependency-free here). Scale shape: BM25's broadcast
+    query-term prune does the heavy lifting; the candidate set
+    (queries x n_candidates rows) then BROADCASTS onto one embedding
+    scan — the vector corpus never shuffles, and the rerank window runs
+    over at most n_candidates rows per query. Cosines round to 6dp
+    before ranking (engine-exact, ties break on doc id).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _as_double, _dot
+
+    cands = bm25_topk(
+        docs, queries, k=n_candidates, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).select("query_id", id_col, F.col("score").alias("bm25_score"))
+    v = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(vec_id_col).alias("_vid"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+    )
+    qv = vecs.join(
+        F.broadcast(queries.select(F.col("query_id").alias("_vid"))), "_vid"
+    ).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    joined = vecs.join(
+        F.broadcast(cands), vecs["_vid"] == cands[id_col]
+    ).join(F.broadcast(qv), "query_id")
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(
+            "query_id", F.col(id_col), "bm25_score", cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )

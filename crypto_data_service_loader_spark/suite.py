@@ -4077,6 +4077,22 @@ def q_sim_topk_ivf_indexed(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Retrieve-then-rerank: BM25 pulls 20 lexical candidates per query,
+    cosine against the query embedding (vec_id == query_id) re-ranks to
+    the final top-5 — the standard RAG/eval-mining retrieval shape. The
+    candidate set broadcasts onto one embedding scan; the vector corpus
+    never shuffles."""
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return text.hybrid_topk(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        qdf, k=5, n_candidates=20,
+    )
+
+
 def q_sim_topk_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN (Lv et al. 2007) against the persisted index:
     besides the query's own bucket, probe the 3 buckets reached by
@@ -4276,6 +4292,7 @@ QUERIES = {
     "sim_topk_ivf_indexed": q_sim_topk_ivf_indexed,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
+    "hybrid_search": q_hybrid_search,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4464,6 +4481,7 @@ _R7_FRONT = [
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
+    "hybrid_search",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4479,8 +4497,8 @@ _R7_FRONT = [
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
     "win_first_last", "agg_approx_quantile", "agg_corr",
     "scalar_date_parts", "topk_by_price", "setop_union", "setop_except",
-    "setop_intersect", "scalar_dates",
-    # (scalar_strings / log_event_json / udf_mid_price /
+    "setop_intersect",
+    # (scalar_dates / scalar_strings / log_event_json / udf_mid_price /
     # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
     # agg_grouping_sets / pivot_status / sessionize_events /
     # session_window_agg / win_range_frame miss the 50-key window this
@@ -4886,6 +4904,28 @@ ORACLES["pagerank_knn_indexed"] = ORACLES["pagerank_knn"]
 ORACLES["sim_topk_lsh_indexed"] = ORACLES["sim_cosine_topk_lsh"]
 ORACLES["sim_topk_ivf_indexed"] = ORACLES["sim_cosine_topk_ivf"]
 ORACLES["bm25_topk_indexed"] = ORACLES["bm25_topk"]
+# Hybrid retrieve-then-rerank: the BM25 oracle widened to the candidate
+# count, then cosine against the query-id embedding re-ranks — same 6dp
+# round-before-rank discipline as the ANN oracles.
+ORACLES["hybrid_search"] = """
+    WITH cand AS ({cand}),
+    nv AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+           FROM embeddings),
+    scored AS (
+        SELECT c.query_id, c.doc_id, c.score AS bm25_score,
+               round(list_sum(list_transform(range(1, len(d.v) + 1),
+                     i -> d.v[i] * q.v[i])) / (d.n * q.n), 6) AS cosine
+        FROM cand c JOIN nv d ON c.doc_id = d.vec_id
+                    JOIN nv q ON c.query_id = q.vec_id)
+    SELECT query_id, doc_id, bm25_score, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, doc_id ASC) AS rn FROM scored)
+    WHERE rn <= 5""".replace(
+    "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
+)
 # Multi-probe: the single-probe oracle extended with the probe-set CTEs
 # (query-plane margins -> 3 smallest-|dot| flips, floor(|d|*1e6) + plane
 # index tie-break — the exact arithmetic the driver-side Python uses).

@@ -1061,3 +1061,46 @@ def test_triangle_counts_on_known_graph(spark):
     got2 = {r["id"]: (r["n_triangles"], r["degree"], r["clustering_coeff"])
             for r in graph.triangle_counts(rev, nodes).collect()}
     assert got2 == got
+
+
+def test_hybrid_topk_rerank_semantics(spark, sf_dir):
+    """Hybrid retrieval: every hit comes from the BM25 candidate pool,
+    the final order is cosine (not BM25), and shrinking the candidate
+    pool can only shrink (never reorder-above) the semantic ceiling."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import text
+    from crypto_data_service_loader_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        [(1, "fast table scan"), (3, "customer join query")],
+        "query_id int, query_text string",
+    )
+    out = text.hybrid_topk(docs, emb, qdf, k=5, n_candidates=20)
+    rows = out.collect()
+    assert rows
+    pool = {
+        (r["query_id"], r["doc_id"])
+        for r in text.bm25_topk(docs, qdf, k=20).collect()
+    }
+    for r in rows:
+        assert (r["query_id"], r["doc_id"]) in pool
+    # final ranking is by cosine desc (doc id tie-break), per query
+    for qid in (1, 3):
+        got = sorted(
+            [r for r in rows if r["query_id"] == qid],
+            key=lambda r: r["rank"],
+        )
+        assert [(-r["cosine"], r["doc_id"]) for r in got] == sorted(
+            (-r["cosine"], r["doc_id"]) for r in got
+        )
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    # with n_candidates == k the rerank degenerates to BM25's pool
+    tight = text.hybrid_topk(docs, emb, qdf, k=5, n_candidates=5)
+    tight_pool = {
+        (r["query_id"], r["doc_id"])
+        for r in text.bm25_topk(docs, qdf, k=5).collect()
+    }
+    assert {(r["query_id"], r["doc_id"]) for r in tight.collect()} == tight_pool

@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "text_tfidf_top_terms",  # corpus-count N: single-row aggregate broadcast
     "bm25_topk",  # corpus stats (N, avgdl): single-row aggregate broadcast
     "key_skew_report",  # total row count: single-row aggregate broadcast
+    "hybrid_search",  # BM25 stage's same single-row (N, avgdl) broadcast
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
