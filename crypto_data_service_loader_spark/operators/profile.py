@@ -444,3 +444,61 @@ def mad_outliers(
         .otherwise(F.col("dev") > 0)
         .alias("is_outlier"),
     )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Tabular CUSUM change-point detection per key (Page 1954, public
+    method): the sequential complement of the batch drift ops —
+    `histogram_drift` compares whole windows, MAD/z-score flag single
+    points; CUSUM accumulates SMALL sustained shifts until they cross a
+    decision threshold, catching slow drifts both miss.
+
+    One-sided statistics via the running-extremum identity (no recursive
+    state, pure windows): with d_i = value_i - target,
+    C+_i = cumsum(d - slack) - running_min(cumsum(d - slack)) and
+    C-_i = running_max(cumsum(d + slack)) - cumsum(d + slack); alert
+    when either exceeds `threshold`. This equals the textbook recursive
+    max(0, C + d)-form exactly (the running extremum IS the last reset
+    point), but plans as ONE shuffle on the key + window passes sharing
+    a single sort — no iterative state, arbitrarily many keys in
+    parallel.
+
+    Engine-exact: the cumulative sums fold in the total order
+    `order_cols` fixes, so both engines add the same doubles in the same
+    order (identical IEEE results); outputs round to 6dp and the alert
+    compares the rounded statistic. `order_cols` must totally order each
+    key's timeline (same contract as scd2_history).
+    """
+    from pyspark.sql import Window
+
+    if not order_cols:
+        raise ValueError("order_cols must totally order each key's timeline")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(value_col).cast("double")
+    up = F.sum(x - F.lit(float(target) + float(slack))).over(w)
+    dn = F.sum(x - F.lit(float(target) - float(slack))).over(w)
+    c_pos = F.round(up - F.min(up).over(w), 6)
+    c_neg = F.round(F.max(dn).over(w) - dn, 6)
+    return df.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col),
+        c_pos.alias("cusum_pos"),
+        c_neg.alias("cusum_neg"),
+        (
+            (c_pos > F.lit(float(threshold)))
+            | (c_neg > F.lit(float(threshold)))
+        ).alias("is_alert"),
+    )

@@ -4077,6 +4077,23 @@ def q_sim_topk_ivf_indexed(spark, sf_dir):
     )
 
 
+def q_events_cusum(spark, sf_dir):
+    """CUSUM change-point gate per event type (target 50, slack 2,
+    decision threshold 200): accumulates small sustained value shifts
+    that per-point gates (MAD/z-score) and whole-window gates
+    (histogram_drift) both miss. One shuffle on the key; the running
+    sums and extrema share a single sorted window pass."""
+    return profile.cusum_alerts(
+        load(spark, sf_dir, "events"),
+        key_col="event_type",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        target=50.0,
+        slack=2.0,
+        threshold=200.0,
+    )
+
+
 def q_hybrid_search(spark, sf_dir):
     """Retrieve-then-rerank: BM25 pulls 20 lexical candidates per query,
     cosine against the query embedding (vec_id == query_id) re-ranks to
@@ -4293,6 +4310,7 @@ QUERIES = {
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
     "hybrid_search": q_hybrid_search,
+    "events_cusum": q_events_cusum,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4481,7 +4499,7 @@ _R7_FRONT = [
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
-    "hybrid_search",
+    "hybrid_search", "events_cusum",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4497,8 +4515,8 @@ _R7_FRONT = [
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
     "win_first_last", "agg_approx_quantile", "agg_corr",
     "scalar_date_parts", "topk_by_price", "setop_union", "setop_except",
-    "setop_intersect",
-    # (scalar_dates / scalar_strings / log_event_json / udf_mid_price /
+    # (setop_intersect / scalar_dates / scalar_strings / log_event_json /
+    #  udf_mid_price /
     # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
     # agg_grouping_sets / pivot_status / sessionize_events /
     # session_window_agg / win_range_frame miss the 50-key window this
@@ -4926,6 +4944,28 @@ ORACLES["hybrid_search"] = """
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )
+# CUSUM via the running-extremum identity — cumulative sums fold in the
+# (ts, event_id) order on both engines, so the doubles add identically.
+ORACLES["events_cusum"] = """
+    WITH s AS (
+        SELECT event_type, ts, event_id, value,
+               SUM(CAST(value AS DOUBLE) - 52.0) OVER w AS up,
+               SUM(CAST(value AS DOUBLE) - 48.0) OVER w AS dn
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    c AS (
+        SELECT event_type, ts, event_id, value,
+               round(up - MIN(up) OVER w2, 6) AS cusum_pos,
+               round(MAX(dn) OVER w2 - dn, 6) AS cusum_neg
+        FROM s
+        WINDOW w2 AS (PARTITION BY event_type
+                      ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, ts, event_id, value, cusum_pos, cusum_neg,
+           (cusum_pos > 200.0 OR cusum_neg > 200.0) AS is_alert
+    FROM c"""
 # Multi-probe: the single-probe oracle extended with the probe-set CTEs
 # (query-plane margins -> 3 smallest-|dot| flips, floor(|d|*1e6) + plane
 # index tie-break — the exact arithmetic the driver-side Python uses).

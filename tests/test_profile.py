@@ -197,3 +197,41 @@ def test_histogram_drift_semantics(spark):
         [(w(1), 0, 5)], "win_start timestamp, bin_id int, n_rows long"
     )
     assert histogram_drift(one).count() == 0
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """The running-extremum window identity must equal the textbook
+    recursive form C+ = max(0, C+ + (x - target - slack)),
+    C- = max(0, C- - (x - target + slack)) point-for-point, including a
+    sustained small shift that per-point gates would never flag."""
+    from crypto_data_service_loader_spark.operators.profile import (
+        cusum_alerts,
+    )
+
+    # mean 10 with a sustained +2 shift from i=10 (never a big spike)
+    vals = [10.0, 10.5, 9.5, 10.0, 9.8, 10.2, 10.0, 9.9, 10.1, 10.0] + \
+        [12.0, 12.1, 11.9, 12.0, 12.2, 11.8, 12.0, 12.1, 11.9, 12.0]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = {r["i"]: r for r in cusum_alerts(
+        df, "k", ["i"], "v", target=10.0, slack=0.5, threshold=5.0
+    ).collect()}
+    cp = cn = 0.0
+    fired_at = None
+    for i, x in enumerate(vals):
+        cp = max(0.0, cp + (x - 10.0 - 0.5))
+        cn = max(0.0, cn - (x - 10.0) - 0.5)
+        assert abs(out[i]["cusum_pos"] - round(cp, 6)) < 1e-9, i
+        assert abs(out[i]["cusum_neg"] - round(cn, 6)) < 1e-9, i
+        alert = round(cp, 6) > 5.0 or round(cn, 6) > 5.0
+        assert out[i]["is_alert"] == alert, i
+        if alert and fired_at is None:
+            fired_at = i
+    # the sustained shift accumulates past the threshold within the
+    # shifted run — a 2-sigma-ish step no single point would flag
+    assert fired_at is not None and 10 < fired_at < 20
+    # empty order_cols refused
+    import pytest
+
+    with pytest.raises(ValueError, match="order_cols"):
+        cusum_alerts(df, "k", [], "v", target=10.0)
