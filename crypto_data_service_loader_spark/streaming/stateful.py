@@ -314,3 +314,89 @@ def start_ewma_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM — the live twin of profile.cusum_alerts. The batch op
+# uses the running-extremum window identity over a total order; a stream
+# has no such order to re-window per batch, but the TEXTBOOK recursion
+# (C+ = max(0, C+ + d - slack), C- = max(0, C- - d - slack)) is O(1)
+# keyed state — exactly what applyInPandasWithState carries across
+# micro-batches. The two forms are provably equal (pinned in
+# tests/test_profile.py), so stream output == batch output on the same
+# in-order rows (equality-tested). Contract: per-key event-time order
+# across batches (the standard keyed-recursion contract, same as the
+# streaming EWMA above); rows within a batch are sorted by ts here.
+# ---------------------------------------------------------------------------
+
+CUSUM_SCHEMA = (
+    "user_id long, ts timestamp, value double, "
+    "cusum_pos double, cusum_neg double, is_alert boolean"
+)
+
+
+def _cusum_updater(target: float, slack: float, threshold: float):
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cp, cn = state.get if state.exists else (0.0, 0.0)
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        cps, cns = [], []
+        for x in pdf["value"]:
+            d = float(x) - target
+            cp = max(0.0, cp + d - slack)
+            cn = max(0.0, cn - d - slack)
+            cps.append(round(cp, 6))
+            cns.append(round(cn, 6))
+        state.update((cp, cn))
+        out = pd.DataFrame({
+            "user_id": key[0],
+            "ts": pdf["ts"],
+            "value": pdf["value"],
+            "cusum_pos": cps,
+            "cusum_neg": cns,
+        })
+        out["is_alert"] = (out["cusum_pos"] > threshold) | (
+            out["cusum_neg"] > threshold
+        )
+        yield out
+
+    return update
+
+
+def start_cusum_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    query_name: str = "cusum",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming CUSUM change-point alerts -> in-memory table
+    `query_name`. State per key is TWO floats no matter how long the
+    stream runs (the recursion folds history into the pair), update-mode
+    emission per micro-batch — each row's statistic lands exactly once."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cusum_updater(float(target), float(slack), float(threshold)),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType="cp double, cn double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

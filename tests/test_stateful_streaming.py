@@ -320,3 +320,55 @@ def test_running_totals_state_carries_across_batches(spark, tmp_path):
     out = {r["user_id"]: (r["n"], r["total"])
            for r in spark.sql("SELECT * FROM rt2_test").collect()}
     assert out[7] == (2, 3.0)  # state (1, 1.0) carried into batch 2
+
+
+def test_streaming_cusum_matches_batch_twin(spark, tmp_path):
+    """Streaming CUSUM (recursive keyed state, carried ACROSS
+    micro-batches) equals the batch running-extremum form on the same
+    in-order rows — including a sustained shift whose alert fires in the
+    SECOND micro-batch off state accumulated in the first."""
+    import datetime as dt
+    import time
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        cusum_alerts,
+    )
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_cusum_stream,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    base = [(1, t(i), 10.0 + (0.1 * (i % 3) - 0.1)) for i in range(8)]
+    shift = [(1, t(8 + i), 12.0 + (0.1 * (i % 2))) for i in range(8)]
+    other = [(2, t(i), 10.0) for i in range(4)]
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1): the state
+    # pair must carry the first batch's accumulation into the second
+    spark.createDataFrame(base + other, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    spark.createDataFrame(shift, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_cusum_stream(
+        stream, str(tmp_path / "ckpt"), target=10.0, slack=0.5,
+        threshold=5.0, query_name="cusum_t",
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["ts"]): (r["cusum_pos"], r["cusum_neg"],
+                                     r["is_alert"])
+           for r in spark.sql("SELECT * FROM cusum_t").collect()}
+    batch = cusum_alerts(
+        spark.createDataFrame(base + shift + other, schema),
+        "user_id", ["ts"], "value", target=10.0, slack=0.5, threshold=5.0,
+    )
+    want = {(r["user_id"], r["ts"]): (r["cusum_pos"], r["cusum_neg"],
+                                      r["is_alert"])
+            for r in batch.collect()}
+    assert got == want
+    # the sustained shift fires, and only in the shifted run
+    fired = sorted(ts for (u, ts), (_, _, a) in got.items() if a and u == 1)
+    assert fired and fired[0] >= t(8)
+    assert not any(a for (u, _), (_, _, a) in got.items() if u == 2)
