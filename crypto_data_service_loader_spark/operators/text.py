@@ -657,3 +657,83 @@ def hybrid_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def _gram_hash48(g: Column) -> Column:
+    """Fold a gram string to 48 bits (12 md5 hex chars -> BIGINT).
+
+    48 bits keeps collision mass negligible up to ~10^7-vocabulary corpora
+    per Birthday bound while staying exactly representable in both a Spark
+    LongType and a DuckDB BIGINT built via ('0x' || hex)::BIGINT — the
+    portable hex->int recipe. Collision folding merges counts, which is the
+    hashed-n-gram-LM design (same trade DSIR makes, Xie et al. 2023)."""
+    return F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_prob: float = 0.05,
+) -> DataFrame:
+    """Bigram-LM fluency scoring — the CCNet-style perplexity filter
+    (Wenzek et al. 2020, public method) expressed transcendental-free: the
+    corpus itself trains token-bigram MLE counts, and each document scores
+    its mean conditional bigram probability avg(c(w1 w2) / c(w1)). Low
+    scores mark disfluent / gibberish text exactly where high perplexity
+    would, without ln()/exp() (cross-engine bit agreement is not
+    guaranteed for transcendentals; TVD-over-PSI precedent).
+
+    Output: id, n_bigrams, lm_score (null when the doc has no bigram),
+    ok_fluency (score >= min_prob; false for bigram-less docs).
+
+    Scale shape: grams fold to 48-bit hashes (_gram_hash48) scan-side, so
+    BOTH count aggregations partial-combine map-side and every shuffle
+    carries (long, count) — never gram text. The two count joins are
+    vocabulary-sized builds against the doc-gram relation; the per-doc
+    re-aggregation is a combinable decimal sum. Corpus scanned twice
+    (model pass + scoring pass) — inherent to train-on-self scoring; pass
+    a localCheckpoint'd `docs` to pay the scan once.
+    """
+    from .relational import davg
+
+    toks = _tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col), F.explode(_ngrams(toks, 2)).alias("bg")
+    ).select(
+        F.col(id_col),
+        _gram_hash48(F.col("bg")).alias("bg_h"),
+        _gram_hash48(F.split(F.col("bg"), " ")[0]).alias("pre_h"),
+    )
+    uni = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("t"))
+        .select(_gram_hash48(F.col("t")).alias("pre_h"))
+        .groupBy("pre_h")
+        .agg(F.count(F.lit(1)).alias("c_pre"))
+    )
+    big = grams.groupBy("bg_h").agg(F.count(F.lit(1)).alias("c_bg"))
+    scored = (
+        grams.join(big, "bg_h")
+        .join(uni, "pre_h")
+        .select(
+            F.col(id_col),
+            F.round(F.col("c_bg").cast("double") / F.col("c_pre"), 6).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(davg("p"), 6).alias("lm_score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.col("lm_score"),
+            F.coalesce(
+                F.col("lm_score") >= F.lit(float(min_prob)), F.lit(False)
+            ).alias("ok_fluency"),
+        )
+    )

@@ -4094,6 +4094,17 @@ def q_events_cusum(spark, sf_dir):
     )
 
 
+def q_ngram_lm_score(spark, sf_dir):
+    """Bigram-LM fluency gate (CCNet-style perplexity filtering without
+    the transcendentals): corpus-trained conditional bigram MLE counts,
+    per-doc mean probability, threshold at 0.034 (the synthetic corpus's
+    median — gate live in both directions). Grams fold to 48-bit hashes
+    scan-side so every shuffle carries longs, never gram text."""
+    return text.ngram_lm_score(
+        load(spark, sf_dir, "documents"), min_prob=0.034
+    )
+
+
 def q_hybrid_search(spark, sf_dir):
     """Retrieve-then-rerank: BM25 pulls 20 lexical candidates per query,
     cosine against the query embedding (vec_id == query_id) re-ranks to
@@ -4311,6 +4322,7 @@ QUERIES = {
     "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
     "hybrid_search": q_hybrid_search,
     "events_cusum": q_events_cusum,
+    "ngram_lm_score": q_ngram_lm_score,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4499,7 +4511,7 @@ _R7_FRONT = [
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
-    "hybrid_search", "events_cusum",
+    "hybrid_search", "events_cusum", "ngram_lm_score",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4514,9 +4526,9 @@ _R7_FRONT = [
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
     "win_first_last", "agg_approx_quantile", "agg_corr",
-    "scalar_date_parts", "topk_by_price", "setop_union", "setop_except",
-    # (setop_intersect / scalar_dates / scalar_strings / log_event_json /
-    #  udf_mid_price /
+    "scalar_date_parts", "topk_by_price", "setop_union",
+    # (setop_except / setop_intersect / scalar_dates / scalar_strings /
+    #  log_event_json / udf_mid_price /
     # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
     # agg_grouping_sets / pivot_status / sessionize_events /
     # session_window_agg / win_range_frame miss the 50-key window this
@@ -4946,6 +4958,37 @@ ORACLES["hybrid_search"] = """
 )
 # CUSUM via the running-extremum identity — cumulative sums fold in the
 # (ts, event_id) order on both engines, so the doubles add identically.
+# Bigram-LM fluency: 48-bit gram hashes via ('0x' || md5-prefix)::BIGINT
+# (the portable hex->int recipe); per-bigram probability rounded to 6 dp
+# before the decimal mean, mirroring the Spark side exactly.
+ORACLES["ngram_lm_score"] = """
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t[i.i] || ' ' || t[i.i + 1]), 1, 12))
+                    AS BIGINT) AS bg_h,
+               CAST(('0x' || substr(md5(t[i.i]), 1, 12)) AS BIGINT) AS pre_h
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS i(i)
+        WHERE len(t) >= 2),
+    uni AS (
+        SELECT CAST(('0x' || substr(md5(u.tok), 1, 12)) AS BIGINT) AS pre_h,
+               count(*) AS c_pre
+        FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY 1),
+    bgc AS (SELECT bg_h, count(*) AS c_bg FROM grams GROUP BY 1),
+    p AS (SELECT doc_id,
+                 round(CAST(c_bg AS DOUBLE) / c_pre, 6) AS p
+          FROM grams JOIN bgc USING (bg_h) JOIN uni USING (pre_h)),
+    sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                  round(CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE)
+                        / count(*), 6) AS lm_score
+           FROM p GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.lm_score,
+           COALESCE(sc.lm_score >= 0.034, FALSE) AS ok_fluency
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".replace(
+    "{toks}", _TOKS
+)
 ORACLES["events_cusum"] = """
     WITH s AS (
         SELECT event_type, ts, event_id, value,

@@ -1104,3 +1104,41 @@ def test_hybrid_topk_rerank_semantics(spark, sf_dir):
         for r in text.bm25_topk(docs, qdf, k=5).collect()
     }
     assert {(r["query_id"], r["doc_id"]) for r in tight.collect()} == tight_pool
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Hand-checkable bigram MLE corpus: c('a b')=3, c('b a')=1,
+    c(a)=3 -> d0 = mean(1, 1, 1/3) = 0.777778, d1 = 1.0; the
+    bigram-less doc gets a null score and a FALSE gate (not null)."""
+    from crypto_data_service_loader_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "z")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in T.ngram_lm_score(docs, min_prob=0.9).collect()
+    }
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["lm_score"] == pytest.approx(0.777778, abs=1e-6)
+    assert rows[0]["ok_fluency"] is False
+    assert rows[1]["lm_score"] == 1.0 and rows[1]["ok_fluency"] is True
+    assert rows[2]["n_bigrams"] == 0
+    assert rows[2]["lm_score"] is None
+    assert rows[2]["ok_fluency"] is False
+
+
+def test_ngram_lm_score_ranks_disfluent_text_lower(spark):
+    """The deliverable: shuffled/gibberish text scores below natural
+    repetition of corpus-frequent transitions — the perplexity-filter
+    ordering, transcendental-free."""
+    from crypto_data_service_loader_spark.operators import text as T
+
+    fluent = "the model reads the data and the model writes the data"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(8)]
+        + [(8, "data writes and reads model the data the model the and")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["lm_score"] for r in T.ngram_lm_score(docs).collect()}
+    assert rows[8] < rows[0]

@@ -26,6 +26,9 @@ NESTED_LOOP_OK = {
     "tpch_q11",  # HAVING scalar subquery: single-row aggregate broadcast
     "text_tfidf_top_terms",  # corpus-count N: single-row aggregate broadcast
     "bm25_topk",  # corpus stats (N, avgdl): single-row aggregate broadcast
+    # same (N, avgdl) single-row broadcast, computed from the doclens
+    # store since tombstone-exact stats:
+    "bm25_topk_indexed",
     "key_skew_report",  # total row count: single-row aggregate broadcast
     "hybrid_search",  # BM25 stage's same single-row (N, avgdl) broadcast
 }
