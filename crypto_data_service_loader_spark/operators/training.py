@@ -311,3 +311,70 @@ def token_budget_fill(
     return docs.withColumn("cum_before", cum_before).filter(
         F.col("cum_before") < budget
     )
+
+
+def mixture_rebalance(
+    docs: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_target: float = 0.0,
+) -> DataFrame:
+    """Static domain reweighting: measure each source's token share and
+    emit the per-source sampling weight that moves the mixture to
+    `targets` — the deterministic core of domain-mixture tuning (the
+    published DoReMi / Pile recipes end in exactly this table: weight =
+    target_share * total_tokens / source_tokens). Sources absent from
+    `targets` get `default_target` (0.0 = drop).
+
+    Output per source: n_docs, n_tokens, current_share, target_share,
+    weight (round 6), repeat_epochs (ceil(weight) — how many passes over
+    the source a packer needs; weight <= 1 downsamples in one pass).
+    The weights feed `mix_corpora` / `mix_corpora_upsampled` directly.
+
+    Scale shape: ONE partial-aggregated scan groups by source (token
+    counting is scan-local array math); everything after runs on the
+    sources-sized relation, where the single-partition total window is
+    bounded by the domain count, not the corpus. Integer sums + one
+    division per source — no float accumulation, oracle-exact.
+    """
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    per_src = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    target = None
+    for src, share in sorted(targets.items()):
+        cond = F.col(source_col) == src
+        lit = F.lit(float(share))
+        target = F.when(cond, lit) if target is None else target.when(cond, lit)
+    target = (
+        target.otherwise(float(default_target))
+        if target is not None
+        else F.lit(float(default_target))
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    weight = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.col("target_share") * total.cast("double") / F.col("n_tokens"),
+            6,
+        ),
+    )
+    return (
+        per_src.withColumn("target_share", target)
+        .select(
+            F.col(source_col),
+            F.col("n_docs"),
+            F.col("n_tokens"),
+            F.round(
+                F.col("n_tokens").cast("double") / total.cast("double"), 6
+            ).alias("current_share"),
+            F.col("target_share"),
+            weight.alias("weight"),
+        )
+        .withColumn(
+            "repeat_epochs", F.ceil(F.col("weight")).cast("int")
+        )
+    )

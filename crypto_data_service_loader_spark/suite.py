@@ -4094,6 +4094,18 @@ def q_events_cusum(spark, sf_dir):
     )
 
 
+def q_mixture_rebalance(spark, sf_dir):
+    """Domain-mixture reweighting table: concentrate the training mix on
+    four sources (0.3/0.3/0.2/0.2), dropping the rest — per-source token
+    shares and the sampling weights that realize the target. One
+    partial-aggregated scan; everything downstream runs on the
+    domain-count-sized relation."""
+    return training.mixture_rebalance(
+        load(spark, sf_dir, "documents"),
+        {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2},
+    )
+
+
 def q_ngram_lm_score(spark, sf_dir):
     """Bigram-LM fluency gate (CCNet-style perplexity filtering without
     the transcendentals): corpus-trained conditional bigram MLE counts,
@@ -4323,6 +4335,7 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "events_cusum": q_events_cusum,
     "ngram_lm_score": q_ngram_lm_score,
+    "mixture_rebalance": q_mixture_rebalance,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4511,7 +4524,7 @@ _R7_FRONT = [
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
-    "hybrid_search", "events_cusum", "ngram_lm_score",
+    "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4526,9 +4539,9 @@ _R7_FRONT = [
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
     "win_first_last", "agg_approx_quantile", "agg_corr",
-    "scalar_date_parts", "topk_by_price", "setop_union",
-    # (setop_except / setop_intersect / scalar_dates / scalar_strings /
-    #  log_event_json / udf_mid_price /
+    "scalar_date_parts", "topk_by_price",
+    # (setop_union / setop_except / setop_intersect / scalar_dates /
+    #  scalar_strings / log_event_json / udf_mid_price /
     # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
     # agg_grouping_sets / pivot_status / sessionize_events /
     # session_window_agg / win_range_frame miss the 50-key window this
@@ -4958,6 +4971,35 @@ ORACLES["hybrid_search"] = """
 )
 # CUSUM via the running-extremum identity — cumulative sums fold in the
 # (ts, event_id) order on both engines, so the doubles add identically.
+# Mixture rebalance: integer token sums + one division per source; the
+# CASE mirrors the Spark when-chain; DuckDB decimal literals cast DOUBLE.
+ORACLES["mixture_rebalance"] = """
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    t AS (
+        SELECT *,
+               CAST(SUM(n_tokens) OVER () AS DOUBLE) AS total,
+               CASE source
+                   WHEN 'src0' THEN CAST(0.3 AS DOUBLE)
+                   WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                   WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                   WHEN 'src3' THEN CAST(0.2 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE)
+               END AS target_share
+        FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total, 6) AS current_share,
+           target_share,
+           CASE WHEN n_tokens > 0
+                THEN round(target_share * total / n_tokens, 6)
+           END AS weight,
+           CASE WHEN n_tokens > 0
+                THEN CAST(ceil(round(target_share * total / n_tokens, 6))
+                          AS INTEGER)
+           END AS repeat_epochs
+    FROM t""".replace("{toks}", _TOKS)
 # Bigram-LM fluency: 48-bit gram hashes via ('0x' || md5-prefix)::BIGINT
 # (the portable hex->int recipe); per-bigram probability rounded to 6 dp
 # before the decimal mean, mirroring the Spark side exactly.

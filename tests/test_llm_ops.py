@@ -1142,3 +1142,43 @@ def test_ngram_lm_score_ranks_disfluent_text_lower(spark):
     )
     rows = {r["doc_id"]: r["lm_score"] for r in T.ngram_lm_score(docs).collect()}
     assert rows[8] < rows[0]
+
+
+def test_mixture_rebalance_math_and_composition(spark, sf_dir):
+    """Weights are exactly target_share * total / source_tokens, and
+    feeding them to mix_corpora_upsampled moves realized token shares to
+    the target (within the 1/1000-bucket hash-gate granularity)."""
+    from crypto_data_service_loader_spark.operators import training as TR
+
+    docs = load(spark, sf_dir, "documents")
+    targets = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+    plan = TR.mixture_rebalance(docs, targets)
+    rows = {r["source"]: r for r in plan.collect()}
+    total = sum(r["n_tokens"] for r in rows.values())
+    for src, tgt in targets.items():
+        r = rows[src]
+        assert r["target_share"] == tgt
+        assert r["weight"] == pytest.approx(
+            tgt * total / r["n_tokens"], abs=1e-6
+        )
+        assert r["repeat_epochs"] >= 1
+    # unlisted sources: dropped (weight 0, zero epochs)
+    others = [r for s, r in rows.items() if s not in targets]
+    assert others and all(r["weight"] == 0.0 for r in others)
+    # shares sum to 1 (rounding aside) and current numbers are consistent
+    assert sum(r["current_share"] for r in rows.values()) == pytest.approx(
+        1.0, abs=1e-3
+    )
+
+    mixed = TR.mix_corpora_upsampled(
+        docs, {s: rows[s]["weight"] for s in targets}
+    )
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    got = {
+        r["source"]: r["t"]
+        for r in mixed.groupBy("source").agg(F.sum(n_tok).alias("t")).collect()
+    }
+    mixed_total = sum(got.values())
+    assert set(got) == set(targets)
+    for src, tgt in targets.items():
+        assert got[src] / mixed_total == pytest.approx(tgt, abs=0.05)
