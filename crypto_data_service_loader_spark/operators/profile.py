@@ -502,3 +502,48 @@ def cusum_alerts(
             | (c_neg > F.lit(float(threshold)))
         ).alias("is_alert"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-key least-squares trend line (slope, intercept, r2) from exact
+    decimal moments — the regression complement of `cusum_alerts`: CUSUM
+    says THAT a level shifted, the trend says how fast it is moving and
+    how linear the drift is. Built-in regr_slope/corr accumulate doubles
+    in partition order; this reuses the agg_corr decimal-moment pattern
+    so the result is engine-exact.
+
+    Degenerate keys (zero x-variance for slope/intercept, zero variance
+    on either axis for r2) return NULL explicitly — Spark's div-by-zero
+    yields NULL while DuckDB's double division yields inf, so the guard
+    is correctness, not style.
+
+    Scale shape: ONE partial-combined aggregation over the scan; serial
+    work per key is constant (five moments). Callers should map x to
+    small integers (epoch seconds minus a fixed anchor, day numbers) so
+    x*x stays inside double's exact-integer range.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x.cast("decimal(38,6)")).cast("double")
+    sy = F.sum(y.cast("decimal(38,6)")).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,10)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,10)")).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,10)")).cast("double")
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    dxy = n * sxy - sx * sy
+    slope = dxy / dxx
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.when(dxx > 0, slope), 6).alias("slope"),
+        F.round(F.when(dxx > 0, (sy - slope * sx) / n), 6).alias("intercept"),
+        F.round(
+            F.when((dxx > 0) & (dyy > 0), (dxy * dxy) / (dxx * dyy)), 6
+        ).alias("r2"),
+    )

@@ -4094,6 +4094,17 @@ def q_events_cusum(spark, sf_dir):
     )
 
 
+def q_events_ols_trend(spark, sf_dir):
+    """Per-event-type least-squares drift line, x in days since the
+    2024-01-01 anchor (small magnitudes keep every product inside
+    double's exact range): slope/day, intercept at the anchor, r2.
+    The regression complement of events_cusum. One partial-combined
+    aggregation; per-key serial work is five moments."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(86400.0)
+    return profile.ols_trend(ev, "event_type", x, "value")
+
+
 def q_mixture_rebalance(spark, sf_dir):
     """Domain-mixture reweighting table: concentrate the training mix on
     four sources (0.3/0.3/0.2/0.2), dropping the rest — per-source token
@@ -4336,6 +4347,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "ngram_lm_score": q_ngram_lm_score,
     "mixture_rebalance": q_mixture_rebalance,
+    "events_ols_trend": q_events_ols_trend,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4525,6 +4537,7 @@ _R7_FRONT = [
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
+    "events_ols_trend",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4539,9 +4552,9 @@ _R7_FRONT = [
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
     "win_first_last", "agg_approx_quantile", "agg_corr",
-    "scalar_date_parts", "topk_by_price",
-    # (setop_union / setop_except / setop_intersect / scalar_dates /
-    #  scalar_strings / log_event_json / udf_mid_price /
+    "scalar_date_parts",
+    # (topk_by_price / setop_union / setop_except / setop_intersect /
+    #  scalar_dates / scalar_strings / log_event_json / udf_mid_price /
     # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
     # agg_grouping_sets / pivot_status / sessionize_events /
     # session_window_agg / win_range_frame miss the 50-key window this
@@ -4971,6 +4984,41 @@ ORACLES["hybrid_search"] = """
 )
 # CUSUM via the running-extremum identity — cumulative sums fold in the
 # (ts, event_id) order on both engines, so the doubles add identically.
+# OLS trend via the agg_corr decimal-moment pattern; x in days since the
+# 2024-01-01 anchor. floor(epoch(ts)) mirrors Spark unix_timestamp's
+# second truncation; zero-variance guards are explicit because Spark's
+# double div-by-zero yields NULL while DuckDB's yields inf.
+ORACLES["events_ols_trend"] = """
+    WITH base AS (
+        SELECT event_type,
+               (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+                   / CAST(86400 AS DOUBLE) AS x,
+               value AS y
+        FROM events),
+    m AS (
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        FROM base GROUP BY event_type)
+    SELECT event_type, n_rows AS n,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 6) AS slope,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (sy - ((n * sxy - sx * sy)
+                                  / (n * sxx - sx * sx)) * sx) / n
+                 END, 6) AS intercept,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+                      THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM m"""
 # Mixture rebalance: integer token sums + one division per source; the
 # CASE mirrors the Spark when-chain; DuckDB decimal literals cast DOUBLE.
 ORACLES["mixture_rebalance"] = """

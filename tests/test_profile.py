@@ -235,3 +235,28 @@ def test_cusum_matches_textbook_recursion(spark):
 
     with pytest.raises(ValueError, match="order_cols"):
         cusum_alerts(df, "k", [], "v", target=10.0)
+
+
+def test_ols_trend_recovers_exact_line_and_guards(spark):
+    """A noiseless line comes back exactly (slope 2, intercept 3, r2 1);
+    zero x-variance nulls slope/intercept/r2; constant y gives slope 0
+    with r2 null (dyy == 0) — the explicit guards that keep Spark's
+    div-by-zero NULL and DuckDB's inf from diverging."""
+    from crypto_data_service_loader_spark.operators.profile import ols_trend
+
+    rows = (
+        [("line", float(x), 2.0 * x + 3.0) for x in range(10)]
+        + [("flat_x", 5.0, float(v)) for v in range(4)]
+        + [("flat_y", float(x), 7.0) for x in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in ols_trend(df, "k", "x", "y").collect()}
+    assert out["line"]["slope"] == 2.0
+    assert out["line"]["intercept"] == 3.0
+    assert out["line"]["r2"] == 1.0
+    assert out["flat_x"]["slope"] is None
+    assert out["flat_x"]["intercept"] is None
+    assert out["flat_x"]["r2"] is None
+    assert out["flat_y"]["slope"] == 0.0
+    assert out["flat_y"]["intercept"] == 7.0
+    assert out["flat_y"]["r2"] is None
