@@ -547,3 +547,65 @@ def ols_trend(
             F.when((dxx > 0) & (dyy > 0), (dxy * dxy) / (dxx * dyy)), 6
         ).alias("r2"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equi-depth histogram per group: n_bins buckets whose edges are the
+    i/n_bins exact quantiles — equal mass, variable width, the shape
+    query optimizers keep as column statistics (and the right summary
+    for skewed distributions where `numeric_histogram`'s fixed-width
+    bins pile into one bucket). Ties at an edge land in the lower bin
+    (value <= edge), so masses are equal up to tie multiplicity — counts
+    stay exact, never approximated.
+
+    Scale shape: edges come from `exact_quantiles` (distributed; serial
+    work bounded by value cardinality, not rows); rows then bin via a
+    BROADCAST of the one-row-per-group edge table and a scan-local CASE
+    — the only exchange after the quantile pass is the final
+    partial-combined count over (groups x bins) bounded keys.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    qs = {f"_e{i}": i / n_bins for i in range(n_bins + 1)}
+    edges = exact_quantiles(df, group_col, value_col, qs)
+    v = F.col(value_col)
+    joined = df.filter(v.isNotNull()).join(F.broadcast(edges), group_col)
+    bin_c = lo_c = hi_c = None
+    for i in range(1, n_bins):
+        cond = v <= F.col(f"_e{i}")
+        if bin_c is None:
+            bin_c = F.when(cond, i)
+            lo_c = F.when(cond, F.col(f"_e{i - 1}"))
+            hi_c = F.when(cond, F.col(f"_e{i}"))
+        else:
+            bin_c = bin_c.when(cond, i)
+            lo_c = lo_c.when(cond, F.col(f"_e{i - 1}"))
+            hi_c = hi_c.when(cond, F.col(f"_e{i}"))
+    bin_c = (
+        bin_c.otherwise(n_bins) if bin_c is not None else F.lit(1)
+    ).cast("int")
+    lo_c = (
+        lo_c.otherwise(F.col(f"_e{n_bins - 1}"))
+        if lo_c is not None
+        else F.col("_e0")
+    )
+    hi_c = (
+        hi_c.otherwise(F.col(f"_e{n_bins}"))
+        if hi_c is not None
+        else F.col(f"_e{n_bins}")
+    )
+    return (
+        joined.select(
+            F.col(group_col),
+            bin_c.alias("bin"),
+            lo_c.alias("lo"),
+            hi_c.alias("hi"),
+        )
+        .groupBy(group_col, "bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

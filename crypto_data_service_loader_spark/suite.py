@@ -4094,6 +4094,17 @@ def q_events_cusum(spark, sf_dir):
     )
 
 
+def q_equi_depth_histogram(spark, sf_dir):
+    """Quantile-bucketed value distribution per event type: 4 equal-mass
+    bins with exact interpolated edges — the optimizer-statistics shape,
+    and the skew-proof complement of numeric_histogram's fixed-width
+    bins. Edge pass is the distributed exact-quantile rewrite; binning
+    is a broadcast + scan-local CASE."""
+    return profile.equi_depth_histogram(
+        load(spark, sf_dir, "events"), "event_type", "value", n_bins=4
+    )
+
+
 def q_events_ols_trend(spark, sf_dir):
     """Per-event-type least-squares drift line, x in days since the
     2024-01-01 anchor (small magnitudes keep every product inside
@@ -4348,6 +4359,7 @@ QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
     "mixture_rebalance": q_mixture_rebalance,
     "events_ols_trend": q_events_ols_trend,
+    "equi_depth_histogram": q_equi_depth_histogram,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4537,7 +4549,7 @@ _R7_FRONT = [
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
-    "events_ols_trend",
+    "events_ols_trend", "equi_depth_histogram",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4552,8 +4564,8 @@ _R7_FRONT = [
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
     "win_first_last", "agg_approx_quantile", "agg_corr",
-    "scalar_date_parts",
-    # (topk_by_price / setop_union / setop_except / setop_intersect /
+    # (scalar_date_parts / topk_by_price / setop_union / setop_except /
+    #  setop_intersect /
     #  scalar_dates / scalar_strings / log_event_json / udf_mid_price /
     # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
     # agg_grouping_sets / pivot_status / sessionize_events /
@@ -4984,6 +4996,37 @@ ORACLES["hybrid_search"] = """
 )
 # CUSUM via the running-extremum identity — cumulative sums fold in the
 # (ts, event_id) order on both engines, so the doubles add identically.
+# Equi-depth histogram: DuckDB quantile_cont == profile.exact_quantiles
+# (pos = q*(n-1), linear interp — hash-exact since round 6); ties land
+# in the lower bin (value <= edge) on both sides.
+ORACLES["equi_depth_histogram"] = """
+    WITH e AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.00), 6) AS e0,
+               round(quantile_cont(value, 0.25), 6) AS e1,
+               round(quantile_cont(value, 0.50), 6) AS e2,
+               round(quantile_cont(value, 0.75), 6) AS e3,
+               round(quantile_cont(value, 1.00), 6) AS e4
+        FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    b AS (
+        SELECT ev.event_type,
+               CASE WHEN value <= e1 THEN 1
+                    WHEN value <= e2 THEN 2
+                    WHEN value <= e3 THEN 3
+                    ELSE 4 END AS bin,
+               CASE WHEN value <= e1 THEN e0
+                    WHEN value <= e2 THEN e1
+                    WHEN value <= e3 THEN e2
+                    ELSE e3 END AS lo,
+               CASE WHEN value <= e1 THEN e1
+                    WHEN value <= e2 THEN e2
+                    WHEN value <= e3 THEN e3
+                    ELSE e4 END AS hi
+        FROM events ev JOIN e USING (event_type)
+        WHERE value IS NOT NULL)
+    SELECT event_type, CAST(bin AS INTEGER) AS bin, lo, hi,
+           count(*) AS n_rows
+    FROM b GROUP BY event_type, bin, lo, hi"""
 # OLS trend via the agg_corr decimal-moment pattern; x in days since the
 # 2024-01-01 anchor. floor(epoch(ts)) mirrors Spark unix_timestamp's
 # second truncation; zero-variance guards are explicit because Spark's

@@ -260,3 +260,46 @@ def test_ols_trend_recovers_exact_line_and_guards(spark):
     assert out["flat_y"]["slope"] == 0.0
     assert out["flat_y"]["intercept"] == 7.0
     assert out["flat_y"]["r2"] is None
+
+
+def test_equi_depth_histogram_equal_mass_and_edges(spark):
+    """0..99 in one group: 4 bins of exactly 25 rows; edges are the
+    interpolated quartiles (24.75 / 49.5 / 74.25); adjacent bins share
+    their edge (hi of bin i == lo of bin i+1); n_bins=1 degenerates to
+    one [min, max] bucket holding everything."""
+    from crypto_data_service_loader_spark.operators.profile import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(100)], "k string, v double"
+    )
+    rows = sorted(
+        equi_depth_histogram(df, "k", "v", n_bins=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["n_rows"] for r in rows] == [25, 25, 25, 25]
+    assert [r["lo"] for r in rows] == [0.0, 24.75, 49.5, 74.25]
+    assert [r["hi"] for r in rows] == [24.75, 49.5, 74.25, 99.0]
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] == b["lo"]
+
+    one = equi_depth_histogram(df, "k", "v", n_bins=1).collect()
+    assert len(one) == 1
+    assert (one[0]["lo"], one[0]["hi"], one[0]["n_rows"]) == (0.0, 99.0, 100)
+
+
+def test_equi_depth_histogram_skewed_beats_fixed_width(spark):
+    """The design point: on a heavy-tailed distribution every bin still
+    holds the same mass (fixed-width binning would pile ~all rows into
+    bucket 1)."""
+    from crypto_data_service_loader_spark.operators.profile import (
+        equi_depth_histogram,
+    )
+
+    vals = [float(i) for i in range(96)] + [1e4, 1e5, 1e6, 1e7]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "k string, v double"
+    )
+    rows = equi_depth_histogram(df, "k", "v", n_bins=4).collect()
+    assert sorted(r["n_rows"] for r in rows) == [25, 25, 25, 25]
