@@ -737,3 +737,85 @@ def ngram_lm_score(
             ).alias("ok_fluency"),
         )
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    k0: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public method): each
+    retriever's top-n list contributes 1 / (k0 + rank); ranked by the
+    sum. The UNION-shaped hybrid — a doc only one retriever surfaces
+    still scores, unlike `hybrid_topk`'s retrieve-then-rerank where
+    lexical recall gates everything. Emits both member ranks (null when
+    a list missed the doc) so consumers can audit the fusion.
+
+    Scale shape: the lexical list is `bm25_topk` (broadcast query-term
+    prune); the semantic list broadcasts the constant-size query-vector
+    set onto ONE embedding scan (the corpus never shuffles) and
+    per-partition top-n heaps feed a (queries x n) window. The fusion
+    full-outer join and final ranking run on at most
+    queries x 2 x n_candidates rows. Score arithmetic is two exact
+    rational terms summed in a fixed expression order — engine-exact.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _as_double, _dot
+
+    lex = bm25_topk(
+        docs, queries, k=n_candidates, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).select("query_id", id_col, F.col("rank").alias("r_lex"))
+
+    v = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(vec_id_col).alias("_vid"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+    )
+    qv = vecs.join(
+        F.broadcast(queries.select(F.col("query_id").alias("_vid"))), "_vid"
+    ).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
+    )
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    sem = (
+        vecs.crossJoin(F.broadcast(qv))
+        .select("query_id", F.col("_vid").alias(id_col), cos.alias("_cos"))
+        .withColumn("r_sem", F.row_number().over(wsem))
+        .filter(F.col("r_sem") <= int(n_candidates))
+        .select("query_id", id_col, "r_sem")
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(int(k0)) + F.col(r)), F.lit(0.0)
+    )
+    fused = lex.join(sem, ["query_id", id_col], "full_outer").select(
+        "query_id",
+        F.col(id_col),
+        "r_lex",
+        "r_sem",
+        F.round(contrib("r_lex") + contrib("r_sem"), 6).alias("rrf_score"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return fused.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= int(k)
+    )

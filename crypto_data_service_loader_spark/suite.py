@@ -4155,6 +4155,21 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 top-20 and the corpus-wide
+    cosine top-20 (k0 = 60, the published constant): the union-shaped
+    hybrid where a semantic-only hit still surfaces. Both member lists
+    broadcast-prune; fusion runs on <= queries x 40 rows."""
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return text.hybrid_rrf(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        qdf, k=5, n_candidates=20,
+    )
+
+
 def q_sim_topk_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN (Lv et al. 2007) against the persisted index:
     besides the query's own bucket, probe the 3 buckets reached by
@@ -4360,6 +4375,7 @@ QUERIES = {
     "mixture_rebalance": q_mixture_rebalance,
     "events_ols_trend": q_events_ols_trend,
     "equi_depth_histogram": q_equi_depth_histogram,
+    "hybrid_rrf": q_hybrid_rrf,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4549,7 +4565,7 @@ _R7_FRONT = [
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
-    "events_ols_trend", "equi_depth_histogram",
+    "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4563,8 +4579,9 @@ _R7_FRONT = [
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
-    "win_first_last", "agg_approx_quantile", "agg_corr",
-    # (scalar_date_parts / topk_by_price / setop_union / setop_except /
+    "win_first_last", "agg_approx_quantile",
+    # (agg_corr / scalar_date_parts / topk_by_price / setop_union /
+    #  setop_except /
     #  setop_intersect /
     #  scalar_dates / scalar_strings / log_event_json / udf_mid_price /
     # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
@@ -4991,6 +5008,43 @@ ORACLES["hybrid_search"] = """
     SELECT query_id, doc_id, bm25_score, cosine, CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, doc_id ASC) AS rn FROM scored)
+    WHERE rn <= 5""".replace(
+    "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
+)
+# RRF: both member lists capped at 20; contributions are exact rationals
+# summed in a fixed expression order (CAST(1.0 AS DOUBLE) keeps DuckDB's
+# decimal literal from planning DECIMAL division).
+ORACLES["hybrid_rrf"] = """
+    WITH cand AS ({cand}),
+    lex AS (SELECT query_id, doc_id, rank AS r_lex FROM cand),
+    nv AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+           FROM embeddings),
+    sem0 AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               round(list_sum(list_transform(range(1, len(d.v) + 1),
+                     i -> d.v[i] * q.v[i])) / (d.n * q.n), 6) AS cos
+        FROM nv d JOIN nv q ON q.vec_id IN (1, 2, 3, 4)),
+    sem AS (
+        SELECT query_id, doc_id, CAST(rn AS INTEGER) AS r_sem
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, doc_id ASC) AS rn FROM sem0)
+        WHERE rn <= 20),
+    fused AS (
+        SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+               COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               r_lex, r_sem,
+               round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0.0),
+                     6) AS rrf_score
+        FROM lex FULL OUTER JOIN sem
+             ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+    SELECT query_id, doc_id, r_lex, r_sem, rrf_score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, doc_id ASC) AS rn FROM fused)
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )

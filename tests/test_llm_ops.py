@@ -1182,3 +1182,40 @@ def test_mixture_rebalance_math_and_composition(spark, sf_dir):
     assert set(got) == set(targets)
     for src, tgt in targets.items():
         assert got[src] / mixed_total == pytest.approx(tgt, abs=0.05)
+
+
+def test_hybrid_rrf_union_semantics(spark, sf_dir):
+    """RRF is union-shaped: every fused row's score equals the sum of
+    its member contributions, docs surfaced by a single retriever carry
+    exactly one term, and both single-list cases appear at sf0.001
+    (lexical-only and semantic-only hits)."""
+    from crypto_data_service_loader_spark.operators import text as T
+
+    qdf = spark.createDataFrame(
+        [(1, "fast table scan"), (2, "stream window agg")],
+        "query_id int, query_text string",
+    )
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    out = T.hybrid_rrf(docs, emb, qdf, k=10, n_candidates=10).collect()
+    assert out
+    for r in out:
+        want = 0.0
+        if r["r_lex"] is not None:
+            want += 1.0 / (60 + r["r_lex"])
+        if r["r_sem"] is not None:
+            want += 1.0 / (60 + r["r_sem"])
+        assert r["rrf_score"] == pytest.approx(want, abs=1e-6)
+        assert r["r_lex"] is not None or r["r_sem"] is not None
+    # ranks are 1..k dense per query, ordered by score
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["rrf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # both single-list shapes actually occur
+    assert any(r["r_sem"] is None for r in out)
+    assert any(r["r_lex"] is None for r in out)

@@ -31,6 +31,10 @@ NESTED_LOOP_OK = {
     "bm25_topk_indexed",
     "key_skew_report",  # total row count: single-row aggregate broadcast
     "hybrid_search",  # BM25 stage's same single-row (N, avgdl) broadcast
+    # constant-size broadcasts twice over: the (N, avgdl) single row in
+    # the BM25 member list plus the 4-row query-vector set the semantic
+    # member list broadcasts onto one embedding scan:
+    "hybrid_rrf",
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
