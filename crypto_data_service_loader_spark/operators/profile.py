@@ -609,3 +609,45 @@ def equi_depth_histogram(
         .groupBy(group_col, "bin", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: values outside the [lo_q, hi_q] exact
+    quantiles clamp to the boundary — the standard robust-preprocessing
+    transform (downstream means/variances resist heavy tails without
+    dropping rows, the complement of mad_outliers' flag-and-drop gate).
+    Appends `<value>_winsorized` plus the q_lo/q_hi bounds used; null
+    values pass through null; a group whose values are all null keeps
+    its rows unclamped.
+
+    Scale shape: bounds ride the distributed `exact_quantiles` rewrite;
+    the clamp itself is a BROADCAST of the one-row-per-group bound table
+    plus scan-local CASE arithmetic — no wide exchange of the data rows
+    at all.
+    """
+    if not 0.0 <= float(lo_q) <= float(hi_q) <= 1.0:
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    edges = exact_quantiles(
+        df, group_col, value_col, {"_wlo": lo_q, "_whi": hi_q}
+    )
+    v = F.col(value_col)
+    clamped = (
+        F.when(v < F.col("_wlo"), F.col("_wlo"))
+        .when(v > F.col("_whi"), F.col("_whi"))
+        .otherwise(v)
+    )
+    return (
+        df.join(F.broadcast(edges), group_col, "left")
+        .select(
+            *df.columns,
+            clamped.alias(f"{value_col}_winsorized"),
+            F.col("_wlo").alias("q_lo"),
+            F.col("_whi").alias("q_hi"),
+        )
+    )

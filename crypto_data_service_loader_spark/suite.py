@@ -4094,6 +4094,17 @@ def q_events_cusum(spark, sf_dir):
     )
 
 
+def q_events_winsorized(spark, sf_dir):
+    """Per-event-type 5/95 winsorization of the value column: tails
+    clamp to the exact quantile bounds, rows are never dropped — the
+    robust-stats preprocessing complement of events_mad_outliers.
+    Bounds broadcast; the clamp is scan-local."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return profile.winsorize(ev, "event_type", "value", 0.05, 0.95)
+
+
 def q_equi_depth_histogram(spark, sf_dir):
     """Quantile-bucketed value distribution per event type: 4 equal-mass
     bins with exact interpolated edges — the optimizer-statistics shape,
@@ -4376,6 +4387,7 @@ QUERIES = {
     "events_ols_trend": q_events_ols_trend,
     "equi_depth_histogram": q_equi_depth_histogram,
     "hybrid_rrf": q_hybrid_rrf,
+    "events_winsorized": q_events_winsorized,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4566,6 +4578,7 @@ _R7_FRONT = [
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
+    "events_winsorized",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4579,8 +4592,9 @@ _R7_FRONT = [
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
-    "win_first_last", "agg_approx_quantile",
-    # (agg_corr / scalar_date_parts / topk_by_price / setop_union /
+    "win_first_last",
+    # (agg_approx_quantile / agg_corr /
+    #  scalar_date_parts / topk_by_price / setop_union /
     #  setop_except /
     #  setop_intersect /
     #  scalar_dates / scalar_strings / log_event_json / udf_mid_price /
@@ -5050,6 +5064,20 @@ ORACLES["hybrid_rrf"] = """
 )
 # CUSUM via the running-extremum identity — cumulative sums fold in the
 # (ts, event_id) order on both engines, so the doubles add identically.
+# Winsorization: clamp to the rounded exact quantiles; nulls fall
+# through every comparison to ELSE value (stays null) on both engines.
+ORACLES["events_winsorized"] = """
+    WITH e AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 6) AS q_lo,
+               round(quantile_cont(value, 0.95), 6) AS q_hi
+        FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT ev.event_id, ev.event_type, ev.value,
+           CASE WHEN value < q_lo THEN q_lo
+                WHEN value > q_hi THEN q_hi
+                ELSE value END AS value_winsorized,
+           q_lo, q_hi
+    FROM events ev LEFT JOIN e USING (event_type)"""
 # Equi-depth histogram: DuckDB quantile_cont == profile.exact_quantiles
 # (pos = q*(n-1), linear interp — hash-exact since round 6); ties land
 # in the lower bin (value <= edge) on both sides.

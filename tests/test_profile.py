@@ -303,3 +303,26 @@ def test_equi_depth_histogram_skewed_beats_fixed_width(spark):
     )
     rows = equi_depth_histogram(df, "k", "v", n_bins=4).collect()
     assert sorted(r["n_rows"] for r in rows) == [25, 25, 25, 25]
+
+
+def test_winsorize_clamps_tails_only(spark):
+    """0..99 at 5/95: values below 4.95 clamp up, above 94.05 clamp
+    down, the middle passes through untouched; nulls stay null; a
+    group with only nulls keeps rows unclamped with null bounds."""
+    from crypto_data_service_loader_spark.operators.profile import winsorize
+
+    rows = [("g", i, float(i)) for i in range(100)] + [
+        ("g", 100, None),
+        ("empty", 101, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    out = {r["id"]: r for r in winsorize(df, "k", "v").collect()}
+    assert out[0]["v_winsorized"] == 4.95
+    assert out[4]["v_winsorized"] == 4.95
+    assert out[50]["v_winsorized"] == 50.0
+    assert out[99]["v_winsorized"] == 94.05
+    assert out[0]["q_lo"] == 4.95 and out[0]["q_hi"] == 94.05
+    assert out[100]["v_winsorized"] is None
+    assert out[101]["v_winsorized"] is None and out[101]["q_lo"] is None
+    # row count preserved — winsorization never drops
+    assert len(out) == 102
