@@ -99,6 +99,20 @@ SHOWCASE = {
     "the 4 probe buckets (query bucket + 3 smallest-margin plane flips, "
     "computed driver-side) reach the scan as PartitionFilters — recall "
     "climbs with nprobe while the read stays per-bucket.",
+    "ngram_lm_score": "Both count aggregations plan partial HashAggregates "
+    "over 48-bit gram hashes computed inside the scan projection — every "
+    "exchange carries (long, count) pairs, never gram text; the two count "
+    "joins key on longs and the per-doc re-aggregation partial-combines.",
+    "equi_depth_histogram": "The quantile pass is the distributed "
+    "frequency-table rewrite (no whole-group buffering); the binning side "
+    "is a BroadcastHashJoin of the one-row-per-group edge table plus a "
+    "scan-local CASE — after the edges, the only exchange is the "
+    "bounded-key (group x bin) count.",
+    "hybrid_rrf": "Union-shaped fusion: the semantic member list is one "
+    "embedding scan with the constant-size query-vector set broadcast "
+    "onto it; the lexical list rides bm25_topk's broadcast query-term "
+    "prune; the full-outer fusion join and final rank window see at most "
+    "queries x 2n rows.",
 }
 
 
