@@ -378,3 +378,61 @@ def mixture_rebalance(
             "repeat_epochs", F.ceil(F.col("weight")).cast("int")
         )
     )
+
+
+def split_leakage_check(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_pct: int = 5,
+    test_pct: int = 5,
+    gram_n: int | None = None,
+) -> DataFrame:
+    """Split-leakage audit: the id-hash split is stable but
+    content-blind, so shared content lands in DIFFERENT splits and
+    leaks eval material into training. Reports, per split pair, how
+    many distinct fingerprints appear on both sides — the pre-release
+    QA gate (a nonzero row means dedup/decontamination must run BEFORE
+    splitting, the `training_set_pipeline` stage order).
+
+    `gram_n=None` audits exact normalized-content duplicates;
+    `gram_n=k` audits shared word k-grams — the GPT-3/Pile overlap
+    definition of contamination, which catches excerpt-level leakage
+    exact fingerprints miss.
+
+    Scale shape: the audit shuffles 32-hex fingerprints, never bodies;
+    the cross-split join runs on DISTINCT (split, fingerprint) rows —
+    at most one row per split per content, join fan-out bounded at 3
+    pairs per fingerprint.
+    """
+    from .dedup import normalized_fingerprint, shingles
+
+    s = train_val_test_split(
+        docs, id_col=id_col, val_pct=val_pct, test_pct=test_pct
+    )
+    if gram_n is None:
+        fp = normalized_fingerprint(F.col(text_col))
+        fps = s.select("split", fp.alias("fp")).distinct()
+    else:
+        fps = (
+            s.select(
+                "split",
+                F.explode(shingles(F.col(text_col), k=int(gram_n))).alias(
+                    "gram"
+                ),
+            )
+            .select("split", F.md5("gram").alias("fp"))
+            .distinct()
+        )
+    pairs = fps.alias("a").join(
+        fps.alias("b"),
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.split") < F.col("b.split")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+    )

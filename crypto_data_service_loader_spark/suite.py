@@ -4094,6 +4094,17 @@ def q_events_cusum(spark, sf_dir):
     )
 
 
+def q_split_leakage_check(spark, sf_dir):
+    """Train/val/test contamination audit at 13-gram granularity (the
+    GPT-3/Pile overlap definition): distinct word 13-grams shared
+    across split pairs — nonzero rows mean dedup/decontamination must
+    run before splitting. Shuffles 32-hex gram digests, never bodies;
+    the pair join sees DISTINCT (split, gram) rows only."""
+    return training.split_leakage_check(
+        load(spark, sf_dir, "documents"), gram_n=13
+    )
+
+
 def q_events_winsorized(spark, sf_dir):
     """Per-event-type 5/95 winsorization of the value column: tails
     clamp to the exact quantile bounds, rows are never dropped — the
@@ -4388,6 +4399,7 @@ QUERIES = {
     "equi_depth_histogram": q_equi_depth_histogram,
     "hybrid_rrf": q_hybrid_rrf,
     "events_winsorized": q_events_winsorized,
+    "split_leakage_check": q_split_leakage_check,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4578,7 +4590,7 @@ _R7_FRONT = [
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
-    "events_winsorized",
+    "events_winsorized", "split_leakage_check",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4592,8 +4604,7 @@ _R7_FRONT = [
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
     "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
-    "win_first_last",
-    # (agg_approx_quantile / agg_corr /
+    # (win_first_last / agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
     #  setop_except /
     #  setop_intersect /
@@ -5064,6 +5075,24 @@ ORACLES["hybrid_rrf"] = """
 )
 # CUSUM via the running-extremum identity — cumulative sums fold in the
 # (ts, event_id) order on both engines, so the doubles add identically.
+# Split leakage: the split CASE replicates split_bucket's Knuth hash;
+# 13-gram windows via the shared _SHINGLES13 macro; the pair join runs
+# on DISTINCT (split, md5) rows.
+ORACLES["split_leakage_check"] = """
+    WITH s AS (
+        SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                      THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 950
+                      THEN 'val'
+                    ELSE 'test' END AS split,
+               {sh} AS sh
+        FROM documents),
+    f AS (SELECT DISTINCT split, md5(g.gram) AS fp
+          FROM s, LATERAL unnest(sh) AS g(gram)),
+    p AS (SELECT a.split AS split_a, b.split AS split_b
+          FROM f a JOIN f b ON a.fp = b.fp AND a.split < b.split)
+    SELECT split_a, split_b, count(*) AS n_shared_contents
+    FROM p GROUP BY split_a, split_b""".replace("{sh}", _SHINGLES13)
 # Winsorization: clamp to the rounded exact quantiles; nulls fall
 # through every comparison to ELSE value (stays null) on both engines.
 ORACLES["events_winsorized"] = """

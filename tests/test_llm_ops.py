@@ -1219,3 +1219,46 @@ def test_hybrid_rrf_union_semantics(spark, sf_dir):
     # both single-list shapes actually occur
     assert any(r["r_sem"] is None for r in out)
     assert any(r["r_lex"] is None for r in out)
+
+
+def test_split_leakage_check_exact_and_gram_modes(spark):
+    """Planted leak: two identical docs whose ids hash into different
+    splits are reported exactly once in exact mode; gram mode catches
+    an excerpt-level leak (shared 3-gram) that exact fingerprints miss;
+    a clean corpus reports nothing."""
+    from crypto_data_service_loader_spark.operators import training as TR
+    from crypto_data_service_loader_spark.operators.training import (
+        split_bucket,
+    )
+
+    # find two doc ids landing in different splits (train vs test)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    ).select("doc_id", split_bucket("doc_id").alias("b")).collect()
+    train_id = next(r["doc_id"] for r in probe if r["b"] < 900)
+    test_id = next(r["doc_id"] for r in probe if r["b"] >= 950)
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (train_id, leak),
+            (test_id, leak),
+            (next(r["doc_id"] for r in probe if r["b"] < 900 and r["doc_id"] != train_id),
+             "totally different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = TR.split_leakage_check(docs).collect()
+    assert [(r["split_a"], r["split_b"], r["n_shared_contents"]) for r in exact] == [
+        ("test", "train", 1)
+    ]
+    # excerpt leak: only the first 3 tokens shared -> invisible to exact mode
+    docs2 = spark.createDataFrame(
+        [(train_id, "alpha beta gamma delta"), (test_id, "alpha beta gamma zeta")],
+        "doc_id long, text string",
+    )
+    assert TR.split_leakage_check(docs2).collect() == []
+    grams = TR.split_leakage_check(docs2, gram_n=3).collect()
+    assert [(r["split_a"], r["split_b"], r["n_shared_contents"]) for r in grams] == [
+        ("test", "train", 1)
+    ]
