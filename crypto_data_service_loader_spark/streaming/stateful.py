@@ -400,3 +400,100 @@ def start_cusum_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters — space-saving sketch (Metwally et al. 2005,
+# public algorithm) in keyed state: at most `capacity` tracked items per
+# key no matter how long the stream runs. Guarantee carried per item:
+# count_est - error <= true_count <= count_est, and any item with true
+# frequency > N/capacity is guaranteed tracked. With capacity >= the
+# key's distinct-item count the sketch IS exact (equality-tested against
+# a plain batch groupBy count). The live twin of the batch
+# approx_top_k key.
+# ---------------------------------------------------------------------------
+
+HEAVY_HITTERS_SCHEMA = (
+    "group string, item string, count_est long, error long, rank int"
+)
+
+
+def _heavy_hitters_updater(capacity: int, k: int):
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errors = state.get
+            table = {
+                it: [int(c), int(e)]
+                for it, c, e in zip(items, counts, errors)
+            }
+        else:
+            table = {}
+        pdf = pd.concat(list(pdfs))
+        for it in pdf["item"].astype(str):
+            if it in table:
+                table[it][0] += 1
+            elif len(table) < capacity:
+                table[it] = [1, 0]
+            else:
+                evict = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+                mc = evict[1][0]
+                del table[evict[0]]
+                table[it] = [mc + 1, mc]
+        state.update((
+            list(table.keys()),
+            [v[0] for v in table.values()],
+            [v[1] for v in table.values()],
+        ))
+        top = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        yield pd.DataFrame({
+            "group": key[0],
+            "item": [it for it, _ in top],
+            "count_est": [v[0] for _, v in top],
+            "error": [v[1] for _, v in top],
+            "rank": list(range(1, len(top) + 1)),
+        })
+
+    return update
+
+
+def start_heavy_hitters_stream(
+    items_stream: DataFrame,
+    checkpoint: str,
+    capacity: int = 64,
+    k: int = 5,
+    query_name: str = "heavy_hitters",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming per-group top-k heavy hitters -> in-memory table
+    `query_name`. Input needs (group string, item string) columns.
+    State per key is bounded at `capacity` (item, count, error) triples
+    — independent of stream length; each micro-batch emits the key's
+    refreshed top-k snapshot (update mode), so the latest rank table per
+    group is always the last emission."""
+    if state_store is not None:
+        configure_state_store(items_stream.sparkSession, state_store)
+    out = (
+        items_stream.select("group", "item")
+        .groupBy("group")
+        .applyInPandasWithState(
+            _heavy_hitters_updater(int(capacity), int(k)),
+            outputStructType=HEAVY_HITTERS_SCHEMA,
+            stateStructType=(
+                "items array<string>, counts array<long>, errors array<long>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

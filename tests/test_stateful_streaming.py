@@ -372,3 +372,74 @@ def test_streaming_cusum_matches_batch_twin(spark, tmp_path):
     fired = sorted(ts for (u, ts), (_, _, a) in got.items() if a and u == 1)
     assert fired and fired[0] >= t(8)
     assert not any(a for (u, _), (_, _, a) in got.items() if u == 2)
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_fits(spark, tmp_path):
+    """With capacity >= distinct items the space-saving sketch is EXACT:
+    after two micro-batches the final snapshot equals a plain batch
+    groupBy count (errors all zero), with state carried across batches."""
+    import time
+
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_heavy_hitters_stream,
+    )
+
+    schema = "group string, item string"
+    b1 = [("g", it) for it in ["a"] * 5 + ["b"] * 3 + ["c"] * 1]
+    b2 = [("g", it) for it in ["a"] * 2 + ["c"] * 4 + ["d"] * 1]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_heavy_hitters_stream(
+        stream, str(tmp_path / "ckpt"), capacity=16, k=4,
+        query_name="hh_exact",
+    )
+    q.awaitTermination(120)
+    # update mode: the LAST emission per group is the current snapshot —
+    # exact counts a=7, c=5, b=3, d=1 in rank order
+    rows = spark.sql(
+        "SELECT * FROM hh_exact"
+    ).collect()
+    # keep only the final snapshot (ranks re-emitted per batch; the
+    # batch-2 snapshot contains item 'd', which batch 1 never saw)
+    assert any(r["item"] == "d" for r in rows)
+    final = {}
+    for r in rows:
+        final[r["rank"]] = max(
+            final.get(r["rank"], (0,)), (r["count_est"], r["item"], r["error"]),
+            key=lambda t: t[0],
+        )
+    got = [(final[i][1], final[i][0], final[i][2]) for i in sorted(final)]
+    assert got == [("a", 7, 0), ("c", 5, 0), ("b", 3, 0), ("d", 1, 0)]
+
+
+def test_streaming_heavy_hitters_bounded_state_guarantee(spark, tmp_path):
+    """capacity=2 under 3 distinct items: state never exceeds 2 tracked
+    items, and the space-saving bound count_est - error <= true <=
+    count_est holds for every reported item; the true heavy hitter
+    (frequency > N/capacity) is guaranteed in the final snapshot."""
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_heavy_hitters_stream,
+    )
+
+    schema = "group string, item string"
+    items = ["x"] * 8 + ["y", "z", "y", "z", "y"]
+    rows = [("g", it) for it in items]
+    true = {"x": 8, "y": 3, "z": 2}
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_heavy_hitters_stream(
+        stream, str(tmp_path / "ckpt"), capacity=2, k=2,
+        query_name="hh_bound",
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM hh_bound").collect()
+    assert len(out) <= 2
+    for r in out:
+        t = true.get(r["item"], 0)
+        assert r["count_est"] - r["error"] <= t <= r["count_est"]
+    assert any(r["item"] == "x" for r in out)
