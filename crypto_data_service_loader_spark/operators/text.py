@@ -628,6 +628,31 @@ def hybrid_topk(
         docs, queries, k=n_candidates, k1=k1, b=b,
         text_col=text_col, id_col=id_col,
     ).select("query_id", id_col, F.col("score").alias("bm25_score"))
+    return rerank_cosine(
+        cands, embeddings, k=k, id_col=id_col,
+        vec_col=vec_col, vec_id_col=vec_id_col,
+    )
+
+
+def rerank_cosine(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """The cosine rerank stage, LITERALLY shared by `hybrid_topk`
+    (inline BM25 candidates) and the index-backed hybrid path (postings
+    index candidates) — so the two compositions agree by construction.
+    `cands` is (query_id, id, bm25_score); query embeddings resolve at
+    vec_id == query_id. The candidate set broadcasts onto ONE embedding
+    scan; the rerank window sees at most the candidate rows per query.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _as_double, _dot
+
     v = _as_double(F.col(vec_col))
     vecs = embeddings.select(
         F.col(vec_id_col).alias("_vid"),
@@ -635,7 +660,10 @@ def hybrid_topk(
         F.sqrt(_dot(v, v)).alias("_n"),
     )
     qv = vecs.join(
-        F.broadcast(queries.select(F.col("query_id").alias("_vid"))), "_vid"
+        F.broadcast(
+            cands.select(F.col("query_id").alias("_vid")).distinct()
+        ),
+        "_vid",
     ).select(
         F.col("_vid").alias("query_id"),
         F.col("_v").alias("_qv"),

@@ -4177,6 +4177,24 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_hybrid_search_indexed(spark, sf_dir):
+    """Hybrid retrieval with the PERSISTED postings index feeding the
+    BM25 candidate stage (probe buckets pruned at the scan) and the
+    LITERALLY shared `rerank_cosine` stage on top — completes the
+    precompute-once story for the composed retrieval path. Equals the
+    inline `hybrid_search` by construction (shared rerank + index ==
+    inline BM25, both already equality-tested)."""
+    from .sources import text_index
+
+    path = _bm25_index(spark, sf_dir)
+    cands = text_index.postings_index_bm25(
+        spark, path, _BM25_QUERIES, k=20
+    ).select("query_id", "doc_id", F.col("score").alias("bm25_score"))
+    return text.rerank_cosine(
+        cands, load(spark, sf_dir, "embeddings"), k=5
+    )
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Reciprocal-rank fusion of the BM25 top-20 and the corpus-wide
     cosine top-20 (k0 = 60, the published constant): the union-shaped
@@ -4400,6 +4418,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "events_winsorized": q_events_winsorized,
     "split_leakage_check": q_split_leakage_check,
+    "hybrid_search_indexed": q_hybrid_search_indexed,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4590,7 +4609,7 @@ _R7_FRONT = [
     "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
-    "events_winsorized", "split_leakage_check",
+    "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4603,8 +4622,8 @@ _R7_FRONT = [
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
-    "win_row_number", "win_lag_delta", "win_moving_avg", "win_rank_suite",
-    # (win_first_last / agg_approx_quantile / agg_corr /
+    "win_row_number", "win_lag_delta", "win_moving_avg",
+    # (win_rank_suite / win_first_last / agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
     #  setop_except /
     #  setop_intersect /
@@ -5036,6 +5055,10 @@ ORACLES["hybrid_search"] = """
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )
+# Index-backed hybrid == inline hybrid by construction (shared rerank
+# stage; index BM25 == inline BM25 — both equality-tested), so it
+# registers with the same oracle, like bm25_topk_indexed before it.
+ORACLES["hybrid_search_indexed"] = ORACLES["hybrid_search"]
 # RRF: both member lists capped at 20; contributions are exact rationals
 # summed in a fixed expression order (CAST(1.0 AS DOUBLE) keeps DuckDB's
 # decimal literal from planning DECIMAL division).

@@ -164,3 +164,24 @@ def test_append_after_delete_stays_exact(spark, sf_dir, tmp_path):
     inline = text.bm25_topk(live, qdf, k=5)
     via_index = text_index.postings_index_bm25(spark, path, QUERIES, k=5)
     assert _rows(via_index) == _rows(inline)
+
+
+def test_indexed_hybrid_equals_inline_hybrid(spark, sf_dir, tmp_path):
+    """The composed retrieval path: postings-index BM25 candidates into
+    the shared rerank_cosine stage equal the inline hybrid_topk row for
+    row — the precompute-once story extended to the composition."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pidx_h")
+    text_index.write_postings_index(docs, path, n_buckets=16)
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query_text string")
+    inline = text.hybrid_topk(docs, emb, qdf, k=5, n_candidates=20)
+    cands = text_index.postings_index_bm25(
+        spark, path, QUERIES, k=20
+    ).select("query_id", "doc_id", F.col("score").alias("bm25_score"))
+    via_index = text.rerank_cosine(cands, emb, k=5)
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], r["bm25_score"], r["cosine"], r["rank"])
+        for r in df.collect()
+    )
+    assert key(via_index) == key(inline)
