@@ -497,3 +497,99 @@ def start_heavy_hitters_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming OLS trend — the live twin of profile.ols_trend. The five
+# moments (n, Sx, Sy, Sxy, Sxx, Syy) are associative, so keyed state
+# carries them across micro-batches in O(1) per key; each batch emits the
+# key's refreshed slope/intercept/r2 snapshot. Pairs with the streaming
+# CUSUM: CUSUM pages when a level shifts, the trend line reports how fast
+# it is drifting RIGHT NOW. Matches the batch operator exactly while the
+# moments stay inside double's exact-integer range (the batch twin
+# decimal-accumulates; callers map x to small numbers — same contract as
+# ols_trend's docstring); equality is pinned in tests on such data.
+# ---------------------------------------------------------------------------
+
+TREND_SCHEMA = (
+    "key string, n long, slope double, intercept double, r2 double"
+)
+
+
+def _trend_updater():
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, sx, sy, sxy, sxx, syy = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        )
+        pdf = pd.concat(list(pdfs))
+        for x, y in zip(pdf["x"], pdf["y"]):
+            x, y = float(x), float(y)
+            n += 1
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+            syy += y * y
+        state.update((n, sx, sy, sxy, sxx, syy))
+        dxx = n * sxx - sx * sx
+        dyy = n * syy - sy * sy
+        dxy = n * sxy - sx * sy
+        slope = round(dxy / dxx, 6) if dxx > 0 else None
+        intercept = (
+            round((sy - (dxy / dxx) * sx) / n, 6) if dxx > 0 else None
+        )
+        r2 = (
+            round((dxy * dxy) / (dxx * dyy), 6)
+            if dxx > 0 and dyy > 0
+            else None
+        )
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "n": [n],
+            "slope": [slope],
+            "intercept": [intercept],
+            "r2": [r2],
+        })
+
+    return update
+
+
+def start_trend_stream(
+    points_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "trend",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming per-key least-squares trend -> in-memory table
+    `query_name`. Input needs (key string, x double, y double) columns.
+    State per key is SIX numbers regardless of stream length; each
+    micro-batch emits one refreshed (slope, intercept, r2) row per key
+    seen (update mode) — the latest row per key is the live trend."""
+    if state_store is not None:
+        configure_state_store(points_stream.sparkSession, state_store)
+    out = (
+        points_stream.select("key", "x", "y")
+        .groupBy("key")
+        .applyInPandasWithState(
+            _trend_updater(),
+            outputStructType=TREND_SCHEMA,
+            stateStructType=(
+                "n long, sx double, sy double, "
+                "sxy double, sxx double, syy double"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -443,3 +443,57 @@ def test_streaming_heavy_hitters_bounded_state_guarantee(spark, tmp_path):
         t = true.get(r["item"], 0)
         assert r["count_est"] - r["error"] <= t <= r["count_est"]
     assert any(r["item"] == "x" for r in out)
+
+
+def test_streaming_trend_matches_batch_twin(spark, tmp_path):
+    """The six-moment keyed state carried across two micro-batches
+    reproduces profile.ols_trend exactly on integer-valued points
+    (moments stay in double's exact range, so float state == the batch
+    twin's decimal sums); the final snapshot per key is the live trend,
+    and the mid-stream snapshot reflects only batch-1 points."""
+    import time
+
+    from crypto_data_service_loader_spark.operators.profile import ols_trend
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_trend_stream,
+    )
+
+    schema = "key string, x double, y double"
+    b1 = [("up", float(x), 2.0 * x + 3.0) for x in range(5)] + [
+        ("flat", float(x), 7.0) for x in range(3)
+    ]
+    b2 = [("up", float(x), 2.0 * x + 3.0) for x in range(5, 9)] + [
+        ("flat", 9.0, 7.0)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_trend_stream(stream, str(tmp_path / "ckpt"), query_name="tr_t")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tr_t").collect()
+    # two emissions per key (one per micro-batch); latest = max n
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["n"] > latest[r["key"]]["n"]:
+            latest[r["key"]] = r
+    batch = {
+        r["k"]: r
+        for r in ols_trend(
+            spark.createDataFrame(b1 + b2, schema).withColumnRenamed(
+                "key", "k"
+            ),
+            "k", "x", "y",
+        ).collect()
+    }
+    for k in ("up", "flat"):
+        got, want = latest[k], batch[k]
+        assert got["n"] == want["n"]
+        assert got["slope"] == want["slope"]
+        assert got["intercept"] == want["intercept"]
+        assert got["r2"] == want["r2"]
+    assert latest["up"]["slope"] == 2.0 and latest["up"]["r2"] == 1.0
+    # the batch-1 snapshot for 'up' exists with n == 5 (state mid-stream)
+    assert any(r["key"] == "up" and r["n"] == 5 for r in rows)
