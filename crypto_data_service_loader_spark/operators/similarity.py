@@ -663,3 +663,36 @@ def cosine_topk_lsh(
         vec_col,
         id_col,
     )
+
+
+def quantize_vectors_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard embedding
+    compression for ANN storage (4x smaller than float32, 8x smaller
+    than float64; IVF/product-quantization systems' scalar baseline).
+    scale = max|x| / 127; q_i = floor(x_i / scale + 0.5) in [-127, 127]
+    (floor(x + 0.5) is round-half-up — deterministic on BOTH engines,
+    unlike native round's half-even/half-away split). A zero vector
+    quantizes to zeros with scale 0. Dequantization is q_i * scale;
+    cosine distortion at 64 dims is pinned < 1e-3 in tests.
+
+    Scan-local array math — no shuffle, no UDF; the output column is the
+    thing a 100-TB vector store actually persists.
+    """
+    v = _as_double(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(
+        maxabs > 0,
+        F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return embeddings.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("qvec"),
+    )

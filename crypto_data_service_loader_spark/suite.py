@@ -4177,6 +4177,23 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_vector_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the 4x storage compression a 100-TB vector store persists. Pure
+    scan-local array math; floor(x + 0.5) keeps the rounding rule
+    engine-exact. The gate row serializes the int array to CSV (the
+    differential comparator hashes scalar cells; the operator itself
+    returns the real array column)."""
+    out = similarity.quantize_vectors_int8(load(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+    )
+
+
 def q_hybrid_search_indexed(spark, sf_dir):
     """Hybrid retrieval with the PERSISTED postings index feeding the
     BM25 candidate stage (probe buckets pruned at the scan) and the
@@ -4419,6 +4436,7 @@ QUERIES = {
     "events_winsorized": q_events_winsorized,
     "split_leakage_check": q_split_leakage_check,
     "hybrid_search_indexed": q_hybrid_search_indexed,
+    "vector_quantize_int8": q_vector_quantize_int8,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4610,6 +4628,7 @@ _R7_FRONT = [
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
     "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
+    "vector_quantize_int8",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4622,8 +4641,9 @@ _R7_FRONT = [
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
-    "win_row_number", "win_lag_delta", "win_moving_avg",
-    # (win_rank_suite / win_first_last / agg_approx_quantile / agg_corr /
+    "win_row_number", "win_lag_delta",
+    # (win_moving_avg / win_rank_suite / win_first_last /
+    #  agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
     #  setop_except /
     #  setop_intersect /
@@ -5055,6 +5075,25 @@ ORACLES["hybrid_search"] = """
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )
+# int8 quantization: floor(x + 0.5) is round-half-up on both engines;
+# the scale divisor stays UNrounded inside the transform (only the
+# emitted scale column rounds for display).
+ORACLES["vector_quantize_int8"] = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+               list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings)
+    SELECT vec_id,
+           round(maxabs / CAST(127 AS DOUBLE), 6) AS scale,
+           array_to_string(
+               CASE WHEN maxabs > 0 THEN
+                    list_transform(ve, x -> CAST(floor(
+                        x / (maxabs / CAST(127 AS DOUBLE))
+                        + CAST(0.5 AS DOUBLE)) AS INTEGER))
+               ELSE list_transform(ve, x -> 0) END, ',') AS qvec_csv
+    FROM v"""
 # Index-backed hybrid == inline hybrid by construction (shared rerank
 # stage; index BM25 == inline BM25 — both equality-tested), so it
 # registers with the same oracle, like bm25_topk_indexed before it.

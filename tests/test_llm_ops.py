@@ -1262,3 +1262,37 @@ def test_split_leakage_check_exact_and_gram_modes(spark):
     assert [(r["split_a"], r["split_b"], r["n_shared_contents"]) for r in grams] == [
         ("test", "train", 1)
     ]
+
+
+def test_vector_quantize_int8_roundtrip(spark, sf_dir):
+    """Quantized values stay in [-127, 127] with the max-magnitude
+    element pinned at ±127; dequantized cosine vs the original is
+    > 0.999 on the real embedding corpus; a zero vector quantizes to
+    zeros with scale 0."""
+    import math
+
+    from crypto_data_service_loader_spark.operators.similarity import (
+        quantize_vectors_int8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    out = quantize_vectors_int8(emb).collect()
+    assert len(out) == len(orig)
+    worst = 1.0
+    for r in out:
+        q, s, v = r["qvec"], r["scale"], orig[r["vec_id"]]
+        assert max(abs(x) for x in q) <= 127
+        assert max(abs(x) for x in q) == 127  # max element saturates
+        deq = [x * s for x in q]
+        dot = sum(a * float(b) for a, b in zip(deq, v))
+        na = math.sqrt(sum(a * a for a in deq))
+        nb = math.sqrt(sum(float(b) * float(b) for b in v))
+        worst = min(worst, dot / (na * nb))
+    assert worst > 0.999
+
+    z = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    zr = quantize_vectors_int8(z).collect()[0]
+    assert zr["scale"] == 0.0 and zr["qvec"] == [0] * 8
