@@ -1296,3 +1296,27 @@ def test_vector_quantize_int8_roundtrip(spark, sf_dir):
     )
     zr = quantize_vectors_int8(z).collect()[0]
     assert zr["scale"] == 0.0 and zr["qvec"] == [0] * 8
+
+
+def test_int8_search_preserves_topk_recall(spark, sf_dir):
+    """Searching over dequantized int8 vectors reproduces >= 9 of the
+    exact float top-10 — the measured justification for shipping the
+    4x-smaller corpus to the ANN index."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators.similarity import (
+        cosine_topk,
+        quantize_vectors_int8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+    deq = quantize_vectors_int8(emb).select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda x: x.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    viaq = {r["vec_id"] for r in cosine_topk(deq, query, k=10).collect()}
+    assert len(exact & viaq) >= 9
