@@ -35,6 +35,9 @@ NESTED_LOOP_OK = {
     # the BM25 member list plus the 4-row query-vector set the semantic
     # member list broadcasts onto one embedding scan:
     "hybrid_rrf",
+    # the postings index's doclens-derived (N, avgdl) single-row
+    # broadcast riding inside the composed retrieval path:
+    "hybrid_search_indexed",
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
