@@ -679,6 +679,12 @@ def quantize_vectors_int8(
     quantizes to zeros with scale 0. Dequantization is q_i * scale;
     cosine distortion at 64 dims is pinned < 1e-3 in tests.
 
+    The emitted scale is deliberately UNROUNDED: it is the exact IEEE
+    quotient max|x|/127 (identical on every engine), and consumers
+    dequantize with it — a display-rounded scale would shift q_i * scale
+    by up to 127 rounding-ulps per element and report 0.0 for
+    tiny-magnitude vectors (a property test caught exactly that).
+
     Scan-local array math — no shuffle, no UDF; the output column is the
     thing a 100-TB vector store actually persists.
     """
@@ -693,6 +699,6 @@ def quantize_vectors_int8(
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return embeddings.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
+        scale.alias("scale"),
         q.alias("qvec"),
     )

@@ -5076,8 +5076,9 @@ ORACLES["hybrid_search"] = """
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )
 # int8 quantization: floor(x + 0.5) is round-half-up on both engines;
-# the scale divisor stays UNrounded inside the transform (only the
-# emitted scale column rounds for display).
+# the scale is the exact IEEE quotient max|x|/127 on BOTH engines —
+# emitted unrounded so dequantization is faithful (display-rounding it
+# shifted q*scale by up to 127 ulps; caught by the property test).
 ORACLES["vector_quantize_int8"] = """
     WITH v AS (
         SELECT vec_id,
@@ -5086,7 +5087,7 @@ ORACLES["vector_quantize_int8"] = """
                     x -> abs(CAST(x AS DOUBLE)))) AS maxabs
         FROM embeddings)
     SELECT vec_id,
-           round(maxabs / CAST(127 AS DOUBLE), 6) AS scale,
+           maxabs / CAST(127 AS DOUBLE) AS scale,
            array_to_string(
                CASE WHEN maxabs > 0 THEN
                     list_transform(ve, x -> CAST(floor(

@@ -361,3 +361,59 @@ def test_sample_reservoir_fixed_size_and_stability(spark):
     # undersized group: keeps everything
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
     assert sample_reservoir(tiny, "g", k=7, id_col="id").count() == 2
+
+
+@SLOW
+@given(
+    vec=st.lists(
+        st.floats(-100.0, 100.0, allow_nan=False, allow_infinity=False,
+                  width=32),
+        min_size=2, max_size=16,
+    )
+)
+def test_int8_quantization_error_bound(spark, vec):
+    """Per-element reconstruction error of symmetric int8 quantization is
+    bounded by scale/2 (round-half-up property) for every random vector,
+    and quantized magnitudes never exceed 127."""
+    from crypto_data_service_loader_spark.operators.similarity import (
+        quantize_vectors_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in vec])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_vectors_int8(df).collect()[0]
+    scale, q = r["scale"], r["qvec"]
+    assert max(abs(x) for x in q) <= 127
+    if scale == 0.0:
+        assert all(x == 0 for x in q)
+        return
+    # compare against the float32 values Spark actually read
+    read = [float(x) for x in df.collect()[0]["embedding"]]
+    for x, qi in zip(read, q):
+        assert abs(x - qi * scale) <= scale / 2 + 1e-9
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    ),
+    q=st.floats(0.0, 1.0),
+)
+def test_exact_quantiles_match_numpy_percentile(spark, vals, q):
+    """The distributed frequency-table quantile equals numpy's linear
+    (percentile_cont) interpolation for random data and random q."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "k string, v double"
+    )
+    got = exact_quantiles(df, "k", "v", {"qq": q}).collect()[0]["qq"]
+    want = float(np.percentile(vals, q * 100, method="linear"))
+    assert got == pytest.approx(round(want, 6), abs=2e-6)
