@@ -688,7 +688,19 @@ def quantize_vectors_int8(
     Scan-local array math — no shuffle, no UDF; the output column is the
     thing a 100-TB vector store actually persists.
     """
-    v = _as_double(F.col(vec_col))
+    scale, q = quantize_exprs(_as_double(F.col(vec_col)))
+    return embeddings.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def quantize_exprs(v: Column) -> tuple[Column, Column]:
+    """(scale, qvec) column pair for symmetric int8 quantization of a
+    double-array column — shared by `quantize_vectors_int8` and the
+    persisted ANN index's int8 storage mode so both quantize
+    identically."""
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = maxabs / F.lit(127.0)
     q = F.when(
@@ -697,8 +709,9 @@ def quantize_vectors_int8(
             v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return embeddings.select(
-        F.col(id_col),
-        scale.alias("scale"),
-        q.alias("qvec"),
-    )
+    return scale, q
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """Reconstruct the double vector from (qvec, scale)."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)

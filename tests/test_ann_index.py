@@ -217,3 +217,64 @@ def test_ann_delete_then_query_equals_rebuild(spark, sf_dir, tmp_path):
         assert not os.path.isdir(f"{path}/tombstones")
         assert [(r["vec_id"], r["score"]) for r in run(path).collect()] == want
         assert ann_index.compact_ann_index(spark, path) == 0
+
+
+def _dir_bytes(d):
+    import os
+
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_int8_lsh_index_recall_size_and_pruning(spark, sf_dir, tmp_path):
+    """The int8 storage mode: (a) probe semantics identical (buckets from
+    true floats) and top-10 recall >= 9 vs the float index, (b) vectors/
+    on disk < 60% of the float index, (c) the scan still partition-prunes,
+    (d) appends inherit int8 from the sidecar and stay queryable."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    fpath, qpath = str(tmp_path / "f_idx"), str(tmp_path / "q_idx")
+    ann_index.write_lsh_index(emb, fpath, n_planes=4)
+    ann_index.write_lsh_index(emb, qpath, n_planes=4, int8=True)
+
+    fl = {r["vec_id"] for r in ann_index.lsh_index_topk(spark, fpath, q, k=10).collect()}
+    qt = ann_index.lsh_index_topk(spark, qpath, q, k=10)
+    qs = {r["vec_id"] for r in qt.collect()}
+    assert len(fl & qs) >= 9
+
+    import os
+
+    assert _dir_bytes(os.path.join(qpath, "vectors")) < 0.6 * _dir_bytes(
+        os.path.join(fpath, "vectors")
+    )
+    assert "PartitionFilters" in physical_plan(qt)
+
+    extra = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).limit(20)
+    ann_index.append_to_lsh_index(extra, qpath)
+    after = ann_index.lsh_index_topk(spark, qpath, q, k=10).collect()
+    assert len(after) == 10
+
+
+def test_int8_ivf_index_recall_and_append(spark, sf_dir, tmp_path):
+    """IVF int8: recall >= 9/10 vs the float IVF index at the same frozen
+    quantizer; appends assign with saved centroids AND quantize per the
+    sidecar."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    fpath, qpath = str(tmp_path / "fivf"), str(tmp_path / "qivf")
+    ann_index.write_ivf_index(emb, fpath, k_centroids=8)
+    ann_index.write_ivf_index(emb, qpath, k_centroids=8, int8=True)
+    fl = {r["vec_id"] for r in ann_index.ivf_index_topk(spark, fpath, q, k=10).collect()}
+    qs = {r["vec_id"] for r in ann_index.ivf_index_topk(spark, qpath, q, k=10).collect()}
+    assert len(fl & qs) >= 9
+
+    extra = emb.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    ).limit(10)
+    ann_index.append_to_ivf_index(extra, qpath)
+    assert len(ann_index.ivf_index_topk(spark, qpath, q, k=10).collect()) == 10
