@@ -577,3 +577,48 @@ def dataset_diff(
             *[c for cc in compare_cols for c in (f"old_{cc}", f"new_{cc}")],
         )
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    window: int = 20,
+) -> DataFrame:
+    """Trailing-window Pearson correlation per key — the co-movement
+    monitor quant pipelines run beside EWMA/VWAP (does quantity still
+    track price over the last N ticks?). Appends `rolling_corr` to every
+    row from the five decimal-accumulated moments over a ROWS frame
+    (built-in corr() over a window accumulates doubles in frame order —
+    fine — but partition merge order bites its partial aggregates;
+    decimal sums make the result engine-exact). Degenerate windows
+    (n < 2 or zero variance on either side) yield NULL via explicit
+    guards (Spark div-by-zero NULL vs DuckDB inf).
+
+    One shuffle on the key; all five moments share a single sorted
+    window pass. The frame is row-bounded, so state per position is
+    O(1) — safe for arbitrarily long keys.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x.cast("decimal(38,6)")).over(w).cast("double")
+    sy = F.sum(y.cast("decimal(38,6)")).over(w).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,10)")).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,10)")).over(w).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,10)")).over(w).cast("double")
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    dxy = n * sxy - sx * sy
+    corr = F.when(
+        (n >= 2) & (dxx > 0) & (dyy > 0),
+        dxy / (F.sqrt(dxx) * F.sqrt(dyy)),
+    )
+    return df.withColumn("rolling_corr", F.round(corr, 6))

@@ -4177,6 +4177,22 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-20-row price/quantity correlation per supplier over the
+    ship-date tick order — the co-movement monitor beside EWMA/VWAP.
+    One shuffle on the key; five decimal moments share one sorted
+    window pass; explicit degenerate-window NULL guards."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_quantity",
+    )
+    return rel.rolling_corr(
+        li, "l_suppkey",
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "l_extendedprice", "l_quantity", window=20,
+    )
+
+
 def q_vector_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization of the embedding corpus —
     the 4x storage compression a 100-TB vector store persists. Pure
@@ -4437,6 +4453,7 @@ QUERIES = {
     "split_leakage_check": q_split_leakage_check,
     "hybrid_search_indexed": q_hybrid_search_indexed,
     "vector_quantize_int8": q_vector_quantize_int8,
+    "rolling_corr": q_rolling_corr,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4628,7 +4645,7 @@ _R7_FRONT = [
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
     "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
-    "vector_quantize_int8",
+    "vector_quantize_int8", "rolling_corr",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4641,8 +4658,8 @@ _R7_FRONT = [
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
-    "win_row_number", "win_lag_delta",
-    # (win_moving_avg / win_rank_suite / win_first_last /
+    "win_row_number",
+    # (win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
     #  agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
     #  setop_except /
@@ -5075,6 +5092,36 @@ ORACLES["hybrid_search"] = """
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )
+# Rolling correlation: five decimal moments over the same ROWS frame;
+# explicit n>=2 / variance guards (Spark NULL vs DuckDB inf on /0).
+ORACLES["rolling_corr"] = """
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           l_extendedprice, l_quantity,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+                      THEN (n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy))
+                 END, 6) AS rolling_corr
+    FROM (
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+               l_extendedprice, l_quantity,
+               CAST(count(*) OVER w AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) OVER w
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER w
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice * l_quantity
+                             AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_quantity * l_quantity
+                             AS DECIMAL(38,10))) OVER w AS DOUBLE) AS syy
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate ASC, l_orderkey ASC,
+                              l_linenumber ASC
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))"""
 # int8 quantization: floor(x + 0.5) is round-half-up on both engines;
 # the scale is the exact IEEE quotient max|x|/127 on BOTH engines —
 # emitted unrounded so dequantization is faithful (display-rounding it

@@ -1,0 +1,38 @@
+
+
+def test_rolling_corr_semantics(spark):
+    """A perfectly co-moving pair reads 1.0 once the window has two
+    points; an anti-moving pair reads -1.0; constant y gives NULL (zero
+    variance guard); the first row of each key is NULL (n < 2); the
+    trailing frame forgets history past `window` rows."""
+    from crypto_data_service_loader_spark.operators.relational import (
+        rolling_corr,
+    )
+
+    rows = (
+        [("pos", i, float(i), 2.0 * i + 1.0) for i in range(6)]
+        + [("neg", i, float(i), -3.0 * i) for i in range(4)]
+        + [("flat", i, float(i), 5.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k string, t int, x double, y double")
+    out = {
+        (r["k"], r["t"]): r["rolling_corr"]
+        for r in rolling_corr(df, "k", ["t"], "x", "y", window=3).collect()
+    }
+    for k in ("pos", "neg", "flat"):
+        assert out[(k, 0)] is None
+    assert out[("pos", 1)] == 1.0 and out[("pos", 5)] == 1.0
+    assert out[("neg", 3)] == -1.0
+    assert all(out[("flat", t)] is None for t in range(4))
+
+    # window forgetting: switch y's regime at t >= 3; with window=3 the
+    # correlation at t=5 sees only the new regime (pure anti-movement)
+    rows2 = [("s", t, float(t), float(t)) for t in range(3)] + [
+        ("s", t, float(t), -float(t)) for t in range(3, 6)
+    ]
+    df2 = spark.createDataFrame(rows2, "k string, t int, x double, y double")
+    out2 = {
+        r["t"]: r["rolling_corr"]
+        for r in rolling_corr(df2, "k", ["t"], "x", "y", window=3).collect()
+    }
+    assert out2[5] == -1.0
