@@ -376,8 +376,13 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
         .join(F.broadcast(tombs), [meta["id_col"]], "left_anti")
         .localCheckpoint()
     )
+    stored = (
+        [meta["id_col"], "scale", "qvec"]
+        if meta.get("int8", False)
+        else [meta["id_col"], meta["vec_col"]]
+    )
     (
-        survivors.select(meta["id_col"], meta["vec_col"], part_col)
+        survivors.select(*stored, part_col)
         .write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(_vectors_dir(path))

@@ -278,3 +278,34 @@ def test_int8_ivf_index_recall_and_append(spark, sf_dir, tmp_path):
     ).limit(10)
     ann_index.append_to_ivf_index(extra, qpath)
     assert len(ann_index.ivf_index_topk(spark, qpath, q, k=10).collect()) == 10
+
+
+def test_int8_index_delete_compact_equals_rebuild(spark, sf_dir, tmp_path):
+    """Tombstone-delete then compact on an INT8 index: queries equal a
+    fresh int8 rebuild on the surviving corpus, the tombstone store is
+    cleared, and the compacted files keep the (scale, qvec) schema —
+    compaction used to select the nonexistent float vector column."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "q_del")
+    ann_index.write_lsh_index(emb, path, n_planes=4, int8=True)
+    victims = [r["vec_id"] for r in ann_index.lsh_index_topk(
+        spark, path, q, k=3).collect()]
+    ann_index.delete_from_ann_index(spark, path, victims)
+    folded = ann_index.compact_ann_index(spark, path)
+    assert folded == len(victims)
+
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    cols = set(spark.read.parquet(os.path.join(path, "vectors")).columns)
+    assert {"scale", "qvec"} <= cols and "embedding" not in cols
+
+    rebuilt = str(tmp_path / "q_rebuilt")
+    survivors = emb.filter(~F.col("vec_id").isin(victims))
+    ann_index.write_lsh_index(survivors, rebuilt, n_planes=4, int8=True)
+    got = [(r["vec_id"], r["score"]) for r in ann_index.lsh_index_topk(
+        spark, path, q, k=10).collect()]
+    want = [(r["vec_id"], r["score"]) for r in ann_index.lsh_index_topk(
+        spark, rebuilt, q, k=10).collect()]
+    assert got == want
