@@ -458,6 +458,28 @@ def _heavy_hitters_updater(capacity: int, k: int):
     return update
 
 
+def heavy_hitters_transform(
+    items_stream: DataFrame, capacity: int = 64, k: int = 5
+) -> DataFrame:
+    """The keyed-state heavy-hitters transformation alone — compose it
+    with any fault-tolerant sink (foreachBatch/parquet) when checkpoint
+    RECOVERY matters; the memory sink `start_heavy_hitters_stream` uses
+    for tests does not support restart."""
+    return (
+        items_stream.select("group", "item")
+        .groupBy("group")
+        .applyInPandasWithState(
+            _heavy_hitters_updater(int(capacity), int(k)),
+            outputStructType=HEAVY_HITTERS_SCHEMA,
+            stateStructType=(
+                "items array<string>, counts array<long>, errors array<long>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_heavy_hitters_stream(
     items_stream: DataFrame,
     checkpoint: str,
@@ -475,19 +497,7 @@ def start_heavy_hitters_stream(
     group is always the last emission."""
     if state_store is not None:
         configure_state_store(items_stream.sparkSession, state_store)
-    out = (
-        items_stream.select("group", "item")
-        .groupBy("group")
-        .applyInPandasWithState(
-            _heavy_hitters_updater(int(capacity), int(k)),
-            outputStructType=HEAVY_HITTERS_SCHEMA,
-            stateStructType=(
-                "items array<string>, counts array<long>, errors array<long>"
-            ),
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
+    out = heavy_hitters_transform(items_stream, capacity, k)
     writer = (
         out.writeStream.format("memory")
         .queryName(query_name)

@@ -497,3 +497,59 @@ def test_streaming_trend_matches_batch_twin(spark, tmp_path):
     assert latest["up"]["slope"] == 2.0 and latest["up"]["r2"] == 1.0
     # the batch-1 snapshot for 'up' exists with n == 5 (state mid-stream)
     assert any(r["key"] == "up" and r["n"] == 5 for r in rows)
+
+
+def test_streaming_heavy_hitters_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart: a NEW query on the SAME checkpoint resumes the
+    space-saving state (not the raw history), so counts accumulated
+    before the restart carry into batches after it. The memory sink
+    cannot recover a checkpoint, so the recoverable path composes
+    heavy_hitters_transform with foreachBatch."""
+    import time
+
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        heavy_hitters_transform,
+    )
+
+    schema = "group string, item string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            heavy_hitters_transform(stream, capacity=8, k=3)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out_dir)
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    spark.createDataFrame(
+        [("g", it) for it in ["a"] * 4 + ["b"] * 2], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("g", it) for it in ["a"] * 3 + ["c"] * 5], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    import pyspark.sql.functions as SF
+
+    latest = {
+        r["item"]: r["count_est"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("item")
+        .agg(SF.max("count_est").alias("count_est"))
+        .collect()
+    }
+    # the restarted query's batch alone reads a=3, c=5, b absent: only
+    # restored state explains these totals
+    assert latest == {"a": 7, "b": 2, "c": 5}
