@@ -436,3 +436,59 @@ def split_leakage_check(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_contents"))
     )
+
+
+def mixture_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed domain mixture (the multilingual
+    temperature-sampling recipe, public method: sample source i with
+    probability share_i^alpha / sum(share^alpha) — alpha < 1 upweights
+    low-resource domains without flattening the mix entirely). The
+    self-deriving complement of `mixture_rebalance`'s explicit targets;
+    output schema matches, so the weights feed `mix_corpora` the same
+    way.
+
+    `alpha` is restricted to {1.0, 0.5, 0.25}: those powers compute as
+    sqrt chains, which are IEEE-exact on every engine — pow() is a
+    transcendental whose bit agreement is NOT guaranteed (the
+    TVD-over-PSI precedent), so arbitrary alphas would break
+    oracle-exactness for no modeling gain at test scale.
+
+    One partial-aggregated scan; everything downstream runs on the
+    domain-count relation; the share normalizer accumulates as DECIMAL
+    (order-independent).
+    """
+    allowed = {1.0: 0, 0.5: 1, 0.25: 2}
+    if float(alpha) not in allowed:
+        raise ValueError("alpha must be one of 1.0, 0.5, 0.25")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    per_src = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens").cast("double") / total.cast("double")
+    t = share
+    for _ in range(allowed[float(alpha)]):
+        t = F.sqrt(t)
+    tsum = F.sum(t.cast("decimal(38,12)")).over(
+        Window.partitionBy()
+    ).cast("double")
+    target = t / tsum
+    weight = F.when(
+        F.col("n_tokens") > 0,
+        F.round(target * total.cast("double") / F.col("n_tokens"), 6),
+    )
+    return per_src.select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.col("n_tokens"),
+        F.round(share, 6).alias("current_share"),
+        F.round(target, 6).alias("target_share"),
+        weight.alias("weight"),
+        F.ceil(weight).cast("int").alias("repeat_epochs"),
+    )

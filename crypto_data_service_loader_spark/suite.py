@@ -4177,6 +4177,16 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-smoothed self-derived mixture at alpha = 0.5
+    (sqrt-computable, hence IEEE-exact cross-engine): low-token sources
+    upweight toward parity without flattening the mix — the
+    multilingual temperature-sampling recipe as a reweighting table."""
+    return training.mixture_temperature(
+        load(spark, sf_dir, "documents"), alpha=0.5
+    )
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-20-row price/quantity correlation per supplier over the
     ship-date tick order — the co-movement monitor beside EWMA/VWAP.
@@ -4454,6 +4464,7 @@ QUERIES = {
     "hybrid_search_indexed": q_hybrid_search_indexed,
     "vector_quantize_int8": q_vector_quantize_int8,
     "rolling_corr": q_rolling_corr,
+    "mixture_temperature": q_mixture_temperature,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4645,7 +4656,7 @@ _R7_FRONT = [
     "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
     "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
-    "vector_quantize_int8", "rolling_corr",
+    "vector_quantize_int8", "rolling_corr", "mixture_temperature",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4658,8 +4669,8 @@ _R7_FRONT = [
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
     "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
-    "win_row_number",
-    # (win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
+    # (win_row_number /
+    #  win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
     #  agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
     #  setop_except /
@@ -5092,6 +5103,35 @@ ORACLES["hybrid_search"] = """
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )
+# Temperature mixture: alpha 0.5 as sqrt (IEEE-exact); the normalizer
+# accumulates as DECIMAL so summation order cannot bite.
+ORACLES["mixture_temperature"] = """
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    t AS (
+        SELECT *,
+               CAST(SUM(n_tokens) OVER () AS DOUBLE) AS total,
+               sqrt(CAST(n_tokens AS DOUBLE)
+                    / CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS tshare
+        FROM per_src),
+    s AS (
+        SELECT *,
+               CAST(SUM(CAST(tshare AS DECIMAL(38,12))) OVER ()
+                    AS DOUBLE) AS tsum
+        FROM t)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total, 6) AS current_share,
+           round(tshare / tsum, 6) AS target_share,
+           CASE WHEN n_tokens > 0
+                THEN round((tshare / tsum) * total / n_tokens, 6)
+           END AS weight,
+           CASE WHEN n_tokens > 0
+                THEN CAST(ceil(round((tshare / tsum) * total / n_tokens,
+                                     6)) AS INTEGER)
+           END AS repeat_epochs
+    FROM s""".replace("{toks}", _TOKS)
 # Rolling correlation: five decimal moments over the same ROWS frame;
 # explicit n>=2 / variance guards (Spark NULL vs DuckDB inf on /0).
 ORACLES["rolling_corr"] = """

@@ -1320,3 +1320,34 @@ def test_int8_search_preserves_topk_recall(spark, sf_dir):
     )
     viaq = {r["vec_id"] for r in cosine_topk(deq, query, k=10).collect()}
     assert len(exact & viaq) >= 9
+
+
+def test_mixture_temperature_upweights_low_resource(spark):
+    """alpha < 1 moves the mix toward parity: a 90/10 corpus lands
+    strictly between 90/10 and 50/50 at alpha 0.5 (sqrt smoothing),
+    exactly at the analytic sqrt-normalized shares; alpha 1.0 is the
+    identity (target == current); invalid alphas reject."""
+    import math
+
+    from crypto_data_service_loader_spark.operators import training as TR
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "big") for i in range(90)]
+        + [(i + 90, "w " * 10, "small") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in TR.mixture_temperature(docs, 0.5).collect()}
+    big, small = out["big"], out["small"]
+    # analytic: shares 0.9/0.1 -> sqrt 0.9487/0.3162 -> 0.75/0.25
+    t_b, t_s = math.sqrt(0.9), math.sqrt(0.1)
+    assert big["target_share"] == pytest.approx(t_b / (t_b + t_s), abs=1e-6)
+    assert small["target_share"] == pytest.approx(t_s / (t_b + t_s), abs=1e-6)
+    assert 0.1 < small["target_share"] < 0.5  # strictly toward parity
+    assert small["weight"] > 1.0 > big["weight"]  # up- vs down-sample
+
+    ident = {r["source"]: r for r in TR.mixture_temperature(docs, 1.0).collect()}
+    for s in ("big", "small"):
+        assert ident[s]["target_share"] == ident[s]["current_share"]
+
+    with pytest.raises(ValueError):
+        TR.mixture_temperature(docs, 0.7)
