@@ -715,3 +715,34 @@ def quantize_exprs(v: Column) -> tuple[Column, Column]:
 def dequantize_expr(qvec: Column, scale: Column) -> Column:
     """Reconstruct the double vector from (qvec, scale)."""
     return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact top-k —
+    THE number an ANN deployment tracks when tuning dials (planes,
+    nprobe, int8 storage). Both inputs are top-k result sets (id [,
+    score]); output is one row: k_exact, n_hit, recall (= |approx ∩
+    exact| / |exact|, the standard definition).
+
+    Tiny-result join — both sides are k rows; the semi-join and counts
+    are driver-trivial at any corpus scale because the heavy work
+    already happened inside the two top-k queries being compared.
+    """
+    hits = approx.select(id_col).join(
+        exact.select(id_col).distinct(), id_col, "left_semi"
+    )
+    return exact.agg(
+        F.countDistinct(id_col).alias("k_exact")
+    ).crossJoin(
+        hits.agg(F.countDistinct(id_col).alias("n_hit"))
+    ).select(
+        "k_exact",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("k_exact"), 6
+        ).alias("recall"),
+    )

@@ -4177,6 +4177,19 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_ann_recall_at_k(spark, sf_dir):
+    """Recall@10 of the sign-LSH ANN against the exact brute-force
+    top-10 — the dial-tuning measurement an ANN deployment tracks,
+    registered so recall itself is oracle-checked (both member top-k
+    oracles already replicate the hyperplanes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.recall_at_k(
+        similarity.cosine_topk_lsh(emb, qv, k=10),
+        similarity.cosine_topk(emb, qv, k=10),
+    )
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-smoothed self-derived mixture at alpha = 0.5
     (sqrt-computable, hence IEEE-exact cross-engine): low-token sources
@@ -4465,6 +4478,7 @@ QUERIES = {
     "vector_quantize_int8": q_vector_quantize_int8,
     "rolling_corr": q_rolling_corr,
     "mixture_temperature": q_mixture_temperature,
+    "ann_recall_at_k": q_ann_recall_at_k,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4657,6 +4671,7 @@ _R7_FRONT = [
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
     "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
     "vector_quantize_int8", "rolling_corr", "mixture_temperature",
+    "ann_recall_at_k",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4668,8 +4683,8 @@ _R7_FRONT = [
     "agg_min_max_filtered", "retention_guard", "agg_count_star",
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
-    "asof_next_tick", "agg_multikey", "agg_approx_distinct", "agg_rollup",
-    # (win_row_number /
+    "asof_next_tick", "agg_multikey", "agg_approx_distinct",
+    # (agg_rollup / win_row_number /
     #  win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
     #  agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
@@ -5102,6 +5117,19 @@ ORACLES["hybrid_search"] = """
                     ORDER BY cosine DESC, doc_id ASC) AS rn FROM scored)
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
+)
+# Recall@k: both member top-k oracles already replicate the planes; the
+# fusion is two counts and a ratio.
+ORACLES["ann_recall_at_k"] = """
+    WITH ex AS ({exact}),
+    ap AS ({approx}),
+    ke AS (SELECT count(DISTINCT vec_id) AS k_exact FROM ex),
+    h AS (SELECT count(DISTINCT ap.vec_id) AS n_hit
+          FROM ap JOIN ex ON ap.vec_id = ex.vec_id)
+    SELECT k_exact, n_hit,
+           round(CAST(n_hit AS DOUBLE) / k_exact, 6) AS recall
+    FROM ke, h""".replace("{exact}", ORACLES["sim_cosine_topk"]).replace(
+    "{approx}", ORACLES["sim_cosine_topk_lsh"]
 )
 # Temperature mixture: alpha 0.5 as sqrt (IEEE-exact); the normalizer
 # accumulates as DECIMAL so summation order cannot bite.

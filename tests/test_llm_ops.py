@@ -1351,3 +1351,22 @@ def test_mixture_temperature_upweights_low_resource(spark):
 
     with pytest.raises(ValueError):
         TR.mixture_temperature(docs, 0.7)
+
+
+def test_recall_at_k_definition(spark):
+    """recall = |approx ∩ exact| / |exact| with duplicates ignored; a
+    perfect result reads 1.0, a disjoint one 0.0."""
+    from crypto_data_service_loader_spark.operators.similarity import (
+        recall_at_k,
+    )
+
+    exact = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    part = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 3, 99]], "vec_id long"
+    )
+    r = recall_at_k(part, exact).collect()[0]
+    assert (r["k_exact"], r["n_hit"], r["recall"]) == (10, 4, 0.4)
+    full = recall_at_k(exact, exact).collect()[0]
+    assert full["recall"] == 1.0
+    miss = spark.createDataFrame([(100,), (101,)], "vec_id long")
+    assert recall_at_k(miss, exact).collect()[0]["recall"] == 0.0

@@ -38,6 +38,8 @@ NESTED_LOOP_OK = {
     # the postings index's doclens-derived (N, avgdl) single-row
     # broadcast riding inside the composed retrieval path:
     "hybrid_search_indexed",
+    # two single-row count aggregates crossed into the one recall row:
+    "ann_recall_at_k",
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
