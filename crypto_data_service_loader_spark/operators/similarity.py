@@ -720,26 +720,29 @@ def dequantize_expr(qvec: Column, scale: Column) -> Column:
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,
-    id_col: str = "vec_id",
+    id_col: str | list[str] = "vec_id",
 ) -> DataFrame:
-    """Recall@k of an approximate top-k result against the exact top-k —
-    THE number an ANN deployment tracks when tuning dials (planes,
-    nprobe, int8 storage). Both inputs are top-k result sets (id [,
-    score]); output is one row: k_exact, n_hit, recall (= |approx ∩
-    exact| / |exact|, the standard definition).
+    """Recall of an approximate result set against the exact one — THE
+    number an approximate method's dials are tuned by (ANN planes /
+    nprobe / int8 storage; MinHash bands for pair sets). `id_col` may be
+    a composite key (e.g. ["id_a", "id_b"] for near-dup pairs). Output
+    is one row: k_exact, n_hit, recall (= |approx ∩ exact| / |exact|,
+    duplicates ignored).
 
-    Tiny-result join — both sides are k rows; the semi-join and counts
-    are driver-trivial at any corpus scale because the heavy work
-    already happened inside the two top-k queries being compared.
+    The identity join runs on the two RESULT sets — the heavy work
+    already happened inside the queries being compared; the pair sets a
+    dedup recall audits are the post-banding survivors, never the n²
+    candidate space.
     """
-    hits = approx.select(id_col).join(
-        exact.select(id_col).distinct(), id_col, "left_semi"
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    hits = approx.select(*keys).join(
+        exact.select(*keys).distinct(), keys, "left_semi"
     )
-    return exact.agg(
-        F.countDistinct(id_col).alias("k_exact")
-    ).crossJoin(
-        hits.agg(F.countDistinct(id_col).alias("n_hit"))
-    ).select(
+    ex_n = exact.select(*keys).distinct().agg(
+        F.count(F.lit(1)).alias("k_exact")
+    )
+    hit_n = hits.distinct().agg(F.count(F.lit(1)).alias("n_hit"))
+    return ex_n.crossJoin(hit_n).select(
         "k_exact",
         "n_hit",
         F.round(

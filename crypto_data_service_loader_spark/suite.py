@@ -4177,6 +4177,20 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_dedup_pair_recall(spark, sf_dir):
+    """Pair recall of LSH-bucketed near-dup detection vs the exact
+    block-partitioned all-pairs at the same threshold — the banding-dial
+    audit for the dedup family (how many true near-dup pairs does the
+    bucketing keep?). Both member pair oracles already replicate the
+    hyperplanes, so the recall value is cross-engine-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.recall_at_k(
+        similarity.embedding_near_dups_lsh(emb, threshold=0.4, n_planes=4),
+        similarity.embedding_near_dups(emb, threshold=0.4),
+        id_col=["id_a", "id_b"],
+    )
+
+
 def q_ann_recall_at_k(spark, sf_dir):
     """Recall@10 of the sign-LSH ANN against the exact brute-force
     top-10 — the dial-tuning measurement an ANN deployment tracks,
@@ -4479,6 +4493,7 @@ QUERIES = {
     "rolling_corr": q_rolling_corr,
     "mixture_temperature": q_mixture_temperature,
     "ann_recall_at_k": q_ann_recall_at_k,
+    "dedup_pair_recall": q_dedup_pair_recall,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4671,7 +4686,7 @@ _R7_FRONT = [
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
     "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
     "vector_quantize_int8", "rolling_corr", "mixture_temperature",
-    "ann_recall_at_k",
+    "ann_recall_at_k", "dedup_pair_recall",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4683,8 +4698,8 @@ _R7_FRONT = [
     "agg_min_max_filtered", "retention_guard", "agg_count_star",
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
-    "asof_next_tick", "agg_multikey", "agg_approx_distinct",
-    # (agg_rollup / win_row_number /
+    "asof_next_tick", "agg_multikey",
+    # (agg_approx_distinct / agg_rollup / win_row_number /
     #  win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
     #  agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
@@ -5117,6 +5132,22 @@ ORACLES["hybrid_search"] = """
                     ORDER BY cosine DESC, doc_id ASC) AS rn FROM scored)
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
+)
+# Pair recall: the two member pair oracles (exact all-pairs + LSH
+# candidates) compose; counts run on the post-banding survivor sets.
+ORACLES["dedup_pair_recall"] = """
+    WITH ex AS ({exact}),
+    ap AS ({approx}),
+    ke AS (SELECT count(*) AS k_exact
+           FROM (SELECT DISTINCT id_a, id_b FROM ex)),
+    h AS (SELECT count(*) AS n_hit
+          FROM (SELECT DISTINCT ap.id_a, ap.id_b
+                FROM ap JOIN ex ON ap.id_a = ex.id_a
+                                AND ap.id_b = ex.id_b))
+    SELECT k_exact, n_hit,
+           round(CAST(n_hit AS DOUBLE) / k_exact, 6) AS recall
+    FROM ke, h""".replace("{exact}", ORACLES["dedup_embedding_cosine"]).replace(
+    "{approx}", ORACLES["dedup_embedding_lsh"]
 )
 # Recall@k: both member top-k oracles already replicate the planes; the
 # fusion is two counts and a ratio.

@@ -1370,3 +1370,20 @@ def test_recall_at_k_definition(spark):
     assert full["recall"] == 1.0
     miss = spark.createDataFrame([(100,), (101,)], "vec_id long")
     assert recall_at_k(miss, exact).collect()[0]["recall"] == 0.0
+
+
+def test_recall_at_k_composite_pair_keys(spark):
+    """Composite-key recall: pair sets compare on (id_a, id_b); order of
+    rows and duplicate pairs don't matter."""
+    from crypto_data_service_loader_spark.operators.similarity import (
+        recall_at_k,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 2), (1, 2), (4, 5), (7, 9)], "id_a long, id_b long"
+    )
+    r = recall_at_k(approx, exact, id_col=["id_a", "id_b"]).collect()[0]
+    assert (r["k_exact"], r["n_hit"], r["recall"]) == (4, 2, 0.5)

@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "hybrid_search_indexed",
     # two single-row count aggregates crossed into the one recall row:
     "ann_recall_at_k",
+    "dedup_pair_recall",
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
