@@ -87,6 +87,20 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--zorder", default=None,
                       help="two comma-separated int columns for Z-order "
                            "clustering (overrides --sort-by)")
+    mixp = sub.add_parser(
+        "mixture",
+        help="per-source token shares and resampling weights "
+             "(explicit targets or temperature smoothing)",
+    )
+    mixp.add_argument("--input", required=True, help="documents parquet path")
+    mixp.add_argument("--targets", default=None,
+                      help="comma-separated source=share pairs "
+                           "(e.g. web=0.6,code=0.4); omit for temperature")
+    mixp.add_argument("--temperature", type=float, default=0.5,
+                      help="alpha for self-derived targets when --targets "
+                           "is omitted (1.0, 0.5, or 0.25)")
+    mixp.add_argument("--source-col", default="source")
+    mixp.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
 
     spark = get_spark("crypto_data_service_loader_spark")
@@ -102,6 +116,27 @@ def main(argv: list[str] | None = None) -> int:
         for r in profile_columns(
             df, cols, exact_distinct=not args.approx
         ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "mixture":
+        from .operators.training import mixture_rebalance, mixture_temperature
+
+        docs = spark.read.parquet(args.input)
+        if args.targets:
+            targets = {}
+            for pair in args.targets.split(","):
+                src, share = pair.split("=")
+                targets[src.strip()] = float(share)
+            plan = mixture_rebalance(
+                docs, targets,
+                source_col=args.source_col, text_col=args.text_col,
+            )
+        else:
+            plan = mixture_temperature(
+                docs, alpha=args.temperature,
+                source_col=args.source_col, text_col=args.text_col,
+            )
+        for r in plan.orderBy(args.source_col).collect():
             print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "convert":

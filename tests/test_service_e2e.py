@@ -293,3 +293,29 @@ def test_cli_profile_and_convert(spark, tmp_path, capsys, sf_dir):
                "--output", zdst, "--zorder", "user_id,event_id",
                "--files", "2"])
     assert rc == 0
+
+
+def test_cli_mixture_subcommand(tmp_path, capsys, sf_dir):
+    """`mixture` prints one JSON row per source: explicit targets give
+    the rebalance table (weights realize the targets); omitting targets
+    self-derives them via temperature smoothing (shares sum to ~1)."""
+    import json as _json
+
+    from crypto_data_service_loader_spark.__main__ import main
+
+    src = f"{sf_dir}/documents.parquet"
+    rc = main(["mixture", "--input", src,
+               "--targets", "src0=0.6,src1=0.4"])
+    assert rc == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    by_src = {r["source"]: r for r in rows}
+    assert by_src["src0"]["target_share"] == 0.6
+    assert by_src["src2"]["weight"] == 0.0
+
+    rc = main(["mixture", "--input", src, "--temperature", "0.5"])
+    assert rc == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-3
+    assert all(r["weight"] is not None for r in rows)
