@@ -492,3 +492,49 @@ def mixture_temperature(
         weight.alias("weight"),
         F.ceil(weight).cast("int").alias("repeat_epochs"),
     )
+
+
+def split_by_content(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Leakage-free train/val/test split: the split key is the CONTENT
+    cluster's canonical id (the min doc id sharing the normalized
+    fingerprint), not the doc id — so exact-duplicate documents land in
+    the SAME split by construction, closing exactly the hole
+    `split_leakage_check` counts. Still stable under corpus growth (the
+    canonical id of an existing cluster never changes unless a
+    lower-id duplicate arrives — and then the whole cluster moves
+    together, never straddling).
+
+    For near-dup (gram-level) leakage, derive cluster ids with
+    `dedup.connected_components` over your pair generator and split on
+    those instead — same one-join shape.
+
+    Scale shape: one fingerprint aggregation (shuffles 32-hex digests,
+    bodies never move) + one join back on the digest; the split label
+    itself is scan-local arithmetic on the canonical id.
+    """
+    from .dedup import normalized_fingerprint
+
+    fp = df.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("_fp")
+    )
+    canon = fp.groupBy("_fp").agg(F.min(id_col).alias("canonical_id"))
+    bucket = split_bucket("canonical_id")
+    val_lo = _BUCKETS - (val_pct + test_pct) * _BUCKETS // 100
+    test_lo = _BUCKETS - test_pct * _BUCKETS // 100
+    return (
+        fp.join(canon, "_fp")
+        .select(
+            F.col(id_col),
+            F.col("canonical_id"),
+            F.when(bucket < val_lo, "train")
+            .when(bucket < test_lo, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

@@ -4177,6 +4177,14 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_split_by_content(spark, sf_dir):
+    """Leakage-free split: the split key is the duplicate cluster's
+    canonical id, so exact-duplicate docs can never straddle splits —
+    the constructive fix for what split_leakage_check counts. One
+    fingerprint agg + one digest join; the label is scan-local."""
+    return training.split_by_content(load(spark, sf_dir, "documents"))
+
+
 def q_dedup_pair_recall(spark, sf_dir):
     """Pair recall of LSH-bucketed near-dup detection vs the exact
     block-partitioned all-pairs at the same threshold — the banding-dial
@@ -4494,6 +4502,7 @@ QUERIES = {
     "mixture_temperature": q_mixture_temperature,
     "ann_recall_at_k": q_ann_recall_at_k,
     "dedup_pair_recall": q_dedup_pair_recall,
+    "split_by_content": q_split_by_content,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4686,7 +4695,7 @@ _R7_FRONT = [
     "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
     "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
     "vector_quantize_int8", "rolling_corr", "mixture_temperature",
-    "ann_recall_at_k", "dedup_pair_recall",
+    "ann_recall_at_k", "dedup_pair_recall", "split_by_content",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4698,8 +4707,8 @@ _R7_FRONT = [
     "agg_min_max_filtered", "retention_guard", "agg_count_star",
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
-    "asof_next_tick", "agg_multikey",
-    # (agg_approx_distinct / agg_rollup / win_row_number /
+    "asof_next_tick",
+    # (agg_multikey / agg_approx_distinct / agg_rollup / win_row_number /
     #  win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
     #  agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
@@ -5133,6 +5142,20 @@ ORACLES["hybrid_search"] = """
     WHERE rn <= 5""".replace(
     "{cand}", ORACLES["bm25_topk"].replace("WHERE r <= 5", "WHERE r <= 20")
 )
+# Content-keyed split: the canonical id is min(doc_id) per normalized
+# fingerprint; the split CASE runs split_bucket's hash on the canonical.
+ORACLES["split_by_content"] = """
+    WITH fp AS (
+        SELECT doc_id, md5(array_to_string({toks}, ' ')) AS f
+        FROM documents),
+    c AS (SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f)
+    SELECT fp.doc_id, c.canonical_id,
+           CASE WHEN (c.canonical_id * 2654435761)
+                     % 4294967296 % 1000 < 900 THEN 'train'
+                WHEN (c.canonical_id * 2654435761)
+                     % 4294967296 % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM fp JOIN c USING (f)""".replace("{toks}", _TOKS)
 # Pair recall: the two member pair oracles (exact all-pairs + LSH
 # candidates) compose; counts run on the post-banding survivor sets.
 ORACLES["dedup_pair_recall"] = """

@@ -1387,3 +1387,41 @@ def test_recall_at_k_composite_pair_keys(spark):
     )
     r = recall_at_k(approx, exact, id_col=["id_a", "id_b"]).collect()[0]
     assert (r["k_exact"], r["n_hit"], r["recall"]) == (4, 2, 0.5)
+
+
+def test_split_by_content_closes_the_leak(spark):
+    """The constructive fix for split leakage: two identical docs whose
+    IDS hash into different splits land in the SAME split under the
+    content-keyed assignment (both carry the cluster canonical id), and
+    an exact-mode leakage re-audit over the content splits is empty;
+    unique docs keep a stable id-derived assignment."""
+    from crypto_data_service_loader_spark.operators import training as TR
+    from crypto_data_service_loader_spark.operators.training import (
+        split_bucket,
+    )
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    ).select("doc_id", split_bucket("doc_id").alias("b")).collect()
+    train_id = next(r["doc_id"] for r in probe if r["b"] < 900)
+    test_id = next(r["doc_id"] for r in probe if r["b"] >= 950)
+    leak = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(train_id, leak), (test_id, leak),
+         (next(r["doc_id"] for r in probe
+               if r["b"] < 900 and r["doc_id"] != train_id), "something else")],
+        "doc_id long, text string",
+    )
+    # id-hash split leaks (sanity: the audit sees it) ...
+    assert TR.split_leakage_check(docs).collect() != []
+    # ... the content split does not
+    out = {r["doc_id"]: r for r in TR.split_by_content(docs).collect()}
+    assert out[train_id]["split"] == out[test_id]["split"]
+    assert out[train_id]["canonical_id"] == out[test_id]["canonical_id"] == min(
+        train_id, test_id
+    )
+    # no fingerprint spans two splits
+    by_canon = {}
+    for r in out.values():
+        by_canon.setdefault(r["canonical_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_canon.values())
