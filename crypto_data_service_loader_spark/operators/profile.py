@@ -651,3 +651,36 @@ def winsorize(
             F.col("_whi").alias("q_hi"),
         )
     )
+
+
+def category_drift(
+    df: DataFrame,
+    cat_col: str,
+    ts_col: str = "ts",
+    window: str = "day",
+) -> DataFrame:
+    """Categorical mix drift between consecutive time windows — the
+    categorical twin of `histogram_drift` (which is generic over its bin
+    column, so this is one windowed count plus the SAME comparator):
+    bins are the category values themselves, and the linf pointer names
+    WHICH category's share moved most. The alert for "did today's
+    event/source/language mix shift?" — the pipeline-input drift that
+    value histograms cannot see.
+
+    Scale shape inherits the drift comparator's: one partial-aggregated
+    count to the (windows x categories) grid, everything after bounded
+    by the horizon x category cardinality.
+    """
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .select(
+            F.date_trunc(window, F.col(ts_col)).alias("win_start"),
+            F.col(cat_col),
+        )
+        .groupBy("win_start", cat_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return histogram_drift(
+        counts, window_col="win_start", bin_col=cat_col,
+        count_col="n_rows",
+    )

@@ -4177,6 +4177,15 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_category_drift(spark, sf_dir):
+    """Day-over-day event-type MIX drift (TVD + worst-category pointer)
+    — the categorical twin of histogram_drift, same transcendental-free
+    comparator over the bounded (windows x categories) grid."""
+    return profile.category_drift(
+        load(spark, sf_dir, "events"), "event_type"
+    )
+
+
 def q_split_by_content(spark, sf_dir):
     """Leakage-free split: the split key is the duplicate cluster's
     canonical id, so exact-duplicate docs can never straddle splits —
@@ -4503,6 +4512,7 @@ QUERIES = {
     "ann_recall_at_k": q_ann_recall_at_k,
     "dedup_pair_recall": q_dedup_pair_recall,
     "split_by_content": q_split_by_content,
+    "category_drift": q_category_drift,
     # --- new in round 6 (front-50 driver window) ---
     "profile_columns": q_profile_columns,
     "numeric_histogram": q_numeric_histogram,
@@ -4696,6 +4706,7 @@ _R7_FRONT = [
     "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
     "vector_quantize_int8", "rolling_corr", "mixture_temperature",
     "ann_recall_at_k", "dedup_pair_recall", "split_by_content",
+    "category_drift",
     # changed in round 7: bpe_segment rewrite (chained replace) feeds
     # bpe_tokenize; interpolate_fill gained the pt == nt guard
     "bpe_tokenize", "gap_fill_interpolate",
@@ -4707,8 +4718,8 @@ _R7_FRONT = [
     "agg_min_max_filtered", "retention_guard", "agg_count_star",
     "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
     "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
-    "asof_next_tick",
-    # (agg_multikey / agg_approx_distinct / agg_rollup / win_row_number /
+    # (asof_next_tick /
+    #  agg_multikey / agg_approx_distinct / agg_rollup / win_row_number /
     #  win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
     #  agg_approx_quantile / agg_corr /
     #  scalar_date_parts / topk_by_price / setop_union /
@@ -5577,3 +5588,19 @@ ORACLES["histogram_drift"] = """
     SELECT w.win_start, p.win_start AS prev_win_start, tvd, linf,
            linf_bin_id
     FROM summ JOIN wins w USING (seq) JOIN wins p ON p.seq = summ.seq - 1"""
+# Categorical drift: the histogram_drift oracle with the category value
+# as the bin id (the comparator is generic over its bin column).
+ORACLES["category_drift"] = ORACLES["histogram_drift"].replace(
+    """    WITH b AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+               CAST(CASE WHEN value < 0.0 THEN -1
+                         WHEN value >= 500.0 THEN 10
+                         ELSE least(CAST(floor((value - 0.0) / 50.0)
+                                         AS BIGINT), 9)
+                    END AS INTEGER) AS bin_id
+        FROM events WHERE value IS NOT NULL),""",
+    """    WITH b AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+               event_type AS bin_id
+        FROM events WHERE event_type IS NOT NULL),""",
+)

@@ -326,3 +326,34 @@ def test_winsorize_clamps_tails_only(spark):
     assert out[101]["v_winsorized"] is None and out[101]["q_lo"] is None
     # row count preserved — winsorization never drops
     assert len(out) == 102
+
+
+def test_category_drift_detects_mix_shift(spark):
+    """Three days: day2 repeats day1's 50/50 mix (TVD 0); day3 swaps b
+    out for c and skews to 90/10 — TVD 0.5 with the linf pointer naming
+    the category that lost the most share; a category absent one day
+    counts as share zero."""
+    import datetime as dt
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        category_drift,
+    )
+
+    def rows(day, mix):
+        out = []
+        for cat, n in mix.items():
+            out += [(dt.datetime(2024, 1, day, 12), cat)] * n
+        return out
+
+    df = spark.createDataFrame(
+        rows(1, {"a": 5, "b": 5}) + rows(2, {"a": 5, "b": 5})
+        + rows(3, {"a": 9, "c": 1}),
+        "ts timestamp, cat string",
+    )
+    out = {r["win_start"].day: r for r in
+           category_drift(df, "cat").collect()}
+    assert out[2]["tvd"] == 0.0
+    # day3 vs day2: a 0.5->0.9 (+0.4), b 0.5->0 (-0.5), c 0->0.1 (+0.1)
+    assert abs(out[3]["tvd"] - 0.5) < 1e-9
+    assert abs(out[3]["linf"] - 0.5) < 1e-9
+    assert out[3]["linf_bin_id"] == "b"
