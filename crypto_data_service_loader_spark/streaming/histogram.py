@@ -101,3 +101,67 @@ def start_histogram_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_category_counts(
+    stream: DataFrame,
+    cat_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window category counts — the categorical twin of
+    `windowed_histogram` (bins are the category values). Output
+    (win_start, <cat_col>, n_rows) per closed window feeds
+    `profile.category_drift`'s comparator unchanged; state per window is
+    one counter per live category, watermark-retired."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .filter(F.col(cat_col).isNotNull())
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(cat_col))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("w.start").alias("win_start"), cat_col, "n_rows")
+    )
+
+
+def category_drift_alerts(
+    spark, table: str, cat_col: str, threshold: float = 0.1
+) -> DataFrame:
+    """Mix-shift alerts over the closed windows a category-count stream
+    emitted: the batch drift comparator runs over the emitted rows (math
+    literally shared with `profile.category_drift`), filtered to window
+    pairs whose TVD exceeds `threshold` — fires when the live
+    event/source/language mix moves."""
+    from ..operators.profile import histogram_drift
+
+    return histogram_drift(
+        spark.table(table),
+        window_col="win_start",
+        bin_col=cat_col,
+        count_col="n_rows",
+    ).filter(F.col("tvd") > float(threshold))
+
+
+def start_category_mix_stream(
+    stream: DataFrame,
+    checkpoint: str,
+    cat_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "1 hour",
+    query_name: str = "category_mix",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Windowed category counts -> in-memory table `query_name`
+    (append mode: a window emits exactly once when the watermark closes
+    it, so downstream drift alerts fire exactly once per pair)."""
+    out = windowed_category_counts(stream, cat_col, ts_col, window, delay)
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

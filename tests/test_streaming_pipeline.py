@@ -262,3 +262,53 @@ def test_streaming_drift_alerts_match_batch_twin(spark, tmp_path):
     assert histogram_drift_alerts(
         spark, "hist_drift_t", threshold=0.99
     ).count() <= 1
+
+
+def test_streaming_category_mix_matches_batch_twin(spark, tmp_path):
+    """Live category-mix monitoring equals the batch backfill: windowed
+    category counts streamed (append mode, watermark-closed windows)
+    into the shared drift comparator reproduce profile.category_drift
+    row for row, and a planted mix swap fires the alert."""
+    import datetime as dt
+
+    from crypto_data_service_loader_spark.operators.profile import (
+        category_drift,
+    )
+    from crypto_data_service_loader_spark.streaming.histogram import (
+        category_drift_alerts, start_category_mix_stream,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = (
+        [(t(0, i), c) for i, c in enumerate(["a", "a", "b", "b"])]
+        + [(t(1, i), c) for i, c in enumerate(["a", "a", "b", "b"])]
+        + [(t(2, i), c) for i, c in enumerate(["a", "c", "c", "c"])]
+        + [(t(6), "a")]  # sentinel: watermark closes hours 0-2
+    )
+    schema = "ts timestamp, event_type string"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_category_mix_stream(
+        stream, str(tmp_path / "ckpt"), "event_type",
+        window="1 hour", delay="1 hour", query_name="cat_mix_t",
+    )
+    q.awaitTermination(120)
+    streamed = category_drift_alerts(
+        spark, "cat_mix_t", "event_type", threshold=-1.0
+    )
+    closed = spark.createDataFrame(
+        [r for r in rows if r[0].hour <= 2], schema
+    )
+    batch = category_drift(closed, "event_type", window="hour")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    by_win = {r["win_start"].hour: r for r in batch.collect()}
+    assert by_win[1]["tvd"] == 0.0
+    assert by_win[2]["tvd"] == 0.75  # a -0.25, b -0.5, c +0.75
+    assert by_win[2]["linf_bin_id"] == "c"  # c's gain is the biggest move
+    # the identical-mix pair is NOT an alert; the swap fires exactly once
+    assert category_drift_alerts(
+        spark, "cat_mix_t", "event_type", threshold=0.3
+    ).count() == 1
