@@ -371,10 +371,17 @@ def histogram_drift(
             F.coalesce(F.col("_c._bin"), F.col("_v._bin")).alias("_bin"),
             F.col("_c._win").alias("_cwin"),
             F.col("_v._win").alias("_pwin"),
+            # deltas round to 8 dp ON PURPOSE: the tvd below multiplies
+            # their exact decimal sum by 0.5, so a 9-dp delta could put
+            # the true tvd exactly on a 10th-decimal half — where
+            # Spark's HALF_UP on the shortest repr and DuckDB's rounding
+            # of the raw binary disagree (observed at sf0.001). At 8 dp
+            # the halved sum has at most 9 decimals, making the 9-dp
+            # output rounding the identity — never a coin flip.
             F.round(
                 F.coalesce(F.col("_c._p"), F.lit(0.0))
                 - F.coalesce(F.col("_v._p"), F.lit(0.0)),
-                9,
+                8,
             ).alias("_d"),
         )
     )

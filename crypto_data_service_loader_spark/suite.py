@@ -5572,7 +5572,7 @@ ORACLES["histogram_drift"] = """
     al AS (SELECT coalesce(sh.seq, pv.seq) AS seq,
                   coalesce(sh.bin_id, pv.bin_id) AS bin_id,
                   round(coalesce(sh.p, CAST(0.0 AS DOUBLE))
-                        - coalesce(pv.q, CAST(0.0 AS DOUBLE)), 9) AS d
+                        - coalesce(pv.q, CAST(0.0 AS DOUBLE)), 8) AS d
            FROM sh FULL OUTER JOIN pv
              ON sh.seq = pv.seq AND sh.bin_id = pv.bin_id
            WHERE coalesce(sh.seq, pv.seq) >= 2
