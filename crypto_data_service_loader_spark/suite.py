@@ -1562,11 +1562,11 @@ def q_distinct_pairs(spark, sf_dir):
 
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
-_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_TOKS = "regexp_split_to_array(lower(trim(text, ' ')), '\\s+')"
 
 #: same tokenizer over the boilerplate-cleaned text column (the curation
 #: pipeline's downstream stages all run on text_clean)
-_TOKS_CLEAN = _TOKS.replace("trim(text)", "trim(text_clean)")
+_TOKS_CLEAN = _TOKS.replace("trim(text, ' ')", "trim(text_clean, ' ')")
 
 _SHINGLES = (
     "CASE WHEN len({t}) < 3 THEN [] "
@@ -3220,7 +3220,7 @@ _LLM_ORACLES = {
             SELECT doc_id,
                    len({_TOKS}) AS n_tokens,
                    len(list_distinct({_TOKS})) AS n_distinct_tokens,
-                   CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+                   CAST(length(regexp_replace(lower(trim(text, ' ')), '\\s+', '', 'g')) AS DOUBLE)
                        / len({_TOKS}) AS avg_token_len,
                    CAST(len(list_filter({_TOKS},
                         t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
@@ -3382,7 +3382,7 @@ _LLM_ORACLES = {
                CAST(length(text) AS INTEGER) AS n_chars,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
-               CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+               CAST(length(regexp_replace(lower(trim(text, ' ')), '\\s+', '', 'g')) AS DOUBLE)
                    / len({_TOKS}) AS avg_token_len,
                CAST(len(list_filter({_TOKS},
                     t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
@@ -3390,8 +3390,8 @@ _LLM_ORACLES = {
         FROM documents""",
     "token_count": """
         SELECT doc_id,
-               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS ws_tokens,
-               CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+               CAST(len(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(trim(text, ' ')), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
         FROM documents""",
     "doc_fingerprint": f"""
         SELECT doc_id,
@@ -3699,7 +3699,7 @@ _LLM_ORACLES = {
                CAST(GREATEST(CEIL((len({_TOKS}) - 16) / 48.0), 1) AS BIGINT)
                    AS n_chunks,
                CAST(len({_TOKS}) AS INTEGER) AS ws_tokens,
-               CAST(len(regexp_extract_all(lower(trim(text)),
+               CAST(len(regexp_extract_all(lower(trim(text, ' ')),
                     '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
         FROM passed WHERE doc_id IN (SELECT doc_id FROM keep)""",
     "training_set_pipeline": f"""
@@ -3773,9 +3773,9 @@ _LLM_ORACLES = {
     "lang_id_trigram": """
         WITH g AS (
             SELECT doc_id,
-                   CASE WHEN len(lower(trim(text))) >= 3 THEN
-                       list_transform(range(1, len(lower(trim(text))) - 1),
-                           i -> substr(lower(trim(text)), CAST(i AS INTEGER), 3))
+                   CASE WHEN len(lower(trim(text, ' '))) >= 3 THEN
+                       list_transform(range(1, len(lower(trim(text, ' '))) - 1),
+                           i -> substr(lower(trim(text, ' ')), CAST(i AS INTEGER), 3))
                    ELSE [] END AS grams
             FROM documents),
         s AS (
@@ -4459,10 +4459,10 @@ def _bpe_pinned_sql() -> str:
         WITH seg AS (
             SELECT doc_id,
                    list_transform(
-                       list_filter(string_split_regex(lower(trim(text)),
+                       list_filter(string_split_regex(lower(trim(text, ' ')),
                                                       '\\s+'),
                                    x -> x <> ''),
-                       w -> trim({expr})) AS words
+                       w -> trim({expr}, ' ')) AS words
             FROM documents)
         SELECT doc_id,
                CASE WHEN len(words) = 0 THEN ''
@@ -4954,7 +4954,7 @@ ORACLES: dict[str, str] = {
             (1, 'fast table scan'), (2, 'stream window agg'),
             (3, 'customer join query'), (4, 'vector hash merge batch')),
         qt AS (SELECT DISTINCT query_id,
-                      unnest(regexp_split_to_array(lower(trim(query_text)),
+                      unnest(regexp_split_to_array(lower(trim(query_text, ' ')),
                                                    '\\s+')) AS term
                FROM q),
         dl AS (SELECT doc_id, CAST(len({{toks}}) AS DOUBLE) AS dl
