@@ -21,6 +21,8 @@ FUZZ_KEYS = [
     "ngram_lm_score",
     "split_by_content",
     "mixture_rebalance",
+    "corpus_report",
+    "token_count",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
