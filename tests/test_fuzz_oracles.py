@@ -78,4 +78,65 @@ def test_fuzzed_corpus_stays_oracle_exact(spark, tmp_path_factory, rows):
         odf = con.execute(ORACLES[key]).fetch_arrow_table().to_pandas()
         s, o = _normalize(sdf), _normalize(odf)
         assert list(s.columns) == list(o.columns), key
-        pd.testing.assert_frame_equal(s, o, obj=key)
+        # empty results keep native dtypes (ns vs us timestamps) through
+        # the stringifying _normalize — values are what matters
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
+
+
+EVENT_KEYS = [
+    "events_cusum",
+    "events_ols_trend",
+    "events_winsorized",
+    "equi_depth_histogram",
+    "category_drift",
+]
+
+#: grid-valued doubles (multiples of 0.5) spanning the histogram keys'
+#: boundary bins (< 0 underflow and >= 500 overflow included), plus a
+#: small time grid that produces duplicate timestamps and 1-row windows
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # day
+        st.integers(0, 5),          # hour
+        st.sampled_from([-2.0, 0.0, 0.5, 49.5, 50.0, 250.25, 499.5,
+                         500.0, 510.0]),
+        st.sampled_from(["click", "view", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@FUZZ
+@given(rows=EVENTS)
+def test_fuzzed_events_stay_oracle_exact(spark, tmp_path_factory, rows):
+    import datetime as dt
+
+    ev = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": [dt.datetime(2024, 1, 1 + d, h) for d, h, _, _ in rows],
+        "user_id": [i % 5 for i in range(len(rows))],
+        "event_type": [c for _, _, _, c in rows],
+        "value": [v for _, _, v, _ in rows],
+        "props": ["{}"] * len(rows),
+    })
+    d = tmp_path_factory.mktemp("fuzz_ev")
+    pq = str(d / "events.parquet")
+    spark.createDataFrame(ev).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "_stage")
+    )
+    part = next(
+        f for f in os.listdir(str(d / "_stage")) if f.startswith("part-")
+    )
+    os.replace(str(d / "_stage" / part), pq)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{pq}'")
+    for key in EVENT_KEYS:
+        sdf = QUERIES[key](spark, str(d)).toPandas()
+        odf = con.execute(ORACLES[key]).fetch_arrow_table().to_pandas()
+        s, o = _normalize(sdf), _normalize(odf)
+        assert list(s.columns) == list(o.columns), key
+        # empty results keep native dtypes (ns vs us timestamps) through
+        # the stringifying _normalize — values are what matters
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
