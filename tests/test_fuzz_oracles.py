@@ -140,3 +140,48 @@ def test_fuzzed_events_stay_oracle_exact(spark, tmp_path_factory, rows):
         # empty results keep native dtypes (ns vs us timestamps) through
         # the stringifying _normalize — values are what matters
         pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
+
+
+EMB_KEYS = [
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "vector_quantize_int8",
+]
+
+#: grid-valued small vectors INCLUDING the all-zero vector (zero norm:
+#: every cosine divides by it — Spark's div-by-zero yields NULL, DuckDB
+#: yields NaN/inf unless guarded)
+VEC = st.lists(
+    st.sampled_from([-1.0, -0.25, 0.0, 0.25, 1.0]), min_size=4, max_size=4
+)
+EMBS = st.lists(VEC, min_size=2, max_size=12)
+
+
+@FUZZ
+@given(vecs=EMBS)
+def test_fuzzed_embeddings_stay_oracle_exact(spark, tmp_path_factory, vecs):
+    emb = pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [[float(x) for x in v] for v in vecs],
+        "label": [0] * len(vecs),
+    })
+    d = tmp_path_factory.mktemp("fuzz_emb")
+    pq = str(d / "embeddings.parquet")
+    spark.createDataFrame(emb).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "_stage")
+    )
+    part = next(
+        f for f in os.listdir(str(d / "_stage")) if f.startswith("part-")
+    )
+    os.replace(str(d / "_stage" / part), pq)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{pq}'")
+    for key in EMB_KEYS:
+        sdf = QUERIES[key](spark, str(d)).toPandas()
+        odf = con.execute(ORACLES[key]).fetch_arrow_table().to_pandas()
+        s, o = _normalize(sdf), _normalize(odf)
+        assert list(s.columns) == list(o.columns), key
+        # empty results keep native dtypes (ns vs us timestamps) through
+        # the stringifying _normalize — values are what matters
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
