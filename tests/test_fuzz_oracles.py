@@ -42,7 +42,7 @@ CORPUS = st.lists(
 )
 
 FUZZ = settings(
-    max_examples=5,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
