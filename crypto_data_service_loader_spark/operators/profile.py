@@ -546,12 +546,21 @@ def ols_trend(
     dyy = n * syy - sy * sy
     dxy = n * sxy - sx * sy
     slope = dxy / dxx
+    # + 0.0 normalizes IEEE negative zero: a rounded -1e-9 is -0.0,
+    # which the cross-engine comparator distinguishes from 0.0 (fuzzer
+    # finding); adding +0.0 maps both signs of zero to +0.0
     return df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.when(dxx > 0, slope), 6).alias("slope"),
-        F.round(F.when(dxx > 0, (sy - slope * sx) / n), 6).alias("intercept"),
-        F.round(
-            F.when((dxx > 0) & (dyy > 0), (dxy * dxy) / (dxx * dyy)), 6
+        (F.round(F.when(dxx > 0, slope), 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round(F.when(dxx > 0, (sy - slope * sx) / n), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+        (
+            F.round(
+                F.when((dxx > 0) & (dyy > 0), (dxy * dxy) / (dxx * dyy)), 6
+            )
+            + F.lit(0.0)
         ).alias("r2"),
     )
 

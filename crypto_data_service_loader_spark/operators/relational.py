@@ -621,4 +621,6 @@ def rolling_corr(
         (n >= 2) & (dxx > 0) & (dyy > 0),
         dxy / (F.sqrt(dxx) * F.sqrt(dyy)),
     )
-    return df.withColumn("rolling_corr", F.round(corr, 6))
+    # + 0.0 maps IEEE -0.0 to +0.0 (cross-engine comparators
+    # distinguish the signs; fuzzer-found class)
+    return df.withColumn("rolling_corr", F.round(corr, 6) + F.lit(0.0))

@@ -481,12 +481,19 @@ def q_agg_corr(spark, sf_dir):
     sxy = F.sum((x * y).cast("decimal(38,10)")).cast("double")
     sxx = F.sum((x * x).cast("decimal(38,10)")).cast("double")
     syy = F.sum((y * y).cast("decimal(38,10)")).cast("double")
-    cov = (sxy - sx * sy / n) / (n - 1)
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    cov = F.when(n >= 2, (sxy - sx * sy / n) / (n - 1))
+    # explicit degenerate guards + negative-zero normalization (+0.0):
+    # Spark's div-by-zero yields NULL where DuckDB yields inf, and a
+    # rounded -1e-9 is -0.0 on one engine and 0.0 on the other — both
+    # classes surfaced under the oracle fuzzer, invisible at gate SFs
+    corr = F.when(
+        (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
     )
     return ev.groupBy("event_type").agg(
-        F.round(cov, 6).alias("cov_xy"), F.round(corr, 6).alias("corr_xy")
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov_xy"),
+        (F.round(corr, 6) + F.lit(0.0)).alias("corr_xy"),
     )
 
 
@@ -1736,9 +1743,15 @@ _RELATIONAL_ORACLES = {
                    CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS syy
             FROM events GROUP BY event_type)
         SELECT event_type,
-               round((sxy - sx * sy / n) / (n - 1), 6) AS cov_xy,
-               round((n * sxy - sx * sy)
-                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_xy
+               round(CASE WHEN n >= 2
+                          THEN (sxy - sx * sy / n) / (n - 1) END, 6)
+                   + 0 AS cov_xy,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                           AND n * syy - sy * sy > 0
+                          THEN (n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx)
+                                  * sqrt(n * syy - sy * sy)) END, 6)
+                   + 0 AS corr_xy
         FROM s""",
     "scalar_date_parts": """
         SELECT o_orderkey,
@@ -5235,7 +5248,7 @@ ORACLES["rolling_corr"] = """
                       THEN (n * sxy - sx * sy)
                            / (sqrt(n * sxx - sx * sx)
                               * sqrt(n * syy - sy * sy))
-                 END, 6) AS rolling_corr
+                 END, 6) + 0 AS rolling_corr
     FROM (
         SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
                l_extendedprice, l_quantity,
@@ -5405,16 +5418,16 @@ ORACLES["events_ols_trend"] = """
     SELECT event_type, n_rows AS n,
            round(CASE WHEN n * sxx - sx * sx > 0
                       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                 END, 6) AS slope,
+                 END, 6) + 0 AS slope,
            round(CASE WHEN n * sxx - sx * sx > 0
                       THEN (sy - ((n * sxy - sx * sy)
                                   / (n * sxx - sx * sx)) * sx) / n
-                 END, 6) AS intercept,
+                 END, 6) + 0 AS intercept,
            round(CASE WHEN n * sxx - sx * sx > 0
                        AND n * syy - sy * sy > 0
                       THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
                            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-                 END, 6) AS r2
+                 END, 6) + 0 AS r2
     FROM m"""
 # Mixture rebalance: integer token sums + one division per source; the
 # CASE mirrors the Spark when-chain; DuckDB decimal literals cast DOUBLE.

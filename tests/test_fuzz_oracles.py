@@ -84,6 +84,7 @@ def test_fuzzed_corpus_stays_oracle_exact(spark, tmp_path_factory, rows):
 
 
 EVENT_KEYS = [
+    "agg_corr",
     "events_cusum",
     "events_ols_trend",
     "events_winsorized",
