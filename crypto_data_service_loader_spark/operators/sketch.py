@@ -1,0 +1,331 @@
+"""Portable, mergeable data sketches: HyperLogLog cardinality,
+count-min frequency, Bloom membership.
+
+Why another sketch layer when Spark ships approx_count_distinct /
+approx_percentile: the builtin sketches are engine-specific (their
+register layout and hash are implementation details), so results can
+only ever be rows-only checked against another engine, and a sketch
+persisted by one system is opaque to every other. These three are
+built from md5-derived hashes and exact integer arithmetic only, so
+every cell is deterministic and reproducible bit-for-bit across
+engines — the sketch TABLE itself is a portable interchange format.
+
+Scale shape (the point at 100 TB): each sketch is a constant-size
+relation — m HLL registers, d*w count-min cells, n_words Bloom words —
+regardless of input cardinality. Construction is one partial-combined
+aggregation over the scan (map-side combine shrinks every partition's
+output to sketch size before the shuffle), and each sketch is
+MERGEABLE with plain SQL aggregates:
+
+- HLL registers merge by MAX(rank),
+- count-min cells merge by SUM(count),
+- Bloom words merge by BIT_OR(bits),
+
+so per-day / per-source / per-partition sketches roll up without ever
+touching raw data again — the pre-aggregate-once pattern.
+
+Reference parity: the reference has no sketch surface (charter EXT,
+training-data pipeline ops). Hash derivation follows the repo's
+portable idiom (operators/dedup.py:332): md5 hex -> conv(hex, 16, 10),
+mirrored in DuckDB as ('0x' || hex)::BIGINT.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), deterministic flavor
+# ---------------------------------------------------------------------------
+
+#: hex chars of md5 consumed by the register index (2 -> 256 raw slots,
+#: reduced mod m) and by the rank material (12 -> 48 bits).
+_REG_HEX = 2
+_RANK_HEX = 12
+_RANK_BITS = 4 * _RANK_HEX  # 48
+_MAX_RANK = _RANK_BITS + 1  # 49: all rank bits zero
+
+#: standard HLL bias constants (Flajolet et al. 2007, fig. 3)
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_numerator(m: int) -> float:
+    """The estimate numerator alpha_m * m^2 * 2^RANK_BITS+1-scale as ONE
+    Python float literal, inlined verbatim on both engines so the final
+    division has bit-identical operands everywhere."""
+    return _alpha(m) * m * m * float(2 ** _MAX_RANK)
+
+
+def rank_case_sql(v: str) -> str:
+    """ANSI-SQL CASE computing the HLL rank (leading-zero count + 1) of
+    a 48-bit integer expression ``v`` — the exact SQL twin of
+    :func:`_rank_expr`, kept adjacent so the two can never drift."""
+    whens = " ".join(
+        f"WHEN {v} >= {2 ** (_RANK_BITS - r)} THEN {r}" for r in range(1, _RANK_BITS + 1)
+    )
+    return f"CASE {whens} ELSE {_MAX_RANK} END"
+
+
+def _rank_expr(v: Column) -> Column:
+    """HLL rank of a 48-bit non-negative long: position of the highest
+    set bit from the top, i.e. leading zeros + 1; 49 when v == 0. A
+    49-branch comparison chain stays inside whole-stage codegen (no
+    loops, no UDF) and is trivially portable — see rank_case_sql."""
+    out = F.when(v >= 2 ** (_RANK_BITS - 1), 1)
+    for r in range(2, _RANK_BITS + 1):
+        out = out.when(v >= 2 ** (_RANK_BITS - r), r)
+    return out.otherwise(_MAX_RANK)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., reg, rank).
+
+    This IS the sketch — at most ``m`` rows per group no matter how
+    many input rows, produced by one partial-combined max aggregation
+    (each task emits <= groups*m rows before the shuffle). Registers a
+    value never hit are simply absent (rank 0 by convention); merge
+    with :func:`hll_merge`, estimate with :func:`hll_estimate`.
+
+    ``m`` must be a power of two <= 256 (register index = first 2 md5
+    hex chars reduced mod m — uniform only when m divides 256).
+    """
+    if m & (m - 1) or not 2 <= m <= 256:
+        raise ValueError(f"m must be a power of two in [2, 256], got {m}")
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, _REG_HEX), 16, 10).cast("long") % m
+    v = F.conv(F.substring(h, _REG_HEX + 1, _RANK_HEX), 16, 10).cast("long")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        reg.cast("int").alias("reg"),
+        _rank_expr(v).cast("int").alias("rank"),
+    )
+    return base.groupBy(*group_cols, "reg").agg(F.max("rank").alias("rank"))
+
+
+def hll_merge(reg_dfs: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Merge register tables built over disjoint (or overlapping — max
+    is idempotent) slices of the data: per-register MAX(rank)."""
+    u = reduce(lambda a, b: a.unionByName(b), reg_dfs)
+    return u.groupBy(*group_cols, "reg").agg(F.max("rank").alias("rank"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str],
+    m: int = 64,
+    est_col: str = "est_distinct",
+    small_range_correction: bool = False,
+) -> DataFrame:
+    """Raw HLL estimate per group from a register table.
+
+    All arithmetic before the final division is exact int64: each
+    register contributes 2^(49 - rank) (a register never hit
+    contributes 2^49), so the harmonic-mean denominator is an exact
+    integer (max m * 2^49 = 1.44e17 for m=256, inside int64). The
+    estimate is then ONE double division numerator/denominator with
+    bit-identical operands on every engine — deliberately emitted
+    UNROUNDED (rounding is the only step whose half-way behavior
+    differs across engines; the raw quotient is already bit-exact).
+    ``small_range_correction=True`` applies the standard linear-counting
+    branch (m * ln(m / empty_registers) when the raw estimate is below
+    2.5m and some register is empty) — MUCH more accurate when the true
+    cardinality is well under m, but ln() is a libm transcendental whose
+    last ulp differs across engines, so the corrected column is for
+    consumption, not for cross-engine exactness gates (the registered
+    `hll_distinct` key pins the raw form).
+    """
+    numerator = hll_numerator(m)
+    two49 = F.lit(2 ** _MAX_RANK).cast("long")
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_MAX_RANK} - rank)")).alias("_hit"),
+    )
+    reg_sum = F.col("_hit") + (F.lit(m) - F.col("n_registers")).cast("long") * two49
+    raw = F.lit(numerator) / reg_sum.cast("double")
+    est = raw
+    if small_range_correction:
+        zeros = (F.lit(m) - F.col("n_registers")).cast("double")
+        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+        est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_registers",
+        reg_sum.alias("reg_sum"),
+        est.alias(est_col),
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 64,
+    small_range_correction: bool = False,
+) -> DataFrame:
+    """groupBy(group_cols).approx_distinct(value_col), the portable way:
+    build registers, estimate. Two aggregations, both keyed on
+    (group, reg) / (group) — never on the raw value, so the shuffle
+    carries at most groups*m rows."""
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col, m),
+        group_cols,
+        m,
+        small_range_correction=small_range_correction,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005), deterministic flavor
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(key: Column, row: Column, w: int) -> Column:
+    """Row-salted md5 bucket: hash_i(x) = md5(i || '|' || x) mod w —
+    independent-enough rows, identical on both engines."""
+    h = F.md5(F.concat(row.cast("string"), F.lit("|"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w).cast("int")
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a d x w count-min sketch over ``key_col``: rows
+    (row, bucket, cnt). One scan; the explode emits d rows per input
+    row but the partial-combined sum shrinks every task's output to at
+    most d*w cells before the shuffle — the sketch never exceeds d*w
+    rows no matter the key cardinality. Merge sketches with
+    :func:`countmin_merge` (cell-wise sum)."""
+    wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("_k"),
+        wcol.alias("_w"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row"),
+    )
+    return (
+        rows.select("row", _cm_bucket(F.col("_k"), F.col("row"), w).alias("bucket"), "_w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def countmin_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Cell-wise sum of sketches built with the same (d, w)."""
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Point estimates for a probe key set: min over the d row cells.
+    Guarantee: est >= true count, always (cells only ever over-count).
+    The sketch is d*w rows -> broadcast; probes fan out d rows each and
+    take a min — no shuffle of anything data-sized."""
+    fan = probes.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
+    ).withColumn("bucket", _cm_bucket(F.col(key_col), F.col("row"), w))
+    joined = fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    others = [c for c in probes.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970), deterministic flavor
+# ---------------------------------------------------------------------------
+
+#: bits per int64 word — 63 keeps every mask positive (no sign games to
+#: port across engines).
+_WORD_BITS = 63
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_words: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as (word, bits) rows:
+    n_words int64 words of 63 bits each, k set positions per key
+    (row-salted md5, same family as count-min). One scan; BIT_OR is
+    partial-combined so each task ships at most n_words rows. Merge
+    filters over data slices with a plain groupBy(word).bit_or(bits).
+
+    The use-case at 100 TB: build over a large-but-hashable join side,
+    broadcast the n_words-row table, and pre-filter the probe side
+    scan-locally before the real join — a hand-rolled, persistable twin
+    of Spark's runtime bloom pushdown (tests/test_plans.py pins the
+    builtin one; this one the user controls and can store)."""
+    nbits = n_words * _WORD_BITS
+    pos = _cm_bucket(F.col(key_col), F.col("_j"), nbits).cast("long")
+    rows = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_j"),
+        )
+        .select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / _WORD_BITS).cast("int").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_pos % {_WORD_BITS} AS INT))").alias("_m"),
+        )
+    )
+    return rows.groupBy("word").agg(F.expr("bit_or(_m)").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_words: int = 64,
+    k: int = 3,
+    flag_col: str = "in_bloom",
+) -> DataFrame:
+    """Membership test for every probe row: true iff all k bit
+    positions are set. No false negatives ever; false-positive rate is
+    governed by n_words/k vs the build cardinality. The filter is
+    n_words rows -> broadcast; the probe side never shuffles."""
+    nbits = n_words * _WORD_BITS
+    pos = _cm_bucket(F.col(key_col), F.col("_j"), nbits).cast("long")
+    fan = (
+        probes.select(
+            "*", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_j")
+        )
+        .withColumn("_pos", pos)
+        .withColumn("word", (F.col("_pos") / _WORD_BITS).cast("int"))
+        .withColumn("_bit", (F.col("_pos") % _WORD_BITS).cast("int"))
+        .drop("_j", "_pos")
+    )
+    joined = fan.join(F.broadcast(bloom), ["word"], "left")
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.expr("shiftright(bits, _bit)") % 2 == 1)
+    )
+    others = [c for c in probes.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(hit.cast("int")).alias("_all"))
+        .select(*others, (F.col("_all") == 1).alias(flag_col))
+    )

@@ -23,6 +23,7 @@ from .operators import (
     registry as R,
     relational as rel,
     similarity,
+    sketch,
     text,
     training,
 )
@@ -4498,8 +4499,69 @@ def q_bm25_topk(spark, sf_dir):
     return text.bm25_topk(load(spark, sf_dir, "documents"), qdf, k=5)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog: distinct users per event type as a
+    64-register md5 sketch — constant-size, mergeable (MAX per
+    register), and deterministic cross-engine, unlike the builtin
+    rows-only approx_count_distinct. Exact int64 arithmetic up to one
+    final double division with bit-identical operands, so the estimate
+    ships UNROUNDED."""
+    return sketch.hll_cardinality(
+        load(spark, sf_dir, "events"), ["event_type"], "user_id", m=64
+    )
+
+
+def q_countmin_term_counts(spark, sf_dir):
+    """Count-min sketch (4 x 32 cells) over the corpus term stream,
+    probed with the true top-20 terms: est_count >= true_count always,
+    overcount = the collision cost at this width. The sketch is d*w
+    rows regardless of vocabulary — the bounded-state alternative to an
+    exact term groupBy at 100 TB, mergeable by cell-wise SUM. w = 32 is
+    deliberately narrow so collisions are visible in the gate data."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(text._tokens(F.col("text"))).alias("term"))
+    truth = terms.groupBy("term").agg(F.count("*").alias("true_count"))
+    top = truth.orderBy(F.desc("true_count"), F.asc("term")).limit(20)
+    est = sketch.countmin_lookup(
+        sketch.countmin_build(terms, "term", d=4, w=32), top, "term", d=4, w=32
+    )
+    return est.select(
+        "term",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overcount"),
+    )
+
+
+def q_bloom_prejoin_filter(spark, sf_dir):
+    """Bloom pre-join filter: 64-word / 3-hash filter built over the
+    custkeys holding 'F' orders, probed with every customer — the
+    broadcastable, persistable pre-filter that prunes a probe-side scan
+    before a shuffle join (the user-controlled twin of Spark's runtime
+    bloom pushdown). in_bloom vs is_member exposes the false-positive
+    set in the result itself; false negatives are impossible (tested)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    members = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    bloom = sketch.bloom_build(members, "k", n_words=64, k=3)
+    probed = sketch.bloom_probe(bloom, cust, "c_custkey", n_words=64, k=3)
+    truth = (
+        members.distinct()
+        .withColumnRenamed("k", "c_custkey")
+        .withColumn("_m", F.lit(True))
+    )
+    return probed.join(F.broadcast(truth), "c_custkey", "left").select(
+        "c_custkey", "in_bloom", F.coalesce(F.col("_m"), F.lit(False)).alias("is_member")
+    )
+
+
 QUERIES = {
     # --- new in round 7 (front-50 driver window) ---
+    "hll_distinct": q_hll_distinct,
+    "countmin_term_counts": q_countmin_term_counts,
+    "bloom_prejoin_filter": q_bloom_prejoin_filter,
     "knn_triangles_indexed": q_knn_triangles_indexed,
     "pagerank_knn_indexed": q_pagerank_knn_indexed,
     "bpe_segment_pinned": q_bpe_segment_pinned,
@@ -4710,6 +4772,8 @@ QUERIES = {
 # round-3+ green row). The big literal above keeps its grouping for
 # readability; this reorder is the rotation policy, in one place.
 _R7_FRONT = [
+    # new in round 7 (late session): portable mergeable sketches
+    "hll_distinct", "countmin_term_counts", "bloom_prejoin_filter",
     # new in round 7
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
@@ -5617,3 +5681,87 @@ ORACLES["category_drift"] = ORACLES["histogram_drift"].replace(
                event_type AS bin_id
         FROM events WHERE event_type IS NOT NULL),""",
 )
+# Portable HLL: rank CASE + numerator literal are generated by the SAME
+# sketch-module helpers the Spark side uses, so the two definitions can
+# never drift; the estimate is one double division of bit-identical
+# operands on both engines, hence emitted unrounded.
+_HLL_V = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT"
+ORACLES["hll_distinct"] = f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 64 AS INTEGER) AS reg,
+               {sketch.rank_case_sql(_HLL_V)} AS rank
+        FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, reg, CAST(max(rank) AS INTEGER) AS rank
+          FROM h GROUP BY event_type, reg),
+    a AS (SELECT event_type,
+                 CAST(count(*) AS INTEGER) AS n_registers,
+                 CAST(SUM(1::BIGINT << (49 - rank)) AS BIGINT) AS hit
+          FROM r GROUP BY event_type)
+    SELECT event_type, n_registers,
+           hit + CAST(64 - n_registers AS BIGINT) * (1::BIGINT << 49) AS reg_sum,
+           {sketch.hll_numerator(64)!r}
+               / CAST(hit + CAST(64 - n_registers AS BIGINT)
+                      * (1::BIGINT << 49) AS DOUBLE) AS est_distinct
+    FROM a"""
+
+# Count-min: every term OCCURRENCE fans out to d=4 row-salted cells;
+# estimates are min over the probe's 4 cells — integer-exact end to end.
+ORACLES["countmin_term_counts"] = f"""
+    WITH terms AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    truth AS (SELECT term, count(*) AS true_count FROM terms GROUP BY term),
+    top AS (SELECT * FROM truth ORDER BY true_count DESC, term ASC LIMIT 20),
+    fan AS (SELECT term, rw FROM terms
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rw)),
+    cells AS (
+        SELECT rw,
+               CAST(('0x' || substr(md5(CAST(rw AS VARCHAR) || '|' || term),
+                                    1, 8))::BIGINT % 32 AS INTEGER) AS bkt,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM fan GROUP BY rw, bkt),
+    probe AS (
+        SELECT t.term, t.true_count, p.rw,
+               CAST(('0x' || substr(md5(CAST(p.rw AS VARCHAR) || '|' || t.term),
+                                    1, 8))::BIGINT % 32 AS INTEGER) AS bkt
+        FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rw) p),
+    est AS (
+        SELECT term, true_count,
+               min(coalesce(c.cnt, 0)) AS est_count
+        FROM probe p LEFT JOIN cells c USING (rw, bkt)
+        GROUP BY term, true_count)
+    SELECT term, true_count, est_count,
+           est_count - true_count AS overcount
+    FROM est"""
+
+# Bloom: 64 words x 63 bits, 3 row-salted positions per key; membership
+# = all three bits set. Build over raw (non-distinct) members — BIT_OR
+# is idempotent, so the oracle's DISTINCT build is the same filter.
+ORACLES["bloom_prejoin_filter"] = """
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS kk FROM orders WHERE o_orderstatus = 'F'),
+    pos AS (
+        SELECT kk,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                   || CAST(kk AS VARCHAR)), 1, 8))::BIGINT
+                   % 4032 AS p
+        FROM members CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    words AS (
+        SELECT CAST(p // 63 AS INTEGER) AS w,
+               bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+        FROM pos GROUP BY 1),
+    probe AS (
+        SELECT c_custkey,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                   || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                   % 4032 AS p
+        FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    flags AS (
+        SELECT c_custkey,
+               min(CASE WHEN b.bits IS NOT NULL
+                         AND (b.bits >> CAST(p % 63 AS INTEGER)) % 2 = 1
+                    THEN 1 ELSE 0 END) AS a
+        FROM probe LEFT JOIN words b ON CAST(p // 63 AS INTEGER) = b.w
+        GROUP BY c_custkey)
+    SELECT f.c_custkey, a = 1 AS in_bloom, m.kk IS NOT NULL AS is_member
+    FROM flags f LEFT JOIN members m ON f.c_custkey = m.kk"""

@@ -1,0 +1,181 @@
+"""Portable sketch semantics: mergeability (the 100-TB roll-up
+contract), the count-min >= guarantee, Bloom no-false-negatives, and
+estimate sanity vs exact truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.operators import sketch
+from crypto_data_service_loader_spark.tables import load
+
+
+def _events(spark, sf_dir):
+    return load(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# HLL
+# --------------------------------------------------------------------------
+
+
+def test_hll_merge_equals_whole(spark, sf_dir):
+    """Registers built per-slice then merged == registers built over the
+    union — the property that lets per-day sketches roll up without
+    re-reading raw data."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = sketch.hll_merge(
+        [
+            sketch.hll_registers(a, ["event_type"], "user_id"),
+            sketch.hll_registers(b, ["event_type"], "user_id"),
+        ],
+        ["event_type"],
+    )
+    whole = sketch.hll_registers(ev, ["event_type"], "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    # and the estimates (one more agg on top) agree too
+    em = sketch.hll_estimate(merged, ["event_type"]).collect()
+    ew = sketch.hll_estimate(whole, ["event_type"]).collect()
+    assert sorted(map(tuple, em)) == sorted(map(tuple, ew))
+
+
+def test_hll_corrected_estimate_tracks_small_truth(spark, sf_dir):
+    """n << m: the raw harmonic estimate is known-biased; the
+    linear-counting branch is the accurate one there."""
+    ev = _events(spark, sf_dir)
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketch.hll_cardinality(
+            ev, ["event_type"], "user_id", small_range_correction=True
+        ).collect()
+    }
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(true)
+    for t, n in true.items():
+        assert 0.7 * n <= est[t] <= 1.4 * n, (t, n, est[t])
+
+
+def test_hll_raw_estimate_tracks_large_truth(spark):
+    """n >> m: the raw harmonic estimate's own regime — the one the
+    oracle-exact key pins. Standard error ~ 1.04/sqrt(64) = 13%."""
+    df = spark.range(5000).select((F.col("id") * 7 + 13).alias("v"))
+    row = sketch.hll_cardinality(
+        df.withColumn("g", F.lit("all")), ["g"], "v", m=64
+    ).collect()[0]
+    assert 0.65 * 5000 <= row["est_distinct"] <= 1.35 * 5000, row
+
+
+def test_hll_ignores_nulls_and_validates_m(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    with_nulls = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("user_id"))
+    )
+    # nulls contribute nothing: registers over non-null slice == registers
+    # over the null-injected frame
+    a = sketch.hll_registers(with_nulls, ["event_type"], "user_id")
+    b = sketch.hll_registers(
+        with_nulls.where(F.col("user_id").isNotNull()), ["event_type"], "user_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError):
+        sketch.hll_registers(ev, ["event_type"], "user_id", m=48)
+
+
+def test_hll_sketch_is_bounded(spark, sf_dir):
+    """The register table never exceeds groups * m rows however big the
+    input — the constant-size contract."""
+    regs = sketch.hll_registers(_events(spark, sf_dir), ["event_type"], "user_id", m=16)
+    per_group = regs.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 16 for r in per_group)
+
+
+# --------------------------------------------------------------------------
+# count-min
+# --------------------------------------------------------------------------
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(F.col("user_id").cast("string").alias("k"))
+    sk = sketch.countmin_build(keyed, "k", d=4, w=16)  # narrow: force collisions
+    truth = keyed.groupBy("k").agg(F.count("*").alias("true_cnt"))
+    est = sketch.countmin_lookup(sk, truth, "k", d=4, w=16)
+    rows = est.collect()
+    assert rows and all(r["est_count"] >= r["true_cnt"] for r in rows)
+    # sketch is bounded by d * w cells
+    assert sk.count() <= 4 * 16
+
+
+def test_countmin_merge_equals_whole(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(F.col("user_id").cast("string").alias("k"))
+    a = ev.limit(300)
+    # complement via subtract-free split: hash parity on the value
+    lo = ev.where(F.conv(F.substring(F.md5("k"), 1, 2), 16, 10) % 2 == 0)
+    hi = ev.where(F.conv(F.substring(F.md5("k"), 1, 2), 16, 10) % 2 == 1)
+    merged = sketch.countmin_merge(
+        [sketch.countmin_build(lo, "k"), sketch.countmin_build(hi, "k")]
+    )
+    whole = sketch.countmin_build(ev, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    del a
+
+
+def test_countmin_weight_col(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 2), ("b", 7)], "k string, w int"
+    )
+    sk = sketch.countmin_build(df, "k", d=2, w=64, weight_col="w")
+    est = sketch.countmin_lookup(
+        sk, spark.createDataFrame([("a",), ("b",)], "k string"), "k", d=2, w=64
+    )
+    got = {r["k"]: r["est_count"] for r in est.collect()}
+    assert got["a"] >= 5 and got["b"] >= 7
+
+
+# --------------------------------------------------------------------------
+# Bloom
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpr(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    members = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    bloom = sketch.bloom_build(members, "k", n_words=64, k=3)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    flags = sketch.bloom_probe(bloom, cust, "k", n_words=64, k=3)
+    truth = {r["k"] for r in members.distinct().collect()}
+    rows = flags.collect()
+    neg = [r for r in rows if r["k"] in truth and not r["in_bloom"]]
+    assert not neg, f"false negatives: {neg[:5]}"
+    non_members = [r for r in rows if r["k"] not in truth]
+    if non_members:
+        fpr = sum(r["in_bloom"] for r in non_members) / len(non_members)
+        assert fpr < 0.9  # degenerate-saturation guard, not a tuning claim
+    # the filter itself is at most n_words rows
+    assert bloom.count() <= 64
+
+
+def test_bloom_merge_equals_whole(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(F.col("user_id").alias("k"))
+    lo = ev.where(F.col("k") % 2 == 0)
+    hi = ev.where(F.col("k") % 2 == 1)
+    merged = (
+        sketch.bloom_build(lo, "k")
+        .unionByName(sketch.bloom_build(hi, "k"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    whole = sketch.bloom_build(ev, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
