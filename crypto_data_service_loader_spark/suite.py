@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import (
     asof,
+    contract,
     dedup,
     profile,
     registry as R,
@@ -4499,6 +4500,30 @@ def q_bm25_topk(spark, sf_dir):
     return text.bm25_topk(load(spark, sf_dir, "documents"), qdf, k=5)
 
 
+def q_data_contract_check(spark, sf_dir):
+    """Declarative load-gate contract over orders: not-null, key
+    uniqueness, value range, accepted set, FK integrity vs customer,
+    priority format regex, and a free-form expression — the whole
+    report from ONE aggregation over ONE fact scan (FK refs broadcast
+    in as flag columns first). Rules 2/3/6 are deliberately strict so
+    the violation counts are non-zero in the gate data."""
+    rules = [
+        {"rule": "not_null", "col": "o_orderdate"},
+        {"rule": "unique", "cols": ["o_orderkey"]},
+        {"rule": "range", "col": "o_totalprice", "lo": 0.0, "hi": 250000.0},
+        {"rule": "in_set", "col": "o_orderstatus", "values": ["F", "O"]},
+        {
+            "rule": "fk",
+            "col": "o_custkey",
+            "ref": load(spark, sf_dir, "customer"),
+            "ref_col": "c_custkey",
+        },
+        {"rule": "regex", "col": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"rule": "expr", "expr": "o_totalprice > 2000", "col": "o_totalprice"},
+    ]
+    return contract.contract_report(load(spark, sf_dir, "orders"), rules)
+
+
 def q_hll_distinct(spark, sf_dir):
     """Portable HyperLogLog: distinct users per event type as a
     64-register md5 sketch — constant-size, mergeable (MAX per
@@ -4562,6 +4587,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
     "bloom_prejoin_filter": q_bloom_prejoin_filter,
+    "data_contract_check": q_data_contract_check,
     "knn_triangles_indexed": q_knn_triangles_indexed,
     "pagerank_knn_indexed": q_pagerank_knn_indexed,
     "bpe_segment_pinned": q_bpe_segment_pinned,
@@ -4772,8 +4798,10 @@ QUERIES = {
 # round-3+ green row). The big literal above keeps its grouping for
 # readability; this reorder is the rotation policy, in one place.
 _R7_FRONT = [
-    # new in round 7 (late session): portable mergeable sketches
+    # new in round 7 (late session): portable mergeable sketches +
+    # contract validation
     "hll_distinct", "countmin_term_counts", "bloom_prejoin_filter",
+    "data_contract_check",
     # new in round 7
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
@@ -5765,3 +5793,44 @@ ORACLES["bloom_prejoin_filter"] = """
         GROUP BY c_custkey)
     SELECT f.c_custkey, a = 1 AS in_bloom, m.kk IS NOT NULL AS is_member
     FROM flags f LEFT JOIN members m ON f.c_custkey = m.kk"""
+
+# Contract report: one subquery per rule in the oracle (the Spark side
+# computes all of them in a single aggregation; the per-rule subqueries
+# here are semantically identical and easier to audit rule-by-rule).
+ORACLES["data_contract_check"] = """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+    r AS (
+        SELECT 0 AS rule_id, 'not_null' AS rule, 'o_orderdate' AS col_name,
+               (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS v
+        UNION ALL
+        SELECT 1, 'unique', 'o_orderkey',
+               (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 2, 'range', 'o_totalprice',
+               (SELECT count(*) FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND (o_totalprice < 0.0 OR o_totalprice > 250000.0))
+        UNION ALL
+        SELECT 3, 'in_set', 'o_orderstatus',
+               (SELECT count(*) FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('F', 'O'))
+        UNION ALL
+        SELECT 4, 'fk', 'o_custkey',
+               (SELECT count(*) FROM orders o
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                  ON o.o_custkey = c.c_custkey
+                WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+        UNION ALL
+        SELECT 5, 'regex', 'o_orderpriority',
+               (SELECT count(*) FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+        UNION ALL
+        SELECT 6, 'expr', 'o_totalprice',
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_totalprice > 2000, FALSE)))
+    SELECT CAST(rule_id AS INTEGER) AS rule_id, rule, col_name,
+           CAST(v AS BIGINT) AS n_violations, n.n_rows,
+           v = 0 AS passed
+    FROM r, n"""
