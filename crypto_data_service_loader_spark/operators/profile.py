@@ -700,3 +700,208 @@ def category_drift(
         counts, window_col="win_start", bin_col=cat_col,
         count_col="n_rows",
     )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key autocorrelation function at lags 1..max_lag: the Pearson
+    correlation of (x_t, x_{t-lag}) pairs in (order_cols) order — the
+    "is this series self-similar / mean-reverting / trending?" monitor
+    that complements rolling_corr (cross-series) and ols_trend (drift).
+
+    Plan shape: ONE sorted window pass per key materializes all
+    max_lag lag columns (they share the shuffle + sort), the lag pairs
+    unpivot scan-locally, and ONE partial-combined aggregation on the
+    bounded (key, lag) space computes the five decimal moments. Per-key
+    serial work is O(max_lag); nothing data-sized crosses a second
+    shuffle. Degenerate series (fewer than 2 pairs, zero variance on
+    either margin) yield NULL via explicit guards (Spark div-by-zero
+    NULL vs DuckDB inf would otherwise diverge).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    x = F.col(value_col).cast("double")
+    lagged = df.select(
+        F.col(key_col),
+        x.alias("_x"),
+        *[F.lag(x, i).over(w).alias(f"_p{i}") for i in range(1, max_lag + 1)],
+    )
+    pairs = lagged.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("lag"),
+                        F.col("_x").alias("x"),
+                        F.col(f"_p{i}").alias("p"),
+                    )
+                    for i in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, "e.lag", "e.x", "e.p").where(F.col("p").isNotNull())
+    xx = F.col("x")
+    pp = F.col("p")
+    m = pairs.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xx.cast("decimal(38,6)")).cast("double").alias("_sx"),
+        F.sum(pp.cast("decimal(38,6)")).cast("double").alias("_sp"),
+        F.sum((xx * pp).cast("decimal(38,10)")).cast("double").alias("_sxp"),
+        F.sum((xx * xx).cast("decimal(38,10)")).cast("double").alias("_sxx"),
+        F.sum((pp * pp).cast("decimal(38,10)")).cast("double").alias("_spp"),
+    )
+    n = F.col("n_pairs").cast("double")
+    dxx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dpp = n * F.col("_spp") - F.col("_sp") * F.col("_sp")
+    dxp = n * F.col("_sxp") - F.col("_sx") * F.col("_sp")
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (dxx > 0) & (dpp > 0),
+        dxp / (F.sqrt(dxx) * F.sqrt(dpp)),
+    )
+    return m.select(
+        key_col,
+        "lag",
+        "n_pairs",
+        (corr + F.lit(0.0)).alias("acf"),
+    )
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 50,
+    n_sigma: float = 3.0,
+    min_periods: int = 8,
+) -> DataFrame:
+    """EWMA control chart: flag points that sit more than n_sigma
+    per-key standard deviations away from the exponentially-weighted
+    prediction built from the PRIOR rows only — the classic
+    fast-reacting point gate between per-point z-scores (no memory) and
+    CUSUM (slow-drift memory).
+
+    Exactness: the prediction is the repo's alpha=1/2 halving fold
+    (win_ewma's form — value fold / weight fold, no pow(), identical
+    index order on both engines) over a trailing ROWS frame ending at
+    -1; sigma comes from exact decimal moments + one IEEE sqrt; the
+    alert compares unrounded doubles that are bit-identical across
+    engines. Rows with fewer than min_periods prior rows are warm-up:
+    NULL prediction, is_alert false. Zero-variance keys alert never.
+
+    One shuffle on the key (window), one bounded groupBy for the key
+    stats (broadcast back) — the fact scan never moves twice.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-int(window), -1)
+    )
+    x = F.col(value_col).cast("double")
+    vals = F.collect_list(x).over(w)
+    fold = lambda arr: F.aggregate(  # noqa: E731 — acc/2 + x halving fold
+        arr, F.lit(0.0), lambda acc, v: acc / F.lit(2.0) + v
+    )
+    base = df.select(
+        key_col,
+        *order_cols,
+        x.alias("_x"),
+        vals.alias("_vals"),
+    ).withColumn(
+        "_pred",
+        F.when(
+            F.size("_vals") >= int(min_periods),
+            fold(F.col("_vals"))
+            / fold(F.transform(F.col("_vals"), lambda _: F.lit(1.0))),
+        ),
+    )
+    stats = df.groupBy(key_col).agg(
+        F.count(x).alias("_n"),
+        F.sum(x.cast("decimal(38,6)")).cast("double").alias("_s"),
+        F.sum((x * x).cast("decimal(38,10)")).cast("double").alias("_ss"),
+    )
+    nn = F.col("_n").cast("double")
+    var = (nn * F.col("_ss") - F.col("_s") * F.col("_s")) / (nn * (nn - 1))
+    stats = stats.select(
+        key_col,
+        F.when((F.col("_n") >= 2) & (var > 0), F.sqrt(var)).alias("_sigma"),
+    )
+    out = base.join(F.broadcast(stats), key_col, "left")
+    resid = F.col("_x") - F.col("_pred")
+    alert = F.coalesce(
+        F.abs(resid) > F.lit(float(n_sigma)) * F.col("_sigma"), F.lit(False)
+    )
+    return out.select(
+        key_col,
+        *order_cols,
+        F.col("_x").alias(value_col),
+        (F.col("_pred") + F.lit(0.0)).alias("ewma_pred"),
+        (resid + F.lit(0.0)).alias("residual"),
+        alert.alias("is_alert"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition on a day-of-period grid:
+    value = key_mean + seasonal(key, day mod period) + residual.
+    The "is Monday always like this?" monitor — drift gates downstream
+    (MAD / CUSUM / control chart) should run on the RESIDUAL, or weekly
+    shape trips them forever.
+
+    The season bucket is pure integer arithmetic — floor(epoch/86400)
+    mod period — deliberately avoiding engine dayofweek() conventions
+    (bucket 0 = the Unix epoch's day, a Thursday, when period=7).
+    Means are exact decimal sums / counts; the key mean is re-derived
+    from the (key, bucket) partial sums, so there is ONE aggregation
+    over ONE fact scan, a bounded regroup, and a broadcast join back.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
+    bucket = (day % period).cast("int")
+    x = F.col(value_col).cast("double")
+    enriched = df.select(key_col, ts_col, x.alias("_x"), bucket.alias("season_bucket"))
+    g = enriched.groupBy(key_col, "season_bucket").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast("decimal(38,6)")).alias("_s"),
+    )
+    tot = g.groupBy(key_col).agg(
+        F.sum("_n").alias("_nk"),
+        F.sum("_s").alias("_sk"),
+    )
+    key_mean = F.col("_sk").cast("double") / F.col("_nk").cast("double")
+    season_mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    stats = (
+        g.join(tot, key_col)
+        .select(
+            key_col,
+            "season_bucket",
+            key_mean.alias("_km"),
+            (season_mean - key_mean).alias("_seas"),
+        )
+    )
+    out = enriched.join(F.broadcast(stats), [key_col, "season_bucket"], "left")
+    return out.select(
+        key_col,
+        ts_col,
+        "season_bucket",
+        F.col("_x").alias(value_col),
+        (F.col("_km") + F.lit(0.0)).alias("key_mean"),
+        (F.col("_seas") + F.lit(0.0)).alias("seasonal"),
+        ((F.col("_x") - F.col("_km") - F.col("_seas")) + F.lit(0.0)).alias(
+            "residual"
+        ),
+    )

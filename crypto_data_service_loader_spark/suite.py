@@ -4524,6 +4524,40 @@ def q_data_contract_check(spark, sf_dir):
     return contract.contract_report(load(spark, sf_dir, "orders"), rules)
 
 
+def q_events_acf(spark, sf_dir):
+    """Per-type autocorrelation at lags 1-3 over the (ts, event_id)
+    tick order — the self-similarity monitor beside rolling_corr
+    (cross-series) and ols_trend (drift). One sorted window pass
+    materializes all lags; one bounded (key, lag) agg computes the
+    decimal moments."""
+    return profile.acf(
+        load(spark, sf_dir, "events"), "event_type", ["ts", "event_id"],
+        "value", max_lag=3,
+    )
+
+
+def q_events_control_chart(spark, sf_dir):
+    """EWMA control chart per event type: flag points > 3 per-key sigma
+    away from the halving-fold prediction built from the prior <= 50
+    rows (8-row warm-up emits no prediction). The fast point gate
+    between events_zscore (memoryless) and events_cusum (slow drift)."""
+    return profile.ewma_control_chart(
+        load(spark, sf_dir, "events"), "event_type", ["ts", "event_id"],
+        "value", window=50, n_sigma=3.0, min_periods=8,
+    )
+
+
+def q_events_seasonal(spark, sf_dir):
+    """Additive weekly seasonal decomposition: value = key mean +
+    seasonal(day-of-period) + residual, the pre-filter that keeps
+    weekly shape from tripping every drift gate. Season bucket is pure
+    integer epoch arithmetic (no engine dayofweek conventions); one
+    aggregation over one fact scan, stats broadcast back."""
+    return profile.seasonal_decompose(
+        load(spark, sf_dir, "events"), "event_type", "ts", "value", period=7
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Portable HyperLogLog: distinct users per event type as a
     64-register md5 sketch — constant-size, mergeable (MAX per
@@ -4588,6 +4622,9 @@ QUERIES = {
     "countmin_term_counts": q_countmin_term_counts,
     "bloom_prejoin_filter": q_bloom_prejoin_filter,
     "data_contract_check": q_data_contract_check,
+    "events_acf": q_events_acf,
+    "events_control_chart": q_events_control_chart,
+    "events_seasonal": q_events_seasonal,
     "knn_triangles_indexed": q_knn_triangles_indexed,
     "pagerank_knn_indexed": q_pagerank_knn_indexed,
     "bpe_segment_pinned": q_bpe_segment_pinned,
@@ -4801,7 +4838,8 @@ _R7_FRONT = [
     # new in round 7 (late session): portable mergeable sketches +
     # contract validation
     "hll_distinct", "countmin_term_counts", "bloom_prejoin_filter",
-    "data_contract_check",
+    "data_contract_check", "events_acf", "events_control_chart",
+    "events_seasonal",
     # new in round 7
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
@@ -5834,3 +5872,112 @@ ORACLES["data_contract_check"] = """
            CAST(v AS BIGINT) AS n_violations, n.n_rows,
            v = 0 AS passed
     FROM r, n"""
+
+# ACF: lag columns share one window CTE; one UNION-ALL block per lag;
+# then the agg_corr decimal-moment pattern with explicit degenerate
+# guards, operand order mirrored term-for-term with profile.acf.
+ORACLES["events_acf"] = """
+    WITH o AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS x,
+               lag(CAST(value AS DOUBLE), 1) OVER w AS p1,
+               lag(CAST(value AS DOUBLE), 2) OVER w AS p2,
+               lag(CAST(value AS DOUBLE), 3) OVER w AS p3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    p AS (
+        SELECT event_type, 1 AS lag, x, p1 AS p FROM o WHERE p1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, x, p2 FROM o WHERE p2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, x, p3 FROM o WHERE p3 IS NOT NULL),
+    m AS (
+        SELECT event_type, lag,
+               count(*) AS n_pairs,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(x * p AS DECIMAL(38,10))) AS DOUBLE) AS sxp,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(p * p AS DECIMAL(38,10))) AS DOUBLE) AS spp
+        FROM p GROUP BY event_type, lag)
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                 AND n * sxx - sx * sx > 0
+                 AND n * spp - sp * sp > 0
+                THEN (n * sxp - sx * sp)
+                     / (sqrt(n * sxx - sx * sx)
+                        * sqrt(n * spp - sp * sp))
+           END + 0.0 AS acf
+    FROM m"""
+
+# Control chart: the win_ewma halving-fold idiom over a PRIOR-rows
+# frame (list_reduce's seedless fold == Spark's 0.0-seeded acc/2 + x,
+# since 0/2 + v1 is exactly v1), guarded for the warm-up window;
+# per-key sigma from decimal moments + one IEEE sqrt.
+ORACLES["events_control_chart"] = """
+    WITH b AS (
+        SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS value,
+               list(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING) AS vals
+        FROM events),
+    s AS (
+        SELECT event_type,
+               count(value) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                             AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type),
+    s2 AS (
+        SELECT event_type,
+               CASE WHEN n >= 2
+                     AND (CAST(n AS DOUBLE) * sxx - sx * sx)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) > 0
+                    THEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+               END AS sigma
+        FROM s),
+    p AS (
+        SELECT event_type, ts, event_id, value,
+               CASE WHEN len(vals) >= 8 THEN
+                   list_reduce(vals, (a, v) -> a / 2.0 + v)
+                   / list_reduce(list_transform(vals, v -> CAST(1.0 AS DOUBLE)),
+                                 (a, v) -> a / 2.0 + v)
+               END AS pred
+        FROM b)
+    SELECT p.event_type, ts, event_id, value,
+           pred + 0.0 AS ewma_pred,
+           (value - pred) + 0.0 AS residual,
+           coalesce(abs(value - pred) > 3.0 * sigma, FALSE) AS is_alert
+    FROM p LEFT JOIN s2 ON p.event_type = s2.event_type"""
+
+# Seasonal decomposition: integer epoch-day bucket (no engine dayofweek
+# conventions); key mean re-derived from the (key, bucket) partial sums
+# so there is exactly one fact aggregation.
+ORACLES["events_seasonal"] = """
+    WITH e AS (
+        SELECT event_type, ts,
+               CAST(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) % 7
+                    AS INTEGER) AS season_bucket,
+               CAST(value AS DOUBLE) AS x
+        FROM events),
+    g AS (
+        SELECT event_type, season_bucket,
+               count(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,6))) AS s
+        FROM e GROUP BY event_type, season_bucket),
+    t AS (
+        SELECT event_type, SUM(n) AS nk, SUM(s) AS sk
+        FROM g GROUP BY event_type),
+    st AS (
+        SELECT g.event_type, g.season_bucket,
+               CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) AS km,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) AS seas
+        FROM g JOIN t ON g.event_type = t.event_type)
+    SELECT e.event_type, e.ts, e.season_bucket, e.x AS value,
+           km + 0.0 AS key_mean,
+           seas + 0.0 AS seasonal,
+           (e.x - km - seas) + 0.0 AS residual
+    FROM e JOIN st ON e.event_type = st.event_type
+                  AND e.season_bucket = st.season_bucket"""
