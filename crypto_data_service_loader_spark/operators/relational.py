@@ -624,3 +624,84 @@ def rolling_corr(
     # + 0.0 maps IEEE -0.0 to +0.0 (cross-engine comparators
     # distinguish the signs; fuzzer-found class)
     return df.withColumn("rolling_corr", F.round(corr, 6) + F.lit(0.0))
+
+
+def sample_pps(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: lay the
+    items on a line in deterministic hash order, each occupying a
+    segment of length = its (integer) weight, then pick the k items
+    whose segments contain the k evenly-spaced grid points
+    offset + j * (W / k). An item's inclusion probability is exactly
+    k * w / W; items heavier than the stride W/k are picked multiple
+    times — `multiplicity` records how often (so Σ multiplicity == k
+    whenever some weight is positive, tested). This is the classic
+    token-budget-proportional corpus draw (pick k shards/documents
+    proportional to token counts) without any RNG state.
+
+    Exactness/portability: the usual u^(1/w) weighted draws (Efraimidis
+    & Spirakis) need pow/log, whose last-ulp behavior differs per
+    engine. Here EVERYTHING is int64: weights must be integers (scale
+    fractional weights up-front), cumulative positions are exact sums,
+    the grid test is multiplied through by k — multiplicity =
+    floor((k*C - r + W)/W) - floor((k*(C-w) - r + W)/W) — and the
+    offset r derives from md5(seed), so Spark, DuckDB, and a pocket
+    calculator agree bit-for-bit.
+
+    Scale shape: NO global-window prefix sum (the classic single-task
+    trap). The hash order is (bucket, md5, id) with bucket = md5 % 64:
+    per-bucket cumulative sums run in parallel window partitions, the
+    64 bucket totals get a 64-row running offset, and a broadcast join
+    stitches global positions — two bounded shuffles, one 64-row
+    window. W itself is one scalar aggregate (bounded driver collect,
+    same pattern as the IVF centroid pull).
+    """
+    import hashlib
+
+    w = F.col(weight_col).cast("long")
+    hx = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % n_buckets
+    base = df.where(w > 0).select(
+        "*", w.alias("_w"), hx.alias("_h"), bucket.alias("_b")
+    )
+    total = base.agg(F.sum("_w")).collect()[0][0]
+    if not total:
+        return df.select("*", F.lit(0).cast("long").alias("multiplicity")).limit(0)
+    r = int(hashlib.md5(str(seed).encode()).hexdigest()[:12], 16) % int(total)
+
+    win_intra = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = base.groupBy("_b").agg(F.sum("_w").alias("_tw"))
+    offsets = totals.select(
+        "_b",
+        F.coalesce(
+            F.sum("_tw").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_off"),
+    )
+    cur = (
+        base.withColumn("_cum_in", F.sum("_w").over(win_intra))
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("_c", F.col("_off") + F.col("_cum_in"))
+    )
+    kk, ww, rr = int(k), int(total), int(r)
+    mult = F.expr(
+        f"(({kk} * _c - {rr} + {ww}) DIV {ww})"
+        f" - (({kk} * (_c - _w) - {rr} + {ww}) DIV {ww})"
+    )
+    return (
+        cur.withColumn("multiplicity", mult.cast("long"))
+        .where(F.col("multiplicity") >= 1)
+        .drop("_w", "_h", "_b", "_cum_in", "_off", "_c")
+    )

@@ -4558,6 +4558,16 @@ def q_events_seasonal(spark, sf_dir):
     )
 
 
+def q_sample_pps(spark, sf_dir):
+    """Weighted (probability-proportional-to-size) systematic draw of
+    50 documents by n_chars — the token-budget-proportional corpus
+    sampler. All-int64 grid arithmetic (no pow/log RNG), md5 hash
+    order, bucketed two-phase prefix sum (no global window)."""
+    return rel.sample_pps(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50, seed=42
+    ).select("doc_id", "n_chars", "multiplicity")
+
+
 def q_hll_distinct(spark, sf_dir):
     """Portable HyperLogLog: distinct users per event type as a
     64-register md5 sketch — constant-size, mergeable (MAX per
@@ -4625,6 +4635,7 @@ QUERIES = {
     "events_acf": q_events_acf,
     "events_control_chart": q_events_control_chart,
     "events_seasonal": q_events_seasonal,
+    "sample_pps": q_sample_pps,
     "knn_triangles_indexed": q_knn_triangles_indexed,
     "pagerank_knn_indexed": q_pagerank_knn_indexed,
     "bpe_segment_pinned": q_bpe_segment_pinned,
@@ -4839,7 +4850,7 @@ _R7_FRONT = [
     # contract validation
     "hll_distinct", "countmin_term_counts", "bloom_prejoin_filter",
     "data_contract_check", "events_acf", "events_control_chart",
-    "events_seasonal",
+    "events_seasonal", "sample_pps",
     # new in round 7
     "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
     "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
@@ -5981,3 +5992,30 @@ ORACLES["events_seasonal"] = """
            (e.x - km - seas) + 0.0 AS residual
     FROM e JOIN st ON e.event_type = st.event_type
                   AND e.season_bucket = st.season_bucket"""
+
+# PPS systematic sampling: identical int64 grid arithmetic; the
+# oracle's single global cumulative sum over (bucket, md5, id) order
+# equals the Spark side's bucketed two-phase prefix sum by
+# construction.
+ORACLES["sample_pps"] = """
+    WITH base AS (
+        SELECT doc_id, n_chars, CAST(n_chars AS BIGINT) AS w,
+               md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE CAST(n_chars AS BIGINT) > 0),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM base),
+    par AS (SELECT tw,
+                   ('0x' || substr(md5('42'), 1, 12))::BIGINT % tw AS r
+            FROM tot),
+    ord AS (
+        SELECT doc_id, n_chars, w,
+               CAST(SUM(w) OVER (
+                   ORDER BY ('0x' || substr(h, 1, 2))::BIGINT % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c
+        FROM base)
+    SELECT doc_id, n_chars,
+           CAST(((50 * c - r + tw) // tw)
+                - ((50 * (c - w) - r + tw) // tw) AS BIGINT) AS multiplicity
+    FROM ord, par
+    WHERE ((50 * c - r + tw) // tw)
+          - ((50 * (c - w) - r + tw) // tw) >= 1"""
