@@ -603,3 +603,107 @@ def start_trend_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL distinct counting — the live twin of sketch.hll_*: the
+# per-key state IS the 64-register table (64 small ints, constant no
+# matter how long the stream runs or how many distinct values pass),
+# merged with per-batch maxima exactly like sketch.hll_merge. The
+# Python-side hash derivation replicates the batch column expressions
+# bit-for-bit (hashlib.md5 == engine md5; same hex slices, same rank
+# rule), so after draining identical rows the streaming estimate EQUALS
+# sketch.hll_cardinality on the union (equality-tested) — the
+# distinct-users-per-key monitor a stream cannot compute exactly
+# without unbounded state.
+# ---------------------------------------------------------------------------
+
+HLL_STREAM_SCHEMA = (
+    "event_type string, n_registers int, reg_sum long, est_distinct double"
+)
+
+_HLL_M = 64
+
+
+def _hll_py_parts(value) -> tuple[int, int]:
+    """(register, rank) of one value — the Python replica of
+    sketch.hll_registers' column expressions (md5 of the string form,
+    2 hex chars -> register mod 64, next 12 -> 48-bit rank field)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    reg = int(h[:2], 16) % _HLL_M
+    v = int(h[2:14], 16)
+    rank = 49 if v == 0 else 48 - v.bit_length() + 1
+    return reg, rank
+
+
+def _hll_estimate_py(regs: list[int]) -> tuple[int, int, float]:
+    """(n_registers, reg_sum, estimate) — the Python replica of
+    sketch.hll_estimate's exact-int64 arithmetic."""
+    from ..operators.sketch import hll_numerator
+
+    reg_sum = sum(1 << (49 - r) for r in regs if r > 0)
+    reg_sum += sum(1 for r in regs if r == 0) * (1 << 49)
+    n_hit = sum(1 for r in regs if r > 0)
+    return n_hit, reg_sum, hll_numerator(_HLL_M) / float(reg_sum)
+
+
+def _hll_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    regs = list(state.get[0]) if state.exists else [0] * _HLL_M
+    for pdf in pdfs:
+        for v in pdf["user_id"]:
+            if v is None or pd.isna(v):
+                continue
+            reg, rank = _hll_py_parts(int(v))
+            if rank > regs[reg]:
+                regs[reg] = rank
+    state.update((regs,))
+    n_hit, reg_sum, est = _hll_estimate_py(regs)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_registers": [n_hit],
+            "reg_sum": [reg_sum],
+            "est_distinct": [est],
+        }
+    )
+
+
+def start_hll_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "hll",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming distinct-user estimate per event type -> in-memory
+    table `query_name`, update mode (one running-estimate row per key
+    per micro-batch). State per key: the 64 register maxima — the
+    bounded-state answer to COUNT(DISTINCT) over an unbounded stream,
+    and the register layout is the PORTABLE one (sketch.py), so the
+    state could be persisted and merged with batch-built sketches."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hll_updater,
+            outputStructType=HLL_STREAM_SCHEMA,
+            stateStructType="regs array<int>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -553,3 +553,49 @@ def test_streaming_heavy_hitters_survives_checkpoint_restart(spark, tmp_path):
     # the restarted query's batch alone reads a=3, c=5, b absent: only
     # restored state explains these totals
     assert latest == {"a": 7, "b": 2, "c": 5}
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """Streaming HLL (64-register keyed state carried across
+    micro-batches) equals the batch sketch on the union of inputs —
+    registers AND the exact-int64 estimate. Distinct values are split
+    across two micro-batches so the second batch's estimate can only be
+    right if the first batch's registers survived in state."""
+    import time
+
+    from crypto_data_service_loader_spark.operators import sketch
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_hll_stream,
+    )
+
+    schema = "event_type string, user_id long"
+    batch1 = [("a", i) for i in range(0, 400)] + [("b", i) for i in range(50)]
+    batch2 = [("a", i) for i in range(300, 700)] + [("b", i) for i in range(25, 75)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_hll_stream(stream, str(tmp_path / "ckpt"), query_name="hll_t")
+    q.awaitTermination(120)
+    # update mode emits one running-estimate row per key per batch; the
+    # final state is the row with the SMALLEST reg_sum (registers only
+    # ever grow, so reg_sum is monotonically non-increasing — no
+    # reliance on memory-sink row order)
+    rows = spark.sql("SELECT * FROM hll_t").collect()
+    got = {}
+    for r in rows:
+        cur = got.get(r["event_type"])
+        if cur is None or r["reg_sum"] < cur[1]:
+            got[r["event_type"]] = (r["n_registers"], r["reg_sum"], r["est_distinct"])
+    want = {
+        r["event_type"]: (r["n_registers"], r["reg_sum"], r["est_distinct"])
+        for r in sketch.hll_cardinality(
+            spark.createDataFrame(batch1 + batch2, schema),
+            ["event_type"], "user_id", m=64,
+        ).collect()
+    }
+    assert got == want
