@@ -40,14 +40,16 @@ HEADLINE = [
     # join_sortmerge, agg_multikey, win_moving_avg, flagship; full
     # history in BENCH_DETAIL.json) to keep the line under 1900 chars
     # after the five new analytics joined.
-    "dedup_anti_join",
+    # dedup_anti_join rotated out late r7 (stable control-plane
+    # micro-query; dedup family cover stays via dedup_exact et al.)
     "groupby_collect_set",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
     "text_stats",
-    "token_count",
+    # token_count rotated out late r7 (text family cover stays via
+    # text_stats; history in BENCH_DETAIL.json)
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
@@ -98,6 +100,11 @@ HEADLINE = [
     "ngram_lm_score",
     "events_ols_trend",
     "equi_depth_histogram",
+    # late round 7: portable sketches + contract + monitoring + PPS
+    "hll_distinct",
+    "data_contract_check",
+    "events_acf",
+    "sample_pps",
 ]
 
 
