@@ -34,6 +34,13 @@ HEADLINE = [
     "asof_last_tick",
     "agg_multikey",
     "win_moving_avg",
+    # ROTATION CHECKLIST: any HEADLINE edit MUST re-run
+    # tests/test_bench_contract.py — it pins the WORST-CASE (123.456-valued)
+    # stdout line under the driver's tail-capture guard with margin. r7
+    # landed 5 keys without re-running it and went red (the real line
+    # survived by 96 chars of luck; a slow round would have lost all
+    # per-query bench data, the BENCH_r03 failure mode).
+    #
     # join_semi / agg_rollup / win_row_number / topk_by_price /
     # status_transition_case rotated out of the stdout line in late r7
     # (stable micro-queries; family cover stays via join_broadcast_dim,
@@ -42,17 +49,19 @@ HEADLINE = [
     # after the five new analytics joined.
     # dedup_anti_join rotated out late r7 (stable control-plane
     # micro-query; dedup family cover stays via dedup_exact et al.)
-    "groupby_collect_set",
+    # r8 rotation (VERDICT r7 #1): groupby_collect_set, dedup_simhash,
+    # text_stats, tpch_q6, win_ewma, gap_fill_interpolate rotated out —
+    # stable micro-queries; family cover stays via agg_multikey,
+    # dedup_exact/dedup_minhash_lsh, profile_columns/bm25_topk, the six
+    # remaining TPC-H keys, win_moving_avg, and interpolate's sibling
+    # asof_last_tick. All still measured in BENCH_DETAIL.json history.
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "sim_cosine_topk",
-    "text_stats",
     # token_count rotated out late r7 (text family cover stays via
-    # text_stats; history in BENCH_DETAIL.json)
+    # profile_columns; history in BENCH_DETAIL.json)
     "tpch_q3",
     "tpch_q5",
-    "tpch_q6",
     "tpch_q9",
     "tpch_q13",
     "tpch_q18",
@@ -80,10 +89,8 @@ HEADLINE = [
     "quality_percentile_gate",
     "events_funnel",
     "vwap_bars",
-    "win_ewma",
     "profile_columns",
     "bm25_topk",
-    "gap_fill_interpolate",
     "agg_median_groups",
     "scd2_history",
     "knn_triangles",
@@ -278,6 +285,15 @@ def main() -> None:
         ingest = {"ingest_error": str(exc)[:120]}
     queries, qstats = bench_queries(spark)
     medians = {k: v["median"] for k, v in qstats.items()}
+    # stated noise band (VERDICT r7 #3): the median and max of per-query
+    # max/min trial spreads — a reader of BENCH_r{N} can tell host
+    # contention (broad spread, no plan change) from a real regression
+    # without opening BENCH_DETAIL.json.
+    spreads = sorted(v["spread"] for v in qstats.values()) or [0.0]
+    noise = {
+        "spread_med": round(spreads[len(spreads) // 2], 2),
+        "spread_max": round(spreads[-1], 2),
+    }
     # The driver captures only the LAST 2000 chars of stdout and json-parses
     # that tail; BENCH_r03 came back parsed=null because the full
     # medians+spread payload pushed the line past 2000 chars. The stdout
@@ -297,7 +313,7 @@ def main() -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
-    print(format_line(queries, medians, ingest, SF_DIR))
+    print(format_line(queries, medians, ingest, SF_DIR, noise))
 
 
 def format_line(
@@ -305,6 +321,7 @@ def format_line(
     medians: dict[str, float],
     ingest: dict,
     sf_dir: str,
+    noise: dict | None = None,
 ) -> str:
     """The driver-facing stdout line. MUST stay under 1900 chars: the
     driver json-parses only the last 2000 chars of stdout, and BENCH_r03
@@ -324,6 +341,7 @@ def format_line(
             "baseline_rows_per_sec": "300000-500000",
             "suite_total_median": round(sum(medians.values()), 4),
             "trials": TRIALS,
+            **(noise or {}),
             "detail": "BENCH_DETAIL.json",
         },
     }

@@ -26,11 +26,20 @@ def _fake_stats(n_queries: int):
 
 def test_line_parses_and_fits_tail_window():
     # the REAL headline names — the actual contract is that the current
-    # suite's stdout line fits the driver's 2000-char tail capture
+    # suite's stdout line fits the driver's 2000-char tail capture.
+    # Worst case: every query at 123.456 (a pathological all-slow round),
+    # noise fields present. Margin pinned at 50 chars below the 1900
+    # degrade guard so a HEADLINE addition fails HERE (loudly, with the
+    # queries map still present) before the guard ever silently drops it.
     _, medians, ingest = _fake_stats(len(bench.HEADLINE))
     queries = {name: 123.456 for name in bench.HEADLINE}
-    line = bench.format_line(queries, medians, ingest, "/root/testdata/sf0.1")
-    assert len(line) < 1900
+    line = bench.format_line(queries, medians, ingest, "/root/testdata/sf0.1",
+                             {"spread_med": 1.43, "spread_max": 3.83})
+    assert len(line) < 1850, (
+        f"worst-case bench line is {len(line)} chars — rotate a stable "
+        "micro-query out of bench.HEADLINE (see the rotation checklist "
+        "comment) before landing this addition"
+    )
     d = json.loads(line)
     assert d["metric"] == "suite_total"
     assert d["unit"] == "sec"
