@@ -9,9 +9,14 @@ is evaluated in ONE aggregation over ONE scan of the fact table:
 - row-level rules become violation-flag columns summed in the agg;
 - FK rules pre-join the (broadcast, distinct) reference keys so the
   orphan check is also just a flag column in the same agg;
-- uniqueness uses count(*) - count(DISTINCT key...) inside the agg
-  (each unique rule adds one Expand input replica, the standard exact
-  multi-distinct cost — keep unique rules few, which contracts are).
+- uniqueness uses count(<all keys non-null>) - count(DISTINCT key...)
+  inside the agg — SQL UNIQUE-constraint semantics: rows with a NULL in
+  any key column are exempt (pair with a not_null rule to forbid them),
+  so countDistinct's own null-skipping is matched against the non-null
+  row count instead of silently flagging every null-keyed row as a
+  duplicate (each unique rule adds one Expand input replica, the
+  standard exact multi-distinct cost — keep unique rules few, which
+  contracts are).
 
 The 1-row aggregate is then unpivoted into the report: one row per
 rule, (rule_id, rule, col_name, n_violations, n_rows, passed). At
@@ -33,6 +38,8 @@ Rule dicts:
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -85,6 +92,11 @@ def contract_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     for i, rule in enumerate(rules):
         if rule["rule"] == "unique":
             aggs.append(F.countDistinct(*rule["cols"]).alias(f"_v{i}"))
+            all_nn = reduce(
+                lambda a, b: a & b,
+                [F.col(c).isNotNull() for c in rule["cols"]],
+            )
+            aggs.append(F.sum(all_nn.cast("long")).alias(f"_nn{i}"))
         else:
             viol = _violation(rule, flag_cols.get(i))
             aggs.append(F.sum(viol.cast("long")).alias(f"_v{i}"))
@@ -93,7 +105,8 @@ def contract_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     entries = []
     for i, rule in enumerate(rules):
         if rule["rule"] == "unique":
-            v = F.col("_n") - F.col(f"_v{i}")
+            # sum over zero rows is NULL; countDistinct is 0 — coalesce
+            v = F.coalesce(F.col(f"_nn{i}"), F.lit(0).cast("long")) - F.col(f"_v{i}")
         else:
             v = F.coalesce(F.col(f"_v{i}"), F.lit(0).cast("long"))
         entries.append(

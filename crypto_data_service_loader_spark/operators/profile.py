@@ -470,13 +470,19 @@ def cusum_alerts(
 
     One-sided statistics via the running-extremum identity (no recursive
     state, pure windows): with d_i = value_i - target,
-    C+_i = cumsum(d - slack) - running_min(cumsum(d - slack)) and
-    C-_i = running_max(cumsum(d + slack)) - cumsum(d + slack); alert
-    when either exceeds `threshold`. This equals the textbook recursive
-    max(0, C + d)-form exactly (the running extremum IS the last reset
-    point), but plans as ONE shuffle on the key + window passes sharing
-    a single sort — no iterative state, arbitrarily many keys in
-    parallel.
+    C+_i = cumsum(d - slack) - min(0, running_min(cumsum(d - slack)))
+    and C-_i = max(0, running_max(cumsum(d + slack))) - cumsum(d + slack);
+    alert when either exceeds `threshold`. The zero clamp on the running
+    extremum is the S0 = 0 baseline: the recursion starts from an
+    implicit empty prefix sum of 0, so a series whose cumsum never dips
+    below its FIRST value (e.g. a level shift present from row one) must
+    measure from 0, not from that first value — without the clamp such a
+    shift is understated by the running min and alerts are delayed or
+    suppressed. With it, this equals the textbook recursive
+    max(0, C + d)-form exactly (the clamped running extremum IS the last
+    reset point), matching the streaming twin `start_cusum_stream`, but
+    plans as ONE shuffle on the key + window passes sharing a single
+    sort — no iterative state, arbitrarily many keys in parallel.
 
     Engine-exact: the cumulative sums fold in the total order
     `order_cols` fixes, so both engines add the same doubles in the same
@@ -496,8 +502,8 @@ def cusum_alerts(
     x = F.col(value_col).cast("double")
     up = F.sum(x - F.lit(float(target) + float(slack))).over(w)
     dn = F.sum(x - F.lit(float(target) - float(slack))).over(w)
-    c_pos = F.round(up - F.min(up).over(w), 6)
-    c_neg = F.round(F.max(dn).over(w) - dn, 6)
+    c_pos = F.round(up - F.least(F.lit(0.0), F.min(up).over(w)), 6)
+    c_neg = F.round(F.greatest(F.lit(0.0), F.max(dn).over(w)) - dn, 6)
     return df.select(
         F.col(key_col),
         *[F.col(c) for c in order_cols],

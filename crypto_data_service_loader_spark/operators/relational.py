@@ -664,6 +664,12 @@ def sample_pps(
     """
     import hashlib
 
+    if n_buckets < 1 or 256 % n_buckets != 0:
+        # bucket = (first 2 md5 hex chars: uniform over 0..255) % n_buckets
+        # is uniform only when n_buckets divides 256
+        raise ValueError(
+            f"n_buckets must divide 256 for a uniform bucket draw, got {n_buckets}"
+        )
     w = F.col(weight_col).cast("long")
     hx = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string")))
     bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % n_buckets
@@ -673,6 +679,14 @@ def sample_pps(
     total = base.agg(F.sum("_w")).collect()[0][0]
     if not total:
         return df.select("*", F.lit(0).cast("long").alias("multiplicity")).limit(0)
+    if (int(k) + 1) * int(total) >= 2**63:
+        # the grid expression peaks at k*_c - r + W <= (k+1)*W, which must
+        # stay inside int64 (ANSI Spark aborts the job mid-flight on the
+        # wrap; non-ANSI engines corrupt the draw silently)
+        raise ValueError(
+            f"(k+1) * total_weight = {(int(k) + 1) * int(total)} overflows "
+            "int64; rescale the integer weights (e.g. weight DIV 1024) first"
+        )
     r = int(hashlib.md5(str(seed).encode()).hexdigest()[:12], 16) % int(total)
 
     win_intra = (

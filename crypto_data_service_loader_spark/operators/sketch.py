@@ -229,6 +229,15 @@ def countmin_merge(sketches: list[DataFrame]) -> DataFrame:
     return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def _check_reserved(probes: DataFrame, reserved: tuple, op: str) -> None:
+    clash = [c for c in probes.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{op}: probe columns {clash} collide with internal names "
+            f"{reserved} — rename them before probing"
+        )
+
+
 def countmin_lookup(
     sketch: DataFrame,
     probes: DataFrame,
@@ -240,15 +249,27 @@ def countmin_lookup(
     """Point estimates for a probe key set: min over the d row cells.
     Guarantee: est >= true count, always (cells only ever over-count).
     The sketch is d*w rows -> broadcast; probes fan out d rows each and
-    take a min — no shuffle of anything data-sized."""
-    fan = probes.select(
-        "*", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
-    ).withColumn("bucket", _cm_bucket(F.col(key_col), F.col("row"), w))
-    joined = fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    take a min — no shuffle of anything data-sized. Duplicate probe
+    rows each come back (the fold-back groups on a per-row id, not the
+    probe values); probe columns may not be named row/bucket/cnt/_pid
+    (checked, ValueError)."""
+    _check_reserved(probes, ("row", "bucket", "cnt", "_pid"), "countmin_lookup")
     others = [c for c in probes.columns]
+    fan = (
+        probes.withColumn("_pid", F.monotonically_increasing_id())
+        .select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
+        )
+        .withColumn("bucket", _cm_bucket(F.col(key_col), F.col("row"), w))
+    )
+    joined = fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return (
-        joined.groupBy(*others)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+        joined.groupBy("_pid")
+        .agg(
+            *[F.first(c).alias(c) for c in others],
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col),
+        )
+        .drop("_pid")
     )
 
 
@@ -306,11 +327,18 @@ def bloom_probe(
     """Membership test for every probe row: true iff all k bit
     positions are set. No false negatives ever; false-positive rate is
     governed by n_words/k vs the build cardinality. The filter is
-    n_words rows -> broadcast; the probe side never shuffles."""
+    n_words rows -> broadcast; the probe side never shuffles. Duplicate
+    probe rows each come back (per-row-id fold-back); probe columns may
+    not be named word/bits/_j/_pos/_bit/_pid (checked, ValueError)."""
+    _check_reserved(
+        probes, ("word", "bits", "_j", "_pos", "_bit", "_pid"), "bloom_probe"
+    )
     nbits = n_words * _WORD_BITS
     pos = _cm_bucket(F.col(key_col), F.col("_j"), nbits).cast("long")
+    others = [c for c in probes.columns]
     fan = (
-        probes.select(
+        probes.withColumn("_pid", F.monotonically_increasing_id())
+        .select(
             "*", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_j")
         )
         .withColumn("_pos", pos)
@@ -323,9 +351,11 @@ def bloom_probe(
         F.col("bits").isNotNull()
         & (F.expr("shiftright(bits, _bit)") % 2 == 1)
     )
-    others = [c for c in probes.columns]
     return (
-        joined.groupBy(*others)
-        .agg(F.min(hit.cast("int")).alias("_all"))
+        joined.groupBy("_pid")
+        .agg(
+            *[F.first(c).alias(c) for c in others],
+            F.min(hit.cast("int")).alias("_all"),
+        )
         .select(*others, (F.col("_all") == 1).alias(flag_col))
     )

@@ -152,6 +152,7 @@ def write_lsh_index(
     )
     _write_meta(path, {"kind": "lsh", "n_planes": n_planes, "dim": dim,
                        "vec_col": vec_col, "id_col": id_col,
+                       "id_type": embeddings.schema[id_col].dataType.simpleString(),
                        "int8": bool(int8)})
     return n_planes
 
@@ -267,6 +268,7 @@ def write_ivf_index(
     )
     _write_meta(path, {"kind": "ivf", "dim": _dim_of(embeddings, vec_col),
                        "vec_col": vec_col, "id_col": id_col, "int8": bool(int8),
+                       "id_type": embeddings.schema[id_col].dataType.simpleString(),
                        "centroids": [[cid, list(vec)] for cid, vec in centroids]})
     return centroids
 
@@ -342,8 +344,13 @@ def delete_from_ann_index(spark: SparkSession, path: str, vec_ids: list) -> int:
     id_col = meta["id_col"]
     if not vec_ids:
         return 0
+    # tombstone schema from the sidecar's recorded id type (the
+    # text_index precedent) — a hardcoded `long` broke deletes on
+    # string-id corpora; indexes written before id_type landed were all
+    # long-keyed, hence the fallback
+    id_type = meta.get("id_type", "bigint")
     ids = spark.createDataFrame(
-        [(i,) for i in vec_ids], f"{id_col} long"
+        [(i,) for i in vec_ids], f"{id_col} {id_type}"
     ).distinct()
     existing = _tombstones(spark, path, id_col)
     fresh = ids if existing is None else ids.join(

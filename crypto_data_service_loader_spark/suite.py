@@ -5641,8 +5641,8 @@ ORACLES["events_cusum"] = """
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     c AS (
         SELECT event_type, ts, event_id, value,
-               round(up - MIN(up) OVER w2, 6) AS cusum_pos,
-               round(MAX(dn) OVER w2 - dn, 6) AS cusum_neg
+               round(up - LEAST(0.0, MIN(up) OVER w2), 6) AS cusum_pos,
+               round(GREATEST(0.0, MAX(dn) OVER w2) - dn, 6) AS cusum_neg
         FROM s
         WINDOW w2 AS (PARTITION BY event_type
                       ORDER BY ts ASC, event_id ASC
@@ -5853,7 +5853,8 @@ ORACLES["data_contract_check"] = """
                (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS v
         UNION ALL
         SELECT 1, 'unique', 'o_orderkey',
-               (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+               (SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+                FROM orders)
         UNION ALL
         SELECT 2, 'range', 'o_totalprice',
                (SELECT count(*) FROM orders

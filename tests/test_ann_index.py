@@ -219,6 +219,34 @@ def test_ann_delete_then_query_equals_rebuild(spark, sf_dir, tmp_path):
         assert ann_index.compact_ann_index(spark, path) == 0
 
 
+def test_ann_delete_string_ids(spark, sf_dir, tmp_path):
+    """Regression (r7 ADVICE): the tombstone schema must come from the
+    sidecar's recorded id_type — a hardcoded `long` failed createDataFrame
+    (or type-mismatched the anti-join) on string-id corpora."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    q = _query_vec(load(spark, sf_dir, "embeddings"))
+    path = str(tmp_path / "lsh_str")
+    ann_index.write_lsh_index(emb, path, n_planes=3)
+    import json
+
+    meta = json.load(open(f"{path}/_ann_meta.json"))
+    assert meta["id_type"] == "string"
+    gone = ["doc-0", "doc-1", "doc-2"]
+    assert ann_index.delete_from_ann_index(spark, path, gone) == 3
+    assert ann_index.delete_from_ann_index(spark, path, gone) == 0
+    ids = {r["vec_id"] for r in
+           ann_index.lsh_index_topk(spark, path, q, k=50, nprobe=8).collect()}
+    assert not set(gone) & ids and ids
+    # compaction folds the string tombstones the same way
+    assert ann_index.compact_ann_index(spark, path) == 3
+    ids2 = {r["vec_id"] for r in
+            ann_index.lsh_index_topk(spark, path, q, k=50, nprobe=8).collect()}
+    assert ids2 == ids
+
+
 def _dir_bytes(d):
     import os
 

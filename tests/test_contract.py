@@ -83,3 +83,30 @@ def test_multi_col_unique(spark):
     )
     rep = contract.contract_report(df, [{"rule": "unique", "cols": ["x", "y"]}])
     assert rep.collect()[0]["n_violations"] == 1
+
+
+def test_unique_null_keys_exempt(spark):
+    """Regression (r7 ADVICE): countDistinct skips null-keyed rows, so
+    comparing it against count(*) flagged every null-keyed row as a
+    duplicate. SQL UNIQUE semantics: nulls are exempt — two null ids and
+    three distinct non-null ids is a clean table; one real duplicate
+    still counts."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (2,), (3,)], "id int"
+    )
+    rep = contract.contract_report(df, [{"rule": "unique", "cols": ["id"]}])
+    row = rep.collect()[0]
+    assert row["n_violations"] == 0 and row["passed"]
+
+    dup = spark.createDataFrame([(None,), (1,), (1,), (2,)], "id int")
+    assert contract.contract_report(
+        dup, [{"rule": "unique", "cols": ["id"]}]
+    ).collect()[0]["n_violations"] == 1
+
+    # multi-col: a null in ANY key column exempts the row
+    mc = spark.createDataFrame(
+        [(1, None), (1, None), (1, "a"), (1, "a")], "x int, y string"
+    )
+    assert contract.contract_report(
+        mc, [{"rule": "unique", "cols": ["x", "y"]}]
+    ).collect()[0]["n_violations"] == 1

@@ -237,6 +237,33 @@ def test_cusum_matches_textbook_recursion(spark):
         cusum_alerts(df, "k", [], "v", target=10.0)
 
 
+def test_cusum_shift_present_from_first_row(spark):
+    """S0 = 0 baseline regression: a level shift present from the FIRST
+    row (cumsum never dips below its first value) must measure from the
+    implicit zero start, not from the first prefix sum. Textbook: value
+    12, target 10, slack 0.5 gives C+ = 1.5 on row one — the unclamped
+    running-min identity gave 0 and understated every later row by the
+    running min. Mirror case on the C- side (first value far below
+    target - slack)."""
+    from crypto_data_service_loader_spark.operators.profile import (
+        cusum_alerts,
+    )
+
+    hi = [12.0, 12.0, 12.0, 12.0]   # C+ = 1.5, 3.0, 4.5, 6.0 (alert at i=3)
+    lo = [8.0, 8.0, 8.0, 8.0]       # C- = 1.5, 3.0, 4.5, 6.0 (alert at i=3)
+    rows = [("hi", i, v) for i, v in enumerate(hi)] + \
+        [("lo", i, v) for i, v in enumerate(lo)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = {(r["k"], r["i"]): r for r in cusum_alerts(
+        df, "k", ["i"], "v", target=10.0, slack=0.5, threshold=5.0
+    ).collect()}
+    for i in range(4):
+        assert out[("hi", i)]["cusum_pos"] == round(1.5 * (i + 1), 6), i
+        assert out[("lo", i)]["cusum_neg"] == round(1.5 * (i + 1), 6), i
+    assert not out[("hi", 2)]["is_alert"] and out[("hi", 3)]["is_alert"]
+    assert not out[("lo", 2)]["is_alert"] and out[("lo", 3)]["is_alert"]
+
+
 def test_ols_trend_recovers_exact_line_and_guards(spark):
     """A noiseless line comes back exactly (slope 2, intercept 3, r2 1);
     zero x-variance nulls slope/intercept/r2; constant y gives slope 0

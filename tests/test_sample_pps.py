@@ -73,3 +73,22 @@ def test_inclusion_probability_tracks_weight(spark):
     # P(heavy) = 10*90/1080 = 0.833; P(light) = 10*10/1080 = 0.093
     assert heavy >= 18
     assert light <= 12
+
+
+def test_guards_overflow_and_bucket_uniformity(spark):
+    """Regression (r7 ADVICE): (k+1)*W beyond int64 used to wrap
+    inside the grid expression (ANSI Spark aborts mid-job); n_buckets off 256
+    skewed the 2-hex-char bucket draw. Both now raise up-front."""
+    import pytest
+
+    big = spark.createDataFrame(
+        [(1, 2**61), (2, 2**61)], "doc_id int, w long"
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        rel.sample_pps(big, "doc_id", "w", k=2)
+
+    small = spark.createDataFrame([(1, 5), (2, 7)], "doc_id int, w long")
+    with pytest.raises(ValueError, match="n_buckets"):
+        rel.sample_pps(small, "doc_id", "w", k=1, n_buckets=48)
+    # a legal divisor still works
+    assert rel.sample_pps(small, "doc_id", "w", k=1, n_buckets=4).count() == 1

@@ -179,3 +179,27 @@ def test_bloom_merge_equals_whole(spark, sf_dir):
     )
     whole = sketch.bloom_build(ev, "k")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_probe_duplicates_preserved_and_reserved_names_raise(spark):
+    """Regression (r7 ADVICE): the d-row fold-back used to groupBy the
+    probe VALUES, silently collapsing duplicate probe rows; and probe
+    frames carrying the internal column names broke the fan-out
+    undetected. Duplicates now round-trip 1:1 and collisions raise."""
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, "k string")
+    cm = sketch.countmin_build(df, "k", d=4, w=64)
+    bl = sketch.bloom_build(df, "k", n_words=16, k=3)
+
+    probes = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    est = sketch.countmin_lookup(cm, probes, "k", d=4, w=64).collect()
+    assert len(est) == 3
+    assert sorted(r["est_count"] for r in est) == [3, 10, 10]
+    flags = sketch.bloom_probe(bl, probes, "k", n_words=16, k=3).collect()
+    assert len(flags) == 3 and all(r["in_bloom"] for r in flags)
+
+    bad_cm = spark.createDataFrame([("a", 1)], "k string, bucket int")
+    with pytest.raises(ValueError, match="bucket"):
+        sketch.countmin_lookup(cm, bad_cm, "k", d=4, w=64)
+    bad_bl = spark.createDataFrame([("a", 1)], "k string, word int")
+    with pytest.raises(ValueError, match="word"):
+        sketch.bloom_probe(bl, bad_bl, "k", n_words=16, k=3)
