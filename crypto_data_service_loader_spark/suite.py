@@ -4838,56 +4838,49 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# --- driver-window rotation (round 7) -------------------------------
+# --- driver-window rotation (round 8) -------------------------------
 # The correctness driver verifies a ~50-key window from the FRONT of
-# QUERIES each round. Front = this round's new keys, then keys whose
-# implementation CHANGED this round (hard re-check), then the keys
-# verified longest ago (the round-2 cohort — every other key has a
-# round-3+ green row). The big literal above keeps its grouping for
-# readability; this reorder is the rotation policy, in one place.
-_R7_FRONT = [
-    # new in round 7 (late session): portable mergeable sketches +
-    # contract validation
-    "hll_distinct", "countmin_term_counts", "bloom_prejoin_filter",
-    "data_contract_check", "events_acf", "events_control_chart",
-    "events_seasonal", "sample_pps",
-    # new in round 7
-    "knn_triangles_indexed", "pagerank_knn_indexed", "bpe_segment_pinned",
-    "scd2_apply", "histogram_drift", "sim_topk_lsh_indexed",
-    "sim_topk_ivf_indexed", "bm25_topk_indexed", "sim_topk_lsh_multiprobe",
-    "hybrid_search", "events_cusum", "ngram_lm_score", "mixture_rebalance",
-    "events_ols_trend", "equi_depth_histogram", "hybrid_rrf",
-    "events_winsorized", "split_leakage_check", "hybrid_search_indexed",
-    "vector_quantize_int8", "rolling_corr", "mixture_temperature",
-    "ann_recall_at_k", "dedup_pair_recall", "split_by_content",
-    "category_drift",
-    # changed in round 7: bpe_segment rewrite (chained replace) feeds
-    # bpe_tokenize; interpolate_fill gained the pt == nt guard
-    "bpe_tokenize", "gap_fill_interpolate",
-    # last driver-verified in round 2 (oldest coverage first)
-    "flagship_pricing_summary", "file_registry_scan", "agg_max_date",
-    "dedup_anti_join", "filter_status_in", "status_transition_case",
-    "status_update_merge", "point_lookup", "filter_date_eq",
-    "groupby_collect_set", "registry_fs_inner_join", "sort_by_filename",
-    "agg_min_max_filtered", "retention_guard", "agg_count_star",
-    "csv_validate_filter", "cleanup_candidates", "upload_status_rollup",
-    "join_broadcast_dim", "join_sortmerge", "join_semi", "asof_last_tick",
-    # (asof_next_tick /
-    #  agg_multikey / agg_approx_distinct / agg_rollup / win_row_number /
-    #  win_lag_delta / win_moving_avg / win_rank_suite / win_first_last /
-    #  agg_approx_quantile / agg_corr /
-    #  scalar_date_parts / topk_by_price / setop_union /
-    #  setop_except /
-    #  setop_intersect /
-    #  scalar_dates / scalar_strings / log_event_json / udf_mid_price /
-    # udf_grouped_range / stream_tumbling_daily_count / agg_cube /
-    # agg_grouping_sets / pivot_status / sessionize_events /
-    # session_window_agg / win_range_frame miss the 50-key window this
-    # round; they lead the round-8 rotation)
+# QUERIES each round. Front = never-driver-green fixable keys, then
+# keys whose implementation CHANGED this round (hard re-check), then
+# the keys verified longest ago (last-verified round computed by
+# unioning the CORRECTNESS_r0*.json files). The big literal above
+# keeps its grouping for readability; this reorder is the rotation
+# policy, in one place. Round-8 makeup: sim_cosine_topk_ivf (fixed r5,
+# never re-windowed — the only working key with no green driver row),
+# the 5 keys touched by the r7-ADVICE fixes (cusum clamp, contract
+# unique nulls, sketch probe fold-back), the full 34-key round-2
+# cohort, and the 10 oldest round-3 keys. bpe_tokenize /
+# agg_approx_distinct / agg_approx_quantile stay out: rows-only by
+# design, a window slot can't upgrade them.
+_R8_FRONT = [
+    # never driver-green despite passing the full local replay
+    "sim_cosine_topk_ivf",
+    # changed in round 8 (ADVICE fixes): cusum S0 clamp (+oracle),
+    # contract unique-null semantics (+oracle), per-row-id probe
+    # fold-back in countmin/bloom, sample_pps guards
+    "events_cusum", "data_contract_check", "countmin_term_counts",
+    "bloom_prejoin_filter", "sample_pps",
+    # last driver-verified in round 2 (the full cohort, 34 keys)
+    "agg_corr", "agg_count_star", "agg_cube", "agg_grouping_sets",
+    "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
+    "cleanup_candidates", "csv_validate_filter", "join_broadcast_dim",
+    "join_semi", "join_sortmerge", "log_event_json", "pivot_status",
+    "scalar_date_parts", "scalar_dates", "scalar_strings",
+    "session_window_agg", "sessionize_events", "setop_except",
+    "setop_intersect", "setop_union", "stream_tumbling_daily_count",
+    "topk_by_price", "udf_grouped_range", "udf_mid_price",
+    "upload_status_rollup", "win_first_last", "win_lag_delta",
+    "win_moving_avg", "win_range_frame", "win_rank_suite",
+    "win_row_number",
+    # oldest round-3 keys (alphabetical head of that cohort)
+    "dedup_embedding_clusters", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_fingerprint", "docs_prep_pipeline",
+    "lang_id", "lang_id_trigram",
 ]
 QUERIES = {
-    **{k: QUERIES[k] for k in _R7_FRONT},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R7_FRONT)},
+    **{k: QUERIES[k] for k in _R8_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R8_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
