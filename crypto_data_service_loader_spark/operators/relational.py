@@ -719,3 +719,35 @@ def sample_pps(
         .where(F.col("multiplicity") >= 1)
         .drop("_w", "_h", "_b", "_cum_in", "_off", "_c")
     )
+
+
+def merge_grouped_sums(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta batch of grouped
+    partials into a persisted state of the same shape. Every non-key
+    column must be an ADDITIVE partial (counts, DECIMAL sums, sums of
+    squares) — then union + re-sum is exactly the merge step of
+    distributed partial aggregation, and the result equals a full
+    recompute over (history + delta) without rescanning history.
+
+    The 100-TB contract: history is touched only through its
+    aggregate (|keys| rows, not |rows|); each batch shuffles
+    state + delta partials, both already key-sized. Persist the state
+    bucketed by the keys (writer.bucketBy) and the groupBy reuses the
+    bucketing instead of shuffling at all. Non-additive metrics (min /
+    max / HLL registers) merge the same way with their own combiner —
+    see operators/sketch.py for the mergeable-sketch variants.
+    """
+    if set(state.columns) != set(delta.columns):
+        raise ValueError(
+            f"state/delta schemas differ: {sorted(state.columns)} vs "
+            f"{sorted(delta.columns)}"
+        )
+    u = state.unionByName(delta)
+    aggs = [F.sum(c).alias(c) for c in u.columns if c not in keys]
+    if not aggs:
+        raise ValueError("no partial columns to merge (all columns are keys)")
+    return u.groupBy(*keys).agg(*aggs)

@@ -30,6 +30,14 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cosine(dot: Column, denom: Column, scale: int) -> Column:
+    """Cosine score with the zero-norm convention: a zero-norm vector
+    scores 0.0 against everything. The raw ratio is 0/0 there — ANSI
+    Spark aborts the job, DuckDB yields NaN — so every oracle carries
+    the same CASE WHEN denom > 0 guard (fuzzer-found class, round 8)."""
+    return F.when(denom > 0, F.round(dot / denom, scale)).otherwise(F.lit(0.0))
+
+
 def cosine_scores(
     embeddings: DataFrame,
     query: Sequence[float],
@@ -51,7 +59,7 @@ def cosine_scores(
     vnorm = F.sqrt(_dot(v, v))
     return embeddings.select(
         F.col(id_col),
-        F.round(dot / (vnorm * F.lit(qnorm)), scale).alias("score"),
+        _cosine(dot, vnorm * F.lit(qnorm), scale).alias("score"),
     )
 
 
@@ -101,8 +109,9 @@ def embedding_near_dups_bruteforce(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
+            _cosine(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"), scale,
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
@@ -169,8 +178,9 @@ def embedding_near_dups(
         .select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
+            _cosine(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"), scale,
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
@@ -219,8 +229,9 @@ def embedding_near_dups_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
+            _cosine(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"), scale,
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
@@ -477,9 +488,9 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                scale,
+            _cosine(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"), scale,
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
@@ -551,9 +562,9 @@ def knn_graph(
         .select(
             "_src",
             "neighbor_id",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                scale,
+            _cosine(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"), scale,
             ).alias("score"),
         )
     )

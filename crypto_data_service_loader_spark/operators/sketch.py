@@ -359,3 +359,47 @@ def bloom_probe(
         )
         .select(*others, (F.col("_all") == 1).alias(flag_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation via count-min inner product (AGMS / CM estimate)
+# ---------------------------------------------------------------------------
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Estimate |left JOIN right| on an equality key WITHOUT running the
+    join: build a d x w count-min sketch over each side's key, take the
+    per-row inner product sum_b cmL[r,b] * cmR[r,b], and report the min
+    across the d rows (Cormode & Muthukrishnan 2005 §4.2). Guarantee:
+    estimate >= true join size, always — hash collisions only ever add.
+
+    The planner's use at 100 TB: the two scans each reduce to a d*w-cell
+    sketch via partial-combined aggregation (nothing key-sized ever
+    shuffles), the inner product is a broadcast join of two sketch
+    tables, and the answer costs no join at all — pre-sizing a shuffle,
+    choosing broadcast vs sort-merge, or gating a runaway cross-ish join
+    before it runs. Sketches built once (per partition / per day) merge
+    with countmin_merge, so the estimate also works incrementally.
+
+    Exact integer arithmetic end-to-end: engine-portable, oracle-exact.
+    Returns one row: (est_pairs long). Caution: w should be >> distinct
+    keys / tolerable relative error; the estimate's expected overshoot
+    is |L|*|R| / w per row pair.
+    """
+    cml = countmin_build(left.select(F.col(left_col).alias("_k")), "_k", d=d, w=w)
+    cmr = countmin_build(right.select(F.col(right_col).alias("_k")), "_k", d=d, w=w)
+    prod = (
+        cml.alias("a")
+        .join(F.broadcast(cmr.alias("b")), ["row", "bucket"])
+        .select("row", (F.col("a.cnt") * F.col("b.cnt")).alias("_p"))
+        .groupBy("row")
+        .agg(F.sum("_p").alias("_ip"))
+    )
+    return prod.agg(F.min("_ip").cast("long").alias("est_pairs"))

@@ -36,3 +36,49 @@ def test_rolling_corr_semantics(spark):
         for r in rolling_corr(df2, "k", ["t"], "x", "y", window=3).collect()
     }
     assert out2[5] == -1.0
+
+
+def test_merge_grouped_sums_equals_full_recompute(spark, sf_dir):
+    """Incremental maintenance contract: state(old) + delta(new) merged
+    == one aggregate over everything; schema guards raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+
+    def partials(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_dec"),
+        )
+
+    merged = rel.merge_grouped_sums(
+        partials(orders.where(F.col("o_orderdate") < cut)),
+        partials(orders.where(F.col("o_orderdate") >= cut)),
+        ["o_custkey"],
+    ).select(
+        "o_custkey",
+        F.col("order_cnt").cast("long").alias("order_cnt"),
+        F.col("total_dec").cast("double").alias("total_price"),
+    )
+    full = partials(orders).select(
+        "o_custkey",
+        F.col("order_cnt").cast("long").alias("order_cnt"),
+        F.col("total_dec").cast("double").alias("total_price"),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        rel.merge_grouped_sums(
+            partials(orders), partials(orders).drop("total_dec"), ["o_custkey"]
+        )
+    with pytest.raises(ValueError, match="no partial"):
+        rel.merge_grouped_sums(
+            partials(orders).select("o_custkey"),
+            partials(orders).select("o_custkey"),
+            ["o_custkey"],
+        )

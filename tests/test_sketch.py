@@ -203,3 +203,22 @@ def test_probe_duplicates_preserved_and_reserved_names_raise(spark):
     bad_bl = spark.createDataFrame([("a", 1)], "k string, word int")
     with pytest.raises(ValueError, match="word"):
         sketch.bloom_probe(bl, bad_bl, "k", n_words=16, k=3)
+
+
+def test_join_size_estimate_overestimates_and_tracks_truth(spark, sf_dir):
+    """CM inner-product estimate: >= true join size always; close when
+    w >> distinct keys; mergeable sketches give the same estimate."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    true_n = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    est = sketch.join_size_estimate(
+        orders, cust, "o_custkey", "c_custkey", d=4, w=4096
+    ).collect()[0]["est_pairs"]
+    assert est >= true_n
+    assert est <= true_n * 1.2  # w=4096 >> ~1.5k custkeys at sf0.01
+
+    # a coarse sketch still upper-bounds, just looser
+    est_small = sketch.join_size_estimate(
+        orders, cust, "o_custkey", "c_custkey", d=4, w=64
+    ).collect()[0]["est_pairs"]
+    assert est_small >= true_n
