@@ -72,9 +72,11 @@ HEADLINE = [
     "stream_sliding_window",
     "range_join_events",
     "docs_prep_pipeline",
-    "train_val_split",
+    # train_val_split / corpus_mix rotated out of the stdout line in r8
+    # (stable micro-queries; family cover stays via training_set_pipeline
+    # and corpus_curation_pipeline) to make room for the linkage + CM
+    # join-sizing keys below. Full history in BENCH_DETAIL.json.
     "pack_sequences",
-    "corpus_mix",
     "training_set_pipeline",
     "corpus_curation_pipeline",
     "semantic_dedup",
@@ -112,6 +114,9 @@ HEADLINE = [
     "data_contract_check",
     "events_acf",
     "sample_pps",
+    # round 8: record linkage + sketch-based join pre-sizing
+    "fuzzy_join_customers",
+    "join_size_estimate",
 ]
 
 

@@ -1,0 +1,1341 @@
+"""LLM-data-pipeline EXT: dedup families (exact/MinHash/SimHash/ngram/embedding), similarity / ANN, text quality + curation, training-set assembly, and their DuckDB oracles."""
+
+from __future__ import annotations
+
+from .shared import *  # noqa: F401,F403
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline EXT: dedup / similarity / text
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not pairs: connected components over the
+    MinHash-LSH candidate graph (min-label propagation; oracle = recursive
+    CTE over the identical pair SQL). Every doc gets a cluster_id = min
+    doc_id reachable; singletons are their own cluster."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.connected_components(pairs, docs.select("doc_id"))
+
+
+def q_dedup_canonical_docs(spark, sf_dir):
+    """The deduplicated corpus: one representative per near-dup cluster
+    (the min-id member IS the canonical doc, so the filter is a plan-local
+    predicate on the clusters output — no extra join)."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact shingle-Jaccard verify over the MinHash-LSH candidate set —
+    the classic two-stage near-dup pipeline (candidates O(collisions), not
+    O(n²): no crossJoin anywhere in the plan). The candidate set is
+    materialized once (localCheckpoint): the verify stage references it
+    twice (id pruning + the pair join), and without materialization each
+    reference re-runs the whole MinHash pipeline — at 100 TB the two
+    phases would be separate jobs with the candidates persisted between
+    them, which this mirrors in-session."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint()
+    return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") > 0.2)
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment verify over the MinHash-LSH candidate set:
+    |A∩B|/|A| and |A∩B|/|B| — flags excerpt/quote containment that
+    symmetric Jaccard misses. Same two-stage shape as the Jaccard verify
+    (candidates O(collisions), docs pruned before shingling)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint()
+    return dedup.ngram_containment(docs, pairs)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: distinct contents shared by each
+    source pair — the dataset-card number that tells you two crawl
+    sources overlap before you mix them. Uses the order-insensitive
+    bag-of-words fingerprint (doc_fingerprints' bag_fp): re-ordered copies
+    across crawls are exactly the near-dup class this report exists to
+    catch (exact-fingerprint overlap is the stricter subset).
+    Fingerprints-only shuffle (32-byte digests), self equi-join."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("fingerprint"),
+        "source",
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.countDistinct("a.fingerprint").alias("n_shared"))
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Pigeonhole-blocked simhash near-dup pairs. Oracle-exact: the result
+    (all pairs at hamming <= 3) is blocking-independent, so the SQL twin
+    verifies it with a plain all-pairs filter over the same simhash
+    values."""
+    return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_sim_cosine_topk_lsh(spark, sf_dir):
+    """Oracle-verified ANN: the DuckDB twin replicates the md5-derived
+    hyperplanes and the query's sign bucket, so the hash check covers the
+    bucket-restricted top-k semantics exactly (recall < 1 included)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Oracle-verified: the DuckDB twin replicates the deterministic
+    md5-derived hyperplanes and sign buckets, so the hash check covers the
+    bucketed candidate semantics themselves (including sub-1.0 recall),
+    not just a superset."""
+    emb = load(spark, sf_dir, "embeddings")
+    # n_planes pinned so the DuckDB twin's replicated hyperplanes match;
+    # production callers omit it and get the auto_planes corpus-size dial
+    return similarity.embedding_near_dups_lsh(emb, threshold=0.4, n_planes=4)
+
+
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Embedding-level duplicate CLUSTERS: connected components over the
+    block-partitioned exact near-dup pair graph (cosine >= 0.4). Same
+    min-label propagation operator as the MinHash document clusters —
+    every vector gets cluster_id = min vec_id reachable; oracle is a
+    recursive CTE over the identical pair SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.4)
+    return dedup.connected_components(
+        pairs, emb.select("vec_id"), node_col="vec_id"
+    )
+
+
+def q_sim_cosine_topk_ivf(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _query_vector(spark, sf_dir), k=10, nprobe=4)
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Pre-training decontamination against a held-out benchmark split
+    (every 50th doc is the deterministic eval set): per training doc, the
+    count of distinct shared 5-grams + the drop flag. Broadcast of the tiny
+    benchmark gram set — the corpus side never shuffles bodies."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.decontaminate(train, bench, n=5)
+
+
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (smoothed idf, rounded-before-rank so
+    tie order is engine-exact)."""
+    return text.tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_stats(spark, sf_dir):
+    return text.text_stats(load(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_counts(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.doc_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def q_text_chunking(spark, sf_dir):
+    return text.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+def q_text_redact_pii(spark, sf_dir):
+    return text.redact_pii(load(spark, sf_dir, "documents"))
+
+
+def q_text_top_terms(spark, sf_dir):
+    return text.corpus_term_frequencies(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id_trigram(spark, sf_dir):
+    return text.lang_id_trigram(load(spark, sf_dir, "documents"))
+
+
+def q_text_gopher_quality(spark, sf_dir):
+    return text.gopher_quality_flags(load(spark, sf_dir, "documents"))
+
+
+def q_text_repetition(spark, sf_dir):
+    return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+def q_train_val_split(spark, sf_dir):
+    """Stable train/val/test assignment: membership is a pure function of
+    doc_id (multiplicative hash), so growing the corpus never moves an
+    existing doc between splits. Scan-local — no shuffle, no state."""
+    return training.train_val_test_split(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "split")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Segment packing of docs into fixed 8192-char budget bins per source
+    (n_chars as the token proxy; token_counts feeds the real pipeline).
+    One window cumsum per source partition — fully data-parallel."""
+    return training.pack_sequences(
+        load(spark, sf_dir, "documents"),
+        budget=8192,
+        tokens_col="n_chars",
+        id_col="doc_id",
+        group_col="source",
+    )
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic per-source corpus rebalance: the oracle-exact twin of
+    `sample_stratified` (hash-gated membership instead of Bernoulli draws —
+    same rates, reproducible across engines and runs)."""
+    return training.mix_corpora(
+        load(spark, sf_dir, "documents"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+    ).select("doc_id", "source")
+
+
+def q_corpus_mix_upsampled(spark, sf_dir):
+    """Mixing with upsampling: src0 at 2.5x (2 copies + hash-gated 50%),
+    src1 kept, src2 quarter-sampled — expected copies == weight,
+    deterministic, scan-local explode."""
+    return training.mix_corpora_upsampled(
+        load(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 1.0, "src2": 0.25},
+    ).select("doc_id", "source", "copy_id")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-source corpus rebalance via the SEEDED id-hash gate —
+    oracle-exact (the gate is plain integer arithmetic, reproduced
+    term-for-term in the DuckDB twin), deterministic across runs, and a
+    different seed draws a different sample."""
+    docs = load(spark, sf_dir, "documents")
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return rel.sample_stratified(docs, "source", fractions, seed=42).select(
+        "doc_id", "source"
+    )
+
+
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """The curation-side flagship, composing this round's operators as ONE
+    declarative plan: line-level boilerplate removal (in-order rebuild) ->
+    drop emptied docs -> per-source top-50% quality gate (exact
+    percent_rank over the CLEANED text) -> exact dedup on cleaned content
+    (keep lowest doc_id) -> per-source token-budget fill. Every stage is
+    an independently-oracled operator; this verifies the composition.
+    Scale shape: one line-hash agg + broadcast anti-join, two per-source
+    window exchanges (rank + cumsum), one fingerprint groupBy, two
+    semi-joins on doc_id — no collect, no crossJoin, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = dedup.remove_boilerplate_lines(docs, max_doc_freq=2)
+    # materialize the cleaned corpus once: quality features, the rank
+    # join, and the dedup fingerprints all re-read it, and each reference
+    # would otherwise re-run the whole line-explode + string_agg rebuild
+    alive = (
+        cleaned.filter(F.col("text_clean") != "")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "text_clean",
+            F.length("text_clean").alias("n_chars_clean"),
+        )
+        .localCheckpoint()
+    )
+    scored = text.quality_score(
+        alive.select("doc_id", F.col("text_clean").alias("text"))
+    )
+    gated = training.select_top_quality_percent(
+        scored.join(alive, "doc_id"), frac=0.5
+    )
+    keep = (
+        dedup.exact_dedup(
+            gated.select("doc_id", F.col("text_clean").alias("text"))
+        )
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    survivors = gated.join(keep, "doc_id", "left_semi")
+    return training.token_budget_fill(
+        survivors.select("doc_id", "source", "n_chars_clean"),
+        budget=5_000,
+        tokens_col="n_chars_clean",
+    ).select("doc_id", "source", "n_chars_clean", "cum_before")
+
+
+def q_training_set_pipeline(spark, sf_dir):
+    """The LLM-side flagship: full training-set assembly as ONE declarative
+    plan — Gopher quality gate -> exact dedup (keep lowest doc_id) ->
+    whitespace token counts -> stable train/val/test split (hash of
+    doc_id) -> per-split sequence packing (window cumsum, budget 8192).
+    Every stage is an independently-oracled operator; this verifies the
+    composition end-to-end. Scale shape: two semi-joins on doc_id + one
+    fingerprint groupBy + windows partitioned by (split, id-range shard)
+    — `shard_docs` bounds every window partition to 200 docs, so packing
+    parallelism scales with the corpus instead of collapsing to the 3
+    split values; no collect, no crossJoin, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    passed = docs.join(
+        text.gopher_quality_flags(docs)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keep = (
+        text.doc_fingerprints(passed)
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = passed.join(keep, "doc_id", "left_semi")
+    toks = text.token_counts(kept).select("doc_id", "ws_tokens")
+    split = training.train_val_test_split(toks, "doc_id").select(
+        "doc_id", "ws_tokens", "split"
+    )
+    return training.pack_sequences(
+        split,
+        budget=8192,
+        tokens_col="ws_tokens",
+        id_col="doc_id",
+        group_col="split",
+        shard_docs=200,
+    ).select("doc_id", "split", "ws_tokens", "bin_id", "bin_offset")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-compare): deterministic k-means quantizer ->
+    intra-cluster cosine pairs -> flag the higher id of every pair >= 0.35.
+    The O(n²) pair stage is confined to per-cluster equi-join partitions —
+    the published recipe for semantic dedup at corpus scale."""
+    return similarity.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, k_centroids=8
+    )
+
+
+def q_knn_graph_lsh(spark, sf_dir):
+    """Approximate k-NN graph (top-3 cosine neighbors per vector) with
+    candidates restricted to sign-LSH buckets — the input artifact for
+    graph-based clustering/label-propagation over a corpus. The oracle
+    replicates the deterministic hyperplanes, so recall behavior itself is
+    value-verified, not just the exact-scoring stage."""
+    return similarity.knn_graph(
+        load(spark, sf_dir, "embeddings"), k=3, n_planes=4
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a 'new crawl' batch (doc_id % 10 < 2) collapsed
+    within-batch then anti-joined against the existing corpus fingerprint
+    index — the production shape where the corpus is never re-read."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 < 2),
+        docs.filter(F.col("doc_id") % 10 >= 2),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Classifier-style quality gate: fixed linear model over the
+    text_stats feature block, softsign squash (transcendental-free, so
+    bit-identical across engines), keep = score >= 0.5."""
+    return text.quality_classifier(load(spark, sf_dir, "documents"))
+
+
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card rollup per (source, lang): docs/tokens/chars, distinct
+    contents, exact-duplicate rate. Integer sums + one division only."""
+    return training.corpus_report(load(spark, sf_dir, "documents"))
+
+
+def q_events_zscore(spark, sf_dir):
+    """Per-type z-score outlier flags from exact decimal moments — the
+    distributional validation gate over the events stream."""
+    return rel.zscore_outliers(load(spark, sf_dir, "events"))
+
+
+def q_win_cume_ntile(spark, sf_dir):
+    """Distribution-rank window suite: ntile/cume_dist/percent_rank over a
+    tie-free (value, event_id) order within each event type."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_dedup_ngram_spans(spark, sf_dir):
+    """Cross-document repeated 13-gram detection — the n-gram-granular
+    approximation of exact substring dedup (Lee et al. 2022 / RefinedWeb).
+    Exploded window hashes + two fingerprint-keyed aggregations; the
+    irreducible shuffle is md5-per-window, never document bodies."""
+    return dedup.duplicated_ngram_spans(load(spark, sf_dir, "documents"), n=13)
+
+
+def q_dedup_ngram_spans_sampled(spark, sf_dir):
+    """The 100-TB fallback for dedup_ngram_spans as code, not a docstring:
+    gram-hash-gated 25% sample of the window space. Gating on the gram's
+    own hash keeps all occurrences of a kept gram together, so the
+    cross-document test stays exact within the sample and the md5-window
+    shuffle shrinks to `rate` of the token volume. Deterministic ->
+    oracle-exact."""
+    return dedup.duplicated_ngram_spans_sampled(
+        load(spark, sf_dir, "documents"), n=13, rate=0.25
+    )
+
+
+def q_dedup_boilerplate_lines(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/RefinedWeb recipe): lines in
+    more than 2 distinct documents are dropped everywhere and documents
+    are rebuilt in line order — on the single-line fixture corpus this
+    empties exact-duplicate cliques of size > 2, leaving unique and
+    lightly-duplicated docs intact."""
+    return dedup.remove_boilerplate_lines(
+        load(spark, sf_dir, "documents"), max_doc_freq=2
+    )
+
+
+def q_udtf_charge_legs(spark, sf_dir):
+    """Python UDTF in a LATERAL join (the §2B UDF/UDAF/UDTF surface's
+    table-function leg): each lineitem expands to its three charge
+    components. Rounding happens in engine SQL (HALF_UP both sides);
+    the UDTF emits raw IEEE doubles mirroring the oracle's op order."""
+    from ..functions.scalars import ChargeLegsUDTF
+
+    spark.udtf.register("charge_legs", ChargeLegsUDTF)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_udtf")
+    return spark.sql("""
+        SELECT l.l_orderkey, l.l_linenumber, legs.component,
+               round(legs.amount, 6) AS amount
+        FROM _li_udtf AS l,
+        LATERAL charge_legs(l.l_extendedprice, l.l_discount, l.l_tax) AS legs
+    """)
+
+
+def q_quality_percentile_gate(spark, sf_dir):
+    """Per-source top-50% quality selection via exact percent_rank — the
+    drift-free version of an absolute score threshold. Composes the
+    quality scorer with the training-side gate."""
+    docs = load(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return training.select_top_quality_percent(scored, frac=0.5).select(
+        "doc_id", "source", "quality", "pct_rank"
+    )
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Per-source 'fill until full' token-budget selection: window cumsum
+    in deterministic id order, keep while the running total before the doc
+    is under budget."""
+    return training.token_budget_fill(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        budget=5_000,
+    )
+
+
+def q_docs_prep_pipeline(spark, sf_dir):
+    """End-to-end pretraining data prep as ONE composed plan: Gopher
+    quality gate -> exact dedup on content fingerprint (keep lowest doc_id)
+    -> chunk -> per-doc rollup (chunk + token counts). Each stage is an
+    independently-oracled operator; this query verifies they compose."""
+    docs = load(spark, sf_dir, "documents")
+    passed = docs.join(
+        text.gopher_quality_flags(docs)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keep = (
+        text.doc_fingerprints(passed)
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = passed.join(keep, "doc_id", "left_semi")
+    n_chunks = (
+        text.chunk_documents(kept, chunk_tokens=64, overlap=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    return (
+        n_chunks.join(text.token_counts(kept), "doc_id")
+        .select("doc_id", "n_chunks", "ws_tokens", "bpe_tokens")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payloads derived
+    deterministically from documents, decoded via the mapInPandas stub,
+    features fed to the similarity operators' schema. Codecs are fakes
+    (none installed); the Spark path — schema, Arrow batches, partitioning
+    — is the real thing. ORACLE-EXACT: the payload is the UTF-8 bytes of
+    md5(text), so the fake's md5(payload)-derived features are
+    md5(md5(text)) — expressible in DuckDB byte-for-byte (its md5() takes
+    VARCHAR only, which is why the payload is hex TEXT bytes, not raw
+    digest bytes)."""
+    from ..operators.multimodal import decode_and_featurize
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.md5("text"), "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return decode_and_featurize(media, fake=True).select(
+        "media_id",
+        "kind",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+        "decode_ok",
+    )
+
+
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> tuple[str, str, str]:
+    """Returns (full pair query, CTE body, final select) so the clusters
+    oracle can splice the pair pipeline into a recursive-closure query."""
+    rows = num_hashes // bands
+    # mirror of dedup._shingle_base_hash/_mh_params: one md5 per shingle
+    # folded to 32 bits mod p, then k linear permutations — the '0x'||hex
+    # cast is DuckDB's portable hex->int
+    p = dedup._MH_P
+    base = f"(('0x'||substr(md5(s),1,8))::BIGINT % {p})"
+    sig_exprs = ", ".join(
+        "list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {p})) AS h{i}".format(
+            a=dedup._mh_params(i)[0], b=dedup._mh_params(i)[1],
+            base=base, p=p, i=i,
+        )
+        for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{b}', {hs})) AS band_{b}".format(
+            b=b, hs=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc, '{b}' AS band, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    ctes = f"""sh AS (SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+                    WHERE len({_SHINGLES}) > 0),
+        sig AS (SELECT doc, {sig_exprs} FROM sh),
+        banded AS (SELECT doc, {band_exprs} FROM sig),
+        buckets AS ({band_union})"""
+    select = """
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc"""
+    return f"WITH {ctes} {select}", ctes, select
+
+
+_LLM_ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""",
+    "dedup_ngram_spans": f"""
+        WITH t AS (SELECT doc_id, {_SHINGLES13} AS sh FROM documents),
+        g0 AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+        g AS (SELECT doc_id, md5(gram) AS gh FROM g0),
+        crossdoc AS (
+            SELECT gh FROM g GROUP BY gh
+            HAVING count(DISTINCT doc_id) > 1),
+        perdoc AS (
+            SELECT doc_id, count(*) AS ndw
+            FROM g JOIN crossdoc USING (gh) GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_windows FROM t)
+        SELECT tot.doc_id, n_windows,
+               CAST(coalesce(ndw, 0) AS INTEGER) AS n_dup_windows,
+               CASE WHEN n_windows > 0
+                    THEN CAST(coalesce(ndw, 0) AS DOUBLE) / n_windows
+                    ELSE 0.0 END AS dup_window_ratio
+        FROM tot LEFT JOIN perdoc USING (doc_id)""",
+    # The curation flagship: every stage's CTE is lifted verbatim from its
+    # standalone oracle (boilerplate lines -> quality formula over
+    # text_clean -> percent_rank gate -> min-id dedup -> budget cumsum).
+    "corpus_curation_pipeline": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        l AS (
+            SELECT doc_id, i AS pos, ls[i] AS ln
+            FROM t, unnest(range(1, len(ls) + 1)) AS u(i)),
+        boiler AS (
+            SELECT md5(ln) AS lh FROM l GROUP BY 1
+            HAVING count(DISTINCT doc_id) > 2),
+        kept_l AS (
+            SELECT doc_id, pos, ln FROM l
+            WHERE md5(ln) NOT IN (SELECT lh FROM boiler)),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+            FROM kept_l GROUP BY doc_id),
+        alive AS (
+            SELECT r.doc_id, d.source, r.text_clean,
+                   CAST(length(r.text_clean) AS INTEGER) AS n_chars_clean
+            FROM rebuilt r JOIN documents d USING (doc_id)
+            WHERE r.text_clean <> ''),
+        s AS (
+            SELECT doc_id,
+                   len({_TOKS_CLEAN}) AS n_tokens,
+                   len(list_distinct({_TOKS_CLEAN})) AS n_distinct_tokens,
+                   CAST(len(list_filter({_TOKS_CLEAN},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS_CLEAN}) AS stopword_ratio
+            FROM alive),
+        q AS (
+            SELECT doc_id,
+                   round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                         + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
+                         + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+            FROM s),
+        r AS (
+            SELECT a.doc_id, a.source, a.text_clean, a.n_chars_clean,
+                   round(percent_rank() OVER (
+                       PARTITION BY a.source
+                       ORDER BY q.quality DESC, q.doc_id ASC), 6) AS pr
+            FROM q JOIN alive a USING (doc_id)),
+        g AS (SELECT * FROM r WHERE pr <= 0.5),
+        grp AS (
+            SELECT MIN(doc_id) AS keep_id
+            FROM (SELECT doc_id,
+                         md5(array_to_string({_TOKS_CLEAN}, ' ')) AS fp
+                  FROM g)
+            GROUP BY fp),
+        surv AS (
+            SELECT doc_id, source, n_chars_clean FROM g
+            WHERE doc_id IN (SELECT keep_id FROM grp))
+        SELECT doc_id, source, n_chars_clean, cum_before
+        FROM (
+            SELECT doc_id, source, n_chars_clean,
+                   CAST(coalesce(SUM(n_chars_clean) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM surv)
+        WHERE cum_before < 5000""",
+    # Line-level boilerplate removal; chr(10) split mirrors Spark's
+    # split(text, '\\n'), string_agg(... ORDER BY pos) mirrors the
+    # array_sort(collect_list(struct(pos, line))) rebuild.
+    "dedup_boilerplate_lines": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        l AS (
+            SELECT doc_id, i AS pos, ls[i] AS ln
+            FROM t, unnest(range(1, len(ls) + 1)) AS u(i)),
+        boiler AS (
+            SELECT md5(ln) AS lh FROM l GROUP BY 1
+            HAVING count(DISTINCT doc_id) > 2),
+        kept AS (
+            SELECT doc_id, pos, ln FROM l
+            WHERE md5(ln) NOT IN (SELECT lh FROM boiler)),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+                   CAST(count(*) AS INTEGER) AS n_kept
+            FROM kept GROUP BY doc_id),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines
+            FROM l GROUP BY doc_id)
+        SELECT tot.doc_id,
+               coalesce(text_clean, '') AS text_clean,
+               n_lines,
+               CAST(n_lines - coalesce(n_kept, 0) AS INTEGER) AS n_removed
+        FROM tot LEFT JOIN rebuilt USING (doc_id)""",
+    "dedup_ngram_spans_sampled": f"""
+        WITH t AS (SELECT doc_id, {_SHINGLES13} AS sh FROM documents),
+        g0 AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+        g1 AS (SELECT doc_id, md5(gram) AS gh FROM g0),
+        g AS (SELECT doc_id, gh FROM g1
+              WHERE CAST(('0x' || substr(gh, 1, 8)) AS BIGINT) % 1000 < 250),
+        crossdoc AS (
+            SELECT gh FROM g GROUP BY gh
+            HAVING count(DISTINCT doc_id) > 1),
+        perdoc AS (
+            SELECT doc_id, count(*) AS ndw
+            FROM g JOIN crossdoc USING (gh) GROUP BY doc_id),
+        tot AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(s.nw, 0) AS INTEGER) AS n_windows_sampled
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, count(*) AS nw FROM g GROUP BY doc_id)
+                s USING (doc_id))
+        SELECT tot.doc_id, n_windows_sampled,
+               CAST(coalesce(ndw, 0) AS INTEGER) AS n_dup_windows_sampled,
+               CASE WHEN n_windows_sampled > 0
+                    THEN CAST(coalesce(ndw, 0) AS DOUBLE) / n_windows_sampled
+                    ELSE 0.0 END AS dup_window_ratio_est
+        FROM tot LEFT JOIN perdoc USING (doc_id)""",
+    "dedup_incremental": f"""
+        WITH fresh AS (
+            SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+            FROM documents WHERE doc_id % 10 < 2 GROUP BY 1),
+        idx AS (
+            SELECT DISTINCT md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+            FROM documents WHERE doc_id % 10 >= 2)
+        SELECT f.fingerprint, f.keep_id, f.n_docs
+        FROM fresh f ANTI JOIN idx i ON f.fingerprint = i.fingerprint""",
+    # Mirrors text.quality_classifier: same feature block as text_stats,
+    # same term order in z (float addition is order-sensitive), softsign
+    # squash — only +,*,/,abs,sqrt, all IEEE-identical across engines.
+    "quality_classifier": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   CAST(length(regexp_replace(lower(trim(text, ' ')), '\\s+', '', 'g')) AS DOUBLE)
+                       / len({_TOKS}) AS avg_token_len,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS}) AS stopword_ratio
+            FROM documents),
+        z AS (
+            SELECT doc_id,
+                   -1.0 + 0.12 * sqrt(CAST(n_tokens AS DOUBLE))
+                        + 6.0 * stopword_ratio
+                        + 1.5 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                        + -0.35 * avg_token_len AS z
+            FROM s)
+        SELECT doc_id,
+               round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS lm_quality,
+               z >= 0 AS keep
+        FROM z""",
+    "corpus_report": f"""
+        WITH base AS (
+            SELECT source, lang,
+                   len({_TOKS}) AS n_tok,
+                   length(text) AS n_chars,
+                   md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+            FROM documents)
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               COUNT(DISTINCT fingerprint) AS n_unique_docs,
+               round(1.0 - CAST(COUNT(DISTINCT fingerprint) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        FROM base GROUP BY source, lang""",
+    # Exact-decimal group moments (the agg_stats trick) broadcast back onto
+    # the scan; z/flag formulas identical term-for-term to rel.zscore_outliers.
+    "events_zscore": """
+        WITH st AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ssq,
+                   COUNT(value) AS n
+            FROM events GROUP BY event_type),
+        m AS (
+            SELECT event_type, sv / n AS mean,
+                   CASE WHEN n > 1
+                        THEN sqrt((ssq - sv * sv / n) / (n - 1)) END AS std
+            FROM st)
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN std > 0
+                    THEN round((e.value - mean) / std, 6) END AS z,
+               coalesce(CASE WHEN std > 0
+                             THEN abs(round((e.value - mean) / std, 6)) >= 2.5
+                        END, false) AS is_outlier
+        FROM events e JOIN m USING (event_type)""",
+    "win_cume_ntile": """
+        SELECT event_id, event_type,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(cume_dist() OVER w, 6) AS cume,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+    "dedup_minhash_lsh": _minhash_sql()[0],
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, edges.dst FROM reach JOIN edges
+              ON reach.r = edges.src)
+        SELECT node AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node""",
+    "dedup_canonical_docs": f"""
+        WITH RECURSIVE {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, edges.dst FROM reach JOIN edges
+              ON reach.r = edges.src)
+        SELECT node AS doc_id
+        FROM reach GROUP BY node HAVING node = MIN(r)""",
+    "dedup_ngram_jaccard": f"""
+        WITH {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        sets AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+            FROM documents)
+        SELECT p.id_a, p.id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM pairs p
+        JOIN sets a ON p.id_a = a.doc_id
+        JOIN sets b ON p.id_b = b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.2""",
+    "dedup_embedding_clusters": """
+        WITH RECURSIVE normed AS (
+            SELECT vec_id,
+                   embedding AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+            WHERE round(CASE WHEN a.n * b.n > 0
+                        THEN list_sum(list_transform(range(1, len(a.v) + 1),
+                             i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                             / (a.n * b.n)
+                        ELSE 0.0 END, 6) >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT reach.node, edges.dst FROM reach JOIN edges
+              ON reach.r = edges.src)
+        SELECT node AS vec_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node""",
+    "text_decontaminate": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len({_TOKS}) < 5 THEN []
+                            ELSE list_transform(range(1, len({_TOKS}) - 3),
+                                 i -> array_to_string(
+                                     list_slice({_TOKS}, i, i + 4), ' '))
+                       END) AS gs
+            FROM documents),
+        bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                  WHERE doc_id % 50 = 0),
+        train_g AS (SELECT doc_id, unnest(gs) AS gram FROM g
+                    WHERE doc_id % 50 <> 0),
+        hits AS (SELECT doc_id, count(*) AS n
+                 FROM train_g JOIN bench USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(h.n, 0) AS INTEGER) AS n_overlap,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 0""",
+    "text_tfidf_top_terms": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS term_rank
+            FROM scored)
+        SELECT doc_id, term, tfidf, CAST(term_rank AS INTEGER) AS term_rank
+        FROM ranked WHERE term_rank <= 3""",
+    "text_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+               CAST(length(regexp_replace(lower(trim(text, ' ')), '\\s+', '', 'g')) AS DOUBLE)
+                   / len({_TOKS}) AS avg_token_len,
+               CAST(len(list_filter({_TOKS},
+                    t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                   / len({_TOKS}) AS stopword_ratio
+        FROM documents""",
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(trim(text, ' ')), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+        FROM documents""",
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string({_TOKS}, ' ')) AS content_fp,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_fp
+        FROM documents""",
+    "text_chunking": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        meta AS (SELECT doc_id, toks,
+                        greatest(CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT), 1)
+                        AS n_chunks
+                 FROM t)
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+                   AS chunk_text
+        FROM meta, unnest(range(0, n_chunks)) AS u(i)""",
+    "text_redact_pii": """
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g')
+               AS redacted_text,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER)
+               AS n_emails
+        FROM documents""",
+    "text_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
+        per_doc AS (
+            SELECT term, doc, COUNT(*) AS tf FROM terms GROUP BY term, doc)
+        SELECT term,
+               CAST(SUM(tf) AS BIGINT) AS total_count,
+               COUNT(*) AS doc_freq
+        FROM per_doc GROUP BY term
+        ORDER BY total_count DESC, term ASC LIMIT 50""",
+    # cosine: DuckDB list_sum folds in list order, exactly like Spark's
+    # F.aggregate — verified bit-identical at 12 dp (tools/diffcheck.py)
+    "sim_cosine_topk": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(list_sum(list_transform(qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm FROM q),
+        scored AS (
+            SELECT e.vec_id,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+                       AS dt,
+                   sqrt(list_sum(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qn.qnorm
+                       AS dn
+            FROM embeddings e, q, qn)
+        -- zero-norm convention: score 0.0 (the Spark _cosine guard's twin)
+        SELECT vec_id,
+               CASE WHEN dn > 0 THEN round(dt / dn, 6) ELSE 0.0 END AS score
+        FROM scored
+        ORDER BY score DESC, vec_id ASC LIMIT 10""",
+    # LSH top-k twin, oracle-exact: the SQL reproduces the deterministic
+    # md5-derived hyperplanes (8 planes) and restricts the scan to the
+    # query vector's sign bucket — same recall semantics as the Spark path
+    "sim_cosine_topk_lsh": """
+        WITH planes AS (
+            SELECT p.p, i.i,
+                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                        CAST(i.i AS VARCHAR)), 8, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM (SELECT unnest(range(8)) AS p) p,
+                 (SELECT unnest(range((SELECT max(len(embedding))
+                                       FROM embeddings))) AS i) i),
+        normed AS (
+            SELECT vec_id, embedding AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        dots AS (
+            SELECT nv.vec_id, pl.p,
+                   sum(CAST(nv.v[pl.i + 1] AS DOUBLE) * pl.w) AS d
+            FROM normed nv JOIN planes pl ON TRUE
+            GROUP BY nv.vec_id, pl.p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        q AS (
+            SELECT nv.v AS qv, nv.n AS qn, bk.bucket AS qb
+            FROM normed nv JOIN buckets bk USING (vec_id)
+            WHERE nv.vec_id = 0)
+        SELECT nv.vec_id,
+               round(CASE WHEN nv.n * q.qn > 0
+                     THEN list_sum(list_transform(range(1, len(nv.v) + 1),
+                          i -> CAST(nv.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                          / (nv.n * q.qn)
+                     ELSE 0.0 END, 6) AS score
+        FROM normed nv JOIN buckets bk USING (vec_id) CROSS JOIN q
+        WHERE bk.bucket = q.qb
+        ORDER BY score DESC, nv.vec_id ASC LIMIT 10""",
+    "dedup_containment": f"""
+        WITH {_minhash_sql()[1]},
+        pairs AS ({_minhash_sql()[2]}),
+        sets AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+            FROM documents)
+        SELECT p.id_a, p.id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh), 6) AS containment_a,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(b.sh), 6) AS containment_b
+        FROM pairs p
+        JOIN sets a ON p.id_a = a.doc_id
+        JOIN sets b ON p.id_b = b.doc_id""",
+    "asof_nearest_tolerance": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        v AS (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'view'),
+        ranked AS (
+            SELECT c.event_id, c.user_id, c.ts, v.value,
+                   abs(epoch_us(c.ts) - epoch_us(v.ts)) AS adiff,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY abs(epoch_us(c.ts) - epoch_us(v.ts)),
+                                (v.ts > c.ts), v.ts) AS rn
+            FROM c LEFT JOIN v ON c.user_id = v.user_id)
+        SELECT event_id, user_id, ts,
+               CASE WHEN adiff <= 600 * 1000000 THEN value END AS value_asof
+        FROM ranked WHERE rn = 1""",
+    "source_overlap": f"""
+        WITH fps AS (
+            SELECT DISTINCT
+                   md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                       AS fingerprint,
+                   source
+            FROM documents)
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(DISTINCT a.fingerprint) AS n_shared
+        FROM fps a JOIN fps b
+          ON a.fingerprint = b.fingerprint AND a.source < b.source
+        GROUP BY 1, 2""",
+    "dedup_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
+        h AS (
+            SELECT doc, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS h
+            FROM tok),
+        bits AS (
+            SELECT doc,
+                   {', '.join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16))}
+            FROM h GROUP BY doc)
+        SELECT doc AS doc_id,
+               CAST({' + '.join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))} AS BIGINT) AS simhash
+        FROM bits""",
+    # pair output is blocking-independent (the pigeonhole blocks are pure
+    # candidate generation; the exact bit_count verify defines the result),
+    # so the oracle is simply all pairs with hamming <= 3 over the same
+    # simhash values — n² is fine for DuckDB at oracle scale
+    "dedup_simhash_pairs": f"""
+        WITH tok AS (
+            SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
+        h AS (
+            SELECT doc, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS h
+            FROM tok),
+        bits AS (
+            SELECT doc,
+                   {', '.join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16))}
+            FROM h GROUP BY doc),
+        sh AS (
+            SELECT doc AS doc_id,
+                   CAST({' + '.join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))} AS BIGINT) AS simhash
+            FROM bits)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "text_quality": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS}) AS stopword_ratio
+            FROM documents)
+        SELECT doc_id,
+               round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                     + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
+                     + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+        FROM s""",
+    # Same quality formula as text_quality, gated by exact per-source
+    # percent_rank (score desc, doc_id asc) <= 0.5.
+    "quality_percentile_gate": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                       / len({_TOKS}) AS stopword_ratio
+            FROM documents),
+        q AS (
+            SELECT doc_id,
+                   round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                         + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
+                         + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+            FROM s),
+        r AS (
+            SELECT q.doc_id, d.source, q.quality,
+                   round(percent_rank() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.quality DESC, q.doc_id ASC), 6) AS pct_rank
+            FROM q JOIN documents d USING (doc_id))
+        SELECT doc_id, source, quality, pct_rank
+        FROM r WHERE pct_rank <= 0.5""",
+    # Declarative twin of the Python UDTF: UNION ALL with identical
+    # IEEE-double op order; round applied engine-side on both paths.
+    "udtf_charge_legs": """
+        SELECT l_orderkey, l_linenumber, 'base' AS component,
+               round(l_extendedprice, 6) AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               round(l_extendedprice * l_discount, 6) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax',
+               round((l_extendedprice * (1.0 - l_discount)) * l_tax, 6)
+        FROM lineitem""",
+    "corpus_token_budget": """
+        SELECT doc_id, source, n_chars, cum_before
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(coalesce(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM documents)
+        WHERE cum_before < 5000""",
+    "text_gopher_quality": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_words,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x))) AS DOUBLE)
+                       / len({_TOKS}) AS mean_word_len,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len({_TOKS}) AS alpha_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS DOUBLE)
+                       / len({_TOKS}) AS symbol_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in'], x)))
+                        AS INTEGER) AS stop_hits
+            FROM documents)
+        SELECT doc_id, n_words,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(alpha_word_ratio, 6) AS alpha_word_ratio,
+               round(symbol_word_ratio, 6) AS symbol_word_ratio,
+               stop_hits,
+               (n_words >= 10 AND n_words <= 100000) AS ok_word_count,
+               (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_mean_word_len,
+               (alpha_word_ratio >= 0.7) AS ok_alpha_ratio,
+               (symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+               (stop_hits >= 1) AS ok_stopwords,
+               ((n_words >= 10 AND n_words <= 100000)
+                AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                AND alpha_word_ratio >= 0.7
+                AND symbol_word_ratio <= 0.1
+                AND stop_hits >= 1) AS passes_gopher
+        FROM m""",
+    "text_repetition": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+            FROM toks),
+        per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_gram_frac,
+               CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+                   / CAST(SUM(c) AS BIGINT) AS dup_gram_frac
+        FROM per_gram GROUP BY doc_id""",
+    "docs_prep_pipeline": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_words,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x))) AS DOUBLE)
+                       / len({_TOKS}) AS mean_word_len,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len({_TOKS}) AS alpha_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS DOUBLE)
+                       / len({_TOKS}) AS symbol_word_ratio,
+                   len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in'], x)))
+                       AS stop_hits
+            FROM documents),
+        passed AS (
+            SELECT d.* FROM documents d JOIN m USING (doc_id)
+            WHERE n_words >= 10 AND n_words <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+              AND alpha_word_ratio >= 0.7 AND symbol_word_ratio <= 0.1
+              AND stop_hits >= 1),
+        keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+                  FROM passed)
+            GROUP BY fp)
+        SELECT doc_id,
+               CAST(GREATEST(CEIL((len({_TOKS}) - 16) / 48.0), 1) AS BIGINT)
+                   AS n_chunks,
+               CAST(len({_TOKS}) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(trim(text, ' ')),
+                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+        FROM passed WHERE doc_id IN (SELECT doc_id FROM keep)""",
+    "training_set_pipeline": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_words,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x))) AS DOUBLE)
+                       / len({_TOKS}) AS mean_word_len,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len({_TOKS}) AS alpha_word_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS DOUBLE)
+                       / len({_TOKS}) AS symbol_word_ratio,
+                   len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in'], x)))
+                       AS stop_hits
+            FROM documents),
+        passed AS (
+            SELECT d.* FROM documents d JOIN m USING (doc_id)
+            WHERE n_words >= 10 AND n_words <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+              AND alpha_word_ratio >= 0.7 AND symbol_word_ratio <= 0.1
+              AND stop_hits >= 1),
+        keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+                  FROM passed)
+            GROUP BY fp),
+        t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS ws_tokens
+            FROM passed WHERE doc_id IN (SELECT doc_id FROM keep)),
+        s AS (
+            SELECT doc_id, ws_tokens,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                            THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 950
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t),
+        c AS (
+            SELECT doc_id, split, ws_tokens,
+                   CAST(FLOOR(doc_id / 200) AS BIGINT) AS shard,
+                   CAST(COALESCE(SUM(ws_tokens) OVER (
+                       PARTITION BY split, CAST(FLOOR(doc_id / 200) AS BIGINT)
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum
+            FROM s)
+        SELECT doc_id, split, ws_tokens,
+               shard * 4294967296
+                   + CAST(FLOOR(CAST(cum AS DOUBLE) / 8192) AS BIGINT)
+                   AS bin_id,
+               cum % 8192 AS bin_offset
+        FROM c""",
+    "lang_id": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(list_filter({_TOKS}, t -> list_contains(['the','a','of','and','to','in'], t))) AS s_en,
+                   len(list_filter({_TOKS}, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
+                   len(list_filter({_TOKS}, t -> list_contains(['le','la','les','et','est','une'], t))) AS s_fr,
+                   len(list_filter({_TOKS}, t -> list_contains(['el','la','los','y','es','una'], t))) AS s_es
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM s""",
+    "lang_id_trigram": """
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN len(lower(trim(text, ' '))) >= 3 THEN
+                       list_transform(range(1, len(lower(trim(text, ' '))) - 1),
+                           i -> substr(lower(trim(text, ' ')), CAST(i AS INTEGER), 3))
+                   ELSE [] END AS grams
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['the','and','ing','ion','tio','ent','ati','for','her',
+                        'ter','hat','tha','ere','ate','his','con','res','ver'],
+                       x))) AS INTEGER) AS t_en,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['der','ein','sch','ich','nde','die','che','den','ten',
+                        'und','ine','gen','end','ers','ste','cht','ung','das'],
+                       x))) AS INTEGER) AS t_de,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['les','ent','que','ion','ant','eur','our','ait','dan',
+                        'pou','est','par','men','tre','com','ons','ous','ett'],
+                       x))) AS INTEGER) AS t_fr,
+                   CAST(len(list_filter(grams, x -> list_contains(
+                       ['que','ent','ion','con','ado','est','par','los','ien',
+                        'nte','ara','cio','dad','las','del','por','una','era'],
+                       x))) AS INTEGER) AS t_es
+            FROM g)
+        SELECT doc_id,
+               CASE WHEN greatest(t_en, t_de, t_fr, t_es) = 0 THEN 'und'
+                    WHEN t_en = greatest(t_en, t_de, t_fr, t_es) THEN 'en'
+                    WHEN t_de = greatest(t_en, t_de, t_fr, t_es) THEN 'de'
+                    WHEN t_fr = greatest(t_en, t_de, t_fr, t_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               t_en, t_de, t_fr, t_es
+        FROM s""",
+}

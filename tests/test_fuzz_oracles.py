@@ -147,6 +147,19 @@ EMB_KEYS = [
     "sim_cosine_topk",
     "dedup_embedding_cosine",
     "vector_quantize_int8",
+    # round 8: the whole cosine family — every oracle now carries the
+    # zero-norm CASE guard (Spark's _cosine twin); the all-zero vector
+    # in VEC is what catches a missing guard (ANSI Spark aborts on the
+    # division, DuckDB emits NaN which compares GREATER than any number,
+    # so thresholds/rankings diverge instead of erroring)
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
+    "sim_topk_lsh_multiprobe",
+    "dedup_embedding_lsh",
+    "dedup_embedding_clusters",
+    "semantic_dedup",
+    "knn_graph_lsh",
+    "ann_recall_at_k",
 ]
 
 #: grid-valued small vectors INCLUDING the all-zero vector (zero norm:

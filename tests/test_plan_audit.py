@@ -41,6 +41,9 @@ NESTED_LOOP_OK = {
     # two single-row count aggregates crossed into the one recall row:
     "ann_recall_at_k",
     "dedup_pair_recall",
+    # the d-row sketch inner-product crossed with the single-row true
+    # count (the audit column); both sides bounded by construction:
+    "join_size_estimate",
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
