@@ -39,6 +39,7 @@ QUERIES = {
     "entity_resolution_scored": q_entity_resolution_scored,
     "join_size_estimate": q_join_size_estimate,
     "agg_incremental_merge": q_agg_incremental_merge,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -286,13 +287,13 @@ _R8_FRONT = [
     "win_row_number",
     # new in round 8: linkage family, CM join sizing, incremental aggs
     "fuzzy_join_customers", "entity_resolution_scored",
-    "join_size_estimate", "agg_incremental_merge",
+    "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
     # re-verified by the full local replay after the zero-norm guards)
     "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
-    "doc_fingerprint", "docs_prep_pipeline", "lang_id",
+    "doc_fingerprint", "docs_prep_pipeline",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_FRONT},
@@ -1537,3 +1538,40 @@ ORACLES["agg_incremental_merge"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
                AS total_price
     FROM orders GROUP BY o_custkey"""
+
+# Prefix-filter exact Jaccard join: the SQL replicates the df-ascending
+# prefix construction; any global order yields the same RESULT (exact
+# verify), so window tie-breaks cannot bite. Integer threshold math
+# everywhere (10*i >= 7*(union)).
+ORACLES["dedup_jaccard_prefix"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter({_TOKS}, x -> x <> '')))
+                   AS tok
+        FROM documents),
+    sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+    dfq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT t.doc_id, t.tok, s.s,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df ASC, t.tok ASC) AS rk
+        FROM toks t JOIN dfq d USING (tok) JOIN sz s USING (doc_id)),
+    pref AS (SELECT doc_id, tok, s FROM ranked
+             WHERE rk <= s - ((7 * s + 9) // 10) + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+         AND 10 * least(a.s, b.s) >= 7 * greatest(a.s, b.s)),
+    sets AS (SELECT doc_id,
+                    list_distinct(list_filter({_TOKS}, x -> x <> '')) AS tk
+             FROM documents),
+    v AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS i,
+               CAST(len(a.tk) + len(b.tk) AS BIGINT) AS ss
+        FROM cand c JOIN sets a ON c.id_a = a.doc_id
+                    JOIN sets b ON c.id_b = b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (ss - i), 6) AS jaccard
+    FROM v WHERE 10 * i >= 7 * (ss - i)"""

@@ -1339,3 +1339,15 @@ _LLM_ORACLES = {
                t_en, t_de, t_fr, t_es
         FROM s""",
 }
+
+
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT token-Jaccard near-dup pairs (>= 7/10) by prefix filtering
+    (dedup.jaccard_prefix_join) — 100% recall beside the MinHash-LSH
+    approximation; the threshold logic is pure integer arithmetic so
+    the key is oracle-exact by construction — over the full corpus
+    (the synthetic docs repeat phrases, so the pair volume is a real
+    workout: ~51k qualifying pairs at sf0.01)."""
+    return dedup.jaccard_prefix_join(
+        load(spark, sf_dir, "documents"), 7, 10
+    )

