@@ -82,7 +82,9 @@ HEADLINE = [
     "semantic_dedup",
     "knn_graph_lsh",
     "dedup_incremental",
-    "corpus_report",
+    # corpus_report rotated out in r8 (stable micro-query; rollup family
+    # cover stays via profile_columns) for the indexed near-dup key
+
     "dedup_ngram_spans",
     # dedup_ngram_spans_sampled rotated out of the stdout line in r7 to
     # stay under the driver's 1900-char tail guard (the unsampled twin
@@ -114,9 +116,11 @@ HEADLINE = [
     "data_contract_check",
     "events_acf",
     "sample_pps",
-    # round 8: record linkage + sketch-based join pre-sizing
+    # round 8: record linkage + sketch-based join pre-sizing + the
+    # persisted-index cross-epoch near-dup query
     "fuzzy_join_customers",
     "join_size_estimate",
+    "dedup_minhash_indexed",
 ]
 
 

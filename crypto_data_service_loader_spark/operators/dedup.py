@@ -363,6 +363,73 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs
 
 
+def minhash_sig_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as columns (doc, h0..h{n-1}) — the
+    shared base of the pair join, the banded bucket table, and the
+    persisted index (sources/minhash_index.py). One md5 per shingle;
+    the n permutations are linear arithmetic over that digest; the MIN
+    aggregate combines map-side so the shuffle carries (doc, n×int64).
+    Docs with < k tokens have no shingles and drop out by construction."""
+    exploded = _spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    )
+    base = exploded.select("doc", _shingle_base_hash(F.col("s")).alias("h"))
+    hashed = base.select(
+        "doc",
+        *[
+            ((F.col("h") * _mh_params(i)[0] + _mh_params(i)[1]) % _MH_P).alias(
+                f"m{i}"
+            )
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc").agg(
+        *[F.min(f"m{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Banded LSH bucket table (doc, band, band_hash): docs agreeing on
+    ALL rows of a band share a bucket. The md5 band hash collapses
+    rows_per_band int64s to one join key."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_sig_table(docs, text_col, id_col, num_hashes, k)
+    banded = sig.select(
+        "doc",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    return banded.selectExpr(
+        "doc",
+        "stack({n}, {args}) AS (band, band_hash)".format(
+            n=bands,
+            args=", ".join(f"'{b}', band_{b}" for b in range(bands)),
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -387,46 +454,7 @@ def minhash_lsh_pairs(
     (doc, 8×int64) rows. Docs with < k tokens have no
     shingles and are excluded from LSH by construction (explode drops them).
     """
-    rows_per_band = num_hashes // bands
-    exploded = _spread(docs).select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), k)).alias("s"),
-    )
-    base = exploded.select(
-        "doc", _shingle_base_hash(F.col("s")).alias("h")
-    )
-    hashed = base.select(
-        "doc",
-        *[
-            ((F.col("h") * _mh_params(i)[0] + _mh_params(i)[1]) % _MH_P).alias(
-                f"m{i}"
-            )
-            for i in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(f"m{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    banded = sig.select(
-        "doc",
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ],
-    )
-    buckets = banded.selectExpr(
-        "doc",
-        "stack({n}, {args}) AS (band, band_hash)".format(
-            n=bands,
-            args=", ".join(f"'{b}', band_{b}" for b in range(bands)),
-        ),
-    )
+    buckets = minhash_buckets(docs, text_col, id_col, num_hashes, bands, k)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

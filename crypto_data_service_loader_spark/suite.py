@@ -24,6 +24,7 @@ from .suites.llm import _LLM_ORACLES
 from .suites.relational_ext import _RELATIONAL_ORACLES
 from .suites.shared import (  # noqa: F401 — re-exported for tests/tools
     _EVENTS_SQL,
+    _SHINGLES,
     _SHINGLES13,
     _TOKS,
     _events_fixture,
@@ -40,6 +41,7 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "agg_incremental_merge": q_agg_incremental_merge,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_minhash_indexed": q_dedup_minhash_indexed,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -288,12 +290,13 @@ _R8_FRONT = [
     # new in round 8: linkage family, CM join sizing, incremental aggs
     "fuzzy_join_customers", "entity_resolution_scored",
     "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
+    "dedup_minhash_indexed",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
     # re-verified by the full local replay after the zero-norm guards)
     "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
-    "doc_fingerprint", "docs_prep_pipeline",
+    "doc_fingerprint",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_FRONT},
@@ -1575,3 +1578,30 @@ ORACLES["dedup_jaccard_prefix"] = f"""
     SELECT id_a, id_b,
            round(CAST(i AS DOUBLE) / (ss - i), 6) AS jaccard
     FROM v WHERE 10 * i >= 7 * (ss - i)"""
+
+# Cross-epoch near-dup vs the persisted MinHash index: the oracle
+# re-derives BOTH sides' signatures/bands from the same md5-derived
+# integer permutations the index stored, so stored state == recompute
+# is exactly what the hash check pins. Verify = integer signature
+# agreement (2*agree >= 8), match_frac cast double for humans.
+ORACLES["dedup_minhash_indexed"] = """
+    WITH shq AS (SELECT doc_id AS doc, {SH} AS sh FROM documents
+                 WHERE doc_id % 7 = 0 AND len({SH}) > 0),
+    sigq AS (SELECT doc, list_min(list_transform(sh, s -> (506952114 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1131927770) % 2147483647)) AS h0, list_min(list_transform(sh, s -> (1520856342 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 116371893) % 2147483647)) AS h1, list_min(list_transform(sh, s -> (387276923 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1248299663) % 2147483647)) AS h2, list_min(list_transform(sh, s -> (1401181151 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 232743786) % 2147483647)) AS h3, list_min(list_transform(sh, s -> (267601732 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1364671556) % 2147483647)) AS h4, list_min(list_transform(sh, s -> (1281505960 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 349115679) % 2147483647)) AS h5, list_min(list_transform(sh, s -> (147926541 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1481043449) % 2147483647)) AS h6, list_min(list_transform(sh, s -> (1161830769 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 465487572) % 2147483647)) AS h7 FROM shq),
+    bandq AS (SELECT doc, md5(concat_ws('|', '0', h0, h1)) AS band_0, md5(concat_ws('|', '1', h2, h3)) AS band_1, md5(concat_ws('|', '2', h4, h5)) AS band_2, md5(concat_ws('|', '3', h6, h7)) AS band_3 FROM sigq),
+    bq AS (SELECT doc, '0' AS band, band_0 AS band_hash FROM bandq UNION ALL SELECT doc, '1' AS band, band_1 AS band_hash FROM bandq UNION ALL SELECT doc, '2' AS band, band_2 AS band_hash FROM bandq UNION ALL SELECT doc, '3' AS band, band_3 AS band_hash FROM bandq),
+    shi AS (SELECT doc_id AS doc, {SH} AS sh FROM documents
+            WHERE doc_id % 7 <> 0 AND len({SH}) > 0),
+    sigi AS (SELECT doc, list_min(list_transform(sh, s -> (506952114 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1131927770) % 2147483647)) AS h0, list_min(list_transform(sh, s -> (1520856342 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 116371893) % 2147483647)) AS h1, list_min(list_transform(sh, s -> (387276923 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1248299663) % 2147483647)) AS h2, list_min(list_transform(sh, s -> (1401181151 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 232743786) % 2147483647)) AS h3, list_min(list_transform(sh, s -> (267601732 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1364671556) % 2147483647)) AS h4, list_min(list_transform(sh, s -> (1281505960 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 349115679) % 2147483647)) AS h5, list_min(list_transform(sh, s -> (147926541 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 1481043449) % 2147483647)) AS h6, list_min(list_transform(sh, s -> (1161830769 * (('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) + 465487572) % 2147483647)) AS h7 FROM shi),
+    bandi AS (SELECT doc, md5(concat_ws('|', '0', h0, h1)) AS band_0, md5(concat_ws('|', '1', h2, h3)) AS band_1, md5(concat_ws('|', '2', h4, h5)) AS band_2, md5(concat_ws('|', '3', h6, h7)) AS band_3 FROM sigi),
+    bi AS (SELECT doc, '0' AS band, band_0 AS band_hash FROM bandi UNION ALL SELECT doc, '1' AS band, band_1 AS band_hash FROM bandi UNION ALL SELECT doc, '2' AS band, band_2 AS band_hash FROM bandi UNION ALL SELECT doc, '3' AS band, band_3 AS band_hash FROM bandi),
+    cand AS (SELECT DISTINCT q.doc AS qd, i.doc AS dd
+             FROM bq q JOIN bi i
+               ON q.band = i.band AND q.band_hash = i.band_hash
+              AND q.doc <> i.doc),
+    v AS (SELECT c.qd, c.dd, ((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)) AS n_agree
+          FROM cand c JOIN sigq a ON c.qd = a.doc
+                      JOIN sigi b ON c.dd = b.doc)
+    SELECT qd AS doc_id, dd AS dup_of, CAST(n_agree AS INTEGER) AS n_agree,
+           round(CAST(n_agree AS DOUBLE) / 8, 6) AS match_frac
+    FROM v WHERE 2 * n_agree >= 8""".replace("{SH}", _SHINGLES)

@@ -942,3 +942,34 @@ def q_agg_incremental_merge(spark, sf_dir):
         F.col("order_cnt").cast("long").alias("order_cnt"),
         F.col("_total").cast("double").alias("total_price"),
     )
+
+
+def _mh_index(spark, sf_dir: str) -> str:
+    """Persisted MinHash-LSH index over the corpus slice (doc_id % 7
+    != 0) — the 'already-ingested epochs' side of the cross-epoch
+    near-dup check."""
+    import os
+
+    from ..sources import minhash_index
+
+    path = _index_path(sf_dir, "minhash_b4", "documents")
+    if not os.path.exists(os.path.join(path, minhash_index._META)):
+        minhash_index.write_minhash_index(
+            load(spark, sf_dir, "documents").where(F.col("doc_id") % 7 != 0),
+            path,
+        )
+    return path
+
+
+def q_dedup_minhash_indexed(spark, sf_dir):
+    """Near-dups of a NEW batch (doc_id % 7 == 0) against the persisted
+    MinHash index of every earlier epoch (sources/minhash_index.py) —
+    the incremental near-dup path: the corpus is touched only through
+    its stored (band, band_hash) postings + signatures; only the batch
+    is signed. Verification = signature-agreement >= 1/2 (the MinHash
+    Jaccard estimate, integer predicate; stated, not hidden)."""
+    from ..sources import minhash_index
+
+    path = _mh_index(spark, sf_dir)
+    batch = load(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return minhash_index.near_dups_against_index(spark, path, batch, 1, 2)
