@@ -538,3 +538,81 @@ def split_by_content(
             .alias("split"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Data Selection with Importance Resampling, integerized (after
+    Xie et al. 2023, DSIR): score each candidate document by how much
+    its hashed-bigram distribution looks like the TARGET corpus rather
+    than the source pool. Canonical DSIR weights are products of
+    likelihood ratios in log space; transcendental logs diverge across
+    engines (repo exactness rule), so this uses the deterministic
+    integer proxy: per bucket b,
+
+        r_b = ((target_count_b + 1) * scale) DIV (source_count_b + 1)
+
+    (add-one smoothed frequency ratio at fixed-point ``scale``), and a
+    doc's importance is the SUM of r_b over its bigram occurrences —
+    monotone in the average likelihood ratio, reproducible bit-for-bit
+    anywhere. Docs with < 2 tokens have no bigrams: importance 0.
+
+    Feed the result to `relational.sample_pps` (weight = importance)
+    for the resampling half of DSIR, or rank-and-take for a hard top-k;
+    both stay integer-exact.
+
+    Scale shape: two gram scans (candidates + target) reduced to
+    n_buckets partial-combined counts; the bucket score table is
+    n_buckets rows -> broadcast; the per-doc sum is one aggregation on
+    the id. Nothing wider than (doc, bucket) ever shuffles.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        )
+        g = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array())
+        exploded = df.select(F.col(id_col).alias("_id"), F.explode(g).alias("_g"))
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 12), 16, 10).cast("long")
+            % n_buckets
+        )
+        return exploded.select("_id", bucket.alias("_b"))
+
+    src_counts = grams(docs).groupBy("_b").agg(F.count(F.lit(1)).alias("_sc"))
+    tgt_counts = grams(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    ratios = (
+        src_counts.join(tgt_counts, "_b", "full_outer")
+        .select(
+            "_b",
+            F.expr(
+                f"((coalesce(_tc, 0) + 1) * CAST({int(scale)} AS BIGINT))"
+                f" DIV (coalesce(_sc, 0) + 1)"
+            ).alias("_r"),
+        )
+    )
+    scored = (
+        grams(docs)
+        .join(F.broadcast(ratios), "_b")
+        .groupBy("_id")
+        .agg(F.sum("_r").alias("importance"))
+    )
+    return docs.select(F.col(id_col)).join(
+        scored.withColumnRenamed("_id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("importance"), F.lit(0)).cast("long").alias("importance"),
+    )

@@ -42,6 +42,7 @@ QUERIES = {
     "agg_incremental_merge": q_agg_incremental_merge,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash_indexed": q_dedup_minhash_indexed,
+    "dsir_select": q_dsir_select,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -290,13 +291,12 @@ _R8_FRONT = [
     # new in round 8: linkage family, CM join sizing, incremental aggs
     "fuzzy_join_customers", "entity_resolution_scored",
     "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
-    "dedup_minhash_indexed",
+    "dedup_minhash_indexed", "dsir_select",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
     # re-verified by the full local replay after the zero-norm guards)
     "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
-    "doc_fingerprint",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_FRONT},
@@ -1605,3 +1605,37 @@ ORACLES["dedup_minhash_indexed"] = """
     SELECT qd AS doc_id, dd AS dup_of, CAST(n_agree AS INTEGER) AS n_agree,
            round(CAST(n_agree AS DOUBLE) / 8, 6) AS match_frac
     FROM v WHERE 2 * n_agree >= 8""".replace("{SH}", _SHINGLES)
+
+# DSIR-integerized importance: hashed word bigrams (48-bit md5 fold mod
+# 4096), add-one smoothed fixed-point frequency ratios, per-doc integer
+# sums — the transcendental-free proxy the operator docstring derives.
+ORACLES["dsir_select"] = f"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               list_filter({_TOKS}, x -> x <> '') AS t
+        FROM documents),
+    grams AS (
+        SELECT tk.doc_id, tk.source,
+               ('0x' || substr(md5(tk.t[i.i] || ' ' || tk.t[i.i + 1]),
+                               1, 12))::BIGINT % 4096 AS b
+        FROM tk, LATERAL unnest(generate_series(1, len(tk.t) - 1)) AS i(i)
+        WHERE len(tk.t) >= 2),
+    sc AS (SELECT b, count(*) AS n FROM grams WHERE source <> 'src0'
+           GROUP BY b),
+    tc AS (SELECT b, count(*) AS n FROM grams WHERE source = 'src0'
+           GROUP BY b),
+    ratios AS (
+        SELECT coalesce(sc.b, tc.b) AS b,
+               ((coalesce(tc.n, 0) + 1) * CAST(1000000 AS BIGINT))
+                   // (coalesce(sc.n, 0) + 1) AS r
+        FROM sc FULL OUTER JOIN tc ON sc.b = tc.b),
+    scored AS (
+        SELECT g.doc_id, CAST(SUM(r.r) AS BIGINT) AS importance
+        FROM grams g JOIN ratios r ON g.b = r.b
+        WHERE g.source <> 'src0'
+        GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.importance, 0) AS BIGINT) AS importance
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    WHERE d.source <> 'src0'
+    ORDER BY importance DESC, d.doc_id ASC LIMIT 200"""

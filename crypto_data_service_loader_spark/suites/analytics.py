@@ -973,3 +973,20 @@ def q_dedup_minhash_indexed(spark, sf_dir):
     path = _mh_index(spark, sf_dir)
     batch = load(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
     return minhash_index.near_dups_against_index(spark, path, batch, 1, 2)
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (training.dsir_importance): score every
+    non-src0 document by how target-like (src0-like) its hashed-bigram
+    distribution is — integerized likelihood-ratio proxy, so the whole
+    ranking is engine-exact — and keep the top 200 (importance desc, id
+    asc). The resampling half composes with sample_pps (weight =
+    importance), pinned by test; the hard top-k is the registered shape."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    cands = docs.where(F.col("source") != "src0")
+    return (
+        training.dsir_importance(cands, target)
+        .orderBy(F.col("importance").desc(), F.col("doc_id").asc())
+        .limit(200)
+    )

@@ -93,6 +93,13 @@ EVENT_KEYS = [
     "events_winsorized",
     "equi_depth_histogram",
     "category_drift",
+    # round 8: the rest of the events-only monitoring family
+    "events_acf",
+    "events_control_chart",
+    "events_seasonal",
+    "histogram_drift",
+    "events_mad_outliers",
+    "events_zscore",
 ]
 
 #: grid-valued doubles (multiples of 0.5) spanning the histogram keys'

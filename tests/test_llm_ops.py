@@ -1488,3 +1488,34 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
 
     with pytest.raises(ValueError, match="threshold"):
         dedup.jaccard_prefix_join(edge, 11, 10)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Integerized DSIR: candidates sharing the target's bigrams score
+    above candidates that don't; gramless docs score 0; composing with
+    sample_pps keeps everything integer-exact."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.operators import training
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta")], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"),      # target-like
+         (2, "delta epsilon zeta"),    # disjoint
+         (3, "alpha beta alpha beta"), # very target-like
+         (4, "solo")],                 # no bigrams
+        "doc_id int, text string",
+    )
+    imp = {r["doc_id"]: r["importance"]
+           for r in training.dsir_importance(docs, target).collect()}
+    assert imp[3] > imp[1] > imp[2] > 0
+    assert imp[4] == 0
+
+    drawn = rel.sample_pps(
+        training.dsir_importance(docs, target), "doc_id", "importance", k=2
+    ).collect()
+    assert sum(r["multiplicity"] for r in drawn) == 2
+    assert all(r["doc_id"] != 4 for r in drawn)  # zero weight never drawn
