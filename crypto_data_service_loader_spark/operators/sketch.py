@@ -403,3 +403,107 @@ def join_size_estimate(
         .agg(F.sum("_p").alias("_ip"))
     )
     return prod.agg(F.min("_ip").cast("long").alias("est_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Moments sketch (Gan et al. 2018): mergeable quantiles from power sums
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the per-row power terms — floor(x + 0.5)-style
+#: half-up rounding at 6 dp is deterministic on every engine (native
+#: round() half-even/half-away splits them; vector_quantize precedent)
+_MOM_SCALE = 1_000_000
+
+
+def moments_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_moments: int = 4,
+) -> DataFrame:
+    """Per-group moments sketch: (group..., n, s1..s{k}) where s_i is
+    the EXACT integer sum of floor(x^i * 1e6 + 0.5) — fixed-point power
+    sums accumulated as DECIMAL(38,0). The sketch is one row per group
+    (bounded state, like HLL/count-min/Bloom beside it), merges with
+    plain SUM (`moments_merge`), and every cell is engine-exact: the
+    power is IEEE multiplication, the half-up fixed-point fold is
+    deterministic, integer addition is associative.
+
+    This is the quantile member of the sketch family (Gan et al. 2018,
+    "Moment-based quantile sketches"): where HLL answers distinct and
+    count-min answers frequency with constant state, power sums answer
+    distributional questions — mean/variance/skew/kurtosis exactly, and
+    quantiles via `moments_quantile` (Cornish-Fisher expansion, also
+    closed-form and portable). The trade: accuracy depends on the
+    distribution being moment-describable; for exact quantiles use
+    profile.exact_quantiles and pay its sort.
+    """
+    x = F.col(value_col).cast("double")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(1, n_moments + 1):
+        p = x
+        for _ in range(i - 1):
+            p = p * x
+        term = F.floor(p * _MOM_SCALE + F.lit(0.5)).cast("decimal(38,0)")
+        aggs.append(F.sum(term).alias(f"s{i}"))
+    return df.where(x.isNotNull()).groupBy(*group_cols).agg(*aggs)
+
+
+def moments_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge sketches built with the same dials: counts and power sums
+    just add (the pre-aggregate-once roll-up, same as the other three
+    sketch kinds)."""
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    keys = [c for c in u.columns if c != "n" and not c.startswith("s")]
+    sums = [F.sum(c).cast("decimal(38,0)").alias(c)
+            for c in u.columns if c.startswith("s")]
+    return u.groupBy(*keys).agg(F.sum("n").cast("long").alias("n"), *sums)
+
+
+#: standard normal quantiles used by moments_quantile — literals so both
+#: engines plug in the same doubles
+_Z = {0.5: 0.0, 0.9: 1.2815515655446004, 0.95: 1.6448536269514722,
+      0.99: 2.3263478740408408}
+
+
+def moments_quantile(
+    sketch: DataFrame,
+    q: float,
+    est_col: str = "q_est",
+) -> DataFrame:
+    """Closed-form quantile estimate from a 4-moment sketch via the
+    Cornish-Fisher expansion: with mean mu, std sigma, skew g1, excess
+    kurtosis g2 and z the standard-normal quantile,
+
+        w = z + (z^2-1)g1/6 + (z^3-3z)g2/24 - (2z^3-5z)g1^2/36
+        q_hat = mu + sigma * w
+
+    All of it is +,*,/,sqrt on doubles — IEEE-identical everywhere, so
+    the ESTIMATE (not just the sketch) is oracle-exact. Rounded to 6 dp
+    (+0.0 for the negative-zero trap). Accuracy is the moment method's:
+    good for unimodal near-Gaussian-ish groups, degrades on heavy
+    multimodality — that caveat is the price of one-row state."""
+    if q not in _Z:
+        raise ValueError(f"q must be one of {sorted(_Z)}: got {q}")
+    z = _Z[q]
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / _MOM_SCALE / n
+    m2 = F.col("s2").cast("double") / _MOM_SCALE / n
+    m3 = F.col("s3").cast("double") / _MOM_SCALE / n
+    m4 = F.col("s4").cast("double") / _MOM_SCALE / n
+    var = m2 - m1 * m1
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    mu3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    mu4 = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+           - 3 * m1 * m1 * m1 * m1)
+    safe = (F.col("n") >= 2) & (var > 0)
+    g1 = F.when(safe, mu3 / (sigma * sigma * sigma)).otherwise(F.lit(0.0))
+    g2 = F.when(safe, mu4 / (var * var) - F.lit(3.0)).otherwise(F.lit(0.0))
+    w = (
+        F.lit(z)
+        + (F.lit(z * z - 1.0)) * g1 / 6
+        + (F.lit(z * z * z - 3.0 * z)) * g2 / 24
+        - (F.lit(2.0 * z * z * z - 5.0 * z)) * g1 * g1 / 36
+    )
+    est = F.when(safe, m1 + sigma * w).otherwise(m1)
+    return sketch.withColumn(est_col, F.round(est, 6) + F.lit(0.0))

@@ -43,6 +43,7 @@ QUERIES = {
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash_indexed": q_dedup_minhash_indexed,
     "dsir_select": q_dsir_select,
+    "moments_quantile": q_moments_quantile,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -291,12 +292,12 @@ _R8_FRONT = [
     # new in round 8: linkage family, CM join sizing, incremental aggs
     "fuzzy_join_customers", "entity_resolution_scored",
     "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
-    "dedup_minhash_indexed", "dsir_select",
+    "dedup_minhash_indexed", "dsir_select", "moments_quantile",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
     # re-verified by the full local replay after the zero-norm guards)
-    "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_exact", "dedup_simhash",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_FRONT},
@@ -1639,3 +1640,51 @@ ORACLES["dsir_select"] = f"""
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     WHERE d.source <> 'src0'
     ORDER BY importance DESC, d.doc_id ASC LIMIT 200"""
+
+# Moments sketch + Cornish-Fisher p90: fixed-point half-up power sums
+# (floor(x*1e6+0.5), DECIMAL(38,0) accumulation) and a closed-form
+# estimate whose every +,*,/,sqrt mirrors the Spark expression tree
+# parenthesis-for-parenthesis — IEEE determinism is order-sensitive.
+ORACLES["moments_quantile"] = """
+    WITH sk AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS DECIMAL(38,0))) AS d1,
+               SUM(CAST(floor((value * value) * 1000000 + 0.5)
+                        AS DECIMAL(38,0))) AS d2,
+               SUM(CAST(floor(((value * value) * value) * 1000000 + 0.5)
+                        AS DECIMAL(38,0))) AS d3,
+               SUM(CAST(floor((((value * value) * value) * value) * 1000000
+                              + 0.5) AS DECIMAL(38,0))) AS d4
+        FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    m AS (
+        SELECT event_type, n,
+               CAST(d1 AS DOUBLE) AS s1, CAST(d2 AS DOUBLE) AS s2,
+               CAST(d3 AS DOUBLE) AS s3, CAST(d4 AS DOUBLE) AS s4,
+               CAST(d1 AS DOUBLE) / 1000000 / n AS m1,
+               CAST(d2 AS DOUBLE) / 1000000 / n AS m2,
+               CAST(d3 AS DOUBLE) / 1000000 / n AS m3,
+               CAST(d4 AS DOUBLE) / 1000000 / n AS m4
+        FROM sk),
+    v AS (
+        SELECT *, m2 - m1 * m1 AS var,
+               sqrt(greatest(m2 - m1 * m1, 0.0)) AS sigma,
+               (m3 - (3 * m1) * m2) + (((2 * m1) * m1) * m1) AS mu3,
+               ((m4 - (4 * m1) * m3) + (((6 * m1) * m1) * m2))
+                   - ((((3 * m1) * m1) * m1) * m1) AS mu4,
+               (n >= 2 AND m2 - m1 * m1 > 0) AS safe
+        FROM m),
+    g AS (
+        SELECT *,
+               CASE WHEN safe THEN mu3 / ((sigma * sigma) * sigma)
+                    ELSE 0.0 END AS g1,
+               CASE WHEN safe THEN mu4 / (var * var) - 3.0
+                    ELSE 0.0 END AS g2
+        FROM v)
+    SELECT event_type, n, s1, s2, s3, s4,
+           round(CASE WHEN safe THEN m1 + sigma *
+                 (((1.2815515655446004 + ((0.6423744151498161 * g1) / 6))
+                   + ((-1.739867193688157 * g2) / 24))
+                  - (((-2.198182821831713 * g1) * g1) / 36))
+                 ELSE m1 END, 6) + 0 AS q_est
+    FROM g"""

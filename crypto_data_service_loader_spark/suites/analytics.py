@@ -990,3 +990,23 @@ def q_dsir_select(spark, sf_dir):
         .orderBy(F.col("importance").desc(), F.col("doc_id").asc())
         .limit(200)
     )
+
+
+def q_moments_quantile(spark, sf_dir):
+    """Per-type moments sketch (exact fixed-point power sums, mergeable
+    by plain SUM) + the Cornish-Fisher p90 estimate — distributional
+    monitoring with ONE ROW of state per group (sketch.moments_build /
+    moments_quantile). The estimate itself is closed-form IEEE double
+    arithmetic, so even q_est is oracle-exact. Sums are emitted as
+    doubles for the gate (DECIMAL(38,0) cells cross-checked by the
+    merge-equality pytest)."""
+    sk = sketch.moments_build(
+        load(spark, sf_dir, "events").select("event_type", "value"),
+        ["event_type"], "value",
+    )
+    est = sketch.moments_quantile(sk, 0.9)
+    return est.select(
+        "event_type", "n",
+        *[F.col(f"s{i}").cast("double").alias(f"s{i}") for i in range(1, 5)],
+        "q_est",
+    )

@@ -222,3 +222,43 @@ def test_join_size_estimate_overestimates_and_tracks_truth(spark, sf_dir):
         orders, cust, "o_custkey", "c_custkey", d=4, w=64
     ).collect()[0]["est_pairs"]
     assert est_small >= true_n
+
+
+def test_moments_merge_equals_whole_and_estimates_track_truth(spark, sf_dir):
+    """The quantile member of the sketch family: power sums merge by
+    plain addition (halves == whole, cell-exact); the Cornish-Fisher
+    p90 estimate lands near the exact percentile on the events value
+    distribution; degenerate groups (n<2 or zero variance) fall back
+    to the mean instead of dividing by zero."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    half_a = ev.where(F.col("value") < 250)
+    half_b = ev.where((F.col("value") >= 250) | F.col("value").isNull())
+    merged = sketch.moments_merge([
+        sketch.moments_build(half_a, ["event_type"], "value"),
+        sketch.moments_build(half_b, ["event_type"], "value"),
+    ])
+    whole = sketch.moments_build(ev, ["event_type"], "value")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    est = {r["event_type"]: r["q_est"]
+           for r in sketch.moments_quantile(whole, 0.9).collect()}
+    exact = {
+        r["event_type"]: r["p90"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.9)").alias("p90"))
+        .collect()
+    }
+    for k, p90 in exact.items():
+        spread = p90 or 1.0
+        assert abs(est[k] - p90) / abs(spread) < 0.25, (k, est[k], p90)
+
+    import pytest
+
+    degenerate = spark.createDataFrame(
+        [("a", 5.0), ("b", 7.0), ("b", 7.0)], "k string, value double"
+    )
+    dsk = sketch.moments_build(degenerate, ["k"], "value")
+    vals = {r["k"]: r["q_est"] for r in sketch.moments_quantile(dsk, 0.9).collect()}
+    assert vals == {"a": 5.0, "b": 7.0}  # mean fallback, no div-by-zero
+    with pytest.raises(ValueError, match="q must be"):
+        sketch.moments_quantile(dsk, 0.37)
