@@ -16,6 +16,7 @@ store (config) it spills; watermark bounds retention.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -694,6 +695,119 @@ def start_hll_stream(
             _hll_updater,
             outputStructType=HLL_STREAM_SCHEMA,
             stateStructType="regs array<int>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Moments-sketch twin: running power sums -> Cornish-Fisher p90
+# ---------------------------------------------------------------------------
+
+MOMENTS_STREAM_SCHEMA = (
+    "event_type string, n long, s1 double, s2 double, s3 double, "
+    "s4 double, q_est double"
+)
+
+_CF_Z = 1.2815515655446004  # standard normal p90 quantile
+
+
+def _moments_est_py(n: int, sums: list[int]) -> tuple:
+    """(s1..s4 as double, q_est) — Python replica of
+    sketch.moments_quantile's IEEE expression tree, term for term, so
+    the streaming row equals the batch key bit-for-bit (pinned by
+    test_stateful_streaming)."""
+    z = _CF_Z
+    s = [float(x) for x in sums]
+    m1 = s[0] / 1_000_000 / n
+    m2 = s[1] / 1_000_000 / n
+    m3 = s[2] / 1_000_000 / n
+    m4 = s[3] / 1_000_000 / n
+    var = m2 - m1 * m1
+    sigma = math.sqrt(max(var, 0.0))
+    mu3 = (m3 - (3 * m1) * m2) + (((2 * m1) * m1) * m1)
+    mu4 = ((m4 - (4 * m1) * m3) + (((6 * m1) * m1) * m2)) - (
+        (((3 * m1) * m1) * m1) * m1
+    )
+    safe = n >= 2 and var > 0
+    g1 = mu3 / ((sigma * sigma) * sigma) if safe else 0.0
+    g2 = mu4 / (var * var) - 3.0 if safe else 0.0
+    c1, c2, c3 = z * z - 1.0, z * z * z - 3.0 * z, 2.0 * z * z * z - 5.0 * z
+    w = z + (c1 * g1) / 6 + (c2 * g2) / 24 - ((c3 * g1) * g1) / 36
+    est = m1 + sigma * w if safe else m1
+    est = round(est, 6) + 0.0
+    return s[0], s[1], s[2], s[3], est
+
+
+def _moments_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # power sums are exact Python ints (arbitrary precision — the batch
+    # twin's DECIMAL(38,0)); persisted as strings because the state
+    # schema has no decimal type
+    if state.exists:
+        n = int(state.get[0])
+        sums = [int(x) for x in state.get[1]]
+    else:
+        n, sums = 0, [0, 0, 0, 0]
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            if v is None or pd.isna(v):
+                continue
+            x = float(v)
+            n += 1
+            p = x
+            for i in range(4):
+                sums[i] += math.floor(p * 1_000_000 + 0.5)
+                p = p * x
+    state.update((n, [str(x) for x in sums]))
+    s1, s2, s3, s4, est = _moments_est_py(n, sums)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [n],
+            "s1": [s1],
+            "s2": [s2],
+            "s3": [s3],
+            "s4": [s4],
+            "q_est": [est],
+        }
+    )
+
+
+def start_moments_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "moments",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming distributional monitor per event type -> in-memory
+    table `query_name`: running fixed-point power sums (exact ints in
+    state) + the Cornish-Fisher p90 — one bounded state row per key for
+    an unbounded stream, equal to the batch `moments_quantile` key on
+    the same prefix (pinned by test). The sums use the batch sketch's
+    cell layout, so persisted state merges with batch-built sketches
+    by plain addition."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _moments_updater,
+            outputStructType=MOMENTS_STREAM_SCHEMA,
+            stateStructType="n long, sums array<string>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

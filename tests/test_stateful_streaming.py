@@ -599,3 +599,52 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_moments_matches_batch_sketch(spark, tmp_path):
+    """Streaming moments twin (exact-int power sums in keyed state,
+    persisted as strings) equals the batch moments_quantile key on the
+    union of inputs — sums AND the Cornish-Fisher estimate bit-for-bit.
+    Values split across two micro-batches so the final row is only
+    right if state survived."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import sketch
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_moments_stream,
+    )
+
+    schema = "event_type string, value double"
+    batch1 = [("a", float(i % 97) + 0.25) for i in range(400)] + [
+        ("b", 7.0), ("b", None)]
+    batch2 = [("a", float(i % 53) - 3.5) for i in range(300)] + [("b", 7.0)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_moments_stream(stream, str(tmp_path / "ckpt"), query_name="mom_t")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM mom_t").collect()
+    got = {}
+    for r in rows:  # n only grows: keep the max-n row per key
+        cur = got.get(r["event_type"])
+        if cur is None or r["n"] > cur[0]:
+            got[r["event_type"]] = (
+                r["n"], r["s1"], r["s2"], r["s3"], r["s4"], r["q_est"])
+    batch_sk = sketch.moments_build(
+        spark.createDataFrame(batch1 + batch2, schema), ["event_type"], "value"
+    )
+    want = {
+        r["event_type"]: (r["n"], float(r["s1"]), float(r["s2"]),
+                          float(r["s3"]), float(r["s4"]), r["q_est"])
+        for r in sketch.moments_quantile(batch_sk, 0.9).collect()
+    }
+    assert got == want
+    # degenerate key 'b' (zero variance) took the mean fallback
+    assert got["b"][5] == 7.0
