@@ -44,6 +44,7 @@ QUERIES = {
     "dedup_minhash_indexed": q_dedup_minhash_indexed,
     "dsir_select": q_dsir_select,
     "moments_quantile": q_moments_quantile,
+    "entity_clusters": q_entity_clusters,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -293,11 +294,12 @@ _R8_FRONT = [
     "fuzzy_join_customers", "entity_resolution_scored",
     "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
     "dedup_minhash_indexed", "dsir_select", "moments_quantile",
+    "entity_clusters",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
     # re-verified by the full local replay after the zero-norm guards)
-    "dedup_exact", "dedup_simhash",
+    "dedup_exact",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_FRONT},
@@ -1688,3 +1690,45 @@ ORACLES["moments_quantile"] = """
                   - (((-2.198182821831713 * g1) * g1) / 36))
                  ELSE m1 END, 6) + 0 AS q_est
     FROM g"""
+
+# Linkage closure: scored pairs (the entity_resolution_scored CTEs,
+# spliced) -> undirected edges -> recursive reachability -> MIN id per
+# node, the dedup_embedding_clusters closure pattern on customer keys.
+ORACLES["entity_clusters"] = """
+    WITH RECURSIVE cust AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+    dirty AS (
+        SELECT c_custkey AS d_custkey,
+               substr(c_name, 1, length(c_name) - 1) ||
+               CAST((CAST(substr(c_name, -1, 1) AS INT) + 1) % 10 AS VARCHAR)
+                   AS d_name,
+               c_nationkey AS d_nationkey, c_mktsegment AS d_mktsegment
+        FROM customer),
+    cand AS (
+        SELECT cust.*, dirty.* FROM cust JOIN dirty
+          ON substr(c_name, 1, length(c_name) - 1) =
+             substr(d_name, 1, length(d_name) - 1)
+        UNION
+        SELECT cust.*, dirty.* FROM cust JOIN dirty
+          ON substr(c_name, -4, 4) = substr(d_name, -4, 4)),
+    pairs AS (
+        SELECT c_custkey, d_custkey,
+               CAST(levenshtein(c_name, d_name) AS INTEGER) AS lev_dist,
+               round(0.5 * (1.0 - CAST(levenshtein(c_name, d_name) AS DOUBLE)
+                           / greatest(length(c_name), length(d_name), 1))
+                     + 0.3 * (CASE WHEN c_nationkey = d_nationkey
+                              THEN 1.0 ELSE 0.0 END)
+                     + 0.2 * (CASE WHEN c_mktsegment = d_mktsegment
+                              THEN 1.0 ELSE 0.0 END), 6) + 0 AS match_score
+        FROM cand WHERE levenshtein(c_name, d_name) <= 1),
+    m AS (SELECT c_custkey AS a, d_custkey AS b FROM pairs
+          WHERE match_score >= 0.9 AND c_custkey <> d_custkey),
+    edges AS (SELECT a AS src, b AS dst FROM m
+              UNION ALL SELECT b, a FROM m),
+    reach(node, r) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT reach.node, edges.dst FROM reach JOIN edges
+          ON reach.r = edges.src)
+    SELECT node AS c_custkey, MIN(r) AS cluster_id
+    FROM reach GROUP BY node"""

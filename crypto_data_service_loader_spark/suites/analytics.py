@@ -1010,3 +1010,21 @@ def q_moments_quantile(spark, sf_dir):
         *[F.col(f"s{i}").cast("double").alias(f"s{i}") for i in range(1, 5)],
         "q_est",
     )
+
+
+def q_entity_clusters(spark, sf_dir):
+    """Entity groups from the scored linkage pairs: the confident
+    matches (entity_resolution_scored, >= 0.9) become edges between
+    customer keys; pointer-jumping min-label components
+    (dedup.connected_components — O(log diameter) rounds) assign each
+    customer the smallest key reachable through any chain of matches.
+    The full linkage pipeline: block -> verify -> score -> cluster,
+    every stage bounded, every stage deterministic."""
+    pairs = q_entity_resolution_scored(spark, sf_dir).where(
+        F.col("c_custkey") != F.col("d_custkey")
+    )
+    nodes = load(spark, sf_dir, "customer").select("c_custkey")
+    return dedup.connected_components(
+        pairs, nodes, id_a="c_custkey", id_b="d_custkey",
+        node_col="c_custkey",
+    )
