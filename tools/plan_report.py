@@ -113,6 +113,32 @@ SHOWCASE = {
     "onto it; the lexical list rides bm25_topk's broadcast query-term "
     "prune; the full-outer fusion join and final rank window see at most "
     "queries x 2n rows.",
+    "fuzzy_join_customers": "Blocked fuzzy join: both blocking passes are "
+    "plain equi-joins on the derived block key (hash/SMJ, AQE-eligible); "
+    "the levenshtein verify is a scan-local Filter over candidates; no "
+    "CartesianProduct / BroadcastNestedLoopJoin anywhere.",
+    "dedup_jaccard_prefix": "Exact PPJoin: df counts and the per-doc rank "
+    "window reduce to narrow (id, token) shuffles; the candidate stage "
+    "is an equi-join on PREFIX tokens only (df-ascending order keeps hot "
+    "tokens out); verify joins the stored token arrays onto the deduped "
+    "candidate pairs.",
+    "join_size_estimate": "Join pre-sizing without the join: both scans "
+    "collapse to d*w-cell sketches via partial-combined HashAggregates; "
+    "the inner product is a broadcast join of two sketch tables; the "
+    "only BroadcastNestedLoopJoin is the 1-row x 1-row audit cross of "
+    "est and true counts.",
+    "dsir_select": "Importance scoring: two gram scans reduce to 4096 "
+    "bucket counts (map-side combine), the ratio table broadcasts back "
+    "onto the candidate gram stream, and the per-doc sum is one "
+    "aggregation on the id — nothing wider than (doc, bucket) shuffles.",
+    "dedup_minhash_indexed": "Cross-epoch near-dup: only the NEW batch is "
+    "signed; the stored bucket postings scan prunes by band partition, "
+    "candidates come from the (band, band_hash) equi-join, and the "
+    "verify joins two 8-int64 signature tables on the candidate ids.",
+    "moments_quantile": "One scan, one partial-combined HashAggregate to "
+    "5 one-row-per-group sketch rows; the Cornish-Fisher estimate is "
+    "scan-local Project arithmetic on the aggregate output — "
+    "distributional quantiles with zero extra exchanges.",
 }
 
 
