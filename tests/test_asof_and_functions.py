@@ -251,7 +251,11 @@ def test_win_ewma_semantics(spark, monkeypatch, tmp_path):
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
-    monkeypatch.setattr(suite, "load", lambda s, d, t: ev)
+    # post-split: q_win_ewma lives in suites.relational_ext, which
+    # binds load from suites.shared — patch where it is LOOKED UP
+    from crypto_data_service_loader_spark.suites import relational_ext
+
+    monkeypatch.setattr(relational_ext, "load", lambda s, d, t: ev)
     out = {r["event_id"]: r["ewma"] for r in suite.q_win_ewma(spark, "unused").collect()}
     assert out[0] == 10.0 and out[4] == 10.0           # constant prefix
     assert 10.0 < out[5] < 20.0                         # step begins
