@@ -360,10 +360,12 @@ def q_vwap_bars(spark, sf_dir):
         (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,6)")
     ).cast("double")
     den = F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+    # zero-volume bar -> NULL vwap (ANSI Spark aborts on the raw 0/0,
+    # DuckDB yields NaN; lineitem fuzzer catch, round 8)
     return li.groupBy(
         "l_returnflag", F.date_trunc("month", "l_shipdate").alias("bar_start")
     ).agg(
-        F.round(num / den, 6).alias("vwap"),
+        F.when(den > 0, F.round(num / den, 6)).alias("vwap"),
         rel.dsum("l_quantity").alias("volume"),
         F.count(F.lit(1)).alias("n_trades"),
     )
@@ -922,8 +924,10 @@ _RELATIONAL_ORACLES = {
     "vwap_bars": f"""
         SELECT l_returnflag,
                CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS bar_start,
-               round({_DSUM.format(x='l_extendedprice * l_quantity')}
-                     / {_DSUM.format(x='l_quantity')}, 6) AS vwap,
+               CASE WHEN {_DSUM.format(x='l_quantity')} > 0
+                    THEN round({_DSUM.format(x='l_extendedprice * l_quantity')}
+                               / {_DSUM.format(x='l_quantity')}, 6)
+               END AS vwap,
                {_DSUM.format(x='l_quantity')} AS volume,
                COUNT(*) AS n_trades
         FROM lineitem GROUP BY l_returnflag, bar_start""",

@@ -209,3 +209,85 @@ def test_fuzzed_embeddings_stay_oracle_exact(spark, tmp_path_factory, vecs):
         # empty results keep native dtypes (ns vs us timestamps) through
         # the stringifying _normalize — values are what matters
         pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
+
+
+#: relational-family fuzz (round 8): lineitem/orders grids that provoke
+#: the cross-engine divergence classes — duplicate keys, zero
+#: quantities (ratio denominators), values landing on .5 rounding
+#: boundaries at 2 dp, filter-edge discounts (the tpch_q6 BETWEEN
+#: bounds), ranking ties, and grouping-set null semantics
+LINE_KEYS = [
+    "flagship_pricing_summary",
+    "tpch_q6",
+    "vwap_bars",
+    "agg_percentile",
+    "rolling_corr",
+    "agg_rollup",
+    "agg_cube",
+    "unpivot_metrics",
+    "topk_by_price",
+    "agg_incremental_merge",
+]
+
+LINES = st.lists(
+    st.tuples(
+        st.integers(1, 6),                                  # orderkey
+        st.sampled_from([0.0, 1.0, 2.5, 24.5, 49.5, 50.0]),  # quantity
+        st.sampled_from([0.01, 100.005, 950.5, 104949.5]),   # extendedprice
+        st.sampled_from([0.0, 0.05, 0.06, 0.07, 0.1]),       # discount
+        st.sampled_from([0.0, 0.04, 0.08]),                  # tax
+        st.sampled_from(["A", "N", "R"]),
+        st.sampled_from(["O", "F"]),
+        st.integers(0, 3),                                   # date slot
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@FUZZ
+@given(rows=LINES)
+def test_fuzzed_lineitem_stays_oracle_exact(spark, tmp_path_factory, rows):
+    import datetime as dt
+
+    dates = [dt.datetime(1994, 1, 1), dt.datetime(1994, 12, 31),
+             dt.datetime(1995, 1, 1), dt.datetime(1997, 6, 15)]
+    li = pd.DataFrame({
+        "l_orderkey": [r[0] for r in rows],
+        "l_partkey": [i % 4 for i in range(len(rows))],
+        "l_suppkey": [i % 3 for i in range(len(rows))],
+        "l_linenumber": [i + 1 for i in range(len(rows))],
+        "l_quantity": [r[1] for r in rows],
+        "l_extendedprice": [r[2] for r in rows],
+        "l_discount": [r[3] for r in rows],
+        "l_tax": [r[4] for r in rows],
+        "l_returnflag": [r[5] for r in rows],
+        "l_linestatus": [r[6] for r in rows],
+        "l_shipdate": [dates[r[7]] for r in rows],
+    })
+    od = pd.DataFrame({
+        "o_orderkey": list(range(1, 7)),
+        "o_custkey": [k % 3 for k in range(6)],
+        "o_orderstatus": ["F", "O", "P", "F", "O", "F"],
+        "o_totalprice": [0.01, 950.5, 100.005, 104949.5, 950.5, 1.0],
+        "o_orderdate": [dates[k % 4] for k in range(6)],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT",
+                            "5-LOW", "1-URGENT"],
+    })
+    d = tmp_path_factory.mktemp("fuzz_li")
+    for name, pdf in (("lineitem", li), ("orders", od)):
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / "_stage"))
+        part = next(f for f in os.listdir(str(d / "_stage"))
+                    if f.startswith("part-"))
+        os.replace(str(d / "_stage" / part), str(d / f"{name}.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    for key in LINE_KEYS:
+        sdf = QUERIES[key](spark, str(d)).toPandas()
+        odf = con.execute(ORACLES[key]).fetch_arrow_table().to_pandas()
+        s, o = _normalize(sdf), _normalize(odf)
+        assert list(s.columns) == list(o.columns), key
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
