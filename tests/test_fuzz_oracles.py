@@ -227,6 +227,15 @@ LINE_KEYS = [
     "unpivot_metrics",
     "topk_by_price",
     "agg_incremental_merge",
+    # control-plane keys: the registry is derived deterministically from
+    # lineitem+orders, so the same fixture fuzzes the status machine,
+    # collect_set canonicalization, and filename sort/rollup string logic
+    "file_registry_scan",
+    "status_transition_case",
+    "groupby_collect_set",
+    "upload_status_rollup",
+    "agg_min_max_filtered",
+    "scalar_dates",
 ]
 
 LINES = st.lists(
