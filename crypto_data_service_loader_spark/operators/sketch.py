@@ -507,3 +507,93 @@ def moments_quantile(
     )
     est = F.when(safe, m1 + sigma * w).otherwise(m1)
     return sketch.withColumn(est_col, F.round(est, 6) + F.lit(0.0))
+
+
+def hll_set_ops(
+    regs: DataFrame,
+    group_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Pairwise set-operation cardinalities between groups, from their
+    HLL register tables alone — the question a corpus overlap audit
+    asks ("how many users/documents do sources A and B share?") without
+    ever joining raw values.
+
+    Union registers are the pairwise MAX (HLL's native merge, exact in
+    sketch space: max commutes with the per-register max construction,
+    so the union sketch IS the sketch of the unioned data). Intersection
+    comes from inclusion-exclusion: |A&B| = |A| + |B| - |A|B| using the
+    raw register estimates. Output per unordered pair (a < b):
+    est_a, est_b, est_union, est_intersect (floored at 0 — I-E can go
+    slightly negative at sketch error scale).
+
+    Scale shape: the register tables are at most m rows per group; the
+    pairwise stage joins registers on reg within group pairs — cost
+    O(pairs * m), data-size-free. All arithmetic up to the final
+    divisions is exact int64, so the key is oracle-exact like
+    hll_distinct; estimates carry HLL error (~1.04/sqrt(m)), which an
+    audit must treat as approximate — that is the sketch contract. The
+    known I-E weakness: intersection error scales with the UNION's
+    cardinality, so small true overlaps between large sets drown in
+    noise — raise m, or fall back to an exact semi-join count when the
+    audit needs a precise small number.
+    """
+    numerator = hll_numerator(m)
+    a = regs.select(
+        F.col(group_col).alias("ga"), "reg", F.col("rank").alias("rank_a")
+    )
+    b = regs.select(
+        F.col(group_col).alias("gb"), "reg", F.col("rank").alias("rank_b")
+    )
+    # full outer per pair: a register hit by only one side still counts
+    # in the union. Both sides are fanned out to the pair keys FIRST and
+    # then full-outer-joined on (ga, gb, reg), so a one-sided register
+    # keeps its pair identity (the key-list join coalesces the keys).
+    # The pair table is |groups|^2/2 rows of KEYS, never data.
+    pairs = (
+        regs.select(F.col(group_col).alias("ga")).distinct()
+        .join(regs.select(F.col(group_col).alias("gb")).distinct(),
+              F.col("ga") < F.col("gb"))
+    )
+    pa = pairs.join(a, "ga")
+    pb = pairs.join(b, "gb").select("ga", "gb", "reg", "rank_b")
+    joined = pa.join(pb, ["ga", "gb", "reg"], "full_outer")
+    two49 = 2 ** _MAX_RANK
+
+    def reg_sum(rank_col):
+        hit = F.sum(
+            F.when(
+                F.col(rank_col).isNotNull(),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_MAX_RANK} - {rank_col})"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        n_hit = F.sum(F.col(rank_col).isNotNull().cast("long"))
+        return hit + (F.lit(m) - n_hit) * F.lit(two49)
+
+    u_rank = F.greatest(
+        F.coalesce(F.col("rank_a"), F.lit(0)), F.coalesce(F.col("rank_b"), F.lit(0))
+    )
+    u_hit = F.sum(
+        F.when(u_rank > 0,
+               F.expr(f"shiftleft(CAST(1 AS BIGINT), {_MAX_RANK} - "
+                      f"greatest(coalesce(rank_a, 0), coalesce(rank_b, 0)))"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    u_nhit = F.sum((u_rank > 0).cast("long"))
+    agg = joined.groupBy("ga", "gb").agg(
+        reg_sum("rank_a").alias("_ra"),
+        reg_sum("rank_b").alias("_rb"),
+        (u_hit + (F.lit(m) - u_nhit) * F.lit(two49)).alias("_ru"),
+    )
+    ea = F.lit(numerator) / F.col("_ra").cast("double")
+    eb = F.lit(numerator) / F.col("_rb").cast("double")
+    eu = F.lit(numerator) / F.col("_ru").cast("double")
+    inter = F.greatest(F.round(ea + eb - eu, 6), F.lit(0.0))
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.round(ea, 6).alias("est_a"),
+        F.round(eb, 6).alias("est_b"),
+        F.round(eu, 6).alias("est_union"),
+        inter.alias("est_intersect"),
+    )

@@ -45,6 +45,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "moments_quantile": q_moments_quantile,
     "entity_clusters": q_entity_clusters,
+    "hll_source_overlap": q_hll_source_overlap,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -294,12 +295,11 @@ _R8_FRONT = [
     "fuzzy_join_customers", "entity_resolution_scored",
     "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
     "dedup_minhash_indexed", "dsir_select", "moments_quantile",
-    "entity_clusters",
+    "entity_clusters", "hll_source_overlap",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
     # re-verified by the full local replay after the zero-norm guards)
-    "dedup_exact",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_FRONT},
@@ -1732,3 +1732,56 @@ ORACLES["entity_clusters"] = """
           ON reach.r = edges.src)
     SELECT node AS c_custkey, MIN(r) AS cluster_id
     FROM reach GROUP BY node"""
+
+# Pairwise HLL set ops: same register CTE as hll_distinct, pair fan-out
+# on both sides, full outer per (pair, reg) so one-sided registers count
+# in the union-by-max, then the exact-int64 reg sums and the I-E
+# intersection — mirroring sketch.hll_set_ops expression for expression.
+ORACLES["hll_source_overlap"] = """
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 64 AS INTEGER) AS reg,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 140737488355328 THEN 1 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 70368744177664 THEN 2 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 35184372088832 THEN 3 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 17592186044416 THEN 4 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 8796093022208 THEN 5 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 4398046511104 THEN 6 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 2199023255552 THEN 7 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 1099511627776 THEN 8 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 549755813888 THEN 9 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 274877906944 THEN 10 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 137438953472 THEN 11 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 68719476736 THEN 12 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 34359738368 THEN 13 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 17179869184 THEN 14 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 8589934592 THEN 15 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 4294967296 THEN 16 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 2147483648 THEN 17 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 1073741824 THEN 18 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 536870912 THEN 19 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 268435456 THEN 20 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 134217728 THEN 21 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 67108864 THEN 22 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 33554432 THEN 23 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 16777216 THEN 24 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 8388608 THEN 25 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 4194304 THEN 26 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 2097152 THEN 27 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 1048576 THEN 28 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 524288 THEN 29 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 262144 THEN 30 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 131072 THEN 31 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 65536 THEN 32 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 32768 THEN 33 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 16384 THEN 34 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 8192 THEN 35 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 4096 THEN 36 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 2048 THEN 37 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 1024 THEN 38 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 512 THEN 39 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 256 THEN 40 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 128 THEN 41 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 64 THEN 42 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 32 THEN 43 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 16 THEN 44 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 8 THEN 45 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 4 THEN 46 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 2 THEN 47 WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT >= 1 THEN 48 ELSE 49 END AS rank
+        FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, reg, CAST(max(rank) AS INTEGER) AS rank
+          FROM h GROUP BY event_type, reg),
+    gs AS (SELECT DISTINCT event_type FROM r),
+    pairs AS (SELECT a.event_type AS ga, b.event_type AS gb
+              FROM gs a JOIN gs b ON a.event_type < b.event_type),
+    pa AS (SELECT p.ga, p.gb, r.reg, r.rank AS rank_a
+           FROM pairs p JOIN r ON r.event_type = p.ga),
+    pb AS (SELECT p.ga, p.gb, r.reg, r.rank AS rank_b
+           FROM pairs p JOIN r ON r.event_type = p.gb),
+    j AS (SELECT coalesce(pa.ga, pb.ga) AS ga,
+                 coalesce(pa.gb, pb.gb) AS gb,
+                 pa.rank_a, pb.rank_b
+          FROM pa FULL OUTER JOIN pb
+            ON pa.ga = pb.ga AND pa.gb = pb.gb AND pa.reg = pb.reg),
+    agg AS (
+        SELECT ga, gb,
+               CAST(SUM(CASE WHEN rank_a IS NOT NULL
+                        THEN 1::BIGINT << (49 - rank_a) ELSE 0 END)
+                    + (64 - SUM(CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END))
+                      * (1::BIGINT << 49) AS DOUBLE) AS ra,
+               CAST(SUM(CASE WHEN rank_b IS NOT NULL
+                        THEN 1::BIGINT << (49 - rank_b) ELSE 0 END)
+                    + (64 - SUM(CASE WHEN rank_b IS NOT NULL THEN 1 ELSE 0 END))
+                      * (1::BIGINT << 49) AS DOUBLE) AS rb,
+               CAST(SUM(CASE WHEN greatest(coalesce(rank_a, 0),
+                                           coalesce(rank_b, 0)) > 0
+                        THEN 1::BIGINT << (49 - greatest(coalesce(rank_a, 0),
+                                                         coalesce(rank_b, 0)))
+                        ELSE 0 END)
+                    + (64 - SUM(CASE WHEN greatest(coalesce(rank_a, 0),
+                                                   coalesce(rank_b, 0)) > 0
+                                THEN 1 ELSE 0 END))
+                      * (1::BIGINT << 49) AS DOUBLE) AS ru
+        FROM j GROUP BY ga, gb)
+    SELECT ga AS group_a, gb AS group_b,
+           round(1.634842693532509e+18 / ra, 6) AS est_a,
+           round(1.634842693532509e+18 / rb, 6) AS est_b,
+           round(1.634842693532509e+18 / ru, 6) AS est_union,
+           greatest(round((1.634842693532509e+18 / ra + 1.634842693532509e+18 / rb) - 1.634842693532509e+18 / ru, 6), 0.0)
+               AS est_intersect
+    FROM agg"""

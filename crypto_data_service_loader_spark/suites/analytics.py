@@ -1028,3 +1028,16 @@ def q_entity_clusters(spark, sf_dir):
         pairs, nodes, id_a="c_custkey", id_b="d_custkey",
         node_col="c_custkey",
     )
+
+
+def q_hll_source_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types WITHOUT joining raw
+    user ids: per-type HLL registers (64 rows each) -> pairwise
+    union-by-max + inclusion-exclusion intersection (sketch.hll_set_ops).
+    The corpus-overlap audit shape at 100 TB: raw ids never shuffle,
+    the pair stage is O(pairs * m), and all arithmetic up to the final
+    divisions is exact int64 — so even the ESTIMATES are oracle-exact."""
+    regs = sketch.hll_registers(
+        load(spark, sf_dir, "events"), ["event_type"], "user_id", m=64
+    )
+    return sketch.hll_set_ops(regs, "event_type", m=64)

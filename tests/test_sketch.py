@@ -262,3 +262,29 @@ def test_moments_merge_equals_whole_and_estimates_track_truth(spark, sf_dir):
     assert vals == {"a": 5.0, "b": 7.0}  # mean fallback, no div-by-zero
     with pytest.raises(ValueError, match="q must be"):
         sketch.moments_quantile(dsk, 0.37)
+
+
+def test_hll_set_ops_tracks_true_overlap(spark):
+    """Inclusion-exclusion over mergeable registers: union/intersection
+    estimates track constructed overlaps (A: 0..599, B: 300..899 ->
+    union 900, intersect 300; C disjoint 10k..10.2k); one-sided
+    registers count in the union (the full-outer fan-out); all pairs
+    appear exactly once with a < b."""
+    rows = ([("A", i) for i in range(600)]
+            + [("B", i) for i in range(300, 900)]
+            + [("C", i) for i in range(10000, 10200)])
+    df = spark.createDataFrame(rows, "src string, user_id long")
+    regs = sketch.hll_registers(df, ["src"], "user_id", m=256)
+    out = {(r["group_a"], r["group_b"]): r
+           for r in sketch.hll_set_ops(regs, "src", m=256).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    # m=256 -> ~6.5% relative error; allow 3x headroom
+    assert abs(ab["est_union"] - 900) / 900 < 0.2
+    assert abs(ab["est_intersect"] - 300) / 300 < 0.5
+    assert abs(ab["est_a"] - 600) / 600 < 0.2
+    ac = out[("A", "C")]
+    # I-E error scales with the UNION (documented caveat): a true-zero
+    # intersection reads as noise on the order of the union's HLL error
+    assert ac["est_intersect"] < 0.25 * ac["est_union"]
+    assert abs(ac["est_union"] - 800) / 800 < 0.2
