@@ -44,6 +44,10 @@ NESTED_LOOP_OK = {
     # the d-row sketch inner-product crossed with the single-row true
     # count (the audit column); both sides bounded by construction:
     "join_size_estimate",
+    # the pair generator is an inequality join of the distinct GROUP
+    # list with itself (|groups|^2 keys, never data; register tables
+    # join by equi-key afterwards):
+    "hll_source_overlap",
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
