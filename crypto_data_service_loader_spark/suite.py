@@ -46,6 +46,7 @@ QUERIES = {
     "moments_quantile": q_moments_quantile,
     "entity_clusters": q_entity_clusters,
     "hll_source_overlap": q_hll_source_overlap,
+    "zonemap_pruned_scan": q_zonemap_pruned_scan,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -280,7 +281,7 @@ _R8_FRONT = [
     "events_cusum", "data_contract_check", "countmin_term_counts",
     "bloom_prejoin_filter", "sample_pps",
     # last driver-verified in round 2 (the full cohort, 34 keys)
-    "agg_corr", "agg_count_star", "agg_cube", "agg_grouping_sets",
+    "agg_count_star", "agg_cube", "agg_grouping_sets",
     "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
     "cleanup_candidates", "csv_validate_filter", "join_broadcast_dim",
     "join_semi", "join_sortmerge", "log_event_json", "pivot_status",
@@ -295,7 +296,7 @@ _R8_FRONT = [
     "fuzzy_join_customers", "entity_resolution_scored",
     "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
     "dedup_minhash_indexed", "dsir_select", "moments_quantile",
-    "entity_clusters", "hll_source_overlap",
+    "entity_clusters", "hll_source_overlap", "zonemap_pruned_scan",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
@@ -1785,3 +1786,10 @@ ORACLES["hll_source_overlap"] = """
            greatest(round((1.634842693532509e+18 / ra + 1.634842693532509e+18 / rb) - 1.634842693532509e+18 / ru, 6), 0.0)
                AS est_intersect
     FROM agg"""
+
+# Zone-map pruned scan == plain filtered scan (pruning is a superset
+# optimization; the file-skipping behavior itself is pytest-pinned).
+ORACLES["zonemap_pruned_scan"] = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_extendedprice BETWEEN 900.0 AND 1100.0"""

@@ -1041,3 +1041,25 @@ def q_hll_source_overlap(spark, sf_dir):
         load(spark, sf_dir, "events"), ["event_type"], "user_id", m=64
     )
     return sketch.hll_set_ops(regs, "event_type", m=64)
+
+
+def q_zonemap_pruned_scan(spark, sf_dir):
+    """File-level zone-map data skipping (sources/zonemap.py): build the
+    per-file min/max map over lineitem, schedule only the files whose
+    zone intersects the price range, then apply the exact predicate.
+    Pruning is a superset optimization, so the result EQUALS the plain
+    filtered scan — which is the oracle. The testdata is single-file
+    (one zone); the multi-file skip counts, the all-NULL-zone rule, and
+    the clustered-vs-random selectivity report are pinned by
+    tests/test_zonemap.py."""
+    import os
+
+    from ..sources import zonemap as zm
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    m = zm.build_zonemap(spark, path, ["l_extendedprice"])
+    return (
+        zm.pruned_read(spark, m, "l_extendedprice", 900.0, 1100.0)
+        .where(F.col("l_extendedprice").between(900.0, 1100.0))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
