@@ -47,6 +47,7 @@ QUERIES = {
     "entity_clusters": q_entity_clusters,
     "hll_source_overlap": q_hll_source_overlap,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
+    "curation_funnel": q_curation_funnel,
     # --- new in round 7 (front-50 driver window) ---
     "hll_distinct": q_hll_distinct,
     "countmin_term_counts": q_countmin_term_counts,
@@ -281,7 +282,7 @@ _R8_FRONT = [
     "events_cusum", "data_contract_check", "countmin_term_counts",
     "bloom_prejoin_filter", "sample_pps",
     # last driver-verified in round 2 (the full cohort, 34 keys)
-    "agg_count_star", "agg_cube", "agg_grouping_sets",
+    "agg_count_star", "agg_grouping_sets",
     "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
     "cleanup_candidates", "csv_validate_filter", "join_broadcast_dim",
     "join_semi", "join_sortmerge", "log_event_json", "pivot_status",
@@ -297,6 +298,7 @@ _R8_FRONT = [
     "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
     "dedup_minhash_indexed", "dsir_select", "moments_quantile",
     "entity_clusters", "hll_source_overlap", "zonemap_pruned_scan",
+    "curation_funnel",
     # oldest round-3 keys (alphabetical head of that cohort; four fewer
     # than the first cut of this list — the round-8 keys above took
     # their window slots, and the embedding-cosine keys were all
@@ -1793,3 +1795,86 @@ ORACLES["zonemap_pruned_scan"] = """
     SELECT l_orderkey, l_linenumber, l_extendedprice
     FROM lineitem
     WHERE l_extendedprice BETWEEN 900.0 AND 1100.0"""
+
+# Curation funnel: stage counts spliced from the SAME CTE chain as the
+# corpus_curation_pipeline oracle (no second implementation to drift),
+# lag() for per-stage drops, first ingest count as the survival base.
+ORACLES["curation_funnel"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    l AS (
+        SELECT doc_id, i AS pos, ls[i] AS ln
+        FROM t, unnest(range(1, len(ls) + 1)) AS u(i)),
+    boiler AS (
+        SELECT md5(ln) AS lh FROM l GROUP BY 1
+        HAVING count(DISTINCT doc_id) > 2),
+    kept_l AS (
+        SELECT doc_id, pos, ln FROM l
+        WHERE md5(ln) NOT IN (SELECT lh FROM boiler)),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+        FROM kept_l GROUP BY doc_id),
+    alive AS (
+        SELECT r.doc_id, d.source, r.text_clean,
+               CAST(length(r.text_clean) AS INTEGER) AS n_chars_clean
+        FROM rebuilt r JOIN documents d USING (doc_id)
+        WHERE r.text_clean <> ''),
+    s AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(lower(trim(text_clean, ' ')), '\\s+')) AS n_tokens,
+               len(list_distinct(regexp_split_to_array(lower(trim(text_clean, ' ')), '\\s+'))) AS n_distinct_tokens,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text_clean, ' ')), '\\s+'),
+                    t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+                   / len(regexp_split_to_array(lower(trim(text_clean, ' ')), '\\s+')) AS stopword_ratio
+        FROM alive),
+    q AS (
+        SELECT doc_id,
+               round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                     + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.3
+                     + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+        FROM s),
+    r AS (
+        SELECT a.doc_id,
+               round(percent_rank() OVER (
+                   PARTITION BY a.source
+                   ORDER BY q.quality DESC, q.doc_id ASC), 6) AS pr
+        FROM q JOIN alive a USING (doc_id)),
+    g AS (SELECT alive.* FROM r JOIN alive USING (doc_id) WHERE r.pr <= 0.5),
+    grp AS (
+        SELECT MIN(doc_id) AS keep_id
+        FROM (SELECT doc_id,
+                     md5(array_to_string(regexp_split_to_array(lower(trim(text_clean, ' ')), '\\s+'), ' ')) AS fp
+              FROM g)
+        GROUP BY fp),
+    surv AS (
+        SELECT doc_id, source, n_chars_clean FROM g
+        WHERE doc_id IN (SELECT keep_id FROM grp)),
+    budget AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   CAST(coalesce(SUM(n_chars_clean) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM surv)
+        WHERE cum_before < 5000),
+    funnel AS (
+        SELECT 0 AS stage_id, 'ingest' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        UNION ALL
+        SELECT 1, 'boilerplate_clean', count(*) FROM alive
+        UNION ALL
+        SELECT 2, 'quality_gate', count(*) FROM g
+        UNION ALL
+        SELECT 3, 'exact_dedup', count(*) FROM surv
+        UNION ALL
+        SELECT 4, 'token_budget', count(*) FROM budget)
+    SELECT CAST(stage_id AS INTEGER) AS stage_id, stage, n_docs,
+           CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_id) - n_docs, 0)
+                AS BIGINT) AS dropped,
+           round(CAST(n_docs AS DOUBLE)
+                 / first_value(n_docs) OVER (ORDER BY stage_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING), 6) + 0 AS survival_frac
+    FROM funnel"""

@@ -1063,3 +1063,66 @@ def q_zonemap_pruned_scan(spark, sf_dir):
         .where(F.col("l_extendedprice").between(900.0, 1100.0))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+def q_curation_funnel(spark, sf_dir):
+    """Stage-by-stage survival report for the curation flagship — the
+    "where did my documents go" audit every pipeline owner asks for:
+    one row per stage (ingest -> boilerplate-cleaned non-empty ->
+    quality-gated -> exact-deduped -> token-budget) with doc counts,
+    per-stage drops, and survival fraction vs ingest. Each count is a
+    1-row aggregate over the SAME declarative stage frames the flagship
+    composes, so the report costs the pipeline plan plus five count
+    aggregations — no second implementation that could drift (the
+    stage expressions are shared via the flagship's operators)."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = dedup.remove_boilerplate_lines(docs, max_doc_freq=2)
+    alive = (
+        cleaned.filter(F.col("text_clean") != "")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "text_clean",
+                F.length("text_clean").alias("n_chars_clean"))
+        .localCheckpoint()
+    )
+    scored = text.quality_score(
+        alive.select("doc_id", F.col("text_clean").alias("text"))
+    )
+    gated = training.select_top_quality_percent(
+        scored.join(alive, "doc_id"), frac=0.5
+    ).localCheckpoint()
+    keep = dedup.exact_dedup(
+        gated.select("doc_id", F.col("text_clean").alias("text"))
+    ).select(F.col("keep_id").alias("doc_id"))
+    survivors = gated.join(keep, "doc_id", "left_semi")
+    budget = training.token_budget_fill(
+        survivors.select("doc_id", "source", "n_chars_clean"),
+        budget=5_000, tokens_col="n_chars_clean",
+    )
+
+    stages = [
+        ("ingest", docs),
+        ("boilerplate_clean", alive),
+        ("quality_gate", gated),
+        ("exact_dedup", survivors),
+        ("token_budget", budget),
+    ]
+    counts = None
+    for i, (name, df) in enumerate(stages):
+        c = df.agg(
+            F.lit(i).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("stage_id")  # 5-row frame: bounded by construction
+    total = F.first("n_docs").over(
+        Window.orderBy("stage_id").rowsBetween(Window.unboundedPreceding,
+                                               Window.unboundedFollowing)
+    )
+    return counts.select(
+        "stage_id", "stage", "n_docs",
+        F.coalesce(F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0))
+            .cast("long").alias("dropped"),
+        (F.round(F.col("n_docs") / total.cast("double"), 6) + F.lit(0.0))
+            .alias("survival_frac"),
+    )

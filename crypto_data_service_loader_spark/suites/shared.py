@@ -9,7 +9,7 @@ package, not to this module.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import (
     asof,
@@ -38,7 +38,7 @@ from ..tables import (
     registry,
 )
 
-__all__ = ['pd', 'DataFrame', 'SparkSession', 'F', 'asof', 'contract', 'dedup', 'linkage', 'profile', 'R', 'rel', 'similarity', 'sketch', 'text', 'training', 'davg', 'dsum', 'line_is_valid', 'DISCOVERED_SQL', 'FS_FILES_SQL', 'REGISTRY_SQL', 'TODAY', 'discovered_candidates', 'fs_files', 'load', 'register_views', 'registry', '_REG', '_REG_FS', '_EVENTS_SQL', '_events_fixture', '_DSUM', '_TOKS', '_TOKS_CLEAN', '_SHINGLES', '_SHINGLES13', '_KNN_SQL', '_pagerank_sql', '_query_vector']
+__all__ = ['pd', 'DataFrame', 'SparkSession', 'Window', 'F', 'asof', 'contract', 'dedup', 'linkage', 'profile', 'R', 'rel', 'similarity', 'sketch', 'text', 'training', 'davg', 'dsum', 'line_is_valid', 'DISCOVERED_SQL', 'FS_FILES_SQL', 'REGISTRY_SQL', 'TODAY', 'discovered_candidates', 'fs_files', 'load', 'register_views', 'registry', '_REG', '_REG_FS', '_EVENTS_SQL', '_events_fixture', '_DSUM', '_TOKS', '_TOKS_CLEAN', '_SHINGLES', '_SHINGLES13', '_KNN_SQL', '_pagerank_sql', '_query_vector']
 
 
 
