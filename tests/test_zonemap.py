@@ -76,3 +76,41 @@ def test_selectivity_tells_clustered_from_random(spark, clustered, tmp_path):
     zr = zonemap.build_zonemap(spark, rnd, ["price"])
     sel_r = zonemap.zonemap_selectivity(zr, "price").collect()[0]
     assert sel_r["avg_relative_zone_width"] > 0.8  # no skipping possible
+
+
+def test_zorder_layout_makes_zones_selective(spark, tmp_path):
+    """The two features compose: the SAME rows written randomly give
+    full-range zones (no skipping), written with zorder_write give
+    tight zones on BOTH clustered columns — and a range predicate then
+    actually skips files. This is the decision loop the selectivity
+    report exists for: measure, re-layout, measure again."""
+    from crypto_data_service_loader_spark.sources import interchange
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        ((F.col("id") * 7) % 64).cast("double").alias("y"),
+    )
+    rnd = str(tmp_path / "rnd")
+    df.orderBy(F.hash("k")).repartition(8).write.mode("overwrite").parquet(rnd)
+    zo = str(tmp_path / "zo")
+    interchange.zorder_write(df, zo, "x", "y", n_files=8)
+
+    sel_rnd = zonemap.zonemap_selectivity(
+        zonemap.build_zonemap(spark, rnd, ["x"]), "x").collect()[0]
+    zm_zo = zonemap.build_zonemap(spark, zo, ["x", "y"])
+    sel_x = zonemap.zonemap_selectivity(zm_zo, "x").collect()[0]
+    sel_y = zonemap.zonemap_selectivity(zm_zo, "y").collect()[0]
+    assert sel_rnd["avg_relative_zone_width"] > 0.9
+    assert sel_x["avg_relative_zone_width"] < 0.6
+    assert sel_y["avg_relative_zone_width"] < 0.6
+
+    # and the pruner skips: a narrow x band hits a strict subset of files
+    n_hit = len(zonemap.prune_files(zm_zo, "x", 0.0, 7.0))
+    assert 0 < n_hit < 8
+    got = (
+        zonemap.pruned_read(spark, zm_zo, "x", 0.0, 7.0)
+        .where(F.col("x").between(0.0, 7.0))
+    )
+    want = spark.read.parquet(zo).where(F.col("x").between(0.0, 7.0))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
