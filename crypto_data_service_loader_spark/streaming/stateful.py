@@ -821,3 +821,89 @@ def start_moments_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Count-min twin: running d x w cells in keyed state
+# ---------------------------------------------------------------------------
+
+CM_STREAM_SCHEMA = "event_type string, row int, bucket int, cnt long"
+
+_CM_D, _CM_W = 4, 256
+
+
+def _cm_bucket_py(row: int, value) -> int:
+    """Python replica of sketch._cm_bucket: md5(row|value) first 8 hex
+    chars mod w — identical cells to the batch builder."""
+    import hashlib
+
+    h = hashlib.md5(f"{row}|{value}".encode()).hexdigest()
+    return int(h[:8], 16) % _CM_W
+
+
+def _cm_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # state: flat d*w cell counts (only a dict of touched cells is
+    # carried — the sketch bound d*w caps it regardless of stream size)
+    if state.exists:
+        cells = dict(zip(state.get[0], state.get[1]))
+    else:
+        cells = {}
+    for pdf in pdfs:
+        for v in pdf["user_id"]:
+            if v is None or pd.isna(v):
+                continue
+            for r in range(_CM_D):
+                k = r * _CM_W + _cm_bucket_py(r, int(v))
+                cells[k] = cells.get(k, 0) + 1
+    ks = sorted(cells)
+    state.update((ks, [cells[k] for k in ks]))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(ks),
+            "row": [k // _CM_W for k in ks],
+            "bucket": [k % _CM_W for k in ks],
+            "cnt": [cells[k] for k in ks],
+        }
+    )
+
+
+def start_countmin_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "cms",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming count-min sketch per event type -> in-memory table
+    `query_name` (complete-sketch rows per micro-batch, update mode).
+    State per key is at most d*w cells — the bounded-state frequency
+    answer over an unbounded stream — and the cell layout IS the batch
+    builder's (sketch.countmin_build with the same md5 bucket), so the
+    streamed cells merge with batch-built sketches by plain SUM and
+    equality with the batch sketch on the same prefix is pinned by
+    test. Completes the streaming-sketch twins: HLL, space-saving
+    heavy hitters, moments, and now count-min."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _cm_updater,
+            outputStructType=CM_STREAM_SCHEMA,
+            stateStructType="ks array<long>, cnts array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -648,3 +648,50 @@ def test_streaming_moments_matches_batch_sketch(spark, tmp_path):
     assert got == want
     # degenerate key 'b' (zero variance) took the mean fallback
     assert got["b"][5] == 7.0
+
+
+def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS (touched cells in keyed state) equals the batch
+    countmin_build per event type on the union of two micro-batches —
+    cell for cell. The batch sketch has no event_type grouping, so the
+    comparison builds it per type."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import sketch
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_countmin_stream,
+    )
+
+    schema = "event_type string, user_id long"
+    batch1 = [("a", i % 37) for i in range(300)] + [("b", 1), ("b", None)]
+    batch2 = [("a", i % 11) for i in range(200)] + [("b", 1), ("b", 2)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_countmin_stream(stream, str(tmp_path / "ckpt"), query_name="cms_t")
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM cms_t").collect()
+    # update mode re-emits the whole per-key sketch each batch: keep the
+    # final (largest-total) emission per key via max cnt per cell
+    got = {}
+    for r in rows:
+        k = (r["event_type"], r["row"], r["bucket"])
+        got[k] = max(got.get(k, 0), r["cnt"])
+    everything = spark.createDataFrame(batch1 + batch2, schema)
+    want = {}
+    for et in ("a", "b"):
+        cells = sketch.countmin_build(
+            everything.where(F.col("event_type") == et), "user_id",
+            d=4, w=256,
+        ).collect()
+        for r in cells:
+            want[(et, r["row"], r["bucket"])] = r["cnt"]
+    assert got == want
