@@ -300,3 +300,102 @@ def test_fuzzed_lineitem_stays_oracle_exact(spark, tmp_path_factory, rows):
         s, o = _normalize(sdf), _normalize(odf)
         assert list(s.columns) == list(o.columns), key
         pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
+
+
+#: TPC-H join fuzz (round 8, late): static tiny dims + the fuzzed
+#: lineitem/orders flow through multi-table joins — exercises join
+#: null/empty-group semantics, revenue decimal chains, EXISTS rewrites
+JOIN_KEYS = [
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
+    "join_broadcast_dim",
+    "join_semi",
+    # subquery_exists omitted: its register_views() eagerly registers
+    # every table incl. events, which this fixture doesn't stage;
+    # EXISTS/NOT-EXISTS coverage rides tpch_q21/q22
+    "tpch_q13",
+]
+
+
+@FUZZ
+@given(rows=LINES)
+def test_fuzzed_tpch_joins_stay_oracle_exact(spark, tmp_path_factory, rows):
+    import datetime as dt
+
+    dates = [dt.datetime(1994, 1, 1), dt.datetime(1994, 12, 31),
+             dt.datetime(1995, 1, 1), dt.datetime(1997, 6, 15)]
+    li = pd.DataFrame({
+        "l_orderkey": [r[0] for r in rows],
+        "l_partkey": [i % 4 for i in range(len(rows))],
+        "l_suppkey": [i % 3 for i in range(len(rows))],
+        "l_linenumber": [i + 1 for i in range(len(rows))],
+        "l_quantity": [r[1] for r in rows],
+        "l_extendedprice": [r[2] for r in rows],
+        "l_discount": [r[3] for r in rows],
+        "l_tax": [r[4] for r in rows],
+        "l_returnflag": [r[5] for r in rows],
+        "l_linestatus": [r[6] for r in rows],
+        "l_shipdate": [dates[r[7]] for r in rows],
+    })
+    od = pd.DataFrame({
+        "o_orderkey": list(range(1, 7)),
+        "o_custkey": [k % 3 for k in range(6)],
+        "o_orderstatus": ["F", "O", "P", "F", "O", "F"],
+        "o_totalprice": [0.01, 950.5, 100.005, 104949.5, 950.5, 1.0],
+        "o_orderdate": [dates[k % 4] for k in range(6)],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT",
+                            "5-LOW", "1-URGENT"],
+    })
+    cust = pd.DataFrame({
+        "c_custkey": [0, 1, 2, 3],  # 3 never ordered; customer 0 has no name match
+        "c_name": ["Customer#000000000", "Customer#000000001",
+                   "Customer#000000002", "Customer#000000003"],
+        "c_nationkey": [0, 1, 1, 0],
+        "c_acctbal": [-5.5, 0.0, 750.25, 9999.99],
+        "c_mktsegment": ["BUILDING", "MACHINERY", "BUILDING", "AUTOMOBILE"],
+    })
+    nat = pd.DataFrame({
+        "n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"],
+        "n_regionkey": [0, 0],
+    })
+    reg = pd.DataFrame({"r_regionkey": [0], "r_name": ["WEST"]})
+    sup = pd.DataFrame({
+        "s_suppkey": [0, 1, 2],
+        "s_name": ["Supplier#0", "Supplier#1", "Supplier#2"],
+        "s_nationkey": [0, 1, 0],
+        "s_acctbal": [10.0, -3.25, 0.0],
+    })
+    prt = pd.DataFrame({
+        "p_partkey": [0, 1, 2, 3],
+        "p_name": ["small ring", "red widget", "blue bolt", "hot gear"],
+        "p_brand": ["B1", "B2", "B1", "B3"],
+        "p_type": ["PROMO BRUSHED", "STANDARD POLISHED",
+                   "PROMO PLATED", "ECONOMY BURNISHED"],
+        "p_size": [1, 14, 23, 45],
+        "p_retailprice": [901.0, 902.0, 903.0, 904.0],
+    })
+    d = tmp_path_factory.mktemp("fuzz_tpch")
+    for name, pdf in (("lineitem", li), ("orders", od), ("customer", cust),
+                      ("nation", nat), ("region", reg), ("supplier", sup),
+                      ("part", prt)):
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / "_stage"))
+        part = next(f for f in os.listdir(str(d / "_stage"))
+                    if f.startswith("part-"))
+        os.replace(str(d / "_stage" / part), str(d / f"{name}.parquet"))
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "supplier", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    for key in JOIN_KEYS:
+        sdf = QUERIES[key](spark, str(d)).toPandas()
+        odf = con.execute(ORACLES[key]).fetch_arrow_table().to_pandas()
+        s, o = _normalize(sdf), _normalize(odf)
+        assert list(s.columns) == list(o.columns), key
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
