@@ -907,3 +907,85 @@ def start_countmin_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Bloom twin: running filter words in keyed state
+# ---------------------------------------------------------------------------
+
+BLOOM_STREAM_SCHEMA = "event_type string, word int, bits long"
+
+_BLOOM_WORDS, _BLOOM_K, _BLOOM_WORD_BITS = 64, 3, 63
+
+
+def _bloom_positions_py(value) -> list[int]:
+    """Python replica of sketch.bloom_build's k bit positions (the
+    row-salted md5 family, 63-bit words)."""
+    import hashlib
+
+    nbits = _BLOOM_WORDS * _BLOOM_WORD_BITS
+    out = []
+    for j in range(_BLOOM_K):
+        h = hashlib.md5(f"{j}|{value}".encode()).hexdigest()
+        out.append(int(h[:8], 16) % nbits)
+    return out
+
+
+def _bloom_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    words = list(state.get[0]) if state.exists else [0] * _BLOOM_WORDS
+    for pdf in pdfs:
+        for v in pdf["user_id"]:
+            if v is None or pd.isna(v):
+                continue
+            for pos in _bloom_positions_py(int(v)):
+                words[pos // _BLOOM_WORD_BITS] |= 1 << (pos % _BLOOM_WORD_BITS)
+    state.update((words,))
+    nz = [(w, b) for w, b in enumerate(words) if b]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(nz),
+            "word": [w for w, _ in nz],
+            "bits": [b for _, b in nz],
+        }
+    )
+
+
+def start_bloom_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "bloom",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming Bloom filter per event type -> in-memory table
+    `query_name` (non-zero words per micro-batch, update mode). State
+    per key: 64 int64 words — bounded membership over an unbounded
+    stream. Word layout matches sketch.bloom_build exactly, so the
+    streamed filter merges with batch-built filters by BIT_OR and
+    stream == batch is pinned word-for-word by test. This completes
+    the streaming twins for every batch sketch kind: HLL, count-min,
+    Bloom, space-saving heavy hitters, moments."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _bloom_updater,
+            outputStructType=BLOOM_STREAM_SCHEMA,
+            stateStructType="words array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -695,3 +695,47 @@ def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
         for r in cells:
             want[(et, r["row"], r["bucket"])] = r["cnt"]
     assert got == want
+
+
+def test_streaming_bloom_matches_batch_filter(spark, tmp_path):
+    """Streaming Bloom (64 words in keyed state) equals the batch
+    bloom_build per event type on the union of micro-batches, word for
+    word — bits only ever set, so the final emission per key is the
+    bitwise-OR max."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import sketch
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_bloom_stream,
+    )
+
+    schema = "event_type string, user_id long"
+    batch1 = [("a", i) for i in range(150)] + [("b", 7), ("b", None)]
+    batch2 = [("a", i) for i in range(100, 250)] + [("b", 9)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_bloom_stream(stream, str(tmp_path / "ckpt"), query_name="bl_t")
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM bl_t").collect()
+    got = {}
+    for r in rows:
+        k = (r["event_type"], r["word"])
+        got[k] = got.get(k, 0) | r["bits"]
+    everything = spark.createDataFrame(batch1 + batch2, schema)
+    want = {}
+    for et in ("a", "b"):
+        for r in sketch.bloom_build(
+            everything.where(F.col("event_type") == et), "user_id",
+            n_words=64, k=3,
+        ).collect():
+            want[(et, r["word"])] = r["bits"]
+    assert got == want
