@@ -121,3 +121,52 @@ def zorder_write(
         keyed = keyed.repartitionByRange(int(n_files), F.col("_zkey"))
     out = keyed.sortWithinPartitions("_zkey").drop("_zkey")
     out.write.mode("overwrite").format(fmt).save(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+    sort_within_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """The small-files fix, self-tuned: measure the directory's actual
+    data bytes, derive n_files = ceil(bytes / target), and rewrite —
+    the OPTIMIZE/maintenance compaction a streaming sink needs after
+    thousands of tiny micro-batch files have accumulated (each file
+    costs a listing entry, a footer read, and a scheduler task; scans
+    over 10k tiny files are dominated by that overhead, not data).
+
+    Returns (files_before, files_after). The rewrite stages to a
+    sibling directory then swaps, so a crash mid-compact leaves the
+    original intact; the swap itself is not atomic across readers —
+    production tables put a transaction log (Delta/Iceberg) in front,
+    which is exactly the part this repo does not re-implement
+    (documented non-goal; the data-layout math is the portable part).
+    `sort_within_by` forwards to the writer so compaction can also
+    install the clustering that makes zone maps selective
+    (sources/zonemap.py)."""
+    import math
+    import os
+    import shutil
+
+    def data_files(d):
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+
+    before = data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = read_columnar(spark, path, fmt)
+    staged = path.rstrip("/") + "._compact"
+    write_columnar(df, staged, fmt, n_files=n_files,
+                   sort_within_by=sort_within_by)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return len(before), len(data_files(path))

@@ -110,3 +110,27 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
         # degenerates to "all of b for a sliver of a"
         assert min(spread_a, spread_b) <= 16
         assert spread_a < 32 or spread_b < 32
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Self-tuned compaction: 24 tiny files collapse to the byte-derived
+    count (1 at a generous target), rows and values survive exactly,
+    and the staged-swap leaves no leftover directories."""
+    import os
+
+    from crypto_data_service_loader_spark.sources.interchange import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(6000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(24).write.mode("overwrite").parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    before, after = compact_small_files(spark, path, target_mb=128)
+    assert before == 24 and after == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._compact")
+    assert not os.path.exists(path + "._old")
