@@ -402,7 +402,12 @@ def join_size_estimate(
         .groupBy("row")
         .agg(F.sum("_p").alias("_ip"))
     )
-    return prod.agg(F.min("_ip").cast("long").alias("est_pairs"))
+    # empty input → the inner-product frame has zero rows → MIN over
+    # nothing is NULL; the true join size of an empty side is 0, and
+    # callers do arithmetic on est_pairs, so coalesce
+    return prod.agg(
+        F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias("est_pairs")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +518,7 @@ def hll_set_ops(
     regs: DataFrame,
     group_col: str,
     m: int = 64,
+    max_groups: int = 1024,
 ) -> DataFrame:
     """Pairwise set-operation cardinalities between groups, from their
     HLL register tables alone — the question a corpus overlap audit
@@ -537,7 +543,25 @@ def hll_set_ops(
     cardinality, so small true overlaps between large sets drown in
     noise — raise m, or fall back to an exact semi-join count when the
     audit needs a precise small number.
+
+    Guard: the pair table is |groups|²/2 keys — fine for source-count
+    group columns (the intended use), catastrophic for a high-cardinality
+    one (1M groups → 5×10¹¹ pair keys). The distinct-group count is
+    checked up front (one bounded single-row aggregate, same pattern as
+    `sample_pps`'s overflow guard) and anything above ``max_groups``
+    raises; raise the cap explicitly if you really mean a big pair table.
     """
+    n_groups = regs.agg(
+        F.countDistinct(F.col(group_col)).alias("n")
+    ).collect()[0][0]
+    if n_groups > max_groups:
+        raise ValueError(
+            f"hll_set_ops would build a {n_groups}x{n_groups}/2 pair table "
+            f"({n_groups * (n_groups - 1) // 2} group pairs) — group column "
+            f"{group_col!r} has {n_groups} distinct values, above the "
+            f"max_groups={max_groups} cap. Pass a source-count group column, "
+            "or raise max_groups explicitly if the pair scale is intended."
+        )
     numerator = hll_numerator(m)
     a = regs.select(
         F.col(group_col).alias("ga"), "reg", F.col("rank").alias("rank_a")

@@ -29,20 +29,34 @@ def write_columnar(
     fmt: str = "parquet",
     n_files: int | None = None,
     sort_within_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write `df` as parquet or ORC. `n_files` bounds output file count
     (a repartition — use it to fix the small-files problem when the
     upstream plan ends narrow); `sort_within_by` sorts WITHIN each file
     (sortWithinPartitions — no extra exchange) so downstream range scans
-    and min/max page skipping actually bite."""
+    and min/max page skipping actually bite. `partition_by` writes a
+    hive-partitioned layout; with `n_files` the repartition is keyed on
+    the partition columns so each output directory gets whole files
+    rather than one sliver per task."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {sorted(_FORMATS)}, got {fmt!r}")
     out = df
     if n_files is not None:
-        out = out.repartition(int(n_files))
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            out = out.repartition(
+                int(n_files), *[F.col(c) for c in partition_by]
+            )
+        else:
+            out = out.repartition(int(n_files))
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    out.write.mode("overwrite").format(fmt).save(path)
+    w = out.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
 
 
 def read_columnar(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
@@ -129,6 +143,7 @@ def compact_small_files(
     target_mb: int = 128,
     fmt: str = "parquet",
     sort_within_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """The small-files fix, self-tuned: measure the directory's actual
     data bytes, derive n_files = ceil(bytes / target), and rewrite —
@@ -137,15 +152,28 @@ def compact_small_files(
     costs a listing entry, a footer read, and a scheduler task; scans
     over 10k tiny files are dominated by that overhead, not data).
 
-    Returns (files_before, files_after). The rewrite stages to a
-    sibling directory then swaps, so a crash mid-compact leaves the
-    original intact; the swap itself is not atomic across readers —
-    production tables put a transaction log (Delta/Iceberg) in front,
-    which is exactly the part this repo does not re-implement
-    (documented non-goal; the data-layout math is the portable part).
-    `sort_within_by` forwards to the writer so compaction can also
-    install the clustering that makes zone maps selective
-    (sources/zonemap.py)."""
+    Returns (files_before, files_after).
+
+    Crash-safety contract (honest version): the rewrite stages to a
+    sibling ``._compact`` directory, then swaps via two renames
+    (``path`` → ``._old``, ``._compact`` → ``path``). A crash BEFORE the
+    first rename leaves the original untouched; a crash BETWEEN the two
+    renames leaves no directory at ``path`` but the full pre-compaction
+    data intact in ``._old`` — recovery is manual (rename ``._old`` back,
+    or finish the swap by renaming ``._compact``). A pre-existing
+    ``._old`` from such a crash makes this function REFUSE to run rather
+    than fail half-way through the swap. The swap is also not atomic
+    across concurrent readers — production tables put a transaction log
+    (Delta/Iceberg) in front, which is exactly the part this repo does
+    not re-implement (documented non-goal; the data-layout math is the
+    portable part).
+
+    Hive-partitioned datasets: pass ``partition_by`` to preserve the
+    directory layout. Without it, a dataset detected as partitioned
+    (``key=value`` subdirectories) is refused rather than silently
+    rewritten flat. `sort_within_by` forwards to the writer so
+    compaction can also install the clustering that makes zone maps
+    selective (sources/zonemap.py)."""
     import math
     import os
     import shutil
@@ -158,14 +186,36 @@ def compact_small_files(
             if not f.startswith(("_", ".")) and not f.endswith(".crc")
         ]
 
+    old = path.rstrip("/") + "._old"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"stale {old!r} left by an interrupted compaction; the"
+            " pre-compaction data is intact there — restore it over"
+            f" {path!r} (or delete it if {path!r} is already the"
+            " compacted copy) before re-running"
+        )
     before = data_files(path)
+    part_keys = sorted(
+        {
+            seg.split("=", 1)[0]
+            for f in before
+            for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+            if "=" in seg
+        }
+    )
+    if part_keys and not partition_by:
+        raise ValueError(
+            f"dataset at {path!r} is hive-partitioned by {part_keys};"
+            " pass partition_by to preserve the layout (compaction"
+            " will not silently flatten it)"
+        )
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = read_columnar(spark, path, fmt)
     staged = path.rstrip("/") + "._compact"
     write_columnar(df, staged, fmt, n_files=n_files,
-                   sort_within_by=sort_within_by)
-    old = path.rstrip("/") + "._old"
+                   sort_within_by=sort_within_by,
+                   partition_by=partition_by)
     os.rename(path, old)
     os.rename(staged, path)
     shutil.rmtree(old)

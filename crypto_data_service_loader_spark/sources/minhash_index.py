@@ -208,7 +208,16 @@ def near_dups_against_index(
     idx_buckets = (
         spark.read.parquet(_buckets_dir(path))
         .join(F.broadcast(tomb), [id_col], "left_anti")
-        .select(F.col(id_col).alias("_iid"), "band", "band_hash")
+        # the hive partition column `band` reads back as an inferred int
+        # while the signing side emits string '0'..'bands-1'; cast
+        # explicitly so the equi-join key types match by construction
+        # instead of relying on implicit coercion (which breaks if
+        # partitionColumnTypeInference is disabled)
+        .select(
+            F.col(id_col).alias("_iid"),
+            F.col("band").cast("string").alias("band"),
+            "band_hash",
+        )
     )
     cand = (
         q_buckets.join(idx_buckets, ["band", "band_hash"])

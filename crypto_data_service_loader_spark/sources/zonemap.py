@@ -77,6 +77,57 @@ def build_zonemap(
     )
 
 
+def _native_bound(col_type: str, v, what: str):
+    """Parse a caller bound to the zone column's NATIVE Python type, or
+    raise — never fall back to comparing raw ``str()`` output (a bound
+    like '2024-1-5' or a datetime with microseconds would lexically
+    compare wrong against Spark's canonical cast-to-string form and
+    silently false-prune, breaking the superset contract)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    try:
+        if col_type in ("bigint", "int", "smallint", "tinyint"):
+            return int(v)
+        if col_type in ("double", "float"):
+            return float(v)
+        if col_type.startswith("decimal"):
+            return decimal.Decimal(str(v))
+        if col_type == "date":
+            if isinstance(v, datetime.datetime):
+                return v.date()
+            if isinstance(v, datetime.date):
+                return v
+            return datetime.date.fromisoformat(str(v).strip())
+        if col_type.startswith("timestamp"):
+            if isinstance(v, datetime.datetime):
+                return v
+            if isinstance(v, datetime.date):
+                return datetime.datetime(v.year, v.month, v.day)
+            return datetime.datetime.fromisoformat(str(v).strip())
+        if col_type == "string":
+            if not isinstance(v, str):
+                raise ValueError(f"string zone needs a str bound, got {type(v).__name__}")
+            return v
+    except (ValueError, TypeError, ArithmeticError) as e:
+        raise ValueError(
+            f"unparseable {what} bound {v!r} for {col_type} zone column"
+        ) from e
+    raise ValueError(f"zonemap pruning does not support column type {col_type!r}")
+
+
+def _zone_cast_type(col_type: str) -> str:
+    """The Spark type min/max zone strings are cast back to for a TYPED
+    interval test (decimal zones compare numerically, never lexically)."""
+    if col_type.startswith("decimal"):
+        return col_type
+    if col_type.startswith("timestamp"):
+        return "timestamp"
+    return col_type
+
+
 def prune_files(
     zonemap: DataFrame,
     col_name: str,
@@ -84,36 +135,53 @@ def prune_files(
     hi=None,
 ) -> list[str]:
     """Files whose [min, max] zone for ``col_name`` intersects
-    [lo, hi] (either bound may be None for open ranges). Values compare
-    in the column's own type (cast back from the stored strings).
-    All-NULL zones are dropped — a range predicate never selects NULLs.
-    Returns the file list (driver-side: the map is file-count-sized,
-    and the result feeds `spark.read.parquet(*files)`)."""
+    [lo, hi] (either bound may be None for open ranges). The interval
+    test runs INSIDE Spark — zone strings cast back to the column's own
+    type, bounds parsed to native literals (raising on unparseable input
+    rather than comparing reprs) — so only the surviving file paths are
+    collected: at 10⁶ files the driver materializes the pruned list, not
+    every zone row. All-NULL zones are dropped — a range predicate never
+    selects NULLs. Returns the file list (feeds
+    `spark.read.parquet(*files)`)."""
     z = zonemap.where(F.col("col_name") == col_name)
-    rows = z.collect()
-    keep = []
-    for r in rows:
-        if r["min_value"] is None and r["max_value"] is None:
-            continue  # all-NULL zone: no range predicate can match
-        t = r["col_type"]
+    trow = z.select("col_type").limit(1).collect()
+    if not trow:
+        return []
+    t = trow[0][0]
+    cast_t = _zone_cast_type(t)
+    # all-NULL zones have NULL min AND max; with a bound present the
+    # NULL-valued comparison is already filtered out by SQL semantics,
+    # but the open-range case needs the explicit drop
+    pred = F.col("min_value").isNotNull() | F.col("max_value").isNotNull()
+    if lo is not None:
+        pred = pred & (
+            F.col("max_value").cast(cast_t) >= F.lit(_native_bound(t, lo, "lo"))
+        )
+    if hi is not None:
+        pred = pred & (
+            F.col("min_value").cast(cast_t) <= F.lit(_native_bound(t, hi, "hi"))
+        )
+    return sorted(r["file"] for r in z.where(pred).select("file").collect())
 
-        def conv(v):
-            if v is None:
-                return None
-            if t in ("bigint", "int", "smallint", "tinyint"):
-                return int(v)
-            if t in ("double", "float") or t.startswith("decimal"):
-                return float(v)
-            return str(v)  # strings/dates/timestamps compare lexically
-                           # (ISO forms order correctly)
 
-        zmin, zmax = conv(r["min_value"]), conv(r["max_value"])
-        if lo is not None and zmax is not None and zmax < conv(str(lo)):
-            continue
-        if hi is not None and zmin is not None and zmin > conv(str(hi)):
-            continue
-        keep.append(r["file"])
-    return sorted(keep)
+def prune_files_and(
+    zonemap: DataFrame,
+    bounds: dict[str, tuple],
+) -> list[str]:
+    """Multi-column AND pruning: files whose zones intersect EVERY
+    (lo, hi) interval in ``bounds`` ({col_name: (lo, hi)}). Each
+    column's interval test prunes independently (still superset-safe);
+    the intersection happens on the pruned path lists — this is where a
+    z-ordered layout pays twice, since BOTH columns' zones are narrow."""
+    if not bounds:
+        raise ValueError("bounds must name at least one column")
+    keep: set[str] | None = None
+    for c, (lo, hi) in bounds.items():
+        files = set(prune_files(zonemap, c, lo, hi))
+        keep = files if keep is None else (keep & files)
+        if not keep:
+            break
+    return sorted(keep or [])
 
 
 def pruned_read(

@@ -134,3 +134,52 @@ def test_compact_small_files(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
     assert not os.path.exists(path + "._compact")
     assert not os.path.exists(path + "._old")
+
+
+def test_compact_refuses_stale_old_dir(spark, tmp_path):
+    """Regression (r8 ADVICE): a crash between the two swap renames
+    leaves the pre-compaction data in `._old`; a rerun must refuse
+    up front (recovery is manual) instead of failing half-way."""
+    import os
+
+    from crypto_data_service_loader_spark.sources.interchange import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.mode("overwrite").parquet(path)
+    os.makedirs(path + "._old")
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        compact_small_files(spark, path, target_mb=128)
+
+
+def test_compact_preserves_hive_partitioning(spark, tmp_path):
+    """Regression (r8 ADVICE): a hive-partitioned dataset is refused
+    without partition_by (no silent flatten); with it, the directory
+    layout and every row survive the compaction."""
+    import glob as _glob
+    import os
+
+    from crypto_data_service_loader_spark.sources.interchange import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).alias("p")
+    )
+    df.repartition(8).write.mode("overwrite").partitionBy("p").parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_before = len(_glob.glob(f"{path}/p=*/part-*"))
+    assert n_before >= 24  # 8 tasks x 3 partition values
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_small_files(spark, path, target_mb=128)
+
+    before, after = compact_small_files(
+        spark, path, target_mb=128, partition_by=["p"]
+    )
+    assert before == n_before and after < n_before
+    assert sorted(os.listdir(path))[-3:] == ["p=0", "p=1", "p=2"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._old")

@@ -117,3 +117,25 @@ def test_threshold_guard(spark, sf_dir, tmp_path):
     mhi.write_minhash_index(corpus.limit(20), path)
     with pytest.raises(ValueError, match="threshold"):
         mhi.near_dups_against_index(spark, path, batch, 3, 2)
+
+
+def test_band_join_survives_disabled_type_inference(spark, sf_dir, tmp_path):
+    """Regression (r8 ADVICE): the hive partition column `band` reads
+    back as an inferred int while the signing side emits string; the
+    join now casts explicitly, so it still matches when partition
+    column type inference is OFF (band reads back as raw string —
+    previously the int/string coercion was load-bearing)."""
+    corpus, batch = _split(spark, sf_dir)
+    path = str(tmp_path / "mh")
+    mhi.write_minhash_index(corpus, path)
+    want = mhi.near_dups_against_index(spark, path, batch).count()
+    assert want > 0
+
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        got = mhi.near_dups_against_index(spark, path, batch).count()
+    finally:
+        spark.conf.set(key, old)
+    assert got == want

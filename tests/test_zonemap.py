@@ -114,3 +114,107 @@ def test_zorder_layout_makes_zones_selective(spark, tmp_path):
     )
     want = spark.read.parquet(zo).where(F.col("x").between(0.0, 7.0))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_prune_typed_bounds_and_unparseable_raise(spark, tmp_path):
+    """Regression (r8 ADVICE): date/timestamp/decimal zones compare in
+    the column's NATIVE type — a non-canonical bound ('2024-1-5', a
+    datetime with microseconds) either parses correctly or raises; it
+    never silently lexical-compares and false-prunes."""
+    import datetime
+
+    path = str(tmp_path / "typed")
+    df = spark.sql("""
+        SELECT id,
+               DATE'2024-01-01' + make_interval(0,0,0, CAST(id AS INT)) AS d,
+               TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,0, CAST(id AS INT) * 7) AS ts,
+               CAST(id AS DECIMAL(12,2)) * 1.5 AS dec_v
+        FROM range(240)
+    """)
+    df.repartitionByRange(6, "id").write.mode("overwrite").parquet(path)
+    zm = zonemap.build_zonemap(spark, path, ["d", "ts", "dec_v"])
+
+    full = spark.read.parquet(path)
+
+    # date bound given as datetime (would stringify with a time suffix)
+    lo = datetime.datetime(2024, 1, 10, 0, 0, 0)
+    hi = datetime.date(2024, 1, 20)
+    got = zonemap.pruned_read(spark, zm, "d", lo, hi).where(
+        F.col("d").between(F.lit(lo.date()), F.lit(hi))
+    )
+    want = full.where(F.col("d").between(F.lit(lo.date()), F.lit(hi)))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len(zonemap.prune_files(zm, "d", lo, hi)) < 6
+
+    # timestamp bound with microseconds (non-canonical string form)
+    t_lo = datetime.datetime(2024, 1, 1, 2, 30, 0, 123456)
+    files_ts = zonemap.prune_files(zm, "ts", t_lo, None)
+    got_ts = spark.read.parquet(*files_ts).where(F.col("ts") >= F.lit(t_lo))
+    want_ts = full.where(F.col("ts") >= F.lit(t_lo))
+    assert got_ts.count() == want_ts.count() > 0
+
+    # decimal zone: numeric, not lexical ('99.00' < '100.00' must hold)
+    files_dec = zonemap.prune_files(zm, "dec_v", 99, 150)
+    got_dec = spark.read.parquet(*files_dec).where(
+        F.col("dec_v").between(99, 150)
+    )
+    want_dec = full.where(F.col("dec_v").between(99, 150))
+    assert sorted(r["id"] for r in got_dec.collect()) == sorted(
+        r["id"] for r in want_dec.collect()
+    )
+
+    # unparseable bounds raise instead of comparing reprs
+    with pytest.raises(ValueError, match="unparseable"):
+        zonemap.prune_files(zm, "d", "2024-1-5", None)
+    with pytest.raises(ValueError, match="unparseable"):
+        zonemap.prune_files(zm, "ts", "not a time", None)
+
+
+def test_prune_files_and_multi_column(spark, tmp_path):
+    """Multi-column AND pruning over a z-ordered layout: the file set
+    is the intersection of the per-column prunes and the read still
+    covers the exact filtered scan (superset contract)."""
+    from crypto_data_service_loader_spark.sources import interchange
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        ((F.col("id") * 7) % 64).cast("double").alias("y"),
+    )
+    zo = str(tmp_path / "zo")
+    interchange.zorder_write(df, zo, "x", "y", n_files=8)
+    zm = zonemap.build_zonemap(spark, zo, ["x", "y"])
+
+    both = zonemap.prune_files_and(zm, {"x": (0.0, 7.0), "y": (0.0, 15.0)})
+    only_x = zonemap.prune_files(zm, "x", 0.0, 7.0)
+    assert set(both) <= set(only_x) and 0 < len(both) <= len(only_x)
+
+    pred = F.col("x").between(0.0, 7.0) & F.col("y").between(0.0, 15.0)
+    got = spark.read.parquet(*both).where(pred)
+    want = spark.read.parquet(zo).where(pred)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    with pytest.raises(ValueError, match="at least one column"):
+        zonemap.prune_files_and(zm, {})
+
+
+def test_prune_100k_files_subsecond(spark):
+    """Scale check (r8 VERDICT #4): the interval test runs inside Spark,
+    so a 10^5-file zonemap prunes in well under a second instead of a
+    driver-side Python loop with per-row string conversions."""
+    import time
+
+    zm = spark.range(100_000).select(
+        F.concat(F.lit("f"), F.col("id")).alias("file"),
+        F.lit("ts").alias("col_name"),
+        F.lit("bigint").alias("col_type"),
+        (F.col("id") * 10).cast("string").alias("min_value"),
+        (F.col("id") * 10 + 9).cast("string").alias("max_value"),
+        F.lit(100).alias("n_rows"),
+        F.lit(0).alias("n_nulls"),
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    files = zonemap.prune_files(zm, "ts", 500_000, 500_099)
+    dt = time.monotonic() - t0
+    assert len(files) == 10  # ids 50000..50009
+    assert dt < 1.0, f"prune took {dt:.2f}s"
