@@ -64,3 +64,64 @@ def whole_stage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
         df.collect()
     p = physical_plan(df)
     return len(set(re.findall(r"\*\((\d+)\)", p)))
+
+
+def nested_loop_build_rows(df: DataFrame) -> list[int]:
+    """Execute `df` once and return, for EVERY nested-loop-shaped join in
+    the final physical plan, the actual row count of its build side
+    (BroadcastNestedLoopJoin: the declared build side's broadcast;
+    CartesianProduct: the smaller input). This turns "that broadcast is
+    provably tiny" from a code comment into an executable assertion —
+    the plan-audit allowlist ratchet: if a future edit fattens an
+    allowlisted build side past its documented bound, the audit fails
+    instead of the comment silently going stale."""
+    df.collect()  # populate SQL metrics on this frame's own queryExecution
+    root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+
+    def resolve(node):
+        # AQE roots/stages wrap the real plan; descend to it
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            return resolve(node.executedPlan())
+        return node
+
+    def children(node):
+        name = node.getClass().getSimpleName()
+        if name.endswith("QueryStageExec"):
+            return [node.plan()]
+        out = []
+        ch = node.children()
+        for i in range(ch.length()):
+            out.append(ch.apply(i))
+        if name == "ReusedExchangeExec":
+            out.append(node.child())
+        return out
+
+    def subtree_rows(node):
+        # first numOutputRows metric down this subtree (the broadcast
+        # exchange / the stage's own output counter)
+        queue = [node]
+        while queue:
+            n = resolve(queue.pop(0))
+            m = n.metrics()
+            if m.contains("numOutputRows"):
+                return int(m.apply("numOutputRows").value())
+            queue.extend(children(n))
+        return None
+
+    results: list[int] = []
+
+    def walk(node):
+        node = resolve(node)
+        name = node.getClass().getSimpleName()
+        kids = children(node)
+        if name == "BroadcastNestedLoopJoinExec":
+            build = kids[0] if node.buildSide().toString() == "BuildLeft" else kids[1]
+            results.append(subtree_rows(build))
+        elif name == "CartesianProductExec":
+            rows = [r for r in (subtree_rows(k) for k in kids) if r is not None]
+            results.append(min(rows) if rows else None)
+        for k in kids:
+            walk(k)
+
+    walk(root)
+    return results

@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import pytest
 
-from crypto_data_service_loader_spark.plans.explain import physical_plan
+from crypto_data_service_loader_spark.plans.explain import (
+    nested_loop_build_rows,
+    physical_plan,
+)
 from crypto_data_service_loader_spark.suite import QUERIES
 
 #: the only tolerated nested-loop shapes: broadcasts of provably tiny
@@ -19,35 +22,42 @@ from crypto_data_service_loader_spark.suite import QUERIES
 #: NOT allowlisted — dedup_ngram_jaccard rides the MinHash-LSH candidate
 #: equi-join and dedup_embedding_cosine the block-partitioned task
 #: equi-join, so the whole suite plans zero data-dependent nested loops.
+#:
+#: RATCHET: each entry maps to the max row count its nested-loop build
+#: side is allowed to reach — asserted against the EXECUTED plan's
+#: metrics (test_allowlisted_build_sides_stay_tiny), so the
+#: justification is executable, not a comment: fattening an allowlisted
+#: broadcast fails the audit instead of hiding behind the allowlist.
 NESTED_LOOP_OK = {
-    "sim_cosine_topk_ivf",  # broadcast of a 16-row centroid table
-    "semantic_dedup",  # broadcast of an 8-row centroid table (quantizer)
-    "tpch_q22",  # scalar-subquery threshold: single-row aggregate broadcast
-    "tpch_q11",  # HAVING scalar subquery: single-row aggregate broadcast
-    "text_tfidf_top_terms",  # corpus-count N: single-row aggregate broadcast
-    "bm25_topk",  # corpus stats (N, avgdl): single-row aggregate broadcast
+    "sim_cosine_topk_ivf": 16,  # broadcast of a 16-row centroid table
+    "semantic_dedup": 8,  # broadcast of an 8-row centroid table (quantizer)
+    "tpch_q22": 1,  # scalar-subquery threshold: single-row aggregate broadcast
+    "tpch_q11": 1,  # HAVING scalar subquery: single-row aggregate broadcast
+    "text_tfidf_top_terms": 1,  # corpus-count N: single-row aggregate broadcast
+    "bm25_topk": 1,  # corpus stats (N, avgdl): single-row aggregate broadcast
     # same (N, avgdl) single-row broadcast, computed from the doclens
     # store since tombstone-exact stats:
-    "bm25_topk_indexed",
-    "key_skew_report",  # total row count: single-row aggregate broadcast
-    "hybrid_search",  # BM25 stage's same single-row (N, avgdl) broadcast
+    "bm25_topk_indexed": 1,
+    "key_skew_report": 1,  # total row count: single-row aggregate broadcast
+    "hybrid_search": 1,  # BM25 stage's same single-row (N, avgdl) broadcast
     # constant-size broadcasts twice over: the (N, avgdl) single row in
     # the BM25 member list plus the 4-row query-vector set the semantic
     # member list broadcasts onto one embedding scan:
-    "hybrid_rrf",
+    "hybrid_rrf": 4,
     # the postings index's doclens-derived (N, avgdl) single-row
     # broadcast riding inside the composed retrieval path:
-    "hybrid_search_indexed",
+    "hybrid_search_indexed": 1,
     # two single-row count aggregates crossed into the one recall row:
-    "ann_recall_at_k",
-    "dedup_pair_recall",
+    "ann_recall_at_k": 1,
+    "dedup_pair_recall": 1,
     # the d-row sketch inner-product crossed with the single-row true
     # count (the audit column); both sides bounded by construction:
-    "join_size_estimate",
+    "join_size_estimate": 4,
     # the pair generator is an inequality join of the distinct GROUP
     # list with itself (|groups|^2 keys, never data; register tables
-    # join by equi-key afterwards):
-    "hll_source_overlap",
+    # join by equi-key afterwards); the group column is source-count
+    # sized and hll_set_ops now hard-caps it at max_groups:
+    "hll_source_overlap": 64,
 }
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -57,6 +67,24 @@ def test_no_accidental_cartesian(name, spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(NESTED_LOOP_OK))
+def test_allowlisted_build_sides_stay_tiny(name, spark, sf_dir):
+    """The allowlist ratchet: run each allowlisted query and read every
+    nested-loop build side's ACTUAL output row count from the executed
+    plan's SQL metrics — it must stay within the documented constant
+    bound. A query may legitimately plan zero nested loops at this SF
+    (AQE replans a tiny side into a hash join); what it may never do is
+    plan one with a fat build side."""
+    rows = nested_loop_build_rows(QUERIES[name](spark, sf_dir))
+    bound = NESTED_LOOP_OK[name]
+    for r in rows:
+        assert r is not None and r <= bound, (
+            f"{name}: nested-loop build side reached {r} rows "
+            f"(documented bound {bound}) — the allowlist justification "
+            "no longer holds"
         )
 
 
