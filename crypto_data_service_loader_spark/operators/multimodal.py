@@ -128,3 +128,215 @@ def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFr
             )
 
     return media.filter("kind = 'video'").mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Codec-free byte-level media operators (round 9): a perceptual-style grid
+# fingerprint, a banded near-dup join over it, and a magic-number audit.
+# None of these need a decoder — they work on the payload BYTES, so they are
+# fully real (no stub seam) and oracle-exact, while the decode_and_featurize
+# seam above stays reserved for environments with actual codecs.
+# ---------------------------------------------------------------------------
+
+
+def byte_grid_fingerprint(
+    media: DataFrame,
+    n_cells: int = 32,
+    max_bytes: int = 2048,
+    threshold: int | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual-STYLE grid fingerprint over raw payload bytes — the
+    codec-free analogue of blockhash/aHash (public techniques): hex-encode
+    the first `max_bytes` of the payload, split the hex stream into
+    `n_cells` contiguous cells, sum each cell's hex-digit values, and emit
+    one bit per cell. Near-identical payloads (same media re-exported with
+    different trailing metadata, truncated tails, tweaked headers) land
+    within a small Hamming distance; `fingerprint_near_dup_join` then
+    blocks on fingerprint bands exactly like SimHash.
+
+    Two thresholding rules, both pure integer arithmetic (engine-exact):
+    - ``threshold=None`` (aHash mean rule): bit_i = 1 iff
+      cell_sum_i * n_cells >= total_sum. Adaptive, classic — but a single
+      changed byte moves the global mean, so distant borderline bits can
+      flip.
+    - ``threshold=k`` (blockhash-style fixed rule): bit_i = 1 iff
+      2 * cell_sum_i >= k * cell_len_i (k is per-hex-char in HALF units,
+      e.g. k=9 → 4.5/char, the balanced point for hex-text payloads).
+      LOCALITY-PRESERVING: a changed byte can only flip the cells that
+      contain it, which is what makes the banded join's pigeonhole
+      guarantee meaningful.
+
+    Everything is built-in expressions (hex/split/slice/aggregate — one
+    codegen span, no UDF). At 100 TB this is a scan-local map; for real
+    multi-MB media a production variant would downsample inside a Pandas
+    UDF first, but the fingerprint CONTRACT (grid cells → threshold bits
+    → banded join) is the portable part. Returns (id, fp long, n_hex int).
+    """
+    if not 0 < n_cells <= 63:
+        raise ValueError("n_cells must be in (0, 63] to pack into an int64")
+    from pyspark.sql import functions as F
+
+    h = F.substring(F.hex(F.col(payload_col)), 1, 2 * max_bytes)
+    vals = F.transform(F.split(h, ""), lambda c: F.conv(c, 16, 10).cast("long"))
+    ln = F.length(h)
+    base = media.select(
+        F.col(id_col), vals.alias("_v"), ln.alias("n_hex")
+    )
+    n = n_cells
+    cell_sums = []
+    cell_lens = []
+    for i in range(n):
+        start = F.floor(F.lit(i) * F.col("n_hex") / F.lit(n)).cast("int")
+        end = F.floor(F.lit(i + 1) * F.col("n_hex") / F.lit(n)).cast("int")
+        length = end - start
+        cell_sums.append(
+            F.aggregate(
+                F.slice("_v", start + F.lit(1), length),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        )
+        cell_lens.append(length.cast("long"))
+    total = cell_sums[0]
+    for s in cell_sums[1:]:
+        total = total + s
+    with_cells = base.select(
+        id_col,
+        "n_hex",
+        total.alias("_total"),
+        *[s.alias(f"_c{i}") for i, s in enumerate(cell_sums)],
+        *[l.alias(f"_l{i}") for i, l in enumerate(cell_lens)],
+    )
+    bits = []
+    for i in range(n):
+        if threshold is None:
+            bit = (F.col(f"_c{i}") * F.lit(n)) >= F.col("_total")
+        else:
+            bit = (F.col(f"_c{i}") * F.lit(2)) >= (F.lit(int(threshold)) * F.col(f"_l{i}"))
+        bits.append(F.shiftleft(bit.cast("long"), i))
+    fp = bits[0]
+    for b in bits[1:]:
+        fp = fp + b
+    return with_cells.select(id_col, fp.alias("fp"), "n_hex")
+
+
+def fingerprint_near_dup_join(
+    fps: DataFrame,
+    n_cells: int = 32,
+    bands: int = 4,
+    max_hamming: int | None = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate media pairs from grid fingerprints — the SimHash
+    pigeonhole recipe reused on the media axis: split each fp's n_cells
+    bits into `bands` equal bit-bands, equi-join on (band index, band
+    value), then verify candidates with the EXACT Hamming distance
+    (bit_count(xor)) <= max_hamming (default bands-1, the largest
+    threshold with a 100% recall guarantee: two fps within Hamming <
+    bands must agree on some whole band).
+
+    Scale shape: the only shuffle is the banded equi-join — candidates are
+    O(collisions), never all-pairs; the verify is one integer xor per
+    candidate. Skewed bands (constant regions across a corpus) are
+    ordinary AQE skew-join territory. Returns (id_a, id_b, hamming).
+    """
+    if n_cells % bands != 0:
+        raise ValueError(f"bands must divide n_cells: {bands} vs {n_cells}")
+    from pyspark.sql import functions as F
+
+    if max_hamming is None:
+        max_hamming = bands - 1
+    r = n_cells // bands
+    mask = (1 << r) - 1
+    buckets = fps.select(
+        F.col(id_col).alias("_id"),
+        F.col("fp"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright("fp", j * r).bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("b"),
+    ).select("_id", "fp", "b.band", "b.band_val")
+    a = buckets.select(
+        F.col("_id").alias("id_a"), F.col("fp").alias("_fa"), "band", "band_val"
+    )
+    b = buckets.select(
+        F.col("_id").alias("id_b"), F.col("fp").alias("_fb"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+#: declared mime → the magic family its payload must carry
+_MIME_FORMAT = {
+    "image/png": "png",
+    "image/jpeg": "jpeg",
+    "image/gif": "gif",
+    "audio/wav": "riff",
+    "video/avi": "riff",
+    "video/mp4": "mp4",
+    "application/pdf": "pdf",
+}
+
+#: leading-bytes magic numbers, longest-prefix-first (public file-format
+#: signatures; mp4's 'ftyp' sits at byte offset 4, handled separately)
+_MAGIC_PREFIXES = [
+    ("png", "89504E47"),
+    ("gif", "474946383"),
+    ("pdf", "255044462D"),
+    ("riff", "52494646"),
+    ("jpeg", "FFD8FF"),
+]
+
+
+def sniff_media_format(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    mime_col: str = "mime",
+) -> DataFrame:
+    """Magic-number / metadata audit — the media twin of
+    operators/contract.data_contract_check: sniff each payload's leading
+    bytes for its actual container format and flag rows whose declared
+    mime doesn't match what the bytes say (mislabeled uploads, decoder
+    crash fodder, content smuggled under an image/* label). Pure
+    hex-prefix comparison on the first 16 bytes — scan-local, no UDF, no
+    codec. detected_format is 'unknown' when no signature matches;
+    magic_ok is false for unknown payloads AND for mimes this audit has
+    no signature for (an unauditable row is not an OK row).
+    Returns (id, mime, detected_format, magic_ok)."""
+    from pyspark.sql import functions as F
+
+    h = F.hex(F.col(payload_col))
+    detected = F.when(
+        F.substring(h, 9, 8) == "66747970", F.lit("mp4")
+    )
+    for fam, prefix in _MAGIC_PREFIXES:
+        detected = detected.when(h.startswith(prefix), F.lit(fam))
+    detected = detected.otherwise(F.lit("unknown"))
+    expected = F.lit(None).cast("string")
+    for mime, fam in sorted(_MIME_FORMAT.items()):
+        expected = F.when(F.col(mime_col) == mime, F.lit(fam)).otherwise(expected)
+    return media.select(
+        F.col(id_col),
+        F.col(mime_col).alias("mime"),
+        detected.alias("detected_format"),
+        F.coalesce(detected.eqNullSafe(expected) & expected.isNotNull(), F.lit(False)).alias(
+            "magic_ok"
+        ),
+    )

@@ -20,7 +20,7 @@ from .suites.llm import *  # noqa: F401,F403
 from .suites.analytics import *  # noqa: F401,F403
 from .suites.analytics import _bpe_pinned_sql
 from .suites.control_plane import _FLAGSHIP_SQL, _REGISTRY_ORACLES
-from .suites.llm import _LLM_ORACLES
+from .suites.llm import _LLM_ORACLES, _grid_fp_sql
 from .suites.relational_ext import _RELATIONAL_ORACLES
 from .suites.shared import (  # noqa: F401 — re-exported for tests/tools
     _EVENTS_SQL,
@@ -35,6 +35,10 @@ from .suites.tpch import _TPCH_ORACLES
 
 
 QUERIES = {
+    # --- new in round 9 (front-50 driver window) ---
+    "media_fingerprint": q_media_fingerprint,
+    "dedup_media_near": q_dedup_media_near,
+    "media_format_audit": q_media_format_audit,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -1878,3 +1882,79 @@ ORACLES["curation_funnel"] = """
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND UNBOUNDED FOLLOWING), 6) + 0 AS survival_frac
     FROM funnel"""
+
+# Round-9 codec-free media keys. The fingerprint SQL is generated by
+# suites.llm._grid_fp_sql — the same integer arithmetic as the Spark
+# expression tree, char-for-char over hex(encode(md5(text))).
+_FP_TOTAL_MEAN, _FP_EXPR_MEAN = _grid_fp_sql(64, 32, threshold=None)
+_FP_TOTAL_FIX, _FP_EXPR_FIX = _grid_fp_sql(64, 32, threshold=9)
+
+ORACLES["media_fingerprint"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(md5(text))) AS h
+        FROM documents WHERE doc_id < 200),
+    t AS (SELECT media_id, h, ({_FP_TOTAL_MEAN}) AS tot FROM m)
+    SELECT media_id, ({_FP_EXPR_MEAN}) AS fp,
+           CAST(length(h) AS INTEGER) AS n_hex
+    FROM t"""
+
+ORACLES["dedup_media_near"] = f"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h1, md5(text || 'v2') AS h2
+        FROM documents WHERE doc_id < 150),
+    m AS (
+        SELECT doc_id AS media_id, hex(encode(h1)) AS h FROM d
+        UNION ALL
+        SELECT doc_id + 100000,
+               hex(encode(substr(h1, 1, 30) || substr(h2, 31, 2))) FROM d),
+    f AS (SELECT media_id, ({_FP_EXPR_FIX}) AS fp FROM m),
+    b AS (
+        SELECT media_id, fp, j AS band, (fp >> (j * 8)) & 255 AS band_val
+        FROM f, unnest([0, 1, 2, 3]) AS u(j)),
+    c AS (
+        SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+               a.fp AS fa, b2.fp AS fb
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.band_val = b2.band_val
+         AND a.media_id < b2.media_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM c WHERE bit_count(xor(fa, fb)) <= 3"""
+
+ORACLES["media_format_audit"] = """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 5 = 0
+                        THEN unhex('89504E47') || encode(md5(text))
+                    WHEN doc_id % 5 = 1
+                        THEN unhex('FFD8FF') || encode(md5(text))
+                    WHEN doc_id % 5 = 2 THEN encode(md5(text))
+                    WHEN doc_id % 5 = 3
+                        THEN unhex('52494646') || encode(md5(text))
+                    ELSE unhex('00000018') || encode('ftypisom')
+                         || encode(md5(text)) END AS payload,
+               CASE WHEN doc_id % 5 = 3 THEN 'audio/wav'
+                    WHEN doc_id % 5 = 4 THEN 'video/mp4'
+                    ELSE 'image/png' END AS mime
+        FROM documents WHERE doc_id < 200),
+    h AS (SELECT media_id, mime, hex(payload) AS hx FROM m),
+    det AS (
+        SELECT media_id, mime,
+               CASE WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+                    WHEN hx LIKE '89504E47%' THEN 'png'
+                    WHEN hx LIKE '474946383%' THEN 'gif'
+                    WHEN hx LIKE '255044462D%' THEN 'pdf'
+                    WHEN hx LIKE '52494646%' THEN 'riff'
+                    WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+                    ELSE 'unknown' END AS detected_format
+        FROM h)
+    SELECT media_id, mime, detected_format,
+           coalesce(detected_format = CASE mime
+               WHEN 'image/png' THEN 'png'
+               WHEN 'image/jpeg' THEN 'jpeg'
+               WHEN 'image/gif' THEN 'gif'
+               WHEN 'audio/wav' THEN 'riff'
+               WHEN 'video/avi' THEN 'riff'
+               WHEN 'video/mp4' THEN 'mp4'
+               WHEN 'application/pdf' THEN 'pdf'
+               END, false) AS magic_ok
+    FROM det"""

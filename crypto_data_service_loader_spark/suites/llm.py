@@ -1351,3 +1351,128 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_prefix_join(
         load(spark, sf_dir, "documents"), 7, 10
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9: codec-free media keys — byte-grid fingerprint, banded media
+# near-dup, magic-number audit (operators/multimodal.py). Payloads are
+# deterministic md5-hex bytes (the multimodal_features trick), so every
+# key is oracle-exact end-to-end with NO stubbed seam in the path.
+# --------------------------------------------------------------------------
+
+
+def _media_payloads(spark, sf_dir, limit=200):
+    """Deterministic media table: payload = UTF-8 bytes of md5(text) —
+    the established codec-free stand-in (see q_multimodal_features)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.md5("text"), "UTF-8").alias("payload"),
+    )
+
+
+def q_media_fingerprint(spark, sf_dir):
+    """Perceptual-style byte-grid fingerprint (aHash mean rule, 32 cells)
+    over deterministic payloads — codec-free and oracle-exact: every step
+    is integer arithmetic over the hex encoding, mirrored char-for-char
+    in DuckDB."""
+    from ..operators.multimodal import byte_grid_fingerprint
+
+    return byte_grid_fingerprint(
+        _media_payloads(spark, sf_dir), n_cells=32
+    ).select("media_id", "fp", "n_hex")
+
+
+def q_dedup_media_near(spark, sf_dir):
+    """Media near-dup end-to-end: base payloads plus tail-perturbed
+    re-export twins (last 2 payload bytes changed — 'same image,
+    different trailing metadata'), fingerprinted with the FIXED
+    blockhash-style threshold (locality: only the touched cells can
+    flip, so every constructed twin lands within Hamming <= 2), then the
+    banded pigeonhole join with exact bit_count verify. All constructed
+    pairs are guaranteed found (hamming < bands); accidental collisions
+    must survive the same Hamming <= 3 verify."""
+    from ..operators.multimodal import (
+        byte_grid_fingerprint,
+        fingerprint_near_dup_join,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.md5("text"), "UTF-8").alias("payload"),
+    )
+    variant = docs.select(
+        (F.col("doc_id") + 100000).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.substring(F.md5("text"), 1, 30),
+                F.substring(F.md5(F.concat(F.col("text"), F.lit("v2"))), 31, 2),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    fps = byte_grid_fingerprint(
+        base.unionByName(variant), n_cells=32, threshold=9
+    )
+    return fingerprint_near_dup_join(fps, n_cells=32, bands=4, max_hamming=3)
+
+
+def q_media_format_audit(spark, sf_dir):
+    """Magic-number audit over a mixed media table: PNG-ok, JPEG smuggled
+    under an image/png label, magic-less payload, RIFF/WAV-ok, and an
+    MP4 (ftyp at byte offset 4) — the data_contract_check idea applied to
+    binary columns, pure hex-prefix logic both engines."""
+    from ..operators.multimodal import sniff_media_format
+
+    base = _media_payloads(spark, sf_dir, limit=200)
+    k = F.col("media_id") % 5
+    media = base.select(
+        "media_id",
+        F.when(k == 0, F.concat(F.unhex(F.lit("89504E47")), F.col("payload")))
+        .when(k == 1, F.concat(F.unhex(F.lit("FFD8FF")), F.col("payload")))
+        .when(k == 2, F.col("payload"))
+        .when(k == 3, F.concat(F.unhex(F.lit("52494646")), F.col("payload")))
+        .otherwise(
+            F.concat(
+                F.unhex(F.lit("00000018")),
+                F.encode(F.lit("ftypisom"), "UTF-8"),
+                F.col("payload"),
+            )
+        )
+        .alias("payload"),
+        F.when(k == 3, F.lit("audio/wav"))
+        .when(k == 4, F.lit("video/mp4"))
+        .otherwise(F.lit("image/png"))
+        .alias("mime"),
+    )
+    return sniff_media_format(media)
+
+
+def _grid_fp_sql(n_chars: int = 64, n_cells: int = 32,
+                 threshold: int | None = None) -> tuple[str, str]:
+    """DuckDB mirror of multimodal.byte_grid_fingerprint over a column
+    ``h`` holding the hex encoding (returns (total_expr, fp_expr); the
+    fp expr references ``tot`` for the mean rule, so wrap total in a
+    prior CTE). Char-for-char the same integer arithmetic as the Spark
+    expression tree."""
+    w = n_chars // n_cells
+
+    def v(p):
+        return f"CAST(('0x' || substr(h, {p}, 1)) AS BIGINT)"
+
+    cells = []
+    for i in range(n_cells):
+        terms = " + ".join(v(i * w + j + 1) for j in range(w))
+        cells.append(f"({terms})")
+    total = " + ".join(cells)
+    bits = []
+    for i in range(n_cells):
+        if threshold is None:
+            cond = f"{cells[i]} * {n_cells} >= tot"
+        else:
+            cond = f"{cells[i]} * 2 >= {threshold * w}"
+        bits.append(
+            f"(CASE WHEN {cond} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
+        )
+    return total, " + ".join(bits)

@@ -1519,3 +1519,80 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     ).collect()
     assert sum(r["multiplicity"] for r in drawn) == 2
     assert all(r["doc_id"] != 4 for r in drawn)  # zero weight never drawn
+
+
+def test_byte_grid_fingerprint_locality_fixed_threshold(spark):
+    """Fixed-threshold (blockhash-style) fingerprints are LOCAL: changing
+    the last byte of a payload can only flip the cell containing it —
+    Hamming distance <= 1 — while the mean rule may flip distant
+    borderline cells. Also pins n_cells validation."""
+    base = b"deadbeefcafef00d" * 4  # 64 bytes -> 128 hex chars, 32 cells
+    pert = base[:-1] + b"X"
+    media = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(pert))],
+        "media_id long, payload binary",
+    )
+    fps = {
+        r["media_id"]: r["fp"]
+        for r in multimodal.byte_grid_fingerprint(
+            media, n_cells=32, threshold=9
+        ).collect()
+    }
+    ham = bin(fps[0] ^ fps[1]).count("1")
+    assert ham <= 1
+    with pytest.raises(ValueError, match="n_cells"):
+        multimodal.byte_grid_fingerprint(media, n_cells=64)
+
+
+def test_fingerprint_near_dup_pigeonhole_recall(spark):
+    """Every pair within Hamming < bands MUST be found (pigeonhole: some
+    whole band agrees), and pairs beyond max_hamming are rejected by the
+    exact verify even when a band collides."""
+    from pyspark.sql import functions as F
+
+    # fp pairs: (0,1) ham=2 (found), (2,3) ham=8 but share band 0
+    # (rejected by verify), (4,5) identical (ham 0)
+    rows = [
+        (0, 0b0011), (1, 0b1100_0000_0000_0011 ^ 0b0011_0000_0000_0000),
+        (2, 0xFF00_00AA), (3, 0x00FF_00AA),
+        (4, 0x1234_5678), (5, 0x1234_5678),
+    ]
+    # fix pair (0,1) to true hamming 2: flip two adjacent low bits
+    rows[1] = (1, rows[0][1] ^ 0b0110)
+    fps = spark.createDataFrame(rows, "media_id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.fingerprint_near_dup_join(
+            fps, n_cells=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got.get((0, 1)) == 2
+    assert got.get((4, 5)) == 0
+    assert (2, 3) not in got  # band collision but hamming 16 > 3
+    with pytest.raises(ValueError, match="bands"):
+        multimodal.fingerprint_near_dup_join(fps, n_cells=32, bands=5)
+
+
+def test_sniff_media_format_signatures(spark):
+    """Magic sniffing: every documented signature detects, mp4 detects at
+    byte offset 4, unknown payloads and unmapped mimes audit false."""
+    payloads = [
+        (0, bytes.fromhex("89504E47") + b"rest", "image/png", "png", True),
+        (1, bytes.fromhex("FFD8FF") + b"rest", "image/png", "jpeg", False),
+        (2, b"GIF89a...", "image/gif", "gif", True),
+        (3, b"RIFF....WAVE", "audio/wav", "riff", True),
+        (4, bytes.fromhex("00000018") + b"ftypisom", "video/mp4", "mp4", True),
+        (5, b"%PDF-1.7", "application/pdf", "pdf", True),
+        (6, b"plain text", "image/png", "unknown", False),
+        # correct png magic under a mime the audit has no signature for:
+        # unauditable is NOT ok
+        (7, bytes.fromhex("89504E47") + b"x", "image/webp", "png", False),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p), m) for i, p, m, _, _ in payloads],
+        "media_id long, payload binary, mime string",
+    )
+    got = {r["media_id"]: r for r in multimodal.sniff_media_format(media).collect()}
+    for i, _, _, want_fmt, want_ok in payloads:
+        assert got[i]["detected_format"] == want_fmt, i
+        assert got[i]["magic_ok"] == want_ok, i
