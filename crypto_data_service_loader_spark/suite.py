@@ -39,6 +39,7 @@ QUERIES = {
     "media_fingerprint": q_media_fingerprint,
     "dedup_media_near": q_dedup_media_near,
     "media_format_audit": q_media_format_audit,
+    "join_strategy_choice": q_join_strategy_choice,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -1958,3 +1959,66 @@ ORACLES["media_format_audit"] = """
                WHEN 'application/pdf' THEN 'pdf'
                END, false) AS magic_ok
     FROM det"""
+
+
+def _cm_pair_est_sql(left_src: str, right_src: str, w: int = 4096) -> str:
+    """DuckDB mirror of the chooser's CM inner-product estimate (same
+    cells as the join_size_estimate oracle, parameterized over sides).
+    Each side subquery must yield a single column ``k``."""
+
+    def cells(src):
+        return f"""(
+        SELECT rw,
+               CAST(('0x' || substr(md5(CAST(rw AS VARCHAR) || '|' ||
+                                        CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                    % {w} AS INTEGER) AS bkt,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ({src}) CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rw)
+        GROUP BY rw, bkt)"""
+
+    return f"""(
+        SELECT CAST(coalesce(min(ip), 0) AS BIGINT) FROM (
+            SELECT a.rw, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+            FROM {cells(left_src)} a JOIN {cells(right_src)} b
+              USING (rw, bkt)
+            GROUP BY a.rw))"""
+
+
+_EST_OC = _cm_pair_est_sql(
+    "SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL",
+    "SELECT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL",
+)
+_EST_DD = _cm_pair_est_sql(
+    "SELECT source AS k FROM documents WHERE source IS NOT NULL",
+    "SELECT source AS k FROM documents WHERE source IS NOT NULL",
+)
+
+ORACLES["join_strategy_choice"] = f"""
+    WITH n_o AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+                 WHERE o_custkey IS NOT NULL),
+    n_c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+            WHERE c_custkey IS NOT NULL),
+    n_d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+            WHERE source IS NOT NULL),
+    est_oc AS (SELECT {_EST_OC} AS est),
+    est_dd AS (SELECT {_EST_DD} AS est),
+    s AS (
+        SELECT 'dim_broadcast' AS scenario, n_o.n AS n_left,
+               n_c.n AS n_right, est_oc.est AS est_pairs,
+               CAST(100000 AS BIGINT) AS bmax
+        FROM n_o, n_c, est_oc
+        UNION ALL
+        SELECT 'fk_shuffle', n_o.n, n_c.n, est_oc.est, 0
+        FROM n_o, n_c, est_oc
+        UNION ALL
+        SELECT 'hot_key_salted', n_d.n, n_d.n, est_dd.est, 0
+        FROM n_d, est_dd)
+    SELECT scenario,
+           CASE WHEN least(n_left, n_right) <= bmax THEN 'broadcast'
+                WHEN est_pairs > 4 * greatest(n_left, n_right) THEN 'salted'
+                ELSE 'shuffle' END AS strategy,
+           CASE WHEN least(n_left, n_right) <= bmax
+                THEN CASE WHEN n_left <= n_right THEN 'left' ELSE 'right' END
+                END AS build_side,
+           n_left, n_right, est_pairs
+    FROM s"""

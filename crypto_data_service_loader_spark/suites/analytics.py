@@ -1126,3 +1126,37 @@ def q_curation_funnel(spark, sf_dir):
         (F.round(F.col("n_docs") / total.cast("double"), 6) + F.lit(0.0))
             .alias("survival_frac"),
     )
+
+
+def q_join_strategy_choice(spark, sf_dir):
+    """The CM estimate WIRED INTO a decision (round 9): three planner
+    scenarios through plans/join_chooser.choose_join_strategy — a small
+    dim (broadcast rung), the same FK join with broadcast disabled
+    (multiplicity ~1 -> plain shuffle), and a hot-key self-join on
+    documents.source (output multiplies -> salted). The oracle replays
+    the identical sketch arithmetic and decision ladder in SQL, so the
+    DECISION itself is oracle-exact, not just the estimate."""
+    from ..plans.join_chooser import choose_join_strategy
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    docs = load(spark, sf_dir, "documents")
+    scenarios = [
+        ("dim_broadcast", choose_join_strategy(
+            orders, cust, "o_custkey", "c_custkey",
+            broadcast_max_rows=100_000)),
+        ("fk_shuffle", choose_join_strategy(
+            orders, cust, "o_custkey", "c_custkey",
+            broadcast_max_rows=0)),
+        ("hot_key_salted", choose_join_strategy(
+            docs, docs, "source", "source", broadcast_max_rows=0)),
+    ]
+    rows = [
+        (s, d.strategy, d.build_side, d.n_left, d.n_right, d.est_pairs)
+        for s, d in scenarios
+    ]
+    return spark.createDataFrame(
+        rows,
+        "scenario string, strategy string, build_side string, "
+        "n_left long, n_right long, est_pairs long",
+    )
