@@ -989,3 +989,102 @@ def start_bloom_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# KLL twin: canonical compactor state in keyed state -> running quantiles
+# ---------------------------------------------------------------------------
+
+KLL_STREAM_SCHEMA = (
+    "event_type string, n long, p50 double, p90 double, n_items int"
+)
+
+_KLL_STREAM_K = 128
+
+
+def kll_fold_py(batches, k: int = _KLL_STREAM_K):
+    """Sequential per-batch fold: items <- canonicalize(items U batch).
+    This IS the streaming twin's state evolution — the batch-side
+    reference the stream is pinned against (the KLL state is a
+    deterministic function of the batch SEQUENCE; unlike the monoid
+    sketches, folding per-batch differs from one-shot canonicalization
+    because each compaction discards items, so the twin replays the
+    same fold)."""
+    from ..operators.kll import kll_canonicalize_py
+
+    items: list[tuple[int, float]] = []
+    for batch in batches:
+        items = items + [(0, float(v)) for v in batch if v is not None]
+        items = kll_canonicalize_py(items, k)
+    return items
+
+
+def _kll_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from ..operators.kll import kll_canonicalize_py, kll_quantile_py
+
+    if state.exists:
+        items = list(zip(state.get[0], state.get[1]))
+    else:
+        items = []
+    vals = []
+    for pdf in pdfs:
+        vals.extend(float(v) for v in pdf["value"] if not pd.isna(v))
+    items = kll_canonicalize_py(
+        items + [(0, v) for v in vals], _KLL_STREAM_K
+    )
+    state.update((
+        [int(lv) for lv, _ in items],
+        [float(v) for _, v in items],
+    ))
+    n = sum(1 << int(lv) for lv, _ in items)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [n],
+            "p50": [kll_quantile_py(items, 0.5)],
+            "p90": [kll_quantile_py(items, 0.9)],
+            "n_items": [len(items)],
+        }
+    )
+
+
+def start_kll_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "kll",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming rank-error-bounded quantiles per event type -> in-memory
+    table `query_name`: the KLL compactor state (operators/kll.py, same
+    canonical Python core) lives in keyed state as two parallel arrays —
+    bounded at <= (k+1) * levels items per key for an unbounded stream;
+    n (total item weight) stays EXACT under compaction. The state layout
+    is the persisted sketch-table layout, so a snapshot merges with
+    batch-built sketches via kll_merge. Pinned equal to the sequential
+    fold `kll_fold_py` over the same micro-batches (the KLL state is
+    fold-deterministic, not a monoid — see kll_fold_py)."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kll_updater,
+            outputStructType=KLL_STREAM_SCHEMA,
+            stateStructType="levels array<int>, vals array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -40,6 +40,7 @@ QUERIES = {
     "dedup_media_near": q_dedup_media_near,
     "media_format_audit": q_media_format_audit,
     "join_strategy_choice": q_join_strategy_choice,
+    "kll_quantile": q_kll_quantile,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,

@@ -1160,3 +1160,24 @@ def q_join_strategy_choice(spark, sf_dir):
         "scenario string, strategy string, build_side string, "
         "n_left long, n_right long, est_pairs long",
     )
+
+
+def q_kll_quantile(spark, sf_dir):
+    """KLL-style mergeable quantile sketch per event type (round 9):
+    rank-error-bounded p50/p90/p99 of events.value regardless of value
+    distribution — the heavy-tail-safe twin of moments_quantile (whose
+    Cornish-Fisher expansion its own docstring caveats). ROWS-ONLY key
+    by design: the deterministic compactor is engine-specific (the
+    canonical state depends on per-partition insertion order, like
+    agg_approx_distinct's HLL registers); correctness is pinned by the
+    property/fuzz tests (rank error <= the deterministic bound under
+    any merge grouping) and the streaming fold-twin instead."""
+    from ..operators.kll import kll_build, kll_quantiles
+
+    sk = kll_build(
+        load(spark, sf_dir, "events").select("event_type", "value"),
+        ["event_type"], "value", k=200,
+    )
+    return kll_quantiles(sk, ["event_type"], [0.5, 0.9, 0.99]).select(
+        "event_type", "q", "q_est", "n"
+    )

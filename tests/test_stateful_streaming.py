@@ -739,3 +739,57 @@ def test_streaming_bloom_matches_batch_filter(spark, tmp_path):
         ).collect():
             want[(et, r["word"])] = r["bits"]
     assert got == want
+
+
+def test_streaming_kll_matches_fold_twin(spark, tmp_path):
+    """Streaming KLL twin: the compactor state in keyed state evolves
+    exactly like the sequential fold kll_fold_py over the same
+    micro-batches — state items, exact n, and both quantile estimates
+    equal; state stays bounded. (KLL is fold-deterministic, not a
+    monoid: per-batch compaction discards items, so the twin replays
+    the same fold rather than one-shot canonicalization.)"""
+    import time
+
+    from crypto_data_service_loader_spark.operators.kll import (
+        kll_quantile_py,
+    )
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        _KLL_STREAM_K,
+        kll_fold_py,
+        start_kll_stream,
+    )
+
+    schema = "event_type string, value double"
+    b1 = [("a", float((i * 37) % 211)) for i in range(400)] + [
+        ("b", 5.0), ("b", None)]
+    b2 = [("a", float((i * 53) % 197) - 50.0) for i in range(350)] + [
+        ("b", 9.0)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_kll_stream(stream, str(tmp_path / "ckpt"), query_name="kll_t")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kll_t").collect()
+    got = {}
+    for r in rows:  # n only grows: keep the max-n row per key
+        cur = got.get(r["event_type"])
+        if cur is None or r["n"] > cur[0]:
+            got[r["event_type"]] = (r["n"], r["p50"], r["p90"], r["n_items"])
+
+    # fold twin over the same batch sequence (file order == batch order)
+    for key in ("a", "b"):
+        batches = [
+            [v for k, v in batch if k == key] for batch in (b1, b2)
+        ]
+        items = kll_fold_py(batches, _KLL_STREAM_K)
+        n = sum(1 << lv for lv, _ in items)
+        want = (n, kll_quantile_py(items, 0.5),
+                kll_quantile_py(items, 0.9), len(items))
+        assert got[key] == want, key
+    assert got["a"][0] == 750  # exact n despite compaction
+    assert got["a"][3] <= 2 * _KLL_STREAM_K  # bounded state
