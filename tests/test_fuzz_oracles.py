@@ -399,3 +399,76 @@ def test_fuzzed_tpch_joins_stay_oracle_exact(spark, tmp_path_factory, rows):
         s, o = _normalize(sdf), _normalize(odf)
         assert list(s.columns) == list(o.columns), key
         pd.testing.assert_frame_equal(s, o, check_dtype=False, obj=key)
+
+
+# ---------------------------------------------------------------------------
+# Sixth fuzz family (round 9): sketch PROBE frames — the fold-back class
+# two r8 ADVICE items lived in (duplicate probes collapsing, reserved-name
+# collisions, null keys). Small w forces hash collisions on purpose.
+# ---------------------------------------------------------------------------
+
+_SKETCH_KEY = st.sampled_from(
+    ["a", "A", "", " ", "key|with|pipes", "0", "None", "naïve",
+     "dup", "dup2", " ", "tab\there"]
+)
+_BUILD_VALS = st.lists(_SKETCH_KEY, min_size=0, max_size=30)
+_PROBE_VALS = st.lists(
+    st.one_of(_SKETCH_KEY, st.none()), min_size=1, max_size=15
+)
+
+
+@FUZZ
+@given(build=_BUILD_VALS, probes=_PROBE_VALS)
+def test_fuzzed_sketch_probes_hold_contracts(spark, build, probes):
+    from collections import Counter
+
+    from crypto_data_service_loader_spark.operators import sketch
+
+    bdf = spark.createDataFrame(
+        [(v,) for v in build], "k string"
+    ) if build else spark.createDataFrame([], "k string")
+    pdf = spark.createDataFrame([(v,) for v in probes], "k string")
+    truth = Counter(build)
+
+    # count-min: every probe row returns (duplicates 1:1), est >= truth,
+    # null keys estimate 0, and merged halves answer EXACTLY like the
+    # whole build (cell-wise sum equality carries to every lookup)
+    d, w = 3, 16  # tiny w: force collisions
+    cm = sketch.countmin_build(bdf, "k", d=d, w=w)
+    got = sketch.countmin_lookup(cm, pdf, "k", d=d, w=w).collect()
+    assert len(got) == len(probes)
+    assert Counter(r["k"] for r in got) == Counter(probes)
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["k"], set()).add(r["est_count"])
+    for key, ests in by_key.items():
+        assert len(ests) == 1  # duplicate probes agree
+        est = next(iter(ests))
+        if key is None:
+            assert est == 0
+        else:
+            assert est >= truth[key]
+
+    halves = [
+        spark.createDataFrame(
+            [(v,) for v in build[i::2]], "k string"
+        ) for i in (0, 1)
+    ]
+    merged = sketch.countmin_merge(
+        [sketch.countmin_build(h, "k", d=d, w=w) for h in halves]
+    )
+    got_m = {
+        (r["k"], r["est_count"])
+        for r in sketch.countmin_lookup(merged, pdf, "k", d=d, w=w).collect()
+    }
+    assert got_m == {(r["k"], r["est_count"]) for r in got}
+
+    # bloom: no false negatives, null keys never member, duplicates 1:1
+    bl = sketch.bloom_build(bdf, "k", n_words=4, k=3)
+    flags = sketch.bloom_probe(bl, pdf, "k", n_words=4, k=3).collect()
+    assert len(flags) == len(probes)
+    for r in flags:
+        if r["k"] is None:
+            assert not r["in_bloom"]
+        elif truth[r["k"]] > 0:
+            assert r["in_bloom"]  # no false negatives, ever
