@@ -109,18 +109,25 @@ HEADLINE = [
     "hybrid_search",
     "events_cusum",
     "ngram_lm_score",
-    "events_ols_trend",
+    # events_ols_trend / events_acf rotated out of the stdout line in r9
+    # (stable micro-queries; events family cover stays via events_cusum,
+    # events_funnel, events_mad_outliers, equi_depth_histogram; full
+    # history in BENCH_DETAIL.json) to make room for the media near-dup
+    # and KLL keys below.
     "equi_depth_histogram",
     # late round 7: portable sketches + contract + monitoring + PPS
     "hll_distinct",
     "data_contract_check",
-    "events_acf",
     "sample_pps",
     # round 8: record linkage + sketch-based join pre-sizing + the
     # persisted-index cross-epoch near-dup query
     "fuzzy_join_customers",
     "join_size_estimate",
     "dedup_minhash_indexed",
+    # round 9: codec-free media near-dup (fingerprint + banded join) and
+    # the KLL quantile sketch (mapInPandas partials + one item shuffle)
+    "dedup_media_near",
+    "kll_quantile",
 ]
 
 

@@ -265,54 +265,42 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# --- driver-window rotation (round 8) -------------------------------
-# The correctness driver verifies a ~50-key window from the FRONT of
-# QUERIES each round. Front = never-driver-green fixable keys, then
-# keys whose implementation CHANGED this round (hard re-check), then
-# the keys verified longest ago (last-verified round computed by
-# unioning the CORRECTNESS_r0*.json files). The big literal above
-# keeps its grouping for readability; this reorder is the rotation
-# policy, in one place. Round-8 makeup: sim_cosine_topk_ivf (fixed r5,
-# never re-windowed — the only working key with no green driver row),
-# the 5 keys touched by the r7-ADVICE fixes (cusum clamp, contract
-# unique nulls, sketch probe fold-back), the full 34-key round-2
-# cohort, and the 10 oldest round-3 keys. bpe_tokenize /
-# agg_approx_distinct / agg_approx_quantile stay out: rows-only by
-# design, a window slot can't upgrade them.
-_R8_FRONT = [
-    # never driver-green despite passing the full local replay
-    "sim_cosine_topk_ivf",
-    # changed in round 8 (ADVICE fixes): cusum S0 clamp (+oracle),
-    # contract unique-null semantics (+oracle), per-row-id probe
-    # fold-back in countmin/bloom, sample_pps guards
-    "events_cusum", "data_contract_check", "countmin_term_counts",
-    "bloom_prejoin_filter", "sample_pps",
-    # last driver-verified in round 2 (the full cohort, 34 keys)
-    "agg_count_star", "agg_grouping_sets",
-    "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
-    "cleanup_candidates", "csv_validate_filter", "join_broadcast_dim",
-    "join_semi", "join_sortmerge", "log_event_json", "pivot_status",
-    "scalar_date_parts", "scalar_dates", "scalar_strings",
-    "session_window_agg", "sessionize_events", "setop_except",
-    "setop_intersect", "setop_union", "stream_tumbling_daily_count",
-    "topk_by_price", "udf_grouped_range", "udf_mid_price",
-    "upload_status_rollup", "win_first_last", "win_lag_delta",
-    "win_moving_avg", "win_range_frame", "win_rank_suite",
-    "win_row_number",
-    # new in round 8: linkage family, CM join sizing, incremental aggs
-    "fuzzy_join_customers", "entity_resolution_scored",
-    "join_size_estimate", "agg_incremental_merge", "dedup_jaccard_prefix",
-    "dedup_minhash_indexed", "dsir_select", "moments_quantile",
-    "entity_clusters", "hll_source_overlap", "zonemap_pruned_scan",
-    "curation_funnel",
-    # oldest round-3 keys (alphabetical head of that cohort; four fewer
-    # than the first cut of this list — the round-8 keys above took
-    # their window slots, and the embedding-cosine keys were all
-    # re-verified by the full local replay after the zero-norm guards)
+# Round-9 rotation (_R9_FRONT, exactly 50 keys — the driver windows the
+# FIRST 50 dict keys): the 5 new round-9 keys (media family, join
+# chooser, the rows-only kll_quantile so it gets its driver row on
+# record), the 4 keys whose source changed this round (zonemap pruning
+# rewritten Spark-side, minhash-index band cast, CM empty-input
+# coalesce, hll_set_ops guard), then the oldest-verified cohort from
+# the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
+# alphabetical head of the round-3 cohort. The round-3 tail
+# (tpch_q6..q9) missed this window and must lead round 10.
+_R9_FRONT = [
+    # new in round 9
+    "media_fingerprint", "dedup_media_near", "media_format_audit",
+    "join_strategy_choice", "kll_quantile",
+    # source changed in round 9 (ADVICE/VERDICT fixes)
+    "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
+    "hll_source_overlap",
+    # last driver-verified in round 2
+    "agg_corr", "agg_cube",
+    # last driver-verified in round 3 (alphabetical head; the tail
+    # tpch_q6..q9 leads round 10)
+    "dedup_embedding_clusters", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_fingerprint", "docs_prep_pipeline",
+    "lang_id", "lang_id_trigram", "range_join_events", "sim_cosine_topk",
+    "sim_cosine_topk_lsh", "text_chunking", "text_decontaminate",
+    "text_gopher_quality", "text_quality", "text_redact_pii",
+    "text_repetition", "text_stats", "text_tfidf_top_terms",
+    "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q3", "tpch_q4", "tpch_q5",
 ]
+_R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
-    **{k: QUERIES[k] for k in _R8_FRONT},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R8_FRONT)},
+    **{k: QUERIES[k] for k in _R9_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R9_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
