@@ -1181,3 +1181,37 @@ def q_kll_quantile(spark, sf_dir):
     return kll_quantiles(sk, ["event_type"], [0.5, 0.9, 0.99]).select(
         "event_type", "q", "q_est", "n"
     )
+
+
+def q_zonemap_multi_prune(spark, sf_dir):
+    """Multi-column AND pruning (round 9, sources/zonemap.prune_files_and):
+    zones over BOTH l_extendedprice and l_quantity, files kept only when
+    every interval intersects, exact predicate applied after — still a
+    superset optimization, so the result EQUALS the plain doubly-filtered
+    scan (the oracle). The typed Spark-side interval test and the file-set
+    intersection are exercised in the gate; multi-file skip counts are
+    pinned by tests/test_zonemap.py over z-ordered layouts."""
+    import os
+
+    from ..sources import zonemap as zm
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    m = zm.build_zonemap(spark, path, ["l_extendedprice", "l_quantity"])
+    files = zm.prune_files_and(
+        m, {"l_extendedprice": (800.0, 1500.0), "l_quantity": (10, 30)}
+    )
+    if not files:
+        return (
+            spark.read.parquet(path).limit(0)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                    "l_quantity")
+        )
+    return (
+        spark.read.parquet(*files)
+        .where(
+            F.col("l_extendedprice").between(800.0, 1500.0)
+            & F.col("l_quantity").between(10, 30)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                F.col("l_quantity").cast("double").alias("l_quantity"))
+    )
