@@ -152,3 +152,63 @@ def test_spark_build_merge_query(spark):
         assert r["n"] == len(truth[g])
         rank = sum(1 for v in truth[g] if v <= r["q_est"])
         assert abs(rank - 0.5 * len(truth[g])) <= 0.1 * len(truth[g])
+
+
+def test_kll_store_lifecycle(spark, tmp_path):
+    """Persisted KLL store: write -> append (history never rescanned)
+    -> query (merge-on-read, n exact immediately) -> compact
+    (idempotent, bounded) -> query again (same n, bound still holds)."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.sources import kll_store
+
+    def mkdf(lo, n):
+        return spark.range(lo, lo + n).select(
+            "id",
+            (F.col("id") % 2).alias("g"),
+            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+                    16, 10).cast("double") / 100.0).alias("value"),
+        )
+
+    path = str(tmp_path / "kll")
+    base, batch = mkdf(0, 3000), mkdf(3000, 1200)
+    k = 128
+    kll_store.write_kll_store(base, path, ["g"], "value", k=k)
+    kll_store.append_to_kll_store(batch, path)
+
+    both = base.unionByName(batch)
+    truth = {
+        g: sorted(r["value"] for r in
+                  both.where(F.col("g") == g).select("value").collect())
+        for g in (0, 1)
+    }
+    before = {
+        (r["g"], r["q"]): r
+        for r in kll_store.store_quantiles(spark, path, [0.5, 0.9]).collect()
+    }
+    for (g, q), r in before.items():
+        vals = truth[g]
+        assert r["n"] == len(vals)  # exact n right after append
+        rank = sum(1 for v in vals if v <= r["q_est"])
+        assert abs(rank - q * len(vals)) <= 0.1 * len(vals)
+
+    n1 = kll_store.compact_kll_store(spark, path)
+    n2 = kll_store.compact_kll_store(spark, path)
+    assert n1 == n2  # canonicalization is a fixed point
+    import glob
+
+    per_group = (
+        spark.read.parquet(str(tmp_path / "kll" / "items"))
+        .groupBy("g", "level").count().collect()
+    )
+    assert all(r["count"] <= k + 1 for r in per_group)  # bounded forever
+
+    after = {
+        (r["g"], r["q"]): r
+        for r in kll_store.store_quantiles(spark, path, [0.5, 0.9]).collect()
+    }
+    for key, r in after.items():
+        assert r["n"] == before[key]["n"]
+        g, q = key
+        rank = sum(1 for v in truth[g] if v <= r["q_est"])
+        assert abs(rank - q * len(truth[g])) <= 0.1 * len(truth[g])
