@@ -42,6 +42,7 @@ QUERIES = {
     "join_strategy_choice": q_join_strategy_choice,
     "kll_quantile": q_kll_quantile,
     "zonemap_multi_prune": q_zonemap_multi_prune,
+    "media_frame_sample": q_media_frame_sample,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -274,18 +275,19 @@ QUERIES = {
 # coalesce, hll_set_ops guard), then the oldest-verified cohort from
 # the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
 # alphabetical head of the round-3 cohort. The round-3 tail
-# (tpch_q5..q9) missed this window and must lead round 10.
+# (tpch_q4..q9) missed this window and must lead round 10.
 _R9_FRONT = [
     # new in round 9
     "media_fingerprint", "dedup_media_near", "media_format_audit",
     "join_strategy_choice", "kll_quantile", "zonemap_multi_prune",
+    "media_frame_sample",
     # source changed in round 9 (ADVICE/VERDICT fixes)
     "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
     "hll_source_overlap",
     # last driver-verified in round 2
     "agg_corr", "agg_cube",
     # last driver-verified in round 3 (alphabetical head; the tail
-    # tpch_q5..q9 leads round 10)
+    # tpch_q4..q9 leads round 10)
     "dedup_embedding_clusters", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
     "dedup_simhash_pairs", "doc_fingerprint", "docs_prep_pipeline",
@@ -296,7 +298,7 @@ _R9_FRONT = [
     "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "tpch_q3", "tpch_q4",
+    "tpch_q3",
 ]
 _R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
@@ -2019,3 +2021,16 @@ ORACLES["zonemap_multi_prune"] = """
     FROM lineitem
     WHERE l_extendedprice BETWEEN 800.0 AND 1500.0
       AND l_quantity BETWEEN 10 AND 30"""
+
+ORACLES["media_frame_sample"] = """
+    WITH v AS (
+        SELECT doc_id AS media_id, (doc_id % 5 + 1) * 2000 AS duration_ms
+        FROM documents WHERE doc_id < 60),
+    f AS (
+        SELECT media_id, i AS frame_idx
+        FROM v, unnest(range(0, CAST(duration_ms / 1000 AS BIGINT))) AS u(i))
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           upper(substr(md5(CAST(media_id AS VARCHAR) || ':'
+                            || CAST(frame_idx AS VARCHAR)), 1, 8))
+               AS payload_hex8
+    FROM f"""

@@ -1476,3 +1476,26 @@ def _grid_fp_sql(n_chars: int = 64, n_cells: int = 32,
             f"(CASE WHEN {cond} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
         )
     return total, " + ".join(bits)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing in the gate (round 9): deterministic
+    per-doc durations fan out through multimodal.sample_frames'
+    vectorized mapInPandas explode (one row per sampled frame at the
+    1000 ms cadence), frame payloads are the documented md5(media:idx)
+    stub — so cadence, clipping, AND payload bytes are all mirrored in
+    SQL (upper(md5(...)) == hex of the raw digest)."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        ((F.col("doc_id") % 5 + 1) * 2000).cast("long").alias("duration_ms"),
+    )
+    frames = sample_frames(media, every_ms=1000, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.substring(F.hex("payload"), 1, 8).alias("payload_hex8"),
+    )
