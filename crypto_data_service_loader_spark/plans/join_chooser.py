@@ -140,3 +140,31 @@ def plan_equi_join(
         r = right.withColumnRenamed(right_col, left_col) if right_col != left_col else right
         return salted_join(left, r, left_col, salt=salt, how=how), decision
     return left.join(right, cond, how), decision
+
+
+def assert_join_bounded(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_pairs: int,
+    **dials,
+) -> JoinDecision:
+    """The runaway-join circuit breaker: estimate |L ⋈ R| from the CM
+    sketches and raise BEFORE any shuffle is scheduled if the upper
+    bound exceeds ``max_pairs`` — the guard a pipeline puts in front of
+    a join whose key cardinality it does not control (user-supplied
+    group columns, hot-key telemetry joins). Because the CM estimate
+    only ever overshoots, a pass here is a hard guarantee: the true
+    join size is <= max_pairs. Returns the decision (with evidence) on
+    success."""
+    decision = choose_join_strategy(left, right, left_col, right_col, **dials)
+    if decision.est_pairs > max_pairs:
+        raise ValueError(
+            f"join upper bound {decision.est_pairs} pairs exceeds "
+            f"max_pairs={max_pairs} (|L|={decision.n_left}, "
+            f"|R|={decision.n_right}, est multiplicity "
+            f"{decision.est_multiplicity:.1f}); salting won't save an "
+            "output this size — rethink the key or pre-aggregate"
+        )
+    return decision

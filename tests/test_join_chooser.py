@@ -89,3 +89,17 @@ def test_plan_equi_join_executes_the_decision(spark, fk_frames, skew_frames):
     assert dec2.strategy == "salted"
     plain = left.join(right, left["k"] == right["kk"]).count()
     assert salted.count() == plain == 2000 * 500
+
+
+def test_assert_join_bounded_trips_on_runaway(spark, fk_frames, skew_frames):
+    from crypto_data_service_loader_spark.plans.join_chooser import (
+        assert_join_bounded,
+    )
+
+    fact, dim = fk_frames
+    dec = assert_join_bounded(fact, dim, "k", "k", max_pairs=5000)
+    assert dec.est_pairs <= 5000  # FK join: ~3000 + CM overshoot
+
+    left, right = skew_frames
+    with pytest.raises(ValueError, match="exceeds max_pairs"):
+        assert_join_bounded(left, right, "k", "kk", max_pairs=100_000)
