@@ -43,6 +43,7 @@ QUERIES = {
     "kll_quantile": q_kll_quantile,
     "zonemap_multi_prune": q_zonemap_multi_prune,
     "media_frame_sample": q_media_frame_sample,
+    "dedup_media_indexed": q_dedup_media_indexed,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -275,19 +276,19 @@ QUERIES = {
 # coalesce, hll_set_ops guard), then the oldest-verified cohort from
 # the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
 # alphabetical head of the round-3 cohort. The round-3 tail
-# (tpch_q4..q9) missed this window and must lead round 10.
+# (tpch_q3..q9) missed this window and must lead round 10.
 _R9_FRONT = [
     # new in round 9
     "media_fingerprint", "dedup_media_near", "media_format_audit",
     "join_strategy_choice", "kll_quantile", "zonemap_multi_prune",
-    "media_frame_sample",
+    "media_frame_sample", "dedup_media_indexed",
     # source changed in round 9 (ADVICE/VERDICT fixes)
     "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
     "hll_source_overlap",
     # last driver-verified in round 2
     "agg_corr", "agg_cube",
     # last driver-verified in round 3 (alphabetical head; the tail
-    # tpch_q4..q9 leads round 10)
+    # tpch_q3..q9 leads round 10)
     "dedup_embedding_clusters", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
     "dedup_simhash_pairs", "doc_fingerprint", "docs_prep_pipeline",
@@ -298,7 +299,6 @@ _R9_FRONT = [
     "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "tpch_q3",
 ]
 _R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
@@ -2034,3 +2034,32 @@ ORACLES["media_frame_sample"] = """
                             || CAST(frame_idx AS VARCHAR)), 1, 8))
                AS payload_hex8
     FROM f"""
+
+ORACLES["dedup_media_indexed"] = f"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h1, md5(text || 'v2') AS h2
+        FROM documents WHERE doc_id < 150),
+    corpus AS (
+        SELECT doc_id AS media_id, hex(encode(h1)) AS h
+        FROM d WHERE doc_id % 7 <> 0),
+    batch AS (
+        SELECT doc_id + 100000 AS media_id,
+               hex(encode(substr(h1, 1, 30) || substr(h2, 31, 2))) AS h
+        FROM d),
+    fc AS (SELECT media_id, ({_FP_EXPR_FIX}) AS fp FROM corpus),
+    fb AS (SELECT media_id, ({_FP_EXPR_FIX}) AS fp FROM batch),
+    bc AS (
+        SELECT media_id, fp, j AS band, (fp >> (j * 8)) & 255 AS band_val
+        FROM fc, unnest([0, 1, 2, 3]) AS u(j)),
+    bb AS (
+        SELECT media_id, fp, j AS band, (fp >> (j * 8)) & 255 AS band_val
+        FROM fb, unnest([0, 1, 2, 3]) AS u(j)),
+    c AS (
+        SELECT DISTINCT q.media_id AS qid, i.media_id AS iid,
+               q.fp AS qfp, i.fp AS ifp
+        FROM bb q JOIN bc i
+          ON q.band = i.band AND q.band_val = i.band_val
+         AND q.media_id <> i.media_id)
+    SELECT qid AS media_id, iid AS dup_of,
+           CAST(bit_count(xor(qfp, ifp)) AS INTEGER) AS hamming
+    FROM c WHERE bit_count(xor(qfp, ifp)) <= 3"""

@@ -1215,3 +1215,52 @@ def q_zonemap_multi_prune(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
                 F.col("l_quantity").cast("double").alias("l_quantity"))
     )
+
+
+def _media_idx(spark, sf_dir: str) -> str:
+    """Persisted media-fingerprint index over the corpus slice
+    (doc_id % 7 != 0, deterministic md5-hex payloads) — the
+    'already-ingested epochs' side of the cross-epoch media near-dup."""
+    import os
+
+    from ..sources import media_index
+
+    path = _index_path(sf_dir, "mediafp_b4", "documents")
+    if not os.path.exists(os.path.join(path, media_index._META)):
+        docs = load(spark, sf_dir, "documents").where(
+            (F.col("doc_id") < 150) & (F.col("doc_id") % 7 != 0)
+        )
+        corpus = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.md5("text"), "UTF-8").alias("payload"),
+        )
+        media_index.write_media_index(corpus, path)
+    return path
+
+
+def q_dedup_media_indexed(spark, sf_dir):
+    """Media near-dups of a NEW batch (tail-perturbed re-export twins of
+    every doc_id < 150) against the PERSISTED fingerprint index of the
+    already-ingested corpus slice (doc_id % 7 != 0) — the cross-epoch
+    media path: only the batch is fingerprinted; the corpus is touched
+    through its stored band postings + fps. Twins of un-indexed docs
+    (doc_id % 7 == 0) correctly find nothing; every indexed twin is
+    guaranteed found (fixed-threshold locality keeps it within
+    Hamming 2 < bands)."""
+    from ..sources import media_index
+
+    path = _media_idx(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    batch = docs.select(
+        (F.col("doc_id") + 100000).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.substring(F.md5("text"), 1, 30),
+                F.substring(F.md5(F.concat(F.col("text"), F.lit("v2"))), 31, 2),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return media_index.near_dups_against_media_index(
+        spark, path, batch, max_hamming=3
+    )
