@@ -199,9 +199,16 @@ def byte_grid_fingerprint(
             )
         )
         cell_lens.append(length.cast("long"))
-    total = cell_sums[0]
-    for s in cell_sums[1:]:
-        total = total + s
+    # the cells partition the hex stream, so the global sum is ONE array
+    # fold — embedding the 32 slice-aggregate trees a second time here
+    # doubled the codegen size (and compile time) for the same value.
+    # (A further index-lambda restructure — transform over sequence(0,31)
+    # with element_at bits — compiles ~10x less code but trips Spark 4.1's
+    # PushProjectionThroughUnion constraint rewrite when the input is a
+    # UNION with differing child projections ("key not found: _v"), so
+    # the expanded per-cell form stays; it optimizes correctly through
+    # unions.)
+    total = F.aggregate("_v", F.lit(0).cast("long"), lambda a, x: a + x)
     with_cells = base.select(
         id_col,
         "n_hex",

@@ -1412,9 +1412,13 @@ def q_dedup_media_near(spark, sf_dir):
             "UTF-8",
         ).alias("payload"),
     )
+    # materialize the (tiny) fingerprint table once: the banded self-join
+    # references it three times, and without this each reference re-runs
+    # the whole fingerprint expression tree — at 100 TB the fps side
+    # would be a persisted table anyway (sources/media_index.py)
     fps = byte_grid_fingerprint(
         base.unionByName(variant), n_cells=32, threshold=9
-    )
+    ).localCheckpoint()
     return fingerprint_near_dup_join(fps, n_cells=32, bands=4, max_hamming=3)
 
 
