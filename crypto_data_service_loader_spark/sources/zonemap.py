@@ -44,7 +44,10 @@ def build_zonemap(
     type recorded so the pruner can cast back. One scan of the data,
     grouped by the file each row came from (`input_file_name`), all
     aggregates partial-combined."""
-    df = spark.read.parquet(path)
+    return _zone_rows(spark.read.parquet(path), cols)
+
+
+def _zone_rows(df: DataFrame, cols: list[str]) -> DataFrame:
     base = df.select(
         F.input_file_name().alias("_file"),
         *[F.col(c) for c in cols],
@@ -231,3 +234,50 @@ def zonemap_selectivity(zonemap: DataFrame, col_name: str) -> DataFrame:
         "n_files",
         F.round(rel, 6).alias("avg_relative_zone_width"),
     )
+
+
+def refresh_zonemap(
+    spark: SparkSession,
+    zonemap_path: str,
+    data_path: str,
+    cols: list[str],
+) -> int:
+    """Incremental zone-map maintenance: scan ONLY files that have no
+    zone rows yet and append theirs — the post-epoch hook a streaming
+    sink (or any appending writer) calls so data skipping keeps up with
+    ingestion without ever re-reading mapped history. Idempotent: a
+    second call with no new files appends nothing; parquet files are
+    immutable once written (rewrites land under new names), so existing
+    zone rows never go stale — except via compaction, which REPLACES
+    files wholesale (compact then rebuild, or refresh after: vanished
+    files' zone rows simply never match a scheduled path again and can
+    be vacuumed by rebuilding).
+
+    Listing is a driver-side walk (local FS / HDFS-style semantics; an
+    object-store deployment would list via its FS API) — file-count
+    sized, no data read. Returns the number of newly mapped files."""
+    have: set[str] = set()
+    if os.path.isdir(zonemap_path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(zonemap_path)
+    ):
+        have = {
+            r["file"]
+            for r in spark.read.parquet(zonemap_path)
+            .select("file").distinct().collect()
+        }
+    all_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_path)
+        for f in fs
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    )
+    # input_file_name() reports file: URIs; normalize the listing to match
+    missing = [
+        f for f in all_files
+        if "file://" + os.path.abspath(f) not in have
+    ]
+    if not missing:
+        return 0
+    rows = _zone_rows(spark.read.parquet(*missing), cols).localCheckpoint()
+    rows.write.mode("append").parquet(zonemap_path)
+    return len(missing)

@@ -218,3 +218,38 @@ def test_prune_100k_files_subsecond(spark):
     dt = time.monotonic() - t0
     assert len(files) == 10  # ids 50000..50009
     assert dt < 1.0, f"prune took {dt:.2f}s"
+
+
+def test_refresh_zonemap_incremental(spark, tmp_path):
+    """Incremental maintenance: two write waves, refresh after each —
+    only new files are scanned/appended, a no-new-files refresh is a
+    no-op, and the stored map prunes exactly like a from-scratch
+    rebuild (superset contract over the stored map)."""
+    data = str(tmp_path / "d")
+    zmap = str(tmp_path / "zm")
+    w1 = spark.range(0, 600).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("price")
+    )
+    w1.repartitionByRange(3, "price").write.mode("append").parquet(data)
+    assert zonemap.refresh_zonemap(spark, zmap, data, ["price"]) == 3
+
+    w2 = spark.range(600, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("price")
+    )
+    w2.repartitionByRange(2, "price").write.mode("append").parquet(data)
+    assert zonemap.refresh_zonemap(spark, zmap, data, ["price"]) == 2
+    assert zonemap.refresh_zonemap(spark, zmap, data, ["price"]) == 0
+
+    stored = spark.read.parquet(zmap)
+    scratch = zonemap.build_zonemap(spark, data, ["price"])
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    got = zonemap.pruned_read(spark, stored, "price", 2000.0, 7000.0).where(
+        F.col("price").between(2000.0, 7000.0)
+    )
+    want = spark.read.parquet(data).where(
+        F.col("price").between(2000.0, 7000.0)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len(zonemap.prune_files(stored, "price", 2000.0, 7000.0)) < 5
