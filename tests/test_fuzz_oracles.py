@@ -26,6 +26,12 @@ FUZZ_KEYS = [
     # round 8: prefix-filter exact Jaccard — the unicode-whitespace WORD
     # corpus stresses the tokenizer parity and the integer threshold math
     "dedup_jaccard_prefix",
+    # round 9: codec-free media keys — md5-hex payload derivation, the
+    # 64-substr grid-fingerprint arithmetic, and the banded near-dup
+    # join all replay over every fuzzed corpus (unicode text included)
+    "media_fingerprint",
+    "media_format_audit",
+    "dedup_media_near",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
