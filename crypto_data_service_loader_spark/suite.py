@@ -44,6 +44,7 @@ QUERIES = {
     "zonemap_multi_prune": q_zonemap_multi_prune,
     "media_frame_sample": q_media_frame_sample,
     "dedup_media_indexed": q_dedup_media_indexed,
+    "hll_rolling_distinct": q_hll_rolling_distinct,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -276,12 +277,13 @@ QUERIES = {
 # coalesce, hll_set_ops guard), then the oldest-verified cohort from
 # the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
 # alphabetical head of the round-3 cohort. The round-3 tail
-# (tpch_q3..q9) missed this window and must lead round 10.
+# (tpch_q22 and tpch_q3..q9) missed this window and must lead round 10.
 _R9_FRONT = [
     # new in round 9
     "media_fingerprint", "dedup_media_near", "media_format_audit",
     "join_strategy_choice", "kll_quantile", "zonemap_multi_prune",
     "media_frame_sample", "dedup_media_indexed",
+    "hll_rolling_distinct",
     # source changed in round 9 (ADVICE/VERDICT fixes)
     "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
     "hll_source_overlap",
@@ -298,8 +300,7 @@ _R9_FRONT = [
     "text_repetition", "text_stats", "text_tfidf_top_terms",
     "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-]
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", ]
 _R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_FRONT},
@@ -2063,3 +2064,35 @@ ORACLES["dedup_media_indexed"] = f"""
     SELECT qid AS media_id, iid AS dup_of,
            CAST(bit_count(xor(qfp, ifp)) AS INTEGER) AS hamming
     FROM c WHERE bit_count(xor(qfp, ifp)) <= 3"""
+
+# Rolling HLL: daily register tables max-merged per 7-day window anchor —
+# the day domain join mirrors sketch.hll_rolling's window condition.
+ORACLES["hll_rolling_distinct"] = f"""
+    WITH h AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 64 AS INTEGER) AS reg,
+               {sketch.rank_case_sql(_HLL_V)} AS rank
+        FROM events WHERE user_id IS NOT NULL),
+    daily AS (
+        SELECT event_type, d, reg, CAST(max(rank) AS INTEGER) AS rank
+        FROM h GROUP BY event_type, d, reg),
+    days AS (SELECT DISTINCT event_type, d AS win_day FROM daily),
+    rolled AS (
+        SELECT w.event_type, w.win_day, r.reg,
+               CAST(max(r.rank) AS INTEGER) AS rank
+        FROM days w JOIN daily r
+          ON r.event_type = w.event_type
+         AND r.d <= w.win_day AND r.d >= w.win_day - 6
+        GROUP BY w.event_type, w.win_day, r.reg),
+    a AS (
+        SELECT event_type, win_day,
+               CAST(count(*) AS INTEGER) AS n_registers,
+               CAST(SUM(1::BIGINT << (49 - rank)) AS BIGINT) AS hit
+        FROM rolled GROUP BY event_type, win_day)
+    SELECT event_type, win_day, n_registers,
+           hit + CAST(64 - n_registers AS BIGINT) * (1::BIGINT << 49) AS reg_sum,
+           {sketch.hll_numerator(64)!r}
+               / CAST(hit + CAST(64 - n_registers AS BIGINT)
+                      * (1::BIGINT << 49) AS DOUBLE) AS est_distinct
+    FROM a"""

@@ -1264,3 +1264,17 @@ def q_dedup_media_indexed(spark, sf_dir):
     return media_index.near_dups_against_media_index(
         spark, path, batch, max_hamming=3
     )
+
+
+def q_hll_rolling_distinct(spark, sf_dir):
+    """Sliding-window COUNT DISTINCT by register algebra (round 9,
+    sketch.hll_rolling): 7-day rolling distinct users per event type,
+    every active day, from daily 64-register HLL tables merged by MAX —
+    the bounded-state answer to a rolling distinct at 100 TB (exact
+    needs every window's full value set live; this needs <= m rows per
+    (type, day)). Register arithmetic is the md5-derived exact-int64
+    kind, so the whole rolling series is oracle-exact."""
+    return sketch.hll_rolling(
+        load(spark, sf_dir, "events"), ["event_type"], "ts", "user_id",
+        window_days=7, m=64,
+    )
