@@ -751,3 +751,55 @@ def merge_grouped_sums(
     if not aggs:
         raise ValueError("no partial columns to merge (all columns are keys)")
     return u.groupBy(*keys).agg(*aggs)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gaps-and-islands: collapse overlapping/touching [start, end)
+    intervals per key into maximal islands — validity-period merging,
+    sensor-uptime coverage, calendar consolidation (the classic SQL
+    islands problem, solved the classic way).
+
+    Technique: order intervals by (start, end, tiebreaks); an interval
+    starts a NEW island iff its start lies strictly after the running
+    max of all previous ends (so touching intervals, start == prev end,
+    merge); the island id is the running count of starts, and one
+    groupBy collapses each island. Two window passes + one aggregation,
+    all on the same (key, start) ordering — one shuffle end-to-end.
+    Returns (key..., island_start, island_end, n_intervals).
+
+    At 100 TB: the window partitions by key, so per-key interval counts
+    bound task memory (same contract as sessionize — a single key with
+    billions of intervals would need pre-splitting by coarse time range
+    first; islands crossing the split then merge in a second, much
+    smaller pass over the per-range results)."""
+    keys = list(key_cols)
+    order = [F.col(start_col), F.col(end_col),
+             *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.select(*keys, start_col, end_col,
+                  *[c for c in tiebreak_cols if c not in keys])
+        .withColumn("_island", island)
+        .groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("_island")
+    )

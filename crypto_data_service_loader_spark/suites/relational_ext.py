@@ -1409,3 +1409,24 @@ _RELATIONAL_ORACLES = {
                {_DSUM.format(x='value')} AS sum_value
         FROM events GROUP BY 1, 2""",
 }
+
+
+def q_interval_islands(spark, sf_dir):
+    """Gaps-and-islands over event validity intervals (round 9,
+    rel.merge_intervals): each event opens a deterministic-duration
+    interval (60s + (event_id % 7) * 600s); overlapping/touching
+    intervals per event type collapse into maximal islands. Timestamp
+    arithmetic and the running-max window are mirrored exactly in SQL."""
+    ev = load(spark, sf_dir, "events")
+    secs = (F.lit(60) + (F.col("event_id") % 7) * 600).cast("int")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr(
+            "make_interval(0, 0, 0, 0, 0, 0, 60 + (event_id % 7) * 600)"
+        )).alias("iv_end"),
+    )
+    return rel.merge_intervals(
+        iv, ["event_type"], "iv_start", "iv_end", tiebreak_cols=["event_id"]
+    )
