@@ -106,6 +106,10 @@ EVENT_KEYS = [
     "histogram_drift",
     "events_mad_outliers",
     "events_zscore",
+    # round 9: duplicate timestamps + identical intervals stress the
+    # islands tie-break; tiny user sets stress the rolling-HLL day join
+    "interval_islands",
+    "hll_rolling_distinct",
 ]
 
 #: grid-valued doubles (multiples of 0.5) spanning the histogram keys'

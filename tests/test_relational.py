@@ -82,3 +82,34 @@ def test_merge_grouped_sums_equals_full_recompute(spark, sf_dir):
             partials(orders).select("o_custkey"),
             ["o_custkey"],
         )
+
+
+def test_merge_intervals_islands(spark):
+    """Gaps-and-islands edges: overlapping, touching (start == prev end
+    merges), nested, identical intervals, and per-key isolation."""
+    from crypto_data_service_loader_spark.operators.relational import (
+        merge_intervals,
+    )
+
+    rows = [
+        # key a: [0,10) + [5,12) overlap; [12,20) touches -> one island;
+        # [25,30) gap -> second island; [26,27) nested into it
+        ("a", 0, 10), ("a", 5, 12), ("a", 12, 20),
+        ("a", 25, 30), ("a", 26, 27),
+        # key b: identical intervals collapse into one island of 2
+        ("b", 1, 2), ("b", 1, 2),
+        # key c: single interval
+        ("c", 7, 8),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = {
+        (r["k"], r["island_start"], r["island_end"]): r["n_intervals"]
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert got == {
+        ("a", 0, 20): 3,
+        ("a", 25, 30): 2,
+        ("b", 1, 2): 2,
+        ("c", 7, 8): 1,
+    }
+    assert merge_intervals(df.limit(0), ["k"], "s", "e").count() == 0
