@@ -803,3 +803,35 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def interval_gaps(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The islands' complement: per key, the GAPS between consecutive
+    merged intervals — downtime windows, coverage holes, missing
+    validity ranges. One lead() over the (already tiny) islands table,
+    so the marginal cost over merge_intervals is nil.
+    Returns (key..., gap_start, gap_end, gap_secs)."""
+    keys = list(key_cols)
+    islands = merge_intervals(df, keys, start_col, end_col, tiebreak_cols)
+    w = Window.partitionBy(*keys).orderBy("island_start")
+    nxt = F.lead("island_start").over(w)
+    return (
+        islands.select(
+            *keys,
+            F.col("island_end").alias("gap_start"),
+            nxt.alias("gap_end"),
+        )
+        .where(F.col("gap_end").isNotNull())
+        .withColumn(
+            "gap_secs",
+            (
+                F.unix_timestamp("gap_end") - F.unix_timestamp("gap_start")
+            ).cast("long"),
+        )
+    )

@@ -46,6 +46,8 @@ QUERIES = {
     "dedup_media_indexed": q_dedup_media_indexed,
     "hll_rolling_distinct": q_hll_rolling_distinct,
     "interval_islands": q_interval_islands,
+    "interval_gaps": q_interval_gaps,
+    "twap_bars": q_twap_bars,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -278,13 +280,14 @@ QUERIES = {
 # coalesce, hll_set_ops guard), then the oldest-verified cohort from
 # the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
 # alphabetical head of the round-3 cohort. The round-3 tail
-# (tpch_q21, tpch_q22 and tpch_q3..q9) missed this window and must lead round 10.
+# (tpch_q19..q22 and tpch_q3..q9) missed this window and must lead round 10.
 _R9_FRONT = [
     # new in round 9
     "media_fingerprint", "dedup_media_near", "media_format_audit",
     "join_strategy_choice", "kll_quantile", "zonemap_multi_prune",
     "media_frame_sample", "dedup_media_indexed",
-    "hll_rolling_distinct", "interval_islands",
+    "hll_rolling_distinct", "interval_islands", "interval_gaps",
+    "twap_bars",
     # source changed in round 9 (ADVICE/VERDICT fixes)
     "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
     "hll_source_overlap",
@@ -301,7 +304,7 @@ _R9_FRONT = [
     "text_repetition", "text_stats", "text_tfidf_top_terms",
     "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", ]
+    "tpch_q18", ]
 _R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_FRONT},
@@ -2129,3 +2132,71 @@ ORACLES["interval_islands"] = """
            MAX(iv_end) AS island_end,
            CAST(count(*) AS BIGINT) AS n_intervals
     FROM ids GROUP BY event_type, island"""
+
+# Gaps between islands: the identical flagged/ids CTE chain, one lead().
+ORACLES["interval_gaps"] = """
+    WITH iv AS (
+        SELECT event_type, event_id, ts AS iv_start,
+               ts + INTERVAL (60 + (event_id % 7) * 600) SECOND AS iv_end
+        FROM events),
+    flagged AS (
+        SELECT event_type, iv_start, iv_end,
+               CASE WHEN max(iv_end) OVER (
+                        PARTITION BY event_type
+                        ORDER BY iv_start, iv_end, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR iv_start > max(iv_end) OVER (
+                        PARTITION BY event_type
+                        ORDER BY iv_start, iv_end, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island,
+               event_id
+        FROM iv),
+    ids AS (
+        SELECT event_type, iv_start, iv_end,
+               SUM(new_island) OVER (
+                   PARTITION BY event_type
+                   ORDER BY iv_start, iv_end, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged),
+    islands AS (
+        SELECT event_type, MIN(iv_start) AS island_start,
+               MAX(iv_end) AS island_end
+        FROM ids GROUP BY event_type, island),
+    g AS (
+        SELECT event_type, island_end AS gap_start,
+               lead(island_start) OVER (
+                   PARTITION BY event_type ORDER BY island_start
+               ) AS gap_end
+        FROM islands)
+    SELECT event_type, gap_start, gap_end,
+           CAST(floor(epoch(gap_end)) - floor(epoch(gap_start)) AS BIGINT)
+               AS gap_secs
+    FROM g WHERE gap_end IS NOT NULL"""
+
+# TWAP: exact-µs holding times (epoch_us == Spark unix_micros, probed),
+# DECIMAL-accumulated weighted sum, guarded single double division.
+ORACLES["twap_bars"] = """
+    WITH base AS (
+        SELECT event_type, event_id, value,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_start,
+               epoch_us(ts) AS us,
+               epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                        + INTERVAL 1 HOUR) AS end_us
+        FROM events),
+    dts AS (
+        SELECT event_type, bar_start, value,
+               coalesce(lead(us) OVER (
+                   PARTITION BY event_type, bar_start
+                   ORDER BY us, event_id), end_us) - us AS dt
+        FROM base)
+    SELECT event_type, bar_start,
+           CASE WHEN SUM(dt) > 0 THEN
+               round(CAST(SUM(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(SUM(dt) AS DOUBLE), 6)
+           END AS twap,
+           CAST(SUM(dt) AS BIGINT) AS held_us,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM dts GROUP BY event_type, bar_start"""

@@ -1430,3 +1430,59 @@ def q_interval_islands(spark, sf_dir):
     return rel.merge_intervals(
         iv, ["event_type"], "iv_start", "iv_end", tiebreak_cols=["event_id"]
     )
+
+
+def q_interval_gaps(spark, sf_dir):
+    """Coverage holes between the merged event validity islands (round
+    9, rel.interval_gaps) — the downtime report over the exact interval
+    set interval_islands merges; gap lengths in whole seconds
+    (floor-of-epoch difference, identical on both engines)."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr(
+            "make_interval(0, 0, 0, 0, 0, 0, 60 + (event_id % 7) * 600)"
+        )).alias("iv_end"),
+    )
+    return rel.interval_gaps(
+        iv, ["event_type"], "iv_start", "iv_end", tiebreak_cols=["event_id"]
+    )
+
+
+def q_twap_bars(spark, sf_dir):
+    """Time-weighted average value per (event_type, hour) — TWAP, the
+    duration-weighted twin of vwap_bars (a tick consumer's other
+    standard bar): each observation's value holds from its timestamp to
+    the next observation in the bar (the last holds to bar end).
+    Weights are EXACT microsecond integers (unix_micros == DuckDB
+    epoch_us, probed bit-equal), the weighted sum accumulates in
+    DECIMAL(38,6), the division is one double op — oracle-exact. One
+    window pass + one grouped aggregation on the same (type, bar)
+    partitioning: two shuffles end to end."""
+    ev = load(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", "ts")
+    base = ev.select(
+        "event_type", "event_id", "value",
+        bar.alias("bar_start"),
+        F.unix_micros("ts").alias("_us"),
+        F.unix_micros(bar + F.expr("INTERVAL 1 HOUR")).alias("_end_us"),
+    )
+    w = Window.partitionBy("event_type", "bar_start").orderBy(
+        "_us", "event_id"
+    )
+    dt = (F.coalesce(F.lead("_us").over(w), F.col("_end_us")) - F.col("_us"))
+    num = F.sum((F.col("value") * F.col("_dt")).cast("decimal(38,6)")).cast(
+        "double"
+    )
+    den = F.sum("_dt")  # exact int64 microseconds
+    return (
+        base.withColumn("_dt", dt)
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.when(den > 0, F.round(num / den.cast("double"), 6)).alias("twap"),
+            den.alias("held_us"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
