@@ -107,9 +107,12 @@ EVENT_KEYS = [
     "events_mad_outliers",
     "events_zscore",
     # round 9: duplicate timestamps + identical intervals stress the
-    # islands tie-break; tiny user sets stress the rolling-HLL day join
+    # islands tie-break; tiny user sets stress the rolling-HLL day join;
+    # duplicate-ts zero-duration holdings stress the TWAP weights
     "interval_islands",
+    "interval_gaps",
     "hll_rolling_distinct",
+    "twap_bars",
 ]
 
 #: grid-valued doubles (multiples of 0.5) spanning the histogram keys'
