@@ -48,6 +48,7 @@ QUERIES = {
     "interval_islands": q_interval_islands,
     "interval_gaps": q_interval_gaps,
     "twap_bars": q_twap_bars,
+    "point_in_time_join": q_point_in_time_join,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -280,14 +281,14 @@ QUERIES = {
 # coalesce, hll_set_ops guard), then the oldest-verified cohort from
 # the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
 # alphabetical head of the round-3 cohort. The round-3 tail
-# (tpch_q19..q22 and tpch_q3..q9) missed this window and must lead round 10.
+# (tpch_q18..q22 and tpch_q3..q9) missed this window and must lead round 10.
 _R9_FRONT = [
     # new in round 9
     "media_fingerprint", "dedup_media_near", "media_format_audit",
     "join_strategy_choice", "kll_quantile", "zonemap_multi_prune",
     "media_frame_sample", "dedup_media_indexed",
     "hll_rolling_distinct", "interval_islands", "interval_gaps",
-    "twap_bars",
+    "twap_bars", "point_in_time_join",
     # source changed in round 9 (ADVICE/VERDICT fixes)
     "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
     "hll_source_overlap",
@@ -303,8 +304,7 @@ _R9_FRONT = [
     "text_gopher_quality", "text_quality", "text_redact_pii",
     "text_repetition", "text_stats", "text_tfidf_top_terms",
     "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", ]
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", ]
 _R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_FRONT},
@@ -2200,3 +2200,28 @@ ORACLES["twap_bars"] = """
            CAST(SUM(dt) AS BIGINT) AS held_us,
            CAST(count(*) AS BIGINT) AS n_obs
     FROM dts GROUP BY event_type, bar_start"""
+
+# Point-in-time join: the scd2_history CTE chain verbatim, then the
+# containment join — every event matches exactly one validity window.
+ORACLES["point_in_time_join"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    versions AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
+    hist AS (
+        SELECT user_id, event_type AS version_type,
+               ts AS valid_from,
+               lead(ts) OVER wv AS valid_to,
+               CAST(row_number() OVER wv AS INTEGER) AS version
+        FROM versions
+        WINDOW wv AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    SELECT e.event_id, e.user_id, h.version_type, h.version
+    FROM events e JOIN hist h ON e.user_id = h.user_id
+    WHERE e.ts >= h.valid_from
+      AND (h.valid_to IS NULL OR e.ts < h.valid_to)"""

@@ -1486,3 +1486,32 @@ def q_twap_bars(spark, sf_dir):
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def q_point_in_time_join(spark, sf_dir):
+    """Temporal (point-in-time) join: enrich each event with the
+    dimension version valid AT ITS TIMESTAMP — the lakehouse-standard
+    time-travel join against an SCD2 history (here the history derived
+    from the stream itself by scd2_history, so every event lands in
+    exactly one validity window; verified by the n_obs == events
+    invariant in the oracle comparison). Plan: plain hash/SMJ equi-join
+    on the dimension key, the validity containment is a post-join
+    filter — fan-out bounded by versions per key, no range machinery
+    needed when a natural equi key exists."""
+    ev = load(spark, sf_dir, "events")
+    hist = rel.scd2_history(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        attr_cols=["event_type"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("version_type"),
+        "valid_from", "valid_to", "version",
+    )
+    j = ev.select("event_id", "user_id", "ts").join(hist, "user_id")
+    return (
+        j.where(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "version_type", "version")
+    )
