@@ -113,6 +113,7 @@ def kll_build(
     group_cols: list[str],
     value_col: str,
     k: int = 200,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group KLL sketch as rows (group..., level, value).
 
@@ -120,20 +121,41 @@ def kll_build(
     PARTITION — raw values never leave their task, memory stays
     <= (k+1) * levels per group; (2) the partial items (sketch-sized,
     not data-sized) shuffle once into a per-group canonical merge.
-    NULL values are dropped (no rank)."""
+    NULL values are dropped (no rank).
+
+    ``weight_col`` (positive integers) gives WEIGHTED quantiles exactly
+    in the sketch's own currency: a weight-w row decomposes into one
+    item per set bit of w (level b carries weight 2^b), so total item
+    weight == sum(weights) EXACTLY and `kll_quantiles`' n reports it —
+    e.g. token-count-weighted document-length percentiles, where each
+    doc should count once per token. Rows with NULL/non-positive
+    weights are dropped."""
     sk_schema = _group_schema(df, group_cols, _SKETCH_COLS)
     cols = list(group_cols)
     vcol = value_col
+    wcol = weight_col
     kk = int(k)
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, list[tuple[int, float]]] = {}
         for pdf in it:
-            sub = pdf[cols + [vcol]].dropna(subset=[vcol])
+            picked = cols + [vcol] + ([wcol] if wcol else [])
+            sub = pdf[picked].dropna(subset=[vcol])
             for key, grp in sub.groupby(cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
                 items = acc.setdefault(key, [])
-                items.extend((0, float(v)) for v in grp[vcol])
+                if wcol is None:
+                    items.extend((0, float(v)) for v in grp[vcol])
+                else:
+                    for v, w in zip(grp[vcol], grp[wcol]):
+                        if pd.isna(w) or int(w) <= 0:
+                            continue
+                        w, b = int(w), 0
+                        while w:
+                            if w & 1:
+                                items.append((b, float(v)))
+                            w >>= 1
+                            b += 1
                 # amortized compaction keeps the task's footprint bounded
                 if len(items) > 8 * kk:
                     acc[key] = kll_canonicalize_py(items, kk)

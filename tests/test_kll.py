@@ -212,3 +212,41 @@ def test_kll_store_lifecycle(spark, tmp_path):
         g, q = key
         rank = sum(1 for v in truth[g] if v <= r["q_est"])
         assert abs(rank - q * len(truth[g])) <= 0.1 * len(truth[g])
+
+
+def test_weighted_build_matches_repeated_rows(spark):
+    """Weighted quantiles in the sketch's own currency: a weight-w row
+    decomposes into the set bits of w, so total weight == sum(weights)
+    EXACTLY and estimates land within the same rank-error bound as
+    physically repeating each row w times."""
+    from pyspark.sql import functions as F
+
+    rows = [(i % 2, float((i * 37) % 211), 1 + (i * 7) % 13)
+            for i in range(800)]
+    df = spark.createDataFrame(rows, "g int, value double, w int")
+    k = 128
+    wsk = kll.kll_build(df, ["g"], "value", k=k, weight_col="w")
+
+    rep_rows = [(g, v) for g, v, w in rows for _ in range(w)]
+    truth = {}
+    for g in (0, 1):
+        truth[g] = sorted(v for gg, v in rep_rows if gg == g)
+    got = kll.kll_quantiles(wsk, ["g"], [0.25, 0.5, 0.9]).collect()
+    assert len(got) == 6
+    for r in got:
+        vals = truth[r["g"]]
+        assert r["n"] == len(vals)  # exact total weight
+        rank = sum(1 for v in vals if v <= r["q_est"])
+        # duplicated values: rank interval membership like _rank_err
+        lo = sum(1 for v in vals if v < r["q_est"]) + 1
+        target = max(1, math.ceil(r["q"] * len(vals)))
+        err = 0 if lo <= target <= rank else min(
+            abs(lo - target), abs(rank - target))
+        assert err <= 0.05 * len(vals) + 2, (r, err)
+
+    # NULL / non-positive weights drop; zero-weight-only input is empty
+    bad = spark.createDataFrame(
+        [(0, 1.0, 0), (0, 2.0, -3), (0, 3.0, None)],
+        "g int, value double, w int",
+    )
+    assert kll.kll_build(bad, ["g"], "value", k=k, weight_col="w").count() == 0
