@@ -139,6 +139,30 @@ SHOWCASE = {
     "5 one-row-per-group sketch rows; the Cornish-Fisher estimate is "
     "scan-local Project arithmetic on the aggregate output — "
     "distributional quantiles with zero extra exchanges.",
+    "dedup_media_near": "Codec-free media near-dup: the fingerprint is one "
+    "scan-local codegen expression over the payload hex; candidates come "
+    "from the banded (band, band_val) equi-join of the materialized "
+    "fingerprint table against itself, with the exact bit_count(xor) "
+    "Hamming verify pushed INTO the join condition — no nested loop, no "
+    "all-pairs path.",
+    "hll_rolling_distinct": "Rolling COUNT DISTINCT by register algebra: "
+    "ONE data-sized partial-combined aggregation builds the daily "
+    "64-register tables; the 7-day window stage joins the tiny day "
+    "domain to register rows (<= m per group-day) and max-merges — every "
+    "exchange after the first carries register rows, never user ids.",
+    "interval_islands": "Gaps-and-islands in one shuffle: the running-max-"
+    "end window and the island-id running sum share one (key, start) "
+    "sort, and the final island collapse aggregates on the same "
+    "partitioning — no second exchange for the windows.",
+    "twap_bars": "Time-weighted bars: exact-microsecond holding times "
+    "from one lead() window, weighted sums accumulate DECIMAL(38,6) in a "
+    "partial-combined aggregate on the same (type, bar) keys the window "
+    "sorted by — two exchanges end to end.",
+    "point_in_time_join": "Temporal enrichment without range machinery: "
+    "the SCD2 history derives in-plan (windows over one key shuffle) and "
+    "the as-of lookup is a plain equi-join on the dimension key with the "
+    "validity containment as a post-join Filter — fan-out bounded by "
+    "versions per key.",
 }
 
 
