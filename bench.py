@@ -96,9 +96,9 @@ HEADLINE = [
     "profile_columns",
     "bm25_topk",
     "agg_median_groups",
-    "scd2_history",
     "knn_triangles",
-    "events_mad_outliers",
+    # events_mad_outliers rotated out late r9 with scd2_history (events
+    # family cover stays via events_cusum/events_funnel/equi_depth)
     # round 7: precompute-once graph analytics + incremental/monitoring
     "knn_triangles_indexed",
     "pagerank_knn_indexed",
@@ -128,6 +128,11 @@ HEADLINE = [
     # the KLL quantile sketch (mapInPandas partials + one item shuffle)
     "dedup_media_near",
     "kll_quantile",
+    # late round 9: register-algebra rolling distinct + time-weighted
+    # bars (scd2_history rotated out — its incremental twin scd2_apply
+    # keeps the family's bench cover; history in BENCH_DETAIL.json)
+    "hll_rolling_distinct",
+    "twap_bars",
 ]
 
 
