@@ -1088,3 +1088,115 @@ def start_kll_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Rolling-HLL twin: per-day register tables in keyed state -> window
+# estimates per anchor day (the streaming face of sketch.hll_rolling)
+# ---------------------------------------------------------------------------
+
+HLL_ROLLING_STREAM_SCHEMA = (
+    "event_type string, win_day date, n_registers int, reg_sum long, "
+    "est_distinct double"
+)
+
+_HLL_ROLL_WINDOW = 7
+
+
+def _hll_rolling_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State: parallel arrays (days, 64 regs per day), pruned to the
+    trailing window — bounded at window_days * 64 ints per key forever.
+    Emits one row per anchor day touched by this batch; because the
+    window looks BACKWARD only, an anchor's row is final as soon as its
+    own day stops receiving data (event-time-ordered input), so the
+    last emission per (key, win_day) equals the batch operator's row —
+    registers are max-monoids, no fold-order dependence (pinned by
+    test_streaming_hll_rolling_matches_batch)."""
+    import datetime
+
+    if state.exists:
+        days = [datetime.date.fromisoformat(d) for d in state.get[0]]
+        flat = list(state.get[1])
+    else:
+        days, flat = [], []
+    regs = {d: flat[i * _HLL_M:(i + 1) * _HLL_M] for i, d in enumerate(days)}
+
+    touched = set()
+    for pdf in pdfs:
+        for ts, v in zip(pdf["ts"], pdf["user_id"]):
+            if v is None or pd.isna(v) or pd.isna(ts):
+                continue
+            d = ts.date() if hasattr(ts, "date") else ts
+            reg, rank = _hll_py_parts(int(v))
+            day_regs = regs.setdefault(d, [0] * _HLL_M)
+            if rank > day_regs[reg]:
+                day_regs[reg] = rank
+            touched.add(d)
+
+    # emit FIRST (a batch can carry both an old day's last rows and a
+    # new day that would prune it — backward windows make the old
+    # anchor's estimate correct over the pre-prune state), THEN prune:
+    # future anchors never look further back than max_day - (w-1)
+    out = []
+    for anchor in sorted(touched):
+        lo = anchor - datetime.timedelta(days=_HLL_ROLL_WINDOW - 1)
+        merged = [0] * _HLL_M
+        for d, r in regs.items():
+            if lo <= d <= anchor:
+                for i in range(_HLL_M):
+                    if r[i] > merged[i]:
+                        merged[i] = r[i]
+        n_hit, reg_sum, est = _hll_estimate_py(merged)
+        out.append((key[0], anchor, n_hit, reg_sum, est))
+
+    if regs:
+        cutoff = max(regs) - datetime.timedelta(days=_HLL_ROLL_WINDOW - 1)
+        regs = {d: r for d, r in regs.items() if d >= cutoff}
+    days = sorted(regs)
+    state.update((
+        [d.isoformat() for d in days],
+        [x for d in days for x in regs[d]],
+    ))
+    yield pd.DataFrame(
+        out, columns=["event_type", "win_day", "n_registers", "reg_sum",
+                      "est_distinct"],
+    )
+
+
+def start_hll_rolling_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "hll_rolling",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming 7-day rolling distinct users per event type -> in-memory
+    table `query_name`, update mode: per-day register maxima live in
+    keyed state (pruned to the trailing window — bounded forever), and
+    each batch emits the window estimate for every anchor day it
+    touched. The register layout is sketch.hll_rolling's, so the final
+    row per (key, day) equals the batch key exactly."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select("event_type", "ts", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hll_rolling_updater,
+            outputStructType=HLL_ROLLING_STREAM_SCHEMA,
+            stateStructType="days array<string>, regs array<int>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -49,6 +49,7 @@ QUERIES = {
     "interval_gaps": q_interval_gaps,
     "twap_bars": q_twap_bars,
     "point_in_time_join": q_point_in_time_join,
+    "dedup_media_clusters": q_dedup_media_clusters,
     # --- new in round 8 (front-50 driver window) ---
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "entity_resolution_scored": q_entity_resolution_scored,
@@ -281,14 +282,14 @@ QUERIES = {
 # coalesce, hll_set_ops guard), then the oldest-verified cohort from
 # the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
 # alphabetical head of the round-3 cohort. The round-3 tail
-# (tpch_q18..q22 and tpch_q3..q9) missed this window and must lead round 10.
+# (tpch_q17..q22 and tpch_q3..q9) missed this window and must lead round 10.
 _R9_FRONT = [
     # new in round 9
     "media_fingerprint", "dedup_media_near", "media_format_audit",
     "join_strategy_choice", "kll_quantile", "zonemap_multi_prune",
     "media_frame_sample", "dedup_media_indexed",
     "hll_rolling_distinct", "interval_islands", "interval_gaps",
-    "twap_bars", "point_in_time_join",
+    "twap_bars", "point_in_time_join", "dedup_media_clusters",
     # source changed in round 9 (ADVICE/VERDICT fixes)
     "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
     "hll_source_overlap",
@@ -304,7 +305,7 @@ _R9_FRONT = [
     "text_gopher_quality", "text_quality", "text_redact_pii",
     "text_repetition", "text_stats", "text_tfidf_top_terms",
     "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", ]
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", ]
 _R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_FRONT},
@@ -2225,3 +2226,36 @@ ORACLES["point_in_time_join"] = """
     FROM events e JOIN hist h ON e.user_id = h.user_id
     WHERE e.ts >= h.valid_from
       AND (h.valid_to IS NULL OR e.ts < h.valid_to)"""
+
+# Media clusters: the dedup_media_near pair SQL spliced verbatim into
+# the recursive min-label closure (dedup_clusters precedent).
+ORACLES["dedup_media_clusters"] = f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, md5(text) AS h1, md5(text || 'v2') AS h2
+        FROM documents WHERE doc_id < 150),
+    m AS (
+        SELECT doc_id AS media_id, hex(encode(h1)) AS h FROM d
+        UNION ALL
+        SELECT doc_id + 100000,
+               hex(encode(substr(h1, 1, 30) || substr(h2, 31, 2))) FROM d),
+    f AS (SELECT media_id, ({_FP_EXPR_FIX}) AS fp FROM m),
+    b AS (
+        SELECT media_id, fp, j AS band, (fp >> (j * 8)) & 255 AS band_val
+        FROM f, unnest([0, 1, 2, 3]) AS u(j)),
+    c AS (
+        SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+               a.fp AS fa, b2.fp AS fb
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.band_val = b2.band_val
+         AND a.media_id < b2.media_id),
+    pairs AS (
+        SELECT id_a, id_b FROM c WHERE bit_count(xor(fa, fb)) <= 3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT reach.node, edges.dst FROM reach JOIN edges
+          ON reach.r = edges.src)
+    SELECT node AS media_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node"""

@@ -1503,3 +1503,41 @@ def q_media_frame_sample(spark, sf_dir):
         "frame_idx",
         F.substring(F.hex("payload"), 1, 8).alias("payload_hex8"),
     )
+
+
+def q_dedup_media_clusters(spark, sf_dir):
+    """Media duplicate GROUPS, completing the media family's
+    pairs -> clusters arc (round 9): connected components (pointer
+    jumping, O(log diameter) rounds) over the banded fingerprint
+    near-dup pairs of q_dedup_media_near; every media id gets
+    cluster_id = min reachable id (singletons stay their own cluster).
+    Oracle = the identical pair SQL spliced into the recursive-closure
+    query, the dedup_clusters precedent."""
+    from ..operators.multimodal import (
+        byte_grid_fingerprint,
+        fingerprint_near_dup_join,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.md5("text"), "UTF-8").alias("payload"),
+    )
+    variant = docs.select(
+        (F.col("doc_id") + 100000).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.substring(F.md5("text"), 1, 30),
+                F.substring(F.md5(F.concat(F.col("text"), F.lit("v2"))), 31, 2),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    media = base.unionByName(variant)
+    fps = byte_grid_fingerprint(media, n_cells=32, threshold=9).localCheckpoint()
+    pairs = fingerprint_near_dup_join(
+        fps, n_cells=32, bands=4, max_hamming=3
+    ).select("id_a", "id_b").localCheckpoint()
+    return dedup.connected_components(
+        pairs, media.select("media_id"), node_col="media_id"
+    )

@@ -793,3 +793,65 @@ def test_streaming_kll_matches_fold_twin(spark, tmp_path):
         assert got[key] == want, key
     assert got["a"][0] == 750  # exact n despite compaction
     assert got["a"][3] <= 2 * _KLL_STREAM_K  # bounded state
+
+
+def test_streaming_hll_rolling_matches_batch(spark, tmp_path):
+    """Rolling-HLL twin: per-day registers in keyed state (pruned to the
+    trailing 7-day window — bounded forever); the LAST emission per
+    (key, win_day) equals sketch.hll_rolling's batch row exactly
+    (registers are max-monoids; backward windows make a day's row final
+    once its day stops receiving data). Batches split mid-day AND
+    across a day boundary to exercise both re-emission and pruning."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import sketch
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_hll_rolling_stream,
+    )
+
+    schema = "event_type string, ts timestamp, user_id long"
+    import datetime as dt
+
+    def rows(day, n, base):
+        return [
+            ("a", dt.datetime(2024, 1, day, 6 + (i % 12)), base + (i % 37))
+            for i in range(n)
+        ] + [("b", dt.datetime(2024, 1, day, 12), base + 7)]
+
+    b1 = rows(1, 60, 0) + rows(2, 40, 100)[:20]   # day 2 split mid-day
+    b2 = rows(2, 40, 100)[20:] + rows(9, 50, 500) + [("a", None, 3),
+                                                      ("a", dt.datetime(2024, 1, 9, 1), None)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_hll_rolling_stream(
+        stream, str(tmp_path / "ckpt"), query_name="hllr_t")
+    q.awaitTermination(120)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM hllr_t").collect():
+        k = (r["event_type"], r["win_day"])
+        cur = got.get(k)
+        # later emissions only ever add data: reg_sum is non-increasing
+        if cur is None or r["reg_sum"] < cur[1]:
+            got[k] = (r["n_registers"], r["reg_sum"], r["est_distinct"])
+
+    batch_df = spark.createDataFrame(b1 + b2, schema).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    want = {
+        (r["event_type"], r["win_day"]):
+            (r["n_registers"], r["reg_sum"], r["est_distinct"])
+        for r in sketch.hll_rolling(
+            batch_df, ["event_type"], "ts", "user_id", 7, 64
+        ).collect()
+    }
+    assert got == want
+    # day 9 is > 7 days past day 1/2: its window holds only its own data
+    assert ("a", dt.date(2024, 1, 9)) in got
