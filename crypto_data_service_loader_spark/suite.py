@@ -274,42 +274,42 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# Round-9 rotation (_R9_FRONT, exactly 50 keys — the driver windows the
-# FIRST 50 dict keys): the 5 new round-9 keys (media family, join
-# chooser, the rows-only kll_quantile so it gets its driver row on
-# record), the 4 keys whose source changed this round (zonemap pruning
-# rewritten Spark-side, minhash-index band cast, CM empty-input
-# coalesce, hll_set_ops guard), then the oldest-verified cohort from
-# the CORRECTNESS_r0*.json union: agg_corr/agg_cube (r2) and the
-# alphabetical head of the round-3 cohort. The round-3 tail
-# (tpch_q17..q22 and tpch_q3..q9) missed this window and must lead round 10.
-_R9_FRONT = [
-    # new in round 9
-    "media_fingerprint", "dedup_media_near", "media_format_audit",
-    "join_strategy_choice", "kll_quantile", "zonemap_multi_prune",
-    "media_frame_sample", "dedup_media_indexed",
-    "hll_rolling_distinct", "interval_islands", "interval_gaps",
-    "twap_bars", "point_in_time_join", "dedup_media_clusters",
-    # source changed in round 9 (ADVICE/VERDICT fixes)
-    "zonemap_pruned_scan", "dedup_minhash_indexed", "join_size_estimate",
-    "hll_source_overlap",
-    # last driver-verified in round 2
-    "agg_corr", "agg_cube",
-    # last driver-verified in round 3 (alphabetical head; the tail
-    # tpch_q3..q9 leads round 10)
-    "dedup_embedding_clusters", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
-    "dedup_simhash_pairs", "doc_fingerprint", "docs_prep_pipeline",
-    "lang_id", "lang_id_trigram", "range_join_events", "sim_cosine_topk",
-    "sim_cosine_topk_lsh", "text_chunking", "text_decontaminate",
-    "text_gopher_quality", "text_quality", "text_redact_pii",
-    "text_repetition", "text_stats", "text_tfidf_top_terms",
-    "text_top_terms", "token_count", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", ]
-_R8_FRONT = _R9_FRONT  # tools/split_suite.py keys off the old name
+# Round-10 rotation (_R10_FRONT, exactly 50 keys — the driver windows
+# the FIRST 50 dict keys). Per VERDICT r9 item #1 this round's window is
+# the OLDEST-VERIFIED cohort (CORRECTNESS_r01..r09 union, computed this
+# session): the 13-key round-3 tail (tpch_q17..q22, tpch_q3..q9), the 6
+# round-4 keys, the 13 round-5 keys — all 32 keys with no driver-green
+# row in 4+ rounds — then new/changed round-10 keys, then the
+# alphabetical head of the round-6 cohort as fill. After this window no
+# key is >4 rounds stale.
+_R10_FRONT = [
+    # last driver-verified in round 3
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9",
+    # last driver-verified in round 4
+    "dedup_canonical_docs", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "tpch_q1", "tpch_q2",
+    # last driver-verified in round 5
+    "asof_nearest_tolerance", "corpus_report", "dedup_containment",
+    "events_funnel", "events_zscore", "join_full_outer", "pagerank_knn",
+    "quality_classifier", "retention_cohorts", "source_overlap",
+    "vwap_bars", "win_cume_ntile", "win_ewma",
+    # new / source-changed in round 10
+    "media_decode_stats", "dedup_media_near", "semantic_dedup",
+    "knn_graph_lsh",
+    # round-6 cohort fill (alphabetical head; the tail leads round 11)
+    "agg_approx_topk", "agg_conditional", "agg_median_groups",
+    "agg_minmax_by", "agg_percentile", "agg_stats", "bm25_topk",
+    "corpus_curation_pipeline", "corpus_mix", "corpus_mix_upsampled",
+    "corpus_token_budget", "dataset_diff", "dedup_boilerplate_lines",
+    "dedup_incremental", ]
+_R9_FRONT = _R10_FRONT
+_R8_FRONT = _R10_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
-    **{k: QUERIES[k] for k in _R9_FRONT},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R9_FRONT)},
+    **{k: QUERIES[k] for k in _R10_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items()
+       if k not in set(_R10_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
