@@ -274,42 +274,50 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# Round-10 rotation (_R10_FRONT, exactly 50 keys — the driver windows
-# the FIRST 50 dict keys). Per VERDICT r9 item #1 this round's window is
-# the OLDEST-VERIFIED cohort (CORRECTNESS_r01..r09 union, computed this
-# session): the 13-key round-3 tail (tpch_q17..q22, tpch_q3..q9), the 6
-# round-4 keys, the 13 round-5 keys — all 32 keys with no driver-green
-# row in 4+ rounds — then new/changed round-10 keys, then the
-# alphabetical head of the round-6 cohort as fill. After this window no
-# key is >4 rounds stale.
-_R10_FRONT = [
-    # last driver-verified in round 3
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9",
-    # last driver-verified in round 4
-    "dedup_canonical_docs", "dedup_clusters", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "tpch_q1", "tpch_q2",
-    # last driver-verified in round 5
-    "asof_nearest_tolerance", "corpus_report", "dedup_containment",
-    "events_funnel", "events_zscore", "join_full_outer", "pagerank_knn",
-    "quality_classifier", "retention_cohorts", "source_overlap",
-    "vwap_bars", "win_cume_ntile", "win_ewma",
-    # new / source-changed in round 10
-    "media_decode_stats", "dedup_media_near", "semantic_dedup",
-    "knn_graph_lsh",
-    # round-6 cohort fill (alphabetical head; the tail leads round 11)
-    "agg_approx_topk", "agg_conditional", "agg_median_groups",
-    "agg_minmax_by", "agg_percentile", "agg_stats", "bm25_topk",
-    "corpus_curation_pipeline", "corpus_mix", "corpus_mix_upsampled",
-    "corpus_token_budget", "dataset_diff", "dedup_boilerplate_lines",
-    "dedup_incremental", ]
-_R9_FRONT = _R10_FRONT
-_R8_FRONT = _R10_FRONT  # tools/split_suite.py keys off the old name
+# Round-11 rotation (_R11_FRONT, exactly 50 keys — the driver windows
+# the FIRST 50 dict keys). Per VERDICT r10 item #2 this window is the
+# round-6 cohort (all 32 keys last driver-verified in r6, computed by
+# unioning CORRECTNESS_r01..r10), plus the two rows-only approx keys
+# (agg_approx_distinct / agg_approx_quantile — their weaker rows-only
+# rows get back on the driver record), filled to 50 with the
+# alphabetical head of the round-7 cohort. New / source-changed round-11
+# keys are spliced in at the top as they land, displacing tail fill.
+# After this window no key is >4 rounds stale.
+_R11_FRONT = [
+    # round-6 cohort (last driver-verified in round 6)
+    "dedup_ngram_spans", "dedup_ngram_spans_sampled", "distinct_pairs",
+    "events_mad_outliers", "gap_fill_bars", "join_salted_skew",
+    "key_skew_report", "knn_triangles", "multimodal_features",
+    "numeric_histogram", "ohlc_bars", "pack_sequences",
+    "profile_columns", "quality_percentile_gate", "sample_reservoir",
+    "sample_stratified", "scalar_array_funcs", "scalar_conditional",
+    "scalar_json", "scalar_math", "scd2_history", "setop_except_all",
+    "stateful_running_total", "stream_sliding_window",
+    "subquery_exists", "subquery_in", "subquery_scalar",
+    "train_val_split", "training_set_pipeline", "udtf_charge_legs",
+    "unpivot_metrics", "zorder_key",
+    # rows-only approx keys — no driver row since round 2
+    "agg_approx_distinct", "agg_approx_quantile",
+    # round-7 cohort fill (alphabetical head; the tail leads round 12)
+    "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
+    "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
+    "dedup_anti_join", "dedup_pair_recall", "equi_depth_histogram",
+    "events_acf", "events_control_chart", "events_ols_trend",
+    "events_seasonal", "events_winsorized", "file_registry_scan",
+    "filter_date_eq", ]
+# The front list is a contract, not a suggestion (ADVICE r10): a typo
+# or an unshipped key must fail loudly at import, never shrink the
+# window silently.
+_missing = [k for k in _R11_FRONT if k not in QUERIES]
+assert not _missing, f"_R11_FRONT keys not registered: {_missing}"
+assert len(_R11_FRONT) == 50, f"_R11_FRONT has {len(_R11_FRONT)} keys"
+assert len(set(_R11_FRONT)) == 50, "_R11_FRONT has duplicates"
+_R9_FRONT = _R11_FRONT
+_R8_FRONT = _R11_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
-    **{k: QUERIES[k] for k in _R10_FRONT if k in QUERIES},
+    **{k: QUERIES[k] for k in _R11_FRONT},
     **{k: v for k, v in QUERIES.items()
-       if k not in set(_R10_FRONT)},
+       if k not in set(_R11_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
