@@ -2,11 +2,13 @@
 
 Image/audio/video are opaque `binary` columns + typed metadata (schemas.MEDIA).
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
-partitioning — is real and tested; the codec calls are STUBS (this container
-has no image/audio libraries): decode raises NotImplementedError unless
-`fake=True`, in which case a clearly-marked deterministic fake derived from
-md5(payload) stands in so batch shape / downstream feature plumbing can be
-tested end-to-end.
+partitioning — is real and tested. Uncompressed 24-bpp BMP payloads are
+decoded FOR REAL (`_decode_bmp24` — plain byte layout, no codec library
+needed); every other format needs an external codec this container lacks
+(PIL/ffmpeg), so those calls are STUBS: decode raises NotImplementedError
+unless `fake=True`, in which case a clearly-marked deterministic fake derived
+from md5(payload) stands in so batch shape / downstream feature plumbing can
+be tested end-to-end.
 
 Scale notes: mapInPandas streams Arrow batches (bounded memory per task —
 never collect binaries); `spark.sql.files.maxPartitionBytes` sizes blob-scan
@@ -39,32 +41,146 @@ def _fake_feature(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [h[i] / 255.0 for i in range(dim)]
 
 
+def _decode_bmp24(payload: bytes | None):
+    """REAL decode of an uncompressed 24-bpp BMP (BITMAPINFOHEADER or
+    larger, BI_RGB) — BMP is a plain byte layout, so this needs no codec
+    library: parse the public header fields (data offset @10, DIB size
+    @14, width/height @18/@22 little-endian signed, planes/bpp @26/@28,
+    compression @30), then stride the pixel array (rows padded to 4
+    bytes, negative height = top-down). Returns integer channel stats
+    ``(width, height, n_pixels, sum_b, sum_g, sum_r)`` — sums are
+    row-order-invariant, so bottom-up vs top-down doesn't matter — or
+    None for anything that isn't a valid uncompressed 24-bpp BMP.
+
+    Reference parity: the reference's ingestion edge handles payloads
+    schema-blind at the byte level (CompressionHandler.java:43-46); this
+    extends the same byte-level handling to media decode per the charter.
+    """
+    import struct
+
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40 or data_off < 14 + dib_size:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    n_rows = abs(height)
+    row_size = (width * 3 + 3) // 4 * 4
+    if len(payload) < data_off + row_size * n_rows:
+        return None
+    import numpy as np
+
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * n_rows, offset=data_off
+    )
+    # drop per-row padding, then view as (n_pixels, BGR)
+    px = arr.reshape(n_rows, row_size)[:, : width * 3].reshape(-1, 3)
+    sums = px.sum(axis=0, dtype=np.int64)
+    return width, n_rows, width * n_rows, int(sums[0]), int(sums[1]), int(sums[2])
+
+
 def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads and emit fixed-width feature vectors.
 
-    Real implementation would dispatch per `kind` to PIL/torchaudio/ffmpeg
-    inside the batch loop. STUBBED: raises NotImplementedError unless
-    fake=True (deterministic md5 features).
+    Dispatch per payload inside the Arrow batch loop:
+    - uncompressed 24-bpp BMP ("BM" magic) — decoded FOR REAL by
+      `_decode_bmp24` (pure byte layout, no codec library needed); the
+      feature is [width, height, n_pixels, mean_b, mean_g, mean_r,
+      luma, 1.0].
+    - anything else needs an external codec (PIL/torchaudio/ffmpeg —
+      not installed here): raises NotImplementedError unless fake=True,
+      in which case the deterministic md5 fake stands in. The real BMP
+      branch takes precedence even under fake=True.
     """
+
+    def _feature_real(stats) -> list[float]:
+        w, h, n, sb, sg, sr = stats
+        # integer sums < 2^53 — these divisions are exact doubles
+        return [
+            float(w), float(h), float(n),
+            sb / n, sg / n, sr / n,
+            (299 * sr + 587 * sg + 114 * sb) / (1000.0 * n),
+            1.0,
+        ]
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs are not available in this environment; "
-                    "pass fake=True for the deterministic test double"
-                )
+            feats = []
+            oks = []
+            for p in pdf["payload"]:
+                stats = _decode_bmp24(p)
+                if stats is not None:
+                    feats.append(_feature_real(stats))
+                    oks.append(True)
+                elif fake:
+                    feats.append(_fake_feature(p))
+                    oks.append(p is not None)
+                else:
+                    raise NotImplementedError(
+                        "non-BMP media codecs are not available in this "
+                        "environment; pass fake=True for the deterministic "
+                        "test double"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "mime": pdf["mime"],
-                    "feature": [_fake_feature(p) for p in pdf["payload"]],
-                    "decode_ok": [p is not None for p in pdf["payload"]],
+                    "feature": feats,
+                    "decode_ok": oks,
                 }
             )
 
     return media.mapInPandas(_batches, schema=DECODE_SCHEMA)
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels int, "
+    "sum_b long, sum_g long, sum_r long, luma_milli long, decode_ok boolean"
+)
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """REAL media decode → integer pixel statistics, one row per payload:
+    parse each uncompressed 24-bpp BMP with `_decode_bmp24` and emit
+    (width, height, n_pixels, per-channel byte sums, luma_milli =
+    mean BT.601 luma ×1000 as integer division). All-integer outputs so
+    the stats are engine-exact; invalid/non-BMP payloads yield
+    decode_ok=false with NULL stats instead of poisoning the batch.
+
+    Scale shape: mapInPandas streams Arrow batches — one pass over the
+    blob scan, no shuffle, bounded memory per task; at 100 TB this is
+    embarrassingly parallel and the stats feed the similarity/dedup
+    operators columnar."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                s = _decode_bmp24(p)
+                if s is None:
+                    rows.append((mid, None, None, None, None, None, None, None, False))
+                else:
+                    w, h, n, sb, sg, sr = s
+                    luma = (299 * sr + 587 * sg + 114 * sb) // n
+                    rows.append((mid, w, h, n, sb, sg, sr, luma, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "sum_b", "sum_g", "sum_r", "luma_milli", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(_batches, schema=BMP_STATS_SCHEMA)
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"

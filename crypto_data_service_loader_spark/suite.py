@@ -35,6 +35,8 @@ from .suites.tpch import _TPCH_ORACLES
 
 
 QUERIES = {
+    # --- new in round 11 ---
+    "media_decode_stats": q_media_decode_stats,
     # --- new in round 9 (front-50 driver window) ---
     "media_fingerprint": q_media_fingerprint,
     "dedup_media_near": q_dedup_media_near,
@@ -284,6 +286,9 @@ QUERIES = {
 # keys are spliced in at the top as they land, displacing tail fill.
 # After this window no key is >4 rounds stale.
 _R11_FRONT = [
+    # new / source-changed in round 11 (spliced in the same commit that
+    # lands each key — the assertions below keep this honest)
+    "media_decode_stats",
     # round-6 cohort (last driver-verified in round 6)
     "dedup_ngram_spans", "dedup_ngram_spans_sampled", "distinct_pairs",
     "events_mad_outliers", "gap_fill_bars", "join_salted_skew",
@@ -303,8 +308,7 @@ _R11_FRONT = [
     "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
     "dedup_anti_join", "dedup_pair_recall", "equi_depth_histogram",
     "events_acf", "events_control_chart", "events_ols_trend",
-    "events_seasonal", "events_winsorized", "file_registry_scan",
-    "filter_date_eq", ]
+    "events_seasonal", "events_winsorized", "file_registry_scan", ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
@@ -1926,6 +1930,37 @@ ORACLES["dedup_media_near"] = f"""
          AND a.media_id < b2.media_id)
     SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
     FROM c WHERE bit_count(xor(fa, fb)) <= 3"""
+
+# Round 11: the REAL BMP decode key. The Spark side parses the actual
+# 102-byte BMP file (header + padded pixel rows) in mapInPandas; the
+# oracle mirrors only the pixel ARITHMETIC from the same md5 chain —
+# byte i of the 48-byte pixel array is hex chars 2i+1..2i+2, channel
+# i%3 (BGR order, 4x4 rows are 12 bytes = no padding), sums are
+# row-order-invariant so bottom-up layout drops out.
+ORACLES["media_decode_stats"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 47)) AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_b,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_r
+        FROM b GROUP BY media_id)
+    SELECT media_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(16 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 16 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
 
 ORACLES["media_format_audit"] = """
     WITH m AS (

@@ -1505,6 +1505,51 @@ def q_media_frame_sample(spark, sf_dir):
     )
 
 
+def _bmp24_header_hex(width: int, height: int) -> str:
+    """Hex of a minimal BITMAPFILEHEADER + BITMAPINFOHEADER (54 bytes) for
+    an uncompressed 24-bpp BI_RGB image — the public BMP byte layout."""
+    import struct
+
+    row_size = (width * 3 + 3) // 4 * 4
+    img_size = row_size * abs(height)
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0
+    )
+    return hdr.hex().upper()
+
+
+def q_media_decode_stats(spark, sf_dir):
+    """REAL media decode in the gate (round 11): each document becomes a
+    genuine uncompressed 4x4 24-bpp BMP — the 54-byte header is the
+    public BMP byte layout, the 48 pixel bytes are the deterministic
+    md5-chain md5(t)||md5(md5(t))||md5(md5(md5(t))) — and
+    multimodal.decode_bmp_stats PARSES the file for real (header fields,
+    row stride, BGR channel split) inside mapInPandas. No stub in the
+    path: this is the decode seam (multimodal.py decode_and_featurize)
+    made real for one format. All-integer outputs (channel byte sums,
+    BT.601 luma x1000 via integer division) so DuckDB mirrors the pixel
+    arithmetic exactly from the same hex chain.
+
+    Reference parity: byte-level schema-blind payload handling at the
+    ingestion edge (CompressionHandler.java:43-46), extended to media
+    decode per the charter."""
+    from ..operators.multimodal import decode_bmp_stats
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    px_hex = F.concat(
+        F.md5("text"), F.md5(F.md5("text")), F.md5(F.md5(F.md5("text")))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_bmp24_header_hex(4, 4))), F.unhex(px_hex)
+        ).alias("payload"),
+    )
+    return decode_bmp_stats(media)
+
+
 def q_dedup_media_clusters(spark, sf_dir):
     """Media duplicate GROUPS, completing the media family's
     pairs -> clusters arc (round 9): connected components (pointer

@@ -256,6 +256,96 @@ def test_multimodal_real_codec_is_stubbed(spark):
         multimodal.decode_and_featurize(media, fake=False).collect()
 
 
+def _make_bmp(width, height, pixels_bgr, extra_tail=b""):
+    """Build a real uncompressed 24-bpp BMP: header + bottom-up padded
+    rows (pixels_bgr is a flat top-down list of (b, g, r) tuples)."""
+    import struct
+
+    row_size = (width * 3 + 3) // 4 * 4
+    n_rows = abs(height)
+    img = bytearray()
+    rows = [pixels_bgr[r * width:(r + 1) * width] for r in range(n_rows)]
+    stored = rows[::-1] if height > 0 else rows  # positive height = bottom-up
+    for row in stored:
+        line = b"".join(bytes(p) for p in row)
+        img += line + b"\x00" * (row_size - len(line))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(img), 0, 0, 0, 0)
+    return bytes(hdr + dib + img) + extra_tail
+
+
+def test_bmp_decode_real_with_padding_and_orientation():
+    """_decode_bmp24 is a REAL parser: row padding stripped (width=3 →
+    9 pixel bytes + 3 pad per row), bottom-up vs top-down both handled,
+    channel sums in BGR order."""
+    px = [(i, 10 + i, 100 + i) for i in range(6)]  # 3x2, distinct channels
+    want = (3, 2, 6, sum(p[0] for p in px), sum(p[1] for p in px),
+            sum(p[2] for p in px))
+    assert multimodal._decode_bmp24(_make_bmp(3, 2, px)) == want
+    assert multimodal._decode_bmp24(_make_bmp(3, -2, px)) == want
+    # padding bytes (0xFF would shift sums if leaked into the pixels)
+    raw = bytearray(_make_bmp(3, 2, px))
+    for r in range(2):
+        raw[54 + r * 12 + 9:54 + r * 12 + 12] = b"\xff\xff\xff"
+    assert multimodal._decode_bmp24(bytes(raw)) == want
+
+
+def test_bmp_decode_rejects_corrupt():
+    px = [(1, 2, 3)] * 4
+    good = _make_bmp(2, 2, px)
+    assert multimodal._decode_bmp24(good) is not None
+    assert multimodal._decode_bmp24(None) is None
+    assert multimodal._decode_bmp24(b"") is None
+    assert multimodal._decode_bmp24(b"x" * 60) is None        # no magic
+    assert multimodal._decode_bmp24(good[:-1]) is None        # truncated
+    bad_bpp = bytearray(good); bad_bpp[28] = 8                # 8-bpp
+    assert multimodal._decode_bmp24(bytes(bad_bpp)) is None
+    bad_comp = bytearray(good); bad_comp[30] = 1              # BI_RLE8
+    assert multimodal._decode_bmp24(bytes(bad_comp)) is None
+
+
+def test_decode_and_featurize_real_bmp_branch(spark):
+    """BMP payloads decode FOR REAL (fake=False no longer raises for
+    them); mixed batches with fake=True route BMP → real, other → fake."""
+    px = [(0, 0, 255)] * 4  # pure red 2x2: mean_b=0, mean_g=0, mean_r=255
+    bmp = _make_bmp(2, 2, px)
+    media = spark.createDataFrame(
+        [(1, "image", bmp, "image/bmp", 2, 2, None)], multimodal_schema()
+    )
+    row = multimodal.decode_and_featurize(media, fake=False).collect()[0]
+    assert row["decode_ok"]
+    assert list(row["feature"]) == [2.0, 2.0, 4.0, 0.0, 0.0, 255.0,
+                                    299 * 255 / 1000.0, 1.0]
+    mixed = spark.createDataFrame(
+        [(1, "image", bmp, "image/bmp", 2, 2, None),
+         (2, "image", b"not-a-bmp", "image/png", 1, 1, None)],
+        multimodal_schema(),
+    )
+    got = {r["media_id"]: r for r in
+           multimodal.decode_and_featurize(mixed, fake=True).collect()}
+    assert got[1]["feature"][5] == 255.0          # real branch
+    assert all(0.0 <= v <= 1.0 for v in got[2]["feature"])  # md5 fake
+
+
+def test_decode_bmp_stats_matches_hand_computed(spark):
+    px = [(i % 7, (3 * i) % 11, (5 * i) % 13) for i in range(12)]  # 4x3
+    media = spark.createDataFrame(
+        [(9, _make_bmp(4, 3, px)), (10, b"junk")],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in
+           multimodal.decode_bmp_stats(media).collect()}
+    ok = got[9]
+    sb, sg, sr = (sum(p[c] for p in px) for c in range(3))
+    assert (ok["width"], ok["height"], ok["n_pixels"]) == (4, 3, 12)
+    assert (ok["sum_b"], ok["sum_g"], ok["sum_r"]) == (sb, sg, sr)
+    assert ok["luma_milli"] == (299 * sr + 587 * sg + 114 * sb) // 12
+    assert ok["decode_ok"]
+    bad = got[10]
+    assert not bad["decode_ok"] and bad["width"] is None
+
+
 def test_frame_sampling_cadence(spark):
     media = spark.createDataFrame(
         [(7, "video", b"v", "video/mp4", None, None, 3500)], multimodal_schema()
