@@ -805,6 +805,49 @@ def merge_intervals(
     )
 
 
+def twap_bars(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    bar: str = "hour",
+) -> DataFrame:
+    """Time-weighted average value per (key..., bar) — TWAP: each
+    observation's value holds from its timestamp to the next observation
+    in the bar (the last holds to bar end). Weights are EXACT microsecond
+    integers (unix_micros), the weighted sum accumulates in
+    DECIMAL(38,6), the division is one double op. One window pass + one
+    grouped aggregation on the same (key, bar) partitioning: two
+    shuffles end to end. Returns (key..., bar_start, twap, held_us,
+    n_obs). Factored out of the registered q_twap_bars so the streaming
+    twin (streaming/stateful.start_twap_stream) pins against the same
+    batch operator on any input."""
+    keys = list(key_cols)
+    bar_col = F.date_trunc(bar, ts_col)
+    base = events.select(
+        *keys, order_tiebreak, value_col,
+        bar_col.alias("bar_start"),
+        F.unix_micros(ts_col).alias("_us"),
+        F.unix_micros(bar_col + F.expr(f"INTERVAL 1 {bar}")).alias("_end_us"),
+    )
+    w = Window.partitionBy(*keys, "bar_start").orderBy("_us", order_tiebreak)
+    dt = (F.coalesce(F.lead("_us").over(w), F.col("_end_us")) - F.col("_us"))
+    num = F.sum(
+        (F.col(value_col) * F.col("_dt")).cast("decimal(38,6)")
+    ).cast("double")
+    den = F.sum("_dt")  # exact int64 microseconds
+    return (
+        base.withColumn("_dt", dt)
+        .groupBy(*keys, "bar_start")
+        .agg(
+            F.when(den > 0, F.round(num / den.cast("double"), 6)).alias("twap"),
+            den.alias("held_us"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
 def interval_gaps(
     df: DataFrame,
     key_cols: Sequence[str],

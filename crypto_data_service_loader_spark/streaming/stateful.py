@@ -1200,3 +1200,235 @@ def start_hll_rolling_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval islands (round 11) — the gaps-and-islands merge of
+# relational.merge_intervals run incrementally: keyed state is just the one
+# OPEN island per key (start, running-max end, count), O(1) per key forever.
+# Contract (same as the rolling-HLL twin): event-time-ordered input by
+# interval start; each batch emits every island it closed plus the current
+# open island (provisional — overwritten in update mode), so the LAST
+# emission per (key, island_start) equals the batch operator's row exactly
+# (pinned by test_streaming_interval_islands_matches_batch).
+# ---------------------------------------------------------------------------
+
+ISLANDS_STREAM_SCHEMA = (
+    "event_type string, island_start timestamp, island_end timestamp, "
+    "n_intervals long"
+)
+
+
+def _islands_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cur = list(state.get) if state.exists else None  # [start_us, end_us, n]
+    out = []
+
+    def _emit(island):
+        out.append((
+            key[0],
+            pd.to_datetime(island[0], unit="us"),
+            pd.to_datetime(island[1], unit="us"),
+            island[2],
+        ))
+
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["start_us"], pdf["end_us"], pdf["event_id"]))
+    # merge_intervals orders by (start, end, tiebreaks) — replicate so
+    # within-batch processing order matches the batch window order
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    for s, e, _ in rows:
+        s, e = int(s), int(e)
+        if cur is None:
+            cur = [s, e, 1]
+        elif s <= cur[1]:  # overlap or touch: start <= running max end
+            cur[1] = max(cur[1], e)
+            cur[2] += 1
+        else:
+            _emit(cur)
+            cur = [s, e, 1]
+    if cur is not None:
+        _emit(cur)  # provisional open island; final row per start wins
+        state.update(tuple(cur))
+    yield pd.DataFrame(
+        out,
+        columns=["event_type", "island_start", "island_end", "n_intervals"],
+    )
+
+
+def start_interval_islands_stream(
+    intervals_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "interval_islands",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming gaps-and-islands -> in-memory table `query_name` (update
+    mode). Input: a stream with (event_type, event_id, iv_start, iv_end)
+    — the same interval table q_interval_islands builds. Keyed state is
+    ONE open island per event_type: bounded at three scalars per key no
+    matter how many intervals flow through, which is the whole point of
+    the incremental form at 100 TB/day interval volumes."""
+    if state_store is not None:
+        configure_state_store(intervals_stream.sparkSession, state_store)
+    out = (
+        intervals_stream.select(
+            "event_type",
+            "event_id",
+            F.unix_micros("iv_start").alias("start_us"),
+            F.unix_micros("iv_end").alias("end_us"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _islands_updater,
+            outputStructType=ISLANDS_STREAM_SCHEMA,
+            stateStructType="start_us long, end_us long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP bars (round 11) — q_twap_bars run incrementally per
+# (event_type, hour bar). The batch key weights each observation by the
+# time to the NEXT observation (last holds to bar end), accumulating the
+# products as DECIMAL(38,6); the stream keeps (last_us, last_val, closed
+# decimal numerator, closed duration, n) per bar in keyed state — an
+# observation's weight closes when its successor arrives, and each batch
+# emits the bar AS IF the stream ended now (last obs held to bar end), so
+# every emission equals the batch key over the prefix seen so far and the
+# final emission equals the batch row bit-for-bit (decimal quantization
+# mirrors Spark's double->DECIMAL(38,6) HALF_UP cast; pinned by
+# test_streaming_twap_matches_batch).
+# ---------------------------------------------------------------------------
+
+TWAP_STREAM_SCHEMA = (
+    "event_type string, bar_start timestamp, twap double, held_us long, "
+    "n_obs long"
+)
+
+def _twap_dec6(x: float):
+    """Spark's CAST(double AS DECIMAL(38,6)): exact binary value of the
+    double, then scale 6 with HALF_UP — decimal.Decimal(float) is the
+    same exact binary expansion."""
+    import decimal
+
+    return decimal.Decimal(x).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def _twap_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import decimal
+
+    if state.exists:
+        last_us, last_val, n, closed_dt, num_str, end_us = state.get
+        num = decimal.Decimal(num_str)
+    else:
+        last_us = None
+        last_val = 0.0
+        n = 0
+        closed_dt = 0
+        num = decimal.Decimal(0)
+        end_us = 0
+
+    rows = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(pdf["us"], pdf["value"], pdf["event_id"], pdf["end_us"])
+        )
+    rows.sort(key=lambda r: (r[0], r[2]))  # batch orders by (_us, event_id)
+    for us, val, _, bar_end in rows:
+        us, bar_end = int(us), int(bar_end)
+        if last_us is not None:
+            dt = us - last_us
+            num += _twap_dec6(last_val * dt)
+            closed_dt += dt
+        last_us, last_val, end_us = us, float(val), bar_end
+        n += 1
+
+    out = []
+    if n:
+        tail_dt = end_us - last_us
+        total_num = num + _twap_dec6(last_val * tail_dt)
+        den = closed_dt + tail_dt
+        if den > 0:
+            # Spark: round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+            twap = float(
+                decimal.Decimal(float(total_num) / float(den)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+        else:
+            twap = None
+        out.append((
+            key[0], pd.to_datetime(key[1], unit="us"), twap, den, n,
+        ))
+        state.update((last_us, last_val, n, closed_dt, str(num), end_us))
+    yield pd.DataFrame(
+        out,
+        columns=["event_type", "bar_start", "twap", "held_us", "n_obs"],
+    )
+
+
+def start_twap_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "twap_bars",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming TWAP per (event_type, hour) -> in-memory table
+    `query_name` (update mode). State per bar is five scalars + one
+    decimal string — O(1) per (key, bar) regardless of tick volume, and
+    bars stop receiving state once event time moves past them (a
+    production variant would add event-time TTL to drop closed bars).
+    Same ordered-input contract as the other twins."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    bar = F.date_trunc("hour", "ts")
+    out = (
+        events_stream.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.unix_micros(bar).alias("bar_us"),
+            F.unix_micros("ts").alias("us"),
+            F.unix_micros(bar + F.expr("INTERVAL 1 HOUR")).alias("end_us"),
+        )
+        .groupBy("event_type", "bar_us")
+        .applyInPandasWithState(
+            _twap_updater,
+            outputStructType=TWAP_STREAM_SCHEMA,
+            stateStructType=(
+                "last_us long, last_val double, n long, closed_dt long, "
+                "num_str string, end_us long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1460,32 +1460,9 @@ def q_twap_bars(spark, sf_dir):
     epoch_us, probed bit-equal), the weighted sum accumulates in
     DECIMAL(38,6), the division is one double op — oracle-exact. One
     window pass + one grouped aggregation on the same (type, bar)
-    partitioning: two shuffles end to end."""
-    ev = load(spark, sf_dir, "events")
-    bar = F.date_trunc("hour", "ts")
-    base = ev.select(
-        "event_type", "event_id", "value",
-        bar.alias("bar_start"),
-        F.unix_micros("ts").alias("_us"),
-        F.unix_micros(bar + F.expr("INTERVAL 1 HOUR")).alias("_end_us"),
-    )
-    w = Window.partitionBy("event_type", "bar_start").orderBy(
-        "_us", "event_id"
-    )
-    dt = (F.coalesce(F.lead("_us").over(w), F.col("_end_us")) - F.col("_us"))
-    num = F.sum((F.col("value") * F.col("_dt")).cast("decimal(38,6)")).cast(
-        "double"
-    )
-    den = F.sum("_dt")  # exact int64 microseconds
-    return (
-        base.withColumn("_dt", dt)
-        .groupBy("event_type", "bar_start")
-        .agg(
-            F.when(den > 0, F.round(num / den.cast("double"), 6)).alias("twap"),
-            den.alias("held_us"),
-            F.count(F.lit(1)).alias("n_obs"),
-        )
-    )
+    partitioning: two shuffles end to end. Round 11: factored into
+    rel.twap_bars so the streaming twin pins against the same operator."""
+    return rel.twap_bars(load(spark, sf_dir, "events"))
 
 
 def q_point_in_time_join(spark, sf_dir):

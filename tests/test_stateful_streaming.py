@@ -868,3 +868,140 @@ def test_streaming_hll_rolling_matches_batch(spark, tmp_path):
     assert got == want
     # day 9 is > 7 days past day 1/2: its window holds only its own data
     assert ("a", dt.date(2024, 1, 9)) in got
+
+
+def test_streaming_interval_islands_matches_batch(spark, tmp_path):
+    """Interval-islands twin: ONE open island per key in state (three
+    scalars — bounded forever); the LAST emission per (key,
+    island_start) equals rel.merge_intervals' batch row exactly.
+    Batches split MID-ISLAND (an island extended across the batch
+    boundary must re-emit with the same start), plus touching
+    (start == prev end), contained, and disjoint intervals."""
+    import time
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_interval_islands_stream,
+    )
+
+    schema = (
+        "event_type string, event_id long, iv_start timestamp, "
+        "iv_end timestamp"
+    )
+
+    def iv(t, i, s_min, e_min):
+        return (t, i, TS(2024, 1, 1, 10, s_min), TS(2024, 1, 1, 10, e_min))
+
+    b1 = [
+        iv("a", 1, 0, 10),   # island 1 opens
+        iv("a", 2, 5, 8),    # contained
+        iv("b", 3, 0, 5),
+    ]
+    b2 = [
+        iv("a", 4, 10, 20),  # touches island 1 across the batch boundary
+        iv("a", 5, 30, 40),  # closes island 1, opens island 2
+        iv("b", 6, 6, 7),    # disjoint: b island 2
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_interval_islands_stream(
+        stream, str(tmp_path / "ckpt"), query_name="isl_t")
+    q.awaitTermination(120)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM isl_t").collect():
+        k = (r["event_type"], r["island_start"])
+        cur = got.get(k)
+        # an island only ever grows: keep the max-n_intervals row
+        if cur is None or r["n_intervals"] > cur[1]:
+            got[k] = (r["island_end"], r["n_intervals"])
+
+    batch = rel.merge_intervals(
+        spark.createDataFrame(b1 + b2, schema),
+        ["event_type"], "iv_start", "iv_end", tiebreak_cols=["event_id"],
+    )
+    want = {
+        (r["event_type"], r["island_start"]):
+            (r["island_end"], r["n_intervals"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert want[("a", TS(2024, 1, 1, 10, 0))] == (TS(2024, 1, 1, 10, 20), 3)
+
+
+def test_streaming_twap_matches_batch(spark, tmp_path):
+    """TWAP twin: per-(key, bar) state is five scalars + a decimal
+    string; every emission equals rel.twap_bars over the prefix seen so
+    far, so the final emission equals the batch row bit-for-bit —
+    including the DECIMAL(38,6) product accumulation (mirrored with
+    Python decimal HALF_UP quantization). Batches split MID-BAR (the
+    held-to-bar-end provisional weight must re-open), with duplicate
+    timestamps (zero-duration holdings) and a single-obs bar."""
+    import time
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_twap_stream,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+
+    def ev(i, h, m, s, t, v):
+        return (i, TS(2024, 1, 1, h, m, s), 1, t, v)
+
+    b1 = [
+        ev(1, 10, 0, 0, "a", 1.5),
+        ev(2, 10, 15, 0, "a", 2.25),
+        ev(3, 10, 15, 0, "b", 10.0),   # b: single obs in bar 10
+    ]
+    b2 = [
+        ev(4, 10, 45, 0, "a", 0.125),  # same bar, later batch
+        ev(5, 10, 45, 0, "a", 7.0),    # duplicate ts: zero-duration holding
+        ev(6, 11, 5, 0, "a", 3.0),     # next bar
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_twap_stream(stream, str(tmp_path / "ckpt"), query_name="twap_t")
+    q.awaitTermination(120)
+
+    got = {}
+    mid = {}
+    for r in spark.sql("SELECT * FROM twap_t").collect():
+        k = (r["event_type"], r["bar_start"])
+        cur = got.get(k)
+        if cur is None or r["n_obs"] > cur[2]:
+            if cur is not None:
+                mid[k] = cur  # superseded emission = the mid-stream prefix
+            got[k] = (r["twap"], r["held_us"], r["n_obs"])
+
+    batch = {
+        (r["event_type"], r["bar_start"]):
+            (r["twap"], r["held_us"], r["n_obs"])
+        for r in rel.twap_bars(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    assert got == batch
+    # the superseded mid-stream emission equals the batch op on b1 alone
+    prefix = {
+        (r["event_type"], r["bar_start"]):
+            (r["twap"], r["held_us"], r["n_obs"])
+        for r in rel.twap_bars(spark.createDataFrame(b1, schema)).collect()
+    }
+    k = ("a", TS(2024, 1, 1, 10, 0))
+    assert mid[k] == prefix[k]
