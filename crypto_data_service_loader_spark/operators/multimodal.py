@@ -405,6 +405,69 @@ def fingerprint_near_dup_join(
     )
 
 
+def auto_grid_cells(
+    n_media: int,
+    bands: int = 4,
+    target_bucket: int = 256,
+    min_cells: int = 32,
+) -> int:
+    """The fingerprint-width dial as a function of corpus size — the media
+    twin of similarity.auto_planes: pick enough grid cells that each of
+    the `bands` bit-bands carries r = n_cells/bands bits, i.e. 2^r bucket
+    values, holding the EXPECTED band-bucket population at ~`target_bucket`
+    (per-bucket candidate work is n_b², so constant n_b keeps total
+    candidate volume linear in the corpus — the 10x probe ratio for
+    dedup_media_near was 1.74 at the fixed 32-cell dial and ~1.1 with
+    this dial active, SCALE_NOTES round 11). Clamped to [min_cells, 60]:
+    the fingerprint packs into an int64 (≤63 bits, and cells must divide
+    evenly into bands), so corpora beyond ~2^15·target per band saturate
+    the dial — at that scale move to the persisted media index
+    (sources/media_index.py) bucketed on (band, band_val).
+
+    Recall is dial-independent for the FIXED-threshold fingerprint rule:
+    a k-byte payload perturbation flips at most k cells regardless of
+    n_cells (locality), so twins stay within Hamming < bands and the
+    pigeonhole guarantee holds at every dial setting."""
+    import math
+
+    r = math.ceil(math.log2(max(n_media, 2) / target_bucket))
+    r = max(min_cells // bands, min(r, 60 // bands))
+    return bands * r
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    bands: int = 4,
+    n_cells: int | None = None,
+    n_media_hint: int | None = None,
+    threshold: int | None = 9,
+    max_hamming: int | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    target_bucket: int = 256,
+    min_cells: int = 32,
+) -> DataFrame:
+    """Production near-dup entry point: fingerprint + banded join with the
+    width dial resolved like similarity._resolve_planes — explicit
+    `n_cells` wins (the registered key pins 32 for its oracle); otherwise
+    derive from the corpus size (hint if given, else one count-only
+    scan). `target_bucket`/`min_cells` tune the dial's knee (scale probes
+    lower them to exercise the dial at test corpus sizes)."""
+    if n_cells is None:
+        n = n_media_hint if n_media_hint is not None else media.count()
+        n_cells = auto_grid_cells(
+            n, bands=bands, target_bucket=target_bucket, min_cells=min_cells
+        )
+    fps = byte_grid_fingerprint(
+        media, n_cells=n_cells, threshold=threshold,
+        id_col=id_col, payload_col=payload_col,
+    ).localCheckpoint()
+    return fingerprint_near_dup_join(
+        fps, n_cells=n_cells, bands=bands, max_hamming=max_hamming,
+        id_col=id_col,
+    )
+
+
 #: declared mime → the magic family its payload must carry
 _MIME_FORMAT = {
     "image/png": "png",

@@ -288,7 +288,7 @@ QUERIES = {
 _R11_FRONT = [
     # new / source-changed in round 11 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
-    "media_decode_stats", "twap_bars",
+    "media_decode_stats", "twap_bars", "dedup_media_near",
     # round-6 cohort (last driver-verified in round 6)
     "dedup_ngram_spans", "dedup_ngram_spans_sampled", "distinct_pairs",
     "events_mad_outliers", "gap_fill_bars", "join_salted_skew",
@@ -308,7 +308,7 @@ _R11_FRONT = [
     "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
     "dedup_anti_join", "dedup_pair_recall", "equi_depth_histogram",
     "events_acf", "events_control_chart", "events_ols_trend",
-    "events_seasonal", "events_winsorized", ]
+    "events_seasonal", ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.

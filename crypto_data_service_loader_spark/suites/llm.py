@@ -1391,11 +1391,12 @@ def q_dedup_media_near(spark, sf_dir):
     flip, so every constructed twin lands within Hamming <= 2), then the
     banded pigeonhole join with exact bit_count verify. All constructed
     pairs are guaranteed found (hamming < bands); accidental collisions
-    must survive the same Hamming <= 3 verify."""
-    from ..operators.multimodal import (
-        byte_grid_fingerprint,
-        fingerprint_near_dup_join,
-    )
+    must survive the same Hamming <= 3 verify. The production path is
+    multimodal.media_near_dup_pairs with the auto_grid_cells width dial;
+    the key PINS n_cells=32 so the oracle stays fixed (the dial resolves
+    to exactly 32 below ~2^16 media anyway — SCALE_NOTES round 11 probes
+    the dial's 10x behavior)."""
+    from ..operators.multimodal import media_near_dup_pairs
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     base = docs.select(
@@ -1412,14 +1413,12 @@ def q_dedup_media_near(spark, sf_dir):
             "UTF-8",
         ).alias("payload"),
     )
-    # materialize the (tiny) fingerprint table once: the banded self-join
-    # references it three times, and without this each reference re-runs
-    # the whole fingerprint expression tree — at 100 TB the fps side
-    # would be a persisted table anyway (sources/media_index.py)
-    fps = byte_grid_fingerprint(
-        base.unionByName(variant), n_cells=32, threshold=9
-    ).localCheckpoint()
-    return fingerprint_near_dup_join(fps, n_cells=32, bands=4, max_hamming=3)
+    # media_near_dup_pairs materializes the (tiny) fingerprint table once
+    # (the banded self-join references it three times) — at 100 TB the
+    # fps side would be a persisted table anyway (sources/media_index.py)
+    return media_near_dup_pairs(
+        base.unionByName(variant), bands=4, n_cells=32, max_hamming=3
+    )
 
 
 def q_media_format_audit(spark, sf_dir):

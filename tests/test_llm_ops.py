@@ -1686,3 +1686,58 @@ def test_sniff_media_format_signatures(spark):
     for i, _, _, want_fmt, want_ok in payloads:
         assert got[i]["detected_format"] == want_fmt, i
         assert got[i]["magic_ok"] == want_ok, i
+
+
+def test_auto_grid_cells_dial():
+    """Width dial: pinned 32 below the small-corpus knee, grows with the
+    corpus so 2^(cells/bands) tracks n/target, clamps at 60 (int64 pack),
+    always divisible by bands."""
+    assert multimodal.auto_grid_cells(100) == 32
+    assert multimodal.auto_grid_cells(256 * 256) == 32        # knee
+    assert multimodal.auto_grid_cells(256 * 512) == 36        # r=9
+    assert multimodal.auto_grid_cells(256 * (2 ** 12)) == 48  # r=12
+    assert multimodal.auto_grid_cells(10 ** 12) == 60         # clamp
+    for n in (10, 10**4, 10**6, 10**9):
+        c = multimodal.auto_grid_cells(n)
+        assert c % 4 == 0 and 32 <= c <= 60
+
+
+def test_media_near_dup_pairs_dial_and_recall(spark):
+    """The composed entry point: (a) with the dial active on a small
+    corpus it resolves to the pinned 32 cells, so results equal the
+    explicit-32 call; (b) at a WIDER explicit dial every constructed
+    twin is still found (locality: a 2-byte perturbation flips <= 2
+    cells at any width, Hamming < bands)."""
+    import hashlib
+
+    rows = []
+    for i in range(40):
+        base = hashlib.md5(f"doc{i}".encode()).hexdigest().encode()
+        rows.append((i, base))
+        rows.append((i + 1000, base[:-2] + b"zz"))  # tail-perturbed twin
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    dialed = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.media_near_dup_pairs(
+            media, bands=4, max_hamming=3
+        ).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.media_near_dup_pairs(
+            media, bands=4, n_cells=32, max_hamming=3
+        ).collect()
+    }
+    assert dialed == pinned  # dial resolves to 32 below the knee
+    for i in range(40):
+        assert (i, i + 1000) in dialed, i
+
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.media_near_dup_pairs(
+            media, bands=4, n_cells=60, max_hamming=3
+        ).collect()
+    }
+    for i in range(40):
+        assert (i, i + 1000) in wide, i
