@@ -454,9 +454,11 @@ def media_near_dup_pairs(
     scan). `target_bucket`/`min_cells` tune the dial's knee (scale probes
     lower them to exercise the dial at test corpus sizes)."""
     if n_cells is None:
-        n = n_media_hint if n_media_hint is not None else media.count()
+        from .similarity import corpus_count
+
         n_cells = auto_grid_cells(
-            n, bands=bands, target_bucket=target_bucket, min_cells=min_cells
+            corpus_count(media, n_media_hint),
+            bands=bands, target_bucket=target_bucket, min_cells=min_cells,
         )
     fps = byte_grid_fingerprint(
         media, n_cells=n_cells, threshold=threshold,

@@ -458,8 +458,7 @@ def semantic_dedup(
     explicit `k_centroids` to pin it (tests / oracle twins do).
     """
     if k_centroids is None:
-        n = n_vectors_hint if n_vectors_hint is not None else embeddings.count()
-        k_centroids = auto_centroids(n)
+        k_centroids = auto_centroids(corpus_count(embeddings, n_vectors_hint))
     centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
     # materialize the assignment once: the plan references it three times
     # (result rows + both sides of the pair join) and would otherwise run
@@ -578,16 +577,46 @@ def knn_graph(
     )
 
 
+#: memoized dial-resolution counts, keyed by (session, analyzed-plan
+#: semanticHash) — see corpus_count
+_CORPUS_COUNT_MEMO: dict[tuple[int, int], int] = {}
+
+
+def corpus_count(df: DataFrame, hint: int | None = None) -> int:
+    """The SHARED corpus-count for dial resolution: explicit hint wins;
+    otherwise one count-only scan (column-pruned to parquet metadata),
+    memoized per (session, analyzed-plan semanticHash) so a pipeline that
+    composes several dial-resolved operators over the SAME corpus
+    (semantic_dedup + knn_graph + media_near_dup_pairs...) pays for at
+    most ONE count job instead of one per operator.
+
+    The memo is a session-lifetime cache for DIAL resolution only —
+    dials need the order of magnitude, not freshness, so a re-appended
+    table under an identical plan reusing a slightly stale count is by
+    design (pass a hint to override). Bounded: cleared past 256 entries."""
+    if hint is not None:
+        return hint
+    key = (
+        id(df.sparkSession),
+        df._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    n = _CORPUS_COUNT_MEMO.get(key)
+    if n is None:
+        n = df.count()
+        if len(_CORPUS_COUNT_MEMO) > 256:
+            _CORPUS_COUNT_MEMO.clear()
+        _CORPUS_COUNT_MEMO[key] = n
+    return n
+
+
 def _resolve_planes(
     embeddings: DataFrame, n_planes: int | None, n_vectors_hint: int | None
 ) -> int:
     """Production default for the LSH dial: explicit value wins; otherwise
-    derive from the corpus size (hint if given, else one cheap count-only
-    scan — column-pruned to metadata on parquet)."""
+    derive from the corpus size via the shared memoized corpus_count."""
     if n_planes is not None:
         return n_planes
-    n = n_vectors_hint if n_vectors_hint is not None else embeddings.count()
-    return auto_planes(n)
+    return auto_planes(corpus_count(embeddings, n_vectors_hint))
 
 
 def auto_planes(n_vectors: int, target_bucket: int = 256) -> int:

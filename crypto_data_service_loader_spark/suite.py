@@ -289,6 +289,7 @@ _R11_FRONT = [
     # new / source-changed in round 11 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
     "media_decode_stats", "twap_bars", "dedup_media_near",
+    "semantic_dedup", "knn_graph_lsh",
     # round-6 cohort (last driver-verified in round 6)
     "dedup_ngram_spans", "dedup_ngram_spans_sampled", "distinct_pairs",
     "events_mad_outliers", "gap_fill_bars", "join_salted_skew",
@@ -307,8 +308,7 @@ _R11_FRONT = [
     "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
     "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
     "dedup_anti_join", "dedup_pair_recall", "equi_depth_histogram",
-    "events_acf", "events_control_chart", "events_ols_trend",
-    "events_seasonal", ]
+    "events_acf", "events_control_chart", ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.

@@ -1741,3 +1741,45 @@ def test_media_near_dup_pairs_dial_and_recall(spark):
     }
     for i in range(40):
         assert (i, i + 1000) in wide, i
+
+
+def test_corpus_count_shared_across_dials(spark, monkeypatch):
+    """The dial-resolution count is ONE job per corpus per session:
+    _resolve_planes, semantic_dedup's auto k, and the media width dial
+    all route through similarity.corpus_count, memoized on the analyzed
+    plan — composing them over the same corpus triggers a single count.
+    An explicit hint skips the job entirely."""
+    import hashlib
+
+    from crypto_data_service_loader_spark.operators import similarity
+
+    similarity._CORPUS_COUNT_MEMO.clear()
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cls = type(emb)  # Spark 4: the classic DataFrame subclass owns count()
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    assert similarity.corpus_count(emb, hint=7) == 7
+    assert calls["n"] == 0  # hint skips the job
+    assert similarity._resolve_planes(emb, None, None) >= 1
+    assert calls["n"] == 1
+    similarity.semantic_dedup(emb)  # auto k_centroids, same corpus
+    assert calls["n"] == 1  # memo hit — no second count job
+    media = spark.createDataFrame(
+        [(i, hashlib.md5(str(i).encode()).hexdigest().encode())
+         for i in range(20)],
+        "media_id long, payload binary",
+    )
+    multimodal.media_near_dup_pairs(media)  # different corpus
+    assert calls["n"] == 2
+    multimodal.media_near_dup_pairs(media)  # same corpus again: memo hit
+    assert calls["n"] == 2
+    similarity._CORPUS_COUNT_MEMO.clear()
