@@ -95,7 +95,10 @@ HEADLINE = [
     "vwap_bars",
     "profile_columns",
     "bm25_topk",
-    "agg_median_groups",
+    # agg_median_groups + hll_distinct rotated out in r11 (stable micros;
+    # agg family cover stays via agg_multikey/profile_columns, sketch
+    # cover via kll_quantile/hll_rolling_distinct) to make room for the
+    # clickhouse_http_rows_per_sec_6m extra. History in BENCH_DETAIL.json.
     "knn_triangles",
     # events_mad_outliers rotated out late r9 with scd2_history (events
     # family cover stays via events_cusum/events_funnel/equi_depth)
@@ -116,7 +119,6 @@ HEADLINE = [
     # and KLL keys below.
     "equi_depth_histogram",
     # late round 7: portable sketches + contract + monitoring + PPS
-    "hll_distinct",
     "data_contract_check",
     "sample_pps",
     # round 8: record linkage + sketch-based join pre-sizing + the
@@ -274,10 +276,30 @@ def _bench_clickhouse(spark, csv_dir: str, n: int) -> dict[str, float]:
             )
             best = min(best, time.perf_counter() - t0)
         assert sent == n, f"clickhouse path sent {sent} of {n} rows"
-        return {
+        out = {
             "clickhouse_http_sec": round(best, 4),
             "clickhouse_http_rows_per_sec": round(n / best, 1),
         }
+        # sustained-volume segment (VERDICT r10 #7): the same wire path at
+        # ~6M rows (the validated scan unioned 10x — wire throughput does
+        # not care that the bytes repeat), ONE timed pass so the whole
+        # segment stays ~10s. This puts the PARITY.md 6M-row claim
+        # (previously SCALE_NOTES-only) on the per-round driver record.
+        import functools
+
+        from pyspark.sql import DataFrame
+
+        ten = functools.reduce(
+            DataFrame.unionAll,
+            [read_ticks_csv(spark, csv_dir).drop("_source_file")
+             for _ in range(10)],
+        )
+        t0 = time.perf_counter()
+        sent10 = sink.write(ten)
+        el = time.perf_counter() - t0
+        assert sent10 == 10 * n, f"6M wire path sent {sent10} of {10 * n}"
+        out["clickhouse_http_rows_per_sec_6m"] = round(10 * n / el, 1)
+        return out
     finally:
         fake.stop()
 
@@ -357,7 +379,8 @@ def format_line(
             **{k: ingest[k] for k in (
                 "ingest_rows", "ingest_sec", "ingest_rows_per_sec",
                 "ingest_mb_per_sec", "clickhouse_http_sec",
-                "clickhouse_http_rows_per_sec", "ingest_error",
+                "clickhouse_http_rows_per_sec",
+                "clickhouse_http_rows_per_sec_6m", "ingest_error",
             ) if k in ingest},
             "baseline_rows_per_sec": "300000-500000",
             "suite_total_median": round(sum(medians.values()), 4),

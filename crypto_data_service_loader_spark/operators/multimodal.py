@@ -186,20 +186,68 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
+def _resize_bmp24(payload: bytes | None, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize of an uncompressed 24-bpp BMP: decode
+    the pixel grid (same parse as `_decode_bmp24`), sample source pixel
+    (floor(r*H0/H), floor(c*W0/W)) for each target pixel — the classic
+    nearest rule — and re-encode a genuine BMP (54-byte header, bottom-up
+    rows padded to 4 bytes). Returns None for anything `_decode_bmp24`
+    rejects."""
+    import struct
+
+    if _decode_bmp24(payload) is None:
+        return None
+    payload = bytes(payload)
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w0, h0 = struct.unpack_from("<ii", payload, 18)
+    n0 = abs(h0)
+    row0 = (w0 * 3 + 3) // 4 * 4
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8, count=row0 * n0, offset=data_off)
+    px = arr.reshape(n0, row0)[:, : w0 * 3].reshape(n0, w0, 3)
+    if h0 > 0:  # bottom-up storage -> logical top-down grid
+        px = px[::-1]
+    rows = (np.arange(height) * n0) // height
+    cols = (np.arange(width) * w0) // width
+    out = px[rows][:, cols]  # nearest-neighbor sample, logical top-down
+    row_size = (width * 3 + 3) // 4 * 4
+    img = bytearray()
+    for r in range(height - 1, -1, -1):  # re-encode bottom-up
+        line = out[r].tobytes()
+        img += line + b"\x00" * (row_size - len(line))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 0, 0, 0, 0
+    )
+    return bytes(hdr + dib + img)
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Image resize plumbing. STUBBED codec: fake=True passes payload through
-    with updated metadata (a real impl re-encodes via PIL)."""
+    """Image resize: uncompressed 24-bpp BMP payloads are resized FOR REAL
+    (`_resize_bmp24`, nearest-neighbor, genuine BMP back out); other
+    formats need a codec (PIL) this container lacks — fake=True passes
+    those payloads through with updated metadata, fake=False raises."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("image codec not available; fake=True for tests")
+            payloads = []
+            for p in pdf["payload"]:
+                real = _resize_bmp24(p, width, height)
+                if real is not None:
+                    payloads.append(real)
+                elif fake:
+                    payloads.append(p)
+                else:
+                    raise NotImplementedError(
+                        "non-BMP image codec not available; fake=True for tests"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"],
+                    "payload": payloads,
                 }
             )
 

@@ -1549,6 +1549,35 @@ def q_media_decode_stats(spark, sf_dir):
     return decode_bmp_stats(media)
 
 
+def q_media_resize_stats(spark, sf_dir):
+    """REAL image resize in the gate (round 11): the same genuine 4x4 BMPs
+    as media_decode_stats, resized 4x4 -> 2x2 by multimodal.resize_images'
+    real nearest-neighbor BMP path (decode -> sample pixel (r*H0//H,
+    c*W0//W) -> re-encode a genuine bottom-up padded BMP), then decoded
+    AGAIN by decode_bmp_stats — so the key round-trips decode -> resize ->
+    encode -> decode with no stub anywhere. The oracle mirrors the
+    nearest-neighbor SELECTION arithmetic: logical rows {0,2} are stored
+    rows {3,1} (bottom-up), cols {0,2}, so exactly pixel-byte indices
+    {12..14, 18..20, 36..38, 42..44} of the md5 chain survive."""
+    from ..operators.multimodal import decode_bmp_stats, resize_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    px_hex = F.concat(
+        F.md5("text"), F.md5(F.md5("text")), F.md5(F.md5(F.md5("text")))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.unhex(F.lit(_bmp24_header_hex(4, 4))), F.unhex(px_hex)
+        ).alias("payload"),
+    )
+    small = resize_images(media, width=2, height=2).select(
+        "media_id", "payload"
+    )
+    return decode_bmp_stats(small)
+
+
 def q_dedup_media_clusters(spark, sf_dir):
     """Media duplicate GROUPS, completing the media family's
     pairs -> clusters arc (round 9): connected components (pointer

@@ -100,6 +100,13 @@ def pytest_collection_modifyitems(config, items):
         if fname in _QUICK_FILES or key in _QUICK_TESTS:
             item.add_marker(pytest.mark.quick)
             matched.add(key)
+    # Only enforce the orphan check for whole-file/dir runs: selecting a
+    # single test id (::) or using -k legitimately narrows the collection.
+    narrowed = config.getoption("keyword", "") or any(
+        "::" in a for a in config.args
+    )
+    if narrowed:
+        return
     orphans = {
         k for k in _QUICK_TESTS
         if k.split("::")[0] in seen_files and k not in matched

@@ -20,6 +20,7 @@ def _fake_stats(n_queries: int):
         "ingest_mb_per_sec": 60.9,
         "clickhouse_http_sec": 1.3211,
         "clickhouse_http_rows_per_sec": 454172.9,
+        "clickhouse_http_rows_per_sec_6m": 1190000.5,
     }
     return queries, medians, ingest
 

@@ -1783,3 +1783,44 @@ def test_corpus_count_shared_across_dials(spark, monkeypatch):
     multimodal.media_near_dup_pairs(media)  # same corpus again: memo hit
     assert calls["n"] == 2
     similarity._CORPUS_COUNT_MEMO.clear()
+
+
+def test_resize_bmp24_nearest_neighbor():
+    """Real resize: 4x3 -> 2x2 nearest-neighbor picks logical rows
+    {0*3//2, 1*3//2} = {0, 1} and cols {0, 2}; output is itself a valid
+    BMP whose decode equals the hand-selected pixels. Top-down input
+    (negative height) resolves to the same logical grid."""
+    px = [(10 * r + c, 100 + r, 200 + c) for r in range(3) for c in range(4)]
+    src = _make_bmp(4, 3, px)
+    out = multimodal._resize_bmp24(src, 2, 2)
+    want_px = [px[0 * 4 + 0], px[0 * 4 + 2], px[1 * 4 + 0], px[1 * 4 + 2]]
+    got = multimodal._decode_bmp24(out)
+    assert got == (2, 2, 4,
+                   sum(p[0] for p in want_px),
+                   sum(p[1] for p in want_px),
+                   sum(p[2] for p in want_px))
+    top_down = multimodal._resize_bmp24(_make_bmp(4, -3, px), 2, 2)
+    assert multimodal._decode_bmp24(top_down) == got
+    assert multimodal._resize_bmp24(b"junk", 2, 2) is None
+    assert multimodal._resize_bmp24(None, 2, 2) is None
+
+
+def test_resize_images_real_and_fake_dispatch(spark):
+    px = [(1, 2, 3)] * 16
+    bmp = _make_bmp(4, 4, px)
+    media = spark.createDataFrame(
+        [(1, "image", bmp, "image/bmp", 4, 4, None),
+         (2, "image", b"not-bmp", "image/png", 1, 1, None)],
+        multimodal_schema(),
+    )
+    got = {r["media_id"]: r for r in
+           multimodal.resize_images(media, 2, 2, fake=True).collect()}
+    assert multimodal._decode_bmp24(bytes(got[1]["payload"]))[:3] == (2, 2, 4)
+    assert bytes(got[2]["payload"]) == b"not-bmp"  # fake passthrough
+    only_bmp = spark.createDataFrame(
+        [(1, "image", bmp, "image/bmp", 4, 4, None)], multimodal_schema()
+    )
+    real = multimodal.resize_images(only_bmp, 2, 2, fake=False).collect()
+    assert len(real) == 1  # BMP no longer needs the fake
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.resize_images(media, 2, 2, fake=False).collect()
