@@ -32,6 +32,11 @@ FUZZ_KEYS = [
     "media_fingerprint",
     "media_format_audit",
     "dedup_media_near",
+    # round 11: the REAL BMP decode/resize round-trips — header build,
+    # mapInPandas parse, nearest-neighbor selection, and the DuckDB
+    # pixel-index mirrors all replay over every fuzzed corpus
+    "media_decode_stats",
+    "media_resize_stats",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
