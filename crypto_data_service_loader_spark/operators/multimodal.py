@@ -87,18 +87,83 @@ def _decode_bmp24(payload: bytes | None):
     return width, n_rows, width * n_rows, int(sums[0]), int(sums[1]), int(sums[2])
 
 
+def _decode_ppm6(payload: bytes | None):
+    """REAL decode of a binary PPM (P6, maxval <= 255) — the other plain
+    byte-layout image format: ASCII header (magic, width, height, maxval;
+    '#' comments legal anywhere in the header whitespace), then raw RGB
+    triplets top-down with no padding. Returns the same integer stats
+    tuple as `_decode_bmp24` — (width, height, n_pixels, sum_b, sum_g,
+    sum_r) — or None for anything that isn't a valid P6."""
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    if len(payload) < 2 or payload[:2] != b"P6":
+        return None
+    pos = 2
+    fields = []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end:end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(fields) < 3 or pos >= len(payload):
+        return None
+    if not payload[pos:pos + 1].isspace():  # exactly ONE ws after maxval
+        return None
+    pos += 1
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval < 256:
+        return None
+    need = width * height * 3
+    if len(payload) < pos + need:
+        return None
+    import numpy as np
+
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=need, offset=pos
+    ).reshape(-1, 3)
+    sums = px.sum(axis=0, dtype=np.int64)  # RGB order on disk
+    return width, height, width * height, int(sums[2]), int(sums[1]), int(sums[0])
+
+
+def _decode_image(payload: bytes | None):
+    """Magic-dispatched REAL image decode over the plain byte-layout
+    formats this environment can parse without a codec library.
+    Returns (fmt, stats) where stats is the shared integer tuple, or
+    (None, None) when the payload is neither."""
+    s = _decode_bmp24(payload)
+    if s is not None:
+        return "bmp", s
+    s = _decode_ppm6(payload)
+    if s is not None:
+        return "ppm", s
+    return None, None
+
+
 def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads and emit fixed-width feature vectors.
 
     Dispatch per payload inside the Arrow batch loop:
-    - uncompressed 24-bpp BMP ("BM" magic) — decoded FOR REAL by
-      `_decode_bmp24` (pure byte layout, no codec library needed); the
-      feature is [width, height, n_pixels, mean_b, mean_g, mean_r,
-      luma, 1.0].
+    - uncompressed 24-bpp BMP ("BM" magic) and binary PPM ("P6") —
+      decoded FOR REAL by `_decode_image` (pure byte layouts, no codec
+      library needed); the feature is [width, height, n_pixels, mean_b,
+      mean_g, mean_r, luma, 1.0].
     - anything else needs an external codec (PIL/torchaudio/ffmpeg —
       not installed here): raises NotImplementedError unless fake=True,
-      in which case the deterministic md5 fake stands in. The real BMP
-      branch takes precedence even under fake=True.
+      in which case the deterministic md5 fake stands in. The real
+      branches take precedence even under fake=True.
     """
 
     def _feature_real(stats) -> list[float]:
@@ -116,7 +181,7 @@ def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
             feats = []
             oks = []
             for p in pdf["payload"]:
-                stats = _decode_bmp24(p)
+                _, stats = _decode_image(p)
                 if stats is not None:
                     feats.append(_feature_real(stats))
                     oks.append(True)
@@ -125,7 +190,7 @@ def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
                     oks.append(p is not None)
                 else:
                     raise NotImplementedError(
-                        "non-BMP media codecs are not available in this "
+                        "non-BMP/PPM media codecs are not available in this "
                         "environment; pass fake=True for the deterministic "
                         "test double"
                     )
@@ -142,19 +207,23 @@ def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(_batches, schema=DECODE_SCHEMA)
 
 
-BMP_STATS_SCHEMA = (
-    "media_id long, width int, height int, n_pixels int, "
+IMAGE_STATS_SCHEMA = (
+    "media_id long, fmt string, width int, height int, n_pixels int, "
     "sum_b long, sum_g long, sum_r long, luma_milli long, decode_ok boolean"
 )
+#: kept name from the round-11 BMP-only landing; same operator
+BMP_STATS_SCHEMA = IMAGE_STATS_SCHEMA
 
 
-def decode_bmp_stats(media: DataFrame) -> DataFrame:
+def decode_image_stats(media: DataFrame) -> DataFrame:
     """REAL media decode → integer pixel statistics, one row per payload:
-    parse each uncompressed 24-bpp BMP with `_decode_bmp24` and emit
-    (width, height, n_pixels, per-channel byte sums, luma_milli =
-    mean BT.601 luma ×1000 as integer division). All-integer outputs so
-    the stats are engine-exact; invalid/non-BMP payloads yield
-    decode_ok=false with NULL stats instead of poisoning the batch.
+    magic-dispatch each payload through `_decode_image` (uncompressed
+    24-bpp BMP or binary PPM — the plain byte-layout formats that need no
+    codec library) and emit (fmt, width, height, n_pixels, per-channel
+    byte sums, luma_milli = mean BT.601 luma ×1000 as integer division).
+    All-integer outputs so the stats are engine-exact; invalid/unknown
+    payloads yield decode_ok=false with NULL stats instead of poisoning
+    the batch.
 
     Scale shape: mapInPandas streams Arrow batches — one pass over the
     blob scan, no shuffle, bounded memory per task; at 100 TB this is
@@ -165,22 +234,27 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                s = _decode_bmp24(p)
+                fmt, s = _decode_image(p)
                 if s is None:
-                    rows.append((mid, None, None, None, None, None, None, None, False))
+                    rows.append((mid, None, None, None, None,
+                                 None, None, None, None, False))
                 else:
                     w, h, n, sb, sg, sr = s
                     luma = (299 * sr + 587 * sg + 114 * sb) // n
-                    rows.append((mid, w, h, n, sb, sg, sr, luma, True))
+                    rows.append((mid, fmt, w, h, n, sb, sg, sr, luma, True))
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "width", "height", "n_pixels",
+                    "media_id", "fmt", "width", "height", "n_pixels",
                     "sum_b", "sum_g", "sum_r", "luma_milli", "decode_ok",
                 ],
             )
 
-    return media.mapInPandas(_batches, schema=BMP_STATS_SCHEMA)
+    return media.mapInPandas(_batches, schema=IMAGE_STATS_SCHEMA)
+
+
+#: kept name from the round-11 BMP-only landing; same operator
+decode_bmp_stats = decode_image_stats
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"

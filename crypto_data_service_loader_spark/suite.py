@@ -38,6 +38,7 @@ QUERIES = {
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
     "media_resize_stats": q_media_resize_stats,
+    "media_decode_mixed": q_media_decode_mixed,
     # --- new in round 9 (front-50 driver window) ---
     "media_fingerprint": q_media_fingerprint,
     "dedup_media_near": q_dedup_media_near,
@@ -289,7 +290,8 @@ QUERIES = {
 _R11_FRONT = [
     # new / source-changed in round 11 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
-    "media_decode_stats", "media_resize_stats", "twap_bars", "dedup_media_near",
+    "media_decode_stats", "media_resize_stats", "media_decode_mixed",
+    "twap_bars", "dedup_media_near",
     "semantic_dedup", "knn_graph_lsh",
     # round-6 cohort (last driver-verified in round 6)
     "dedup_ngram_spans", "dedup_ngram_spans_sampled", "distinct_pairs",
@@ -308,8 +310,7 @@ _R11_FRONT = [
     # round-7 cohort fill (alphabetical head; the tail leads round 12)
     "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
     "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
-    "dedup_anti_join", "dedup_pair_recall", "equi_depth_histogram",
-    "events_acf", ]
+    "dedup_anti_join", "dedup_pair_recall", "equi_depth_histogram", ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
@@ -1956,7 +1957,8 @@ ORACLES["media_decode_stats"] = """
                CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
                    AS sum_r
         FROM b GROUP BY media_id)
-    SELECT media_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+    SELECT media_id, CAST('bmp' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
            CAST(16 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
            CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 16 AS BIGINT)
                AS luma_milli,
@@ -1985,9 +1987,41 @@ ORACLES["media_resize_stats"] = """
                CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
                    AS sum_r
         FROM b GROUP BY media_id)
-    SELECT media_id, CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+    SELECT media_id, CAST('bmp' AS VARCHAR) AS fmt,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
            CAST(4 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
            CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 4 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
+
+# Round 11: mixed BMP/PPM decode — channel order swaps per format (BMP
+# is BGR, PPM is RGB), so the oracle's sums swap B<->R on odd doc_ids.
+ORACLES["media_decode_mixed"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 47)) AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN i % 3 = CASE WHEN media_id % 2 = 0
+                                          THEN 0 ELSE 2 END
+                        THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = CASE WHEN media_id % 2 = 0
+                                          THEN 2 ELSE 0 END
+                        THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        FROM b GROUP BY media_id)
+    SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(16 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 16 AS BIGINT)
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""

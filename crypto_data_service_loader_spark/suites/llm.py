@@ -1578,6 +1578,32 @@ def q_media_resize_stats(spark, sf_dir):
     return decode_bmp_stats(small)
 
 
+def q_media_decode_mixed(spark, sf_dir):
+    """Mixed-format REAL decode (round 11): even doc_ids become genuine
+    uncompressed BMPs, odd ones genuine binary PPMs (P6 header + raw RGB),
+    both over the same md5-chain pixel bytes — decode_image_stats'
+    magic dispatch parses each for real and reports which format it saw.
+    The formats disagree on channel ORDER (BMP stores BGR bottom-up, PPM
+    RGB top-down), so the oracle's per-channel sums swap B<->R on odd
+    ids — a value-level check that the dispatch really routed each
+    payload through the right parser."""
+    from ..operators.multimodal import decode_image_stats
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    px_hex = F.concat(
+        F.md5("text"), F.md5(F.md5("text")), F.md5(F.md5(F.md5("text")))
+    )
+    ppm_header = "P6\n4 4\n255\n".encode().hex().upper()
+    header = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(_bmp24_header_hex(4, 4)))
+    ).otherwise(F.unhex(F.lit(ppm_header)))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.unhex(px_hex)).alias("payload"),
+    )
+    return decode_image_stats(media)
+
+
 def q_dedup_media_clusters(spark, sf_dir):
     """Media duplicate GROUPS, completing the media family's
     pairs -> clusters arc (round 9): connected components (pointer

@@ -1824,3 +1824,62 @@ def test_resize_images_real_and_fake_dispatch(spark):
     assert len(real) == 1  # BMP no longer needs the fake
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.resize_images(media, 2, 2, fake=False).collect()
+
+
+def _make_ppm(width, height, pixels_rgb, header_extra=b""):
+    body = b"".join(bytes(p) for p in pixels_rgb)
+    return (b"P6" + header_extra + f"\n{width} {height}\n255\n".encode()
+            + body)
+
+
+def test_ppm_decode_real_and_corrupt():
+    """_decode_ppm6 is a real P6 parser: header comments, arbitrary
+    whitespace, RGB channel order (B and R swap vs the BMP tuple),
+    corrupt rejection."""
+    px = [(i, 10 + i, 100 + i) for i in range(6)]  # RGB tuples, 3x2
+    want = (3, 2, 6, sum(p[2] for p in px), sum(p[1] for p in px),
+            sum(p[0] for p in px))  # tuple is (.., sum_b, sum_g, sum_r)
+    assert multimodal._decode_ppm6(_make_ppm(3, 2, px)) == want
+    commented = (b"P6\n# a comment\n3 # widths\n2\n255\n"
+                 + b"".join(bytes(p) for p in px))
+    assert multimodal._decode_ppm6(commented) == want
+    assert multimodal._decode_ppm6(None) is None
+    assert multimodal._decode_ppm6(b"P5\n3 2\n255\n" + b"x" * 18) is None
+    assert multimodal._decode_ppm6(_make_ppm(3, 2, px)[:-1]) is None
+    assert multimodal._decode_ppm6(b"P6\n3 2\n70000\n" + b"x" * 18) is None
+    # magic dispatch routes each format to its parser
+    assert multimodal._decode_image(_make_ppm(3, 2, px)) == ("ppm", want)
+    bmp = _make_bmp(2, 2, [(1, 2, 3)] * 4)
+    assert multimodal._decode_image(bmp)[0] == "bmp"
+    assert multimodal._decode_image(b"junk") == (None, None)
+
+
+def test_decode_image_stats_mixed_formats(spark):
+    """One table, both formats: the fmt column reports which parser ran
+    and the channel sums prove it (same bytes, swapped B/R)."""
+    raw = bytes(range(48))
+    bmp = _make_bmp(4, 4, [tuple(raw[i:i + 3]) for i in range(0, 48, 3)])
+    ppm = b"P6\n4 4\n255\n" + raw
+    media = spark.createDataFrame(
+        [(1, bmp), (2, ppm), (3, b"junk")], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in
+           multimodal.decode_image_stats(media).collect()}
+    assert got[1]["fmt"] == "bmp" and got[2]["fmt"] == "ppm"
+    # identical pixel bytes: G sums agree, B/R swap between formats
+    assert got[1]["sum_g"] == got[2]["sum_g"]
+    assert got[1]["sum_b"] == got[2]["sum_r"]
+    assert got[1]["sum_r"] == got[2]["sum_b"]
+    assert not got[3]["decode_ok"] and got[3]["fmt"] is None
+
+
+def test_decode_and_featurize_real_ppm_branch(spark):
+    ppm = b"P6\n2 2\n255\n" + bytes([255, 0, 0] * 4)  # pure red, RGB
+    media = spark.createDataFrame(
+        [(1, "image", ppm, "image/x-portable-pixmap", 2, 2, None)],
+        multimodal_schema(),
+    )
+    row = multimodal.decode_and_featurize(media, fake=False).collect()[0]
+    assert row["decode_ok"]
+    # mean_b, mean_g, mean_r — red ends up in the R slot despite RGB disk order
+    assert list(row["feature"])[3:6] == [0.0, 0.0, 255.0]
