@@ -37,6 +37,7 @@ FUZZ_KEYS = [
     # pixel-index mirrors all replay over every fuzzed corpus
     "media_decode_stats",
     "media_resize_stats",
+    "media_decode_mixed",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
