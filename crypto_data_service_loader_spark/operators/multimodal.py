@@ -297,17 +297,55 @@ def _resize_bmp24(payload: bytes | None, width: int, height: int) -> bytes | Non
     return bytes(hdr + dib + img)
 
 
+def _resize_ppm6(payload: bytes | None, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a binary PPM (P6): same sampling
+    rule as `_resize_bmp24`, re-encoded as a canonical P6 (single-space
+    header, maxval 255). Returns None for anything `_decode_ppm6`
+    rejects."""
+    if _decode_ppm6(payload) is None:
+        return None
+    payload = bytes(payload)
+    # re-locate the pixel offset exactly like the decoder
+    pos, fields = 2, []
+    while len(fields) < 3:
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.find(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while payload[end:end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace after maxval
+    w0, h0, _ = fields
+    import numpy as np
+
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=w0 * h0 * 3, offset=pos
+    ).reshape(h0, w0, 3)
+    rows = (np.arange(height) * h0) // height
+    cols = (np.arange(width) * w0) // width
+    out = px[rows][:, cols]
+    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Image resize: uncompressed 24-bpp BMP payloads are resized FOR REAL
-    (`_resize_bmp24`, nearest-neighbor, genuine BMP back out); other
-    formats need a codec (PIL) this container lacks — fake=True passes
-    those payloads through with updated metadata, fake=False raises."""
+    """Image resize: uncompressed 24-bpp BMP and binary PPM payloads are
+    resized FOR REAL (`_resize_bmp24` / `_resize_ppm6`, nearest-neighbor,
+    the same format back out); other formats need a codec (PIL) this
+    container lacks — fake=True passes those payloads through with
+    updated metadata, fake=False raises."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for p in pdf["payload"]:
                 real = _resize_bmp24(p, width, height)
+                if real is None:
+                    real = _resize_ppm6(p, width, height)
                 if real is not None:
                     payloads.append(real)
                 elif fake:

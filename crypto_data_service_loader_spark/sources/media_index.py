@@ -69,14 +69,24 @@ def _bands(fps: DataFrame, id_col: str, n_cells: int, bands: int) -> DataFrame:
 def write_media_index(
     media: DataFrame,
     path: str,
-    n_cells: int = 32,
+    n_cells: int | None = 32,
     bands: int = 4,
     threshold: int = 9,
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> int:
     """Fingerprint the corpus once and persist fps + band postings.
-    Returns the indexed media count."""
+    Returns the indexed media count. ``n_cells=None`` resolves the width
+    dial from the corpus size (multimodal.auto_grid_cells); whatever
+    value is used is FROZEN in the index metadata — appends and probes
+    always fingerprint with the stored dial, never a re-derived one
+    (a re-derived dial on a grown corpus would silently partition new
+    fingerprints differently from the stored postings)."""
+    if n_cells is None:
+        from ..operators.multimodal import auto_grid_cells
+        from ..operators.similarity import corpus_count
+
+        n_cells = auto_grid_cells(corpus_count(media), bands=bands)
     if n_cells % bands != 0:
         raise ValueError(f"bands must divide n_cells: {bands} vs {n_cells}")
     os.makedirs(path, exist_ok=True)

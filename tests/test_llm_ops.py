@@ -1883,3 +1883,46 @@ def test_decode_and_featurize_real_ppm_branch(spark):
     assert row["decode_ok"]
     # mean_b, mean_g, mean_r — red ends up in the R slot despite RGB disk order
     assert list(row["feature"])[3:6] == [0.0, 0.0, 255.0]
+
+
+def test_resize_ppm6_real():
+    """PPM resize: same nearest-neighbor rule as BMP, P6 back out; the
+    resized payload decodes to the hand-selected pixels (RGB order)."""
+    px = [(10 * r + c, 100 + r, 200 + c) for r in range(3) for c in range(4)]
+    src = _make_ppm(4, 3, px)
+    out = multimodal._resize_ppm6(src, 2, 2)
+    want_px = [px[0 * 4 + 0], px[0 * 4 + 2], px[1 * 4 + 0], px[1 * 4 + 2]]
+    # decoder tuple is (w, h, n, sum_b, sum_g, sum_r); PPM tuples are RGB
+    assert multimodal._decode_ppm6(out) == (
+        2, 2, 4,
+        sum(p[2] for p in want_px),
+        sum(p[1] for p in want_px),
+        sum(p[0] for p in want_px),
+    )
+    # header comments survive re-location of the pixel offset
+    commented = (b"P6\n# c\n4 3\n255\n" + b"".join(bytes(p) for p in px))
+    assert multimodal._resize_ppm6(commented, 2, 2) == out
+    assert multimodal._resize_ppm6(b"junk", 2, 2) is None
+
+
+def test_media_index_auto_dial(spark, tmp_path):
+    """write_media_index(n_cells=None) resolves the width dial from the
+    corpus and FREEZES it in the metadata; append + probe use the stored
+    dial."""
+    import hashlib
+
+    from crypto_data_service_loader_spark.sources import media_index
+
+    rows = [(i, hashlib.md5(str(i).encode()).hexdigest().encode())
+            for i in range(30)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    path = str(tmp_path / "midx")
+    n = media_index.write_media_index(media, path, n_cells=None)
+    assert n == 30
+    meta = media_index._read_meta(path)
+    assert meta["n_cells"] == 32  # below the knee -> pinned default
+    twin = spark.createDataFrame(
+        [(1000, rows[0][1][:-2] + b"zz")], "media_id long, payload binary"
+    )
+    got = media_index.near_dups_against_media_index(spark, path, twin)
+    assert {r["dup_of"] for r in got.collect()} == {0}
