@@ -805,6 +805,65 @@ def merge_intervals(
     )
 
 
+def vwap_bars(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("l_returnflag",),
+    ts_col: str = "l_shipdate",
+    price_col: str = "l_extendedprice",
+    qty_col: str = "l_quantity",
+    bar: str = "month",
+) -> DataFrame:
+    """Volume-weighted average price per (key..., bar). Both the weighted
+    sum and the weight accumulate in DECIMAL(38,6) (order-independent),
+    the division is a single double op; a zero-volume bar yields NULL
+    (ANSI Spark aborts on the raw 0/0, DuckDB yields NaN — lineitem
+    fuzzer catch, round 8). One shuffle with map-side partials. Returns
+    (key..., bar_start, vwap, volume, n_trades). Factored out of the
+    registered q_vwap_bars (round 11) so the streaming twin pins against
+    the same batch operator on any input."""
+    keys = list(key_cols)
+    num = F.sum(
+        (F.col(price_col) * F.col(qty_col)).cast("decimal(38,6)")
+    ).cast("double")
+    den = F.sum(F.col(qty_col).cast("decimal(38,6)")).cast("double")
+    return df.groupBy(
+        *keys, F.date_trunc(bar, ts_col).alias("bar_start")
+    ).agg(
+        F.when(den > 0, F.round(num / den, 6)).alias("vwap"),
+        dsum(qty_col).alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    bar: str = "hour",
+) -> DataFrame:
+    """OHLC downsampling per (key..., bar): open/close = first/last value
+    by (ts, id) (composite key makes ties impossible), high/low, exact
+    decimal volume, tick count. One shuffle, map-side partials. Returns
+    (key..., bar_start, open, high, low, close, volume, n_ticks).
+    Factored out of the registered q_ohlc_bars (round 11) so the
+    streaming twin pins against the same batch operator on any input."""
+    okey = F.struct(F.col(ts_col), F.col(id_col))
+    return df.groupBy(
+        F.col(key_cols[0]).alias("series"),
+        *[F.col(k) for k in key_cols[1:]],
+        F.date_trunc(bar, ts_col).alias("bar_start"),
+    ).agg(
+        F.min_by(value_col, okey).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, okey).alias("close"),
+        dsum(value_col).alias("volume"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
 def twap_bars(
     events: DataFrame,
     key_cols: Sequence[str] = ("event_type",),

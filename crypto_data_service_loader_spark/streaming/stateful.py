@@ -1432,3 +1432,196 @@ def start_twap_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming OHLC + VWAP bars (round 11) — the other two canonical tick bars,
+# run incrementally per (key, bar). Unlike the islands/TWAP twins these are
+# ORDER-INDEPENDENT: open/close track the min/max (ts, id) composite key in
+# state and high/low/sums are commutative monoids, so batches may arrive in
+# any order and the final emission still equals the batch operator
+# (rel.ohlc_bars / rel.vwap_bars) bit-for-bit — decimal sums use the same
+# HALF_UP quantization mirror as the TWAP twin.
+# ---------------------------------------------------------------------------
+
+OHLC_STREAM_SCHEMA = (
+    "series string, bar_start timestamp, open double, high double, "
+    "low double, close double, volume double, n_ticks long"
+)
+
+
+def _ohlc_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import decimal
+
+    if state.exists:
+        (o_us, o_id, o_val, c_us, c_id, c_val,
+         high, low, vol_str, n) = state.get
+        vol = decimal.Decimal(vol_str)
+    else:
+        o_us = o_id = c_us = c_id = None
+        o_val = c_val = high = low = 0.0
+        vol = decimal.Decimal(0)
+        n = 0
+
+    for pdf in pdfs:
+        for us, eid, val in zip(pdf["us"], pdf["event_id"], pdf["value"]):
+            us, eid, val = int(us), int(eid), float(val)
+            if o_us is None or (us, eid) < (o_us, o_id):
+                o_us, o_id, o_val = us, eid, val
+            if c_us is None or (us, eid) > (c_us, c_id):
+                c_us, c_id, c_val = us, eid, val
+            if n == 0 or val > high:
+                high = val
+            if n == 0 or val < low:
+                low = val
+            vol += _twap_dec6(val)  # dsum mirror: per-value DECIMAL(38,6)
+            n += 1
+
+    out = []
+    if n:
+        out.append((
+            key[0], pd.to_datetime(key[1], unit="us"),
+            o_val, high, low, c_val, float(vol), n,
+        ))
+        state.update((o_us, o_id, o_val, c_us, c_id, c_val,
+                      high, low, str(vol), n))
+    yield pd.DataFrame(
+        out,
+        columns=["series", "bar_start", "open", "high", "low", "close",
+                 "volume", "n_ticks"],
+    )
+
+
+def start_ohlc_stream(
+    events_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "ohlc_bars",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming OHLC per (event_type, hour) -> in-memory table
+    `query_name` (update mode). State per bar is ten scalars — O(1)
+    per (key, bar) at any tick volume; every emission equals
+    rel.ohlc_bars over the data seen so far, in ANY arrival order."""
+    if state_store is not None:
+        configure_state_store(events_stream.sparkSession, state_store)
+    out = (
+        events_stream.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("bar_us"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("event_type", "bar_us")
+        .applyInPandasWithState(
+            _ohlc_updater,
+            outputStructType=OHLC_STREAM_SCHEMA,
+            stateStructType=(
+                "o_us long, o_id long, o_val double, c_us long, c_id long, "
+                "c_val double, high double, low double, vol_str string, "
+                "n long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+VWAP_STREAM_SCHEMA = (
+    "key string, bar_start timestamp, vwap double, volume double, "
+    "n_trades long"
+)
+
+
+def _vwap_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import decimal
+
+    if state.exists:
+        num_str, den_str, n = state.get
+        num, den = decimal.Decimal(num_str), decimal.Decimal(den_str)
+    else:
+        num, den, n = decimal.Decimal(0), decimal.Decimal(0), 0
+
+    for pdf in pdfs:
+        for price, qty in zip(pdf["price"], pdf["qty"]):
+            # batch mirror: (price*qty) and qty each CAST to DECIMAL(38,6)
+            num += _twap_dec6(float(price) * float(qty))
+            den += _twap_dec6(float(qty))
+            n += 1
+
+    out = []
+    if n:
+        if den > 0:
+            vwap = float(
+                decimal.Decimal(float(num) / float(den)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+        else:
+            vwap = None
+        out.append((key[0], pd.to_datetime(key[1], unit="us"),
+                    vwap, float(den), n))
+        state.update((str(num), str(den), n))
+    yield pd.DataFrame(
+        out, columns=["key", "bar_start", "vwap", "volume", "n_trades"],
+    )
+
+
+def start_vwap_stream(
+    trades_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "vwap_bars",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    qty_col: str = "qty",
+    bar: str = "hour",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming VWAP per (key, bar) -> in-memory table `query_name`
+    (update mode). State per bar is two decimal strings + a count —
+    O(1) per (key, bar); order-independent (commutative sums), every
+    emission equals rel.vwap_bars over the data seen so far."""
+    if state_store is not None:
+        configure_state_store(trades_stream.sparkSession, state_store)
+    out = (
+        trades_stream.select(
+            F.col(key_col).alias("key"),
+            F.col(price_col).alias("price"),
+            F.col(qty_col).alias("qty"),
+            F.unix_micros(F.date_trunc(bar, ts_col)).alias("bar_us"),
+        )
+        .groupBy("key", "bar_us")
+        .applyInPandasWithState(
+            _vwap_updater,
+            outputStructType=VWAP_STREAM_SCHEMA,
+            stateStructType="num_str string, den_str string, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -291,13 +291,13 @@ _R11_FRONT = [
     # new / source-changed in round 11 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
     "media_decode_stats", "media_resize_stats", "media_decode_mixed",
-    "twap_bars", "dedup_media_near",
+    "twap_bars", "ohlc_bars", "vwap_bars", "dedup_media_near",
     "semantic_dedup", "knn_graph_lsh",
     # round-6 cohort (last driver-verified in round 6)
     "dedup_ngram_spans", "dedup_ngram_spans_sampled", "distinct_pairs",
     "events_mad_outliers", "gap_fill_bars", "join_salted_skew",
     "key_skew_report", "knn_triangles", "multimodal_features",
-    "numeric_histogram", "ohlc_bars", "pack_sequences",
+    "numeric_histogram", "pack_sequences",
     "profile_columns", "quality_percentile_gate", "sample_reservoir",
     "sample_stratified", "scalar_array_funcs", "scalar_conditional",
     "scalar_json", "scalar_math", "scd2_history", "setop_except_all",
@@ -310,7 +310,7 @@ _R11_FRONT = [
     # round-7 cohort fill (alphabetical head; the tail leads round 12)
     "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
     "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
-    "dedup_anti_join", "dedup_pair_recall", "equi_depth_histogram", ]
+    "dedup_anti_join", "dedup_pair_recall", ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.

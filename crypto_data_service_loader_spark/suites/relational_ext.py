@@ -355,20 +355,9 @@ def q_vwap_bars(spark, sf_dir):
     sum and the weight accumulate in DECIMAL(38,6) (order-independent),
     the division is a single double op — oracle-exact. One shuffle with
     map-side partials."""
-    li = load(spark, sf_dir, "lineitem")
-    num = F.sum(
-        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,6)")
-    ).cast("double")
-    den = F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
-    # zero-volume bar -> NULL vwap (ANSI Spark aborts on the raw 0/0,
-    # DuckDB yields NaN; lineitem fuzzer catch, round 8)
-    return li.groupBy(
-        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("bar_start")
-    ).agg(
-        F.when(den > 0, F.round(num / den, 6)).alias("vwap"),
-        rel.dsum("l_quantity").alias("volume"),
-        F.count(F.lit(1)).alias("n_trades"),
-    )
+    # factored into rel.vwap_bars (round 11) so the streaming twin pins
+    # against the same batch operator
+    return rel.vwap_bars(load(spark, sf_dir, "lineitem"))
 
 
 def q_setop_intersect(spark, sf_dir):
@@ -697,22 +686,9 @@ def q_ohlc_bars(spark, sf_dir):
     makes ties impossible), high/low/volume. One shuffle, map-side
     partials; at 100 TB the hour column is also the partition key, so
     bars land partition-local."""
-    ev = load(spark, sf_dir, "events")
-    key = F.struct(F.col("ts"), F.col("event_id"))
-    return (
-        ev.groupBy(
-            F.col("event_type").alias("series"),
-            F.date_trunc("hour", "ts").alias("bar_start"),
-        )
-        .agg(
-            F.min_by("value", key).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", key).alias("close"),
-            dsum("value").alias("volume"),
-            F.count(F.lit(1)).alias("n_ticks"),
-        )
-    )
+    # factored into rel.ohlc_bars (round 11) so the streaming twin pins
+    # against the same batch operator
+    return rel.ohlc_bars(load(spark, sf_dir, "events"))
 
 
 def q_gap_fill_bars(spark, sf_dir):

@@ -1005,3 +1005,116 @@ def test_streaming_twap_matches_batch(spark, tmp_path):
     }
     k = ("a", TS(2024, 1, 1, 10, 0))
     assert mid[k] == prefix[k]
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """OHLC twin: ten scalars per (key, bar) in state; ORDER-INDEPENDENT
+    (open/close track the min/max (ts, id) key), so the batches here
+    arrive deliberately OUT of time order and the final emission still
+    equals rel.ohlc_bars — including the DECIMAL(38,6) volume sum."""
+    import time
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_ohlc_stream,
+    )
+
+    # batch 2 carries the EARLIEST tick of bar 10 (out-of-order arrival)
+    b1 = [
+        (5, TS(2024, 1, 1, 10, 20, 0), 1, "a", 3.25),
+        (6, TS(2024, 1, 1, 10, 40, 0), 1, "a", 1.5),
+        (7, TS(2024, 1, 1, 10, 10, 0), 1, "b", 9.0),
+    ]
+    b2 = [
+        (1, TS(2024, 1, 1, 10, 0, 0), 1, "a", 2.0),   # new open for a@10
+        (8, TS(2024, 1, 1, 10, 59, 0), 1, "a", 7.125),  # new close
+        (9, TS(2024, 1, 1, 11, 0, 0), 1, "a", 4.0),   # next bar
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_ohlc_stream(stream, str(tmp_path / "ckpt"), query_name="ohlc_t")
+    q.awaitTermination(120)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM ohlc_t").collect():
+        k = (r["series"], r["bar_start"])
+        cur = got.get(k)
+        if cur is None or r["n_ticks"] > cur[5]:
+            got[k] = (r["open"], r["high"], r["low"], r["close"],
+                      r["volume"], r["n_ticks"])
+    batch = {
+        (r["series"], r["bar_start"]):
+            (r["open"], r["high"], r["low"], r["close"], r["volume"],
+             r["n_ticks"])
+        for r in rel.ohlc_bars(
+            spark.createDataFrame(b1 + b2, SCHEMA)
+        ).collect()
+    }
+    assert got == batch
+    assert got[("a", TS(2024, 1, 1, 10, 0))][0] == 2.0    # open from b2
+    assert got[("a", TS(2024, 1, 1, 10, 0))][3] == 7.125  # close from b2
+
+
+def test_streaming_vwap_matches_batch(spark, tmp_path):
+    """VWAP twin: two decimal strings + a count per (key, bar); the
+    decimal accumulation mirrors the batch CAST-to-DECIMAL(38,6) sums,
+    so the final emission equals rel.vwap_bars bit-for-bit, including a
+    zero-volume bar yielding NULL."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_service_loader_spark.operators import relational as rel
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_vwap_stream,
+    )
+
+    schema = ("event_id long, ts timestamp, event_type string, "
+              "value double, qty double")
+    b1 = [
+        (1, TS(2024, 1, 1, 10, 0, 0), "a", 100.5, 3.0),
+        (2, TS(2024, 1, 1, 10, 30, 0), "a", 101.25, 2.0),
+        (3, TS(2024, 1, 1, 10, 5, 0), "z", 50.0, 0.0),   # zero-volume bar
+    ]
+    b2 = [
+        (4, TS(2024, 1, 1, 10, 45, 0), "a", 99.875, 5.0),
+        (5, TS(2024, 1, 1, 11, 0, 0), "a", 100.0, 1.0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_vwap_stream(stream, str(tmp_path / "ckpt"), query_name="vwap_t")
+    q.awaitTermination(120)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM vwap_t").collect():
+        k = (r["key"], r["bar_start"])
+        cur = got.get(k)
+        if cur is None or r["n_trades"] > cur[2]:
+            got[k] = (r["vwap"], r["volume"], r["n_trades"])
+    batch = {
+        (r["l_returnflag"], r["bar_start"]):
+            (r["vwap"], r["volume"], r["n_trades"])
+        for r in rel.vwap_bars(
+            spark.createDataFrame(b1 + b2, schema).select(
+                F.col("event_type").alias("l_returnflag"),
+                F.col("ts").alias("l_shipdate"),
+                F.col("value").alias("l_extendedprice"),
+                F.col("qty").alias("l_quantity"),
+            ),
+            bar="hour",
+        ).collect()
+    }
+    assert got == batch
+    assert got[("z", TS(2024, 1, 1, 10, 0))][0] is None  # NULL vwap
