@@ -138,6 +138,91 @@ def _decode_ppm6(payload: bytes | None):
     return width, height, width * height, int(sums[2]), int(sums[1]), int(sums[0])
 
 
+def _decode_wav16(payload: bytes | None):
+    """REAL decode of a RIFF/WAVE file with 16-bit PCM samples — audio's
+    plain byte layout: walk the RIFF chunks ('fmt ' for
+    format/channels/rate, 'data' for samples; chunks are word-aligned),
+    reject anything that isn't uncompressed 16-bit PCM. Returns integer
+    amplitude statistics ``(channels, sample_rate, n_samples, sum_amp,
+    min_amp, max_amp, sum_sq)`` over the little-endian signed samples
+    (all-integer — engine-exact), or None for invalid/non-PCM payloads."""
+    import struct
+
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        return None
+    n = len(data) // 2
+    if n == 0:
+        return None
+    import numpy as np
+
+    samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    return (
+        channels, sample_rate, n, int(samples.sum()),
+        int(samples.min()), int(samples.max()),
+        int((samples * samples).sum()),
+    )
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, channels int, sample_rate int, n_samples int, "
+    "sum_amp long, min_amp long, max_amp long, sum_sq long, "
+    "decode_ok boolean"
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode → integer amplitude statistics, one row per
+    payload: parse each 16-bit PCM WAV with `_decode_wav16`. All-integer
+    outputs (sum / min / max / sum of squares of the signed samples) so
+    the stats are engine-exact; invalid/non-PCM payloads yield
+    decode_ok=false with NULL stats. Same scale shape as
+    decode_image_stats: one mapInPandas pass over the blob scan, no
+    shuffle, bounded memory per task."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                s = _decode_wav16(p)
+                if s is None:
+                    rows.append((mid, None, None, None, None,
+                                 None, None, None, False))
+                else:
+                    ch, sr, n, sm, mn, mx, sq = s
+                    rows.append((mid, ch, sr, n, sm, mn, mx, sq, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channels", "sample_rate", "n_samples",
+                    "sum_amp", "min_amp", "max_amp", "sum_sq", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(_batches, schema=AUDIO_STATS_SCHEMA)
+
+
 def _decode_image(payload: bytes | None):
     """Magic-dispatched REAL image decode over the plain byte-layout
     formats this environment can parse without a codec library.

@@ -39,6 +39,7 @@ QUERIES = {
     "media_decode_stats": q_media_decode_stats,
     "media_resize_stats": q_media_resize_stats,
     "media_decode_mixed": q_media_decode_mixed,
+    "media_audio_stats": q_media_audio_stats,
     # --- new in round 9 (front-50 driver window) ---
     "media_fingerprint": q_media_fingerprint,
     "dedup_media_near": q_dedup_media_near,
@@ -291,6 +292,7 @@ _R11_FRONT = [
     # new / source-changed in round 11 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
     "media_decode_stats", "media_resize_stats", "media_decode_mixed",
+    "media_audio_stats",
     "twap_bars", "ohlc_bars", "vwap_bars", "dedup_media_near",
     "semantic_dedup", "knn_graph_lsh",
     # round-6 cohort (last driver-verified in round 6)
@@ -310,7 +312,7 @@ _R11_FRONT = [
     # round-7 cohort fill (alphabetical head; the tail leads round 12)
     "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
     "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
-    "dedup_anti_join", "dedup_pair_recall", ]
+    "dedup_anti_join", ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
@@ -2025,6 +2027,32 @@ ORACLES["media_decode_mixed"] = """
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""
+
+# Round 11: the WAV audio decode key — little-endian signed 16-bit
+# samples from byte pairs of the md5 chain.
+ORACLES["media_audio_stats"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id,
+               CAST(('0x' || substr(px, 4 * i.i + 1, 2)) AS BIGINT)
+                   + 256 * CAST(('0x' || substr(px, 4 * i.i + 3, 2))
+                                AS BIGINT)
+                   - 65536 * CASE WHEN CAST(('0x' || substr(px, 4 * i.i + 3,
+                                              2)) AS BIGINT) >= 128
+                             THEN 1 ELSE 0 END AS s
+        FROM base, LATERAL unnest(generate_series(0, 23)) AS i(i))
+    SELECT media_id, CAST(1 AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(24 AS INTEGER) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_amp,
+           CAST(min(s) AS BIGINT) AS min_amp,
+           CAST(max(s) AS BIGINT) AS max_amp,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           TRUE AS decode_ok
+    FROM b GROUP BY media_id"""
 
 ORACLES["media_format_audit"] = """
     WITH m AS (

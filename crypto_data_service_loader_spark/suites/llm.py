@@ -1604,6 +1604,46 @@ def q_media_decode_mixed(spark, sf_dir):
     return decode_image_stats(media)
 
 
+def _wav16_header_hex(n_bytes: int, channels: int = 1, rate: int = 8000) -> str:
+    """Hex of a RIFF/WAVE header for 16-bit PCM (public WAV byte layout):
+    RIFF size, 'fmt ' chunk (format 1, block align, byte rate), 'data'
+    chunk size."""
+    import struct
+
+    block = channels * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * block, block, 16)
+        + b"data" + struct.pack("<I", n_bytes)
+    )
+    return hdr.hex().upper()
+
+
+def q_media_audio_stats(spark, sf_dir):
+    """REAL audio decode in the gate (round 11): each document becomes a
+    genuine 16-bit PCM WAV (44-byte RIFF/fmt/data header + 24 samples
+    from the md5 chain) and multimodal.decode_audio_stats PARSES the
+    RIFF chunks for real. The oracle mirrors the little-endian signed
+    16-bit arithmetic from the same hex chain: sample i = lo + 256*hi -
+    65536*(hi >= 128) over byte pairs — sum / min / max / sum of squares
+    are all integers, so the stats are engine-exact. Completes the
+    real-decode family across image (BMP/PPM) AND audio (WAV)."""
+    from ..operators.multimodal import decode_audio_stats
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    px_hex = F.concat(
+        F.md5("text"), F.md5(F.md5("text")), F.md5(F.md5(F.md5("text")))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_wav16_header_hex(48))), F.unhex(px_hex)
+        ).alias("payload"),
+    )
+    return decode_audio_stats(media)
+
+
 def q_dedup_media_clusters(spark, sf_dir):
     """Media duplicate GROUPS, completing the media family's
     pairs -> clusters arc (round 9): connected components (pointer

@@ -38,6 +38,7 @@ FUZZ_KEYS = [
     "media_decode_stats",
     "media_resize_stats",
     "media_decode_mixed",
+    "media_audio_stats",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE

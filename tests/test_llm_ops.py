@@ -1926,3 +1926,48 @@ def test_media_index_auto_dial(spark, tmp_path):
     )
     got = media_index.near_dups_against_media_index(spark, path, twin)
     assert {r["dup_of"] for r in got.collect()} == {0}
+
+
+def _make_wav(samples, channels=1, rate=8000, extra_chunk=False):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    chunks = b"fmt " + fmt
+    if extra_chunk:  # odd-sized chunk exercises word alignment
+        chunks = b"LIST" + struct.pack("<I", 3) + b"abc\x00" + chunks
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav16_decode_real_and_corrupt():
+    """_decode_wav16 walks RIFF chunks for real: negative samples,
+    word-aligned odd chunks before fmt/data, non-PCM rejection."""
+    samples = [0, 1, -1, 32767, -32768, 100]
+    want = (1, 8000, 6, sum(samples), -32768, 32767,
+            sum(s * s for s in samples))
+    assert multimodal._decode_wav16(_make_wav(samples)) == want
+    assert multimodal._decode_wav16(
+        _make_wav(samples, extra_chunk=True)) == want
+    assert multimodal._decode_wav16(None) is None
+    assert multimodal._decode_wav16(b"RIFFxxxxWAVE") is None  # no chunks
+    assert multimodal._decode_wav16(_make_wav(samples)[:-1]) is None
+    bad = bytearray(_make_wav(samples))
+    bad[20] = 3  # IEEE-float format, not PCM
+    assert multimodal._decode_wav16(bytes(bad)) is None
+
+
+def test_decode_audio_stats(spark):
+    samples = [10, -20, 30]
+    media = spark.createDataFrame(
+        [(1, _make_wav(samples, channels=1, rate=44100)), (2, b"nope")],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in
+           multimodal.decode_audio_stats(media).collect()}
+    ok = got[1]
+    assert (ok["channels"], ok["sample_rate"], ok["n_samples"]) == (1, 44100, 3)
+    assert (ok["sum_amp"], ok["min_amp"], ok["max_amp"]) == (20, -20, 30)
+    assert ok["sum_sq"] == 100 + 400 + 900
+    assert not got[2]["decode_ok"]
