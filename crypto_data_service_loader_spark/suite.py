@@ -40,6 +40,7 @@ QUERIES = {
     "media_resize_stats": q_media_resize_stats,
     "media_decode_mixed": q_media_decode_mixed,
     "media_audio_stats": q_media_audio_stats,
+    "dedup_video_frames": q_dedup_video_frames,
     # --- new in round 9 (front-50 driver window) ---
     "media_fingerprint": q_media_fingerprint,
     "dedup_media_near": q_dedup_media_near,
@@ -292,7 +293,7 @@ _R11_FRONT = [
     # new / source-changed in round 11 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
     "media_decode_stats", "media_resize_stats", "media_decode_mixed",
-    "media_audio_stats",
+    "media_audio_stats", "dedup_video_frames",
     "twap_bars", "ohlc_bars", "vwap_bars", "dedup_media_near",
     "semantic_dedup", "knn_graph_lsh",
     # round-6 cohort (last driver-verified in round 6)
@@ -312,7 +313,7 @@ _R11_FRONT = [
     # round-7 cohort fill (alphabetical head; the tail leads round 12)
     "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
     "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
-    "dedup_anti_join", ]
+]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
@@ -2053,6 +2054,39 @@ ORACLES["media_audio_stats"] = """
            CAST(SUM(s * s) AS BIGINT) AS sum_sq,
            TRUE AS decode_ok
     FROM b GROUP BY media_id"""
+
+# Round 11: frame-voting video near-dup — 16-byte digest frames, 32
+# one-hex-char cells (fixed threshold 9 -> bit = digit >= 5), banded
+# pigeonhole frame join, then the (video_a, video_b) vote.
+_FP32_TOTAL, _FP32_EXPR = _grid_fp_sql(32, 32, threshold=9)
+ORACLES["dedup_video_frames"] = f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+    fr AS (
+        SELECT doc_id * 8 + i.i AS frame_id,
+               upper(md5(text || ':' || i.i)) AS h
+        FROM d, LATERAL unnest(generate_series(0, 4)) AS i(i)
+        UNION ALL
+        SELECT (doc_id + 100000) * 8 + i.i,
+               upper(substr(md5(text || ':' || i.i), 1, 30)
+                     || substr(md5(text || ':' || i.i || ':v2'), 31, 2))
+        FROM d, LATERAL unnest(generate_series(0, 4)) AS i(i)),
+    f AS (SELECT frame_id, ({_FP32_EXPR}) AS fp FROM fr),
+    b AS (
+        SELECT frame_id, fp, j AS band, (fp >> (j * 8)) & 255 AS band_val
+        FROM f, unnest([0, 1, 2, 3]) AS u(j)),
+    c AS (
+        SELECT DISTINCT a.frame_id AS ia, b2.frame_id AS ib,
+               a.fp AS fa, b2.fp AS fb
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.band_val = b2.band_val
+         AND a.frame_id < b2.frame_id),
+    p AS (SELECT ia, ib FROM c WHERE bit_count(xor(fa, fb)) <= 3),
+    v AS (
+        SELECT least(ia // 8, ib // 8) AS video_a,
+               greatest(ia // 8, ib // 8) AS video_b
+        FROM p WHERE ia // 8 != ib // 8)
+    SELECT video_a, video_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM v GROUP BY video_a, video_b HAVING count(*) >= 3"""
 
 ORACLES["media_format_audit"] = """
     WITH m AS (

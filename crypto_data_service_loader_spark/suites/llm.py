@@ -1644,6 +1644,60 @@ def q_media_audio_stats(spark, sf_dir):
     return decode_audio_stats(media)
 
 
+def q_dedup_video_frames(spark, sf_dir):
+    """Video near-dup by FRAME VOTING (round 11) — the standard recipe
+    for video dedup at corpus scale: fingerprint every sampled frame,
+    find near-dup frame PAIRS with the banded pigeonhole join, then vote
+    videos sharing >= 3 matched frames. Videos here are 5 deterministic
+    digest frames per doc (the sample_frames payload convention,
+    md5-derived); each 're-export' twin perturbs every frame's LAST
+    byte — with the fixed-threshold rule a 1-byte change flips <= 2 of
+    the 32 one-hex-char cells, so every twin frame is within Hamming 2 <
+    bands and frame recall is guaranteed, making the vote exact.
+
+    Scale shape: explode is scan-local; the only shuffles are the banded
+    frame equi-join (candidates O(collisions), never all-pairs) and one
+    (video_a, video_b) vote aggregation. Returns (video_a, video_b,
+    n_shared >= 3)."""
+    from ..operators.multimodal import (
+        byte_grid_fingerprint,
+        fingerprint_near_dup_join,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(4))).alias("idx")
+    base = docs.select("doc_id", "text", idx)
+    fh = F.md5(F.concat(F.col("text"), F.lit(":"), F.col("idx").cast("string")))
+    fh2 = F.md5(
+        F.concat(F.col("text"), F.lit(":"), F.col("idx").cast("string"),
+                 F.lit(":v2"))
+    )
+    frames = base.select(
+        (F.col("doc_id") * 8 + F.col("idx")).alias("frame_id"),
+        F.unhex(fh).alias("payload"),
+    ).unionByName(base.select(
+        ((F.col("doc_id") + 100000) * 8 + F.col("idx")).alias("frame_id"),
+        F.unhex(
+            F.concat(F.substring(fh, 1, 30), F.substring(fh2, 31, 2))
+        ).alias("payload"),
+    ))
+    fps = byte_grid_fingerprint(
+        frames, n_cells=32, threshold=9, id_col="frame_id"
+    ).localCheckpoint()
+    pairs = fingerprint_near_dup_join(
+        fps, n_cells=32, bands=4, max_hamming=3, id_col="frame_id"
+    )
+    va = F.expr("least(id_a div 8, id_b div 8)")
+    vb = F.expr("greatest(id_a div 8, id_b div 8)")
+    return (
+        pairs.where(F.expr("(id_a div 8) != (id_b div 8)"))
+        .select(va.alias("video_a"), vb.alias("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
 def q_dedup_media_clusters(spark, sf_dir):
     """Media duplicate GROUPS, completing the media family's
     pairs -> clusters arc (round 9): connected components (pointer

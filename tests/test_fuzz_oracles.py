@@ -39,6 +39,7 @@ FUZZ_KEYS = [
     "media_resize_stats",
     "media_decode_mixed",
     "media_audio_stats",
+    "dedup_video_frames",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
