@@ -163,6 +163,20 @@ SHOWCASE = {
     "the as-of lookup is a plain equi-join on the dimension key with the "
     "validity containment as a post-join Filter — fan-out bounded by "
     "versions per key.",
+    "media_decode_stats": "REAL decode as a scan-local map: parquet scan "
+    "-> Project (payload synthesis expressions) -> ONE "
+    "MapInPandas/ArrowEvalPython stage -> output. Zero exchanges: the "
+    "decoder is embarrassingly parallel over the blob scan, exactly the "
+    "100 TB shape (partition count = scan splits, memory bounded by the "
+    "Arrow batch).",
+    "dedup_video_frames": "Frame-voting video near-dup: the frame explode "
+    "and fingerprint are scan-local codegen; candidates come from the "
+    "banded frame equi-join of the materialized fingerprint table; the "
+    "only other exchange is the final (video_a, video_b) vote aggregate "
+    "with map-side partials — no all-pairs path at any level.",
+    "media_audio_stats": "REAL audio decode, same scan-local MapInPandas "
+    "shape as media_decode_stats — RIFF chunk walking happens inside the "
+    "Arrow batch loop; no exchange anywhere in the plan.",
 }
 
 
