@@ -1971,3 +1971,73 @@ def test_decode_audio_stats(spark):
     assert (ok["sum_amp"], ok["min_amp"], ok["max_amp"]) == (20, -20, 30)
     assert ok["sum_sq"] == 100 + 400 + 900
     assert not got[2]["decode_ok"]
+
+
+# --- decoder property fuzz (round 11): random dimensions/payloads vs an
+# --- independent per-test reference; no Spark in the loop, so these are
+# --- cheap enough to run many examples.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_DECODE_FUZZ = settings(max_examples=60, deadline=None)
+
+_DIM = st.integers(1, 8)
+_PIX = st.integers(0, 255)
+
+
+@_DECODE_FUZZ
+@given(w=_DIM, h=_DIM, flat=st.data(), topdown=st.booleans(),
+       tail=st.integers(0, 5))
+def test_bmp_decode_property(w, h, flat, topdown, tail):
+    px = flat.draw(st.lists(
+        st.tuples(_PIX, _PIX, _PIX), min_size=w * h, max_size=w * h))
+    payload = _make_bmp(w, -h if topdown else h, px, extra_tail=b"x" * tail)
+    got = multimodal._decode_bmp24(payload)
+    assert got == (w, h, w * h,
+                   sum(p[0] for p in px), sum(p[1] for p in px),
+                   sum(p[2] for p in px))
+    # truncating into the pixel array must reject, never mis-sum
+    # (the slice endpoint is absolute, so it cuts pixels even when a
+    # tail was appended)
+    assert multimodal._decode_bmp24(
+        payload[:54 + (w * 3 + 3) // 4 * 4 * h - 1]) is None
+
+
+@_DECODE_FUZZ
+@given(w=_DIM, h=_DIM, tw=_DIM, th=_DIM, flat=st.data())
+def test_bmp_resize_property(w, h, tw, th, flat):
+    px = flat.draw(st.lists(
+        st.tuples(_PIX, _PIX, _PIX), min_size=w * h, max_size=w * h))
+    out = multimodal._resize_bmp24(_make_bmp(w, h, px), tw, th)
+    want = [px[(r * h // th) * w + (c * w // tw)]
+            for r in range(th) for c in range(tw)]
+    assert multimodal._decode_bmp24(out) == (
+        tw, th, tw * th,
+        sum(p[0] for p in want), sum(p[1] for p in want),
+        sum(p[2] for p in want))
+
+
+@_DECODE_FUZZ
+@given(w=_DIM, h=_DIM, flat=st.data())
+def test_ppm_bmp_agree_property(w, h, flat):
+    """The SAME logical pixels through both real paths: PPM stores RGB,
+    BMP stores BGR — decoders must agree after the swap."""
+    px = flat.draw(st.lists(
+        st.tuples(_PIX, _PIX, _PIX), min_size=w * h, max_size=w * h))
+    bmp = multimodal._decode_bmp24(_make_bmp(w, h, px))
+    rgb = [(p[2], p[1], p[0]) for p in px]  # same pixels, RGB tuples
+    ppm = multimodal._decode_ppm6(_make_ppm(w, h, rgb))
+    assert bmp == ppm
+
+
+@_DECODE_FUZZ
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=1,
+                        max_size=40),
+       channels=st.integers(1, 2), rate=st.sampled_from([8000, 44100]),
+       extra=st.booleans())
+def test_wav_decode_property(samples, channels, rate, extra):
+    got = multimodal._decode_wav16(
+        _make_wav(samples, channels=channels, rate=rate, extra_chunk=extra))
+    assert got == (channels, rate, len(samples), sum(samples),
+                   min(samples), max(samples),
+                   sum(s * s for s in samples))
