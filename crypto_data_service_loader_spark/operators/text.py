@@ -748,17 +748,28 @@ def ngram_lm_score(
         .agg(F.count(F.lit(1)).alias("c_pre"))
     )
     big = grams.groupBy("bg_h").agg(F.count(F.lit(1)).alias("c_bg"))
+
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): the two ratios here
+    # (c/k and decimal-sum/n) can land EXACTLY on the 7th-decimal half,
+    # where Spark's BigDecimal-exact round and DuckDB's multiply-based
+    # round split by 1 ulp (the round-11 fuzzer caught a live case:
+    # mean 0.4261905 -> 0.426190 vs 0.426191). The floor form is the
+    # same IEEE op sequence on both engines, so it cannot diverge
+    # (floor(x+0.5) precedent: vector_quantize_int8).
+    def _r6(c):
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
     scored = (
         grams.join(big, "bg_h")
         .join(uni, "pre_h")
         .select(
             F.col(id_col),
-            F.round(F.col("c_bg").cast("double") / F.col("c_pre"), 6).alias("p"),
+            _r6(F.col("c_bg").cast("double") / F.col("c_pre")).alias("p"),
         )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(davg("p"), 6).alias("lm_score"),
+            _r6(davg("p")).alias("lm_score"),
         )
     )
     return (
@@ -854,4 +865,65 @@ def hybrid_rrf(
     )
     return fused.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= int(k)
+    )
+
+
+#: query params dropped by canonical_url — the public tracking-param
+#: blocklist (UTM family + click ids), the standard web-corpus dedup prep
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "ref=")
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for web-corpus dedup (the public recipe every
+    CommonCrawl-style pipeline applies before URL-level dedup): strip the
+    fragment, lowercase scheme+host (path case is preserved — it is
+    significant), drop tracking query params (TRACKING_PARAM_PREFIXES),
+    and sort the surviving params so param order can't split a dup group.
+
+    Built entirely from split/array/lambda expressions — NO regex — so a
+    SQL oracle mirrors it token-for-token (string_split / list_filter /
+    list_sort behave identically for ASCII input; Spark's array_sort and
+    DuckDB's list_sort both compare binary). Assumes at most one '?'
+    (true after fragment stripping for well-formed URLs).
+
+    Scale: pure scan-local codegen — canonicalization at 100 TB is a map
+    over the scan, and the dedup that follows shuffles only the
+    canonical key."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.split(c, "#", 2)[0]
+    qparts = F.split(no_frag, "\\?", 2)
+    base = qparts[0]
+    # scheme://host[/path...] — lowercase scheme+host (parts 1 and 3 of
+    # the '/'-split; part 2 is the empty string between the slashes)
+    parts = F.split(base, "/")
+    host = F.lower(F.concat(parts[0], F.lit("//"), parts[2]))
+    path = F.when(
+        F.size(parts) > 3,
+        F.concat(F.lit("/"), F.array_join(F.slice(parts, 4, 100000), "/")),
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(F.get(qparts, 1), "&"),  # F.get: NULL (not ANSI error) when no query
+        lambda p: ~(
+            p.startswith("utm_") | p.startswith("fbclid")
+            | p.startswith("gclid") | p.startswith("ref=")
+        ),
+    )
+    query = F.when(
+        (F.size(qparts) > 1) & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(host, path, query)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup groups: canonicalize, group, keep-lowest-id policy.
+    Returns (canonical_url, n_urls, canonical_id). One shuffle on the
+    canonical key with map-side partials."""
+    return (
+        df.select(canonical_url(url_col).alias("canonical_url"), id_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min(id_col).alias("canonical_id"),
+        )
     )

@@ -41,6 +41,7 @@ QUERIES = {
     "media_decode_mixed": q_media_decode_mixed,
     "media_audio_stats": q_media_audio_stats,
     "dedup_video_frames": q_dedup_video_frames,
+    "url_canonical_dedup": q_url_canonical_dedup,
     # --- new in round 9 (front-50 driver window) ---
     "media_fingerprint": q_media_fingerprint,
     "dedup_media_near": q_dedup_media_near,
@@ -294,6 +295,7 @@ _R11_FRONT = [
     # lands each key — the assertions below keep this honest)
     "media_decode_stats", "media_resize_stats", "media_decode_mixed",
     "media_audio_stats", "dedup_video_frames",
+    "url_canonical_dedup", "ngram_lm_score",
     "twap_bars", "ohlc_bars", "vwap_bars", "dedup_media_near",
     "semantic_dedup", "knn_graph_lsh",
     # round-6 cohort (last driver-verified in round 6)
@@ -312,7 +314,7 @@ _R11_FRONT = [
     "agg_approx_distinct", "agg_approx_quantile",
     # round-7 cohort fill (alphabetical head; the tail leads round 12)
     "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
-    "bm25_topk_indexed", "bpe_segment_pinned", "category_drift",
+    "bm25_topk_indexed",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -1063,11 +1065,13 @@ ORACLES["ngram_lm_score"] = """
         FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY 1),
     bgc AS (SELECT bg_h, count(*) AS c_bg FROM grams GROUP BY 1),
     p AS (SELECT doc_id,
-                 round(CAST(c_bg AS DOUBLE) / c_pre, 6) AS p
+                 floor(CAST(c_bg AS DOUBLE) / c_pre * 1000000.0 + 0.5)
+                     / 1000000.0 AS p
           FROM grams JOIN bgc USING (bg_h) JOIN uni USING (pre_h)),
     sc AS (SELECT doc_id, count(*) AS n_bigrams,
-                  round(CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE)
-                        / count(*), 6) AS lm_score
+                  floor(CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE)
+                        / count(*) * 1000000.0 + 0.5) / 1000000.0
+                      AS lm_score
            FROM p GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
@@ -2087,6 +2091,50 @@ ORACLES["dedup_video_frames"] = f"""
         FROM p WHERE ia // 8 != ib // 8)
     SELECT video_a, video_b, CAST(count(*) AS BIGINT) AS n_shared
     FROM v GROUP BY video_a, video_b HAVING count(*) >= 3"""
+
+# Round 11: URL canonicalization mirror — the same split/filter/sort
+# pipeline in DuckDB list functions (no regex on either side).
+ORACLES["url_canonical_dedup"] = """
+    WITH d AS (
+        SELECT doc_id, source, substr(md5(text), 1, 8) AS p8,
+               CAST(doc_id % 7 AS VARCHAR) AS n
+        FROM documents WHERE doc_id < 300),
+    u AS (
+        SELECT doc_id, 'https://WWW.Example-' || source || '.com/Doc/'
+               || p8 || '?id=' || n || '&z=9&utm_source=feed' AS url
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'https://www.example-' || source || '.com/Doc/'
+               || p8 || '?z=9&utm_campaign=x&id=' || n FROM d
+        UNION ALL
+        SELECT doc_id, 'https://www.example-' || source || '.com/Doc/'
+               || p8 || '?ref=tw&z=9&id=' || n || '#sec' FROM d),
+    c AS (
+        SELECT doc_id,
+               string_split(string_split(url, '#')[1], '?') AS qparts
+        FROM u),
+    e AS (
+        SELECT doc_id, string_split(qparts[1], '/') AS parts,
+               list_filter(
+                   string_split(qparts[2], '&'),
+                   p -> NOT (starts_with(p, 'utm_')
+                             OR starts_with(p, 'fbclid')
+                             OR starts_with(p, 'gclid')
+                             OR starts_with(p, 'ref='))) AS kept,
+               len(qparts) AS nq
+        FROM c),
+    canon AS (
+        SELECT doc_id,
+               lower(parts[1] || '//' || parts[3])
+               || CASE WHEN len(parts) > 3
+                  THEN '/' || array_to_string(parts[4:], '/') ELSE '' END
+               || CASE WHEN nq > 1 AND len(kept) > 0
+                  THEN '?' || array_to_string(list_sort(kept), '&')
+                  ELSE '' END AS canonical_url
+        FROM e)
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM canon GROUP BY canonical_url"""
 
 ORACLES["media_format_audit"] = """
     WITH m AS (

@@ -1734,3 +1734,41 @@ def q_dedup_media_clusters(spark, sf_dir):
     return dedup.connected_components(
         pairs, media.select("media_id"), node_col="media_id"
     )
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-level web-corpus dedup (round 11): every document gets THREE
+    synthetic crawl URLs of the same logical page — different host case,
+    tracking params (utm_*/ref=), param ORDER, and a fragment —
+    text.canonical_url collapses all three to one canonical key (strip
+    fragment, lowercase scheme+host only, drop tracking params, sort
+    survivors) and url_dedup groups with the keep-lowest-id policy.
+    Every group must come back n_urls=3 with the doc's own id, and no
+    two documents may collapse together (path carries md5(text)) — both
+    properties value-checked by the oracle, which mirrors the
+    split/filter/sort pipeline token-for-token in DuckDB list functions."""
+    from ..operators.text import url_dedup
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    base = docs.select(
+        "doc_id", "source", "text",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    )
+    n = (F.col("doc_id") % 7).cast("string")
+    p8 = F.substring(F.md5("text"), 1, 8)
+    host = F.when(
+        F.col("k") == 0, F.lit("https://WWW.Example-")
+    ).otherwise(F.lit("https://www.example-"))
+    deco = (
+        F.when(F.col("k") == 0,
+               F.concat(F.lit("?id="), n, F.lit("&z=9&utm_source=feed")))
+        .when(F.col("k") == 1,
+              F.concat(F.lit("?z=9&utm_campaign=x&id="), n))
+        .otherwise(F.concat(F.lit("?ref=tw&z=9&id="), n, F.lit("#sec")))
+    )
+    urls = base.select(
+        "doc_id",
+        F.concat(host, F.col("source"), F.lit(".com/Doc/"), p8, deco)
+            .alias("url"),
+    )
+    return url_dedup(urls)

@@ -40,6 +40,7 @@ FUZZ_KEYS = [
     "media_decode_mixed",
     "media_audio_stats",
     "dedup_video_frames",
+    "url_canonical_dedup",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE

@@ -2041,3 +2041,24 @@ def test_wav_decode_property(samples, channels, rate, extra):
     assert got == (channels, rate, len(samples), sum(samples),
                    min(samples), max(samples),
                    sum(s * s for s in samples))
+
+
+def test_canonical_url_edges(spark):
+    from crypto_data_service_loader_spark.operators.text import canonical_url
+
+    cases = [
+        # (input, expected)
+        ("https://WWW.Ex.com/Doc/A?b=2&a=1#frag", "https://www.ex.com/Doc/A?a=1&b=2"),
+        ("https://Ex.com/p?utm_source=x&gclid=1&ref=t", "https://ex.com/p"),
+        ("https://Ex.com/p", "https://ex.com/p"),            # no query
+        ("https://Ex.com", "https://ex.com"),                # no path
+        ("HTTPS://Ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
+        ("https://ex.com/p#only-frag", "https://ex.com/p"),
+        ("https://ex.com/a/b/c?z=1", "https://ex.com/a/b/c?z=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
