@@ -281,54 +281,57 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# Round-11 rotation (_R11_FRONT, exactly 50 keys — the driver windows
-# the FIRST 50 dict keys). Per VERDICT r10 item #2 this window is the
-# round-6 cohort (all 32 keys last driver-verified in r6, computed by
-# unioning CORRECTNESS_r01..r10), plus the two rows-only approx keys
-# (agg_approx_distinct / agg_approx_quantile — their weaker rows-only
-# rows get back on the driver record), filled to 50 with the
-# alphabetical head of the round-7 cohort. New / source-changed round-11
-# keys are spliced in at the top as they land, displacing tail fill.
-# After this window no key is >4 rounds stale.
-_R11_FRONT = [
-    # new / source-changed in round 11 (spliced in the same commit that
+# Round-12 rotation (_R12_FRONT, exactly 50 keys — the driver windows
+# the FIRST 50 dict keys). Per VERDICT r11 item #1 this window leads
+# with the TWELVE round-7 fill keys displaced from the r11 window by
+# spliced new/changed keys (the stalest greens, 5 rounds), then the
+# remainder of the round-7 cohort (last driver-verified in r7), then
+# the two rows-only-by-design keys that have NEVER had a driver row
+# (kll_quantile / bpe_tokenize — the r11 precedent put the approx pair
+# on the record; these two complete the set), filled to 50 with the
+# alphabetical head of the round-8 cohort. New / source-changed
+# round-12 keys are spliced in at the top as they land, displacing
+# tail fill. After this window no key is >5 rounds stale.
+_R12_FRONT = [
+    # new / source-changed in round 12 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
-    "media_decode_stats", "media_resize_stats", "media_decode_mixed",
-    "media_audio_stats", "dedup_video_frames",
-    "url_canonical_dedup", "ngram_lm_score",
-    "twap_bars", "ohlc_bars", "vwap_bars", "dedup_media_near",
-    "semantic_dedup", "knn_graph_lsh",
-    # round-6 cohort (last driver-verified in round 6)
-    "dedup_ngram_spans", "dedup_ngram_spans_sampled", "distinct_pairs",
-    "events_mad_outliers", "gap_fill_bars", "join_salted_skew",
-    "key_skew_report", "knn_triangles", "multimodal_features",
-    "numeric_histogram", "pack_sequences",
-    "profile_columns", "quality_percentile_gate", "sample_reservoir",
-    "sample_stratified", "scalar_array_funcs", "scalar_conditional",
-    "scalar_json", "scalar_math", "scd2_history", "setop_except_all",
-    "stateful_running_total", "stream_sliding_window",
-    "subquery_exists", "subquery_in", "subquery_scalar",
-    "train_val_split", "training_set_pipeline", "udtf_charge_legs",
-    "unpivot_metrics", "zorder_key",
-    # rows-only approx keys — no driver row since round 2
-    "agg_approx_distinct", "agg_approx_quantile",
-    # round-7 cohort fill (alphabetical head; the tail leads round 12)
-    "agg_max_date", "agg_min_max_filtered", "ann_recall_at_k",
-    "bm25_topk_indexed",
+    # displaced r7-cohort fill (dropped from the r11 window; stalest)
+    "bpe_segment_pinned", "category_drift", "dedup_anti_join",
+    "dedup_pair_recall", "equi_depth_histogram", "events_acf",
+    "events_control_chart", "events_ols_trend", "events_seasonal",
+    "events_winsorized", "file_registry_scan", "filter_date_eq",
+    # remainder of the round-7 cohort (last driver-verified in round 7)
+    "filter_status_in", "flagship_pricing_summary",
+    "gap_fill_interpolate", "groupby_collect_set", "histogram_drift",
+    "hll_distinct", "hybrid_rrf", "hybrid_search",
+    "hybrid_search_indexed", "knn_triangles_indexed",
+    "mixture_rebalance", "mixture_temperature", "pagerank_knn_indexed",
+    "point_lookup", "registry_fs_inner_join", "retention_guard",
+    "rolling_corr", "scd2_apply", "sim_topk_ivf_indexed",
+    "sim_topk_lsh_indexed", "sim_topk_lsh_multiprobe",
+    "sort_by_filename", "split_by_content", "split_leakage_check",
+    "status_transition_case", "status_update_merge",
+    "vector_quantize_int8",
+    # rows-only-by-design keys with no driver row in any round
+    "kll_quantile", "bpe_tokenize",
+    # round-8 cohort fill (alphabetical head; the tail leads round 13)
+    "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
+    "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
+    "bloom_prejoin_filter", "cleanup_candidates",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
-_missing = [k for k in _R11_FRONT if k not in QUERIES]
-assert not _missing, f"_R11_FRONT keys not registered: {_missing}"
-assert len(_R11_FRONT) == 50, f"_R11_FRONT has {len(_R11_FRONT)} keys"
-assert len(set(_R11_FRONT)) == 50, "_R11_FRONT has duplicates"
-_R9_FRONT = _R11_FRONT
-_R8_FRONT = _R11_FRONT  # tools/split_suite.py keys off the old name
+_missing = [k for k in _R12_FRONT if k not in QUERIES]
+assert not _missing, f"_R12_FRONT keys not registered: {_missing}"
+assert len(_R12_FRONT) == 50, f"_R12_FRONT has {len(_R12_FRONT)} keys"
+assert len(set(_R12_FRONT)) == 50, "_R12_FRONT has duplicates"
+_R9_FRONT = _R12_FRONT
+_R8_FRONT = _R12_FRONT  # tools/split_suite.py keys off the old name
 QUERIES = {
-    **{k: QUERIES[k] for k in _R11_FRONT},
+    **{k: QUERIES[k] for k in _R12_FRONT},
     **{k: v for k, v in QUERIES.items()
-       if k not in set(_R11_FRONT)},
+       if k not in set(_R12_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
