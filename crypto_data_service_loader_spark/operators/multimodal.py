@@ -164,8 +164,8 @@ def _decode_wav16(payload: bytes | None):
             return None
         if cid == b"fmt " and size >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
+        elif cid == b"data" and data is None:
+            data = body  # FIRST data chunk only, like standard readers
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         return None

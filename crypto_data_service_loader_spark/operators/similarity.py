@@ -578,8 +578,11 @@ def knn_graph(
 
 
 #: memoized dial-resolution counts, keyed by (session, analyzed-plan
-#: semanticHash) — see corpus_count
-_CORPUS_COUNT_MEMO: dict[tuple[int, int], int] = {}
+#: semanticHash) — see corpus_count. The session component is the
+#: Spark application id, a stable identifier: id(sparkSession) can be
+#: recycled by CPython GC, letting a new session read a dead session's
+#: stale count (ADVICE r11).
+_CORPUS_COUNT_MEMO: dict[tuple[str, int], int] = {}
 
 
 def corpus_count(df: DataFrame, hint: int | None = None) -> int:
@@ -597,7 +600,7 @@ def corpus_count(df: DataFrame, hint: int | None = None) -> int:
     if hint is not None:
         return hint
     key = (
-        id(df.sparkSession),
+        df.sparkSession.sparkContext.applicationId,
         df._jdf.queryExecution().analyzed().semanticHash(),
     )
     n = _CORPUS_COUNT_MEMO.get(key)

@@ -869,8 +869,31 @@ def hybrid_rrf(
 
 
 #: query params dropped by canonical_url — the public tracking-param
-#: blocklist (UTM family + click ids), the standard web-corpus dedup prep
+#: blocklist (UTM family + click ids), the standard web-corpus dedup prep.
+#: canonical_url builds its filter predicate from this tuple, and
+#: tracking_filter_sql() emits the DuckDB mirror from the SAME constant,
+#: so editing the blocklist changes both engines together (ADVICE r11).
 TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "ref=")
+
+
+def _is_tracking_param(p: Column) -> Column:
+    """True when query param `p` starts with any TRACKING_PARAM_PREFIXES
+    entry — the predicate is folded from the constant so the blocklist
+    has exactly one source of truth."""
+    cond = F.lit(False)
+    for prefix in TRACKING_PARAM_PREFIXES:
+        cond = cond | p.startswith(prefix)
+    return cond
+
+
+def tracking_filter_sql(var: str = "p") -> str:
+    """DuckDB list_filter lambda body mirroring _is_tracking_param —
+    generated from TRACKING_PARAM_PREFIXES so the SQL oracle can never
+    drift from the Spark predicate."""
+    clauses = " OR ".join(
+        f"starts_with({var}, '{prefix}')" for prefix in TRACKING_PARAM_PREFIXES
+    )
+    return f"NOT ({clauses})"
 
 
 def canonical_url(col: Column | str) -> Column:
@@ -883,8 +906,11 @@ def canonical_url(col: Column | str) -> Column:
     Built entirely from split/array/lambda expressions — NO regex — so a
     SQL oracle mirrors it token-for-token (string_split / list_filter /
     list_sort behave identically for ASCII input; Spark's array_sort and
-    DuckDB's list_sort both compare binary). Assumes at most one '?'
-    (true after fragment stripping for well-formed URLs).
+    DuckDB's list_sort both compare binary). The '?' split uses limit 2:
+    everything after the FIRST '?' is the query string, so a second '?'
+    stays inside its param token — the SQL mirror must rejoin
+    string_split parts 2..end with '?' (array_to_string(qparts[2:],'?'))
+    to match (ADVICE r11; multi-'?' case covered by the URL fuzzer).
 
     Scale: pure scan-local codegen — canonicalization at 100 TB is a map
     over the scan, and the dedup that follows shuffles only the
@@ -903,10 +929,7 @@ def canonical_url(col: Column | str) -> Column:
     ).otherwise(F.lit(""))
     kept = F.filter(
         F.split(F.get(qparts, 1), "&"),  # F.get: NULL (not ANSI error) when no query
-        lambda p: ~(
-            p.startswith("utm_") | p.startswith("fbclid")
-            | p.startswith("gclid") | p.startswith("ref=")
-        ),
+        lambda p: ~_is_tracking_param(p),
     )
     query = F.when(
         (F.size(qparts) > 1) & (F.size(kept) > 0),

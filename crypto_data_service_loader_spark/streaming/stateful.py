@@ -1228,8 +1228,8 @@ def _islands_updater(
     def _emit(island):
         out.append((
             key[0],
-            pd.to_datetime(island[0], unit="us"),
-            pd.to_datetime(island[1], unit="us"),
+            pd.to_datetime(island[0], unit="us", utc=True),
+            pd.to_datetime(island[1], unit="us", utc=True),
             island[2],
         ))
 
@@ -1377,7 +1377,7 @@ def _twap_updater(
         else:
             twap = None
         out.append((
-            key[0], pd.to_datetime(key[1], unit="us"), twap, den, n,
+            key[0], pd.to_datetime(key[1], unit="us", utc=True), twap, den, n,
         ))
         state.update((last_us, last_val, n, closed_dt, str(num), end_us))
     yield pd.DataFrame(
@@ -1482,7 +1482,7 @@ def _ohlc_updater(
     out = []
     if n:
         out.append((
-            key[0], pd.to_datetime(key[1], unit="us"),
+            key[0], pd.to_datetime(key[1], unit="us", utc=True),
             o_val, high, low, c_val, float(vol), n,
         ))
         state.update((o_us, o_id, o_val, c_us, c_id, c_val,
@@ -1574,7 +1574,7 @@ def _vwap_updater(
             )
         else:
             vwap = None
-        out.append((key[0], pd.to_datetime(key[1], unit="us"),
+        out.append((key[0], pd.to_datetime(key[1], unit="us", utc=True),
                     vwap, float(den), n))
         state.update((str(num), str(den), n))
     yield pd.DataFrame(

@@ -31,6 +31,7 @@ from .suites.shared import (  # noqa: F401 — re-exported for tests/tools
     _query_vector,
 )
 from .suites.tpch import _TPCH_ORACLES
+from .operators import text as _text_ops
 
 
 
@@ -2117,13 +2118,12 @@ ORACLES["url_canonical_dedup"] = """
                string_split(string_split(url, '#')[1], '?') AS qparts
         FROM u),
     e AS (
+        -- Spark splits on '?' with limit 2: params 2..end rejoin with
+        -- '?' so a second '?' stays inside its param token (ADVICE r11)
         SELECT doc_id, string_split(qparts[1], '/') AS parts,
                list_filter(
-                   string_split(qparts[2], '&'),
-                   p -> NOT (starts_with(p, 'utm_')
-                             OR starts_with(p, 'fbclid')
-                             OR starts_with(p, 'gclid')
-                             OR starts_with(p, 'ref='))) AS kept,
+                   string_split(array_to_string(qparts[2:], '?'), '&'),
+                   p -> __TRACKING_FILTER__) AS kept,
                len(qparts) AS nq
         FROM c),
     canon AS (
@@ -2137,7 +2137,9 @@ ORACLES["url_canonical_dedup"] = """
         FROM e)
     SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
-    FROM canon GROUP BY canonical_url"""
+    FROM canon GROUP BY canonical_url""".replace(
+    "__TRACKING_FILTER__", _text_ops.tracking_filter_sql("p")
+)
 
 ORACLES["media_format_audit"] = """
     WITH m AS (

@@ -1956,6 +1956,16 @@ def test_wav16_decode_real_and_corrupt():
     bad = bytearray(_make_wav(samples))
     bad[20] = 3  # IEEE-float format, not PCM
     assert multimodal._decode_wav16(bytes(bad)) is None
+    # multi-'data' file: standard readers take the FIRST data chunk
+    # (ADVICE r11) — a second one appended after the valid WAV is ignored
+    import struct as _st
+    extra = [7, 7]
+    tail = b"data" + _st.pack("<I", 4) + b"".join(
+        _st.pack("<h", s) for s in extra)
+    two = bytearray(_make_wav(samples))
+    two += tail
+    _st.pack_into("<I", two, 4, len(two) - 8)
+    assert multimodal._decode_wav16(bytes(two)) == want
 
 
 def test_decode_audio_stats(spark):
@@ -2055,6 +2065,9 @@ def test_canonical_url_edges(spark):
         ("HTTPS://Ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
         ("https://ex.com/p#only-frag", "https://ex.com/p"),
         ("https://ex.com/a/b/c?z=1", "https://ex.com/a/b/c?z=1"),
+        # multi-'?': limit-2 split keeps the second '?' inside its param
+        ("https://ex.com/p?a=x?y&b=1", "https://ex.com/p?a=x?y&b=1"),
+        ("https://ex.com/p?utm_a=x?y&b=1", "https://ex.com/p?b=1"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
@@ -2062,3 +2075,51 @@ def test_canonical_url_edges(spark):
            df.select("i", canonical_url("url").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_url_multi_question_matches_oracle(spark):
+    """ADVICE r11: the '?' split uses limit 2 in Spark; the DuckDB
+    mirror must rejoin string_split parts 2..end with '?'. Differential
+    check over URLs with zero, one, and two '?' plus tracking params —
+    and the SQL filter is GENERATED from TRACKING_PARAM_PREFIXES, so the
+    blocklist can't drift between engines."""
+    import duckdb
+
+    from crypto_data_service_loader_spark.operators.text import (
+        canonical_url, tracking_filter_sql)
+
+    urls = [
+        "https://Ex.com/p?a=x?y&b=1",
+        "https://Ex.com/p?utm_s=x?y&b=1&gclid=2?3",
+        "https://EX.com/A/B?z=9?9&a=1#f?g",
+        "https://ex.com/plain",
+        "https://ex.com/q?only=1",
+        "https://ex.com/q?ref=tw",
+        "https://ex.com/q?fbclid=a?b",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    con = duckdb.connect()
+    sql = f"""
+        WITH c AS (
+            SELECT string_split(string_split(url, '#')[1], '?') AS qparts
+            FROM u),
+        e AS (
+            SELECT string_split(qparts[1], '/') AS parts,
+                   list_filter(
+                       string_split(array_to_string(qparts[2:], '?'), '&'),
+                       p -> {tracking_filter_sql('p')}) AS kept,
+                   len(qparts) AS nq
+            FROM c)
+        SELECT lower(parts[1] || '//' || parts[3])
+               || CASE WHEN len(parts) > 3
+                  THEN '/' || array_to_string(parts[4:], '/') ELSE '' END
+               || CASE WHEN nq > 1 AND len(kept) > 0
+                  THEN '?' || array_to_string(list_sort(kept), '&')
+                  ELSE '' END AS c
+        FROM e"""
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == want
