@@ -36,6 +36,8 @@ from .operators import text as _text_ops
 
 
 QUERIES = {
+    # --- new in round 12 ---
+    "media_decode_png": q_media_decode_png,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
     "media_resize_stats": q_media_resize_stats,
@@ -296,6 +298,7 @@ QUERIES = {
 _R12_FRONT = [
     # new / source-changed in round 12 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
+    "media_decode_png",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -318,7 +321,7 @@ _R12_FRONT = [
     # round-8 cohort fill (alphabetical head; the tail leads round 13)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
     "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
-    "bloom_prejoin_filter", "cleanup_candidates",
+    "bloom_prejoin_filter",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2033,6 +2036,38 @@ ORACLES["media_decode_mixed"] = """
            CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
            CAST(16 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
            CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 16 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
+
+# Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain
+# bytes into a real PNG (all five filters) and INFLATES + un-filters it
+# back; compression round-trips losslessly, so the oracle mirrors only
+# the pixel arithmetic from the same hex chain. PNG stores RGB top-down:
+# byte i%3==0 is R (the reverse of BMP's BGR); 4x5 = 60 bytes.
+ORACLES["media_decode_png"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_b,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_r
+        FROM b GROUP BY media_id)
+    SELECT media_id, CAST('png' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""

@@ -41,6 +41,9 @@ FUZZ_KEYS = [
     "media_audio_stats",
     "dedup_video_frames",
     "url_canonical_dedup",
+    # round 12: the REAL PNG deflate->inflate->unfilter round trip (all
+    # five PNG filters in every payload) replays over every fuzzed corpus
+    "media_decode_png",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
