@@ -20,6 +20,7 @@ from .suites.llm import *  # noqa: F401,F403
 from .suites.analytics import *  # noqa: F401,F403
 from .suites.analytics import _bpe_pinned_sql
 from .suites.control_plane import _FLAGSHIP_SQL, _REGISTRY_ORACLES
+from .suites.llm import _BOILER as _LLM_BOILER
 from .suites.llm import _LLM_ORACLES, _grid_fp_sql
 from .suites.relational_ext import _RELATIONAL_ORACLES
 from .suites.shared import (  # noqa: F401 — re-exported for tests/tools
@@ -38,6 +39,7 @@ from .operators import text as _text_ops
 QUERIES = {
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
+    "dedup_exact_substrings": q_dedup_exact_substrings,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
     "media_resize_stats": q_media_resize_stats,
@@ -298,7 +300,7 @@ QUERIES = {
 _R12_FRONT = [
     # new / source-changed in round 12 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
-    "media_decode_png",
+    "media_decode_png", "dedup_exact_substrings",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -321,7 +323,6 @@ _R12_FRONT = [
     # round-8 cohort fill (alphabetical head; the tail leads round 13)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
     "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
-    "bloom_prejoin_filter",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2039,6 +2040,42 @@ ORACLES["media_decode_mixed"] = """
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""
+
+# Round 12: character-exact substring dedup (ExactSubstr). The oracle
+# mirrors the windowed-exact formulation token-for-token: stride-1
+# 50-char windows, md5 corpus-frequency > 1, islands merge via
+# i - row_number. The boilerplate literals are generated from the SAME
+# Python constant as the Spark key (suites/llm._BOILER).
+ORACLES["dedup_exact_substrings"] = """
+    WITH d AS (
+        SELECT doc_id,
+               substr(text, 1, 300) || ' ' ||
+               CASE WHEN doc_id % 3 = 0 THEN '__B0__'
+                    WHEN doc_id % 3 = 1 THEN '__B1__'
+                    ELSE '__B2__' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' ' ||
+                    CASE WHEN doc_id % 3 = 0 THEN '__B0__'
+                         WHEN doc_id % 3 = 1 THEN '__B1__'
+                         ELSE '__B2__' END
+                    ELSE '' END AS t
+        FROM documents WHERE doc_id < 200),
+    w AS (
+        SELECT doc_id, i.i AS i, md5(substr(t, CAST(i.i AS INTEGER), 50)) AS wh
+        FROM d, LATERAL unnest(generate_series(1, len(t) - 49)) AS i(i)
+        WHERE len(t) >= 50),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+    p AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM w WHERE wh IN (SELECT wh FROM dup))
+    SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+           CAST(max(i) - min(i) + 50 AS INTEGER) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM p GROUP BY doc_id, g"""
+for _i, _b in enumerate(_LLM_BOILER):
+    ORACLES["dedup_exact_substrings"] = ORACLES[
+        "dedup_exact_substrings"
+    ].replace(f"__B{_i}__", _b)
 
 # Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain
 # bytes into a real PNG (all five filters) and INFLATES + un-filters it

@@ -434,6 +434,47 @@ def q_dedup_ngram_spans_sampled(spark, sf_dir):
     )
 
 
+#: shared >=60-char boilerplate sentences for the ExactSubstr fixture —
+#: three families so spans dedup within a family but never across
+_BOILER = (
+    "common legal disclaimer all rights reserved unauthorized copying"
+    " of this document is strictly prohibited",
+    "subscribe to our newsletter for the latest updates and exclusive"
+    " offers delivered straight to your inbox",
+    "this page was generated automatically please do not reply"
+    " directly to this message thank you kindly",
+)
+
+
+def q_dedup_exact_substrings(spark, sf_dir):
+    """Character-EXACT substring dedup (round 12, Lee et al. 2022
+    ExactSubstr — upgrades dedup_ngram_spans' 13-gram approximation):
+    each document is truncated to 300 chars and decorated with one of
+    three >=60-char boilerplate sentences (family = doc_id % 3), and
+    every doc_id % 5 == 0 doc repeats its sentence — so cross-document
+    AND within-document duplicate spans both exist by construction.
+    exact_substring_spans enumerates every 50-char window at stride 1,
+    keeps corpus-frequency > 1 windows, and merges consecutive
+    duplicated positions into maximal spans. The oracle mirrors window
+    enumeration, md5 grouping, and the islands merge token-for-token;
+    coincidental natural duplicates in the synthetic text are found by
+    BOTH engines identically, so the construction doesn't have to
+    prevent them."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    boiler = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_BOILER[1]))
+        .otherwise(F.lit(_BOILER[2]))
+    )
+    t = F.concat(
+        F.substring(F.col("text"), 1, 300), F.lit(" "), boiler,
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" "), boiler))
+        .otherwise(F.lit("")),
+    )
+    payload = docs.select("doc_id", t.alias("text"))
+    return dedup.exact_substring_spans(payload, min_len=50)
+
+
 def q_dedup_boilerplate_lines(spark, sf_dir):
     """Line-level boilerplate removal (CCNet/RefinedWeb recipe): lines in
     more than 2 distinct documents are dropped everywhere and documents

@@ -838,6 +838,76 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
 
 
+def test_exact_substring_spans_planted(spark):
+    """ExactSubstr semantics on hand-computed spans: a 60-char sentence
+    shared by two docs (different surroundings) yields exactly the
+    maximal span covering the sentence — span_start at the sentence's
+    1-based offset, span_len 60, n_windows 60-50+1 = 11 — in BOTH docs;
+    a within-doc repeat is found with no cross-doc partner; a unique doc
+    and a doc shorter than min_len emit nothing."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    s = "S" + "hared sentence exactly sixty characters long padpadpad"  # noqa: E501
+    s = (s + "X" * 60)[:60]
+    assert len(s) == 60
+    pre_a, pre_b = "A" * 17, "B" * 23
+    rep = "R" * 11 + s + "M" * 7 + s + "Z" * 5  # within-doc repeat
+    # unique filler with NO repeated 50-window of its own: an all-repeat
+    # run like "n"*70 would self-duplicate (correct ExactSubstr
+    # semantics — every window of a homogeneous run is identical)
+    unique = "".join(chr(33 + i) for i in range(71))
+    base = [
+        (0, pre_a + s + "Q" * 9),
+        (1, pre_b + s + "W" * 3),
+        (2, rep),
+        (3, unique),                 # unique; no duplicated window
+        (4, "short"),                # < 50 chars
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    out = dedup.exact_substring_spans(docs, min_len=50).collect()
+    spans = {(r["doc_id"], r["span_start"]): (r["span_len"], r["n_windows"])
+             for r in out}
+    assert spans[(0, len(pre_a) + 1)] == (60, 11)
+    assert spans[(1, len(pre_b) + 1)] == (60, 11)
+    # doc 2 has two copies of s at offsets 12 and 12+60+7=79
+    assert spans[(2, 12)] == (60, 11)
+    assert spans[(2, 79)] == (60, 11)
+    assert len(spans) == 4
+    assert not any(r["doc_id"] in (3, 4) for r in out)
+
+
+def test_exact_substring_spans_merges_adjacent_runs(spark):
+    """Adjacent duplicated sentences merge into ONE maximal span: when
+    doc 0 contains s1+s2 and docs 1/2 contain s1/s2 separately, every
+    50-window inside s1, inside s2, AND crossing the junction of an
+    exact two-doc pair is duplicated only where a partner exists — the
+    junction windows exist only in doc 0, so spans stay separate; but
+    two docs both containing s1+s2 merge the whole region."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    s1 = ("first shared sentence padded to sixty characters "
+          + "a" * 60)[:60]
+    s2 = ("second shared sentence padded to sixty characters "
+          + "b" * 60)[:60]
+    sep = "".join(chr(123 - i) for i in range(55))  # non-repeating gap
+    base = [
+        (0, "C" * 5 + s1 + s2 + "D" * 5),
+        (1, "E" * 9 + s1 + s2 + "F" * 3),   # same concatenation
+        (2, "G" * 7 + s1 + sep + s2),       # separated copies
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    out = dedup.exact_substring_spans(docs, min_len=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_len"]))
+    # docs 0/1 share the full 120-char concatenation -> ONE merged span
+    assert by_doc[0] == [(6, 120)]
+    assert by_doc[1] == [(10, 120)]
+    # doc 2 shares s1 and s2 individually -> TWO 60-char spans
+    assert sorted(by_doc[2]) == [(8, 60), (8 + 60 + 55, 60)]
+
+
 def test_select_top_quality_percent_semantics(spark):
     """Exactly the best half of each group survives (percent_rank is a
     closed [0,1] rank: the <= frac cut keeps ceil-ish top share), the cut
