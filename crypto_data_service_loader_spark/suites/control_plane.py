@@ -75,6 +75,41 @@ def q_status_update_merge(spark, sf_dir):
     )
 
 
+def _events3_fixture(spark, sf_dir):
+    """Three-generation event log: base (seq 0), IN_PROGRESS->FINISHED
+    (seq 1), then odd-suffixed DISCOVERED->DOWNLOADING (seq 2) — a log
+    with updates BOTH before and after the mid-stream compaction point."""
+    reg = registry(spark, sf_dir)
+    two = _events_fixture(spark, sf_dir)
+    tail = (
+        reg.filter(
+            (F.col("status") == "DISCOVERED")
+            & F.substring("filename", -1, 1).isin("1", "3", "5", "7", "9")
+        )
+        .withColumn("status", F.lit("DOWNLOADING"))
+        .withColumn("seq", F.lit(2).cast("int"))
+    )
+    return two.unionByName(tail)
+
+
+def q_registry_compaction(spark, sf_dir):
+    """Compaction equivalence on the driver record (VERDICT r11 #8): the
+    registry's latest-wins state must be IDENTICAL whether computed from
+    the full append-only event log or from a mid-stream compacted
+    snapshot plus the events that arrived after it. The Spark side runs
+    the COMPACTION path — compact after seq 1 (current_state keeps each
+    file's winning event and its seq), union the seq-2 tail, compact
+    again. The oracle computes the state DIRECTLY from the full
+    three-generation log, so the driver's hash match IS the equivalence
+    proof. At 100x the event log is the unbounded thing
+    (streaming/service.py RegistryLog.compact bounds it on disk); this
+    key pins the algebra that makes that rewrite safe."""
+    events3 = _events3_fixture(spark, sf_dir)
+    compacted = R.current_state(events3.filter(F.col("seq") <= 1))
+    replay = compacted.unionByName(events3.filter(F.col("seq") == 2))
+    return R.current_state(replay).select("filename", "create_date", "status")
+
+
 def q_point_lookup(spark, sf_dir):
     return R.point_lookup(registry(spark, sf_dir), "file_42")
 
@@ -166,6 +201,26 @@ _REGISTRY_ORACLES = {
         SELECT filename, create_date, status FROM (
             SELECT filename, create_date, status,
                    ROW_NUMBER() OVER (PARTITION BY filename ORDER BY seq DESC) AS rn
+            FROM events) WHERE rn = 1""",
+    # the oracle deliberately takes the NON-compacted path: direct
+    # latest-wins over the full three-generation log — hash equality
+    # with the Spark side's compact-then-replay output proves
+    # compaction-equivalence (VERDICT r11 #8)
+    "registry_compaction": f"""{_REG},
+        events AS (
+            SELECT filename, create_date, status, 0 AS seq FROM registry
+            UNION ALL
+            SELECT filename, create_date, 'FINISHED' AS status, 1 AS seq
+            FROM registry WHERE status = 'IN_PROGRESS'
+            UNION ALL
+            SELECT filename, create_date, 'DOWNLOADING' AS status, 2 AS seq
+            FROM registry
+            WHERE status = 'DISCOVERED'
+              AND right(filename, 1) IN ('1','3','5','7','9'))
+        SELECT filename, create_date, status FROM (
+            SELECT filename, create_date, status,
+                   ROW_NUMBER() OVER (PARTITION BY filename
+                                      ORDER BY seq DESC) AS rn
             FROM events) WHERE rn = 1""",
     "point_lookup": f"""{_REG} SELECT filename, status FROM registry
         WHERE filename = 'file_42'""",
