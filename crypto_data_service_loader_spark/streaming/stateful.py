@@ -1625,3 +1625,104 @@ def start_vwap_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming point-in-time (as-of) join (round 12, VERDICT r11 #6) — the
+# temporal-join family's stream==batch twin; the domain's hot path (tick
+# enrichment: attach the latest quote at-or-before each tick). One keyed
+# stream carries BOTH sides (side 0 = build/quotes, side 1 = probe/ticks),
+# which is how a stream-stream as-of fits applyInPandasWithState's single
+# grouped stream. State is the last-seen build row per key — two scalars,
+# O(1) regardless of tick volume. Every probe emission equals
+# asof.asof_join (direction="backward") over the prefix seen so far,
+# under the same per-key time-ordered-across-batches contract as the
+# islands/TWAP twins (within a micro-batch any order: rows sort on
+# (ts, side, row_id), build side first at equal timestamps — exactly the
+# batch operator's at-or-before tie rule).
+# ---------------------------------------------------------------------------
+
+ASOF_STREAM_SCHEMA = (
+    "key string, ts timestamp, row_id long, value_asof double, "
+    "ts_asof timestamp"
+)
+
+
+def _asof_updater(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rt = rv = None
+    if state.exists:
+        rt, rv = state.get
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["us", "side", "row_id"], kind="mergesort")
+    out = []
+    for us, side, rid, val in zip(
+        rows["us"], rows["side"], rows["row_id"], rows["value"]
+    ):
+        us, side = int(us), int(side)
+        if side == 0:  # build side: advance the last-value state
+            rt, rv = us, float(val)
+        else:  # probe side: emit the carried build row (nulls if none yet)
+            out.append((
+                key[0],
+                pd.to_datetime(us, unit="us", utc=True),
+                int(rid),
+                rv,
+                pd.to_datetime(rt, unit="us", utc=True)
+                if rt is not None else pd.NaT,
+            ))
+    if rt is not None:
+        state.update((rt, rv))
+    yield pd.DataFrame(
+        out, columns=["key", "ts", "row_id", "value_asof", "ts_asof"]
+    )
+
+
+def start_asof_join_stream(
+    pair_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "asof_join",
+    key_col: str = "key",
+    side_col: str = "side",
+    ts_col: str = "ts",
+    id_col: str = "row_id",
+    value_col: str = "value",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming backward as-of join -> in-memory table `query_name`
+    (update mode; each probe row is emitted exactly once). Input is the
+    tagged union of both sides: side 0 rows carry the build stream's
+    (ts, value), side 1 rows are probes. Emissions equal
+    asof.asof_join(left, right, by=[key], value_cols=[value, ts]) on the
+    prefix seen so far — pinned by the twin test on mid-stream batch
+    splits and cross-batch state carry."""
+    if state_store is not None:
+        configure_state_store(pair_stream.sparkSession, state_store)
+    out = (
+        pair_stream.select(
+            F.col(key_col).alias("key"),
+            F.col(side_col).alias("side"),
+            F.col(id_col).alias("row_id"),
+            F.col(value_col).alias("value"),
+            F.unix_micros(ts_col).alias("us"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            _asof_updater,
+            outputStructType=ASOF_STREAM_SCHEMA,
+            stateStructType="rt long, rv double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

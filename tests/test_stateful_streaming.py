@@ -1118,3 +1118,70 @@ def test_streaming_vwap_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert got[("z", TS(2024, 1, 1, 10, 0))][0] is None  # NULL vwap
+
+
+def test_streaming_asof_join_matches_batch(spark, tmp_path):
+    """Temporal-join twin (round 12): the streaming backward as-of join's
+    emissions equal asof.asof_join over the prefix seen so far. Covers:
+    equal-timestamp tie (build row wins: at-or-before includes equality),
+    probe before any build row (nulls), CROSS-BATCH state carry (a batch-2
+    probe older than any batch-2 build row matches batch-1's last quote),
+    and a key with no build rows at all."""
+    import time
+
+    from crypto_data_service_loader_spark.operators.asof import asof_join
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_asof_join_stream,
+    )
+
+    schema = "key string, side int, row_id long, ts timestamp, value double"
+
+    def row(k, side, rid, mins, val):
+        return (k, side, rid, TS(2024, 1, 1, 10, mins), val)
+
+    b1 = [
+        row("a", 0, 100, 0, 1.0),    # quote a@10:00 = 1.0
+        row("a", 1, 1, 0, 0.0),      # tick at the SAME ts -> matches 1.0
+        row("a", 1, 2, 5, 0.0),      # tick 10:05 -> 1.0
+        row("b", 1, 3, 2, 0.0),      # key b has no quotes ever -> nulls
+    ]
+    b2 = [
+        row("a", 1, 4, 8, 0.0),      # probe BEFORE any b2 quote -> b1 state 1.0
+        row("a", 0, 101, 10, 2.0),   # quote a@10:10 = 2.0
+        row("a", 1, 5, 12, 0.0),     # -> 2.0
+        row("a", 0, 102, 20, 3.0),
+        row("a", 1, 6, 25, 0.0),     # -> 3.0
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_asof_join_stream(stream, str(tmp_path / "ckpt"),
+                               query_name="asof_t")
+    q.awaitTermination(120)
+
+    got = {
+        r["row_id"]: (r["key"], r["ts"], r["value_asof"], r["ts_asof"])
+        for r in spark.sql("SELECT * FROM asof_t").collect()
+    }
+    both = spark.createDataFrame(b1 + b2, schema)
+    left = both.filter("side = 1").select("key", "row_id", "ts")
+    right = both.filter("side = 0").select(
+        "key", F.col("ts").alias("qts"), "value")
+    batch = asof_join(
+        left, right, by=["key"], left_time="ts", right_time="qts",
+        value_cols=["value", "qts"],
+    )
+    want = {
+        r["row_id"]: (r["key"], r["ts"], r["value_asof"], r["qts_asof"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 6  # one emission per probe row, exactly once
+    assert got[3][2] is None and got[3][3] is None  # key b: no quotes
+    assert got[1][2] == 1.0                         # equal-ts tie -> matched
+    assert got[4][2] == 1.0                         # cross-batch state carry
