@@ -1852,6 +1852,18 @@ def test_corpus_count_shared_across_dials(spark, monkeypatch):
     assert calls["n"] == 2
     multimodal.media_near_dup_pairs(media)  # same corpus again: memo hit
     assert calls["n"] == 2
+    # VERDICT r11 #5 — the COMPOSED production pipelines: an auto-dialed
+    # kNN graph plus a second semantic-dedup pass over the same corpus
+    # must ride the same memo entry: zero additional count jobs (the r11
+    # memoization REMOVED the per-operator count, it didn't move it)
+    similarity.knn_graph(emb, k=2)          # auto n_planes, same corpus
+    similarity.semantic_dedup(emb)          # auto k_centroids, same corpus
+    assert calls["n"] == 2
+    # and a hinted composed run never counts at all
+    similarity._CORPUS_COUNT_MEMO.clear()
+    similarity.knn_graph(emb, k=2, n_vectors_hint=20)
+    similarity.semantic_dedup(emb, n_vectors_hint=20)
+    assert calls["n"] == 2
     similarity._CORPUS_COUNT_MEMO.clear()
 
 
