@@ -226,13 +226,16 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, width: int, height: int) -> bytearray | None:
+def _png_unfilter(
+    raw: bytes, width: int, height: int, bpp: int = 3
+) -> bytearray | None:
     """Reverse the PNG per-row filters (None/Sub/Up/Average/Paeth —
     RFC 2083 §6) over decompressed scanline data: each row is one filter
-    byte + width*3 RGB bytes, bpp=3. Returns the reconstructed pixel
-    bytes (top-down RGB) or None when a row carries an unknown filter
-    type or the data is short."""
-    stride = width * 3
+    byte + width*bpp sample bytes (bpp = bytes per pixel: 1 grayscale,
+    3 RGB, 4 RGBA). Returns the reconstructed pixel bytes (top-down) or
+    None when a row carries an unknown filter type or the data is
+    short."""
+    stride = width * bpp
     if len(raw) != height * (1 + stride):
         return None
     out = bytearray(height * stride)
@@ -243,20 +246,20 @@ def _png_unfilter(raw: bytes, width: int, height: int) -> bytearray | None:
         line = bytearray(raw[pos + 1:pos + 1 + stride])
         pos += 1 + stride
         if ftype == 1:  # Sub
-            for i in range(3, stride):
-                line[i] = (line[i] + line[i - 3]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev_row[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - 3] if i >= 3 else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev_row[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - 3] if i >= 3 else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev_row[i]
-                c = prev_row[i - 3] if i >= 3 else 0
+                c = prev_row[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 if pa <= pb and pa <= pc:
@@ -274,16 +277,16 @@ def _png_unfilter(raw: bytes, width: int, height: int) -> bytearray | None:
 
 
 def _decode_png(payload: bytes | None):
-    """REAL decode of a PNG (8-bit truecolor RGB, non-interlaced) using
-    only the stdlib — the first genuinely COMPRESSED format this engine
-    parses: walk the chunk stream (length/type/data/CRC, with zlib.crc32
-    verification), read IHDR, inflate the concatenated IDAT stream with
-    stdlib zlib, then reverse the five per-row filters (`_png_unfilter`).
-    Returns the shared integer stats tuple ``(width, height, n_pixels,
-    sum_b, sum_g, sum_r)`` or None for anything that isn't a valid
-    non-interlaced 8-bit RGB PNG (bad CRC, short IDAT, other color
-    types/bit depths — a grayscale or RGBA payload is rejected, not
-    misread).
+    """REAL decode of a PNG (8-bit grayscale/RGB/RGBA, non-interlaced)
+    using only the stdlib — the first genuinely COMPRESSED format this
+    engine parses: walk the chunk stream (length/type/data/CRC, with
+    zlib.crc32 verification), read IHDR, inflate the concatenated IDAT
+    stream with stdlib zlib, then reverse the five per-row filters
+    (`_png_unfilter`, bpp-aware). Grayscale expands to RGB (all channels
+    equal), RGBA drops the alpha. Returns the shared integer stats tuple
+    ``(width, height, n_pixels, sum_b, sum_g, sum_r)`` or None for
+    anything else (bad CRC, short IDAT, sub-8-bit/16-bit depths,
+    palette, interlaced — rejected, never misread).
 
     Reference parity: byte-level schema-blind payload handling at the
     ingestion edge (CompressionHandler.java:43-46), extended to media
@@ -341,7 +344,9 @@ def _parse_png(payload: bytes | None):
     if ihdr is None or not idat or not seen_end:
         return None
     width, height, depth, color, comp, filt, interlace = ihdr
-    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    # 8-bit grayscale (0), truecolor RGB (2), RGBA (6); no interlace
+    bpp = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or bpp is None or (comp, filt, interlace) != (0, 0, 0):
         return None
     if width <= 0 or height <= 0:
         return None
@@ -349,9 +354,13 @@ def _parse_png(payload: bytes | None):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    px = _png_unfilter(raw, width, height)
+    px = _png_unfilter(raw, width, height, bpp)
     if px is None:
         return None
+    if bpp == 1:  # grayscale -> RGB expansion (each channel = the value)
+        px = bytearray(b for v in px for b in (v, v, v))
+    elif bpp == 4:  # RGBA -> drop the alpha channel
+        del px[3::4]
     return width, height, bytes(px)
 
 

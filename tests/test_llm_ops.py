@@ -2201,6 +2201,49 @@ def test_png_decode_rejects_corruption():
     assert multimodal._decode_png(short) is None
 
 
+def test_png_grayscale_and_rgba():
+    """Color-type coverage: 8-bit grayscale (bpp 1) expands to RGB with
+    all channels equal, RGBA (bpp 4) drops the alpha — and the bpp-aware
+    un-filter handles Sub/Paeth at bpp=1 (left neighbor is the adjacent
+    BYTE, not 3 back). 16-bit depth and palette stay rejected."""
+    import struct
+    import zlib
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+    def png(color, w, h, lines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+
+    gray = bytes([10, 20, 30, 40, 50, 60])
+    lines = bytes([0]) + gray[:3] + bytes([0]) + gray[3:]
+    assert multimodal._decode_png(png(0, 3, 2, lines)) == (3, 2, 6, 210, 210, 210)
+    # Sub filter at bpp=1: deltas against the PREVIOUS BYTE
+    sub0 = bytes([1, 10, 10, 10])          # decodes to 10,20,30
+    up1 = bytes([2, 30, 30, 30])           # up-deltas -> 40,50,60
+    assert multimodal._decode_png(png(0, 3, 2, sub0 + up1)) == (
+        3, 2, 6, 210, 210, 210)
+    rgba = bytes([1, 2, 3, 255, 4, 5, 6, 0, 7, 8, 9, 128, 10, 11, 12, 7])
+    lines = bytes([0]) + rgba[:8] + bytes([0]) + rgba[8:]
+    assert multimodal._decode_png(png(6, 2, 2, lines)) == (2, 2, 4, 30, 26, 22)
+    # grayscale resizes through the shared RGB path
+    g = png(0, 3, 2, bytes([0]) + gray[:3] + bytes([0]) + gray[3:])
+    assert multimodal._decode_png(multimodal._resize_png(g, 1, 1)) == (
+        1, 1, 1, 10, 10, 10)
+    # 16-bit depth / palette color types rejected
+    ihdr16 = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
+    bad = (multimodal._PNG_SIG + chunk(b"IHDR", ihdr16)
+           + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+    assert multimodal._decode_png(bad) is None
+    ihdr_pal = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    bad = (multimodal._PNG_SIG + chunk(b"IHDR", ihdr_pal)
+           + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+    assert multimodal._decode_png(bad) is None
+
+
 def test_png_multi_idat_and_resize():
     """IDAT may be split across chunks (the spec allows any split) and
     the nearest-neighbor resize round-trips through a genuine PNG."""
