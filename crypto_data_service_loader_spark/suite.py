@@ -40,6 +40,7 @@ QUERIES = {
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
+    "dedup_exact_substr_staged": q_dedup_exact_substr_staged,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -302,6 +303,7 @@ _R12_FRONT = [
     # new / source-changed in round 12 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
     "media_decode_png", "dedup_exact_substrings", "registry_compaction",
+    "dedup_exact_substr_staged",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -323,7 +325,7 @@ _R12_FRONT = [
     "kll_quantile", "bpe_tokenize",
     # round-8 cohort fill (alphabetical head; the tail leads round 13)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
-    "agg_multikey", "agg_rollup", "asof_last_tick",
+    "agg_multikey", "agg_rollup",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the

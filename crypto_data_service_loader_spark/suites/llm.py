@@ -475,6 +475,49 @@ def q_dedup_exact_substrings(spark, sf_dir):
     return dedup.exact_substring_spans(payload, min_len=50)
 
 
+def _staged_payload(spark, sf_dir):
+    """Decorated corpus for the two-stage ExactSubstr key: docs with
+    doc_id % 4 == 3 stay raw (the prefilter should prune most of them),
+    the rest get their % 3 family boilerplate appended."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    boiler = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_BOILER[1]))
+        .otherwise(F.lit(_BOILER[2]))
+    )
+    t = F.concat(
+        F.substring(F.col("text"), 1, 300),
+        F.when(F.col("doc_id") % 4 != 3, F.concat(F.lit(" "), boiler))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_dedup_exact_substr_staged(spark, sf_dir):
+    """The 100-TB ExactSubstr deployment shape AS CODE (round 12): stage
+    1 runs the cheap 13-gram cross-document prefilter
+    (duplicated_ngram_spans — md5-per-token shuffle) and keeps only
+    flagged documents (n_dup_windows > 0); stage 2 runs the
+    character-exact stride-1 pass (exact_substring_spans — md5-per-CHAR
+    shuffle) over that subset alone. On real corpora the flagged set is
+    a small fraction, so the expensive exact shuffle touches a sliver of
+    the corpus — the standard two-stage recipe the exact operator's
+    docstring prescribes, here verified as a composition: the oracle
+    mirrors BOTH stages token-for-token (window frequencies in stage 2
+    are computed within the flagged subset, exactly as the code does).
+    Three-quarters of the fixture docs carry family boilerplate (always
+    flagged); the raw quarter is flagged only when natural cross-doc
+    13-grams exist — both engines agree either way."""
+    payload = _staged_payload(spark, sf_dir)
+    flagged = (
+        dedup.duplicated_ngram_spans(payload, n=13)
+        .filter(F.col("n_dup_windows") > 0)
+        .select("doc_id")
+    )
+    subset = payload.join(flagged, "doc_id", "left_semi")
+    return dedup.exact_substring_spans(subset, min_len=50)
+
+
 def q_dedup_boilerplate_lines(spark, sf_dir):
     """Line-level boilerplate removal (CCNet/RefinedWeb recipe): lines in
     more than 2 distinct documents are dropped everywhere and documents
@@ -629,7 +672,49 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> tuple[str, str, str]:
     return f"WITH {ctes} {select}", ctes, select
 
 
+#: DuckDB CASE mirroring the _BOILER family pick — generated from the
+#: same constant as the Spark keys so the fixture can't drift
+_BOILER_CASE = (
+    f"CASE WHEN doc_id % 3 = 0 THEN '{_BOILER[0]}' "
+    f"WHEN doc_id % 3 = 1 THEN '{_BOILER[1]}' "
+    f"ELSE '{_BOILER[2]}' END"
+)
+
 _LLM_ORACLES = {
+    # two-stage ExactSubstr: stage-1 13-gram cross-doc prefilter flags
+    # docs, stage-2 stride-1 exact windows run over the flagged subset
+    # ONLY (frequencies within the subset) — both stages mirrored
+    "dedup_exact_substr_staged": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   substr(text, 1, 300) ||
+                   CASE WHEN doc_id % 4 != 3
+                        THEN ' ' || {_BOILER_CASE} ELSE '' END AS text
+            FROM documents WHERE doc_id < 200),
+        t AS (SELECT doc_id, {_SHINGLES13} AS sh FROM d),
+        g0 AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+        g AS (SELECT doc_id, md5(gram) AS gh FROM g0),
+        crossdoc AS (
+            SELECT gh FROM g GROUP BY gh
+            HAVING count(DISTINCT doc_id) > 1),
+        flagged AS (
+            SELECT DISTINCT doc_id FROM g JOIN crossdoc USING (gh)),
+        w AS (
+            SELECT d.doc_id, i.i AS i,
+                   md5(substr(d.text, CAST(i.i AS INTEGER), 50)) AS wh
+            FROM d JOIN flagged USING (doc_id),
+                 LATERAL unnest(generate_series(1, len(d.text) - 49)) AS i(i)
+            WHERE len(d.text) >= 50),
+        dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+        p AS (
+            SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS grp
+            FROM w WHERE wh IN (SELECT wh FROM dup))
+        SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+               CAST(max(i) - min(i) + 50 AS INTEGER) AS span_len,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM p GROUP BY doc_id, grp""",
     "dedup_exact": f"""
         SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
                MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
