@@ -185,6 +185,80 @@ def _decode_wav16(payload: bytes | None):
     )
 
 
+def _resample_wav16(payload: bytes | None, out_rate: int) -> bytes | None:
+    """REAL nearest-neighbor resample of a 16-bit PCM WAV (round 12 —
+    the audio counterpart of `_resize_bmp24`/`_resize_png`): re-walk the
+    RIFF chunks exactly like `_decode_wav16`, pick source FRAME indices
+    (arange(n_out) * n_in) // n_out with n_out = n_in * out_rate //
+    in_rate (the same nearest rule as the image resizers, applied to
+    whole frames so channels stay interleaved), and re-encode a
+    canonical 44-byte-header WAV at `out_rate`. Returns None for
+    anything `_decode_wav16` rejects or when the resampled stream would
+    be empty."""
+    import struct
+
+    if _decode_wav16(payload) is None:
+        return None
+    payload = bytes(payload)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data" and data is None:
+            data = body
+        pos += 8 + size + (size & 1)
+    _, channels, in_rate, _, _, _ = fmt
+    import numpy as np
+
+    block = channels * 2
+    n_in = len(data) // block  # whole frames
+    n_out = n_in * int(out_rate) // in_rate
+    if n_out <= 0:
+        return None
+    frames = np.frombuffer(
+        data, dtype="<i2", count=n_in * channels
+    ).reshape(n_in, channels)
+    idx = (np.arange(n_out) * n_in) // n_out
+    out = frames[idx].astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(out)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, int(out_rate),
+            int(out_rate) * block, block, 16,
+        )
+        + b"data" + struct.pack("<I", len(out))
+    )
+    return hdr + out
+
+
+AUDIO_RESAMPLE_SCHEMA = "media_id long, payload binary"
+
+
+def resample_audio(media: DataFrame, out_rate: int) -> DataFrame:
+    """Audio resample: 16-bit PCM WAV payloads are resampled FOR REAL
+    (`_resample_wav16`, nearest-neighbor frame selection, a genuine WAV
+    back out at the new rate); anything else decodes to a NULL payload
+    (poison-free, like the decoders' decode_ok=false convention). Same
+    scale shape as the other media ops: scan-local mapInPandas, no
+    shuffle, bounded memory per task."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                _resample_wav16(p, out_rate) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return media.mapInPandas(_batches, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = (
     "media_id long, channels int, sample_rate int, n_samples int, "
     "sum_amp long, min_amp long, max_amp long, sum_sq long, "

@@ -41,6 +41,8 @@ QUERIES = {
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
     "dedup_exact_substr_staged": q_dedup_exact_substr_staged,
+    "media_resize_png": q_media_resize_png,
+    "media_audio_resample": q_media_audio_resample,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -303,7 +305,8 @@ _R12_FRONT = [
     # new / source-changed in round 12 (spliced in the same commit that
     # lands each key — the assertions below keep this honest)
     "media_decode_png", "dedup_exact_substrings", "registry_compaction",
-    "dedup_exact_substr_staged",
+    "dedup_exact_substr_staged", "media_resize_png",
+    "media_audio_resample",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -325,7 +328,6 @@ _R12_FRONT = [
     "kll_quantile", "bpe_tokenize",
     # round-8 cohort fill (alphabetical head; the tail leads round 13)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
-    "agg_multikey", "agg_rollup",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2112,6 +2114,37 @@ ORACLES["media_decode_png"] = """
            TRUE AS decode_ok
     FROM s"""
 
+# Round 12: PNG resize round-trip — nearest-neighbor keeps logical
+# top-down rows {0,2} x cols {0,2} of the 4x5 grid: pixel byte indices
+# {0..2, 6..8, 24..26, 30..32}. PNG channel order is RGB (i%3==0 is R).
+ORACLES["media_resize_png"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest([0,1,2,6,7,8,24,25,26,30,31,32])
+             AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_b,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_r
+        FROM b GROUP BY media_id)
+    SELECT media_id, CAST('png' AS VARCHAR) AS fmt,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(4 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 4 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
+
 # Round 11: the WAV audio decode key — little-endian signed 16-bit
 # samples from byte pairs of the md5 chain.
 ORACLES["media_audio_stats"] = """
@@ -2131,6 +2164,32 @@ ORACLES["media_audio_stats"] = """
     SELECT media_id, CAST(1 AS INTEGER) AS channels,
            CAST(8000 AS INTEGER) AS sample_rate,
            CAST(24 AS INTEGER) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_amp,
+           CAST(min(s) AS BIGINT) AS min_amp,
+           CAST(max(s) AS BIGINT) AS max_amp,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           TRUE AS decode_ok
+    FROM b GROUP BY media_id"""
+
+# Round 12: the WAV resample round-trip — nearest-neighbor at 2:1 keeps
+# even sample indices; same signed little-endian byte-pair arithmetic.
+ORACLES["media_audio_resample"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id,
+               CAST(('0x' || substr(px, 8 * i.i + 1, 2)) AS BIGINT)
+                   + 256 * CAST(('0x' || substr(px, 8 * i.i + 3, 2))
+                                AS BIGINT)
+                   - 65536 * CASE WHEN CAST(('0x' || substr(px, 8 * i.i + 3,
+                                              2)) AS BIGINT) >= 128
+                             THEN 1 ELSE 0 END AS s
+        FROM base, LATERAL unnest(generate_series(0, 11)) AS i(i))
+    SELECT media_id, CAST(1 AS INTEGER) AS channels,
+           CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(12 AS INTEGER) AS n_samples,
            CAST(SUM(s) AS BIGINT) AS sum_amp,
            CAST(min(s) AS BIGINT) AS min_amp,
            CAST(max(s) AS BIGINT) AS max_amp,

@@ -1763,6 +1763,36 @@ def q_media_decode_png(spark, sf_dir):
     return decode_image_stats(pngs)
 
 
+def q_media_resize_png(spark, sf_dir):
+    """PNG resize ROUND-TRIP in the gate (round 12): the same genuine
+    4x5 PNGs as media_decode_png (all five filters), resized 4x5 -> 2x2
+    by resize_images' real PNG path (inflate -> un-filter ->
+    nearest-neighbor sample -> re-deflate via _encode_png), then decoded
+    AGAIN — deflate/inflate round-trips losslessly, so the oracle
+    mirrors only the nearest-neighbor SELECTION arithmetic: PNG stores
+    top-down RGB, logical rows {0,2} and cols {0,2} survive, i.e. pixel
+    byte indices {0..2, 6..8, 24..26, 30..32} of the md5 chain."""
+    from ..operators.multimodal import decode_image_stats, encode_png_images, resize_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    m4 = F.md5(m3)
+    px_hex = F.substring(F.concat(m1, m2, m3, m4), 1, 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(px_hex).alias("rgb"),
+    )
+    pngs = encode_png_images(media, width=4, height=5).select(
+        "media_id", F.lit("image").alias("kind"), "payload"
+    )
+    small = resize_images(pngs, width=2, height=2).select(
+        "media_id", "payload"
+    )
+    return decode_image_stats(small)
+
+
 def _wav16_header_hex(n_bytes: int, channels: int = 1, rate: int = 8000) -> str:
     """Hex of a RIFF/WAVE header for 16-bit PCM (public WAV byte layout):
     RIFF size, 'fmt ' chunk (format 1, block align, byte rate), 'data'
@@ -1801,6 +1831,30 @@ def q_media_audio_stats(spark, sf_dir):
         ).alias("payload"),
     )
     return decode_audio_stats(media)
+
+
+def q_media_audio_resample(spark, sf_dir):
+    """Audio resample ROUND-TRIP in the gate (round 12): the same
+    genuine 24-sample 8 kHz WAVs as media_audio_stats, resampled to
+    4 kHz by resample_audio's real path (RIFF re-walk -> nearest frame
+    selection -> re-encode) and decoded AGAIN by decode_audio_stats.
+    Nearest-neighbor at a 2:1 ratio keeps exactly the even sample
+    indices ((i*24)//12 = 2i), so the oracle mirrors the signed 16-bit
+    arithmetic over byte pairs 0,2,4,...,22 of the md5 chain — the
+    audio counterpart of media_resize_png's selection mirror."""
+    from ..operators.multimodal import decode_audio_stats, resample_audio
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    px_hex = F.concat(
+        F.md5("text"), F.md5(F.md5("text")), F.md5(F.md5(F.md5("text")))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_wav16_header_hex(48))), F.unhex(px_hex)
+        ).alias("payload"),
+    )
+    return decode_audio_stats(resample_audio(media, out_rate=4000))
 
 
 def q_dedup_video_frames(spark, sf_dir):

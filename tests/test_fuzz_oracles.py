@@ -42,8 +42,13 @@ FUZZ_KEYS = [
     "dedup_video_frames",
     "url_canonical_dedup",
     # round 12: the REAL PNG deflate->inflate->unfilter round trip (all
-    # five PNG filters in every payload) replays over every fuzzed corpus
+    # five PNG filters in every payload), the PNG resize + WAV resample
+    # round-trips, and both ExactSubstr forms replay over every corpus
     "media_decode_png",
+    "media_resize_png",
+    "media_audio_resample",
+    "dedup_exact_substrings",
+    "dedup_exact_substr_staged",
 ]
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE

@@ -2320,6 +2320,31 @@ def test_image_codec_registry_injection(spark):
     assert len(multimodal.IMAGE_CODECS) == n0
 
 
+def test_resample_wav16_nearest_frames():
+    """Audio resample semantics: 2:1 downsample keeps even FRAME indices
+    (channels stay interleaved — a stereo frame moves as a unit), the
+    output is itself a valid WAV at the new rate, upsampling repeats
+    frames by the same nearest rule, and invalid payloads return None."""
+    samples = [0, 1, -1, 32767, -32768, 100, 7, -7]
+    wav = _make_wav(samples, channels=1, rate=8000)
+    out = multimodal._resample_wav16(wav, 4000)
+    got = multimodal._decode_wav16(out)
+    kept = [samples[(i * 8) // 4] for i in range(4)]  # even indices
+    assert got == (1, 4000, 4, sum(kept), min(kept), max(kept),
+                   sum(s * s for s in kept))
+    # stereo: frames (L,R) move as units
+    st = [10, -10, 20, -20, 30, -30]  # 3 frames of (L,R)
+    wav2 = _make_wav(st, channels=2, rate=6000)
+    out2 = multimodal._resample_wav16(wav2, 2000)  # keep frame 0 only
+    got2 = multimodal._decode_wav16(out2)
+    assert got2 == (2, 2000, 2, 0, -10, 10, 200)
+    # upsample 2x: nearest repeats each frame twice
+    up = multimodal._resample_wav16(_make_wav([5, 6], rate=1000), 2000)
+    assert multimodal._decode_wav16(up) == (1, 2000, 4, 22, 5, 6, 122)
+    assert multimodal._resample_wav16(b"nope", 4000) is None
+    assert multimodal._resample_wav16(None, 4000) is None
+
+
 def test_canonical_url_edges(spark):
     from crypto_data_service_loader_spark.operators.text import canonical_url
 
