@@ -107,17 +107,15 @@ HEADLINE = [
     "pagerank_knn_indexed",
     "scd2_apply",
     "histogram_drift",
-    "bpe_segment_pinned",
     # late round 7: retrieval + monitoring + data-selection analytics
     "hybrid_search",
     "events_cusum",
     "ngram_lm_score",
     # events_ols_trend / events_acf rotated out of the stdout line in r9
     # (stable micro-queries; events family cover stays via events_cusum,
-    # events_funnel, events_mad_outliers, equi_depth_histogram; full
+    # events_funnel, events_mad_outliers; full
     # history in BENCH_DETAIL.json) to make room for the media near-dup
     # and KLL keys below.
-    "equi_depth_histogram",
     # late round 7: portable sketches + contract + monitoring + PPS
     "data_contract_check",
     "sample_pps",
@@ -135,6 +133,14 @@ HEADLINE = [
     # keeps the family's bench cover; history in BENCH_DETAIL.json)
     "hll_rolling_distinct",
     "twap_bars",
+    # round 12: the two new data-plane flagships join the stdout line —
+    # exact substring dedup (the heaviest new shuffle: stride-1 window
+    # hashes) and the real PNG deflate/inflate round trip. To stay under
+    # the 1900-char guard, bpe_segment_pinned + equi_depth_histogram
+    # rotate out (stable micros; text/profile family cover stays via
+    # ngram_lm_score and profile_columns; history in BENCH_DETAIL.json).
+    "dedup_exact_substrings",
+    "media_decode_png",
 ]
 
 
