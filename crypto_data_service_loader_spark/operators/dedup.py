@@ -199,8 +199,26 @@ def exact_substring_spans(
     the flagged documents through this exact pass — the standard
     two-stage recipe."""
     L = int(min_len)
+    wins = substring_windows(docs, L, text_col, id_col).localCheckpoint()
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("nocc"))
+        .filter(F.col("nocc") > 1)
+        .select("wh")
+    )
+    return merge_window_spans(wins.join(dup, "wh"), L, id_col)
+
+
+def substring_windows(
+    docs: DataFrame, min_len: int, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every min_len-char window at stride 1 as (id, i, wh=md5(window))
+    — the shared enumeration of the ExactSubstr family (inline spans,
+    the staged recipe, and the persisted window index)."""
+    L = int(min_len)
     t = F.col(text_col)
-    wins = (
+    return (
         _spread(docs)
         .filter(F.length(t) >= L)  # also keeps F.sequence ascending
         .select(
@@ -215,19 +233,19 @@ def exact_substring_spans(
             F.col("i"),
             F.md5(F.substring(F.col("_t"), F.col("i"), F.lit(L))).alias("wh"),
         )
-        .localCheckpoint()
     )
-    dup = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("nocc"))
-        .filter(F.col("nocc") > 1)
-        .select("wh")
-    )
+
+
+def merge_window_spans(
+    dup_pos: DataFrame, min_len: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge consecutive duplicated window positions (id, i, ...) into
+    maximal spans via the interval-islands trick (i - row_number is
+    constant within a run): (id, span_start, span_len, n_windows)."""
+    L = int(min_len)
     w = Window.partitionBy(id_col).orderBy("i")
-    pos = (
-        wins.join(dup, "wh")
-        .select(F.col(id_col), F.col("i"))
-        .withColumn("g", F.col("i") - F.row_number().over(w))
+    pos = dup_pos.select(F.col(id_col), F.col("i")).withColumn(
+        "g", F.col("i") - F.row_number().over(w)
     )
     return (
         pos.groupBy(id_col, "g")

@@ -43,6 +43,7 @@ QUERIES = {
     "dedup_exact_substr_staged": q_dedup_exact_substr_staged,
     "media_resize_png": q_media_resize_png,
     "media_audio_resample": q_media_audio_resample,
+    "dedup_exact_substr_indexed": q_dedup_exact_substr_indexed,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -306,7 +307,7 @@ _R12_FRONT = [
     # lands each key — the assertions below keep this honest)
     "media_decode_png", "dedup_exact_substrings", "registry_compaction",
     "dedup_exact_substr_staged", "media_resize_png",
-    "media_audio_resample",
+    "media_audio_resample", "dedup_exact_substr_indexed",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -327,7 +328,7 @@ _R12_FRONT = [
     # rows-only-by-design keys with no driver row in any round
     "kll_quantile", "bpe_tokenize",
     # round-8 cohort fill (alphabetical head; the tail leads round 13)
-    "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
+    "agg_count_star", "agg_grouping_sets",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2080,6 +2081,45 @@ ORACLES["dedup_exact_substrings"] = """
 for _i, _b in enumerate(_LLM_BOILER):
     ORACLES["dedup_exact_substrings"] = ORACLES[
         "dedup_exact_substrings"
+    ].replace(f"__B{_i}__", _b)
+
+# Round 12: incremental ExactSubstr against the persisted window index —
+# batch windows (doc_id 150..199) are duplicated when batch + indexed
+# corpus (doc_id < 150) occurrences total >= 2; islands merge as above.
+ORACLES["dedup_exact_substr_indexed"] = """
+    WITH d AS (
+        SELECT doc_id,
+               substr(text, 1, 300) || ' ' ||
+               CASE WHEN doc_id % 3 = 0 THEN '__B0__'
+                    WHEN doc_id % 3 = 1 THEN '__B1__'
+                    ELSE '__B2__' END AS t
+        FROM documents WHERE doc_id < 200),
+    cw AS (
+        SELECT md5(substr(t, CAST(i.i AS INTEGER), 50)) AS wh,
+               count(*) AS n_idx
+        FROM d, LATERAL unnest(generate_series(1, len(t) - 49)) AS i(i)
+        WHERE doc_id < 150 AND len(t) >= 50 GROUP BY 1),
+    bw AS (
+        SELECT doc_id, i.i AS i,
+               md5(substr(t, CAST(i.i AS INTEGER), 50)) AS wh
+        FROM d, LATERAL unnest(generate_series(1, len(t) - 49)) AS i(i)
+        WHERE doc_id >= 150 AND len(t) >= 50),
+    bf AS (SELECT wh, count(*) AS n_batch FROM bw GROUP BY wh),
+    dup AS (
+        SELECT wh FROM bf LEFT JOIN cw USING (wh)
+        WHERE n_batch + coalesce(n_idx, 0) >= 2),
+    p AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY i) AS grp
+        FROM bw WHERE wh IN (SELECT wh FROM dup))
+    SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+           CAST(max(i) - min(i) + 50 AS INTEGER) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM p GROUP BY doc_id, grp"""
+for _i, _b in enumerate(_LLM_BOILER):
+    ORACLES["dedup_exact_substr_indexed"] = ORACLES[
+        "dedup_exact_substr_indexed"
     ].replace(f"__B{_i}__", _b)
 
 # Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain

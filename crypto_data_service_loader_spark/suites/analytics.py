@@ -1238,6 +1238,62 @@ def _media_idx(spark, sf_dir: str) -> str:
     return path
 
 
+def _boiler_docs(spark, sf_dir, lo: int, hi: int):
+    """Boilerplate-decorated doc slice for the ExactSubstr index keys:
+    300-char prefix + the doc's % 3 family sentence (suites.llm._BOILER
+    — the same constant the inline keys and the SQL mirror use)."""
+    from .llm import _BOILER
+
+    docs = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+    boiler = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_BOILER[1]))
+        .otherwise(F.lit(_BOILER[2]))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 300), F.lit(" "), boiler
+        ).alias("text"),
+    )
+
+
+def _substr_idx(spark, sf_dir) -> str:
+    """Persisted window-frequency index over the decorated corpus slice
+    (doc_id < 150), built on first use."""
+    import os
+
+    from ..sources import substr_index
+
+    path = _index_path(sf_dir, "substr50", "documents")
+    if not os.path.exists(os.path.join(path, substr_index._META)):
+        substr_index.write_substr_index(
+            _boiler_docs(spark, sf_dir, 0, 150), path, min_len=50
+        )
+    return path
+
+
+def q_dedup_exact_substr_indexed(spark, sf_dir):
+    """ExactSubstr dedup of a NEW batch (doc_id 150..199) against the
+    PERSISTED window-frequency index of the already-ingested corpus
+    (doc_id < 150) — the incremental deployment shape of exact substring
+    dedup (round 12): only the batch is window-hashed; the corpus is
+    touched through its stored (wh, n_occ) table. A batch doc's
+    boilerplate sentence is duplicated via the CORPUS (its % 3 family
+    has ~50 indexed members) even when unique within the batch — the
+    cross-epoch property the inline operator cannot see. The oracle
+    mirrors both sides' window enumeration and the (batch + index) >= 2
+    rule token-for-token."""
+    from ..sources import substr_index
+
+    path = _substr_idx(spark, sf_dir)
+    return substr_index.spans_against_index(
+        spark, path, _boiler_docs(spark, sf_dir, 150, 200)
+    )
+
+
 def q_dedup_media_indexed(spark, sf_dir):
     """Media near-dups of a NEW batch (tail-perturbed re-export twins of
     every doc_id < 150) against the PERSISTED fingerprint index of the
