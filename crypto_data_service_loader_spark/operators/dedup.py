@@ -258,6 +258,67 @@ def merge_window_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTION step of the ExactSubstr recipe (Lee et al. 2022 cut
+    every duplicated substring out of the training text — finding spans
+    is only half the operator): compute the maximal duplicated spans
+    (`exact_substring_spans`), then rebuild each document with those
+    character ranges excised. Returns one row per input doc:
+    (id, n_spans, n_removed_chars, clean_len, clean_md5) — the md5 of
+    the rebuilt text makes the reconstruction value-checkable without
+    shipping bodies through the gate.
+
+    The rebuild is a single JVM-side fold: spans arrive per doc as a
+    sorted non-overlapping array (guaranteed by the islands merge), and
+    F.aggregate walks it carrying (cursor, acc), appending the kept gap
+    before each span — no Python, no explode of the text. One extra
+    shuffle vs the span finder (spans groupBy id + the join back), both
+    on the id key."""
+    L = int(min_len)
+    t = F.col(text_col)
+    spans = exact_substring_spans(docs, L, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("_spans"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("span_len").cast("int").alias("n_removed_chars"),
+    )
+    joined = docs.join(per_doc, [id_col], "left")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_len:int>>"),
+    )
+    clean = F.aggregate(
+        spans_arr,
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc")),
+        lambda a, s: F.struct(
+            (s["span_start"] + s["span_len"]).alias("pos"),
+            F.concat(
+                a["acc"],
+                F.substring(t, a["pos"], s["span_start"] - a["pos"]),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(t, a["pos"], F.length(t) - a["pos"] + 1)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("n_removed_chars"), F.lit(0)).alias(
+            "n_removed_chars"
+        ),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def duplicated_ngram_spans_sampled(
     docs: DataFrame,
     n: int = 13,

@@ -44,6 +44,7 @@ QUERIES = {
     "media_resize_png": q_media_resize_png,
     "media_audio_resample": q_media_audio_resample,
     "dedup_exact_substr_indexed": q_dedup_exact_substr_indexed,
+    "dedup_substr_removal": q_dedup_substr_removal,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -308,6 +309,7 @@ _R12_FRONT = [
     "media_decode_png", "dedup_exact_substrings", "registry_compaction",
     "dedup_exact_substr_staged", "media_resize_png",
     "media_audio_resample", "dedup_exact_substr_indexed",
+    "dedup_substr_removal",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -328,7 +330,7 @@ _R12_FRONT = [
     # rows-only-by-design keys with no driver row in any round
     "kll_quantile", "bpe_tokenize",
     # round-8 cohort fill (alphabetical head; the tail leads round 13)
-    "agg_count_star", "agg_grouping_sets",
+    "agg_count_star",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2120,6 +2122,57 @@ ORACLES["dedup_exact_substr_indexed"] = """
 for _i, _b in enumerate(_LLM_BOILER):
     ORACLES["dedup_exact_substr_indexed"] = ORACLES[
         "dedup_exact_substr_indexed"
+    ].replace(f"__B{_i}__", _b)
+
+# Round 12: the ExactSubstr ACTION — rebuild docs without their
+# duplicated spans; the oracle keeps exactly the positions not covered
+# by any span and both engines hash the rebuilt text.
+ORACLES["dedup_substr_removal"] = """
+    WITH d AS (
+        SELECT doc_id,
+               substr(text, 1, 300) || ' ' ||
+               CASE WHEN doc_id % 3 = 0 THEN '__B0__'
+                    WHEN doc_id % 3 = 1 THEN '__B1__'
+                    ELSE '__B2__' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' ' ||
+                    CASE WHEN doc_id % 3 = 0 THEN '__B0__'
+                         WHEN doc_id % 3 = 1 THEN '__B1__'
+                         ELSE '__B2__' END
+                    ELSE '' END AS t
+        FROM documents WHERE doc_id < 200),
+    w AS (
+        SELECT doc_id, i.i AS i, md5(substr(t, CAST(i.i AS INTEGER), 50)) AS wh
+        FROM d, LATERAL unnest(generate_series(1, len(t) - 49)) AS i(i)
+        WHERE len(t) >= 50),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+    p AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM w WHERE wh IN (SELECT wh FROM dup)),
+    spans AS (
+        SELECT doc_id, min(i) AS s, max(i) + 49 AS e
+        FROM p GROUP BY doc_id, grp),
+    stats AS (
+        SELECT doc_id, count(*) AS n_spans, SUM(e - s + 1) AS removed
+        FROM spans GROUP BY doc_id),
+    kept AS (
+        SELECT d.doc_id,
+               string_agg(substr(d.t, CAST(q.q AS INTEGER), 1), ''
+                          ORDER BY q.q) AS clean
+        FROM d, LATERAL unnest(generate_series(1, len(d.t))) AS q(q)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = d.doc_id AND q.q BETWEEN s.s AND s.e)
+        GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(st.n_spans, 0) AS INTEGER) AS n_spans,
+           CAST(coalesce(st.removed, 0) AS INTEGER) AS n_removed_chars,
+           CAST(len(coalesce(k.clean, '')) AS INTEGER) AS clean_len,
+           md5(coalesce(k.clean, '')) AS clean_md5
+    FROM d LEFT JOIN stats st USING (doc_id) LEFT JOIN kept k USING (doc_id)"""
+for _i, _b in enumerate(_LLM_BOILER):
+    ORACLES["dedup_substr_removal"] = ORACLES[
+        "dedup_substr_removal"
     ].replace(f"__B{_i}__", _b)
 
 # Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain

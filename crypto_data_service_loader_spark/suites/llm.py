@@ -518,6 +518,30 @@ def q_dedup_exact_substr_staged(spark, sf_dir):
     return dedup.exact_substring_spans(subset, min_len=50)
 
 
+def q_dedup_substr_removal(spark, sf_dir):
+    """The ExactSubstr ACTION step in the gate (round 12): the same
+    decorated corpus as dedup_exact_substrings, with every maximal
+    duplicated span CUT OUT of the text — dedup.remove_duplicate_spans'
+    JVM-side F.aggregate fold walks the sorted span array carrying
+    (cursor, acc). The oracle rebuilds each doc character-by-character
+    (keep positions not covered by any span) and both engines emit
+    md5(text_clean) — a value-level proof the reconstruction is
+    byte-identical, not just the same length."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    boiler = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_BOILER[1]))
+        .otherwise(F.lit(_BOILER[2]))
+    )
+    t = F.concat(
+        F.substring(F.col("text"), 1, 300), F.lit(" "), boiler,
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" "), boiler))
+        .otherwise(F.lit("")),
+    )
+    payload = docs.select("doc_id", t.alias("text"))
+    return dedup.remove_duplicate_spans(payload, min_len=50)
+
+
 def q_dedup_boilerplate_lines(spark, sf_dir):
     """Line-level boilerplate removal (CCNet/RefinedWeb recipe): lines in
     more than 2 distinct documents are dropped everywhere and documents
