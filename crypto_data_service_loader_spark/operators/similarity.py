@@ -577,6 +577,83 @@ def knn_graph(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 2,
+    n_planes: int | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+    n_vectors_hint: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (round 12): per
+    vector, the top-k most-cosine-similar vectors carrying a DIFFERENT
+    label — the "similar but wrong" examples that make contrastive /
+    embedding-finetune batches informative (the standard mining recipe:
+    ANN candidates, filter same-label, keep the nearest few). Same
+    bucketed shape as `knn_graph` — candidates restricted to the
+    vector's sign-LSH bucket (equi-join, never all-pairs), labels ride
+    the bucketed table so the cross-label filter runs inside the join,
+    and the top-k is a per-source window. Approximate by construction
+    (a cross-bucket negative is missed — the recall/cost dial is
+    n_planes, auto-derived from corpus size like the other LSH ops).
+    Returns (id, negative_id, neg_label, score, rank)."""
+    from pyspark.sql import Window
+
+    head = embeddings.select(vec_col).head(1)
+    if not head:
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        lbl_type = embeddings.schema[label_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {id_type}, negative_id {id_type}, "
+            f"neg_label {lbl_type}, score double, rank int",
+        )
+    n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
+    dim = len(head[0][0])
+    v = _as_double(F.col(vec_col))
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        "bucket",
+    )
+    a = bucketed.select(
+        F.col("_id").alias("_src"), F.col("_lbl").alias("_src_lbl"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("_id").alias("negative_id"), F.col("_lbl").alias("neg_label"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"), "bucket",
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("_src_lbl") != F.col("neg_label"))
+        .select(
+            "_src",
+            "negative_id",
+            "neg_label",
+            _cosine(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"), scale,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_src").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_src").alias(id_col), "negative_id", "neg_label",
+            "score", "rank",
+        )
+    )
+
+
 #: memoized dial-resolution counts, keyed by (session, analyzed-plan
 #: semanticHash) — see corpus_count. The session component is the
 #: Spark application id, a stable identifier: id(sparkSession) can be

@@ -45,6 +45,7 @@ QUERIES = {
     "media_audio_resample": q_media_audio_resample,
     "dedup_exact_substr_indexed": q_dedup_exact_substr_indexed,
     "dedup_substr_removal": q_dedup_substr_removal,
+    "hard_negative_mining": q_hard_negative_mining,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -309,7 +310,7 @@ _R12_FRONT = [
     "media_decode_png", "dedup_exact_substrings", "registry_compaction",
     "dedup_exact_substr_staged", "media_resize_png",
     "media_audio_resample", "dedup_exact_substr_indexed",
-    "dedup_substr_removal",
+    "dedup_substr_removal", "hard_negative_mining",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -330,7 +331,6 @@ _R12_FRONT = [
     # rows-only-by-design keys with no driver row in any round
     "kll_quantile", "bpe_tokenize",
     # round-8 cohort fill (alphabetical head; the tail leads round 13)
-    "agg_count_star",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2174,6 +2174,54 @@ for _i, _b in enumerate(_LLM_BOILER):
     ORACLES["dedup_substr_removal"] = ORACLES[
         "dedup_substr_removal"
     ].replace(f"__B{_i}__", _b)
+
+
+# Round 12: hard-negative mining — the kNN-graph oracle shape with the
+# label carried through the bucketed join and a cross-label filter.
+ORACLES["hard_negative_mining"] = """
+        WITH planes AS (
+            SELECT p.p, i.i,
+                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                        CAST(i.i AS VARCHAR)), 8, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM (SELECT unnest(range(4)) AS p) p,
+                 (SELECT unnest(range((SELECT max(len(embedding))
+                                       FROM embeddings))) AS i) i),
+        normed AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        dots AS (
+            SELECT nv.vec_id, pl.p,
+                   sum(nv.v[pl.i + 1] * pl.w) AS d
+            FROM normed nv JOIN planes pl ON TRUE
+            GROUP BY nv.vec_id, pl.p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        bv AS (
+            SELECT nv.vec_id, nv.label, nv.v, nv.n, bk.bucket
+            FROM normed nv JOIN buckets bk USING (vec_id)),
+        pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS negative_id,
+                   b.label AS neg_label,
+                   round(CASE WHEN a.n * b.n > 0
+                         THEN list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i])) / (a.n * b.n)
+                         ELSE 0.0 END, 6) AS score
+            FROM bv a JOIN bv b
+              ON a.bucket = b.bucket AND a.label <> b.label)
+        SELECT vec_id, negative_id, neg_label, score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, negative_id) AS rn FROM pairs)
+        WHERE rn <= 2"""
 
 # Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain
 # bytes into a real PNG (all five filters) and INFLATES + un-filters it

@@ -366,6 +366,18 @@ def q_knn_graph_lsh(spark, sf_dir):
     )
 
 
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training (round 12): per
+    vector, the top-2 most-similar vectors with a DIFFERENT label —
+    similarity.hard_negatives' bucketed LSH join with the cross-label
+    filter inside the join. Deterministic hyperplanes (pinned
+    n_planes=4) so the oracle replicates bucketing, the label filter,
+    and the rounded cosine ranking value-for-value."""
+    return similarity.hard_negatives(
+        load(spark, sf_dir, "embeddings"), k=2, n_planes=4
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: a 'new crawl' batch (doc_id % 10 < 2) collapsed
     within-batch then anti-joined against the existing corpus fingerprint

@@ -2320,6 +2320,38 @@ def test_image_codec_registry_injection(spark):
     assert len(multimodal.IMAGE_CODECS) == n0
 
 
+def test_hard_negatives_cross_label_only(spark):
+    """Hard negatives never share the source's label, the nearest
+    SAME-label vector is excluded even when it is the global nearest,
+    and ranking is (score desc, id asc) within each source. One bucket
+    (identical-direction vectors) so LSH recall is total here."""
+    from crypto_data_service_loader_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),   # same label: nearest but excluded
+        (2, [0.9, 0.1, 0.0], 1),
+        (3, [0.8, 0.2, 0.0], 1),
+        (4, [0.7, 0.3, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.hard_negatives(emb, k=2, n_planes=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["vec_id"], []).append(r)
+    labels = dict((i, l) for i, _, l in rows)
+    for src, negs in by_src.items():
+        for r in negs:
+            assert labels[r["negative_id"]] != labels[src]
+            assert r["neg_label"] == labels[r["negative_id"]]
+        assert [r["rank"] for r in sorted(negs, key=lambda x: x["rank"])] \
+            == list(range(1, len(negs) + 1))
+    # vector 0's negatives are 2 then 3 — never same-label vector 1
+    got0 = [r["negative_id"] for r in sorted(by_src[0], key=lambda x: x["rank"])]
+    assert got0 == [2, 3]
+
+
 def test_resample_wav16_nearest_frames():
     """Audio resample semantics: 2:1 downsample keeps even FRAME indices
     (channels stay interleaved — a stereo frame moves as a unit), the
