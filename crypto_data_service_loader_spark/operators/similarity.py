@@ -654,6 +654,119 @@ def hard_negatives(
     )
 
 
+def contrastive_triplets(
+    embeddings: DataFrame,
+    n_negatives: int = 2,
+    n_planes: int | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+    n_vectors_hint: int | None = None,
+) -> DataFrame:
+    """Contrastive training batch assembly (round 12): one row per
+    anchor with its mined positive (nearest SAME-label vector) and its
+    hard negatives (nearest cross-label vectors, comma-joined id list in
+    rank order) — the (anchor, positive, negatives) triplet every
+    contrastive/embedding-finetune loader consumes. Anchors with no
+    same-label bucket partner or no cross-label partner are dropped (a
+    triplet needs both sides).
+
+    One bucketed candidate join feeds BOTH mines: the same-label top-1
+    and the cross-label top-k are two windows over one pair set, so the
+    expensive part (the LSH equi-join) is paid once. Output:
+    (id, positive_id, pos_score, negative_ids, neg_score_micros)."""
+    from pyspark.sql import Window
+
+    head = embeddings.select(vec_col).head(1)
+    if not head:
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {id_type}, positive_id {id_type}, "
+            "pos_score double, negative_ids string, neg_score_micros string",
+        )
+    n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
+    dim = len(head[0][0])
+    v = _as_double(F.col(vec_col))
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        "bucket",
+    )
+    a = bucketed.select(
+        F.col("_id").alias("_src"), F.col("_lbl").alias("_src_lbl"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("_id").alias("_cand"), F.col("_lbl").alias("_cand_lbl"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"), "bucket",
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("_src") != F.col("_cand"))
+        .select(
+            "_src", "_src_lbl", "_cand", "_cand_lbl",
+            _cosine(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"), scale,
+            ).alias("score"),
+        )
+        # one candidate set, two consumers (positive + negative windows)
+        .localCheckpoint()
+    )
+    same = F.col("_src_lbl") == F.col("_cand_lbl")
+    wp = Window.partitionBy("_src").orderBy(
+        F.col("score").desc(), F.col("_cand").asc()
+    )
+    pos = (
+        pairs.filter(same)
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_src"),
+            F.col("_cand").alias("positive_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        pairs.filter(~same)
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= int(n_negatives))
+        .groupBy("_src")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "_cand"))
+                    ),
+                    lambda s: s["_cand"].cast("string"),
+                ),
+            ).alias("negative_ids"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "score"))
+                    ),
+                    # micro-integer serialization: double->string casts
+                    # are NOT format-stable across engines; floor(x*1e6
+                    # + 0.5) is the identical IEEE op sequence on both
+                    lambda s: F.floor(s["score"] * 1e6 + 0.5)
+                    .cast("long").cast("string"),
+                ),
+            ).alias("neg_score_micros"),
+        )
+    )
+    return pos.join(neg, "_src").select(
+        F.col("_src").alias(id_col),
+        "positive_id", "pos_score", "negative_ids", "neg_score_micros",
+    )
+
+
 #: memoized dial-resolution counts, keyed by (session, analyzed-plan
 #: semanticHash) — see corpus_count. The session component is the
 #: Spark application id, a stable identifier: id(sparkSession) can be

@@ -46,6 +46,7 @@ QUERIES = {
     "dedup_exact_substr_indexed": q_dedup_exact_substr_indexed,
     "dedup_substr_removal": q_dedup_substr_removal,
     "hard_negative_mining": q_hard_negative_mining,
+    "contrastive_triplets": q_contrastive_triplets,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -311,6 +312,7 @@ _R12_FRONT = [
     "dedup_exact_substr_staged", "media_resize_png",
     "media_audio_resample", "dedup_exact_substr_indexed",
     "dedup_substr_removal", "hard_negative_mining",
+    "contrastive_triplets",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -328,9 +330,10 @@ _R12_FRONT = [
     "sort_by_filename", "split_by_content", "split_leakage_check",
     "status_transition_case", "status_update_merge",
     "vector_quantize_int8",
-    # rows-only-by-design keys with no driver row in any round
-    "kll_quantile", "bpe_tokenize",
-    # round-8 cohort fill (alphabetical head; the tail leads round 13)
+    # rows-only-by-design key with no driver row in any round
+    # (bpe_tokenize, its sibling, was displaced by the round-12 splice
+    # and leads the round-13 window)
+    "kll_quantile",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2222,6 +2225,69 @@ ORACLES["hard_negative_mining"] = """
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                         ORDER BY score DESC, negative_id) AS rn FROM pairs)
         WHERE rn <= 2"""
+
+
+# Round 12: contrastive triplet assembly — the hard-negative oracle's
+# CTEs with a same-label positive window and rank-ordered negative
+# lists (scores as engine-stable micro-integers).
+ORACLES["contrastive_triplets"] = """
+        WITH planes AS (
+            SELECT p.p, i.i,
+                   CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                        CAST(i.i AS VARCHAR)), 8, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM (SELECT unnest(range(4)) AS p) p,
+                 (SELECT unnest(range((SELECT max(len(embedding))
+                                       FROM embeddings))) AS i) i),
+        normed AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings),
+        dots AS (
+            SELECT nv.vec_id, pl.p,
+                   sum(nv.v[pl.i + 1] * pl.w) AS d
+            FROM normed nv JOIN planes pl ON TRUE
+            GROUP BY nv.vec_id, pl.p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        bv AS (
+            SELECT nv.vec_id, nv.label, nv.v, nv.n, bk.bucket
+            FROM normed nv JOIN buckets bk USING (vec_id)),
+        pairs AS (
+            SELECT a.vec_id AS vec_id, a.label AS src_lbl,
+                   b.vec_id AS cand, b.label AS cand_lbl,
+                   round(CASE WHEN a.n * b.n > 0
+                         THEN list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i])) / (a.n * b.n)
+                         ELSE 0.0 END, 6) AS score
+            FROM bv a JOIN bv b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        pos AS (
+            SELECT vec_id, cand AS positive_id, score AS pos_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cand) AS rn
+                  FROM pairs WHERE src_lbl = cand_lbl) WHERE rn = 1),
+        neg AS (
+            SELECT vec_id,
+                   string_agg(CAST(cand AS VARCHAR), ',' ORDER BY rn)
+                       AS negative_ids,
+                   string_agg(CAST(CAST(floor(score * 1000000 + 0.5)
+                                        AS BIGINT) AS VARCHAR), ','
+                              ORDER BY rn) AS neg_score_micros
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cand) AS rn
+                  FROM pairs WHERE src_lbl <> cand_lbl)
+            WHERE rn <= 2 GROUP BY vec_id)
+        SELECT p.vec_id, p.positive_id, p.pos_score,
+               n.negative_ids, n.neg_score_micros
+        FROM pos p JOIN neg n USING (vec_id)"""
 
 # Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain
 # bytes into a real PNG (all five filters) and INFLATES + un-filters it

@@ -378,6 +378,18 @@ def q_hard_negative_mining(spark, sf_dir):
     )
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    """Contrastive batch assembly (round 12): one row per anchor with
+    its mined positive (nearest same-label vector) and its hard
+    negatives (nearest 2 cross-label, rank-ordered comma lists; scores
+    serialized as engine-stable micro-integers). One LSH candidate join
+    feeds both mines. Pinned n_planes=4 so the oracle replicates the
+    bucketing, both windows, and the list assembly value-for-value."""
+    return similarity.contrastive_triplets(
+        load(spark, sf_dir, "embeddings"), n_negatives=2, n_planes=4
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: a 'new crawl' batch (doc_id % 10 < 2) collapsed
     within-batch then anti-joined against the existing corpus fingerprint
