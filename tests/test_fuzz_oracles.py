@@ -200,6 +200,11 @@ EMB_KEYS = [
     "semantic_dedup",
     "knn_graph_lsh",
     "ann_recall_at_k",
+    # round 12: label-aware mining — varied labels (i % 3) in the
+    # fixture make cross-label pairs exist; the all-zero vector still
+    # stresses the zero-norm guard through both windows
+    "hard_negative_mining",
+    "contrastive_triplets",
 ]
 
 #: grid-valued small vectors INCLUDING the all-zero vector (zero norm:
@@ -217,7 +222,7 @@ def test_fuzzed_embeddings_stay_oracle_exact(spark, tmp_path_factory, vecs):
     emb = pd.DataFrame({
         "vec_id": range(len(vecs)),
         "embedding": [[float(x) for x in v] for v in vecs],
-        "label": [0] * len(vecs),
+        "label": [i % 3 for i in range(len(vecs))],
     })
     d = tmp_path_factory.mktemp("fuzz_emb")
     pq = str(d / "embeddings.parquet")
