@@ -83,6 +83,7 @@ _QUICK_TESTS = {
     "test_sketch.py::test_hll_merge_equals_whole",
     "test_stateful_streaming.py::test_stateful_running_totals_stream",
     "test_streaming_pipeline.py::test_discovery_stream_registers_new_files_once",
+    "test_substr_index.py::test_substr_index_probe_matches_inline_union",
     "test_suite_oracle.py::test_every_query_has_callable_shape",
     "test_text_index.py::test_index_query_equals_inline_bm25",
     "test_tickgen.py::test_tickgen_rowcount_schema_and_partitions",
