@@ -47,6 +47,7 @@ QUERIES = {
     "dedup_substr_removal": q_dedup_substr_removal,
     "hard_negative_mining": q_hard_negative_mining,
     "contrastive_triplets": q_contrastive_triplets,
+    "gzip_corpus_roundtrip": q_gzip_corpus_roundtrip,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -312,7 +313,7 @@ _R12_FRONT = [
     "dedup_exact_substr_staged", "media_resize_png",
     "media_audio_resample", "dedup_exact_substr_indexed",
     "dedup_substr_removal", "hard_negative_mining",
-    "contrastive_triplets",
+    "contrastive_triplets", "gzip_corpus_roundtrip",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -329,7 +330,6 @@ _R12_FRONT = [
     "sim_topk_lsh_indexed", "sim_topk_lsh_multiprobe",
     "sort_by_filename", "split_by_content", "split_leakage_check",
     "status_transition_case", "status_update_merge",
-    "vector_quantize_int8",
     # rows-only-by-design key with no driver row in any round
     # (bpe_tokenize, its sibling, was displaced by the round-12 splice
     # and leads the round-13 window)
@@ -2288,6 +2288,15 @@ ORACLES["contrastive_triplets"] = """
         SELECT p.vec_id, p.positive_id, p.pos_score,
                n.negative_ids, n.neg_score_micros
         FROM pos p JOIN neg n USING (vec_id)"""
+
+
+# Round 12: the gzip ingestion-edge round trip — lossless, so the
+# oracle mirrors the original column directly.
+ORACLES["gzip_corpus_roundtrip"] = """
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           TRUE AS decode_ok
+    FROM documents WHERE doc_id < 200"""
 
 # Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain
 # bytes into a real PNG (all five filters) and INFLATES + un-filters it

@@ -566,6 +566,31 @@ def q_dedup_substr_removal(spark, sf_dir):
     return dedup.remove_duplicate_spans(payload, min_len=50)
 
 
+def q_gzip_corpus_roundtrip(spark, sf_dir):
+    """Read-side GZIP ingestion edge in the gate (round 12): each
+    document is deflated into a real per-record gzip member (fixed
+    mtime) and inflated back by sources.gzip_blobs.decode_gzip_text —
+    stdlib gzip with trailer CRC verification, executor-side, the READ
+    twin of the reference's gzip write path (CompressionHandler.java:
+    43-46). gzip round-trips losslessly, so the oracle mirrors
+    md5(text) and the UTF-8 byte length straight off the original
+    column; the compressed size is deliberately NOT emitted (deflate
+    output is library-version-dependent — only the round-trip is
+    contract)."""
+    from ..sources.gzip_blobs import decode_gzip_text, encode_gzip_text
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", "text")
+    decoded = decode_gzip_text(encode_gzip_text(docs))
+    return decoded.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_bytes"),
+        "decode_ok",
+    )
+
+
 def q_dedup_boilerplate_lines(spark, sf_dir):
     """Line-level boilerplate removal (CCNet/RefinedWeb recipe): lines in
     more than 2 distinct documents are dropped everywhere and documents

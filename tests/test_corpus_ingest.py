@@ -225,3 +225,31 @@ def test_compact_corpus_crash_recovery_self_heals(spark, ingest, tmp_path):
     ingest.compact_corpus(spark)  # recovery run
     docs = [r["doc_id"] for r in ingest.corpus(spark).collect()]
     assert sorted(docs) == [0, 1, 2]  # self-healed, one row per doc
+
+
+def test_gzip_blob_decode_and_corruption(spark):
+    """Read-side gzip: round trip preserves bytes exactly (multi-byte
+    UTF-8 included), trailer CRC damage and truncation yield
+    decode_ok=false with NULL text, and non-gzip payloads are declined
+    by magic check — never a wrong answer."""
+    from crypto_data_service_loader_spark.sources.gzip_blobs import (
+        _gunzip, decode_gzip_text, encode_gzip_text)
+
+    texts = ["plain ascii", "naïve café  ", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    blobs = encode_gzip_text(docs)
+    out = {r["doc_id"]: r for r in decode_gzip_text(blobs).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["decode_ok"] and out[i]["text"] == t
+        assert out[i]["n_bytes"] == len(t.encode("utf-8"))
+    import gzip
+
+    good = gzip.compress(b"hello world", mtime=0)
+    assert _gunzip(good) == b"hello world"
+    assert _gunzip(None) is None
+    assert _gunzip(b"not gzip at all....") is None
+    assert _gunzip(good[:-3]) is None            # truncated trailer
+    crc_bad = bytearray(good)
+    crc_bad[-6] ^= 0xFF                          # flip a CRC byte
+    assert _gunzip(bytes(crc_bad)) is None
