@@ -439,20 +439,23 @@ def _parse_png(payload: bytes | None):
 
 
 def _encode_png(
-    rgb: bytes, width: int, height: int, filters: list[int] | None = None
+    rgb: bytes, width: int, height: int, filters: list[int] | None = None,
+    color: int = 2,
 ) -> bytes:
-    """Encode top-down RGB bytes as a genuine PNG (8-bit truecolor,
-    non-interlaced): per-row filter selection (default: row r uses filter
-    type r % 5, so every encoded image exercises ALL five filters on
-    decode), zlib-deflated IDAT, correct chunk CRCs. Deterministic for a
-    given input (zlib level 6, fixed strategy) — but the gate keys never
+    """Encode top-down pixel bytes as a genuine PNG (8-bit,
+    non-interlaced; `color` 2 = truecolor RGB, 0 = grayscale, 6 = RGBA):
+    per-row filter selection (default: row r uses filter type r % 5, so
+    every encoded image exercises ALL five filters on decode),
+    zlib-deflated IDAT, correct chunk CRCs. Deterministic for a given
+    input (zlib level 6, fixed strategy) — but the gate keys never
     compare the compressed BYTES across engines, only the decoded stats,
     so determinism of the deflate stream is not load-bearing."""
     import struct
     import zlib
 
-    stride = width * 3
-    assert len(rgb) == height * stride, "rgb length must be height*width*3"
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    stride = width * bpp
+    assert len(rgb) == height * stride, "pixel length must be h*w*bpp"
     lines = bytearray()
     prev = bytes(stride)
     for r in range(height):
@@ -463,23 +466,23 @@ def _encode_png(
             lines += row
         elif ftype == 1:  # Sub
             lines += bytes(
-                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
                 for i in range(stride)
             )
         elif ftype == 2:  # Up
             lines += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
         elif ftype == 3:  # Average
             lines += bytes(
-                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1))
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
                 & 0xFF
                 for i in range(stride)
             )
         else:  # Paeth
             out = bytearray()
             for i in range(stride):
-                a = row[i - 3] if i >= 3 else 0
+                a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - 3] if i >= 3 else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -493,7 +496,7 @@ def _encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -741,17 +744,20 @@ def _resize_ppm6(payload: bytes | None, width: int, height: int) -> bytes | None
 PNG_ENCODE_SCHEMA = "media_id long, payload binary"
 
 
-def encode_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Encode raw top-down RGB bytes (column ``rgb``, height*width*3
-    bytes per row) into genuine PNG files via `_encode_png` — per-row
-    filter type r % 5, so every payload exercises all five PNG filters
-    on decode. Scan-local mapInPandas, same scale shape as the decoders:
+def encode_png_images(
+    media: DataFrame, width: int, height: int, color: int = 2
+) -> DataFrame:
+    """Encode raw top-down pixel bytes (column ``rgb``,
+    height*width*bpp bytes per row; `color` 2 = RGB, 0 = grayscale,
+    6 = RGBA) into genuine PNG files via `_encode_png` — per-row filter
+    type r % 5, so every payload exercises all five PNG filters on
+    decode. Scan-local mapInPandas, same scale shape as the decoders:
     one pass, no shuffle, bounded memory per task."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                _encode_png(bytes(rgb), width, height)
+                _encode_png(bytes(rgb), width, height, color=color)
                 for rgb in pdf["rgb"]
             ]
             yield pd.DataFrame(

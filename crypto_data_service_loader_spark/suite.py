@@ -48,6 +48,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "contrastive_triplets": q_contrastive_triplets,
     "gzip_corpus_roundtrip": q_gzip_corpus_roundtrip,
+    "media_decode_png_mixed": q_media_decode_png_mixed,
     "registry_compaction": q_registry_compaction,
     # --- new in round 11 ---
     "media_decode_stats": q_media_decode_stats,
@@ -314,6 +315,7 @@ _R12_FRONT = [
     "media_audio_resample", "dedup_exact_substr_indexed",
     "dedup_substr_removal", "hard_negative_mining",
     "contrastive_triplets", "gzip_corpus_roundtrip",
+    "media_decode_png_mixed",
     # displaced r7-cohort fill (dropped from the r11 window; stalest)
     "bpe_segment_pinned", "category_drift", "dedup_anti_join",
     "dedup_pair_recall", "equi_depth_histogram", "events_acf",
@@ -328,7 +330,7 @@ _R12_FRONT = [
     "point_lookup", "registry_fs_inner_join", "retention_guard",
     "rolling_corr", "scd2_apply", "sim_topk_ivf_indexed",
     "sim_topk_lsh_indexed", "sim_topk_lsh_multiprobe",
-    "sort_by_filename", "split_by_content", "split_leakage_check",
+    "sort_by_filename", "split_by_content",
     "status_transition_case", "status_update_merge",
     # rows-only-by-design key with no driver row in any round
     # (bpe_tokenize, its sibling, was displaced by the round-12 splice
@@ -2297,6 +2299,44 @@ ORACLES["gzip_corpus_roundtrip"] = """
            CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            TRUE AS decode_ok
     FROM documents WHERE doc_id < 200"""
+
+
+# Round 12: mixed color-type PNG — per-branch channel math (gray: all
+# sums equal over 20 bytes; RGB: j%3; RGBA: j%4 with alpha dropped).
+ORACLES["media_decode_png_mixed"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id, doc_id % 3 AS k,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text))))
+               || md5(md5(md5(md5(md5(text))))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, k, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 79)) AS i(i)
+        WHERE i.i < CASE k WHEN 0 THEN 20 WHEN 1 THEN 60 ELSE 80 END),
+    s AS (
+        SELECT media_id, k,
+               CAST(SUM(CASE WHEN k = 0 THEN v
+                             WHEN k = 1 AND i % 3 = 2 THEN v
+                             WHEN k = 2 AND i % 4 = 2 THEN v
+                             ELSE 0 END) AS BIGINT) AS sum_b,
+               CAST(SUM(CASE WHEN k = 0 THEN v
+                             WHEN k = 1 AND i % 3 = 1 THEN v
+                             WHEN k = 2 AND i % 4 = 1 THEN v
+                             ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN k = 0 THEN v
+                             WHEN k = 1 AND i % 3 = 0 THEN v
+                             WHEN k = 2 AND i % 4 = 0 THEN v
+                             ELSE 0 END) AS BIGINT) AS sum_r
+        FROM b GROUP BY media_id, k)
+    SELECT media_id, CAST('png' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
 
 # Round 12: the PNG decode key — the Spark side DEFLATES the md5-chain
 # bytes into a real PNG (all five filters) and INFLATES + un-filters it

@@ -1836,6 +1836,40 @@ def q_media_decode_png(spark, sf_dir):
     return decode_image_stats(pngs)
 
 
+def q_media_decode_png_mixed(spark, sf_dir):
+    """Mixed COLOR-TYPE PNG decode (round 12): doc_id % 3 picks the
+    color type — grayscale (bpp 1), truecolor RGB (bpp 3), RGBA
+    (bpp 4) — all genuinely deflated and inflated, each with all five
+    filters. The three types disagree on channel math (gray expands to
+    three EQUAL sums, RGBA drops every 4th byte), so the oracle's
+    per-branch sums value-verify that the bpp-aware un-filter routed
+    each payload correctly — the color-type analogue of
+    media_decode_mixed's BMP/PPM BGR-vs-RGB check."""
+    from ..operators.multimodal import decode_image_stats, encode_png_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    m4 = F.md5(m3)
+    m5 = F.md5(m4)
+    chain = F.concat(m1, m2, m3, m4, m5)  # 160 hex chars = 80 bytes
+
+    def branch(k, n_hex, color):
+        sel = docs.filter(F.col("doc_id") % 3 == k).select(
+            F.col("doc_id").alias("media_id"),
+            F.unhex(F.substring(chain, 1, n_hex)).alias("rgb"),
+        )
+        return encode_png_images(sel, width=4, height=5, color=color)
+
+    pngs = (
+        branch(0, 40, 0)            # grayscale: 20 bytes
+        .unionByName(branch(1, 120, 2))   # RGB: 60 bytes
+        .unionByName(branch(2, 160, 6))   # RGBA: 80 bytes
+    )
+    return decode_image_stats(pngs)
+
+
 def q_media_resize_png(spark, sf_dir):
     """PNG resize ROUND-TRIP in the gate (round 12): the same genuine
     4x5 PNGs as media_decode_png (all five filters), resized 4x5 -> 2x2

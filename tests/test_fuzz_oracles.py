@@ -45,6 +45,7 @@ FUZZ_KEYS = [
     # five PNG filters in every payload), the PNG resize + WAV resample
     # round-trips, and both ExactSubstr forms replay over every corpus
     "media_decode_png",
+    "media_decode_png_mixed",
     "media_resize_png",
     "media_audio_resample",
     "dedup_exact_substrings",
