@@ -417,3 +417,38 @@ def test_exact_quantiles_match_numpy_percentile(spark, vals, q):
     got = exact_quantiles(df, "k", "v", {"qq": q}).collect()[0]["qq"]
     want = float(np.percentile(vals, q * 100, method="linear"))
     assert got == pytest.approx(round(want, 6), abs=2e-6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 6),
+    color=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+def test_png_roundtrip_any_size_filters_colortype(w, h, color, data):
+    """PNG encode/decode is an exact round trip for EVERY size, filter
+    assignment, and color type: the decoded channel sums equal the
+    source bytes' sums under each type's channel rule (gray expands to
+    three equal sums, RGBA drops alpha). Pure-Python property — no
+    Spark session, so it runs wide."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    n = w * h * bpp
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    filters = data.draw(st.lists(
+        st.integers(0, 4), min_size=h, max_size=h))
+    png = M._encode_png(px, w, h, filters=filters, color=color)
+    got = M._decode_png(png)
+    if color == 0:
+        s = sum(px)
+        want = (w, h, w * h, s, s, s)
+    elif color == 2:
+        want = (w, h, w * h,
+                sum(px[2::3]), sum(px[1::3]), sum(px[0::3]))
+    else:
+        want = (w, h, w * h,
+                sum(px[2::4]), sum(px[1::4]), sum(px[0::4]))
+    assert got == want
