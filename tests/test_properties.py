@@ -452,3 +452,91 @@ def test_png_roundtrip_any_size_filters_colortype(w, h, color, data):
         want = (w, h, w * h,
                 sum(px[2::4]), sum(px[1::4]), sum(px[0::4]))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    channels=st.integers(1, 3),
+    rate=st.sampled_from([1000, 8000, 44100]),
+    out_rate=st.sampled_from([500, 2000, 8000, 16000]),
+    data=st.data(),
+)
+def test_wav_roundtrip_and_resample_property(channels, rate, out_rate, data):
+    """WAV encode/decode round-trips exactly for any channel count and
+    sample values, and nearest-frame resampling keeps exactly the frames
+    (arange(n_out)*n_in)//n_out — channels never de-interleave. Pure
+    Python, no Spark session."""
+    import struct
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    n_frames = data.draw(st.integers(1, 12))
+    samples = data.draw(st.lists(
+        st.integers(-32768, 32767),
+        min_size=n_frames * channels, max_size=n_frames * channels))
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples) * 2) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * channels * 2, channels * 2, 16)
+        + b"data" + struct.pack("<I", len(samples) * 2)
+        + b"".join(struct.pack("<h", s) for s in samples)
+    )
+    got = M._decode_wav16(payload)
+    assert got == (channels, rate, len(samples), sum(samples),
+                   min(samples), max(samples),
+                   sum(s * s for s in samples))
+    out = M._resample_wav16(payload, out_rate)
+    n_out = n_frames * out_rate // rate
+    if n_out <= 0:
+        assert out is None
+        return
+    frames = [samples[i * channels:(i + 1) * channels]
+              for i in range(n_frames)]
+    kept = [s for i in range(n_out)
+            for s in frames[(i * n_frames) // n_out]]
+    assert M._decode_wav16(out) == (
+        channels, out_rate, len(kept), sum(kept), min(kept), max(kept),
+        sum(s * s for s in kept))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(data=st.data())
+def test_exact_substring_spans_matches_bruteforce(spark, data):
+    """exact_substring_spans equals a brute-force Python reference on
+    random corpora built from a tiny alphabet (so duplicated windows are
+    COMMON): every maximal duplicated span, within-doc repeats included,
+    with exact boundaries."""
+    from crypto_data_service_loader_spark.operators import dedup
+
+    L = 6  # small window so tiny docs still produce spans
+    texts = data.draw(st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=24),
+        min_size=1, max_size=6))
+    # brute force: corpus-wide window frequency, then islands per doc
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts:
+        for i in range(len(t) - L + 1):
+            freq[t[i:i + L]] += 1
+    want = set()
+    for did, t in enumerate(texts):
+        dup_pos = [i for i in range(len(t) - L + 1)
+                   if freq[t[i:i + L]] > 1]
+        run = []
+        for i in dup_pos + [None]:
+            if run and (i is None or i != run[-1] + 1):
+                want.add((did, run[0] + 1, run[-1] + L - run[0],
+                          len(run)))
+                run = []
+            if i is not None:
+                run.append(i)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["n_windows"])
+        for r in dedup.exact_substring_spans(docs, min_len=L).collect()
+    }
+    assert got == want
