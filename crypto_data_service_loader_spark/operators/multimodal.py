@@ -357,10 +357,12 @@ def _decode_png(payload: bytes | None):
     zlib.crc32 verification), read IHDR, inflate the concatenated IDAT
     stream with stdlib zlib, then reverse the five per-row filters
     (`_png_unfilter`, bpp-aware). Grayscale expands to RGB (all channels
-    equal), RGBA drops the alpha. Returns the shared integer stats tuple
+    equal), palette indices resolve through the PLTE chunk, RGBA drops
+    the alpha. Returns the shared integer stats tuple
     ``(width, height, n_pixels, sum_b, sum_g, sum_r)`` or None for
     anything else (bad CRC, short IDAT, sub-8-bit/16-bit depths,
-    palette, interlaced — rejected, never misread).
+    out-of-range palette indices, interlaced — rejected, never
+    misread).
 
     Reference parity: byte-level schema-blind payload handling at the
     ingestion edge (CompressionHandler.java:43-46), extended to media
@@ -381,9 +383,10 @@ def _decode_png(payload: bytes | None):
 
 
 def _parse_png(payload: bytes | None):
-    """Parse a non-interlaced 8-bit RGB PNG down to raw pixels: chunk
-    walk with CRC verification, IHDR validation, IDAT inflate, un-filter.
-    Returns (width, height, top-down RGB bytes) or None."""
+    """Parse a non-interlaced 8-bit PNG (grayscale / RGB / palette /
+    RGBA) down to raw RGB pixels: chunk walk with CRC verification,
+    IHDR validation, PLTE capture for color type 3, IDAT inflate,
+    un-filter. Returns (width, height, top-down RGB bytes) or None."""
     import struct
     import zlib
 
@@ -394,6 +397,7 @@ def _parse_png(payload: bytes | None):
         return None
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     seen_end = False
     while pos + 12 <= len(payload):
@@ -409,6 +413,10 @@ def _parse_png(payload: bytes | None):
             if ihdr is not None or length != 13:
                 return None
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if plte is not None or length % 3 != 0 or length == 0:
+                return None
+            plte = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -418,9 +426,11 @@ def _parse_png(payload: bytes | None):
     if ihdr is None or not idat or not seen_end:
         return None
     width, height, depth, color, comp, filt, interlace = ihdr
-    # 8-bit grayscale (0), truecolor RGB (2), RGBA (6); no interlace
-    bpp = {0: 1, 2: 3, 6: 4}.get(color)
+    # 8-bit grayscale (0), truecolor RGB (2), palette (3), RGBA (6)
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
     if depth != 8 or bpp is None or (comp, filt, interlace) != (0, 0, 0):
+        return None
+    if color == 3 and plte is None:  # palette images REQUIRE a PLTE
         return None
     if width <= 0 or height <= 0:
         return None
@@ -431,7 +441,14 @@ def _parse_png(payload: bytes | None):
     px = _png_unfilter(raw, width, height, bpp)
     if px is None:
         return None
-    if bpp == 1:  # grayscale -> RGB expansion (each channel = the value)
+    if color == 3:  # palette lookup: index byte -> PLTE RGB triple
+        n_entries = len(plte) // 3
+        if any(v >= n_entries for v in px):
+            return None  # index past the palette — corrupt, not misread
+        px = bytearray(
+            b for v in px for b in plte[3 * v:3 * v + 3]
+        )
+    elif bpp == 1:  # grayscale -> RGB expansion (each channel = the value)
         px = bytearray(b for v in px for b in (v, v, v))
     elif bpp == 4:  # RGBA -> drop the alpha channel
         del px[3::4]

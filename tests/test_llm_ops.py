@@ -2244,6 +2244,39 @@ def test_png_grayscale_and_rgba():
     assert multimodal._decode_png(bad) is None
 
 
+def test_png_palette_decode():
+    """Color type 3: indices resolve through the PLTE chunk; a missing
+    PLTE, an out-of-range index, and a malformed (non-multiple-of-3)
+    palette are all rejected rather than misread."""
+    import struct
+    import zlib
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+    plte = bytes([10, 20, 30, 200, 100, 50])
+    lines = bytes([0]) + bytes([0, 1, 1]) + bytes([0]) + bytes([1, 0, 0])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+
+    def png(palette, idat):
+        out = multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette)
+        return out + chunk(b"IDAT", zlib.compress(idat)) + chunk(b"IEND", b"")
+
+    got = multimodal._decode_png(png(plte, lines))
+    assert got == (3, 2, 6, 3 * 30 + 3 * 50, 3 * 20 + 3 * 100,
+                   3 * 10 + 3 * 200)
+    oob = bytes([0]) + bytes([0, 1, 2]) + bytes([0]) + bytes([1, 0, 0])
+    assert multimodal._decode_png(png(plte, oob)) is None
+    assert multimodal._decode_png(png(None, lines)) is None
+    assert multimodal._decode_png(png(plte[:5], lines)) is None
+    # resize works through the shared RGB path
+    small = multimodal._resize_png(png(plte, lines), 1, 1)
+    assert multimodal._decode_png(small) == (1, 1, 1, 30, 20, 10)
+
+
 def test_png_multi_idat_and_resize():
     """IDAT may be split across chunks (the spec allows any split) and
     the nearest-neighbor resize round-trips through a genuine PNG."""
