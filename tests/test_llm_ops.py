@@ -1859,11 +1859,21 @@ def test_corpus_count_shared_across_dials(spark, monkeypatch):
     similarity.knn_graph(emb, k=2)          # auto n_planes, same corpus
     similarity.semantic_dedup(emb)          # auto k_centroids, same corpus
     assert calls["n"] == 2
+    # the round-12 mining ops default to the SAME auto dial + memo (the
+    # 30x probe showed the pinned dial is quadratic; the production
+    # default must stay dialed and must not re-count). The labeled
+    # projection is a DIFFERENT plan -> one new memo entry, shared by
+    # both mining ops.
+    labeled = emb.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    similarity.hard_negatives(labeled, k=1)
+    assert calls["n"] == 3
+    similarity.contrastive_triplets(labeled, n_negatives=1)
+    assert calls["n"] == 3
     # and a hinted composed run never counts at all
     similarity._CORPUS_COUNT_MEMO.clear()
     similarity.knn_graph(emb, k=2, n_vectors_hint=20)
     similarity.semantic_dedup(emb, n_vectors_hint=20)
-    assert calls["n"] == 2
+    assert calls["n"] == 3  # unchanged from the labeled-corpus count
     similarity._CORPUS_COUNT_MEMO.clear()
 
 
