@@ -296,60 +296,58 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# Round-12 rotation (_R12_FRONT, exactly 50 keys — the driver windows
-# the FIRST 50 dict keys). Per VERDICT r11 item #1 this window leads
-# with the TWELVE round-7 fill keys displaced from the r11 window by
-# spliced new/changed keys (the stalest greens, 5 rounds), then the
-# remainder of the round-7 cohort (last driver-verified in r7), then
-# the two rows-only-by-design keys that have NEVER had a driver row
-# (kll_quantile / bpe_tokenize — the r11 precedent put the approx pair
-# on the record; these two complete the set), filled to 50 with the
-# alphabetical head of the round-8 cohort. New / source-changed
-# round-12 keys are spliced in at the top as they land, displacing
-# tail fill. After this window no key is >5 rounds stale.
-_R12_FRONT = [
-    # new / source-changed in round 12 (spliced in the same commit that
-    # lands each key — the assertions below keep this honest)
-    "media_decode_png", "dedup_exact_substrings", "registry_compaction",
-    "dedup_exact_substr_staged", "media_resize_png",
-    "media_audio_resample", "dedup_exact_substr_indexed",
-    "dedup_substr_removal", "hard_negative_mining",
-    "contrastive_triplets", "gzip_corpus_roundtrip",
-    "media_decode_png_mixed",
-    # displaced r7-cohort fill (dropped from the r11 window; stalest)
-    "bpe_segment_pinned", "category_drift", "dedup_anti_join",
-    "dedup_pair_recall", "equi_depth_histogram", "events_acf",
-    "events_control_chart", "events_ols_trend", "events_seasonal",
-    "events_winsorized", "file_registry_scan", "filter_date_eq",
-    # remainder of the round-7 cohort (last driver-verified in round 7)
-    "filter_status_in", "flagship_pricing_summary",
-    "gap_fill_interpolate", "groupby_collect_set", "histogram_drift",
-    "hll_distinct", "hybrid_rrf", "hybrid_search",
-    "hybrid_search_indexed", "knn_triangles_indexed",
-    "mixture_rebalance", "mixture_temperature", "pagerank_knn_indexed",
-    "point_lookup", "registry_fs_inner_join", "retention_guard",
-    "rolling_corr", "scd2_apply", "sim_topk_ivf_indexed",
-    "sim_topk_lsh_indexed", "sim_topk_lsh_multiprobe",
-    "sort_by_filename", "split_by_content",
-    "status_transition_case", "status_update_merge",
-    # rows-only-by-design key with no driver row in any round
-    # (bpe_tokenize, its sibling, was displaced by the round-12 splice
-    # and leads the round-13 window)
-    "kll_quantile",
+# Round-13 rotation (_R13_FRONT, exactly 50 keys — the driver windows
+# the FIRST 50 dict keys). Per VERDICT r12 item #1 this window leads
+# with `bpe_tokenize` — the ONLY key with zero driver rows in all 12
+# rounds (rows-only by design; its siblings got theirs in r11/r12) —
+# then the twelve keys displaced from the r12 window by spliced
+# new/changed keys (nine r8-cohort fill keys agg_count_star…
+# cleanup_candidates plus the two r7 remainders), then the remainder
+# of the round-8 cohort (last driver-verified in round 8, the stalest
+# greens at 5 rounds), filled to 50 with the alphabetical head of the
+# round-9 cohort. New / source-changed round-13 keys are spliced in
+# at the top as they land, displacing tail fill.
+_R13_FRONT = [
+    # rows-only-by-design key with NO driver row in any round — splice
+    # EARLY per VERDICT r12 #1 so it can never be displaced by splices
+    "bpe_tokenize",
+    # new / source-changed round-13 keys are spliced HERE as they land
+    # (same-commit discipline; the assertions below keep this honest),
+    # displacing tail fill.
+    # displaced r8-cohort fill + r7 remainders (dropped from the r12
+    # window by that round's splices; stalest greens)
+    "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
+    "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
+    "bloom_prejoin_filter", "cleanup_candidates",
+    "split_leakage_check", "vector_quantize_int8",
+    # remainder of the round-8 cohort (last driver-verified in round 8)
+    "countmin_term_counts", "csv_validate_filter", "curation_funnel",
+    "data_contract_check", "dedup_jaccard_prefix", "dsir_select",
+    "entity_clusters", "entity_resolution_scored", "events_cusum",
+    "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
+    "join_sortmerge", "log_event_json", "moments_quantile",
+    "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
+    "scalar_strings", "session_window_agg", "sessionize_events",
+    "setop_except", "setop_intersect", "setop_union",
+    "sim_cosine_topk_ivf", "stream_tumbling_daily_count",
+    "topk_by_price", "udf_grouped_range", "udf_mid_price",
+    "upload_status_rollup", "win_first_last", "win_lag_delta",
+    "win_moving_avg", "win_range_frame", "win_rank_suite",
+    "win_row_number",
+    # alphabetical head of the round-9 cohort (fill to 50)
+    "agg_corr",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
-_missing = [k for k in _R12_FRONT if k not in QUERIES]
-assert not _missing, f"_R12_FRONT keys not registered: {_missing}"
-assert len(_R12_FRONT) == 50, f"_R12_FRONT has {len(_R12_FRONT)} keys"
-assert len(set(_R12_FRONT)) == 50, "_R12_FRONT has duplicates"
-_R9_FRONT = _R12_FRONT
-_R8_FRONT = _R12_FRONT  # tools/split_suite.py keys off the old name
+_missing = [k for k in _R13_FRONT if k not in QUERIES]
+assert not _missing, f"_R13_FRONT keys not registered: {_missing}"
+assert len(_R13_FRONT) == 50, f"_R13_FRONT has {len(_R13_FRONT)} keys"
+assert len(set(_R13_FRONT)) == 50, "_R13_FRONT has duplicates"
 QUERIES = {
-    **{k: QUERIES[k] for k in _R12_FRONT},
+    **{k: QUERIES[k] for k in _R13_FRONT},
     **{k: v for k, v in QUERIES.items()
-       if k not in set(_R12_FRONT)},
+       if k not in set(_R13_FRONT)},
 }
 
 ORACLES: dict[str, str] = {

@@ -45,7 +45,8 @@ def classify(n):
         return "shared"
     if name in TPCH or (name.startswith("q_tpch_")):
         return "tpch"
-    if name in {"QUERIES", "ORACLES", "_R8_FRONT"} or name.startswith("ORACLES["):
+    if (name in {"QUERIES", "ORACLES"} or name.endswith("_FRONT")
+            or name.startswith("ORACLES[")):
         return "suite"
     if isinstance(n, ast.Assign) and not isinstance(n.targets[0], ast.Name):
         return "suite"  # ORACLES['x'] = ... subscript assigns
