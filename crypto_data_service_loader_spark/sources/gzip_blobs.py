@@ -46,9 +46,12 @@ def decode_gzip_text(
 ) -> DataFrame:
     """REAL gzip decode of per-record compressed documents: inflate each
     member with stdlib gzip (trailer CRC verified), decode UTF-8, and
-    emit (id, text, n_compressed, n_bytes, decode_ok). Invalid members
-    yield decode_ok=false with NULL text instead of poisoning the batch
-    — the decoders' shared convention."""
+    emit (id, text, n_compressed, n_bytes, decode_ok). The id column
+    keeps its CALLER-GIVEN name in the output (the output schema is
+    built from id_col, as substring_windows does — ADVICE r12). Invalid
+    members yield decode_ok=false with NULL text instead of poisoning
+    the batch — the decoders' shared convention."""
+    out_schema = GZIP_TEXT_SCHEMA.replace("doc_id", id_col, 1)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -71,11 +74,11 @@ def decode_gzip_text(
                     ))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "text", "n_compressed", "n_bytes",
+                columns=[id_col, "text", "n_compressed", "n_bytes",
                          "decode_ok"],
             )
 
-    return blobs.mapInPandas(_batches, schema=GZIP_TEXT_SCHEMA)
+    return blobs.mapInPandas(_batches, schema=out_schema)
 
 
 GZIP_ENCODE_SCHEMA = "doc_id long, payload binary"

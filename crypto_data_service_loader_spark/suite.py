@@ -37,6 +37,9 @@ from .operators import text as _text_ops
 
 
 QUERIES = {
+    # --- new in round 13 ---
+    "media_decode_jpeg": q_media_decode_jpeg,
+    "media_decode_jpeg_mixed": q_media_decode_jpeg_mixed,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -314,6 +317,8 @@ _R13_FRONT = [
     # new / source-changed round-13 keys are spliced HERE as they land
     # (same-commit discipline; the assertions below keep this honest),
     # displacing tail fill.
+    "media_decode_jpeg", "media_decode_jpeg_mixed",
+    "media_resize_png",  # source-changed: native color-type resize (A3)
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -332,10 +337,7 @@ _R13_FRONT = [
     "sim_cosine_topk_ivf", "stream_tumbling_daily_count",
     "topk_by_price", "udf_grouped_range", "udf_mid_price",
     "upload_status_rollup", "win_first_last", "win_lag_delta",
-    "win_moving_avg", "win_range_frame", "win_rank_suite",
-    "win_row_number",
-    # alphabetical head of the round-9 cohort (fill to 50)
-    "agg_corr",
+    "win_moving_avg", "win_range_frame",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2398,6 +2400,115 @@ ORACLES["media_resize_png"] = """
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""
+
+# Round 13: baseline JPEG decode. JPEG is LOSSY, so the oracle cannot
+# reuse the input bytes like the PNG keys do — but the fixture is
+# constant-per-8x8-block, for which the decode has a CLOSED integer
+# form: with flat q=16 tables only the DC coefficient survives
+# quantization, and the whole chain
+#   RGB -> fixed-point YCbCr (floor((..+500000)/1000000), clamped)
+#   -> DC quantize/reconstruct (each channel v -> LEAST(v + v%2, 255))
+#   -> fixed-point YCbCr->RGB (+256e6 offset keeps numerators
+#      non-negative so floor == truncating division in both engines)
+# is pure BIGINT arithmetic. The CTE chain below mirrors
+# multimodal._rgb_to_ycbcr_int / _ycbcr_to_rgb_int term-for-term; it is
+# shared by the plain and the mixed-dispatch key.
+
+
+def _jpeg_const_dec_cte(where: str) -> str:
+    """CTE body (base/c/y/q/p/s) computing the closed-form decoded
+    channel sums of the 16x8 two-constant-block JPEG fixture for
+    documents matching `where`."""
+    return f"""
+    base AS (
+        SELECT doc_id AS media_id, md5(text) AS px
+        FROM documents WHERE {where}),
+    c AS (
+        SELECT media_id,
+               CAST(('0x' || substr(px, 6 * blk.b + 1, 2)) AS BIGINT) AS r,
+               CAST(('0x' || substr(px, 6 * blk.b + 3, 2)) AS BIGINT) AS g,
+               CAST(('0x' || substr(px, 6 * blk.b + 5, 2)) AS BIGINT) AS b
+        FROM base, LATERAL unnest([0, 1]) AS blk(b)),
+    y AS (
+        SELECT media_id,
+               LEAST((299000 * r + 587000 * g + 114000 * b + 500000)
+                     // 1000000, 255) AS yy,
+               LEAST((128000000 - 168736 * r - 331264 * g + 500000 * b
+                      + 500000) // 1000000, 255) AS cb,
+               LEAST((128000000 + 500000 * r - 418688 * g - 81312 * b
+                      + 500000) // 1000000, 255) AS cr
+        FROM c),
+    q AS (
+        SELECT media_id, LEAST(yy + yy % 2, 255) AS yy,
+               LEAST(cb + cb % 2, 255) AS cb, LEAST(cr + cr % 2, 255) AS cr
+        FROM y),
+    p AS (
+        SELECT media_id,
+               GREATEST(LEAST((1000000 * yy + 1402000 * cr - 179456000
+                               + 500000 + 256000000) // 1000000 - 256,
+                              255), 0) AS pr,
+               GREATEST(LEAST((1000000 * yy - 344136 * cb - 714136 * cr
+                               + 135458816 + 500000 + 256000000)
+                              // 1000000 - 256, 255), 0) AS pg,
+               GREATEST(LEAST((1000000 * yy + 1772000 * cb - 226816000
+                               + 500000 + 256000000) // 1000000 - 256,
+                              255), 0) AS pb
+        FROM q),
+    s AS (
+        SELECT media_id, 64 * SUM(pb) AS sum_b, 64 * SUM(pg) AS sum_g,
+               64 * SUM(pr) AS sum_r
+        FROM p GROUP BY media_id)"""
+
+
+_JPEG_STATS_SELECT = """
+    SELECT media_id, CAST('jpeg' AS VARCHAR) AS fmt,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(128 AS INTEGER) AS n_pixels,
+           CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 128 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
+
+ORACLES["media_decode_jpeg"] = (
+    "WITH" + _jpeg_const_dec_cte("doc_id < 200") + _JPEG_STATS_SELECT
+)
+
+# Round 13: mixed PNG/JPEG dispatch — even ids decode losslessly (sums
+# are the raw chain bytes), odd ids go through the JPEG closed form.
+ORACLES["media_decode_jpeg_mixed"] = (
+    "WITH"
+    + _jpeg_const_dec_cte("doc_id < 200 AND doc_id % 2 = 1")
+    + """,
+    png_base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+    png_b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM png_base, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    png_s AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_b,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_r
+        FROM png_b GROUP BY media_id)
+    SELECT media_id, CAST('png' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM png_s
+    UNION ALL"""
+    + _JPEG_STATS_SELECT
+)
 
 # Round 11: the WAV audio decode key — little-endian signed 16-bit
 # samples from byte pairs of the md5 chain.

@@ -2490,3 +2490,100 @@ def test_canonical_url_multi_question_matches_oracle(spark):
     con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
     want = [r[0] for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def _jpeg_case(w=16, h=8):
+    """Two-constant-block RGB image (the gate fixture shape)."""
+    import numpy as np
+
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, : w // 2] = (37, 201, 90)
+    img[:, w // 2:] = (250, 12, 128)
+    return img
+
+
+def test_jpeg_decode_rejects_corruption():
+    """Truncation, progressive SOF, subsampled components, a missing
+    quant table, early EOI, and garbage all decode to None — never a
+    wrong answer (the PNG rejection contract, applied to JPEG)."""
+    img = _jpeg_case()
+    jp = multimodal._encode_jpeg(img.tobytes(), 16, 8)
+    assert multimodal._parse_jpeg(jp) is not None
+    assert multimodal._parse_jpeg(None) is None
+    assert multimodal._parse_jpeg(b"") is None
+    assert multimodal._parse_jpeg(b"\xff\xd8\xff\xd9") is None
+    assert multimodal._parse_jpeg(jp[:40]) is None
+    assert multimodal._parse_jpeg(jp[:-8]) is None  # truncated entropy data
+    # progressive SOF flag (0xC2) must be rejected, not misread
+    bad = bytearray(jp)
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    assert multimodal._parse_jpeg(bytes(bad)) is None
+    # 2x2 chroma subsampling (HV byte of component 1 in SOF0)
+    bad = bytearray(jp)
+    sof = bad.find(b"\xff\xc0")
+    assert bad[sof + 11] == 0x11
+    bad[sof + 11] = 0x22
+    assert multimodal._parse_jpeg(bytes(bad)) is None
+    # drop the luma DQT segment -> quant table 0 missing at SOS time
+    dqt = jp.find(b"\xff\xdb")
+    ln = int.from_bytes(jp[dqt + 2:dqt + 4], "big")
+    assert multimodal._parse_jpeg(jp[:dqt] + jp[dqt + 2 + ln:]) is None
+    # flip one entropy byte: either rejected or decoded to a DIFFERENT
+    # (but well-formed) result — never an exception
+    bad = bytearray(jp)
+    bad[-12] ^= 0x55
+    multimodal._parse_jpeg(bytes(bad))
+
+
+def test_jpeg_registry_dispatch_and_resize():
+    """The codec registry routes JPEG magic to _decode_jpeg (fmt tag
+    'jpeg'), and _resize_jpeg re-encodes a decodable baseline JPEG of
+    the requested size; resize_images' real-path chain picks it up after
+    BMP/PPM/PNG decline."""
+    import numpy as np
+
+    img = _jpeg_case()
+    jp = multimodal._encode_jpeg(img.tobytes(), 16, 8)
+    fmt, stats = multimodal._decode_image(jp)
+    assert fmt == "jpeg"
+    assert stats[:3] == (16, 8, 128)
+    small = multimodal._resize_jpeg(jp, 8, 8)
+    assert small is not None
+    w, h, rgb = multimodal._parse_jpeg(small)
+    assert (w, h) == (8, 8)
+    # constant halves survive nearest-neighbor then re-encode close to
+    # the first-generation decode values (second lossy generation)
+    first = np.frombuffer(
+        multimodal._parse_jpeg(jp)[2], np.uint8
+    ).reshape(8, 16, 3).astype(int)
+    second = np.frombuffer(rgb, np.uint8).reshape(8, 8, 3).astype(int)
+    cols = (np.arange(8) * 16) // 8
+    assert np.abs(second - first[:, cols]).max() <= 24
+    assert multimodal._resize_jpeg(b"notajpeg", 4, 4) is None
+
+
+def test_resize_png_preserves_color_type():
+    """ADVICE r12: resize_images' PNG path re-encodes the SAME color
+    type — grayscale stays grayscale (bpp 1), RGBA keeps its alpha plane
+    through the nearest-neighbor resample; palette re-encodes truecolor
+    (documented, the encoder has no palette writer)."""
+    import struct
+
+    import numpy as np
+
+    # grayscale 4x4 -> 2x2
+    gray = bytes(range(16))
+    png = multimodal._encode_png(gray, 4, 4, color=0)
+    small = multimodal._resize_png(png, 2, 2)
+    w, h, color, bpp, raw = multimodal._parse_png(small, native=True)
+    assert (w, h, color, bpp) == (2, 2, 0, 1)
+    src = np.frombuffer(gray, np.uint8).reshape(4, 4)
+    assert raw == src[::2, ::2].tobytes()
+    # RGBA 4x4 -> 2x2 keeps the alpha channel's own values
+    rgba = bytes((i * 7) % 256 for i in range(64))
+    png = multimodal._encode_png(rgba, 4, 4, color=6)
+    small = multimodal._resize_png(png, 2, 2)
+    w, h, color, bpp, raw = multimodal._parse_png(small, native=True)
+    assert (w, h, color, bpp) == (2, 2, 6, 4)
+    src = np.frombuffer(rgba, np.uint8).reshape(4, 4, 4)
+    assert raw == src[::2, ::2].tobytes()

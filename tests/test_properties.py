@@ -540,3 +540,96 @@ def test_exact_substring_spans_matches_bruteforce(spark, data):
         for r in dedup.exact_substring_spans(docs, min_len=L).collect()
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    mw=st.integers(1, 3),
+    mh=st.integers(1, 2),
+    gray=st.booleans(),
+    restart=st.sampled_from([0, 1, 2]),
+    data=st.data(),
+)
+def test_jpeg_constant_block_closed_form(mw, mh, gray, restart, data):
+    """Baseline JPEG encode/decode reconstructs constant-per-8x8-block
+    images EXACTLY by the closed form the gate oracles mirror: with the
+    flat q=16 tables only the DC survives quantization, and each YCbCr
+    channel comes back as min(v + v%2, 255). Any block-grid size, color
+    or grayscale, with or without restart markers (DC prediction resets
+    at every RSTn). Pure Python, no Spark session."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    w, h = mw * 8, mh * 8
+    nch = 1 if gray else 3
+    colors = [
+        data.draw(st.lists(st.integers(0, 255), min_size=nch, max_size=nch))
+        for _ in range(mw * mh)
+    ]
+    img = np.zeros((h, w, nch), np.uint8)
+    for i, c in enumerate(colors):
+        by, bx = divmod(i, mw)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = c
+    jp = M._encode_jpeg(
+        img.tobytes(), w, h, gray=gray, restart_interval=restart
+    )
+    parsed = M._parse_jpeg(jp)
+    assert parsed is not None
+    pw, ph, rgb = parsed
+    assert (pw, ph) == (w, h)
+    dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+
+    def q16(v):
+        return min(int(v) + int(v) % 2, 255)
+
+    for i, c in enumerate(colors):
+        by, bx = divmod(i, mw)
+        blk = dec[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+        if gray:
+            want = (q16(c[0]),) * 3
+        else:
+            import numpy as _np
+
+            y, cb, cr = M._rgb_to_ycbcr_int(
+                _np.int64(c[0]), _np.int64(c[1]), _np.int64(c[2])
+            )
+            er, eg, eb = M._ycbcr_to_rgb_int(
+                _np.int64(q16(y)), _np.int64(q16(cb)), _np.int64(q16(cr))
+            )
+            want = (int(er), int(eg), int(eb))
+        assert (blk[:, :, 0] == want[0]).all()
+        assert (blk[:, :, 1] == want[1]).all()
+        assert (blk[:, :, 2] == want[2]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.sampled_from([5, 8, 10, 16]),
+    h=st.sampled_from([6, 8, 9]),
+    restart=st.sampled_from([0, 2]),
+    data=st.data(),
+)
+def test_jpeg_roundtrip_tolerance_any_image(w, h, restart, data):
+    """Arbitrary (non-constant) images survive the JPEG round trip
+    within the quantization error budget: with q=1 tables the DCT round
+    trip is near-lossless (|err| <= 6 incl. the two fixed-point color
+    conversions); non-multiple-of-8 sizes pad by edge replication and
+    crop back to the exact requested dimensions."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    n = w * h * 3
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    q1 = [1] * 64
+    jp = M._encode_jpeg(px, w, h, quant_y=q1, quant_c=q1,
+                        restart_interval=restart)
+    parsed = M._parse_jpeg(jp)
+    assert parsed is not None
+    pw, ph, rgb = parsed
+    assert (pw, ph) == (w, h)
+    src = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(dec - src).max() <= 6
