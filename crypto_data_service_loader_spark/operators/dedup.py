@@ -183,10 +183,11 @@ def exact_substring_spans(
     L-char window covering it occurs more than once in the corpus (count
     includes same-document repeats, per the paper). So: enumerate every
     L-char window at stride 1, hash it, keep corpus-frequency > 1
-    hashes, and merge each document's consecutive duplicated window
-    positions into maximal spans with the interval-islands trick
-    (position - row_number is constant within a run). Emits one row per
-    maximal span: (doc_id, span_start 1-based, span_len, n_windows).
+    hashes, and merge each document's duplicated window positions into
+    maximal DISJOINT spans with threshold gaps-and-islands (a new island
+    starts when the position gap is >= L, since closer windows cover
+    overlapping characters — see `merge_window_spans`). Emits one row
+    per maximal span: (doc_id, span_start 1-based, span_len, n_windows).
     All-integer output — engine-exact against a SQL oracle.
 
     Scale shape: the stride-1 window explode is ~32 bytes per corpus
@@ -239,13 +240,32 @@ def substring_windows(
 def merge_window_spans(
     dup_pos: DataFrame, min_len: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Merge consecutive duplicated window positions (id, i, ...) into
-    maximal spans via the interval-islands trick (i - row_number is
-    constant within a run): (id, span_start, span_len, n_windows)."""
+    """Merge duplicated window positions (id, i, ...) into maximal
+    DISJOINT spans: two duplicated windows at positions p < q cover
+    overlapping character ranges iff q - p < min_len, so a new island
+    starts exactly when the gap to the previous duplicated position is
+    >= min_len (threshold gaps-and-islands: cumulative sum of the
+    new-island flag). The old stride-1 islands (i - row_number) split
+    runs at ANY gap > 1, which could emit OVERLAPPING spans when
+    1 < gap < min_len — double-counting excised characters in
+    n_removed_chars (ADVICE r12). Emits (id, span_start, span_len,
+    n_windows); span character ranges are now guaranteed maximal and
+    pairwise disjoint, so SUM(span_len) == characters removed."""
     L = int(min_len)
     w = Window.partitionBy(id_col).orderBy("i")
-    pos = dup_pos.select(F.col(id_col), F.col("i")).withColumn(
-        "g", F.col("i") - F.row_number().over(w)
+    pos = (
+        dup_pos.select(F.col(id_col), F.col("i"))
+        .withColumn("_prev", F.lag("i").over(w))
+        .withColumn(
+            "g",
+            F.sum(
+                F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("i") - F.col("_prev") >= L),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
     )
     return (
         pos.groupBy(id_col, "g")
@@ -274,7 +294,8 @@ def remove_duplicate_spans(
     shipping bodies through the gate.
 
     The rebuild is a single JVM-side fold: spans arrive per doc as a
-    sorted non-overlapping array (guaranteed by the islands merge), and
+    sorted non-overlapping array (guaranteed by the threshold islands
+    merge — spans are maximal and pairwise disjoint, ADVICE r12), and
     F.aggregate walks it carrying (cursor, acc), appending the kept gap
     before each span — no Python, no explode of the text. One extra
     shuffle vs the span finder (spans groupBy id + the join back), both

@@ -11,7 +11,7 @@ corpus's window-hash FREQUENCIES once; a new batch enumerates its own
 stride-1 windows, joins them against the stored frequencies, and a
 window position is duplicated when (batch occurrences + indexed
 occurrences) >= 2 — i.e. duplicated within the batch OR anywhere in the
-indexed corpus. Span merging is the same interval-islands reduction as
+indexed corpus. Span merging is the same threshold-islands reduction as
 the inline operator.
 
 Layout under ``path``:

@@ -319,6 +319,9 @@ _R13_FRONT = [
     # displacing tail fill.
     "media_decode_jpeg", "media_decode_jpeg_mixed",
     "media_resize_png",  # source-changed: native color-type resize (A3)
+    # source-changed: threshold islands -> maximal DISJOINT spans (A1)
+    "dedup_exact_substrings", "dedup_exact_substr_staged",
+    "dedup_exact_substr_indexed", "dedup_substr_removal",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -336,8 +339,7 @@ _R13_FRONT = [
     "setop_except", "setop_intersect", "setop_union",
     "sim_cosine_topk_ivf", "stream_tumbling_daily_count",
     "topk_by_price", "udf_grouped_range", "udf_mid_price",
-    "upload_status_rollup", "win_first_last", "win_lag_delta",
-    "win_moving_avg", "win_range_frame",
+    "upload_status_rollup",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2077,10 +2079,16 @@ ORACLES["dedup_exact_substrings"] = """
         FROM d, LATERAL unnest(generate_series(1, len(t) - 49)) AS i(i)
         WHERE len(t) >= 50),
     dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+    lagged AS (
+        SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM w WHERE wh IN (SELECT wh FROM dup)),
     p AS (
         SELECT doc_id, i,
-               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
-        FROM w WHERE wh IN (SELECT wh FROM dup))
+               SUM(CASE WHEN prev IS NULL OR i - prev >= 50
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM lagged)
     SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
            CAST(max(i) - min(i) + 50 AS INTEGER) AS span_len,
            CAST(count(*) AS BIGINT) AS n_windows
@@ -2115,11 +2123,16 @@ ORACLES["dedup_exact_substr_indexed"] = """
     dup AS (
         SELECT wh FROM bf LEFT JOIN cw USING (wh)
         WHERE n_batch + coalesce(n_idx, 0) >= 2),
+    lagged AS (
+        SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM bw WHERE wh IN (SELECT wh FROM dup)),
     p AS (
         SELECT doc_id, i,
-               i - row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY i) AS grp
-        FROM bw WHERE wh IN (SELECT wh FROM dup))
+               SUM(CASE WHEN prev IS NULL OR i - prev >= 50
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM lagged)
     SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
            CAST(max(i) - min(i) + 50 AS INTEGER) AS span_len,
            CAST(count(*) AS BIGINT) AS n_windows
@@ -2150,10 +2163,16 @@ ORACLES["dedup_substr_removal"] = """
         FROM d, LATERAL unnest(generate_series(1, len(t) - 49)) AS i(i)
         WHERE len(t) >= 50),
     dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+    lagged AS (
+        SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM w WHERE wh IN (SELECT wh FROM dup)),
     p AS (
         SELECT doc_id, i,
-               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-        FROM w WHERE wh IN (SELECT wh FROM dup)),
+               SUM(CASE WHEN prev IS NULL OR i - prev >= 50
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM lagged),
     spans AS (
         SELECT doc_id, min(i) AS s, max(i) + 49 AS e
         FROM p GROUP BY doc_id, grp),

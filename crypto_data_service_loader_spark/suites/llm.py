@@ -779,11 +779,16 @@ _LLM_ORACLES = {
                  LATERAL unnest(generate_series(1, len(d.text) - 49)) AS i(i)
             WHERE len(d.text) >= 50),
         dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+        lagged AS (
+            SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM w WHERE wh IN (SELECT wh FROM dup)),
         p AS (
             SELECT doc_id, i,
-                   i - row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY i) AS grp
-            FROM w WHERE wh IN (SELECT wh FROM dup))
+                   SUM(CASE WHEN prev IS NULL OR i - prev >= 50
+                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM lagged)
         SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
                CAST(max(i) - min(i) + 50 AS INTEGER) AS span_len,
                CAST(count(*) AS BIGINT) AS n_windows

@@ -521,13 +521,15 @@ def test_exact_substring_spans_matches_bruteforce(spark, data):
     for t in texts:
         for i in range(len(t) - L + 1):
             freq[t[i:i + L]] += 1
+    # islands close when the gap reaches L: closer duplicated windows
+    # cover overlapping characters, so spans stay maximal AND disjoint
     want = set()
     for did, t in enumerate(texts):
         dup_pos = [i for i in range(len(t) - L + 1)
                    if freq[t[i:i + L]] > 1]
         run = []
         for i in dup_pos + [None]:
-            if run and (i is None or i != run[-1] + 1):
+            if run and (i is None or i - run[-1] >= L):
                 want.add((did, run[0] + 1, run[-1] + L - run[0],
                           len(run)))
                 run = []
