@@ -132,7 +132,6 @@ HEADLINE = [
     # bars (scd2_history rotated out — its incremental twin scd2_apply
     # keeps the family's bench cover; history in BENCH_DETAIL.json)
     "hll_rolling_distinct",
-    "twap_bars",
     # round 12: the two new data-plane flagships join the stdout line —
     # exact substring dedup (the heaviest new shuffle: stride-1 window
     # hashes) and the real PNG deflate/inflate round trip. To stay under
@@ -141,6 +140,10 @@ HEADLINE = [
     # ngram_lm_score and profile_columns; history in BENCH_DETAIL.json).
     "dedup_exact_substrings",
     "media_decode_png",
+    # round 13: extras gain sentinel_sec (the box-speed sentinel); to
+    # stay under the guard, twap_bars rotates out (stable micro; the
+    # time-weighted-bars family keeps bench cover via vwap_bars and
+    # ohlc_bars; history in BENCH_DETAIL.json).
 ]
 
 
@@ -180,6 +183,51 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
             "spread": round(trials[-1] / trials[0], 2),
         }
     return times, stats
+
+
+def bench_sentinel(spark) -> float:
+    """Fixed sentinel workload (VERDICT r12 #3): a pinned parquet
+    scan-shuffle-agg over CONSTANT generated data — spark.range is
+    engine-version-stable and touches scan, exchange, and hash-agg
+    machinery but NONE of this repo's operators, so its wall time moves
+    only with the box (contention, JVM, disk), never with engine code.
+    Recorded as extras.sentinel_sec; BENCH_DETAIL carries each headline
+    query normalized by it, making cross-round noise adjudication
+    measurable instead of a judgment call (two straight rounds needed a
+    manual 'it was the box' ruling). Workload is frozen: changing it
+    breaks cross-round comparability — add a second sentinel instead."""
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="bench_sentinel_")
+    try:
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr(
+                "id",
+                "id % 1000 AS k",
+                "CAST(id % 7919 AS DOUBLE) AS v",
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            _run_noop(
+                spark.read.parquet(tmp)
+                .groupBy("k")
+                .agg(
+                    F.sum("v").alias("sv"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("id").alias("mx"),
+                )
+            )
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+    except Exception:  # noqa: BLE001 — the bench line must still emit
+        return -1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_ingest(spark) -> dict[str, float]:
@@ -334,6 +382,7 @@ def main() -> None:
         ingest = bench_ingest(spark)
     except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
         ingest = {"ingest_error": str(exc)[:120]}
+    sentinel = bench_sentinel(spark)
     queries, qstats = bench_queries(spark)
     medians = {k: v["median"] for k, v in qstats.items()}
     # stated noise band (VERDICT r7 #3): the median and max of per-query
@@ -356,6 +405,13 @@ def main() -> None:
         "trials": TRIALS,
         "queries_min": queries,
         "ingest": ingest,
+        "sentinel_sec": sentinel,
+        # per-query time divided by the sentinel's — box-speed-free units
+        # for cross-round comparison (STATUS quotes these)
+        "queries_sentinel_normalized": {
+            k: round(v / sentinel, 3)
+            for k, v in queries.items() if v >= 0 and sentinel > 0
+        },
     }
     try:
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -364,7 +420,7 @@ def main() -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
-    print(format_line(queries, medians, ingest, SF_DIR, noise))
+    print(format_line(queries, medians, ingest, SF_DIR, noise, sentinel))
 
 
 def format_line(
@@ -373,6 +429,7 @@ def format_line(
     ingest: dict,
     sf_dir: str,
     noise: dict | None = None,
+    sentinel: float | None = None,
 ) -> str:
     """The driver-facing stdout line. MUST stay under 1900 chars: the
     driver json-parses only the last 2000 chars of stdout, and BENCH_r03
@@ -393,6 +450,7 @@ def format_line(
             "baseline_rows_per_sec": "300000-500000",
             "suite_total_median": round(sum(medians.values()), 4),
             "trials": TRIALS,
+            **({"sentinel_sec": sentinel} if sentinel is not None else {}),
             **(noise or {}),
             "detail": "BENCH_DETAIL.json",
         },

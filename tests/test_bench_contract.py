@@ -35,7 +35,8 @@ def test_line_parses_and_fits_tail_window():
     _, medians, ingest = _fake_stats(len(bench.HEADLINE))
     queries = {name: 123.456 for name in bench.HEADLINE}
     line = bench.format_line(queries, medians, ingest, "/root/testdata/sf0.1",
-                             {"spread_med": 1.43, "spread_max": 3.83})
+                             {"spread_med": 1.43, "spread_max": 3.83},
+                             sentinel=123.4567)
     assert len(line) < 1850, (
         f"worst-case bench line is {len(line)} chars — rotate a stable "
         "micro-query out of bench.HEADLINE (see the rotation checklist "
@@ -46,6 +47,7 @@ def test_line_parses_and_fits_tail_window():
     assert d["unit"] == "sec"
     assert len(d["queries"]) == len(bench.HEADLINE)
     assert d["extra"]["clickhouse_http_rows_per_sec"] == 454172.9
+    assert d["extra"]["sentinel_sec"] == 123.4567
 
 
 def test_overlong_line_degrades_to_detail_pointer():
