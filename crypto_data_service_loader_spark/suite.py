@@ -18,7 +18,7 @@ from .suites.relational_ext import *  # noqa: F401,F403
 from .suites.tpch import *  # noqa: F401,F403
 from .suites.llm import *  # noqa: F401,F403
 from .suites.analytics import *  # noqa: F401,F403
-from .suites.analytics import _bpe_pinned_sql
+from .suites.analytics import _bpe_pinned_sql, _bpe_trained_sql
 from .suites.control_plane import _FLAGSHIP_SQL, _REGISTRY_ORACLES
 from .suites.llm import _BOILER as _LLM_BOILER
 from .suites.llm import _LLM_ORACLES, _grid_fp_sql
@@ -1175,6 +1175,9 @@ ORACLES["sim_topk_lsh_multiprobe"] = """
     WHERE bk.bucket IN (SELECT bucket FROM probes)
     ORDER BY score DESC, nv.vec_id ASC LIMIT 10"""
 ORACLES["bpe_segment_pinned"] = _bpe_pinned_sql()
+# Round 13: bpe_tokenize graduates from rows-only — the 6-round training
+# loop unrolls into SQL (VERDICT r12 #5; see _bpe_trained_sql).
+ORACLES["bpe_tokenize"] = _bpe_trained_sql(6)
 # Incremental apply == full rebuild on the union, so its oracle is
 # literally the full-rebuild SQL over the whole event log.
 ORACLES["scd2_apply"] = ORACLES["scd2_history"]
