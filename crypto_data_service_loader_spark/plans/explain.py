@@ -66,6 +66,26 @@ def whole_stage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", p)))
 
 
+def _resolve(node):
+    # AQE roots/stages wrap the real plan; descend to it
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        return _resolve(node.executedPlan())
+    return node
+
+
+def _children(node):
+    name = node.getClass().getSimpleName()
+    if name.endswith("QueryStageExec"):
+        return [node.plan()]
+    out = []
+    ch = node.children()
+    for i in range(ch.length()):
+        out.append(ch.apply(i))
+    if name == "ReusedExchangeExec":
+        out.append(node.child())
+    return out
+
+
 def nested_loop_build_rows(df: DataFrame) -> list[int]:
     """Execute `df` once and return, for EVERY nested-loop-shaped join in
     the final physical plan, the actual row count of its build side
@@ -78,42 +98,24 @@ def nested_loop_build_rows(df: DataFrame) -> list[int]:
     df.collect()  # populate SQL metrics on this frame's own queryExecution
     root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
 
-    def resolve(node):
-        # AQE roots/stages wrap the real plan; descend to it
-        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-            return resolve(node.executedPlan())
-        return node
-
-    def children(node):
-        name = node.getClass().getSimpleName()
-        if name.endswith("QueryStageExec"):
-            return [node.plan()]
-        out = []
-        ch = node.children()
-        for i in range(ch.length()):
-            out.append(ch.apply(i))
-        if name == "ReusedExchangeExec":
-            out.append(node.child())
-        return out
-
     def subtree_rows(node):
         # first numOutputRows metric down this subtree (the broadcast
         # exchange / the stage's own output counter)
         queue = [node]
         while queue:
-            n = resolve(queue.pop(0))
+            n = _resolve(queue.pop(0))
             m = n.metrics()
             if m.contains("numOutputRows"):
                 return int(m.apply("numOutputRows").value())
-            queue.extend(children(n))
+            queue.extend(_children(n))
         return None
 
     results: list[int] = []
 
     def walk(node):
-        node = resolve(node)
+        node = _resolve(node)
         name = node.getClass().getSimpleName()
-        kids = children(node)
+        kids = _children(node)
         if name == "BroadcastNestedLoopJoinExec":
             build = kids[0] if node.buildSide().toString() == "BuildLeft" else kids[1]
             results.append(subtree_rows(build))
@@ -121,6 +123,41 @@ def nested_loop_build_rows(df: DataFrame) -> list[int]:
             rows = [r for r in (subtree_rows(k) for k in kids) if r is not None]
             results.append(min(rows) if rows else None)
         for k in kids:
+            walk(k)
+
+    walk(root)
+    return results
+
+
+def scan_output_rows(df: DataFrame) -> list[tuple[str, int]]:
+    """Execute `df` once and return (source_label, numOutputRows) for
+    every file-source scan in the final physical plan — the label is the
+    parquet file/dir stem pulled from the scan's location string. The
+    pinned-dial ratchet reads this: a gate key that pins an LSH/centroid
+    dial for oracle determinism is safe only while its input fixture
+    stays bounded, and this makes that bound executable (a pinned dial
+    silently attached to an unbounded scan fails the audit instead of
+    going quadratic at scale — the measured 30x regime in SCALE_NOTES)."""
+    import re
+
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    results: list[tuple[str, int]] = []
+
+    def walk(node):
+        node = _resolve(node)
+        name = node.getClass().getSimpleName()
+        if name in ("FileSourceScanExec", "BatchScanExec"):
+            text = node.toString()
+            m = re.search(r"([A-Za-z0-9_.-]+)\.parquet", text)
+            label = m.group(1) if m else "unknown"
+            met = node.metrics()
+            rows = (
+                int(met.apply("numOutputRows").value())
+                if met.contains("numOutputRows") else -1
+            )
+            results.append((label, rows))
+        for k in _children(node):
             walk(k)
 
     walk(root)

@@ -60,6 +60,65 @@ NESTED_LOOP_OK = {
     "hll_source_overlap": 64,
 }
 
+#: RATCHET #2 (VERDICT r12 #6): gate keys that PIN an LSH/centroid dial
+#: for oracle determinism (n_planes / k_centroids as fixed literals
+#: instead of the production auto-dial). A pinned dial is safe ONLY
+#: while its input fixture stays bounded — SCALE_NOTES measured the
+#: pinned hard_negative_mining config going quadratic at a 30x corpus
+#: (241.6 s) while the auto-dialed entry point held 13.6 s. Each entry
+#: maps the key to (scan label fragment, max rows that scan may emit in
+#: the executed plan): attaching a pinned-dial gate key to an unbounded
+#: input fails the audit the moment the fixture outgrows the bound,
+#: instead of silently shipping a quadratic regime.
+PINNED_DIAL_OK = {
+    "hard_negative_mining": ("embeddings", 2000),  # pins n_planes=4
+    "contrastive_triplets": ("embeddings", 2000),  # pins n_planes=4
+    "knn_graph_lsh": ("embeddings", 2000),         # pins n_planes=4
+    "semantic_dedup": ("embeddings", 2000),        # pins k_centroids=8
+}
+
+
+@pytest.mark.parametrize("name", sorted(PINNED_DIAL_OK))
+def test_pinned_dial_inputs_stay_bounded(name, spark, sf_dir):
+    """Run each pinned-dial gate key and read every matching scan's
+    ACTUAL output row count from the executed plan — it must stay within
+    the documented fixture bound (2000 = the largest shipped fixture,
+    sf0.1's embeddings table; the 30x quadratic regime starts far
+    above it)."""
+    from crypto_data_service_loader_spark.plans.explain import (
+        scan_output_rows,
+    )
+
+    from crypto_data_service_loader_spark.tables import load
+
+    fragment, bound = PINNED_DIAL_OK[name]
+    scans = [
+        (label, rows)
+        for label, rows in scan_output_rows(QUERIES[name](spark, sf_dir))
+        if fragment in label
+    ]
+    if scans:
+        for label, rows in scans:
+            assert 0 <= rows <= bound, (
+                f"{name}: pinned-dial input scan '{label}' emitted {rows} "
+                f"rows (documented fixture bound {bound}) — pin the dial "
+                "only on bounded fixtures or switch the key to the "
+                "auto-dialed path"
+            )
+    else:
+        # materialize-once operators (semantic_dedup, contrastive
+        # triplets) localCheckpoint the embeddings early, truncating the
+        # lineage before the final plan — the scan ran in a prior job.
+        # These keys consume the whole unfiltered table, so the fixture
+        # count IS the pinned path's input bound.
+        n = load(spark, sf_dir, fragment).count()
+        assert n <= bound, (
+            f"{name}: pinned-dial fixture '{fragment}' has {n} rows "
+            f"(documented bound {bound}) — the pinned dial is no longer "
+            "attached to a bounded input"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_accidental_cartesian(name, spark, sf_dir):
     plan = physical_plan(QUERIES[name](spark, sf_dir))
