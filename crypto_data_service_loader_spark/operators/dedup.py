@@ -170,6 +170,7 @@ def exact_substring_spans(
     min_len: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """EXACT substring dedup — the Lee et al. 2022 ExactSubstr recipe
     ("Deduplicating Training Data Makes Language Models Better": remove
@@ -200,7 +201,13 @@ def exact_substring_spans(
     the flagged documents through this exact pass — the standard
     two-stage recipe."""
     L = int(min_len)
-    wins = substring_windows(docs, L, text_col, id_col).localCheckpoint()
+    # reliable=True swaps localCheckpoint for a lineage-keeping policy
+    # that survives executor loss at cluster scale (functions.materialize)
+    from ..functions.materialize import materialize_once
+
+    wins = materialize_once(
+        substring_windows(docs, L, text_col, id_col), reliable=reliable
+    )
     dup = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("nocc"))
@@ -283,6 +290,7 @@ def remove_duplicate_spans(
     min_len: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """The ACTION step of the ExactSubstr recipe (Lee et al. 2022 cut
     every duplicated substring out of the training text — finding spans
@@ -302,7 +310,7 @@ def remove_duplicate_spans(
     on the id key."""
     L = int(min_len)
     t = F.col(text_col)
-    spans = exact_substring_spans(docs, L, text_col, id_col)
+    spans = exact_substring_spans(docs, L, text_col, id_col, reliable)
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_len"))

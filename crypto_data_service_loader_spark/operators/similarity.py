@@ -435,6 +435,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     scale: int = 6,
     n_vectors_hint: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public recipe: Abbas et al.
     2023, "SemDeDup" — cluster first, compare only within clusters).
@@ -462,11 +463,15 @@ def semantic_dedup(
     centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
     # materialize the assignment once: the plan references it three times
     # (result rows + both sides of the pair join) and would otherwise run
-    # the centroid scan+min_by 3x — same localCheckpoint discipline as the
-    # MinHash candidate pipeline
-    assigned = _assign_to_centroids(
-        embeddings, centroids, vec_col, id_col
-    ).localCheckpoint()
+    # the centroid scan+min_by 3x. reliable=True swaps localCheckpoint
+    # (lost with its executor at cluster scale) for a lineage-keeping /
+    # checkpoint-dir policy — see functions.materialize (VERDICT r12 #7).
+    from ..functions.materialize import materialize_once
+
+    assigned = materialize_once(
+        _assign_to_centroids(embeddings, centroids, vec_col, id_col),
+        reliable=reliable,
+    )
     v = _as_double(F.col(vec_col))
     normed = assigned.select(
         F.col(id_col).alias("_id"),

@@ -2587,3 +2587,56 @@ def test_resize_png_preserves_color_type():
     assert (w, h, color, bpp) == (2, 2, 6, 4)
     src = np.frombuffer(rgba, np.uint8).reshape(4, 4, 4)
     assert raw == src[::2, ::2].tobytes()
+
+
+def test_reliable_materialization_policies(spark, tmp_path):
+    """reliable=True must change ONLY the materialization policy
+    (VERDICT r12 #7): identical results, still materialized once. With
+    no checkpoint dir the fallback is persist(DISK_ONLY) — lineage kept,
+    so a lost partition recomputes instead of failing the job; with a
+    checkpoint dir configured the copy goes to durable storage."""
+    from crypto_data_service_loader_spark.functions.materialize import (
+        materialize_once,
+    )
+    from crypto_data_service_loader_spark.plans.explain import physical_plan
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefgh" * 3), (1, "abcdefgh" * 3), (2, "zz unique zz")],
+        "doc_id long, text string",
+    )
+
+    def spans(**kw):
+        return {
+            (r["doc_id"], r["span_start"], r["span_len"], r["n_windows"])
+            for r in dedup.exact_substring_spans(
+                docs, min_len=6, **kw
+            ).collect()
+        }
+
+    assert spans(reliable=True) == spans()
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {tuple(r) for r in similarity.semantic_dedup(
+        emb, k_centroids=3).collect()}
+    b = {tuple(r) for r in similarity.semantic_dedup(
+        emb, k_centroids=3, reliable=True).collect()}
+    assert a == b
+
+    # persist fallback: DISK_ONLY, lineage kept, exactly-once eager
+    src = spark.range(100).withColumnRenamed("id", "x")
+    m = materialize_once(src, reliable=True)
+    lvl = m.storageLevel
+    assert lvl.useDisk and not lvl.useMemory
+    assert m.count() == 100
+    m.unpersist()
+
+    # checkpoint-dir policy: the plan rebases onto the checkpointed RDD
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    m2 = materialize_once(src, reliable=True)
+    assert "ExistingRDD" in physical_plan(m2) or "Scan ExistingRDD" in (
+        physical_plan(m2)
+    )
+    assert m2.count() == 100
