@@ -40,6 +40,8 @@ QUERIES = {
     # --- new in round 13 ---
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_jpeg_mixed": q_media_decode_jpeg_mixed,
+    "pq_encode": q_pq_encode,
+    "sim_topk_pq": q_sim_topk_pq,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -322,6 +324,7 @@ _R13_FRONT = [
     # source-changed: threshold islands -> maximal DISJOINT spans (A1)
     "dedup_exact_substrings", "dedup_exact_substr_staged",
     "dedup_exact_substr_indexed", "dedup_substr_removal",
+    "pq_encode", "sim_topk_pq",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -338,8 +341,7 @@ _R13_FRONT = [
     "scalar_strings", "session_window_agg", "sessionize_events",
     "setop_except", "setop_intersect", "setop_union",
     "sim_cosine_topk_ivf", "stream_tumbling_daily_count",
-    "topk_by_price", "udf_grouped_range", "udf_mid_price",
-    "upload_status_rollup",
+    "topk_by_price", "udf_grouped_range",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2202,6 +2204,70 @@ for _i, _b in enumerate(_LLM_BOILER):
         "dedup_substr_removal"
     ].replace(f"__B{_i}__", _b)
 
+
+# Round 13: product quantization. The codebook CTE replays the
+# deterministic seed rule (lowest-id vectors, split per subspace), the
+# distance is the same left-to-right fold, and ranking is the
+# engine-stable micro-int floor with a code-id tie-break. Shared by the
+# encode key and the ADC search key.
+_PQ_BOOK_CTES = """
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    book AS (
+        SELECT s.s AS s, cid,
+               v[s.s * 16 + 1 : s.s * 16 + 16] AS cvec
+        FROM seeds, LATERAL unnest(range(4)) AS s(s)),
+    subs AS (
+        SELECT vec_id, s.s AS s,
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE))[s.s * 16 + 1 :
+                                                      s.s * 16 + 16] AS svec
+        FROM embeddings, LATERAL unnest(range(4)) AS s(s)),
+    scored AS (
+        SELECT vec_id, subs.s AS s, cid,
+               CAST(floor(list_sum(list_transform(range(1, 17),
+                    i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i])))
+                    * 1000000) AS BIGINT) AS di
+        FROM subs JOIN book ON subs.s = book.s),
+    best AS (
+        SELECT vec_id, s, di, cid FROM (
+            SELECT vec_id, s, di, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY di, cid) AS rn
+            FROM scored)
+        WHERE rn = 1)"""
+
+ORACLES["pq_encode"] = (
+    "WITH" + _PQ_BOOK_CTES + """
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+           CAST(SUM(di) AS BIGINT) AS err_micro
+    FROM best GROUP BY vec_id"""
+)
+
+ORACLES["sim_topk_pq"] = (
+    "WITH" + _PQ_BOOK_CTES + """,
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+    dt AS (
+        SELECT book.s AS s, cid,
+               CAST(floor(list_sum(list_transform(range(1, 17),
+                    i -> (qv[book.s * 16 + i] - cvec[i])
+                         * (qv[book.s * 16 + i] - cvec[i])))
+                    * 1000000) AS BIGINT) AS dq
+        FROM book, q),
+    adc AS (
+        SELECT b.vec_id, CAST(SUM(dq) AS BIGINT) AS adc_micro
+        FROM best b JOIN dt ON b.s = dt.s AND b.cid = dt.cid
+        GROUP BY 1)
+    SELECT vec_id, adc_micro, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rn
+          FROM adc)
+    WHERE rn <= 5"""
+)
 
 # Round 12: hard-negative mining — the kNN-graph oracle shape with the
 # label carried through the bucketed join and a cross-label filter.

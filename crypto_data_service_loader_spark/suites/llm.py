@@ -390,6 +390,34 @@ def q_contrastive_triplets(spark, sf_dir):
     )
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product quantization encode (round 13): every embedding compressed
+    to m=4 code ids against the deterministic 8-entry-per-subspace
+    codebook (seed = lowest-id vectors, the IVF determinism rule), plus
+    the total quantization error in micro units — the dial a production
+    deployment watches to size n_codes. Linear in the corpus; the
+    codebook equi-join broadcasts at constant size. The oracle replays
+    codebook construction, subvector slicing, the micro-int distance
+    ranking, and the code assembly value-for-value."""
+    return similarity.pq_encode(
+        load(spark, sf_dir, "embeddings"), m=4, n_codes=8
+    )
+
+
+def q_sim_topk_pq(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes (round 13): the IVF-PQ
+    search kernel — encoded corpus scored by summing query-to-centroid
+    table lookups, never touching raw vectors per candidate. Completes
+    the ANN family: brute-force (exact) / LSH (bucketed) / IVF
+    (partitioned) / PQ (compressed)."""
+    from .shared import _query_vector
+
+    return similarity.pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        _query_vector(spark, sf_dir, 0), k=5, m=4, n_codes=8,
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: a 'new crawl' batch (doc_id % 10 < 2) collapsed
     within-batch then anti-joined against the existing corpus fingerprint

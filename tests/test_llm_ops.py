@@ -2640,3 +2640,63 @@ def test_reliable_materialization_policies(spark, tmp_path):
         physical_plan(m2)
     )
     assert m2.count() == 100
+
+
+def test_pq_encode_seed_vectors_are_exact(spark):
+    """PQ sanity anchored in the math: the codebook IS the first
+    n_codes vectors' subvectors, so those vectors must encode to their
+    own code ids with ZERO quantization error; other vectors report the
+    error in micro units and codes within range."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           similarity.pq_encode(emb, m=2, n_codes=4).collect()}
+    assert len(out) == 20
+    for i in range(4):
+        assert out[i]["codes"] == f"{i},{i}"
+        assert out[i]["err_micro"] == 0
+    for i in range(20):
+        assert all(0 <= int(c) < 4 for c in out[i]["codes"].split(","))
+        assert out[i]["err_micro"] >= 0
+
+
+def test_pq_topk_ranks_by_adc_and_matches_reference(spark):
+    """pq_topk equals a pure-Python ADC reference (same codebook rule,
+    same micro-int floor): nearest centroids per subspace, per-vector
+    score = sum of the query's table lookups, top-k by (score, id)."""
+    import math
+
+    vecs = {i: [float((i * 5 + j) % 7) for j in range(8)]
+            for i in range(16)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    m, n_codes, sub, k = 2, 4, 4, 5
+    query = vecs[0]
+    book = {(s, c): vecs[c][s * sub:(s + 1) * sub]
+            for s in range(m) for c in range(n_codes)}
+
+    def d_micro(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.floor(acc * 1e6)
+
+    scores = {}
+    for i, v in vecs.items():
+        total = 0
+        for s in range(m):
+            sv = v[s * sub:(s + 1) * sub]
+            code = min(range(n_codes),
+                       key=lambda c: (d_micro(sv, book[(s, c)]), c))
+            total += d_micro(query[s * sub:(s + 1) * sub], book[(s, code)])
+        scores[i] = total
+    want = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    got = [(r["vec_id"], r["adc_micro"], r["rank"]) for r in
+           similarity.pq_topk(emb, query, k=k, m=m, n_codes=n_codes)
+           .orderBy("rank").collect()]
+    assert got == [(i, s, rk + 1) for rk, (i, s) in enumerate(want)]
