@@ -493,6 +493,48 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_intra_doc_lines(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (public recipe: the
+    MassiveText / Gopher "repetition removal" family dedups repeated
+    lines/paragraphs inside one document; RefinedWeb applies the same
+    intra-doc pass before corpus-level dedup): keep each line's FIRST
+    occurrence, drop later repeats, rebuild in original order. The
+    complement of `remove_boilerplate_lines` (corpus-wide frequencies —
+    one wide shuffle): this one is document-LOCAL, a single JVM-side
+    array fold per row, so the plan is map-only with ZERO shuffles and
+    composes into any scan for free.
+
+    Per-doc cost is O(lines²) string compares (array_contains over the
+    growing accumulator) — the right trade at 100 TB, where real
+    documents have tens-to-hundreds of lines and avoiding a corpus-wide
+    explode+window shuffle dominates; a corpus of pathological
+    million-line documents would posexplode + first-occurrence window
+    instead (the `remove_boilerplate_lines` shape with a per-doc key).
+
+    Returns (id, n_lines, n_kept, clean_md5) — the md5 of the rebuilt
+    text value-checks the reconstruction without shipping bodies, the
+    `dedup_substr_removal` discipline."""
+    lines = F.split(F.col(text_col), delimiter)
+    kept = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.md5(F.array_join(kept, delimiter)).alias("clean_md5"),
+    )
+
+
 #: Mersenne prime 2^31-1: permutation arithmetic stays inside int64
 #: (a*h < 2^62) in both Spark and the DuckDB oracle — no 128-bit needed.
 _MH_P = (1 << 31) - 1

@@ -42,6 +42,7 @@ QUERIES = {
     "media_decode_jpeg_mixed": q_media_decode_jpeg_mixed,
     "pq_encode": q_pq_encode,
     "sim_topk_pq": q_sim_topk_pq,
+    "dedup_intra_doc_lines": q_dedup_intra_doc_lines,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -324,7 +325,7 @@ _R13_FRONT = [
     # source-changed: threshold islands -> maximal DISJOINT spans (A1)
     "dedup_exact_substrings", "dedup_exact_substr_staged",
     "dedup_exact_substr_indexed", "dedup_substr_removal",
-    "pq_encode", "sim_topk_pq",
+    "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -341,7 +342,7 @@ _R13_FRONT = [
     "scalar_strings", "session_window_agg", "sessionize_events",
     "setop_except", "setop_intersect", "setop_union",
     "sim_cosine_topk_ivf", "stream_tumbling_daily_count",
-    "topk_by_price", "udf_grouped_range",
+    "topk_by_price",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2204,6 +2205,36 @@ for _i, _b in enumerate(_LLM_BOILER):
         "dedup_substr_removal"
     ].replace(f"__B{_i}__", _b)
 
+
+# Round 13: within-doc repeated-line removal — first-occurrence window
+# dedup + ordered string_agg rebuild mirrors the Spark fold's
+# keep-first semantics exactly (same line set, same order, same md5).
+ORACLES["dedup_intra_doc_lines"] = """
+    WITH d AS (
+        SELECT doc_id,
+               substr(text, 1, 30) || chr(10) || substr(text, 31, 30)
+               || chr(10) || substr(text, 1, 30) || chr(10)
+               || substr(text, 61, 30)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || substr(text, 31, 30) ELSE '' END AS t
+        FROM documents WHERE doc_id < 300),
+    l AS (
+        SELECT doc_id, u.i AS pos, ls[u.i] AS line
+        FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d) x,
+             LATERAL unnest(generate_series(1, len(ls))) AS u(i)),
+    f AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY doc_id, line
+                                  ORDER BY pos) AS rn
+        FROM l),
+    r AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        FROM f WHERE rn = 1 GROUP BY doc_id),
+    t2 AS (SELECT doc_id, len(string_split(t, chr(10))) AS n_lines FROM d)
+    SELECT t2.doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(n_kept AS INTEGER) AS n_kept, clean_md5
+    FROM t2 JOIN r USING (doc_id)"""
 
 # Round 13: product quantization. The codebook CTE replays the
 # deterministic seed rule (lowest-id vectors, split per subspace), the

@@ -630,6 +630,28 @@ def q_dedup_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_dedup_intra_doc_lines(spark, sf_dir):
+    """WITHIN-document repeated-line removal (round 13): the fixture
+    assembles multi-line documents from text chunks with deliberate
+    repeats (line 1 reappears at position 3; even ids also repeat
+    line 2 at the tail), and dedup.dedup_intra_doc_lines keeps first
+    occurrences and rebuilds — a map-only zero-shuffle fold whose
+    reconstruction the oracle value-checks by md5. Complement of
+    dedup_boilerplate_lines (corpus-wide)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def c(i):
+        return F.substring("text", 1 + 30 * i, 30)
+
+    nl = F.lit("\n")
+    t = F.concat(c(0), nl, c(1), nl, c(0), nl, c(2))
+    t = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(t, nl, c(1))
+    ).otherwise(t)
+    payload = docs.select("doc_id", t.alias("text"))
+    return dedup.dedup_intra_doc_lines(payload)
+
+
 def q_udtf_charge_legs(spark, sf_dir):
     """Python UDTF in a LATERAL join (the §2B UDF/UDAF/UDTF surface's
     table-function leg): each lineitem expands to its three charge

@@ -2700,3 +2700,27 @@ def test_pq_topk_ranks_by_adc_and_matches_reference(spark):
            similarity.pq_topk(emb, query, k=k, m=m, n_codes=n_codes)
            .orderBy("rank").collect()]
     assert got == [(i, s, rk + 1) for rk, (i, s) in enumerate(want)]
+
+
+def test_dedup_intra_doc_lines_keep_first_and_plan(spark):
+    """Keep-first semantics with exact rebuild, and the promised plan
+    shape: map-only, zero exchanges (the fold is document-local)."""
+    import hashlib
+
+    from crypto_data_service_loader_spark.plans.explain import physical_plan
+
+    docs = spark.createDataFrame(
+        [(0, "a\nb\na\nc\nb"), (1, "x"), (2, "\n\n"), (3, "s\ns\ns")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_intra_doc_lines(docs).collect()}
+    want = {0: ("a\nb\nc", 5, 3), 1: ("x", 1, 1),
+            2: ("", 3, 1), 3: ("s", 3, 1)}
+    for i, (clean, n_lines, n_kept) in want.items():
+        assert out[i]["n_lines"] == n_lines
+        assert out[i]["n_kept"] == n_kept
+        assert out[i]["clean_md5"] == hashlib.md5(
+            clean.encode()).hexdigest()
+    plan = physical_plan(dedup.dedup_intra_doc_lines(docs))
+    assert "Exchange" not in plan  # document-local: zero shuffles
