@@ -125,9 +125,7 @@ HEADLINE = [
     "join_size_estimate",
     "dedup_minhash_indexed",
     # round 9: codec-free media near-dup (fingerprint + banded join) and
-    # the KLL quantile sketch (mapInPandas partials + one item shuffle)
     "dedup_media_near",
-    "kll_quantile",
     # late round 9: register-algebra rolling distinct + time-weighted
     # bars (scd2_history rotated out — its incremental twin scd2_apply
     # keeps the family's bench cover; history in BENCH_DETAIL.json)
@@ -140,10 +138,13 @@ HEADLINE = [
     # ngram_lm_score and profile_columns; history in BENCH_DETAIL.json).
     "dedup_exact_substrings",
     "media_decode_png",
-    # round 13: extras gain sentinel_sec (the box-speed sentinel); to
-    # stay under the guard, twap_bars rotates out (stable micro; the
-    # time-weighted-bars family keeps bench cover via vwap_bars and
-    # ohlc_bars; history in BENCH_DETAIL.json).
+    # round 13: extras gain sentinel_sec (the box-speed sentinel) and
+    # the real baseline-JPEG decode joins the line (forward DCT +
+    # Huffman per payload — the heaviest per-byte media path). To stay
+    # under the guard, twap_bars and kll_quantile rotate out (stable
+    # micros; bars keep cover via vwap/ohlc_bars, sketches via
+    # hll_rolling_distinct; history in BENCH_DETAIL.json).
+    "media_decode_jpeg",
 ]
 
 

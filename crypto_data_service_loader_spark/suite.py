@@ -43,6 +43,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "sim_topk_pq": q_sim_topk_pq,
     "dedup_intra_doc_lines": q_dedup_intra_doc_lines,
+    "media_resize_jpeg": q_media_resize_jpeg,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -326,6 +327,7 @@ _R13_FRONT = [
     "dedup_exact_substrings", "dedup_exact_substr_staged",
     "dedup_exact_substr_indexed", "dedup_substr_removal",
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
+    "media_resize_jpeg",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -342,7 +344,6 @@ _R13_FRONT = [
     "scalar_strings", "session_window_agg", "sessionize_events",
     "setop_except", "setop_intersect", "setop_union",
     "sim_cosine_topk_ivf", "stream_tumbling_daily_count",
-    "topk_by_price",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2534,6 +2535,41 @@ ORACLES["media_resize_png"] = """
 # shared by the plain and the mixed-dispatch key.
 
 
+def _jpeg_gen_cte(prefix: str, src: str) -> str:
+    """One lossy JPEG generation over a constant block as three CTE
+    stages: ``src`` must expose (media_id, r, g, b); the final stage
+    ``{prefix}p`` exposes (media_id, pr, pg, pb) — the decoded channel
+    values. Chaining two of these models decode -> resize -> re-encode
+    -> decode (each re-encode of a constant block is one more trip
+    through the same quantization chain)."""
+    return f"""
+    {prefix}y AS (
+        SELECT media_id,
+               LEAST((299000 * r + 587000 * g + 114000 * b + 500000)
+                     // 1000000, 255) AS yy,
+               LEAST((128000000 - 168736 * r - 331264 * g + 500000 * b
+                      + 500000) // 1000000, 255) AS cb,
+               LEAST((128000000 + 500000 * r - 418688 * g - 81312 * b
+                      + 500000) // 1000000, 255) AS cr
+        FROM {src}),
+    {prefix}q AS (
+        SELECT media_id, LEAST(yy + yy % 2, 255) AS yy,
+               LEAST(cb + cb % 2, 255) AS cb, LEAST(cr + cr % 2, 255) AS cr
+        FROM {prefix}y),
+    {prefix}p AS (
+        SELECT media_id,
+               GREATEST(LEAST((1000000 * yy + 1402000 * cr - 179456000
+                               + 500000 + 256000000) // 1000000 - 256,
+                              255), 0) AS pr,
+               GREATEST(LEAST((1000000 * yy - 344136 * cb - 714136 * cr
+                               + 135458816 + 500000 + 256000000)
+                              // 1000000 - 256, 255), 0) AS pg,
+               GREATEST(LEAST((1000000 * yy + 1772000 * cb - 226816000
+                               + 500000 + 256000000) // 1000000 - 256,
+                              255), 0) AS pb
+        FROM {prefix}q)"""
+
+
 def _jpeg_const_dec_cte(where: str) -> str:
     """CTE body (base/c/y/q/p/s) computing the closed-form decoded
     channel sums of the 16x8 two-constant-block JPEG fixture for
@@ -2547,32 +2583,7 @@ def _jpeg_const_dec_cte(where: str) -> str:
                CAST(('0x' || substr(px, 6 * blk.b + 1, 2)) AS BIGINT) AS r,
                CAST(('0x' || substr(px, 6 * blk.b + 3, 2)) AS BIGINT) AS g,
                CAST(('0x' || substr(px, 6 * blk.b + 5, 2)) AS BIGINT) AS b
-        FROM base, LATERAL unnest([0, 1]) AS blk(b)),
-    y AS (
-        SELECT media_id,
-               LEAST((299000 * r + 587000 * g + 114000 * b + 500000)
-                     // 1000000, 255) AS yy,
-               LEAST((128000000 - 168736 * r - 331264 * g + 500000 * b
-                      + 500000) // 1000000, 255) AS cb,
-               LEAST((128000000 + 500000 * r - 418688 * g - 81312 * b
-                      + 500000) // 1000000, 255) AS cr
-        FROM c),
-    q AS (
-        SELECT media_id, LEAST(yy + yy % 2, 255) AS yy,
-               LEAST(cb + cb % 2, 255) AS cb, LEAST(cr + cr % 2, 255) AS cr
-        FROM y),
-    p AS (
-        SELECT media_id,
-               GREATEST(LEAST((1000000 * yy + 1402000 * cr - 179456000
-                               + 500000 + 256000000) // 1000000 - 256,
-                              255), 0) AS pr,
-               GREATEST(LEAST((1000000 * yy - 344136 * cb - 714136 * cr
-                               + 135458816 + 500000 + 256000000)
-                              // 1000000 - 256, 255), 0) AS pg,
-               GREATEST(LEAST((1000000 * yy + 1772000 * cb - 226816000
-                               + 500000 + 256000000) // 1000000 - 256,
-                              255), 0) AS pb
-        FROM q),
+        FROM base, LATERAL unnest([0, 1]) AS blk(b)),{_jpeg_gen_cte('', 'c')},
     s AS (
         SELECT media_id, 64 * SUM(pb) AS sum_b, 64 * SUM(pg) AS sum_g,
                64 * SUM(pr) AS sum_r
@@ -2592,6 +2603,36 @@ _JPEG_STATS_SELECT = """
 
 ORACLES["media_decode_jpeg"] = (
     "WITH" + _jpeg_const_dec_cte("doc_id < 200") + _JPEG_STATS_SELECT
+)
+
+# Round 13: JPEG resize round-trip — nearest at 1x1 keeps the decoded
+# block-0 color and the re-encode edge-pads to one constant MCU, so the
+# oracle chains TWO generations of the fixed-point quantization CTEs.
+ORACLES["media_resize_jpeg"] = (
+    "WITH"
+    + """
+    base AS (
+        SELECT doc_id AS media_id, md5(text) AS px
+        FROM documents WHERE doc_id < 200),
+    c AS (
+        SELECT media_id,
+               CAST(('0x' || substr(px, 1, 2)) AS BIGINT) AS r,
+               CAST(('0x' || substr(px, 3, 2)) AS BIGINT) AS g,
+               CAST(('0x' || substr(px, 5, 2)) AS BIGINT) AS b
+        FROM base),"""
+    + _jpeg_gen_cte("", "c")
+    + """,
+    c2 AS (SELECT media_id, pr AS r, pg AS g, pb AS b FROM p),"""
+    + _jpeg_gen_cte("g2", "c2")
+    + """
+    SELECT media_id, CAST('jpeg' AS VARCHAR) AS fmt,
+           CAST(1 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_pixels,
+           CAST(pb AS BIGINT) AS sum_b, CAST(pg AS BIGINT) AS sum_g,
+           CAST(pr AS BIGINT) AS sum_r,
+           CAST((299 * pr + 587 * pg + 114 * pb) AS BIGINT) AS luma_milli,
+           TRUE AS decode_ok
+    FROM g2p"""
 )
 
 # Round 13: mixed PNG/JPEG dispatch — even ids decode losslessly (sums

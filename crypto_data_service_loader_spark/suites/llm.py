@@ -630,6 +630,29 @@ def q_dedup_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_media_resize_jpeg(spark, sf_dir):
+    """JPEG resize ROUND-TRIP in the gate (round 13): the 16x8
+    constant-block JPEGs resized to 1x1 by resize_images' real JPEG path
+    (full decode -> nearest-neighbor -> re-encode, a second lossy
+    generation) and decoded AGAIN. Nearest at 1x1 keeps pixel (0,0) —
+    the decoded block-0 color — and the 1x1 re-encode edge-pads to one
+    CONSTANT MCU, so BOTH lossy generations stay inside the closed-form
+    quantization chain: the oracle applies the fixed-point
+    decode-reconstruct chain twice."""
+    from ..operators.multimodal import (
+        decode_image_stats, encode_jpeg_images, resize_images,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jpegs = encode_jpeg_images(
+        _jpeg_const_media(docs), width=16, height=8
+    ).select("media_id", F.lit("image").alias("kind"), "payload")
+    small = resize_images(jpegs, width=1, height=1).select(
+        "media_id", "payload"
+    )
+    return decode_image_stats(small)
+
+
 def q_dedup_intra_doc_lines(spark, sf_dir):
     """WITHIN-document repeated-line removal (round 13): the fixture
     assembles multi-line documents from text chunks with deliberate

@@ -50,7 +50,22 @@ FUZZ_KEYS = [
     "media_audio_resample",
     "dedup_exact_substrings",
     "dedup_exact_substr_staged",
+    # round 13: the REAL baseline-JPEG encode->decode round trip (the
+    # closed-form quantization chain must hold for EVERY md5-derived
+    # block color), the mixed lossless/lossy dispatch, the span-removal
+    # rebuild under the threshold-islands merge, within-doc line dedup,
+    # the gzip read twin, and the full trained-BPE chain (training ties
+    # and unicode-whitespace tokenization both live in the fuzz space)
+    "media_decode_jpeg",
+    "media_decode_jpeg_mixed",
+    "dedup_substr_removal",
+    "dedup_intra_doc_lines",
+    "gzip_corpus_roundtrip",
+    "bpe_tokenize",
 ]
+# NOT fuzzed here: pq_encode / sim_topk_pq — their oracles hard-code the
+# 64-dim fixture slicing; the hypothesis reference-equivalence test in
+# test_properties.py fuzzes the PQ math instead.
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
 #: SEPARATOR, NEL — the class a real round-6 bug mis-split), case,

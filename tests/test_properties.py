@@ -635,3 +635,74 @@ def test_jpeg_roundtrip_tolerance_any_image(w, h, restart, data):
     src = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
     dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
     assert np.abs(dec - src).max() <= 6
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(data=st.data())
+def test_pq_matches_python_reference(spark, data):
+    """PQ encode + ADC top-k equal a pure-Python reference on random
+    grid-valued vectors (the all-zero vector included — L2 needs no norm
+    guard, but zero distances stress the (di, cid) tie-break): same
+    deterministic codebook rule, same micro-int floor, same ordering.
+    Fuzzes the PQ math the oracle fuzzer can't (its SQL twins hard-code
+    the 64-dim fixture slicing)."""
+    import math
+
+    from crypto_data_service_loader_spark.operators import similarity
+
+    m = data.draw(st.sampled_from([1, 2, 4]))
+    sub = data.draw(st.sampled_from([1, 2]))
+    dim = m * sub
+    n = data.draw(st.integers(2, 9))
+    n_codes = data.draw(st.integers(2, 4))
+    vecs = {
+        i: data.draw(st.lists(
+            st.sampled_from([-1.0, -0.25, 0.0, 0.25, 1.0]),
+            min_size=dim, max_size=dim))
+        for i in range(n)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    nc = min(n_codes, n)
+    book = {(s, c): vecs[c][s * sub:(s + 1) * sub]
+            for s in range(m) for c in range(nc)}
+
+    def d_micro(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.floor(acc * 1e6)
+
+    codes, errs = {}, {}
+    for i, v in vecs.items():
+        cs, e = [], 0
+        for s in range(m):
+            sv = v[s * sub:(s + 1) * sub]
+            c = min(range(nc), key=lambda c: (d_micro(sv, book[(s, c)]), c))
+            cs.append(str(c))
+            e += d_micro(sv, book[(s, c)])
+        codes[i] = ",".join(cs)
+        errs[i] = e
+    got = {r["vec_id"]: r for r in
+           similarity.pq_encode(emb, m=m, n_codes=n_codes).collect()}
+    assert {i: (r["codes"], r["err_micro"]) for i, r in got.items()} == {
+        i: (codes[i], errs[i]) for i in vecs
+    }
+
+    query = vecs[data.draw(st.integers(0, n - 1))]
+    scores = {}
+    for i in vecs:
+        total = 0
+        for s, c in enumerate(int(x) for x in codes[i].split(",")):
+            total += d_micro(query[s * sub:(s + 1) * sub], book[(s, c)])
+        scores[i] = total
+    k = 3
+    want = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    topk = [(r["vec_id"], r["adc_micro"]) for r in
+            similarity.pq_topk(emb, query, k=k, m=m, n_codes=n_codes)
+            .orderBy("rank").collect()]
+    assert topk == want
