@@ -1166,3 +1166,225 @@ def pq_topk(
     return top.select(
         id_col, "adc_micro", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (round 13): the complete IVFADC recipe (Jégou et al. 2011 §IV) —
+# a coarse quantizer routes each vector to an inverted list, PQ encodes
+# only the RESIDUAL to the list's centroid (residuals cluster far tighter
+# than raw vectors, so the same code budget buys much lower quantization
+# error), and search probes the nprobe nearest lists with a per-list
+# asymmetric distance table. This is the index layout FAISS ships for
+# billion-vector corpora and the natural 100-TB shape on Spark: the
+# encoded table is partitioned by centroid_id, so a probe IS partition
+# pruning, and every quantizer artifact (coarse centroids, residual
+# codebook, ADC tables) is control-plane sized and broadcast.
+
+
+def _ivfpq_parts(
+    embeddings: DataFrame,
+    k_centroids: int,
+    m: int,
+    n_codes: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Shared IVF-PQ build: coarse assignment (micro-int argmin with a
+    centroid-id tie-break — the engine-stable float-ranking rule),
+    residual computation, residual-seeded PQ codebook, and the
+    per-(id, subspace) best-code table. Returns (best_codes_df, book_df,
+    coarse_df, sub).
+
+    The codebook seeds are the residuals of the `n_codes` lowest-id
+    vectors AFTER skipping the `k_centroids` coarse seeds: the coarse
+    seeds' own residuals are exactly zero (each IS its centroid), so
+    seeding from them would collapse the codebook to n_codes copies of
+    the zero subvector and reduce IVFADC to bare IVF. The skip keeps the
+    `_seed_centroids` determinism rule (no RNG, identical across
+    runs/engines) while guaranteeing non-degenerate codes; a production
+    deployment would Lloyd-refine both quantizers on a sample.
+
+    Plan shape: ONE nested-loop broadcast of the k_centroids coarse rows
+    (constant size, ratchet-asserted), a min_by argmin per vector, one
+    posexplode into m subvectors, an equi-join against the m*n_codes-row
+    broadcast codebook, and a min-struct agg — everything linear in the
+    corpus, nothing quadratic."""
+    spark = embeddings.sparkSession
+    centroids = _seed_centroids(embeddings, k_centroids, vec_col, id_col)
+    dim = len(centroids[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in centroids], "ccid int, ccvec array<double>"
+    )
+    v = _as_double(F.col(vec_col))
+    di = F.floor(_sq_l2(v, F.col("ccvec")) * 1e6).cast("long")
+    assigned = (
+        embeddings.join(F.broadcast(cdf), F.lit(True), "inner")
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("ccid"), F.col("ccvec"),
+            di.alias("di"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by(F.struct("ccid", "ccvec"), F.struct("di", "ccid"))
+            .alias("bc"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(
+            id_col,
+            F.col("bc.ccid").alias("centroid_id"),
+            F.zip_with(
+                _as_double(F.col(vec_col)), F.col("bc.ccvec"),
+                lambda x, y: x - y,
+            ).alias("rvec"),
+        )
+    )
+    seeds = (
+        assigned.orderBy(F.col(id_col).asc())
+        .limit(k_centroids + n_codes)
+        .select("rvec")
+        .collect()
+    )[k_centroids:]
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"need at least k_centroids + n_codes = {k_centroids + n_codes} "
+            f"vectors to seed a non-degenerate residual codebook"
+        )
+    book = []
+    for s in range(m):
+        for cid, r in enumerate(seeds):
+            rv = [float(x) for x in r["rvec"]]
+            book.append((s, cid, rv[s * sub:(s + 1) * sub]))
+    bdf = spark.createDataFrame(book, "s int, cid int, cvec array<double>")
+    subs = assigned.select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("rvec"), s * sub + 1, sub),
+            )
+        ).alias("s", "svec"),
+    )
+    dpq = F.floor(_sq_l2(F.col("svec"), F.col("cvec")) * 1e6).cast("long")
+    best = (
+        subs.join(F.broadcast(bdf), "s")
+        .select(
+            F.col(id_col), F.col("centroid_id"), F.col("s"), F.col("cid"),
+            dpq.alias("di"),
+        )
+        .groupBy(id_col, "centroid_id", "s")
+        .agg(F.min(F.struct("di", "cid")).alias("best"))
+    )
+    return best, bdf, cdf, sub
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    k_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ encode: every vector becomes (inverted-list id, m residual
+    code ids, quantization error). Because codes quantize the residual,
+    err_micro here is the dial that shows WHY IVFADC beats flat PQ at
+    the same code budget. Returns one row per vector: (id, centroid_id,
+    codes — comma-joined in subspace order, err_micro)."""
+    best, _, _, _ = _ivfpq_parts(
+        embeddings, k_centroids, m, n_codes, vec_col, id_col
+    )
+    return best.groupBy(id_col, "centroid_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("s", F.col("best.cid").alias("cid")))
+                ),
+                lambda x: x["cid"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.sum("best.di").alias("err_micro"),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search: probe the `nprobe` coarse lists nearest the query
+    (micro-int rank, centroid-id tie-break), build ONE asymmetric
+    distance table per probed list from the query's residual to THAT
+    list's centroid (nprobe*m*n_codes rows — broadcastable at any
+    scale), and score candidates by code lookup. The equi-join on
+    (centroid_id, s, code) against the probe tables IS the inverted-list
+    prune: vectors in unprobed lists never join, which on a
+    centroid-partitioned 100-TB table is partition pruning, not a scan.
+
+    Returns (id, adc_micro, rank) for the k nearest by (micro-int ADC
+    distance, id)."""
+    best, bdf, cdf, sub = _ivfpq_parts(
+        embeddings, k_centroids, m, n_codes, vec_col, id_col
+    )
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [([float(x) for x in query],)], "qv array<double>"
+    )
+    qd = F.floor(_sq_l2(F.col("qv"), F.col("ccvec")) * 1e6).cast("long")
+    probes = (
+        cdf.join(F.broadcast(qdf), F.lit(True), "inner")
+        .select("ccid", "ccvec", "qv", qd.alias("qd"))
+        .orderBy(F.col("qd").asc(), F.col("ccid").asc())
+        .limit(nprobe)
+    )
+    dtq = F.floor(_sq_l2(F.col("qsv"), F.col("cvec")) * 1e6).cast("long")
+    dt = (
+        probes.select(
+            F.col("ccid"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(
+                        F.zip_with(
+                            F.col("qv"), F.col("ccvec"), lambda x, y: x - y
+                        ),
+                        s * sub + 1,
+                        sub,
+                    ),
+                )
+            ).alias("s", "qsv"),
+        )
+        .join(F.broadcast(bdf), "s")
+        .select(F.col("ccid"), F.col("s"), F.col("cid"), dtq.alias("dq"))
+    )
+    codes = best.select(
+        F.col(id_col), F.col("centroid_id"), F.col("s"),
+        F.col("best.cid").alias("code"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dt),
+            (codes["centroid_id"] == dt["ccid"])
+            & (codes["s"] == dt["s"])
+            & (codes["code"] == dt["cid"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("dq").alias("adc_micro"))
+    )
+    # global top-k rides TakeOrderedAndProject; the rank window orders
+    # only the k survivors
+    top = adc.orderBy(F.col("adc_micro").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("adc_micro").asc(), F.col(id_col).asc())
+    return top.select(
+        id_col, "adc_micro", F.row_number().over(w).cast("int").alias("rank")
+    )

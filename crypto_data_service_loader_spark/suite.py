@@ -44,6 +44,8 @@ QUERIES = {
     "sim_topk_pq": q_sim_topk_pq,
     "dedup_intra_doc_lines": q_dedup_intra_doc_lines,
     "media_resize_jpeg": q_media_resize_jpeg,
+    "ivfpq_encode": q_ivfpq_encode,
+    "sim_topk_ivfpq": q_sim_topk_ivfpq,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -327,7 +329,7 @@ _R13_FRONT = [
     "dedup_exact_substrings", "dedup_exact_substr_staged",
     "dedup_exact_substr_indexed", "dedup_substr_removal",
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
-    "media_resize_jpeg",
+    "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -343,7 +345,6 @@ _R13_FRONT = [
     "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
     "scalar_strings", "session_window_agg", "sessionize_events",
     "setop_except", "setop_intersect", "setop_union",
-    "sim_cosine_topk_ivf", "stream_tumbling_daily_count",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2294,6 +2295,99 @@ ORACLES["sim_topk_pq"] = (
     adc AS (
         SELECT b.vec_id, CAST(SUM(dq) AS BIGINT) AS adc_micro
         FROM best b JOIN dt ON b.s = dt.s AND b.cid = dt.cid
+        GROUP BY 1)
+    SELECT vec_id, adc_micro, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rn
+          FROM adc)
+    WHERE rn <= 5"""
+)
+
+# Round 13: IVF-PQ (IVFADC). Coarse assignment replays the micro-int
+# argmin with the centroid-id tie-break, residuals are computed with the
+# same left-to-right arithmetic, the PQ book is seeded from the
+# lowest-id RESIDUALS, and code ranking reuses the micro-int rule.
+# Shared by the encode key and the ADC search key.
+_IVFPQ_CTES = """
+    cc AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ccid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ccvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    ev AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    ad AS (
+        SELECT vec_id, ccid, v, ccvec,
+               CAST(floor(list_sum(list_transform(range(1, 65),
+                    i -> (v[i] - ccvec[i]) * (v[i] - ccvec[i])))
+                    * 1000000) AS BIGINT) AS dc
+        FROM ev, cc),
+    asg AS (
+        SELECT vec_id, ccid AS centroid_id,
+               list_transform(range(1, 65), i -> v[i] - ccvec[i]) AS rvec
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dc, ccid) AS rn FROM ad)
+        WHERE rn = 1),
+    bookseed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, rvec
+        FROM (SELECT vec_id, rvec FROM asg
+              ORDER BY vec_id LIMIT 8 OFFSET 8) t),
+    book AS (
+        SELECT s.s AS s, cid,
+               rvec[s.s * 16 + 1 : s.s * 16 + 16] AS cvec
+        FROM bookseed, LATERAL unnest(range(4)) AS s(s)),
+    subs AS (
+        SELECT vec_id, centroid_id, s.s AS s,
+               rvec[s.s * 16 + 1 : s.s * 16 + 16] AS svec
+        FROM asg, LATERAL unnest(range(4)) AS s(s)),
+    scored AS (
+        SELECT vec_id, centroid_id, subs.s AS s, cid,
+               CAST(floor(list_sum(list_transform(range(1, 17),
+                    i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i])))
+                    * 1000000) AS BIGINT) AS di
+        FROM subs JOIN book ON subs.s = book.s),
+    best AS (
+        SELECT vec_id, centroid_id, s, di, cid FROM (
+            SELECT vec_id, centroid_id, s, di, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY di, cid) AS rn
+            FROM scored)
+        WHERE rn = 1)"""
+
+ORACLES["ivfpq_encode"] = (
+    "WITH" + _IVFPQ_CTES + """
+    SELECT vec_id, CAST(centroid_id AS INTEGER) AS centroid_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+           CAST(SUM(di) AS BIGINT) AS err_micro
+    FROM best GROUP BY vec_id, centroid_id"""
+)
+
+ORACLES["sim_topk_ivfpq"] = (
+    "WITH" + _IVFPQ_CTES + """,
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT ccid, ccvec, qv FROM (
+            SELECT cc.ccid, cc.ccvec, q.qv,
+                   CAST(floor(list_sum(list_transform(range(1, 65),
+                        i -> (qv[i] - ccvec[i]) * (qv[i] - ccvec[i])))
+                        * 1000000) AS BIGINT) AS qd
+            FROM cc, q)
+        ORDER BY qd, ccid LIMIT 2),
+    dt AS (
+        SELECT ccid, book.s AS s, cid,
+               CAST(floor(list_sum(list_transform(range(1, 17),
+                    i -> ((qv[book.s * 16 + i] - ccvec[book.s * 16 + i])
+                          - cvec[i])
+                         * ((qv[book.s * 16 + i] - ccvec[book.s * 16 + i])
+                            - cvec[i])))
+                    * 1000000) AS BIGINT) AS dq
+        FROM probes, book),
+    adc AS (
+        SELECT b.vec_id, CAST(SUM(dq) AS BIGINT) AS adc_micro
+        FROM best b JOIN dt ON b.centroid_id = dt.ccid
+                           AND b.s = dt.s AND b.cid = dt.cid
         GROUP BY 1)
     SELECT vec_id, adc_micro, CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rn

@@ -418,6 +418,36 @@ def q_sim_topk_pq(spark, sf_dir):
     )
 
 
+def q_ivfpq_encode(spark, sf_dir):
+    """IVF-PQ encode (round 13): the complete IVFADC layout — coarse
+    quantizer routes each vector to an inverted list (k_centroids=8
+    deterministic seeds, micro-int argmin), PQ codes quantize the
+    RESIDUAL to the list centroid (m=4 subspaces x 8 codes seeded from
+    the lowest-id residuals). Output is the production index row:
+    (vec_id, centroid_id, codes, err_micro). The oracle replays coarse
+    assignment, residual arithmetic, codebook seeding, and the micro-int
+    code ranking value-for-value."""
+    return similarity.ivfpq_encode(
+        load(spark, sf_dir, "embeddings"), k_centroids=8, m=4, n_codes=8
+    )
+
+
+def q_sim_topk_ivfpq(spark, sf_dir):
+    """IVFADC search (round 13): nprobe=2 coarse lists probed, one
+    asymmetric distance table per probed list built from the query's
+    PER-LIST residual, candidates scored by code lookup — the billion-
+    vector FAISS recipe as a Spark plan where the probe is an equi-join
+    key (partition pruning on a centroid-partitioned table). Finishes
+    the ANN ladder: brute-force / LSH / IVF / PQ / IVF-PQ."""
+    from .shared import _query_vector
+
+    return similarity.ivfpq_topk(
+        load(spark, sf_dir, "embeddings"),
+        _query_vector(spark, sf_dir, 0),
+        k=5, k_centroids=8, nprobe=2, m=4, n_codes=8,
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: a 'new crawl' batch (doc_id % 10 < 2) collapsed
     within-batch then anti-joined against the existing corpus fingerprint

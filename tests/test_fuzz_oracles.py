@@ -63,9 +63,10 @@ FUZZ_KEYS = [
     "gzip_corpus_roundtrip",
     "bpe_tokenize",
 ]
-# NOT fuzzed here: pq_encode / sim_topk_pq — their oracles hard-code the
-# 64-dim fixture slicing; the hypothesis reference-equivalence test in
-# test_properties.py fuzzes the PQ math instead.
+# NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
+# sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;
+# the hypothesis reference-equivalence tests in test_properties.py fuzz
+# the PQ and IVFADC math instead.
 
 #: words with tricky tokenizer surface: unicode whitespace (NBSP, LINE
 #: SEPARATOR, NEL — the class a real round-6 bug mis-split), case,

@@ -2724,3 +2724,61 @@ def test_dedup_intra_doc_lines_keep_first_and_plan(spark):
             clean.encode()).hexdigest()
     plan = physical_plan(dedup.dedup_intra_doc_lines(docs))
     assert "Exchange" not in plan  # document-local: zero shuffles
+
+
+def test_ivfpq_encode_invariants(spark):
+    """IVFADC structure anchored in the math: (1) the coarse seeds
+    (ids 0..k-1) are their own centroids — zero residual, so their
+    err_micro is the norm of the nearest book subvector, NOT zero;
+    (2) the book-seed vectors (ids k..k+n_codes-1) encode to their own
+    code ids with ZERO error; (3) every centroid_id/code is in range.
+    This is exactly the degeneracy the skip-the-coarse-seeds codebook
+    rule exists to prevent (seeding from ids 0..n-1 would make every
+    book entry the zero subvector)."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.ivfpq_encode(
+        emb, k_centroids=4, m=2, n_codes=4).collect()}
+    assert len(out) == 20
+    for i in range(4):
+        assert out[i]["centroid_id"] == i  # own coarse list
+    for j in range(4):
+        r = out[4 + j]
+        assert r["err_micro"] == 0  # its residual IS book entry j
+        # equal residual subvectors tie; the (di, cid) rule then picks
+        # the LOWEST code id, so the code is j or an equal earlier entry
+        assert all(int(c) <= j for c in r["codes"].split(","))
+    assert any(out[i]["err_micro"] > 0 for i in range(4)), (
+        "coarse seeds must NOT have zero PQ error — that would mean the "
+        "codebook contains the zero subvector (degenerate seeding)"
+    )
+    for i in range(20):
+        assert 0 <= out[i]["centroid_id"] < 4
+        assert all(0 <= int(c) < 4 for c in out[i]["codes"].split(","))
+
+
+def test_ivfpq_topk_full_probe_covers_all_lists(spark):
+    """With nprobe == k_centroids every list is probed, so IVFADC must
+    return k results scored over the whole corpus; with nprobe=1 the
+    candidate set shrinks to one list (the query's own), never errors."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 7) for j in range(8)])
+         for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(j % 7) for j in range(8)]
+    full = similarity.ivfpq_topk(
+        emb, q, k=5, k_centroids=4, nprobe=4, m=2, n_codes=4).collect()
+    assert len(full) == 5
+    assert [r["rank"] for r in full] == [1, 2, 3, 4, 5]
+    assert all(full[i]["adc_micro"] <= full[i + 1]["adc_micro"]
+               for i in range(4))
+    one = similarity.ivfpq_topk(
+        emb, q, k=5, k_centroids=4, nprobe=1, m=2, n_codes=4).collect()
+    assert 1 <= len(one) <= 5
+    full_ids = {r["vec_id"] for r in full}
+    assert {r["vec_id"] for r in one} <= {r["vec_id"] for r in emb.collect()}
+    assert len({r["vec_id"] for r in one}) == len(one)

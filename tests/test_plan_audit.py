@@ -30,6 +30,11 @@ from crypto_data_service_loader_spark.suite import QUERIES
 #: broadcast fails the audit instead of hiding behind the allowlist.
 NESTED_LOOP_OK = {
     "sim_cosine_topk_ivf": 16,  # broadcast of a 16-row centroid table
+    # IVF-PQ coarse quantizer: broadcast of the 8-row coarse-centroid
+    # table (assignment argmin); the search key also crosses the 1-row
+    # query vector onto that same 8-row table for probe selection:
+    "ivfpq_encode": 8,
+    "sim_topk_ivfpq": 8,
     "semantic_dedup": 8,  # broadcast of an 8-row centroid table (quantizer)
     "tpch_q22": 1,  # scalar-subquery threshold: single-row aggregate broadcast
     "tpch_q11": 1,  # HAVING scalar subquery: single-row aggregate broadcast

@@ -706,3 +706,91 @@ def test_pq_matches_python_reference(spark, data):
             similarity.pq_topk(emb, query, k=k, m=m, n_codes=n_codes)
             .orderBy("rank").collect()]
     assert topk == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(data=st.data())
+def test_ivfpq_matches_python_reference(spark, data):
+    """IVF-PQ encode + IVFADC search equal a pure-Python reference on
+    random grid-valued vectors: same micro-int coarse argmin with the
+    centroid-id tie-break, same residual arithmetic, same skip-the-
+    coarse-seeds codebook rule, same per-probed-list ADC tables. Fuzzes
+    the full IVFADC pipeline the oracle fuzzer can't (its SQL twin
+    hard-codes the 64-dim fixture slicing)."""
+    import math
+
+    from crypto_data_service_loader_spark.operators import similarity
+
+    m = data.draw(st.sampled_from([1, 2]))
+    sub = data.draw(st.sampled_from([1, 2]))
+    dim = m * sub
+    kc = data.draw(st.integers(2, 3))
+    n_codes = data.draw(st.integers(2, 3))
+    nprobe = data.draw(st.integers(1, kc))
+    n = data.draw(st.integers(kc + n_codes, kc + n_codes + 6))
+    vecs = {
+        i: data.draw(st.lists(
+            st.sampled_from([-1.0, -0.25, 0.0, 0.25, 1.0]),
+            min_size=dim, max_size=dim))
+        for i in range(n)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+
+    def d_micro(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.floor(acc * 1e6)
+
+    # coarse assignment: micro-int argmin, centroid-id tie-break
+    coarse = {c: vecs[c] for c in range(kc)}
+    assign, resid = {}, {}
+    for i, v in vecs.items():
+        c = min(coarse, key=lambda c: (d_micro(v, coarse[c]), c))
+        assign[i] = c
+        resid[i] = [x - y for x, y in zip(v, coarse[c])]
+    # codebook: residuals of ids kc..kc+n_codes-1 (skip the coarse seeds)
+    book = {(s, c): resid[kc + c][s * sub:(s + 1) * sub]
+            for s in range(m) for c in range(n_codes)}
+    codes, errs = {}, {}
+    for i in vecs:
+        cs, e = [], 0
+        for s in range(m):
+            sv = resid[i][s * sub:(s + 1) * sub]
+            c = min(range(n_codes),
+                    key=lambda c: (d_micro(sv, book[(s, c)]), c))
+            cs.append(str(c))
+            e += d_micro(sv, book[(s, c)])
+        codes[i] = ",".join(cs)
+        errs[i] = e
+    got = {r["vec_id"]: r for r in similarity.ivfpq_encode(
+        emb, k_centroids=kc, m=m, n_codes=n_codes).collect()}
+    assert {i: (r["centroid_id"], r["codes"], r["err_micro"])
+            for i, r in got.items()} == {
+        i: (assign[i], codes[i], errs[i]) for i in vecs
+    }
+
+    # IVFADC search: probe the nprobe nearest lists, ADC per list
+    query = vecs[data.draw(st.integers(0, n - 1))]
+    probe = sorted(range(kc),
+                   key=lambda c: (d_micro(query, coarse[c]), c))[:nprobe]
+    scores = {}
+    for i in vecs:
+        if assign[i] not in probe:
+            continue
+        qr = [x - y for x, y in zip(query, coarse[assign[i]])]
+        total = 0
+        for s, c in enumerate(int(x) for x in codes[i].split(",")):
+            total += d_micro(qr[s * sub:(s + 1) * sub], book[(s, c)])
+        scores[i] = total
+    k = 3
+    want = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    topk = [(r["vec_id"], r["adc_micro"]) for r in similarity.ivfpq_topk(
+        emb, query, k=k, k_centroids=kc, nprobe=nprobe, m=m,
+        n_codes=n_codes).orderBy("rank").collect()]
+    assert topk == want
