@@ -46,6 +46,7 @@ QUERIES = {
     "media_resize_jpeg": q_media_resize_jpeg,
     "ivfpq_encode": q_ivfpq_encode,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
+    "media_decode_gif": q_media_decode_gif,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -330,6 +331,7 @@ _R13_FRONT = [
     "dedup_exact_substr_indexed", "dedup_substr_removal",
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
+    "media_decode_gif",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -344,7 +346,7 @@ _R13_FRONT = [
     "join_sortmerge", "log_event_json", "moments_quantile",
     "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
     "scalar_strings", "session_window_agg", "sessionize_events",
-    "setop_except", "setop_intersect", "setop_union",
+    "setop_except", "setop_intersect",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2557,6 +2559,33 @@ ORACLES["media_decode_png_mixed"] = """
 # back; compression round-trips losslessly, so the oracle mirrors only
 # the pixel arithmetic from the same hex chain. PNG stores RGB top-down:
 # byte i%3==0 is R (the reverse of BMP's BGR); 4x5 = 60 bytes.
+# Round 13: GIF — LZW round-trips losslessly, so the oracle mirrors the
+# closed-form palette arithmetic (r=v, g=255-v, b=3v mod 256) over the
+# same 60-byte md5 index chain the Spark side LZW-compresses for real.
+ORACLES["media_decode_gif"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_b,
+               CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_r
+        FROM b GROUP BY media_id)
+    SELECT media_id, CAST('gif' AS VARCHAR) AS fmt,
+           CAST(6 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,
+           CAST(60 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 60 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
+
 ORACLES["media_decode_png"] = """
     WITH base AS (
         SELECT doc_id AS media_id,

@@ -1944,6 +1944,37 @@ def q_media_decode_png(spark, sf_dir):
     return decode_image_stats(pngs)
 
 
+def q_media_decode_gif(spark, sf_dir):
+    """REAL decode of the THIRD genuinely compressed format (round 13):
+    each document's md5-chain bytes become palette indices in a real
+    6x10 GIF89a — encode_gif_images LZW-compresses the index stream
+    (variable-width codes, clear/EOI, LSB-first packing) against a
+    256-entry color table with the closed-form palette
+    (r=v, g=255-v, b=3v mod 256) — and decode_image_stats' registry
+    dispatch routes it through _decode_gif: container walk, LZW
+    decompress, palette lookup. LZW round-trips losslessly, so the
+    oracle mirrors only the palette arithmetic over the same hex chain.
+
+    Reference parity: schema-blind compressed-payload handling at the
+    ingestion edge (CompressionHandler.java:43-46), extended to media
+    per the charter — the PNG/JPEG precedent applied to LZW."""
+    from ..operators.multimodal import decode_image_stats, encode_gif_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    m4 = F.md5(m3)
+    px_hex = F.substring(F.concat(m1, m2, m3, m4), 1, 120)  # 60 bytes
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(px_hex).alias("idx"),
+    )
+    palette = [(v, 255 - v, (v * 3) % 256) for v in range(256)]
+    gifs = encode_gif_images(media, width=6, height=10, palette=palette)
+    return decode_image_stats(gifs)
+
+
 def q_media_decode_png_mixed(spark, sf_dir):
     """Mixed COLOR-TYPE PNG decode (round 12): doc_id % 3 picks the
     color type — grayscale (bpp 1), truecolor RGB (bpp 3), RGBA

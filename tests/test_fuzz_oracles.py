@@ -62,6 +62,10 @@ FUZZ_KEYS = [
     "dedup_intra_doc_lines",
     "gzip_corpus_roundtrip",
     "bpe_tokenize",
+    # round 13: the REAL GIF LZW compress->decompress->palette round
+    # trip (variable-width codes + the closed-form palette arithmetic
+    # must hold for EVERY md5-derived index stream)
+    "media_decode_gif",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;

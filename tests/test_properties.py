@@ -794,3 +794,49 @@ def test_ivfpq_matches_python_reference(spark, data):
         emb, query, k=k, k_centroids=kc, nprobe=nprobe, m=m,
         n_codes=n_codes).orderBy("rank").collect()]
     assert topk == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    npal=st.sampled_from([2, 3, 4, 16, 250, 256]),
+    data=st.data(),
+)
+def test_gif_lzw_roundtrip_any_size_palette(w, h, npal, data):
+    """GIF encode/decode is an exact round trip for EVERY size and
+    palette size (2..256 — mcs 2 through 8, non-power-of-two palettes
+    padded): the decoded RGB equals the palette lookup of the source
+    indices, exercising variable-width LZW code growth, the KwKwK case
+    (runs of repeated indices), and sub-block framing. Pure-Python
+    property — no Spark session, so it runs wide."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    pal = [((i * 7) % 256, (i * 13) % 256, (255 - i) % 256)
+           for i in range(npal)]
+    n = w * h
+    # mix of random indices and runs — runs force the KwKwK decode case
+    run_heavy = data.draw(st.booleans())
+    if run_heavy:
+        v = data.draw(st.integers(0, npal - 1))
+        idx = bytes([v]) * n
+    else:
+        idx = bytes(data.draw(st.lists(
+            st.integers(0, npal - 1), min_size=n, max_size=n)))
+    gif = M._encode_gif(idx, w, h, pal)
+    parsed = M._parse_gif(gif)
+    assert parsed is not None
+    pw, ph, rgb = parsed
+    assert (pw, ph) == (w, h)
+    assert rgb == b"".join(bytes(pal[i]) for i in idx)
+    # stats dispatch agrees byte-for-byte with the parsed pixels
+    stats = M._decode_gif(gif)
+    assert stats == (
+        w, h, n,
+        sum(pal[i][2] for i in idx),
+        sum(pal[i][1] for i in idx),
+        sum(pal[i][0] for i in idx),
+    )
+    # every proper prefix that cuts more than the trailer must decline
+    cut = data.draw(st.integers(10, len(gif) - 2))
+    assert M._parse_gif(gif[:cut]) is None
