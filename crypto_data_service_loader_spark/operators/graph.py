@@ -148,3 +148,58 @@ def triangle_counts(
             .alias("clustering_coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection, the frequency-vote sibling of connected components: every
+    node starts labeled with its own id and each iteration adopts the
+    MOST FREQUENT label among its neighbors (tie-break: lowest label —
+    the engine-stable rule, and the determinism knob the async original
+    lacks). Fixed `iters` keeps it oracle-exact: the DuckDB twin chains
+    the same iterations as CTEs.
+
+    Scale shape per iteration: one equi-join of the (symmetrized,
+    materialized-once) edge list against the narrow label vector + two
+    aggregations — the PageRank loop's cost model with a mode() instead
+    of a sum. At 100 TB: partition edges by the join key once; each
+    round is a co-partitioned join + partial-agg counts. Degenerate
+    inputs are safe: self-loops are dropped, isolated nodes never enter
+    (no neighbors -> no vote -> not in the edge-derived node set).
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    half = edges.filter(s != d).select(s.alias("a"), d.alias("b"))
+    und = (
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # referenced every iteration — materialize once or each round
+        # re-runs the full upstream edge derivation
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iters):
+        counts = (
+            und.join(labels, F.col("b") == F.col("node"))
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("a")
+            .agg(
+                F.min_by(
+                    "label",
+                    F.struct((-F.col("c")).alias("nc"), F.col("label")),
+                ).alias("label")
+            )
+            .select(F.col("a").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

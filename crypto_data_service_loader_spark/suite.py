@@ -47,6 +47,7 @@ QUERIES = {
     "ivfpq_encode": q_ivfpq_encode,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "media_decode_gif": q_media_decode_gif,
+    "community_lpa": q_community_lpa,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -331,7 +332,7 @@ _R13_FRONT = [
     "dedup_exact_substr_indexed", "dedup_substr_removal",
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
-    "media_decode_gif",
+    "media_decode_gif", "community_lpa",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -346,7 +347,7 @@ _R13_FRONT = [
     "join_sortmerge", "log_event_json", "moments_quantile",
     "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
     "scalar_strings", "session_window_agg", "sessionize_events",
-    "setop_except", "setop_intersect",
+    "setop_except",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2585,6 +2586,31 @@ ORACLES["media_decode_gif"] = """
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""
+
+# Round 13: synchronous label propagation, both iterations unrolled.
+# The Spark side ranks by min_by(label, struct(-c, label)); the CTE's
+# row_number ORDER BY c DESC, label is the same total order.
+ORACLES["community_lpa"] = """
+    WITH e0 AS (
+        SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey <> b.l_suppkey),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e0),
+    c1 AS (SELECT e0.a AS node, l0.label, count(*) AS c
+           FROM e0 JOIN l0 ON e0.b = l0.node GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e0.a AS node, l1.label, count(*) AS c
+           FROM e0 JOIN l1 ON e0.b = l1.node GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM c2) WHERE rn = 1)
+    SELECT node AS supp_key, CAST(label AS BIGINT) AS community FROM l2"""
 
 ORACLES["media_decode_png"] = """
     WITH base AS (

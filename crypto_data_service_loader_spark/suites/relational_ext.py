@@ -349,6 +349,30 @@ def q_pagerank_knn(spark, sf_dir):
     return graph.pagerank(edges, emb.select("vec_id"), iters=3, id_col="vec_id")
 
 
+def q_community_lpa(spark, sf_dir):
+    """Label-propagation communities (round 13) over the co-supplier
+    graph: suppliers are adjacent when they ship lines of the SAME order
+    — the co-occurrence graph a marketplace/curation pipeline builds
+    from transactions. Two synchronous majority-vote iterations (pinned
+    for the oracle, tie-break lowest label); the edge derivation is one
+    self-equi-join on the order key with distinct pairs, bounded by
+    lines-per-order² — never corpus². The DuckDB twin unrolls both
+    iterations as CTEs with the identical (count DESC, label) rank."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out = graph.label_propagation(edges, iters=2)
+    return out.select(F.col("node").alias("supp_key"), "community")
+
+
 def q_vwap_bars(spark, sf_dir):
     """Volume-weighted average price per (returnflag, ship month) — the
     weighted-mean bar the tick consumers pair with OHLC. Both the weighted

@@ -2782,3 +2782,42 @@ def test_ivfpq_topk_full_probe_covers_all_lists(spark):
     full_ids = {r["vec_id"] for r in full}
     assert {r["vec_id"] for r in one} <= {r["vec_id"] for r in emb.collect()}
     assert len({r["vec_id"] for r in one}) == len(one)
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """LPA semantics on the canonical shape: two triangles joined by one
+    bridge edge. After 2 synchronous iterations each triangle converges
+    to its own minimum label (majority vote inside the clique outweighs
+    the single bridge vote); self-loops are dropped; every node in the
+    edge set gets exactly one community."""
+    from crypto_data_service_loader_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),          # triangle A
+         (4, 5), (5, 6), (4, 6),          # triangle B
+         (3, 4),                          # bridge
+         (2, 2)],                         # self-loop: must be ignored
+        "src long, dst long",
+    )
+    out = {r["node"]: r["community"]
+           for r in graph.label_propagation(edges, iters=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # iteration 1: every node takes its neighborhood min; iteration 2:
+    # majority vote — the triangles stabilize on their side's labels
+    assert out[1] == out[2] == 1
+    assert out[5] == out[6]
+    assert len(set(out.values())) >= 2  # the bridge does not merge all
+
+
+def test_label_propagation_tie_breaks_to_lowest_label(spark):
+    """A node with exactly two neighbors carrying different labels is a
+    tie (count 1 vs 1): the engine-stable rule must pick the LOWEST
+    label, in every iteration."""
+    from crypto_data_service_loader_spark.operators import graph
+
+    # path 7-8-9: node 8 sees labels {7, 9} in iteration 1 -> picks 7
+    edges = spark.createDataFrame([(7, 8), (8, 9)], "src long, dst long")
+    out = {r["node"]: r["community"]
+           for r in graph.label_propagation(edges, iters=1).collect()}
+    assert out[8] == 7
+    assert out[7] == 8 and out[9] == 8  # their only neighbor's label
