@@ -950,3 +950,64 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.min(id_col).alias("canonical_id"),
         )
     )
+
+
+def blocklist_audit(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Blocklist audit — per-doc banned-token hits against a blocklist
+    that is a DATAFRAME, not an expression: production blocklists run to
+    millions of terms and change independently of the code, so membership
+    is an equi-join on exploded distinct tokens (Spark broadcasts a small
+    list and shuffle-joins a huge one — the same plan text either way),
+    never an `isin(N literals)` that recompiles per update and collapses
+    past a few thousand terms.
+
+    Returns one row per input doc: (id, n_hits, hit_terms — the matched
+    tokens ',' joined in sorted order, kept — true when clean). The
+    explode is per DISTINCT token, so the join input is bounded by
+    vocabulary, not token count."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+    )
+    terms = blocklist.select(F.col(term_col).alias("tok")).distinct()
+    hits = (
+        toks.join(terms, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hits"),
+            F.array_join(F.array_sort(F.collect_list("tok")), ",")
+            .alias("hit_terms"),
+        )
+    )
+    return docs.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("hit_terms", F.lit("")).alias("hit_terms"),
+        F.col("n_hits").isNull().alias("kept"),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Kept-docs-only form of `blocklist_audit`: anti-join the flagged
+    id set — docs containing ANY blocked token drop, schema unchanged.
+    One explode + one equi-join + one anti-join; no regex scan of N
+    patterns per row."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+    )
+    terms = blocklist.select(F.col(term_col).alias("tok")).distinct()
+    flagged = toks.join(terms, "tok").select(id_col).distinct()
+    return docs.join(flagged, id_col, "left_anti")

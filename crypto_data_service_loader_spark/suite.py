@@ -48,6 +48,7 @@ QUERIES = {
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "media_decode_gif": q_media_decode_gif,
     "community_lpa": q_community_lpa,
+    "blocklist_filter": q_blocklist_filter,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -332,7 +333,7 @@ _R13_FRONT = [
     "dedup_exact_substr_indexed", "dedup_substr_removal",
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
-    "media_decode_gif", "community_lpa",
+    "media_decode_gif", "community_lpa", "blocklist_filter",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -347,7 +348,6 @@ _R13_FRONT = [
     "join_sortmerge", "log_event_json", "moments_quantile",
     "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
     "scalar_strings", "session_window_agg", "sessionize_events",
-    "setop_except",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2611,6 +2611,24 @@ ORACLES["community_lpa"] = """
                                       ORDER BY c DESC, label) AS rn
             FROM c2) WHERE rn = 1)
     SELECT node AS supp_key, CAST(label AS BIGINT) AS community FROM l2"""
+
+# Round 13: blocklist audit — the IN-list as data; the oracle replays
+# the distinct-token explode, the hit count, and the sorted ',' join.
+ORACLES["blocklist_filter"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(
+                   lower(trim(text, ' ')), '\\s+'))) AS tok
+        FROM documents),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_hits,
+               string_agg(tok, ',' ORDER BY tok) AS hit_terms
+        FROM t WHERE tok IN ('spark', 'merge', 'window', 'nosuchterm')
+        GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+           coalesce(hit_terms, '') AS hit_terms,
+           n_hits IS NULL AS kept
+    FROM documents d LEFT JOIN hits USING (doc_id)"""
 
 ORACLES["media_decode_png"] = """
     WITH base AS (

@@ -1944,6 +1944,23 @@ def q_media_decode_png(spark, sf_dir):
     return decode_image_stats(pngs)
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """Blocklist audit (round 13): banned-token hits where the blocklist
+    is DATA (a DataFrame the join broadcasts), not N compiled literals —
+    the shape that still works when the list is millions of terms and
+    ships separately from the code. Per-doc (n_hits, sorted hit_terms,
+    kept); the oracle replays the distinct-token explode and the IN-list
+    as a join."""
+    from ..operators.text import blocklist_audit
+
+    docs = load(spark, sf_dir, "documents")
+    blk = spark.createDataFrame(
+        [("spark",), ("merge",), ("window",), ("nosuchterm",)],
+        "term string",
+    )
+    return blocklist_audit(docs, blk)
+
+
 def q_media_decode_gif(spark, sf_dir):
     """REAL decode of the THIRD genuinely compressed format (round 13):
     each document's md5-chain bytes become palette indices in a real

@@ -2821,3 +2821,29 @@ def test_label_propagation_tie_breaks_to_lowest_label(spark):
            for r in graph.label_propagation(edges, iters=1).collect()}
     assert out[8] == 7
     assert out[7] == 8 and out[9] == 8  # their only neighbor's label
+
+
+def test_blocklist_audit_and_filter(spark):
+    """Audit counts DISTINCT banned tokens per doc (repeats count once),
+    sorts the hit list, flags clean docs kept=true; the filter twin
+    drops exactly the flagged ids with schema unchanged; an empty
+    blocklist keeps everything."""
+    from crypto_data_service_loader_spark.operators.text import (
+        blocklist_audit, blocklist_filter)
+
+    docs = spark.createDataFrame(
+        [(1, "the bad bad word here"), (2, "all clean text"),
+         (3, "worse and bad together"), (4, "")],
+        "doc_id long, text string",
+    )
+    blk = spark.createDataFrame([("bad",), ("worse",)], "term string")
+    audit = {r["doc_id"]: r for r in blocklist_audit(docs, blk).collect()}
+    assert audit[1]["n_hits"] == 1 and audit[1]["hit_terms"] == "bad"
+    assert audit[3]["n_hits"] == 2 and audit[3]["hit_terms"] == "bad,worse"
+    assert audit[2]["kept"] and audit[4]["kept"]
+    assert not audit[1]["kept"] and not audit[3]["kept"]
+    kept = blocklist_filter(docs, blk)
+    assert kept.columns == docs.columns
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+    empty = spark.createDataFrame([], "term string")
+    assert blocklist_filter(docs, empty).count() == 4
