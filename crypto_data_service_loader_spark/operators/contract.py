@@ -128,3 +128,39 @@ def contract_report(df: DataFrame, rules: list[dict]) -> DataFrame:
             (F.col("e.n_violations") == 0).alias("passed"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit before a dataset ships for training: group rows into
+    quasi-identifier equivalence classes and report, per class, the
+    k-anonymity size test (|class| >= k — Sweeney 2002) and the
+    distinct-l-diversity test (>= l distinct sensitive values — Machanavajjhala
+    et al. 2007; a k-anonymous class whose sensitive column is constant
+    still leaks it). Returns one row per class: (quasi cols...,
+    class_size, n_sensitive, k_ok, l_ok).
+
+    One hash-partitioned aggregation with map-side partials — the exact
+    shape of a groupBy count, so 100 TB costs one shuffle on the QI key;
+    count(DISTINCT sensitive) rides the same agg via Spark's expand.
+    Suppression/generalization act on this report (filter k_ok AND l_ok
+    -> semi-join back), keeping policy outside the scan."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive",
+            (F.col("class_size") >= k).alias("k_ok"),
+            (F.col("n_sensitive") >= l).alias("l_ok"),
+        )
+    )

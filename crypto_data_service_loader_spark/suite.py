@@ -49,6 +49,7 @@ QUERIES = {
     "media_decode_gif": q_media_decode_gif,
     "community_lpa": q_community_lpa,
     "blocklist_filter": q_blocklist_filter,
+    "k_anonymity_audit": q_k_anonymity_audit,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -334,6 +335,7 @@ _R13_FRONT = [
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
     "media_decode_gif", "community_lpa", "blocklist_filter",
+    "k_anonymity_audit",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -347,7 +349,7 @@ _R13_FRONT = [
     "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
     "join_sortmerge", "log_event_json", "moments_quantile",
     "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
-    "scalar_strings", "session_window_agg", "sessionize_events",
+    "scalar_strings", "session_window_agg",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2629,6 +2631,16 @@ ORACLES["blocklist_filter"] = """
            coalesce(hit_terms, '') AS hit_terms,
            n_hits IS NULL AS kept
     FROM documents d LEFT JOIN hits USING (doc_id)"""
+
+# Round 13: k-anonymity / l-diversity audit — the same GROUP BY.
+ORACLES["k_anonymity_audit"] = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT floor(c_acctbal / 2000)) AS BIGINT)
+               AS n_sensitive,
+           count(*) >= 12 AS k_ok,
+           count(DISTINCT floor(c_acctbal / 2000)) >= 3 AS l_ok
+    FROM customer GROUP BY 1, 2"""
 
 ORACLES["media_decode_png"] = """
     WITH base AS (

@@ -1944,6 +1944,22 @@ def q_media_decode_png(spark, sf_dir):
     return decode_image_stats(pngs)
 
 
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity + distinct-l-diversity audit (round 13) over the
+    customer table: QI class = (nation, market segment), sensitive =
+    the account-balance band. One groupBy with map-side partials; the
+    oracle is the same GROUP BY, so every class size, distinct count,
+    and flag is value-verified."""
+    from ..operators.contract import k_anonymity_audit
+
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000)
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", k=12, l=3
+    )
+
+
 def q_blocklist_filter(spark, sf_dir):
     """Blocklist audit (round 13): banned-token hits where the blocklist
     is DATA (a DataFrame the join broadcasts), not N compiled literals —

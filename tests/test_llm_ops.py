@@ -2847,3 +2847,28 @@ def test_blocklist_audit_and_filter(spark):
     assert {r["doc_id"] for r in kept.collect()} == {2, 4}
     empty = spark.createDataFrame([], "term string")
     assert blocklist_filter(docs, empty).count() == 4
+
+
+def test_k_anonymity_audit_semantics(spark):
+    """Class below k flags k_ok=false; constant sensitive value flags
+    l_ok=false even in a large class (the leak k-anonymity alone
+    misses); both thresholds are inclusive."""
+    from crypto_data_service_loader_spark.operators.contract import (
+        k_anonymity_audit)
+
+    rows = (
+        [("a", "x", i) for i in range(5)]          # size 5, 5 distinct
+        + [("b", "x", 7), ("b", "x", 7), ("b", "x", 7)]  # size 3, constant
+        + [("c", "y", 1), ("c", "y", 2)]           # size 2 < k
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string, s int")
+    out = {(r["qa"], r["qb"]): r for r in
+           k_anonymity_audit(df, ["qa", "qb"], "s", k=3, l=2).collect()}
+    a = out[("a", "x")]
+    assert a["class_size"] == 5 and a["n_sensitive"] == 5
+    assert a["k_ok"] and a["l_ok"]
+    b = out[("b", "x")]
+    assert b["class_size"] == 3 and b["k_ok"]      # inclusive: 3 >= 3
+    assert b["n_sensitive"] == 1 and not b["l_ok"]  # constant leaks
+    c = out[("c", "y")]
+    assert not c["k_ok"] and c["l_ok"]
