@@ -1726,3 +1726,86 @@ def start_asof_join_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming k-anonymity / l-diversity audit — twin #20, the live form of
+# contract.k_anonymity_audit. A privacy gate on a GROWING dataset cannot
+# re-scan the corpus per micro-batch; the audit state per QI class is
+# (row count, the distinct sensitive-value set) — bounded by the
+# sensitive DOMAIN (bands/categories, small by construction of any
+# sensible sensitive bucketing), not by row count. Update mode: the last
+# emission per class is the audit of the full prefix, pinned equal to
+# the batch operator in tests (including an l_ok flip that only a
+# cross-batch distinct-set carry can produce).
+# ---------------------------------------------------------------------------
+
+KANON_SCHEMA = (
+    "qi string, class_size long, n_sensitive long, k_ok boolean, "
+    "l_ok boolean"
+)
+
+
+def _kanon_updater(k: int, l: int):
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, seen = state.get
+            sset = set(seen)
+        else:
+            n, sset = 0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            sset.update(int(v) for v in pdf["sens"])
+        state.update((n, sorted(sset)))
+        yield pd.DataFrame(
+            {
+                "qi": [key[0]],
+                "class_size": [n],
+                "n_sensitive": [len(sset)],
+                "k_ok": [n >= k],
+                "l_ok": [len(sset) >= l],
+            }
+        )
+
+    return update
+
+
+def start_k_anonymity_stream(
+    rows_stream: DataFrame,
+    checkpoint: str,
+    k: int = 3,
+    l: int = 2,
+    query_name: str = "kanon",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming k-anonymity + distinct-l-diversity audit -> in-memory
+    table `query_name`. Input contract: (qi string, sens long) — the
+    caller pre-concatenates multi-column quasi-identifiers and
+    pre-bands the sensitive column, exactly as the batch operator's
+    caller does. Emissions are per-class snapshots; the final one per
+    class equals contract.k_anonymity_audit over everything seen."""
+    if state_store is not None:
+        configure_state_store(rows_stream.sparkSession, state_store)
+    out = (
+        rows_stream.select("qi", "sens")
+        .groupBy("qi")
+        .applyInPandasWithState(
+            _kanon_updater(k, l),
+            outputStructType=KANON_SCHEMA,
+            stateStructType="n long, seen array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

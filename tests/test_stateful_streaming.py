@@ -1185,3 +1185,54 @@ def test_streaming_asof_join_matches_batch(spark, tmp_path):
     assert got[3][2] is None and got[3][3] is None  # key b: no quotes
     assert got[1][2] == 1.0                         # equal-ts tie -> matched
     assert got[4][2] == 1.0                         # cross-batch state carry
+
+
+def test_streaming_k_anonymity_matches_batch_twin(spark, tmp_path):
+    """Streaming privacy audit (twin #20) equals the batch
+    k_anonymity_audit on the full prefix — including an l_ok flip that
+    ONLY a cross-batch distinct-sensitive-set carry can produce: class
+    'b' sees one band in batch 1 (l_ok false) and a second band in
+    batch 2 (l_ok true), while its batch-1 rows are never re-read."""
+    import time
+
+    from crypto_data_service_loader_spark.operators.contract import (
+        k_anonymity_audit,
+    )
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_k_anonymity_stream,
+    )
+
+    schema = "qi string, sens long"
+    b1 = [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 7)]
+    b2 = [("b", 9), ("c", 4)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_k_anonymity_stream(
+        stream, str(tmp_path / "ckpt"), k=3, l=2, query_name="kanon_t"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kanon_t").collect()
+    # update mode: the final snapshot per class is the max class_size
+    final = {}
+    for r in rows:
+        cur = final.get(r["qi"])
+        if cur is None or r["class_size"] > cur["class_size"]:
+            final[r["qi"]] = r
+    got = {qi: (r["class_size"], r["n_sensitive"], r["k_ok"], r["l_ok"])
+           for qi, r in final.items()}
+    batch = k_anonymity_audit(
+        spark.createDataFrame(b1 + b2, schema), ["qi"], "sens", k=3, l=2
+    )
+    want = {r["qi"]: (r["class_size"], r["n_sensitive"], r["k_ok"],
+                      r["l_ok"]) for r in batch.collect()}
+    assert got == want
+    # the flip itself: batch-1 emission for 'b' had l_ok false
+    b_rows = sorted((r["class_size"], r["l_ok"])
+                    for r in rows if r["qi"] == "b")
+    assert b_rows[0] == (2, False) and b_rows[-1] == (3, True)
