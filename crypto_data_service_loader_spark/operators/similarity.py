@@ -1215,12 +1215,50 @@ def _ivfpq_parts(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    assigned = _ivfpq_assign(embeddings, centroids, vec_col, id_col)
+    seeds = (
+        assigned.orderBy(F.col(id_col).asc())
+        .limit(k_centroids + n_codes)
+        .select("rvec")
+        .collect()
+    )[k_centroids:]
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"need at least k_centroids + n_codes = {k_centroids + n_codes} "
+            f"vectors to seed a non-degenerate residual codebook"
+        )
+    book = []
+    for s in range(m):
+        for cid, r in enumerate(seeds):
+            rv = [float(x) for x in r["rvec"]]
+            book.append((s, cid, rv[s * sub:(s + 1) * sub]))
+    bdf = spark.createDataFrame(book, "s int, cid int, cvec array<double>")
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in centroids], "ccid int, ccvec array<double>"
+    )
+    best = _ivfpq_codes(assigned, bdf, sub, m, id_col)
+    return best, bdf, cdf, sub
+
+
+def _ivfpq_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Coarse assignment against a GIVEN (possibly frozen/persisted)
+    centroid list: micro-int argmin with the centroid-id tie-break.
+    Returns (id, centroid_id, rvec — the residual to the winning
+    centroid). The factored form exists so the persisted index path
+    (sources/ann_index.py) encodes appends with the index's frozen
+    quantizers, never re-training."""
+    spark = embeddings.sparkSession
     cdf = spark.createDataFrame(
         [(i, v) for i, v in centroids], "ccid int, ccvec array<double>"
     )
     v = _as_double(F.col(vec_col))
     di = F.floor(_sq_l2(v, F.col("ccvec")) * 1e6).cast("long")
-    assigned = (
+    return (
         embeddings.join(F.broadcast(cdf), F.lit(True), "inner")
         .select(
             F.col(id_col), F.col(vec_col), F.col("ccid"), F.col("ccvec"),
@@ -1241,23 +1279,18 @@ def _ivfpq_parts(
             ).alias("rvec"),
         )
     )
-    seeds = (
-        assigned.orderBy(F.col(id_col).asc())
-        .limit(k_centroids + n_codes)
-        .select("rvec")
-        .collect()
-    )[k_centroids:]
-    if len(seeds) < n_codes:
-        raise ValueError(
-            f"need at least k_centroids + n_codes = {k_centroids + n_codes} "
-            f"vectors to seed a non-degenerate residual codebook"
-        )
-    book = []
-    for s in range(m):
-        for cid, r in enumerate(seeds):
-            rv = [float(x) for x in r["rvec"]]
-            book.append((s, cid, rv[s * sub:(s + 1) * sub]))
-    bdf = spark.createDataFrame(book, "s int, cid int, cvec array<double>")
+
+
+def _ivfpq_codes(
+    assigned: DataFrame,
+    bdf: DataFrame,
+    sub: int,
+    m: int,
+    id_col: str,
+) -> DataFrame:
+    """PQ-encode residuals against a GIVEN codebook DataFrame: subvector
+    explode, equi-join on the subspace id, micro-int min-struct agg.
+    Returns one row per (id, centroid_id, s) with `best` = (di, cid)."""
     subs = assigned.select(
         F.col(id_col),
         F.col("centroid_id"),
@@ -1269,7 +1302,7 @@ def _ivfpq_parts(
         ).alias("s", "svec"),
     )
     dpq = F.floor(_sq_l2(F.col("svec"), F.col("cvec")) * 1e6).cast("long")
-    best = (
+    return (
         subs.join(F.broadcast(bdf), "s")
         .select(
             F.col(id_col), F.col("centroid_id"), F.col("s"), F.col("cid"),
@@ -1278,7 +1311,6 @@ def _ivfpq_parts(
         .groupBy(id_col, "centroid_id", "s")
         .agg(F.min(F.struct("di", "cid")).alias("best"))
     )
-    return best, bdf, cdf, sub
 
 
 def ivfpq_encode(

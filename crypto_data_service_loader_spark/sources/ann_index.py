@@ -396,3 +396,174 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     )
     shutil.rmtree(tomb_dir)
     return n
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ index (round 13): the compressed form of the IVF layout above —
+# vectors/ holds only (id, codes array<int>) PARTITIONED BY centroid_id,
+# ~m bytes per vector instead of dim floats, which is what lets a
+# billion-vector index live on one cluster's disks AND in its page
+# cache. Both quantizers (coarse centroids + residual codebook) freeze
+# into the sidecar at write time; appends encode against them, queries
+# rebuild nothing. A probe is partition pruning + a broadcast of the
+# nprobe*m*n_codes ADC table computed driver-side — query cost is
+# per-probed-list code lookups, never vector arithmetic per candidate.
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    k_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Write the IVF-PQ index: codes partitioned by coarse centroid,
+    both frozen quantizers in the sidecar. Same determinism contract as
+    the other kinds — a query returns EXACTLY what the inline
+    `similarity.ivfpq_topk` returns on the same corpus (equality-
+    tested), because the quantizer seeds, the micro-int ranking, and the
+    ADC arithmetic are identical."""
+    from ..operators.similarity import _ivfpq_parts
+
+    best, bdf, cdf, sub = _ivfpq_parts(
+        embeddings, k_centroids, m, n_codes, vec_col, id_col
+    )
+    codes = (
+        best.select(
+            F.col(id_col), F.col("centroid_id"), F.col("s"),
+            F.col("best.cid").alias("code"),
+        )
+        .groupBy(id_col, "centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        _vectors_dir(path)
+    )
+    book = [(r["s"], r["cid"], [float(x) for x in r["cvec"]])
+            for r in bdf.collect()]
+    centroids = [(r["ccid"], [float(x) for x in r["ccvec"]])
+                 for r in cdf.collect()]
+    _write_meta(path, {
+        "kind": "ivfpq", "dim": _dim_of(embeddings, vec_col),
+        "sub": sub, "m": m, "n_codes": n_codes,
+        "vec_col": vec_col, "id_col": id_col,
+        "id_type": embeddings.schema[id_col].dataType.simpleString(),
+        "centroids": [[cid, list(vec)] for cid, vec in centroids],
+        "book": [[s, cid, list(vec)] for s, cid, vec in book],
+    })
+
+
+def append_to_ivfpq_index(new_vectors: DataFrame, path: str) -> None:
+    """Encode a new batch against the index's FROZEN coarse centroids
+    and FROZEN residual codebook and append into the matching
+    partitions — the incremental-crawl refresh path; old partitions
+    never go stale because nothing re-trains."""
+    from ..operators.similarity import _ivfpq_assign, _ivfpq_codes
+
+    meta = _read_meta(path)
+    centroids = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in meta["centroids"]]
+    spark = new_vectors.sparkSession
+    bdf = spark.createDataFrame(
+        [(int(s), int(cid), [float(x) for x in vec])
+         for s, cid, vec in meta["book"]],
+        "s int, cid int, cvec array<double>",
+    )
+    assigned = _ivfpq_assign(
+        new_vectors, centroids, meta["vec_col"], meta["id_col"]
+    )
+    best = _ivfpq_codes(assigned, bdf, meta["sub"], meta["m"],
+                        meta["id_col"])
+    codes = (
+        best.select(
+            F.col(meta["id_col"]), F.col("centroid_id"), F.col("s"),
+            F.col("best.cid").alias("code"),
+        )
+        .groupBy(meta["id_col"], "centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+    codes.write.mode("append").partitionBy("centroid_id").parquet(
+        _vectors_dir(path)
+    )
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVFADC search against the persisted index: probe lists rank
+    driver-side from the sidecar with the SAME micro-int rule the inline
+    operator evaluates JVM-side (floor over identical left-to-right IEEE
+    sums — equal longs), the per-list ADC tables are computed driver-side
+    (nprobe*m*n_codes rows) and broadcast, and `centroid_id IN probes`
+    prunes the scan to the probed partition directories. Returns
+    (id, adc_micro, rank), equal to `similarity.ivfpq_topk`."""
+    import math
+
+    meta = _read_meta(path)
+    m, sub = meta["m"], meta["sub"]
+    q = [float(x) for x in query]
+
+    def d_micro(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.floor(acc * 1e6)
+
+    centroids = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in meta["centroids"]]
+    probe = sorted(centroids, key=lambda c: (d_micro(q, c[1]), c[0]))[:nprobe]
+    book = {(int(s), int(cid)): [float(x) for x in vec]
+            for s, cid, vec in meta["book"]}
+    dt_rows = []
+    for ccid, cvec in probe:
+        qr = [x - y for x, y in zip(q, cvec)]
+        for (s, cid), bv in book.items():
+            dt_rows.append(
+                (ccid, s, cid, d_micro(qr[s * sub:(s + 1) * sub], bv))
+            )
+    dt = spark.createDataFrame(dt_rows, "ccid int, s int, cid int, dq long")
+    id_col = meta["id_col"]
+    scan = _without_tombstones(
+        spark, path,
+        spark.read.parquet(_vectors_dir(path))
+        .filter(F.col("centroid_id").isin([c[0] for c in probe])),
+        id_col,
+    )
+    exploded = scan.select(
+        F.col(id_col), F.col("centroid_id"),
+        F.posexplode("codes").alias("s", "code"),
+    )
+    adc = (
+        exploded.join(
+            F.broadcast(dt),
+            (exploded["centroid_id"] == dt["ccid"])
+            & (exploded["s"] == dt["s"])
+            & (exploded["code"] == dt["cid"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("dq").alias("adc_micro"))
+    )
+    top = adc.orderBy(F.col("adc_micro").asc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("adc_micro").asc(), F.col(id_col).asc())
+    return top.select(
+        id_col, "adc_micro", F.row_number().over(w).cast("int").alias("rank")
+    )

@@ -50,6 +50,7 @@ QUERIES = {
     "community_lpa": q_community_lpa,
     "blocklist_filter": q_blocklist_filter,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "sim_topk_ivfpq_indexed": q_sim_topk_ivfpq_indexed,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -335,7 +336,7 @@ _R13_FRONT = [
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
     "media_decode_gif", "community_lpa", "blocklist_filter",
-    "k_anonymity_audit",
+    "k_anonymity_audit", "sim_topk_ivfpq_indexed",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -349,7 +350,7 @@ _R13_FRONT = [
     "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
     "join_sortmerge", "log_event_json", "moments_quantile",
     "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
-    "scalar_strings", "session_window_agg",
+    "scalar_strings",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2399,6 +2400,10 @@ ORACLES["sim_topk_ivfpq"] = (
           FROM adc)
     WHERE rn <= 5"""
 )
+
+# The persisted IVF-PQ index freezes the SAME quantizers the inline
+# operator derives, so the indexed query's oracle IS the inline oracle.
+ORACLES["sim_topk_ivfpq_indexed"] = ORACLES["sim_topk_ivfpq"]
 
 # Round 12: hard-negative mining — the kNN-graph oracle shape with the
 # label carried through the bucketed join and a cross-label filter.

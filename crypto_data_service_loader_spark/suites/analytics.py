@@ -263,6 +263,37 @@ def q_sim_topk_lsh_indexed(spark, sf_dir):
     )
 
 
+def _ann_ivfpq_index(spark, sf_dir: str) -> str:
+    """Persisted IVF-PQ index with both quantizers frozen at the inline
+    `ivfpq_topk` gate dials (k_centroids=8, m=4, n_codes=8)."""
+    import os
+
+    from ..sources import ann_index
+
+    path = _index_path(sf_dir, "annivfpq_k8m4", "embeddings")
+    if not os.path.exists(os.path.join(path, ann_index._META)):
+        ann_index.write_ivfpq_index(
+            load(spark, sf_dir, "embeddings"), path,
+            k_centroids=8, m=4, n_codes=8,
+        )
+    return path
+
+
+def q_sim_topk_ivfpq_indexed(spark, sf_dir):
+    """IVFADC search against the PERSISTED compressed index (round 13):
+    codes-only partitions (~m bytes/vector), probe ranking + ADC tables
+    from the sidecar driver-side, `centroid_id IN probes` pruning the
+    scan to the probed directories. Equals the inline `sim_topk_ivfpq`
+    (same frozen quantizers), so its oracle is the inline oracle."""
+    from ..sources import ann_index
+    from .shared import _query_vector
+
+    path = _ann_ivfpq_index(spark, sf_dir)
+    return ann_index.ivfpq_index_topk(
+        spark, path, _query_vector(spark, sf_dir, 0), k=5, nprobe=2
+    )
+
+
 def q_sim_topk_ivf_indexed(spark, sf_dir):
     """ANN top-k against the PERSISTED IVF index: probe centroids rank
     driver-side from the sidecar (k x dim floats) and `centroid_id IN

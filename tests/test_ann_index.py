@@ -337,3 +337,71 @@ def test_int8_index_delete_compact_equals_rebuild(spark, sf_dir, tmp_path):
     want = [(r["vec_id"], r["score"]) for r in ann_index.lsh_index_topk(
         spark, rebuilt, q, k=10).collect()]
     assert got == want
+
+
+def test_ivfpq_index_topk_matches_inline_operator(spark, sf_dir, tmp_path):
+    """The persisted compressed index returns EXACTLY what the inline
+    ivfpq_topk returns: same frozen quantizers, same micro-int ADC."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "ivfpq_idx")
+    ann_index.write_ivfpq_index(emb, path, k_centroids=8, m=4, n_codes=8)
+    got = ann_index.ivfpq_index_topk(spark, path, q, k=5, nprobe=2).collect()
+    want = similarity.ivfpq_topk(
+        emb, q, k=5, k_centroids=8, nprobe=2, m=4, n_codes=8
+    ).collect()
+    assert [(r["vec_id"], r["adc_micro"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["adc_micro"], r["rank"]) for r in want
+    ]
+    assert len(got) == 5
+
+
+def test_ivfpq_index_query_prunes_partitions(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    path = str(tmp_path / "ivfpq_idx")
+    ann_index.write_ivfpq_index(emb, path, k_centroids=8)
+    plan = physical_plan(
+        ann_index.ivfpq_index_topk(spark, path, q, nprobe=2))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf
+
+
+def test_ivfpq_append_uses_frozen_quantizers(spark, sf_dir, tmp_path):
+    """Append encodes against the SAVED coarse centroids + codebook.
+    Writing from a batch that contains the quantizer-seed ids
+    (0..k_centroids+n_codes-1) and appending the rest must equal the
+    inline operator over the full corpus (whose deterministic seeds are
+    those same ids)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = _query_vec(emb)
+    path = str(tmp_path / "ivfpq_idx")
+    first = emb.filter((F.col("vec_id") < 16) | (F.col("vec_id") % 2 == 0))
+    rest = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 1))
+    ann_index.write_ivfpq_index(first, path, k_centroids=8, m=4, n_codes=8)
+    ann_index.append_to_ivfpq_index(rest, path)
+    assert spark.read.parquet(f"{path}/vectors").count() == emb.count()
+    got = ann_index.ivfpq_index_topk(spark, path, q, k=5, nprobe=8).collect()
+    want = similarity.ivfpq_topk(
+        emb, q, k=5, k_centroids=8, nprobe=8, m=4, n_codes=8
+    ).collect()
+    assert [(r["vec_id"], r["adc_micro"]) for r in got] == [
+        (r["vec_id"], r["adc_micro"]) for r in want
+    ]
+
+
+def test_ivfpq_index_tombstones(spark, sf_dir, tmp_path):
+    """Deleting the top hit removes it from results without touching
+    the code partitions (anti-join), like the other index kinds."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = _query_vec(emb)
+    path = str(tmp_path / "ivfpq_idx")
+    ann_index.write_ivfpq_index(emb, path, k_centroids=8)
+    before = ann_index.ivfpq_index_topk(spark, path, q, k=5, nprobe=8).collect()
+    top_id = before[0]["vec_id"]
+    ann_index.delete_from_ann_index(spark, path, [top_id])
+    after = ann_index.ivfpq_index_topk(spark, path, q, k=5, nprobe=8).collect()
+    assert top_id not in {r["vec_id"] for r in after}
+    assert [r["vec_id"] for r in after] == [
+        r["vec_id"] for r in before[1:]] + [after[-1]["vec_id"]]
