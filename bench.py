@@ -106,7 +106,6 @@ HEADLINE = [
     "knn_triangles_indexed",
     "pagerank_knn_indexed",
     "scd2_apply",
-    "histogram_drift",
     # late round 7: retrieval + monitoring + data-selection analytics
     "hybrid_search",
     "events_cusum",
@@ -117,12 +116,9 @@ HEADLINE = [
     # history in BENCH_DETAIL.json) to make room for the media near-dup
     # and KLL keys below.
     # late round 7: portable sketches + contract + monitoring + PPS
-    "data_contract_check",
-    "sample_pps",
     # round 8: record linkage + sketch-based join pre-sizing + the
     # persisted-index cross-epoch near-dup query
     "fuzzy_join_customers",
-    "join_size_estimate",
     "dedup_minhash_indexed",
     # round 9: codec-free media near-dup (fingerprint + banded join) and
     "dedup_media_near",
@@ -145,6 +141,18 @@ HEADLINE = [
     # micros; bars keep cover via vwap/ohlc_bars, sketches via
     # hll_rolling_distinct; history in BENCH_DETAIL.json).
     "media_decode_jpeg",
+    # late round 13: the LZW GIF round trip (third real compressed
+    # codec), label-propagation communities (iterative join+mode over
+    # the co-supplier graph), and the persisted IVF-PQ probe (the
+    # compressed-ANN production path) join the line. To stay under the
+    # guard, sample_pps, data_contract_check, histogram_drift and
+    # join_size_estimate rotate out (stable micros; sampling cover stays
+    # via quality_percentile_gate, contract/monitoring cover via
+    # events_cusum + scd2_apply, sketch-sizing via hll_rolling_distinct;
+    # history in BENCH_DETAIL.json).
+    "media_decode_gif",
+    "community_lpa",
+    "sim_topk_ivfpq_indexed",
 ]
 
 
