@@ -1290,13 +1290,16 @@ def _encode_gif(
     return bytes(out)
 
 
-def _parse_gif(payload):
+def _parse_gif(payload, native: bool = False):
     """REAL GIF decode: header + logical-screen walk, global/local color
     table, extension-block skip, LZW decompress of the FIRST image
     frame, palette lookup with bounds checks. Returns (width, height,
-    top-down RGB bytes) or None for anything outside the supported
-    profile (interlaced images decline — the profile mirrors _parse_png's
-    strictness: corrupt input must return None, never misread)."""
+    top-down RGB bytes) — or, with ``native=True``, (width, height,
+    palette INDICES, color-table bytes) so a resize can stay in index
+    space and re-encode losslessly against the same palette. None for
+    anything outside the supported profile (interlaced images decline —
+    the profile mirrors _parse_png's strictness: corrupt input must
+    return None, never misread)."""
     if payload is None or len(payload) < 14:
         return None
     data = bytes(payload)
@@ -1360,6 +1363,8 @@ def _parse_gif(payload):
             npal = len(table) // 3
             if int(ia.max()) >= npal:
                 return None
+            if native:
+                return iw, ih, idx, bytes(table)
             pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
             return iw, ih, pal[ia].tobytes()
         elif b0 == 0x3B:
@@ -1716,6 +1721,28 @@ def _resize_jpeg(payload: bytes | None, width: int, height: int) -> bytes | None
     return _encode_jpeg(out.tobytes(), width, height)
 
 
+def _resize_gif(payload: bytes | None, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a GIF that stays in INDEX space:
+    parse to palette indices (`_parse_gif(native=True)`), sample with
+    the same nearest rule as the other resizers, re-encode via
+    `_encode_gif` against the SAME color table — no second quantization
+    generation, because GIF pixels ARE palette indices. Returns None for
+    anything `_parse_gif` rejects."""
+    parsed = _parse_gif(payload, native=True)
+    if parsed is None:
+        return None
+    w0, h0, idx, table = parsed
+    import numpy as np
+
+    px = np.frombuffer(idx, dtype=np.uint8).reshape(h0, w0)
+    rows = (np.arange(height) * h0) // height
+    cols = (np.arange(width) * w0) // width
+    out = px[rows][:, cols]
+    pal = [tuple(int(c) for c in table[3 * i:3 * i + 3])
+           for i in range(len(table) // 3)]
+    return _encode_gif(out.tobytes(), width, height, pal)
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Image resize: uncompressed 24-bpp BMP, binary PPM, 8-bit PNG (all
     color types — grayscale/RGBA re-encode their OWN color type, palette
@@ -1736,6 +1763,8 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     real = _resize_png(p, width, height)
                 if real is None:
                     real = _resize_jpeg(p, width, height)
+                if real is None:
+                    real = _resize_gif(p, width, height)
                 if real is not None:
                     payloads.append(real)
                 elif fake:

@@ -51,6 +51,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "k_anonymity_audit": q_k_anonymity_audit,
     "sim_topk_ivfpq_indexed": q_sim_topk_ivfpq_indexed,
+    "media_resize_gif": q_media_resize_gif,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -336,7 +337,7 @@ _R13_FRONT = [
     "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
     "media_decode_gif", "community_lpa", "blocklist_filter",
-    "k_anonymity_audit", "sim_topk_ivfpq_indexed",
+    "k_anonymity_audit", "sim_topk_ivfpq_indexed", "media_resize_gif",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -350,7 +351,6 @@ _R13_FRONT = [
     "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
     "join_sortmerge", "log_event_json", "moments_quantile",
     "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
-    "scalar_strings",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2646,6 +2646,35 @@ ORACLES["k_anonymity_audit"] = """
            count(*) >= 12 AS k_ok,
            count(DISTINCT floor(c_acctbal / 2000)) >= 3 AS l_ok
     FROM customer GROUP BY 1, 2"""
+
+# Round 13: GIF resize — index-space nearest-neighbor selection over the
+# same chain, then the identical palette arithmetic (no second lossy
+# generation: GIF pixels ARE palette indices).
+ORACLES["media_resize_gif"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px,
+                   2 * (((i.i // 4) * 10 // 5) * 6
+                        + ((i.i % 4) * 6 // 4)) + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 19)) AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_b,
+               CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_r
+        FROM b GROUP BY media_id)
+    SELECT media_id, CAST('gif' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
 
 ORACLES["media_decode_png"] = """
     WITH base AS (

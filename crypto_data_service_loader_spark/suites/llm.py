@@ -2008,6 +2008,38 @@ def q_media_decode_gif(spark, sf_dir):
     return decode_image_stats(gifs)
 
 
+def q_media_resize_gif(spark, sf_dir):
+    """GIF resize ROUND-TRIP in the gate (round 13): the same genuine
+    LZW-compressed 6x10 GIFs as media_decode_gif, resized 6x10 -> 4x5 by
+    resize_images' GIF path — which stays in INDEX space (parse to
+    palette indices, nearest-neighbor sample, re-encode against the SAME
+    color table), so unlike the JPEG path there is no second lossy
+    generation and the oracle mirrors only the selection arithmetic:
+    surviving index positions are ((i//4)*10//5)*6 + ((i%4)*6//4) of the
+    60-byte md5 chain, palette (r=v, g=255-v, b=3v mod 256)."""
+    from ..operators.multimodal import (
+        decode_image_stats, encode_gif_images, resize_images)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    m4 = F.md5(m3)
+    px_hex = F.substring(F.concat(m1, m2, m3, m4), 1, 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(px_hex).alias("idx"),
+    )
+    palette = [(v, 255 - v, (v * 3) % 256) for v in range(256)]
+    gifs = encode_gif_images(media, width=6, height=10, palette=palette).select(
+        "media_id", F.lit("image").alias("kind"), "payload"
+    )
+    small = resize_images(gifs, width=4, height=5).select(
+        "media_id", "payload"
+    )
+    return decode_image_stats(small)
+
+
 def q_media_decode_png_mixed(spark, sf_dir):
     """Mixed COLOR-TYPE PNG decode (round 12): doc_id % 3 picks the
     color type — grayscale (bpp 1), truecolor RGB (bpp 3), RGBA

@@ -66,6 +66,7 @@ FUZZ_KEYS = [
     # trip (variable-width codes + the closed-form palette arithmetic
     # must hold for EVERY md5-derived index stream)
     "media_decode_gif",
+    "media_resize_gif",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;

@@ -840,3 +840,34 @@ def test_gif_lzw_roundtrip_any_size_palette(w, h, npal, data):
     # every proper prefix that cuts more than the trailer must decline
     cut = data.draw(st.integers(10, len(gif) - 2))
     assert M._parse_gif(gif[:cut]) is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w0=st.integers(1, 10), h0=st.integers(1, 10),
+    w1=st.integers(1, 10), h1=st.integers(1, 10),
+    data=st.data(),
+)
+def test_gif_resize_is_exact_index_selection(w0, h0, w1, h1, data):
+    """GIF resize stays in index space: for ANY source/target size pair
+    the resized payload's indices equal the nearest-neighbor selection
+    of the source indices (no second quantization generation), against
+    the SAME color table."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    pal = [(i, (i * 5) % 256, (i * 11) % 256) for i in range(256)]
+    n = w0 * h0
+    idx = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    gif = M._encode_gif(idx, w0, h0, pal)
+    out = M._resize_gif(gif, w1, h1)
+    assert out is not None
+    pw, ph, ridx, table = M._parse_gif(out, native=True)
+    assert (pw, ph) == (w1, h1)
+    px = np.frombuffer(idx, np.uint8).reshape(h0, w0)
+    rows = (np.arange(h1) * h0) // h1
+    cols = (np.arange(w1) * w0) // w1
+    assert ridx == px[rows][:, cols].tobytes()
+    assert table == b"".join(bytes(p) for p in pal)
