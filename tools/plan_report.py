@@ -192,6 +192,21 @@ SHOWCASE = {
     "(never all-pairs); top-k is a per-source window. The gate key pins "
     "n_planes=4 for oracle determinism — production auto-dials "
     "(SCALE_NOTES round-12 30x: 75.8x pinned vs 13.6s auto).",
+    "sim_topk_ivfpq": "IVFADC (round 13): every quantizer artifact is a "
+    "constant-size broadcast (coarse centroids, residual codebook, the "
+    "per-probed-list ADC table); candidate scoring is an equi-join on "
+    "(centroid_id, subspace, code) + a sum — code LOOKUPS, never vector "
+    "arithmetic per candidate; the probe filter is the inverted-list "
+    "prune (partition pruning on a centroid-partitioned table at scale; "
+    "sim_topk_ivfpq_indexed plan-tests the PartitionFilters form).",
+    "community_lpa": "Label propagation (round 13): the symmetrized edge "
+    "list materializes ONCE (ExistingRDD below), then each unrolled "
+    "iteration is one equi-join against the narrow label vector + two "
+    "hash aggregations with map-side partials — |edges| per round, "
+    "nothing quadratic; the vote is min_by over (count desc, label).",
+    "media_decode_gif": "GIF (round 13): LZW compress AND decompress + "
+    "palette lookup are chained scan-local MapInPandas stages — the "
+    "third genuinely compressed codec, same zero-exchange plan as PNG.",
 }
 
 
