@@ -2328,38 +2328,41 @@ def test_png_multi_idat_and_resize():
 def test_image_codec_registry_injection(spark):
     """VERDICT r11 #7: the decode dispatch is a pluggable magic->parser
     registry — an environment with PIL/ffmpeg can inject real codecs
-    without touching operator code. A stub 'jpeg' codec registered at
-    runtime makes decode_image_stats decode a payload the built-ins
-    decline; removal restores the old behavior; re-registering a fmt
-    replaces in place rather than duplicating."""
-    fake_jpeg = b"\xff\xd8\xff" + b"x" * 10
+    without touching operator code. A stub 'webp' codec registered at
+    runtime makes decode_image_stats decode a payload every built-in
+    declines (JPEG and GIF are REAL built-ins since round 13, so the
+    stub uses a format the engine does not parse); removal restores the
+    old behavior; re-registering a fmt replaces in place rather than
+    duplicating."""
+    fake_webp = b"RIFF\x00\x00\x00\x00WEBP" + b"x" * 10
 
     def stub(payload):
-        if payload is None or bytes(payload)[:3] != b"\xff\xd8\xff":
+        if payload is None or bytes(payload)[8:12] != b"WEBP":
             return None
         return (2, 1, 2, 10, 20, 30)
 
     n0 = len(multimodal.IMAGE_CODECS)
-    assert multimodal._decode_image(fake_jpeg) == (None, None)
-    multimodal.register_image_codec("jpeg", stub)
+    assert multimodal._decode_image(fake_webp) == (None, None)
+    multimodal.register_image_codec("webp", stub)
     try:
-        assert multimodal._decode_image(fake_jpeg) == ("jpeg", (2, 1, 2, 10, 20, 30))
+        assert len(multimodal.IMAGE_CODECS) == n0 + 1
+        assert multimodal._decode_image(fake_webp) == ("webp", (2, 1, 2, 10, 20, 30))
         # built-ins still win for their own formats
         png = multimodal._encode_png(_png_case(), 4, 5)
         assert multimodal._decode_image(png)[0] == "png"
         # the Spark operator picks the injected codec up with no changes
         media = spark.createDataFrame(
-            [(1, fake_jpeg)], "media_id long, payload binary")
+            [(1, fake_webp)], "media_id long, payload binary")
         row = multimodal.decode_image_stats(media).collect()[0]
-        assert (row["fmt"], row["decode_ok"]) == ("jpeg", True)
+        assert (row["fmt"], row["decode_ok"]) == ("webp", True)
         assert (row["sum_b"], row["sum_g"], row["sum_r"]) == (10, 20, 30)
         # replace in place: same registry size, new behavior
-        multimodal.register_image_codec("jpeg", lambda p: None)
+        multimodal.register_image_codec("webp", lambda p: None)
         assert len(multimodal.IMAGE_CODECS) == n0 + 1
-        assert multimodal._decode_image(fake_jpeg) == (None, None)
+        assert multimodal._decode_image(fake_webp) == (None, None)
     finally:
         multimodal.IMAGE_CODECS[:] = [
-            e for e in multimodal.IMAGE_CODECS if e[0] != "jpeg"]
+            e for e in multimodal.IMAGE_CODECS if e[0] != "webp"]
     assert len(multimodal.IMAGE_CODECS) == n0
 
 
