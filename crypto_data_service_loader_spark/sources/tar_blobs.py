@@ -1,0 +1,171 @@
+"""TAR shard ingestion — the WebDataset layout real multimodal training
+corpora ship in: a shard is a plain tar whose members group by basename
+(`000123.jpg`, `000123.txt`, `000123.json` — one sample, N modalities),
+and a 100-TB corpus is millions of such shards on object storage.
+
+Spark has no tar reader; this module parses the ustar format for real
+(pure stdlib, no tarfile dependency on seekable files — payloads arrive
+as in-memory blobs from a binary column): 512-byte header blocks with
+octal size fields and the spaces-substituted checksum, content rounded
+up to block size, two zero blocks at the end. The exploder rides Arrow
+`mapInPandas` — scan-local, one pass, no shuffle, bounded memory per
+task, the exact shape of the other payload decoders
+(operators/multimodal.py). Reference parity anchor: schema-blind byte
+handling of packed payloads at the ingestion edge
+(CompressionHandler.java:43-46), extended to archives per the charter.
+
+Profile (mirrors the codecs' strictness — corrupt input returns None /
+drops, never misreads): ustar or pre-POSIX headers, regular files only
+(typeflag '0' or NUL), member names <= 100 chars (no prefix-field
+long-name support), checksum VERIFIED on every header, truncated
+archives rejected whole.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _octal(field: bytes) -> int | None:
+    s = bytes(field).split(b"\x00")[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        return None
+
+
+def _encode_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Encode (name, content) members as a genuine ustar archive —
+    the write side that lets gate payloads be real tars and lets the
+    oracle mirror member arithmetic (tar framing is lossless)."""
+    out = bytearray()
+    for name, content in members:
+        nb = name.encode()
+        assert len(nb) <= 100, "member name too long for the profile"
+        hdr = bytearray(512)
+        hdr[0:len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"            # mode
+        hdr[108:116] = b"0000000\x00"            # uid
+        hdr[116:124] = b"0000000\x00"            # gid
+        hdr[124:136] = ("%011o" % len(content)).encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"        # mtime: epoch (no clock)
+        hdr[148:156] = b" " * 8                  # chksum placeholder
+        hdr[156] = ord("0")                      # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        out += hdr
+        out += content
+        pad = (-len(content)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def _parse_tar(payload: bytes | None) -> list[tuple[str, bytes]] | None:
+    """Walk a ustar archive; returns [(name, content)] in archive order
+    or None for anything outside the profile (bad checksum, bad octal,
+    truncation, unsupported typeflag)."""
+    if payload is None or len(payload) < 1024:
+        return None
+    data = bytes(payload)
+    pos = 0
+    members: list[tuple[str, bytes]] = []
+    while pos + 512 <= len(data):
+        hdr = data[pos:pos + 512]
+        if hdr == b"\x00" * 512:
+            return members  # end-of-archive marker
+        stored = _octal(hdr[148:156])
+        if stored is None:
+            return None
+        blank = hdr[:148] + b" " * 8 + hdr[156:]
+        if sum(blank) != stored:
+            return None
+        size = _octal(hdr[124:136])
+        if size is None:
+            return None
+        typeflag = hdr[156]
+        name = hdr[:100].split(b"\x00")[0].decode("utf-8", "strict")
+        pos += 512
+        end = pos + size
+        if end > len(data):
+            return None  # truncated content
+        if typeflag in (0, ord("0")):
+            members.append((name, data[pos:end]))
+        # non-regular members (dirs, links, pax headers) are skipped but
+        # their content blocks are still consumed
+        pos += size + ((-size) % 512)
+    return None  # ran off the end without the zero-block marker
+
+
+TAR_MEMBER_SCHEMA = (
+    "shard_id long, member_name string, n_bytes int, content binary"
+)
+
+
+def explode_tar_members(
+    blobs: DataFrame,
+    id_col: str = "shard_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """One output row per regular-file member of every tar payload:
+    (shard id, member name, size, content bytes). Invalid archives
+    contribute zero rows (the codec rejection contract — a corrupt
+    shard must never emit half-parsed members). Scan-local mapInPandas;
+    at 100 TB each task holds one Arrow batch of shards, so memory is
+    bounded by batch size x shard size, and the downstream
+    group-by-basename join is the only shuffle in a WebDataset read."""
+    out_schema = TAR_MEMBER_SCHEMA.replace("shard_id", id_col, 1)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, names, sizes, contents = [], [], [], []
+            for sid, p in zip(pdf[id_col], pdf[payload_col]):
+                members = _parse_tar(p)
+                if members is None:
+                    continue
+                for name, content in members:
+                    ids.append(sid)
+                    names.append(name)
+                    sizes.append(len(content))
+                    contents.append(content)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "member_name": pd.Series(names, dtype="object"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "content": pd.Series(contents, dtype="object"),
+                }
+            )
+
+    return blobs.mapInPandas(_batches, schema=out_schema)
+
+
+TAR_ENCODE_SCHEMA = "shard_id long, payload binary"
+
+
+def encode_tar_shards(
+    samples: DataFrame,
+    id_col: str = "shard_id",
+) -> DataFrame:
+    """Write side: pack rows of (id, member_name, content) into one tar
+    per id — the WebDataset shard writer. Expects the members for one
+    shard to be grouped already (applyInPandas per id keeps archive
+    order deterministic by sorting member names)."""
+    out_schema = TAR_ENCODE_SCHEMA.replace("shard_id", id_col, 1)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip(pdf["member_name"], pdf["content"]), key=lambda r: r[0]
+        )
+        tar = _encode_tar([(n, bytes(c)) for n, c in rows])
+        return pd.DataFrame({id_col: [pdf[id_col].iloc[0]],
+                             "payload": [tar]})
+
+    return samples.groupBy(id_col).applyInPandas(_pack, schema=out_schema)

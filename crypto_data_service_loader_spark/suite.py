@@ -52,6 +52,7 @@ QUERIES = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "sim_topk_ivfpq_indexed": q_sim_topk_ivfpq_indexed,
     "media_resize_gif": q_media_resize_gif,
+    "tar_corpus_members": q_tar_corpus_members,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -338,6 +339,7 @@ _R13_FRONT = [
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
     "media_decode_gif", "community_lpa", "blocklist_filter",
     "k_anonymity_audit", "sim_topk_ivfpq_indexed", "media_resize_gif",
+    "tar_corpus_members",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -350,7 +352,7 @@ _R13_FRONT = [
     "entity_clusters", "entity_resolution_scored", "events_cusum",
     "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
     "join_sortmerge", "log_event_json", "moments_quantile",
-    "pivot_status", "sample_pps", "scalar_date_parts", "scalar_dates",
+    "pivot_status", "sample_pps", "scalar_date_parts",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2675,6 +2677,25 @@ ORACLES["media_resize_gif"] = """
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""
+
+# Round 13: WebDataset tar round trip — framing is lossless, the oracle
+# mirrors member-content arithmetic only.
+ORACLES["tar_corpus_members"] = """
+    WITH base AS (
+        SELECT doc_id AS shard_id, md5(text) AS m1,
+               md5(text) || md5(md5(text)) AS chain
+        FROM documents WHERE doc_id < 200),
+    mem AS (
+        SELECT shard_id, 'meta.txt' AS member_name, m1 AS content
+        FROM base
+        UNION ALL
+        SELECT shard_id, 'data.txt' AS member_name,
+               substr(chain, 1, 40) AS content
+        FROM base)
+    SELECT shard_id, member_name,
+           CAST(length(content) AS INTEGER) AS n_bytes,
+           md5(content) AS content_md5
+    FROM mem"""
 
 ORACLES["media_decode_png"] = """
     WITH base AS (

@@ -1977,6 +1977,43 @@ def q_blocklist_filter(spark, sf_dir):
     return blocklist_audit(docs, blk)
 
 
+def q_tar_corpus_members(spark, sf_dir):
+    """WebDataset-shard round trip (round 13): per doc, two ASCII
+    members (meta.txt = md5(text), data.txt = 40 chain chars) pack into
+    a REAL ustar archive via encode_tar_shards (applyInPandas per
+    shard, members sorted, octal sizes + verified checksums — interop
+    proven against stdlib tarfile in both directions) and
+    explode_tar_members parses it back. Tar framing is lossless, so the
+    oracle mirrors only the member-content arithmetic. Output:
+    (shard_id, member_name, n_bytes, content_md5)."""
+    from ..sources.tar_blobs import encode_tar_shards, explode_tar_members
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    chain = F.concat(m1, F.md5(m1))
+    members = docs.select(
+        F.col("doc_id").alias("shard_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("meta.txt").alias("member_name"),
+                    m1.cast("binary").alias("content"),
+                ),
+                F.struct(
+                    F.lit("data.txt").alias("member_name"),
+                    F.substring(chain, 1, 40).cast("binary").alias("content"),
+                ),
+            )
+        ).alias("m"),
+    ).select("shard_id", "m.*")
+    shards = encode_tar_shards(members, id_col="shard_id")
+    out = explode_tar_members(shards, id_col="shard_id")
+    return out.select(
+        "shard_id", "member_name", "n_bytes",
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def q_media_decode_gif(spark, sf_dir):
     """REAL decode of the THIRD genuinely compressed format (round 13):
     each document's md5-chain bytes become palette indices in a real

@@ -1,0 +1,95 @@
+"""TAR shard ingestion (WebDataset layout): the ustar codec must
+round-trip against the STDLIB tarfile module in BOTH directions (our
+writer -> stdlib reader, stdlib writer -> our parser), reject corrupt
+archives whole, and the Spark exploder/packer pair must be inverse on
+real DataFrames."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from crypto_data_service_loader_spark.sources import tar_blobs as T
+
+
+def test_tar_interop_with_stdlib_both_directions():
+    members = [("000001.txt", b"hello world"), ("000001.json", b'{"a":1}'),
+               ("empty.txt", b""), ("x" * 100, b"Z" * 513)]
+    tar = T._encode_tar(members)
+    with tarfile.open(fileobj=io.BytesIO(tar)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for n, c in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(c)
+            tf.addfile(ti, io.BytesIO(c))
+    assert T._parse_tar(buf.getvalue()) == members
+
+
+def test_tar_rejects_corruption_whole():
+    tar = T._encode_tar([("a.txt", b"abc"), ("b.txt", b"d" * 600)])
+    # any header-byte flip breaks the verified checksum
+    b = bytearray(tar)
+    b[50] ^= 0xFF
+    assert T._parse_tar(bytes(b)) is None
+    # truncation anywhere before the end-of-archive marker rejects whole
+    for cut in (100, 512, 700, len(tar) - 1024 - 1):
+        assert T._parse_tar(tar[:cut]) is None
+    assert T._parse_tar(None) is None
+    assert T._parse_tar(b"short") is None
+
+
+def test_tar_skips_non_regular_members():
+    """Dirs/links are skipped but their blocks consumed — stdlib-written
+    archive with a directory entry still yields only the files."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ti = tarfile.TarInfo("dir/f.txt")
+        ti.size = 2
+        tf.addfile(ti, io.BytesIO(b"ok"))
+    got = T._parse_tar(buf.getvalue())
+    assert got == [("dir/f.txt", b"ok")]
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_tar_roundtrip_property(data):
+    n = data.draw(st.integers(1, 6))
+    members = []
+    for i in range(n):
+        name = f"{i:06d}.{data.draw(st.sampled_from(['txt', 'json', 'bin']))}"
+        size = data.draw(st.integers(0, 1400))
+        members.append((name, bytes(data.draw(st.binary(
+            min_size=size, max_size=size)))))
+    tar = T._encode_tar(members)
+    assert T._parse_tar(tar) == members
+    with tarfile.open(fileobj=io.BytesIO(tar)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+
+
+def test_spark_pack_explode_inverse(spark):
+    """encode_tar_shards -> explode_tar_members is the identity on
+    (shard, sorted member) rows; a corrupt shard contributes zero rows
+    rather than half-parsed members."""
+    rows = [(1, "b.txt", b"bbb"), (1, "a.txt", b"aa"),
+            (2, "only.bin", b"\x00\x01\x02" * 200)]
+    df = spark.createDataFrame(
+        rows, "shard_id long, member_name string, content binary")
+    shards = T.encode_tar_shards(df, id_col="shard_id")
+    back = T.explode_tar_members(shards, id_col="shard_id")
+    got = sorted((r["shard_id"], r["member_name"], bytes(r["content"]))
+                 for r in back.collect())
+    assert got == [(1, "a.txt", b"aa"), (1, "b.txt", b"bbb"),
+                   (2, "only.bin", b"\x00\x01\x02" * 200)]
+    corrupt = spark.createDataFrame(
+        [(9, b"not a tar at all" * 100)], "shard_id long, payload binary")
+    assert T.explode_tar_members(corrupt, id_col="shard_id").count() == 0
