@@ -53,6 +53,7 @@ QUERIES = {
     "sim_topk_ivfpq_indexed": q_sim_topk_ivfpq_indexed,
     "media_resize_gif": q_media_resize_gif,
     "tar_corpus_members": q_tar_corpus_members,
+    "media_decode_multi_format": q_media_decode_multi_format,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -339,7 +340,7 @@ _R13_FRONT = [
     "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
     "media_decode_gif", "community_lpa", "blocklist_filter",
     "k_anonymity_audit", "sim_topk_ivfpq_indexed", "media_resize_gif",
-    "tar_corpus_members",
+    "tar_corpus_members", "media_decode_multi_format",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -352,7 +353,7 @@ _R13_FRONT = [
     "entity_clusters", "entity_resolution_scored", "events_cusum",
     "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
     "join_sortmerge", "log_event_json", "moments_quantile",
-    "pivot_status", "sample_pps", "scalar_date_parts",
+    "pivot_status", "sample_pps",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2900,6 +2901,90 @@ ORACLES["media_decode_jpeg_mixed"] = (
                AS luma_milli,
            TRUE AS decode_ok
     FROM png_s
+    UNION ALL"""
+    + _JPEG_STATS_SELECT
+)
+
+# Round 13: the grand four-format dispatch — BMP raw BGR sums, the JPEG
+# lossy closed form, PNG lossless RGB sums, GIF palette arithmetic, one
+# branch per doc_id % 4 residue.
+ORACLES["media_decode_multi_format"] = (
+    "WITH"
+    + _jpeg_const_dec_cte("doc_id < 200 AND doc_id % 4 = 1")
+    + """,
+    bmp_base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text))) AS px
+        FROM documents WHERE doc_id < 200 AND doc_id % 4 = 0),
+    bmp_b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM bmp_base, LATERAL unnest(generate_series(0, 47)) AS i(i)),
+    bmp_s AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_b,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_r
+        FROM bmp_b GROUP BY media_id),
+    png_base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200 AND doc_id % 4 = 2),
+    png_b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM png_base, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    png_s AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_b,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_r
+        FROM png_b GROUP BY media_id),
+    gif_base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200 AND doc_id % 4 = 3),
+    gif_b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM gif_base, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    gif_s AS (
+        SELECT media_id,
+               CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_b,
+               CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_r
+        FROM gif_b GROUP BY media_id)
+    SELECT media_id, CAST('bmp' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(16 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 16 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM bmp_s
+    UNION ALL
+    SELECT media_id, CAST('png' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM png_s
+    UNION ALL
+    SELECT media_id, CAST('gif' AS VARCHAR) AS fmt,
+           CAST(6 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,
+           CAST(60 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 60 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM gif_s
     UNION ALL"""
     + _JPEG_STATS_SELECT
 )

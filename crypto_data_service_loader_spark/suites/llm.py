@@ -1977,6 +1977,55 @@ def q_blocklist_filter(spark, sf_dir):
     return blocklist_audit(docs, blk)
 
 
+def q_media_decode_multi_format(spark, sf_dir):
+    """GRAND four-format dispatch (round 13): one DataFrame carries
+    genuine BMP (uncompressed BGR), baseline JPEG (DCT+Huffman, lossy
+    closed form), PNG (deflate, all five filters), and LZW GIF payloads
+    by doc_id % 4, and decode_image_stats' registry must route every
+    one to the right parser. The four formats disagree on channel
+    order, dimensions, AND reconstruction math, so a single mis-dispatch
+    breaks the value hash — the end-to-end proof that the magic
+    registry composes across every real codec the engine ships."""
+    from ..operators.multimodal import (
+        decode_image_stats, encode_gif_images, encode_jpeg_images,
+        encode_png_images)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mid = F.col("doc_id") % 4
+    m1 = F.md5("text")
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    m4 = F.md5(m3)
+    chain96 = F.concat(m1, m2, m3)                       # 48 bytes
+    chain120 = F.substring(F.concat(m1, m2, m3, m4), 1, 120)  # 60 bytes
+    bmp = docs.filter(mid == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_bmp24_header_hex(4, 4))), F.unhex(chain96)
+        ).alias("payload"),
+    )
+    jpeg = encode_jpeg_images(
+        _jpeg_const_media(docs.filter(mid == 1)), width=16, height=8
+    )
+    png = encode_png_images(
+        docs.filter(mid == 2).select(
+            F.col("doc_id").alias("media_id"), F.unhex(chain120).alias("rgb")
+        ),
+        width=4, height=5,
+    )
+    palette = [(v, 255 - v, (v * 3) % 256) for v in range(256)]
+    gif = encode_gif_images(
+        docs.filter(mid == 3).select(
+            F.col("doc_id").alias("media_id"), F.unhex(chain120).alias("idx")
+        ),
+        width=6, height=10, palette=palette,
+    )
+    media = (
+        bmp.unionByName(jpeg).unionByName(png).unionByName(gif)
+    )
+    return decode_image_stats(media)
+
+
 def q_tar_corpus_members(spark, sf_dir):
     """WebDataset-shard round trip (round 13): per doc, two ASCII
     members (meta.txt = md5(text), data.txt = 40 chain chars) pack into

@@ -67,6 +67,8 @@ FUZZ_KEYS = [
     # must hold for EVERY md5-derived index stream)
     "media_decode_gif",
     "media_resize_gif",
+    "media_decode_multi_format",
+    "tar_corpus_members",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;
