@@ -1809,3 +1809,90 @@ def start_k_anonymity_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming reservoir sample — twin #21, the live form of
+# relational.sample_reservoir. The batch operator's "reservoir" is
+# deterministic bottom-k by a seeded multiplicative id hash (no RNG
+# state), which makes the streaming form EXACTLY mergeable: keep the k
+# smallest (hash, id) pairs per group across micro-batches and the
+# sample over any prefix equals the batch operator over that prefix —
+# the fixed-size dataset-card sample computed on a live feed without
+# ever re-reading history. State per group is <= k pairs of longs.
+# ---------------------------------------------------------------------------
+
+RESERVOIR_SCHEMA = "grp string, doc_id long, sample_rank int, n_seen long"
+
+
+def _reservoir_updater(k: int, seed: int):
+    def h(i: int) -> int:
+        # replicates sample_reservoir's column expression exactly:
+        # pmod(pmod(id + seed, 2^31) * KNUTH, 2^32)
+        return ((int(i) + seed) % (2 ** 31)) * 2654435761 % (2 ** 32)
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, hs, ids = state.get
+            res = list(zip(hs, ids))
+        else:
+            n, res = 0, []
+        for pdf in pdfs:
+            n += len(pdf)
+            res.extend((h(i), int(i)) for i in pdf["doc_id"])
+        res = sorted(res)[:k]
+        state.update(
+            (n, [int(a) for a, _ in res], [int(b) for _, b in res])
+        )
+        yield pd.DataFrame(
+            {
+                "grp": key[0],
+                "doc_id": [i for _, i in res],
+                "sample_rank": list(range(1, len(res) + 1)),
+                "n_seen": n,
+            }
+        )
+
+    return update
+
+
+def start_reservoir_sample_stream(
+    rows_stream: DataFrame,
+    checkpoint: str,
+    k: int = 5,
+    seed: int = 42,
+    query_name: str = "reservoir",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming per-group fixed-size sample -> in-memory table
+    `query_name`. Input contract: (grp string, doc_id long). Each batch
+    emits the group's CURRENT sample (rank order = the batch operator's
+    (hash, id) order); the final emission per group equals
+    relational.sample_reservoir over everything seen — including
+    late-arriving ids that displace earlier winners, which only the
+    carried bottom-k state can reproduce."""
+    if state_store is not None:
+        configure_state_store(rows_stream.sparkSession, state_store)
+    out = (
+        rows_stream.select("grp", "doc_id")
+        .groupBy("grp")
+        .applyInPandasWithState(
+            _reservoir_updater(k, seed),
+            outputStructType=RESERVOIR_SCHEMA,
+            stateStructType="n long, hs array<long>, ids array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1236,3 +1236,58 @@ def test_streaming_k_anonymity_matches_batch_twin(spark, tmp_path):
     b_rows = sorted((r["class_size"], r["l_ok"])
                     for r in rows if r["qi"] == "b")
     assert b_rows[0] == (2, False) and b_rows[-1] == (3, True)
+
+
+def test_streaming_reservoir_matches_batch_twin(spark, tmp_path):
+    """Streaming fixed-size sample (twin #21) equals
+    relational.sample_reservoir on the full prefix — including a
+    batch-2 id whose hash displaces a batch-1 winner, which only the
+    carried bottom-k state can reproduce."""
+    import time
+
+    from crypto_data_service_loader_spark.operators.relational import (
+        sample_reservoir,
+    )
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_reservoir_sample_stream,
+    )
+
+    schema = "grp string, doc_id long"
+    b1 = [("a", i) for i in range(12)] + [("b", 100 + i) for i in range(3)]
+    b2 = [("a", 50 + i) for i in range(12)] + [("b", 200)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_reservoir_sample_stream(
+        stream, str(tmp_path / "ckpt"), k=4, seed=7, query_name="resv_t"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM resv_t").collect()
+    final_n = {}
+    for r in rows:
+        final_n[r["grp"]] = max(final_n.get(r["grp"], 0), r["n_seen"])
+    got = sorted(
+        (r["grp"], r["sample_rank"], r["doc_id"]) for r in rows
+        if r["n_seen"] == final_n[r["grp"]]
+    )
+    batch = sample_reservoir(
+        spark.createDataFrame(b1 + b2, schema), "grp", k=4, seed=7,
+        id_col="doc_id",
+    )
+    want = sorted(
+        (r["grp"], r["sample_rank"], r["doc_id"]) for r in batch.collect()
+    )
+    assert got == want
+    # displacement happened: group a's final sample differs from its
+    # batch-1-only sample (24 candidates for 4 slots across two batches)
+    b1_only = {(r["grp"], r["sample_rank"], r["doc_id"])
+               for r in sample_reservoir(
+                   spark.createDataFrame(b1, schema), "grp", k=4, seed=7,
+                   id_col="doc_id").collect() if r["grp"] == "a"}
+    a_final = {t for t in got if t[0] == "a"}
+    assert a_final != b1_only
