@@ -1896,3 +1896,84 @@ def start_reservoir_sample_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup — twin #22, the live form of dedup.exact_dedup's
+# winner selection: a crawl feed where only the FIRST arrival of each
+# normalized fingerprint survives, with the seen-set carried across
+# micro-batches (the reference's dedup anti-join shape, DataLoader.java's
+# duplicate-file guard, applied to content fingerprints on a stream).
+# State shards by a fingerprint prefix so no single group holds the
+# whole seen-set; at 100 TB the state store IS the fingerprint index —
+# the same contract as sources/minhash_index.py's persisted form, kept
+# exact here. Emission contract: first ARRIVAL wins; when ids arrive in
+# ascending order this equals the batch operator's min-id winner on any
+# prefix (pinned in tests), the standard keyed-recursion ordering
+# contract the other twins document.
+# ---------------------------------------------------------------------------
+
+DEDUP_STREAM_SCHEMA = "doc_id long, fingerprint string"
+
+
+def _exact_dedup_updater():
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        out_ids, out_fps = [], []
+        for did, fp in zip(pdf["doc_id"], pdf["fingerprint"]):
+            if fp in seen:
+                continue
+            seen.add(fp)
+            out_ids.append(int(did))
+            out_fps.append(fp)
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(out_ids, dtype="int64"),
+             "fingerprint": pd.Series(out_fps, dtype="object")}
+        )
+
+    return update
+
+
+def start_exact_dedup_stream(
+    docs_stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "dedup",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming first-occurrence exact dedup -> in-memory table
+    `query_name`. Input contract: (doc_id long, text string); the
+    fingerprint (md5 of whitespace-normalized lowercase text — the
+    batch operator's exact rule) is computed JVM-side before the
+    stateful stage, and state shards on the fingerprint's first two hex
+    chars (256 groups)."""
+    from ..operators.dedup import normalized_fingerprint
+
+    if state_store is not None:
+        configure_state_store(docs_stream.sparkSession, state_store)
+    fp = normalized_fingerprint(F.col("text"))
+    keyed = docs_stream.select(
+        F.col("doc_id"),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 2).alias("shard"),
+    )
+    out = keyed.groupBy("shard").applyInPandasWithState(
+        _exact_dedup_updater(),
+        outputStructType=DEDUP_STREAM_SCHEMA,
+        stateStructType="seen array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1291,3 +1291,41 @@ def test_streaming_reservoir_matches_batch_twin(spark, tmp_path):
                    id_col="doc_id").collect() if r["grp"] == "a"}
     a_final = {t for t in got if t[0] == "a"}
     assert a_final != b1_only
+
+
+def test_streaming_exact_dedup_matches_batch_twin(spark, tmp_path):
+    """Streaming exact dedup (twin #22): with ids arriving in ascending
+    order, the union of emissions equals the batch exact_dedup winners
+    over the full prefix — including a batch-2 re-crawl of batch-1
+    content that ONLY the carried seen-set can suppress, and a
+    whitespace/case variant that must collapse (the normalized
+    fingerprint rule, not raw equality)."""
+    import time
+
+    from crypto_data_service_loader_spark.operators.dedup import exact_dedup
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_exact_dedup_stream,
+    )
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "the quick fox"), (2, "other doc"), (3, "THE  quick   FOX")]
+    b2 = [(4, "the quick fox"), (5, "brand new"), (6, "other doc")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_exact_dedup_stream(
+        stream, str(tmp_path / "ckpt"), query_name="dedup_t"
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["fingerprint"])
+           for r in spark.sql("SELECT * FROM dedup_t").collect()}
+    batch = exact_dedup(spark.createDataFrame(b1 + b2, schema))
+    want = {(r["keep_id"], r["fingerprint"]) for r in batch.collect()}
+    assert got == want
+    # the carried state did the work: winners are exactly ids 1, 2, 5
+    assert {i for i, _ in got} == {1, 2, 5}
