@@ -616,3 +616,46 @@ def dsir_importance(
         id_col,
         F.coalesce(F.col("importance"), F.lit(0)).cast("long").alias("importance"),
     )
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    n_phases: int = 4,
+    difficulty_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum-learning assembly: order the corpus easy-to-hard and
+    cut it into `n_phases` equal-count phases (Bengio et al. 2009 —
+    length is the canonical text difficulty proxy), then give each
+    phase a REPRODUCIBLE pseudo-random streaming order (the
+    sample_reservoir hash rule) so phase k trains as a deterministic
+    shuffle, not difficulty order — ordered-by-difficulty WITHIN a
+    phase is a known curriculum failure mode. Returns
+    (id, difficulty, phase 1..n, phase_pos 1..|phase|).
+
+    The phase cut is ntile over the (difficulty, id) total order —
+    exact equal counts, deterministic under ties. At gate scale that is
+    one global window; at 100 TB replace the cut with phase boundaries
+    from `relational.exact_quantiles` (a control-plane aggregate,
+    broadcast back as a comparison) and keep everything else — the
+    within-phase window already partitions by phase."""
+    w = Window.orderBy(F.col(difficulty_col).asc(), F.col(id_col).asc())
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(2**31))
+        * F.lit(_KNUTH),
+        F.lit(2**32),
+    )
+    phased = docs.select(
+        F.col(id_col),
+        F.col(difficulty_col).alias("difficulty"),
+        F.ntile(int(n_phases)).over(w).alias("phase"),
+        h.alias("_h"),
+    )
+    w2 = Window.partitionBy("phase").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return phased.select(
+        id_col, "difficulty", "phase",
+        F.row_number().over(w2).alias("phase_pos"),
+    )

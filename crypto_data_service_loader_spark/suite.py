@@ -54,6 +54,7 @@ QUERIES = {
     "media_resize_gif": q_media_resize_gif,
     "tar_corpus_members": q_tar_corpus_members,
     "media_decode_multi_format": q_media_decode_multi_format,
+    "curriculum_order": q_curriculum_order,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -341,6 +342,7 @@ _R13_FRONT = [
     "media_decode_gif", "community_lpa", "blocklist_filter",
     "k_anonymity_audit", "sim_topk_ivfpq_indexed", "media_resize_gif",
     "tar_corpus_members", "media_decode_multi_format",
+    "curriculum_order",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -353,7 +355,7 @@ _R13_FRONT = [
     "entity_clusters", "entity_resolution_scored", "events_cusum",
     "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
     "join_sortmerge", "log_event_json", "moments_quantile",
-    "pivot_status", "sample_pps",
+    "pivot_status",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2697,6 +2699,21 @@ ORACLES["tar_corpus_members"] = """
            CAST(length(content) AS INTEGER) AS n_bytes,
            md5(content) AS content_md5
     FROM mem"""
+
+# Round 13: curriculum phases — ntile over the (difficulty, id) total
+# order, then the multiplicative-hash within-phase position.
+ORACLES["curriculum_order"] = """
+    WITH p AS (
+        SELECT doc_id, n_chars AS difficulty,
+               CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+                   AS phase,
+               ((doc_id + 42) % 2147483648) * 2654435761 % 4294967296
+                   AS h
+        FROM documents)
+    SELECT doc_id, difficulty, phase,
+           CAST(row_number() OVER (PARTITION BY phase ORDER BY h, doc_id)
+                AS INTEGER) AS phase_pos
+    FROM p"""
 
 ORACLES["media_decode_png"] = """
     WITH base AS (

@@ -1977,6 +1977,21 @@ def q_blocklist_filter(spark, sf_dir):
     return blocklist_audit(docs, blk)
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum assembly (round 13): documents cut into 4 equal-count
+    easy-to-hard phases by length (the canonical text difficulty proxy)
+    with a reproducible seeded-hash shuffle WITHIN each phase — the
+    training-schedule artifact a curriculum run streams phase by phase.
+    The oracle replays ntile over the same total order and the same
+    multiplicative-hash position rule."""
+    from ..operators.training import curriculum_phases
+
+    return curriculum_phases(
+        load(spark, sf_dir, "documents"), n_phases=4,
+        difficulty_col="n_chars", seed=42,
+    )
+
+
 def q_media_decode_multi_format(spark, sf_dir):
     """GRAND four-format dispatch (round 13): one DataFrame carries
     genuine BMP (uncompressed BGR), baseline JPEG (DCT+Huffman, lossy

@@ -2875,3 +2875,35 @@ def test_k_anonymity_audit_semantics(spark):
     assert b["n_sensitive"] == 1 and not b["l_ok"]  # constant leaks
     c = out[("c", "y")]
     assert not c["k_ok"] and c["l_ok"]
+
+
+def test_curriculum_phases_semantics(spark):
+    """Phases are equal-count (+-1), difficulty never decreases ACROSS
+    phase boundaries, and the within-phase order is the seeded hash
+    shuffle, not difficulty order (ordered-within-phase is the known
+    curriculum failure mode the shuffle exists to avoid)."""
+    from crypto_data_service_loader_spark.operators.training import (
+        curriculum_phases)
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 200 + 10) for i in range(40)],
+        "doc_id long, n_chars long",
+    )
+    out = curriculum_phases(docs, n_phases=4).collect()
+    assert len(out) == 40
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["phase"], []).append(r)
+    assert set(by_phase) == {1, 2, 3, 4}
+    assert all(len(v) == 10 for v in by_phase.values())
+    for k in range(1, 4):
+        assert max(r["difficulty"] for r in by_phase[k]) <= min(
+            r["difficulty"] for r in by_phase[k + 1])
+    for k, rows in by_phase.items():
+        rows = sorted(rows, key=lambda r: r["phase_pos"])
+        assert [r["phase_pos"] for r in rows] == list(range(1, 11))
+        diffs = [r["difficulty"] for r in rows]
+        assert diffs != sorted(diffs)  # shuffled, not difficulty-ordered
+    # determinism: same seed -> identical assignment
+    again = curriculum_phases(docs, n_phases=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
