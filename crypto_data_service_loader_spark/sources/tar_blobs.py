@@ -91,7 +91,10 @@ def _parse_tar(payload: bytes | None) -> list[tuple[str, bytes]] | None:
         if size is None:
             return None
         typeflag = hdr[156]
-        name = hdr[:100].split(b"\x00")[0].decode("utf-8", "strict")
+        try:
+            name = hdr[:100].split(b"\x00")[0].decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            return None  # non-UTF-8 name: decline, never raise mid-batch
         pos += 512
         end = pos + size
         if end > len(data):
