@@ -111,3 +111,122 @@ def encode_gzip_text(
             })
 
     return docs.mapInPandas(_batches, schema=GZIP_ENCODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Multi-codec decode (round 13): real corpus dumps mix compression —
+# WARC/WET members are gzip, Wikipedia dumps ship .bz2, many archive
+# dumps .xz — and the ingestion edge must sniff the magic per RECORD
+# (the reference's schema-blind byte handling, CompressionHandler.java:
+# 43-46, generalized across codecs). All three decoders are stdlib
+# (gzip/bz2/lzma), all three verify integrity (gzip trailer CRC, bz2
+# block CRCs, xz check field), and dispatch is by magic bytes exactly
+# like IMAGE_CODECS routes image payloads.
+# ---------------------------------------------------------------------------
+
+CODEC_TEXT_SCHEMA = (
+    "doc_id long, codec string, text string, n_compressed int, "
+    "n_bytes int, decode_ok boolean"
+)
+
+
+def _sniff_decompress(payload: bytes | None):
+    """(codec, raw bytes) by magic — gzip 1f 8b, bzip2 'BZh', xz
+    fd '7zXZ' 00 — or (None, None) when no codec accepts the payload.
+    Integrity failures decline rather than raise."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    if payload is None:
+        return None, None
+    payload = bytes(payload)
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            return "gzip", gzip.decompress(payload)
+        except (OSError, EOFError, zlib.error):
+            return None, None
+    if payload[:3] == b"BZh":
+        try:
+            return "bz2", bz2.decompress(payload)
+        except (OSError, EOFError, ValueError):
+            return None, None
+    if payload[:6] == b"\xfd7zXZ\x00":
+        try:
+            return "xz", lzma.decompress(payload)
+        except lzma.LZMAError:
+            return None, None
+    return None, None
+
+
+def decode_compressed_text(
+    blobs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Magic-sniffing decode of per-record gzip/bz2/xz documents: emit
+    (id, codec, text, n_compressed, n_bytes, decode_ok), caller-named id
+    column, invalid or unrecognized members as decode_ok=false rows
+    instead of poisoning the batch. Scan-local mapInPandas, no shuffle."""
+    out_schema = CODEC_TEXT_SCHEMA.replace("doc_id", id_col, 1)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                codec, raw = _sniff_decompress(p)
+                if raw is None:
+                    rows.append((did, None, None, None, None, False))
+                    continue
+                try:
+                    text = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    rows.append((did, None, None, None, None, False))
+                    continue
+                rows.append((
+                    did, codec, text, len(bytes(p)), len(raw), True,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "codec", "text", "n_compressed",
+                         "n_bytes", "decode_ok"],
+            )
+
+    return blobs.mapInPandas(_batches, schema=out_schema)
+
+
+def encode_compressed_text(
+    docs: DataFrame, codec_col: str, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-row codec choice (the `codec_col` value picks gzip/bz2/xz) —
+    the test/gate twin of `decode_compressed_text`; all three round-trip
+    losslessly and deterministically (gzip pinned at mtime=0, bz2/xz are
+    deterministic for fixed presets)."""
+    import bz2
+    import gzip
+    import io
+    import lzma
+
+    def _one(text: str, codec: str) -> bytes:
+        raw = text.encode("utf-8")
+        if codec == "gzip":
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(raw)
+            return buf.getvalue()
+        if codec == "bz2":
+            return bz2.compress(raw)
+        if codec == "xz":
+            return lzma.compress(raw)
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": [
+                    _one(t, c) for t, c in zip(pdf[text_col], pdf[codec_col])
+                ],
+            })
+
+    return docs.mapInPandas(_batches, schema=GZIP_ENCODE_SCHEMA)

@@ -55,6 +55,7 @@ QUERIES = {
     "tar_corpus_members": q_tar_corpus_members,
     "media_decode_multi_format": q_media_decode_multi_format,
     "curriculum_order": q_curriculum_order,
+    "compressed_corpus_mixed": q_compressed_corpus_mixed,
     # --- new in round 12 ---
     "media_decode_png": q_media_decode_png,
     "dedup_exact_substrings": q_dedup_exact_substrings,
@@ -342,7 +343,7 @@ _R13_FRONT = [
     "media_decode_gif", "community_lpa", "blocklist_filter",
     "k_anonymity_audit", "sim_topk_ivfpq_indexed", "media_resize_gif",
     "tar_corpus_members", "media_decode_multi_format",
-    "curriculum_order",
+    "curriculum_order", "compressed_corpus_mixed",
     # displaced r8-cohort fill + r7 remainders (dropped from the r12
     # window by that round's splices; stalest greens)
     "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
@@ -355,7 +356,6 @@ _R13_FRONT = [
     "entity_clusters", "entity_resolution_scored", "events_cusum",
     "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
     "join_sortmerge", "log_event_json", "moments_quantile",
-    "pivot_status",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2714,6 +2714,17 @@ ORACLES["curriculum_order"] = """
            CAST(row_number() OVER (PARTITION BY phase ORDER BY h, doc_id)
                 AS INTEGER) AS phase_pos
     FROM p"""
+
+# Round 13: mixed-codec decode — lossless round trips, oracle mirrors
+# codec selection + text identity (md5 and utf-8 BYTE length).
+ORACLES["compressed_corpus_mixed"] = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                ELSE 'xz' END AS codec,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS text_md5,
+           TRUE AS decode_ok
+    FROM documents WHERE doc_id < 200"""
 
 ORACLES["media_decode_png"] = """
     WITH base AS (

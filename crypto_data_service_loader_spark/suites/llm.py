@@ -1977,6 +1977,34 @@ def q_blocklist_filter(spark, sf_dir):
     return blocklist_audit(docs, blk)
 
 
+def q_compressed_corpus_mixed(spark, sf_dir):
+    """Mixed-codec corpus decode (round 13): per record, doc_id % 3
+    picks gzip / bz2 / xz — the three compression formats real dumps
+    actually mix (WARC gzip members, Wikipedia .bz2, archive .xz) —
+    encode_compressed_text compresses each document FOR REAL with the
+    stdlib codec and decode_compressed_text sniffs the magic per record
+    and inflates (integrity verified: gzip trailer CRC, bz2 block CRCs,
+    xz check field). Lossless round trip, so the oracle mirrors only
+    codec selection and the text identity (md5 + utf-8 byte length)."""
+    from ..sources.gzip_blobs import (
+        decode_compressed_text, encode_compressed_text)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tagged = docs.select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("gzip"), F.lit("bz2"), F.lit("xz")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("codec"),
+    )
+    blobs = encode_compressed_text(tagged, codec_col="codec")
+    out = decode_compressed_text(blobs)
+    return out.select(
+        "doc_id", "codec", "n_bytes",
+        F.md5("text").alias("text_md5"), "decode_ok",
+    )
+
+
 def q_curriculum_order(spark, sf_dir):
     """Curriculum assembly (round 13): documents cut into 4 equal-count
     easy-to-hard phases by length (the canonical text difficulty proxy)

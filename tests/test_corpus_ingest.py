@@ -253,3 +253,29 @@ def test_gzip_blob_decode_and_corruption(spark):
     crc_bad = bytearray(good)
     crc_bad[-6] ^= 0xFF                          # flip a CRC byte
     assert _gunzip(bytes(crc_bad)) is None
+
+
+def test_multi_codec_sniff_roundtrip_and_strictness(spark):
+    """gzip/bz2/xz all round-trip through the magic sniffer; corrupt or
+    foreign payloads emit decode_ok=false rows; unicode survives."""
+    from crypto_data_service_loader_spark.sources.gzip_blobs import (
+        decode_compressed_text, encode_compressed_text)
+
+    rows = [(0, "plain ascii", "gzip"), (1, "naïve café   text", "bz2"),
+            (2, "", "xz"), (3, "x" * 5000, "gzip")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, codec string")
+    blobs = encode_compressed_text(docs, codec_col="codec")
+    out = {r["doc_id"]: r for r in decode_compressed_text(blobs).collect()}
+    for did, text, codec in rows:
+        assert out[did]["decode_ok"] and out[did]["codec"] == codec
+        assert out[did]["text"] == text
+        assert out[did]["n_bytes"] == len(text.encode("utf-8"))
+    # compression actually happened on the repetitive doc
+    assert out[3]["n_compressed"] < 5000
+    bad = spark.createDataFrame(
+        [(9, b"BZh9 but not really bzip2"), (10, b"\x1f\x8b trunc"),
+         (11, b"who knows"), (12, None)],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r["decode_ok"]
+           for r in decode_compressed_text(bad).collect()}
+    assert got == {9: False, 10: False, 11: False, 12: False}

@@ -69,6 +69,7 @@ FUZZ_KEYS = [
     "media_resize_gif",
     "media_decode_multi_format",
     "tar_corpus_members",
+    "compressed_corpus_mixed",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;
