@@ -1977,3 +1977,86 @@ def start_exact_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming token-budget fill — twin #23, the live form of
+# training.token_budget_fill: a corpus feed where each group (source)
+# fills a fixed token budget and everything after the fill line drops.
+# State per group is ONE long (the running total); a document is kept
+# iff the total BEFORE it is still under budget — the batch operator's
+# exact rule, so with ids arriving in ascending order (the keyed-
+# recursion contract the other twins document) emissions equal the
+# batch fill on any prefix, including a budget line crossed mid-batch
+# off state accumulated in earlier batches.
+# ---------------------------------------------------------------------------
+
+BUDGET_SCHEMA = (
+    "source string, doc_id long, n_tokens long, cum_before long, "
+    "kept boolean"
+)
+
+
+def _budget_updater(budget: int):
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        befores, kepts = [], []
+        for n in pdf["n_tokens"]:
+            befores.append(total)
+            kepts.append(total < budget)
+            if total < budget:
+                total += int(n)
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "source": key[0],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "cum_before": befores,
+                "kept": kepts,
+            }
+        )
+
+    return update
+
+
+def start_token_budget_stream(
+    docs_stream: DataFrame,
+    checkpoint: str,
+    budget: int,
+    query_name: str = "budget",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming per-source budget fill -> in-memory table `query_name`.
+    Input contract: (source string, doc_id long, n_tokens long), ids
+    ascending across batches. Kept docs mirror
+    training.token_budget_fill(order_col=None); dropped docs emit
+    kept=false (the stream variant reports them — a live feed wants the
+    overflow visible, the batch operator's cum_before audit column
+    generalized)."""
+    if state_store is not None:
+        configure_state_store(docs_stream.sparkSession, state_store)
+    out = (
+        docs_stream.select("source", "doc_id", "n_tokens")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _budget_updater(int(budget)),
+            outputStructType=BUDGET_SCHEMA,
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1329,3 +1329,46 @@ def test_streaming_exact_dedup_matches_batch_twin(spark, tmp_path):
     assert got == want
     # the carried state did the work: winners are exactly ids 1, 2, 5
     assert {i for i, _ in got} == {1, 2, 5}
+
+
+def test_streaming_token_budget_matches_batch_twin(spark, tmp_path):
+    """Streaming budget fill (twin #23) equals token_budget_fill on the
+    full prefix — the budget line for source 'a' is crossed in batch 2
+    off the running total carried from batch 1, and the overflow doc in
+    the SAME batch as the last kept doc is correctly dropped."""
+    import time
+
+    from crypto_data_service_loader_spark.operators.training import (
+        token_budget_fill,
+    )
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_token_budget_stream,
+    )
+
+    schema = "source string, doc_id long, n_tokens long"
+    b1 = [("a", 1, 40), ("a", 2, 40), ("b", 3, 10)]
+    b2 = [("a", 4, 40), ("a", 5, 40), ("b", 6, 10)]  # a: 4 kept, 5 dropped
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_token_budget_stream(
+        stream, str(tmp_path / "ckpt"), budget=100, query_name="budget_t"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM budget_t").collect()
+    got_kept = sorted((r["source"], r["doc_id"], r["cum_before"])
+                      for r in rows if r["kept"])
+    batch = token_budget_fill(
+        spark.createDataFrame(b1 + b2, schema), budget=100,
+        tokens_col="n_tokens", group_col="source", id_col="doc_id",
+    )
+    want_kept = sorted((r["source"], r["doc_id"], r["cum_before"])
+                       for r in batch.collect())
+    assert got_kept == want_kept
+    assert ("a", 5) not in {(s, d) for s, d, _ in got_kept}
+    assert ("a", 4, 80) in got_kept  # crossed the line off carried state
