@@ -70,6 +70,11 @@ FUZZ_KEYS = [
     "media_decode_multi_format",
     "tar_corpus_members",
     "compressed_corpus_mixed",
+    # round 13: blocklist join over fuzzed unicode tokens; curriculum
+    # ntile + hash-position over degenerate corpora (1-row, all-equal
+    # difficulty — the tie space the fixtures never generate)
+    "blocklist_filter",
+    "curriculum_order",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;
