@@ -315,59 +315,53 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# Round-13 rotation (_R13_FRONT, exactly 50 keys — the driver windows
-# the FIRST 50 dict keys). Per VERDICT r12 item #1 this window leads
-# with `bpe_tokenize` — the ONLY key with zero driver rows in all 12
-# rounds (rows-only by design; its siblings got theirs in r11/r12) —
-# then the twelve keys displaced from the r12 window by spliced
-# new/changed keys (nine r8-cohort fill keys agg_count_star…
-# cleanup_candidates plus the two r7 remainders), then the remainder
-# of the round-8 cohort (last driver-verified in round 8, the stalest
-# greens at 5 rounds), filled to 50 with the alphabetical head of the
-# round-9 cohort. New / source-changed round-13 keys are spliced in
-# at the top as they land, displacing tail fill.
-_R13_FRONT = [
-    # rows-only-by-design key with NO driver row in any round — splice
-    # EARLY per VERDICT r12 #1 so it can never be displaced by splices
-    "bpe_tokenize",
-    # new / source-changed round-13 keys are spliced HERE as they land
+# Round-14 rotation (_R14_FRONT, exactly 50 keys — the driver windows
+# the FIRST 50 dict keys). Per VERDICT r13 item #1 (oldest-first is
+# the audit-integrity lever) this window leads with the eleven keys
+# displaced from the r13 window by that round's 23 splices, then the
+# remaining eleven keys of the round-8 cohort (last driver-verified in
+# round 8 — the stalest greens at 6 rounds), filled to 50 with the
+# alphabetical head of the round-9 cohort. New / source-changed
+# round-14 keys are spliced in at the top as they land, displacing
+# tail fill (the r9-cohort fill keys at the bottom, never an r8 key).
+_R14_FRONT = [
+    # new / source-changed round-14 keys are spliced HERE as they land
     # (same-commit discipline; the assertions below keep this honest),
     # displacing tail fill.
-    "media_decode_jpeg", "media_decode_jpeg_mixed",
-    "media_resize_png",  # source-changed: native color-type resize (A3)
-    # source-changed: threshold islands -> maximal DISJOINT spans (A1)
-    "dedup_exact_substrings", "dedup_exact_substr_staged",
-    "dedup_exact_substr_indexed", "dedup_substr_removal",
-    "pq_encode", "sim_topk_pq", "dedup_intra_doc_lines",
-    "media_resize_jpeg", "ivfpq_encode", "sim_topk_ivfpq",
-    "media_decode_gif", "community_lpa", "blocklist_filter",
-    "k_anonymity_audit", "sim_topk_ivfpq_indexed", "media_resize_gif",
-    "tar_corpus_members", "media_decode_multi_format",
-    "curriculum_order", "compressed_corpus_mixed",
-    # displaced r8-cohort fill + r7 remainders (dropped from the r12
-    # window by that round's splices; stalest greens)
-    "agg_count_star", "agg_grouping_sets", "agg_incremental_merge",
-    "agg_multikey", "agg_rollup", "asof_last_tick", "asof_next_tick",
-    "bloom_prejoin_filter", "cleanup_candidates",
-    "split_leakage_check", "vector_quantize_int8",
-    # remainder of the round-8 cohort (last driver-verified in round 8)
-    "countmin_term_counts", "csv_validate_filter", "curation_funnel",
-    "data_contract_check", "dedup_jaccard_prefix", "dsir_select",
-    "entity_clusters", "entity_resolution_scored", "events_cusum",
-    "fuzzy_join_customers", "join_broadcast_dim", "join_semi",
-    "join_sortmerge", "log_event_json", "moments_quantile",
+    # --- eleven keys displaced from the r13 window by its splices ---
+    "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
+    "setop_union", "setop_intersect", "setop_except",
+    "session_window_agg", "sessionize_events",
+    "scalar_strings", "scalar_dates", "scalar_date_parts",
+    "sample_pps",
+    # --- remainder of the round-8 cohort (stalest greens) ---
+    "pivot_status", "topk_by_price", "udf_grouped_range",
+    "udf_mid_price", "upload_status_rollup", "win_first_last",
+    "win_lag_delta", "win_moving_avg", "win_range_frame",
+    "win_rank_suite", "win_row_number",
+    # --- alphabetical head of the round-9 cohort (fill to 50) ---
+    "agg_corr", "agg_cube", "dedup_embedding_clusters",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_media_clusters", "dedup_media_indexed",
+    "dedup_minhash_indexed", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_fingerprint", "docs_prep_pipeline", "hll_rolling_distinct",
+    "hll_source_overlap", "interval_gaps", "interval_islands",
+    "join_size_estimate", "join_strategy_choice", "lang_id",
+    "lang_id_trigram", "media_format_audit", "media_frame_sample",
+    "point_in_time_join", "range_join_events", "sim_cosine_topk",
+    "sim_cosine_topk_lsh", "text_chunking",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
-_missing = [k for k in _R13_FRONT if k not in QUERIES]
-assert not _missing, f"_R13_FRONT keys not registered: {_missing}"
-assert len(_R13_FRONT) == 50, f"_R13_FRONT has {len(_R13_FRONT)} keys"
-assert len(set(_R13_FRONT)) == 50, "_R13_FRONT has duplicates"
+_missing = [k for k in _R14_FRONT if k not in QUERIES]
+assert not _missing, f"_R14_FRONT keys not registered: {_missing}"
+assert len(_R14_FRONT) == 50, f"_R14_FRONT has {len(_R14_FRONT)} keys"
+assert len(set(_R14_FRONT)) == 50, "_R14_FRONT has duplicates"
 QUERIES = {
-    **{k: QUERIES[k] for k in _R13_FRONT},
+    **{k: QUERIES[k] for k in _R14_FRONT},
     **{k: v for k, v in QUERIES.items()
-       if k not in set(_R13_FRONT)},
+       if k not in set(_R14_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
