@@ -16,6 +16,16 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 #: spreads sequential ids uniformly over the bucket space.
 _KNUTH = 2654435761
 _BUCKETS = 1000
+#: Coarse value-range stride for the curriculum histogram-ntile's
+#: two-level prefix sum: distinct difficulty values bucket by
+#: value DIV stride, so the serial outer cumsum sees at most
+#: |distinct|/stride rows and no inner window partition holds more
+#: than the values that fall inside one stride of the domain.
+_PREFIX_STRIDE = 4096
+#: Default id-range sub-shard size for `pack_sequences` when no group
+#: column is given — keeps every packing window partition bounded
+#: instead of falling back to one global unpartitioned window.
+_DEFAULT_PACK_SHARD_DOCS = 1 << 20
 
 
 def split_bucket(id_col: Column | str) -> Column:
@@ -200,24 +210,28 @@ def pack_sequences(
 
     Partitioned by `group_col` (e.g. source/shard) so each group packs
     independently — at 100 TB the window runs per-partition after one
-    shuffle on the group key; with `group_col=None` a single global
-    ordering is used (fine for bounded inputs, not the 100 TB path).
+    shuffle on the group key.
 
     `shard_docs` bounds the window-partition size when groups are huge or
     few (the 100 TB skew guard): rows are sub-sharded by id range
     (`doc_id // shard_docs`), each shard packs independently — bin ids are
     globally disambiguated by shard, packing density loses at most one
-    partial bin per shard.
+    partial bin per shard. With NEITHER `group_col` nor `shard_docs`,
+    sharding defaults ON at `_DEFAULT_PACK_SHARD_DOCS` docs per shard:
+    the old fallback — one global unpartitioned window — was the
+    single-partition scale-killer, and the 2^32 stride analysis below
+    shows the sharded plan is always sound, so the degenerate plan no
+    longer exists.
     """
+    if shard_docs is None and group_col is None:
+        shard_docs = _DEFAULT_PACK_SHARD_DOCS
     shard = None
     if shard_docs is not None:
         shard = (F.col(id_col).cast("long") / F.lit(shard_docs)).cast("long")
         part_cols = ([group_col] if group_col else []) + [shard.alias("_shard")]
         w = Window.partitionBy(*part_cols).orderBy(F.col(id_col).asc())
-    elif group_col is not None:
-        w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
     else:
-        w = Window.partitionBy().orderBy(F.col(id_col).asc())
+        w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
     cum_before = F.coalesce(
         F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
@@ -634,22 +648,115 @@ def curriculum_phases(
     phase is a known curriculum failure mode. Returns
     (id, difficulty, phase 1..n, phase_pos 1..|phase|).
 
-    The phase cut is ntile over the (difficulty, id) total order —
-    exact equal counts, deterministic under ties. At gate scale that is
-    one global window; at 100 TB replace the cut with phase boundaries
-    from `relational.exact_quantiles` (a control-plane aggregate,
-    broadcast back as a comparison) and keep everything else — the
-    within-phase window already partitions by phase."""
-    w = Window.orderBy(F.col(difficulty_col).asc(), F.col(id_col).asc())
+    The phase cut is EXACTLY ntile over the (difficulty, id) total
+    order — equal counts, deterministic under ties — but computed as a
+    distributed histogram-ntile, never a full-corpus single-partition
+    window (the textbook 100 TB scale-killer the naive
+    `ntile().over(Window.orderBy(...))` plan is):
+
+    1. one partial-combined groupBy(difficulty) frequency count — the
+       only full scan that shuffles, and it shuffles COUNTS, not rows;
+    2. a two-level prefix sum over the DISTINCT difficulty values
+       (inner cumsum partitioned by a coarse value-range bucket; the
+       per-bucket totals — at most |distinct|/stride rows, a
+       control-plane relation — take the outer cumsum), giving each
+       difficulty value its global rank offset;
+    3. offsets broadcast-join back to the corpus (|distinct difficulty|
+       rows — bounded by the value domain, not the corpus);
+    4. the within-ties rank is row_number over a window PARTITIONED by
+       difficulty (skew bound = the heaviest single difficulty value);
+    5. phase = the ntile size formula applied to the reconstructed
+       global rank — pure integer arithmetic off one broadcast total,
+       bit-identical to ntile for any n, k.
+
+    Requires a numeric difficulty column (the coarse prefix-sum bucket
+    is value DIV stride); NULL difficulties sort first, as ntile's
+    nulls-first order does. The within-phase shuffle window already
+    partitions by phase."""
+    k = int(n_phases)
+    d = F.col(difficulty_col)
+
+    # (1) per-difficulty frequency — partial-combined, spreads over the
+    # cluster; "_d" is the distinct difficulty value.
+    freq = docs.groupBy(d.alias("_d")).agg(F.count(F.lit(1)).alias("_cnt"))
+
+    # (2) two-level prefix sum over distinct values. Inner level:
+    # cumsum within a coarse value-range bucket (partitioned window).
+    coarse = F.floor(F.col("_d").cast("double") / F.lit(float(_PREFIX_STRIDE)))
+    w_in = (
+        Window.partitionBy("_cb")
+        .orderBy(F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inner = freq.select(
+        "_d", "_cnt", coarse.alias("_cb"),
+        # rows-before-me within my coarse bucket (empty frame -> 0)
+    ).select(
+        "_d", "_cnt", "_cb",
+        F.coalesce(F.sum("_cnt").over(w_in), F.lit(0)).alias("_in_off"),
+    )
+    # Outer level: per-bucket totals are at most |distinct|/stride rows
+    # (a control-plane relation) — their cumsum is partitioned by a
+    # literal with that documented bound, then broadcast back.
+    btot = freq.select(coarse.alias("_cb"), "_cnt").groupBy("_cb").agg(
+        F.sum("_cnt").alias("_bt")
+    )
+    # partitionBy(lit) gets folded away by Catalyst; coalesce(_cb,0)%1
+    # is constant 0 for every row (nulls included) but non-foldable, so
+    # the plan keeps a partitioned Window over the bounded bucket table.
+    w_b = (
+        Window.partitionBy(F.coalesce(F.col("_cb"), F.lit(0)) % F.lit(1))
+        .orderBy(F.col("_cb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "_cb",
+        F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).alias("_b_off"),
+    )
+    offsets = inner.join(F.broadcast(boff), inner["_cb"].eqNullSafe(boff["_cb"])).select(
+        inner["_d"], (F.col("_b_off") + F.col("_in_off")).alias("_off")
+    )
+
+    # Broadcast 1-row total for the ntile size formula.
+    total = freq.agg(F.sum("_cnt").alias("_n"))
+
+    # (3)+(4) offsets back to the corpus; rank within the tie group via
+    # a window PARTITIONED by the difficulty value.
+    ranked = (
+        docs.select(F.col(id_col), d.alias("difficulty"))
+        .join(
+            F.broadcast(offsets),
+            F.col("difficulty").eqNullSafe(F.col("_d")),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col, "difficulty", "_n",
+            (F.col("_off") + F.row_number().over(
+                Window.partitionBy("difficulty").orderBy(F.col(id_col).asc())
+            ).cast("long")).alias("_r"),
+        )
+    )
+
+    # (5) ntile arithmetic: with n rows and k tiles the first n%k tiles
+    # hold n DIV k + 1 rows, the rest n DIV k; rank r maps to its tile
+    # in O(1) integer arithmetic (DIV, never float division).
+    phase = F.expr(
+        f"CAST(CASE WHEN _r <= (_n % {k}) * (_n DIV {k} + 1) "
+        f"THEN (_r + _n DIV {k}) DIV (_n DIV {k} + 1) "
+        f"ELSE _n % {k} + (_r - (_n % {k}) * (_n DIV {k} + 1) "
+        f"+ greatest(_n DIV {k}, 1) - 1) DIV greatest(_n DIV {k}, 1) "
+        f"END AS INT)"
+    )
+
     h = F.pmod(
         F.pmod(F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(2**31))
         * F.lit(_KNUTH),
         F.lit(2**32),
     )
-    phased = docs.select(
+    phased = ranked.select(
         F.col(id_col),
-        F.col(difficulty_col).alias("difficulty"),
-        F.ntile(int(n_phases)).over(w).alias("phase"),
+        F.col("difficulty"),
+        phase.alias("phase"),
         h.alias("_h"),
     )
     w2 = Window.partitionBy("phase").orderBy(

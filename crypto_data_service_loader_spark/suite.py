@@ -328,6 +328,9 @@ _R14_FRONT = [
     # new / source-changed round-14 keys are spliced HERE as they land
     # (same-commit discipline; the assertions below keep this honest),
     # displacing tail fill.
+    # source-changed: histogram-ntile phase cut (VERDICT r13 #2) and
+    # default-on packing shards (VERDICT r13 #6)
+    "curriculum_order", "pack_sequences",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -349,7 +352,6 @@ _R14_FRONT = [
     "join_size_estimate", "join_strategy_choice", "lang_id",
     "lang_id_trigram", "media_format_audit", "media_frame_sample",
     "point_in_time_join", "range_join_events", "sim_cosine_topk",
-    "sim_cosine_topk_lsh", "text_chunking",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the

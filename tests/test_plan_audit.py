@@ -36,6 +36,9 @@ NESTED_LOOP_OK = {
     "ivfpq_encode": 8,
     "sim_topk_ivfpq": 8,
     "semantic_dedup": 8,  # broadcast of an 8-row centroid table (quantizer)
+    # histogram-ntile total: the single-row corpus count crossed onto
+    # every row for the ntile size arithmetic:
+    "curriculum_order": 1,
     "tpch_q22": 1,  # scalar-subquery threshold: single-row aggregate broadcast
     "tpch_q11": 1,  # HAVING scalar subquery: single-row aggregate broadcast
     "text_tfidf_top_terms": 1,  # corpus-count N: single-row aggregate broadcast
