@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.windows import bounded_partition_key
+
 
 def profile_columns(
     df: DataFrame,
@@ -240,7 +242,11 @@ def key_skew_report(
     top = counts.orderBy(
         F.col("n_rows").desc(), F.col("key").asc_nulls_last()
     ).limit(int(top_k))
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
+    # rank window input = the top_k survivors of TakeOrderedAndProject
+    # — bounded by construction; pinned single partition (r13 #8)
+    w = Window.partitionBy(bounded_partition_key("n_rows")).orderBy(
+        F.col("n_rows").desc(), F.col("key").asc_nulls_last()
+    )
     return (
         top.withColumn("skew_rank", F.row_number().over(w))
         .join(F.broadcast(total))
@@ -335,9 +341,13 @@ def histogram_drift(
     # IS the window sequence (single-partition over the bounded grid,
     # never over raw data)
     shares = (
-        h.withColumn("_seq", F.dense_rank().over(Window.orderBy("_win")))
+        h.withColumn("_seq", F.dense_rank().over(
+            # (windows x bins) grid — bounded by construction (r13 #8)
+            Window.partitionBy(bounded_partition_key("_win"))
+            .orderBy("_win")
+        ))
         .withColumn("_maxseq", F.max("_seq").over(
-            Window.partitionBy(F.lit(1))
+            Window.partitionBy(bounded_partition_key("_win"))
         ))
         .withColumn("_tot", F.sum("_n").over(Window.partitionBy("_seq")))
         .select(

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.windows import bounded_partition_key
+
 
 def dsum(col: Column | str, scale: int = 6) -> Column:
     """Order-independent exact sum, returned as DOUBLE."""
@@ -699,7 +701,11 @@ def sample_pps(
         "_b",
         F.coalesce(
             F.sum("_tw").over(
-                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                # per-bucket totals — bounded by the bucket count, not
+                # the data; pinned single partition (r13 #8)
+                Window.partitionBy(bounded_partition_key("_b"))
+                .orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0).cast("long"),
         ).alias("_off"),

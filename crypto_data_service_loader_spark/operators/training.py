@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.windows import bounded_partition_key
+
 #: Knuth multiplicative hash constant (2654435761 = 2^32 * golden ratio);
 #: spreads sequential ids uniformly over the bucket space.
 _KNUTH = 2654435761
@@ -368,7 +370,10 @@ def mixture_rebalance(
         if target is not None
         else F.lit(float(default_target))
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
+    # per-source totals table — bounded by the domain count (r13 #8)
+    total = F.sum("n_tokens").over(
+        Window.partitionBy(bounded_partition_key(source_col))
+    )
     weight = F.when(
         F.col("n_tokens") > 0,
         F.round(
@@ -484,13 +489,16 @@ def mixture_temperature(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("n_tokens"),
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
+    # per-source totals table — bounded by the domain count (r13 #8)
+    total = F.sum("n_tokens").over(
+        Window.partitionBy(bounded_partition_key(source_col))
+    )
     share = F.col("n_tokens").cast("double") / total.cast("double")
     t = share
     for _ in range(allowed[float(alpha)]):
         t = F.sqrt(t)
     tsum = F.sum(t.cast("decimal(38,12)")).over(
-        Window.partitionBy()
+        Window.partitionBy(bounded_partition_key(source_col))
     ).cast("double")
     target = t / tsum
     weight = F.when(
@@ -701,11 +709,10 @@ def curriculum_phases(
     btot = freq.select(coarse.alias("_cb"), "_cnt").groupBy("_cb").agg(
         F.sum("_cnt").alias("_bt")
     )
-    # partitionBy(lit) gets folded away by Catalyst; coalesce(_cb,0)%1
-    # is constant 0 for every row (nulls included) but non-foldable, so
-    # the plan keeps a partitioned Window over the bounded bucket table.
+    # bucket-totals table — bounded by |distinct|/stride; pinned single
+    # partition (partitionBy(lit) would be folded away by Catalyst)
     w_b = (
-        Window.partitionBy(F.coalesce(F.col("_cb"), F.lit(0)) % F.lit(1))
+        Window.partitionBy(bounded_partition_key("_cb"))
         .orderBy(F.col("_cb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -563,7 +563,14 @@ def ivfpq_index_topk(
     top = adc.orderBy(F.col("adc_micro").asc(), F.col(id_col).asc()).limit(k)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("adc_micro").asc(), F.col(id_col).asc())
+    from ..functions.windows import bounded_partition_key
+
+    # rank window input = the k survivors of TakeOrderedAndProject —
+    # bounded by construction; pin the single partition explicitly so
+    # the plan doesn't trip the global WindowExec alarm (VERDICT r13 #8)
+    w = Window.partitionBy(bounded_partition_key(id_col)).orderBy(
+        F.col("adc_micro").asc(), F.col(id_col).asc()
+    )
     return top.select(
         id_col, "adc_micro", F.row_number().over(w).cast("int").alias("rank")
     )

@@ -331,6 +331,12 @@ _R14_FRONT = [
     # source-changed: histogram-ntile phase cut (VERDICT r13 #2) and
     # default-on packing shards (VERDICT r13 #6)
     "curriculum_order", "pack_sequences",
+    # source-changed: bounded single-partition windows pinned to an
+    # explicit constant partition key (VERDICT r13 #8 — WindowExec
+    # warning silenced; values identical, plans re-verified)
+    "key_skew_report", "mixture_rebalance", "mixture_temperature",
+    "histogram_drift", "category_drift", "curation_funnel",
+    "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_ivfpq_indexed",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -349,9 +355,6 @@ _R14_FRONT = [
     "dedup_minhash_indexed", "dedup_simhash", "dedup_simhash_pairs",
     "doc_fingerprint", "docs_prep_pipeline", "hll_rolling_distinct",
     "hll_source_overlap", "interval_gaps", "interval_islands",
-    "join_size_estimate", "join_strategy_choice", "lang_id",
-    "lang_id_trigram", "media_format_audit", "media_frame_sample",
-    "point_in_time_join", "range_join_events", "sim_cosine_topk",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the

@@ -1226,10 +1226,16 @@ def q_curation_funnel(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
         )
         counts = c if counts is None else counts.unionByName(c)
-    w = Window.orderBy("stage_id")  # 5-row frame: bounded by construction
+    from crypto_data_service_loader_spark.functions.windows import (
+        bounded_partition_key,
+    )
+
+    # 5-row stage frame: bounded by construction; pinned partition (r13 #8)
+    w = Window.partitionBy(bounded_partition_key("stage_id")).orderBy("stage_id")
     total = F.first("n_docs").over(
-        Window.orderBy("stage_id").rowsBetween(Window.unboundedPreceding,
-                                               Window.unboundedFollowing)
+        Window.partitionBy(bounded_partition_key("stage_id"))
+        .orderBy("stage_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return counts.select(
         "stage_id", "stage", "n_docs",
