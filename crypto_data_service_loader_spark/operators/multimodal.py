@@ -299,6 +299,15 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Decompression-bomb guard (ADVICE r13): a small crafted payload can
+#: DECLARE enormous dimensions (GIF 65535x65535 -> ~4 GB of LZW index
+#: output + a 3x palette expansion; PNG the same via IDAT inflate)
+#: before any real decode work rejects it. Every compressed-format
+#: parser rejects declared w*h above this bound BEFORE decompressing —
+#: 2^24 pixels (a 4096x4096 frame) is far above the profile's fixtures
+#: and far below the amplification an ingestion executor can absorb.
+_MAX_DECODE_PIXELS = 1 << 24
+
 
 def _png_unfilter(
     raw: bytes, width: int, height: int, bpp: int = 3
@@ -439,9 +448,18 @@ def _parse_png(payload: bytes | None, native: bool = False):
         return None
     if width <= 0 or height <= 0:
         return None
+    if width * height > _MAX_DECODE_PIXELS:  # bomb guard (ADVICE r13)
+        return None
+    # bounded inflate: the exact output size is known from IHDR, so cap
+    # the decompressor there — a stream holding MORE than h*(1+stride)
+    # bytes is declined without materializing it
+    expected = height * (1 + width * bpp)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error:
+        return None
+    if len(raw) > expected:
         return None
     px = _png_unfilter(raw, width, height, bpp)
     if px is None:
@@ -1007,6 +1025,8 @@ def _parse_jpeg(payload: bytes | None):
                 nc = body[5]
                 if prec != 8 or nc not in (1, 3) or w <= 0 or h <= 0:
                     return None
+                if w * h > _MAX_DECODE_PIXELS:  # bomb guard (ADVICE r13)
+                    return None
                 if len(body) != 6 + 3 * nc:
                     return None
                 comps = []
@@ -1340,6 +1360,8 @@ def _parse_gif(payload, native: bool = False):
             if ipacked & 0x40:  # interlaced: outside the profile
                 return None
             if table is None or iw == 0 or ih == 0:
+                return None
+            if iw * ih > _MAX_DECODE_PIXELS:  # bomb guard (ADVICE r13)
                 return None
             if pos >= len(data):
                 return None

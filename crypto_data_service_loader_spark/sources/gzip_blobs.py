@@ -25,9 +25,9 @@ GZIP_TEXT_SCHEMA = (
 
 def _gunzip(payload: bytes | None) -> bytes | None:
     """Inflate one gzip member; None for anything that isn't valid gzip
-    (bad magic, truncated stream, CRC mismatch — `gzip.decompress`
-    verifies the trailer CRC32 + ISIZE)."""
-    import gzip
+    (bad magic, truncated stream, CRC mismatch — wbits=31 verifies the
+    trailer CRC32 exactly as `gzip.decompress` does) or anything over
+    the `_MAX_DECOMPRESSED_BYTES` bomb cap (ADVICE r13)."""
     import zlib
 
     if payload is None:
@@ -36,7 +36,7 @@ def _gunzip(payload: bytes | None) -> bytes | None:
     if len(payload) < 18 or payload[:2] != b"\x1f\x8b":
         return None
     try:
-        return gzip.decompress(payload)
+        return _bounded_decompress(zlib.decompressobj(31), payload)
     except (OSError, EOFError, zlib.error):
         return None
 
@@ -130,10 +130,33 @@ CODEC_TEXT_SCHEMA = (
 )
 
 
+#: Decompression-bomb guard (ADVICE r13): bz2/xz reach amplification
+#: ratios far beyond gzip's, so a small crafted record could expand to
+#: gigabytes inside one executor before any downstream check sees it.
+#: Every decode is capped at this output size and DECLINES past it —
+#: 64 MiB per record is far above any real document in the profile.
+_MAX_DECOMPRESSED_BYTES = 1 << 26
+
+
+def _bounded_decompress(d, payload: bytes):
+    """Run an incremental decompressor with the output cap; returns the
+    raw bytes or None when the stream exceeds the cap, is truncated, or
+    carries trailing garbage (single-member profile — decline, never
+    misread)."""
+    raw = d.decompress(payload, _MAX_DECOMPRESSED_BYTES + 1)
+    if len(raw) > _MAX_DECOMPRESSED_BYTES:
+        return None
+    if not d.eof or d.unused_data:
+        return None
+    return raw
+
+
 def _sniff_decompress(payload: bytes | None):
     """(codec, raw bytes) by magic — gzip 1f 8b, bzip2 'BZh', xz
     fd '7zXZ' 00 — or (None, None) when no codec accepts the payload.
-    Integrity failures decline rather than raise."""
+    Integrity failures, output-cap hits, truncation, and trailing
+    garbage all decline rather than raise; xz additionally caps decoder
+    memory so a crafted dictionary size can't allocate gigabytes."""
     import bz2
     import gzip
     import lzma
@@ -144,19 +167,27 @@ def _sniff_decompress(payload: bytes | None):
     payload = bytes(payload)
     if payload[:2] == b"\x1f\x8b":
         try:
-            return "gzip", gzip.decompress(payload)
+            # wbits=31 validates the gzip header and trailer CRC exactly
+            # as gzip.decompress does; decompressobj natively exposes
+            # the (eof, unused_data) surface the bounded loop needs
+            raw = _bounded_decompress(zlib.decompressobj(31), payload)
         except (OSError, EOFError, zlib.error):
             return None, None
+        return ("gzip", raw) if raw is not None else (None, None)
     if payload[:3] == b"BZh":
         try:
-            return "bz2", bz2.decompress(payload)
+            raw = _bounded_decompress(bz2.BZ2Decompressor(), payload)
         except (OSError, EOFError, ValueError):
             return None, None
+        return ("bz2", raw) if raw is not None else (None, None)
     if payload[:6] == b"\xfd7zXZ\x00":
         try:
-            return "xz", lzma.decompress(payload)
+            raw = _bounded_decompress(
+                lzma.LZMADecompressor(memlimit=1 << 28), payload
+            )
         except lzma.LZMAError:
             return None, None
+        return ("xz", raw) if raw is not None else (None, None)
     return None, None
 
 
@@ -223,10 +254,13 @@ def encode_compressed_text(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "payload": [
                     _one(t, c) for t, c in zip(pdf[text_col], pdf[codec_col])
                 ],
             })
 
-    return docs.mapInPandas(_batches, schema=GZIP_ENCODE_SCHEMA)
+    # keep the id column's NAME, symmetric with decode_compressed_text
+    # (ADVICE r13: the fixed schema silently renamed it to doc_id)
+    out_schema = GZIP_ENCODE_SCHEMA.replace("doc_id", id_col, 1)
+    return docs.mapInPandas(_batches, schema=out_schema)

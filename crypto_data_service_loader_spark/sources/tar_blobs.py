@@ -91,6 +91,12 @@ def _parse_tar(payload: bytes | None) -> list[tuple[str, bytes]] | None:
         if size is None:
             return None
         typeflag = hdr[156]
+        # ustar prefix field (offset 345): an archive legitimately using
+        # it for long paths would pass the checksum but get its members
+        # silently emitted under the truncated 100-char suffix — decline
+        # instead, mirroring the long-name rejection (ADVICE r13)
+        if hdr[257:263] == b"ustar\x00" and any(hdr[345:500]):
+            return None
         try:
             name = hdr[:100].split(b"\x00")[0].decode("utf-8", "strict")
         except UnicodeDecodeError:

@@ -48,6 +48,7 @@ QUERIES = {
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "media_decode_gif": q_media_decode_gif,
     "community_lpa": q_community_lpa,
+    "blocklist_audit": q_blocklist_audit,
     "blocklist_filter": q_blocklist_filter,
     "k_anonymity_audit": q_k_anonymity_audit,
     "sim_topk_ivfpq_indexed": q_sim_topk_ivfpq_indexed,
@@ -337,6 +338,13 @@ _R14_FRONT = [
     "key_skew_report", "mixture_rebalance", "mixture_temperature",
     "histogram_drift", "category_drift", "curation_funnel",
     "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_ivfpq_indexed",
+    # ADVICE r13: key renamed to the operator it runs (audit) + a NEW
+    # key for the real filter operator
+    "blocklist_audit", "blocklist_filter",
+    # source-changed: decompression-bomb guards (max-pixels before LZW/
+    # inflate; bounded gzip/bz2/xz decode) + ustar prefix-field decline
+    "compressed_corpus_mixed", "gzip_corpus_roundtrip",
+    "tar_corpus_members", "media_decode_multi_format",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -353,8 +361,6 @@ _R14_FRONT = [
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
     "dedup_media_clusters", "dedup_media_indexed",
     "dedup_minhash_indexed", "dedup_simhash", "dedup_simhash_pairs",
-    "doc_fingerprint", "docs_prep_pipeline", "hll_rolling_distinct",
-    "hll_source_overlap", "interval_gaps", "interval_islands",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2625,7 +2631,7 @@ ORACLES["community_lpa"] = """
 
 # Round 13: blocklist audit — the IN-list as data; the oracle replays
 # the distinct-token explode, the hit count, and the sorted ',' join.
-ORACLES["blocklist_filter"] = """
+ORACLES["blocklist_audit"] = """
     WITH t AS (
         SELECT doc_id,
                unnest(list_distinct(regexp_split_to_array(
@@ -2640,6 +2646,20 @@ ORACLES["blocklist_filter"] = """
            coalesce(hit_terms, '') AS hit_terms,
            n_hits IS NULL AS kept
     FROM documents d LEFT JOIN hits USING (doc_id)"""
+
+# Round 14 (ADVICE r13): the real filter operator — kept docs only.
+ORACLES["blocklist_filter"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(
+                   lower(trim(text, ' ')), '\\s+'))) AS tok
+        FROM documents)
+    SELECT doc_id, lang, source, n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t
+        WHERE t.doc_id = d.doc_id
+          AND t.tok IN ('spark', 'merge', 'window', 'nosuchterm'))"""
 
 # Round 13: k-anonymity / l-diversity audit — the same GROUP BY.
 ORACLES["k_anonymity_audit"] = """

@@ -1960,21 +1960,38 @@ def q_k_anonymity_audit(spark, sf_dir):
     )
 
 
-def q_blocklist_filter(spark, sf_dir):
-    """Blocklist audit (round 13): banned-token hits where the blocklist
-    is DATA (a DataFrame the join broadcasts), not N compiled literals —
-    the shape that still works when the list is millions of terms and
-    ships separately from the code. Per-doc (n_hits, sorted hit_terms,
-    kept); the oracle replays the distinct-token explode and the IN-list
-    as a join."""
-    from ..operators.text import blocklist_audit
-
-    docs = load(spark, sf_dir, "documents")
-    blk = spark.createDataFrame(
+def _blocklist_fixture(spark):
+    return spark.createDataFrame(
         [("spark",), ("merge",), ("window",), ("nosuchterm",)],
         "term string",
     )
-    return blocklist_audit(docs, blk)
+
+
+def q_blocklist_audit(spark, sf_dir):
+    """Blocklist audit (round 13; key renamed from 'blocklist_filter'
+    per ADVICE r13 — the key now carries the operator's real name):
+    banned-token hits where the blocklist is DATA (a DataFrame the join
+    broadcasts), not N compiled literals — the shape that still works
+    when the list is millions of terms and ships separately from the
+    code. Per-doc (n_hits, sorted hit_terms, kept); the oracle replays
+    the distinct-token explode and the IN-list as a join."""
+    from ..operators.text import blocklist_audit
+
+    docs = load(spark, sf_dir, "documents")
+    return blocklist_audit(docs, _blocklist_fixture(spark))
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """The real FILTER operator (round 14, ADVICE r13): kept docs only —
+    explode distinct tokens, equi-join the blocklist DataFrame, anti-join
+    the flagged id set. Same blocklist fixture as the audit key, so the
+    two keys pin the audit/filter pair against each other."""
+    from ..operators.text import blocklist_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return blocklist_filter(docs, _blocklist_fixture(spark)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 def q_compressed_corpus_mixed(spark, sf_dir):

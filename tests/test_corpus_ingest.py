@@ -279,3 +279,57 @@ def test_multi_codec_sniff_roundtrip_and_strictness(spark):
     got = {r["doc_id"]: r["decode_ok"]
            for r in decode_compressed_text(bad).collect()}
     assert got == {9: False, 10: False, 11: False, 12: False}
+
+
+def test_sniff_decompress_bomb_cap_and_id_col_symmetry(spark):
+    """ADVICE r13: (a) a record expanding past the 64 MiB output cap
+    declines instead of materializing gigabytes (bz2/xz amplification
+    bombs); (b) encode_compressed_text keeps a non-default id column
+    NAME, symmetric with decode_compressed_text."""
+    import bz2
+
+    from crypto_data_service_loader_spark.sources.gzip_blobs import (
+        _MAX_DECOMPRESSED_BYTES, _sniff_decompress,
+        decode_compressed_text, encode_compressed_text)
+
+    # 128 MiB of zeros compresses to ~a few KB of bz2 — a classic bomb
+    bomb = bz2.compress(b"\x00" * (_MAX_DECOMPRESSED_BYTES * 2))
+    assert len(bomb) < 1 << 16
+    assert _sniff_decompress(bomb) == (None, None)
+    # just-under-cap still decodes
+    ok = bz2.compress(b"a" * 1024)
+    codec, raw = _sniff_decompress(ok)
+    assert codec == "bz2" and raw == b"a" * 1024
+
+    docs = spark.createDataFrame(
+        [(7, "hello", "gzip")], "media_id long, text string, codec string")
+    blobs = encode_compressed_text(docs, codec_col="codec", id_col="media_id")
+    assert "media_id" in blobs.columns and "doc_id" not in blobs.columns
+    out = decode_compressed_text(blobs, id_col="media_id").collect()
+    assert out[0]["media_id"] == 7 and out[0]["text"] == "hello"
+
+
+def test_gif_and_png_decline_declared_dimension_bombs():
+    """ADVICE r13: a small payload DECLARING enormous dimensions is
+    declined before any decompression allocates for it."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    # take a real tiny GIF from the encoder, then forge the image
+    # descriptor's width/height to 65535x65535
+    gif = bytearray(M._encode_gif(b"\x00\x01\x02\x03", 2, 2,
+                                  bytes(range(12))))
+    pos = gif.index(0x2C, 6)  # image descriptor
+    gif[pos + 5:pos + 7] = (65535).to_bytes(2, "little")
+    gif[pos + 7:pos + 9] = (65535).to_bytes(2, "little")
+    assert M._parse_gif(bytes(gif)) is None
+    # PNG: forge IHDR dims on a real encode; the chunk CRC is refreshed
+    import struct
+    import zlib
+
+    png = bytearray(M._encode_png(b"\x10\x20\x30" * 4, 2, 2))
+    ih = png.index(b"IHDR")
+    png[ih + 4:ih + 8] = struct.pack(">I", 65535)
+    png[ih + 8:ih + 12] = struct.pack(">I", 65535)
+    crc = zlib.crc32(bytes(png[ih:ih + 17])) & 0xFFFFFFFF
+    png[ih + 17:ih + 21] = struct.pack(">I", crc)
+    assert M._parse_png(bytes(png)) is None

@@ -93,3 +93,26 @@ def test_spark_pack_explode_inverse(spark):
     corrupt = spark.createDataFrame(
         [(9, b"not a tar at all" * 100)], "shard_id long, payload binary")
     assert T.explode_tar_members(corrupt, id_col="shard_id").count() == 0
+
+
+def test_tar_declines_prefix_field_instead_of_truncating():
+    """ADVICE r13: a ustar archive that stores a long path via the
+    prefix field (offset 345) passes checksum validation, but emitting
+    members under the 100-char suffix would silently misname them —
+    the parser must decline the archive whole."""
+    buf = io.BytesIO()
+    long_name = "a" * 120 + "/file.txt"  # forces USTAR prefix splitting
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        ti = tarfile.TarInfo(long_name)
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"abc"))
+    assert T._parse_tar(buf.getvalue()) is None
+    # sanity: the same content under a short name still parses
+    buf2 = io.BytesIO()
+    with tarfile.open(fileobj=buf2, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        ti = tarfile.TarInfo("file.txt")
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"abc"))
+    assert T._parse_tar(buf2.getvalue()) == [("file.txt", b"abc")]
