@@ -39,6 +39,8 @@ from .operators import text as _text_ops
 QUERIES = {
     # --- new in round 13 ---
     "media_decode_jpeg": q_media_decode_jpeg,
+    "media_decode_jpeg_420": q_media_decode_jpeg_420,
+    "media_decode_jpeg_422": q_media_decode_jpeg_422,
     "media_decode_jpeg_mixed": q_media_decode_jpeg_mixed,
     "pq_encode": q_pq_encode,
     "sim_topk_pq": q_sim_topk_pq,
@@ -345,6 +347,11 @@ _R14_FRONT = [
     # inflate; bounded gzip/bz2/xz decode) + ustar prefix-field decline
     "compressed_corpus_mixed", "gzip_corpus_roundtrip",
     "tar_corpus_members", "media_decode_multi_format",
+    # NEW round 14 (VERDICT r13 #3): subsampled baseline JPEG — the
+    # sampling real corpora actually use; plus the 4:4:4 keys re-gated
+    # since the codec's MCU loop was generalized
+    "media_decode_jpeg_420", "media_decode_jpeg_422",
+    "media_decode_jpeg", "media_resize_jpeg",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -359,8 +366,7 @@ _R14_FRONT = [
     # --- alphabetical head of the round-9 cohort (fill to 50) ---
     "agg_corr", "agg_cube", "dedup_embedding_clusters",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_media_clusters", "dedup_media_indexed",
-    "dedup_minhash_indexed", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_media_clusters",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2852,39 +2858,66 @@ def _jpeg_gen_cte(prefix: str, src: str) -> str:
         FROM {prefix}q)"""
 
 
-def _jpeg_const_dec_cte(where: str) -> str:
+def _jpeg_const_dec_cte(where: str, px_per_half: int = 64,
+                        prefix: str = "") -> str:
     """CTE body (base/c/y/q/p/s) computing the closed-form decoded
-    channel sums of the 16x8 two-constant-block JPEG fixture for
-    documents matching `where`."""
+    channel sums of the two-constant-half JPEG fixtures (left half =
+    md5 bytes 0-2, right = 3-5) for documents matching `where`;
+    `px_per_half` is the pixel count each constant region covers (64
+    for the 16x8 4:4:4 fixture, 128 for 32x8 4:2:2, 256 for 32x16
+    4:2:0 — subsampling keeps the SAME closed form because the chroma
+    box mean is exact on constant cells)."""
     return f"""
-    base AS (
+    {prefix}base AS (
         SELECT doc_id AS media_id, md5(text) AS px
         FROM documents WHERE {where}),
-    c AS (
+    {prefix}c AS (
         SELECT media_id,
                CAST(('0x' || substr(px, 6 * blk.b + 1, 2)) AS BIGINT) AS r,
                CAST(('0x' || substr(px, 6 * blk.b + 3, 2)) AS BIGINT) AS g,
                CAST(('0x' || substr(px, 6 * blk.b + 5, 2)) AS BIGINT) AS b
-        FROM base, LATERAL unnest([0, 1]) AS blk(b)),{_jpeg_gen_cte('', 'c')},
-    s AS (
-        SELECT media_id, 64 * SUM(pb) AS sum_b, 64 * SUM(pg) AS sum_g,
-               64 * SUM(pr) AS sum_r
-        FROM p GROUP BY media_id)"""
+        FROM {prefix}base,
+             LATERAL unnest([0, 1]) AS blk(b)),{
+                 _jpeg_gen_cte(prefix, prefix + 'c')},
+    {prefix}s AS (
+        SELECT media_id, {px_per_half} * SUM(pb) AS sum_b,
+               {px_per_half} * SUM(pg) AS sum_g,
+               {px_per_half} * SUM(pr) AS sum_r
+        FROM {prefix}p GROUP BY media_id)"""
 
 
-_JPEG_STATS_SELECT = """
+def _jpeg_stats_select(width: int, height: int, src: str = "s") -> str:
+    n = width * height
+    return f"""
     SELECT media_id, CAST('jpeg' AS VARCHAR) AS fmt,
-           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
-           CAST(128 AS INTEGER) AS n_pixels,
+           CAST({width} AS INTEGER) AS width,
+           CAST({height} AS INTEGER) AS height,
+           CAST({n} AS INTEGER) AS n_pixels,
            CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
            CAST(sum_r AS BIGINT) AS sum_r,
-           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 128 AS BIGINT)
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // {n} AS BIGINT)
                AS luma_milli,
            TRUE AS decode_ok
-    FROM s"""
+    FROM {src}"""
+
+
+_JPEG_STATS_SELECT = _jpeg_stats_select(16, 8)
 
 ORACLES["media_decode_jpeg"] = (
     "WITH" + _jpeg_const_dec_cte("doc_id < 200") + _JPEG_STATS_SELECT
+)
+
+# Round 14 (VERDICT r13 #3): 4:2:0 / 4:2:2 — constant-per-MCU fixtures
+# keep the IDENTICAL closed form (chroma box mean exact on constant
+# cells, replication upsample constant-preserving); only the pixel
+# coverage per constant half and the declared dimensions change.
+ORACLES["media_decode_jpeg_420"] = (
+    "WITH" + _jpeg_const_dec_cte("doc_id < 200", px_per_half=256)
+    + _jpeg_stats_select(32, 16)
+)
+ORACLES["media_decode_jpeg_422"] = (
+    "WITH" + _jpeg_const_dec_cte("doc_id < 200", px_per_half=128)
+    + _jpeg_stats_select(32, 8)
 )
 
 # Round 13: JPEG resize round-trip — nearest at 1x1 keeps the decoded
@@ -2957,7 +2990,10 @@ ORACLES["media_decode_jpeg_mixed"] = (
 # branch per doc_id % 4 residue.
 ORACLES["media_decode_multi_format"] = (
     "WITH"
-    + _jpeg_const_dec_cte("doc_id < 200 AND doc_id % 4 = 1")
+    + _jpeg_const_dec_cte("doc_id < 200 AND doc_id % 8 = 1")
+    + ","
+    + _jpeg_const_dec_cte("doc_id < 200 AND doc_id % 8 = 5",
+                          px_per_half=256, prefix="j420")
     + """,
     bmp_base AS (
         SELECT doc_id AS media_id,
@@ -3034,6 +3070,9 @@ ORACLES["media_decode_multi_format"] = (
     FROM gif_s
     UNION ALL"""
     + _JPEG_STATS_SELECT
+    + """
+    UNION ALL"""
+    + _jpeg_stats_select(32, 16, src="j420s")
 )
 
 # Round 11: the WAV audio decode key — little-endian signed 16-bit

@@ -2038,11 +2038,13 @@ def q_curriculum_order(spark, sf_dir):
 
 
 def q_media_decode_multi_format(spark, sf_dir):
-    """GRAND four-format dispatch (round 13): one DataFrame carries
-    genuine BMP (uncompressed BGR), baseline JPEG (DCT+Huffman, lossy
-    closed form), PNG (deflate, all five filters), and LZW GIF payloads
-    by doc_id % 4, and decode_image_stats' registry must route every
-    one to the right parser. The four formats disagree on channel
+    """GRAND four-format dispatch (round 13; extended round 14): one
+    DataFrame carries genuine BMP (uncompressed BGR), baseline JPEG
+    (DCT+Huffman, lossy closed form — the mid==1 branch itself splits
+    4:4:4 / 4:2:0 by doc_id % 8, so the dispatch must also pick the
+    right MCU geometry), PNG (deflate, all five filters), and LZW GIF
+    payloads by doc_id % 4, and decode_image_stats' registry must route
+    every one to the right parser. The formats disagree on channel
     order, dimensions, AND reconstruction math, so a single mis-dispatch
     breaks the value hash — the end-to-end proof that the magic
     registry composes across every real codec the engine ships."""
@@ -2065,8 +2067,13 @@ def q_media_decode_multi_format(spark, sf_dir):
         ).alias("payload"),
     )
     jpeg = encode_jpeg_images(
-        _jpeg_const_media(docs.filter(mid == 1)), width=16, height=8
-    )
+        _jpeg_const_media(docs.filter(F.col("doc_id") % 8 == 1)),
+        width=16, height=8,
+    ).unionByName(encode_jpeg_images(
+        _jpeg_const_media(docs.filter(F.col("doc_id") % 8 == 5),
+                          half=16, rows=16),
+        width=32, height=16, subsample="420",
+    ))
     png = encode_png_images(
         docs.filter(mid == 2).select(
             F.col("doc_id").alias("media_id"), F.unhex(chain120).alias("rgb")
@@ -2250,19 +2257,21 @@ def q_media_resize_png(spark, sf_dir):
     return decode_image_stats(small)
 
 
-def _jpeg_const_media(docs):
+def _jpeg_const_media(docs, half: int = 8, rows: int = 8):
     """Shared fixture for the JPEG keys: each document's first six
-    md5(text) bytes become the two constant block colors of a 16x8 RGB
-    image (left 8x8 block = bytes 0-2, right = bytes 3-5) — hex-string
-    repetition builds the 384 pixel bytes JVM-side, no Python in the
-    fixture."""
+    md5(text) bytes become the two constant half colors of a
+    (2*half) x rows RGB image (left half = bytes 0-2, right = bytes
+    3-5) — hex-string repetition builds the pixel bytes JVM-side, no
+    Python in the fixture. Defaults give the 16x8 two-block 4:4:4
+    fixture; (16, 16) gives the 32x16 two-MCU 4:2:0 one and (16, 8)
+    the 32x8 4:2:2 one."""
     hex6 = F.substring(F.md5("text"), 1, 12)
     c0 = F.substring(hex6, 1, 6)
     c1 = F.substring(hex6, 7, 6)
-    row = F.concat(F.repeat(c0, 8), F.repeat(c1, 8))  # one 16-px scanline
+    row = F.concat(F.repeat(c0, half), F.repeat(c1, half))  # one scanline
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.unhex(F.repeat(row, 8)).alias("rgb"),       # 8 scanlines
+        F.unhex(F.repeat(row, rows)).alias("rgb"),
     )
 
 
@@ -2291,6 +2300,41 @@ def q_media_decode_jpeg(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     jpegs = encode_jpeg_images(_jpeg_const_media(docs), width=16, height=8)
+    return decode_image_stats(jpegs)
+
+
+def q_media_decode_jpeg_420(spark, sf_dir):
+    """4:2:0 baseline-JPEG decode (round 14, VERDICT r13 #3 — the
+    sampling real-world corpora overwhelmingly use): each document's
+    md5 bytes become a 32x16 JPEG of two CONSTANT 16x16 MCUs, encoded
+    with luma (2,2) / chroma (1,1) — the encoder's round-half-up box
+    mean is exact on constant cells and the decoder's replication
+    upsample keeps them constant, so the closed-form reconstruction is
+    the SAME `min(v + v%2, 255)` chain as 4:4:4, just covering 256
+    pixels per half. Two MCUs keep the interleaved DC prediction chain
+    live across Y, Cb, and Cr."""
+    from ..operators.multimodal import decode_image_stats, encode_jpeg_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jpegs = encode_jpeg_images(
+        _jpeg_const_media(docs, half=16, rows=16),
+        width=32, height=16, subsample="420",
+    )
+    return decode_image_stats(jpegs)
+
+
+def q_media_decode_jpeg_422(spark, sf_dir):
+    """4:2:2 baseline-JPEG decode (round 14): the 32x8 two-MCU variant
+    with luma (2,1) — chroma halved horizontally only. Same closed form
+    as the 4:2:0 key over 128 pixels per half; together the two keys
+    pin BOTH supported subsampled MCU geometries."""
+    from ..operators.multimodal import decode_image_stats, encode_jpeg_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jpegs = encode_jpeg_images(
+        _jpeg_const_media(docs, half=16, rows=8),
+        width=32, height=8, subsample="422",
+    )
     return decode_image_stats(jpegs)
 
 

@@ -75,6 +75,13 @@ FUZZ_KEYS = [
     # difficulty — the tie space the fixtures never generate)
     "blocklist_filter",
     "curriculum_order",
+    # round 14: subsampled baseline JPEG (4:2:0 / 4:2:2) — the
+    # constant-MCU closed form must hold for EVERY md5-derived color,
+    # interleaved DC prediction and chroma box-mean/replication
+    # included; the audit twin of the renamed blocklist key
+    "media_decode_jpeg_420",
+    "media_decode_jpeg_422",
+    "blocklist_audit",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;

@@ -871,3 +871,118 @@ def test_gif_resize_is_exact_index_selection(w0, h0, w1, h1, data):
     cols = (np.arange(w1) * w0) // w1
     assert ridx == px[rows][:, cols].tobytes()
     assert table == b"".join(bytes(p) for p in pal)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mw=st.integers(1, 2),
+    mh=st.integers(1, 2),
+    sub=st.sampled_from(["422", "420"]),
+    restart=st.sampled_from([0, 1, 2]),
+    data=st.data(),
+)
+def test_jpeg_subsampled_constant_mcu_closed_form(mw, mh, sub, restart, data):
+    """4:2:2 / 4:2:0 JPEG (round 14, VERDICT r13 #3) reconstructs
+    constant-per-MCU images EXACTLY by the SAME closed form as 4:4:4:
+    the chroma box mean is exact on constant cells, replication
+    upsample keeps it constant, and with flat q=16 each YCbCr channel
+    comes back min(v + v%2, 255). Any MCU grid, with or without
+    restart markers (DC prediction resets at every RSTn, interleaved
+    components included)."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    mcw, mch = (16, 8) if sub == "422" else (16, 16)
+    w, h = mw * mcw, mh * mch
+    colors = [
+        data.draw(st.lists(st.integers(0, 255), min_size=3, max_size=3))
+        for _ in range(mw * mh)
+    ]
+    img = np.zeros((h, w, 3), np.uint8)
+    for i, c in enumerate(colors):
+        by, bx = divmod(i, mw)
+        img[by * mch:(by + 1) * mch, bx * mcw:(bx + 1) * mcw] = c
+    jp = M._encode_jpeg(
+        img.tobytes(), w, h, subsample=sub, restart_interval=restart
+    )
+    parsed = M._parse_jpeg(jp)
+    assert parsed is not None
+    pw, ph, rgb = parsed
+    assert (pw, ph) == (w, h)
+    dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+
+    def q16(v):
+        return min(int(v) + int(v) % 2, 255)
+
+    for i, c in enumerate(colors):
+        by, bx = divmod(i, mw)
+        blk = dec[by * mch:(by + 1) * mch, bx * mcw:(bx + 1) * mcw]
+        y, cb, cr = M._rgb_to_ycbcr_int(
+            np.int64(c[0]), np.int64(c[1]), np.int64(c[2])
+        )
+        er, eg, eb = M._ycbcr_to_rgb_int(
+            np.int64(q16(y)), np.int64(q16(cb)), np.int64(q16(cr))
+        )
+        assert (blk[:, :, 0] == int(er)).all()
+        assert (blk[:, :, 1] == int(eg)).all()
+        assert (blk[:, :, 2] == int(eb)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.sampled_from([6, 16, 21, 32]),
+    h=st.sampled_from([5, 13, 16]),
+    sub=st.sampled_from(["422", "420"]),
+    data=st.data(),
+)
+def test_jpeg_subsampled_roundtrip_chroma_constant_cells(w, h, sub, data):
+    """Arbitrary-luma images whose chroma is constant per subsampling
+    cell survive the 4:2:2/4:2:0 round trip within the SAME q=1 error
+    budget as 4:4:4 (|err| <= 6): the box mean is exact on such cells,
+    so subsampling adds zero error and the remaining error is the DCT +
+    two fixed-point color conversions. Odd dimensions pad by edge
+    replication and crop back exactly."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    cw, ch = (2, 1) if sub == "422" else (2, 2)
+    cells_w, cells_h = (w + cw - 1) // cw, (h + ch - 1) // ch
+    n = cells_w * cells_h * 3
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    cells = np.array(flat, np.uint8).reshape(cells_h, cells_w, 3)
+    img = np.repeat(np.repeat(cells, ch, 0), cw, 1)[:h, :w]
+    q1 = [1] * 64
+    jp = M._encode_jpeg(img.tobytes(), w, h, quant_y=q1, quant_c=q1,
+                        subsample=sub)
+    parsed = M._parse_jpeg(jp)
+    assert parsed is not None
+    pw, ph, rgb = parsed
+    assert (pw, ph) == (w, h)
+    dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(dec - img.astype(int)).max() <= 6
+
+
+def test_jpeg_declines_exotic_sampling_grids():
+    """Sampling factors outside the profile (3x1, 1x2, 4x4 luma, or
+    subsampled CHROMA grids) decline whole — never misread as 4:2:x."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    jp = bytearray(M._encode_jpeg(img.tobytes(), 16, 16, subsample="420"))
+    sof = jp.index(b"\xff\xc0")
+    # luma hv byte lives at SOF body offset 7 (prec 1 + dims 4 + nc 1 +
+    # cid 1); forge exotic grids
+    for hv in (0x31, 0x12, 0x44, 0x13):
+        forged = bytearray(jp)
+        forged[sof + 4 + 7] = hv
+        assert M._parse_jpeg(bytes(forged)) is None
+    # chroma subsampled below luma(2,2) is also outside the profile
+    forged = bytearray(jp)
+    forged[sof + 4 + 10] = 0x21  # cb hv
+    assert M._parse_jpeg(bytes(forged)) is None
+    # sanity: the unforged payload still parses
+    assert M._parse_jpeg(bytes(jp)) is not None
