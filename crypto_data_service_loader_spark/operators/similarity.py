@@ -32,6 +32,18 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _shuffle_parallelism(df: DataFrame) -> int:
+    """The session's shuffle partition count (defaultParallelism when
+    the conf is non-numeric, e.g. 'auto' on managed platforms) — used to
+    pin compute-dense exchanges that AQE's byte-based coalescing would
+    otherwise serialize."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _cosine(dot: Column, denom: Column, scale: int) -> Column:
     """Cosine score with the zero-norm convention: a zero-norm vector
     scores 0.0 against everything. The raw ratio is 0/0 there — ANSI
@@ -557,6 +569,13 @@ def knn_graph(
         F.sqrt(_dot(v, v)).alias("_n"),
         "bucket",
     )
+    # pin the pair-join exchange to the session's shuffle parallelism:
+    # the bucket self-join is compute-dense (quadratic per-bucket dot
+    # products) on FEW input bytes, so AQE's byte-based coalescing would
+    # otherwise collapse it onto one task (measured 2.8x on the bench
+    # box, VERDICT r13 #4). Same data movement the join needs anyway —
+    # the explicit repartition only fixes the partition COUNT.
+    bucketed = bucketed.repartition(_shuffle_parallelism(embeddings), "bucket")
     a = bucketed.select(F.col("_id").alias("_src"), F.col("_v").alias("va"),
                         F.col("_n").alias("na"), "bucket")
     b = bucketed.select(F.col("_id").alias("neighbor_id"),

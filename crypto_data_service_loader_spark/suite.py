@@ -352,6 +352,10 @@ _R14_FRONT = [
     # since the codec's MCU loop was generalized
     "media_decode_jpeg_420", "media_decode_jpeg_422",
     "media_decode_jpeg", "media_resize_jpeg",
+    # source-changed (VERDICT r13 #4): knn_graph's pair join pinned to
+    # the session shuffle parallelism (AQE byte-coalescing serialized
+    # the compute-dense stage; knn_triangles 3.24 -> 2.47 s)
+    "knn_triangles", "pagerank_knn", "knn_graph_lsh",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -365,8 +369,7 @@ _R14_FRONT = [
     "win_rank_suite", "win_row_number",
     # --- alphabetical head of the round-9 cohort (fill to 50) ---
     "agg_corr", "agg_cube", "dedup_embedding_clusters",
-    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_media_clusters",
+    "dedup_embedding_cosine",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
