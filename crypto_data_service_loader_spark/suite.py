@@ -56,6 +56,7 @@ QUERIES = {
     "sim_topk_ivfpq_indexed": q_sim_topk_ivfpq_indexed,
     "media_resize_gif": q_media_resize_gif,
     "tar_corpus_members": q_tar_corpus_members,
+    "tar_corpus_samples": q_tar_corpus_samples,
     "media_decode_multi_format": q_media_decode_multi_format,
     "curriculum_order": q_curriculum_order,
     "compressed_corpus_mixed": q_compressed_corpus_mixed,
@@ -356,6 +357,8 @@ _R14_FRONT = [
     # the session shuffle parallelism (AQE byte-coalescing serialized
     # the compute-dense stage; knn_triangles 3.24 -> 2.47 s)
     "knn_triangles", "pagerank_knn", "knn_graph_lsh",
+    # NEW round 14 (VERDICT r13 #5): WebDataset sample grouping
+    "tar_corpus_samples",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -369,7 +372,6 @@ _R14_FRONT = [
     "win_rank_suite", "win_row_number",
     # --- alphabetical head of the round-9 cohort (fill to 50) ---
     "agg_corr", "agg_cube", "dedup_embedding_clusters",
-    "dedup_embedding_cosine",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2727,6 +2729,25 @@ ORACLES["tar_corpus_members"] = """
            CAST(length(content) AS INTEGER) AS n_bytes,
            md5(content) AS content_md5
     FROM mem"""
+
+# Round 14 (VERDICT r13 #5): WebDataset sample grouping — tar framing
+# is lossless and the grouping deterministic, so the oracle builds the
+# two expected samples per doc directly ('meta.json' sorts before
+# 'txt' in sample s0's ext order).
+ORACLES["tar_corpus_samples"] = """
+    WITH base AS (
+        SELECT doc_id AS shard_id, md5(text) AS m1, md5(md5(text)) AS m2,
+               md5(text) || md5(md5(text)) AS chain
+        FROM documents WHERE doc_id < 200)
+    SELECT shard_id, 's0' AS sample_key, CAST(2 AS INTEGER) AS n_members,
+           CAST(64 AS BIGINT) AS total_bytes,
+           'meta.json,txt' AS exts,
+           md5(md5(m2) || '|' || md5(m1)) AS content_md5
+    FROM base
+    UNION ALL
+    SELECT shard_id, 's1', CAST(1 AS INTEGER), CAST(40 AS BIGINT),
+           'txt', md5(md5(substr(chain, 1, 40)))
+    FROM base"""
 
 # Round 13: curriculum phases — ntile over the (difficulty, id) total
 # order, then the multiplicative-hash within-phase position.

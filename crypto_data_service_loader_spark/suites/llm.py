@@ -2130,6 +2130,57 @@ def q_tar_corpus_members(spark, sf_dir):
     )
 
 
+def q_tar_corpus_samples(spark, sf_dir):
+    """WebDataset SAMPLE grouping (round 14, VERDICT r13 #5): the
+    member list is not the contract — samples are. Per doc the shard
+    carries three members forming TWO samples: ``s0.txt`` +
+    ``s0.meta.json`` (stem s0 — the multi-dot extension rule:
+    everything after the FIRST dot of the basename) and ``s1.txt``
+    (stem s1). The pipeline packs a real ustar shard, explodes it, and
+    `group_tar_samples` rebuilds the samples with ext-sorted members.
+    Output flattens the member array into oracle-checkable scalars:
+    (shard, key, n_members, total_bytes, csv of exts, md5 over the
+    member-content md5s in ext order)."""
+    from ..sources.tar_blobs import (
+        encode_tar_shards, explode_tar_members, group_tar_samples,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    m2 = F.md5(m1)
+    chain = F.concat(m1, m2)
+    members = docs.select(
+        F.col("doc_id").alias("shard_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("s0.txt").alias("member_name"),
+                    m1.cast("binary").alias("content"),
+                ),
+                F.struct(
+                    F.lit("s0.meta.json").alias("member_name"),
+                    m2.cast("binary").alias("content"),
+                ),
+                F.struct(
+                    F.lit("s1.txt").alias("member_name"),
+                    F.substring(chain, 1, 40).cast("binary").alias("content"),
+                ),
+            )
+        ).alias("m"),
+    ).select("shard_id", "m.*")
+    shards = encode_tar_shards(members, id_col="shard_id")
+    samples = group_tar_samples(
+        explode_tar_members(shards, id_col="shard_id"), id_col="shard_id"
+    )
+    exts = F.transform(F.col("members"), lambda m: m["ext"])
+    hashes = F.transform(F.col("members"), lambda m: F.md5(m["content"]))
+    return samples.select(
+        "shard_id", "sample_key", "n_members", "total_bytes",
+        F.array_join(exts, ",").alias("exts"),
+        F.md5(F.array_join(hashes, "|")).alias("content_md5"),
+    )
+
+
 def q_media_decode_gif(spark, sf_dir):
     """REAL decode of the THIRD genuinely compressed format (round 13):
     each document's md5-chain bytes become palette indices in a real

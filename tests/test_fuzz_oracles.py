@@ -82,6 +82,9 @@ FUZZ_KEYS = [
     "media_decode_jpeg_420",
     "media_decode_jpeg_422",
     "blocklist_audit",
+    # round 14: the WebDataset sample-grouping contract over the same
+    # fuzzed corpora (stems/exts ride md5 text, so unicode lives here)
+    "tar_corpus_samples",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;

@@ -116,3 +116,38 @@ def test_tar_declines_prefix_field_instead_of_truncating():
         ti.size = 3
         tf.addfile(ti, io.BytesIO(b"abc"))
     assert T._parse_tar(buf2.getvalue()) == [("file.txt", b"abc")]
+
+
+def test_group_tar_samples_webdataset_contract(spark):
+    """Round 14 (VERDICT r13 #5): members grouped by basename stem into
+    samples — multi-dot extensions split at the FIRST dot, directory
+    prefixes stay in the key, members come back ext-sorted. Interop:
+    the shard is packed by STDLIB tarfile, not our encoder."""
+    members = [
+        ("000123.jpg", b"\xff\xd8fakejpg"),
+        ("000123.txt", b"a caption"),
+        ("000123.seg.json", b"{}"),
+        ("000124.txt", b"solo"),
+        ("dir/000123.txt", b"different sample: dir prefix"),
+        ("noext", b"extensionless"),
+    ]
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for n, c in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(c)
+            tf.addfile(ti, io.BytesIO(c))
+    blobs = spark.createDataFrame(
+        [(7, buf.getvalue())], "shard_id long, payload binary")
+    out = T.group_tar_samples(
+        T.explode_tar_members(blobs, id_col="shard_id"), id_col="shard_id")
+    got = {r["sample_key"]: r for r in out.collect()}
+    assert set(got) == {"000123", "000124", "dir/000123", "noext"}
+    s = got["000123"]
+    assert s["n_members"] == 3
+    assert [m["ext"] for m in s["members"]] == ["jpg", "seg.json", "txt"]
+    assert bytes(s["members"][1]["content"]) == b"{}"
+    assert s["total_bytes"] == len(b"\xff\xd8fakejpg") + 9 + 2
+    assert got["noext"]["members"][0]["ext"] == ""
+    assert got["dir/000123"]["n_members"] == 1
