@@ -49,6 +49,7 @@ QUERIES = {
     "ivfpq_encode": q_ivfpq_encode,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "media_decode_gif": q_media_decode_gif,
+    "media_decode_gif_frames": q_media_decode_gif_frames,
     "community_lpa": q_community_lpa,
     "blocklist_audit": q_blocklist_audit,
     "blocklist_filter": q_blocklist_filter,
@@ -359,6 +360,10 @@ _R14_FRONT = [
     "knn_triangles", "pagerank_knn", "knn_graph_lsh",
     # NEW round 14 (VERDICT r13 #5): WebDataset sample grouping
     "tar_corpus_samples",
+    # NEW round 14 (VERDICT r13 #7): animated GIF per-frame stats
+    # (+ media_decode_gif re-gated: the single-frame parser shares the
+    # container/LZW machinery the multi-frame walk generalizes)
+    "media_decode_gif_frames", "media_decode_gif",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -371,7 +376,7 @@ _R14_FRONT = [
     "win_lag_delta", "win_moving_avg", "win_range_frame",
     "win_rank_suite", "win_row_number",
     # --- alphabetical head of the round-9 cohort (fill to 50) ---
-    "agg_corr", "agg_cube", "dedup_embedding_clusters",
+    "agg_corr",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2611,6 +2616,34 @@ ORACLES["media_decode_gif"] = """
            CAST(6 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,
            CAST(60 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
            CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 60 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""
+
+# Round 14 (VERDICT r13 #7): animated GIF — one row per composited
+# frame; full-canvas disposal-1 frames composite to themselves, so
+# frame f's sums are the palette arithmetic over its 20-byte slice.
+ORACLES["media_decode_gif_frames"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i // 20 AS frame_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    s AS (
+        SELECT media_id, frame_id,
+               CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_b,
+               CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_r
+        FROM b GROUP BY media_id, frame_id)
+    SELECT media_id, CAST(frame_id AS INTEGER) AS frame_id,
+           CAST(10 * (frame_id + 1) AS INTEGER) AS delay_cs,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""

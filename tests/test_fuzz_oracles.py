@@ -85,6 +85,9 @@ FUZZ_KEYS = [
     # round 14: the WebDataset sample-grouping contract over the same
     # fuzzed corpora (stems/exts ride md5 text, so unicode lives here)
     "tar_corpus_samples",
+    # round 14: animated GIF — per-frame LZW streams + GCE delays must
+    # reconstruct for EVERY md5-derived index chain
+    "media_decode_gif_frames",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;

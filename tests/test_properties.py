@@ -986,3 +986,128 @@ def test_jpeg_declines_exotic_sampling_grids():
     assert M._parse_jpeg(bytes(forged)) is None
     # sanity: the unforged payload still parses
     assert M._parse_jpeg(bytes(jp)) is not None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    nf=st.integers(1, 4),
+    npal=st.sampled_from([2, 5, 16, 256]),
+    data=st.data(),
+)
+def test_gif_anim_full_canvas_roundtrip(w, h, nf, npal, data):
+    """Animated GIF (round 14): full-canvas disposal-1 frames round-trip
+    losslessly through the real multi-frame LZW streams — every frame
+    composites to its own palette lookup and delays survive exactly."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    pal = [(i % 256, (i * 7) % 256, (255 - i) % 256) for i in range(npal)]
+    frames = []
+    for f in range(nf):
+        idx = bytes(data.draw(st.lists(
+            st.integers(0, npal - 1), min_size=w * h, max_size=w * h)))
+        frames.append((idx, 5 * f + 1))
+    gif = M._encode_gif_frames(frames, w, h, pal)
+    parsed = M._parse_gif_frames(gif)
+    assert parsed is not None
+    lsw, lsh, got = parsed
+    assert (lsw, lsh) == (w, h) and len(got) == nf
+    pa = np.array(pal, np.uint8)
+    for (idx, delay), (gd, rgb) in zip(frames, got):
+        assert gd == delay
+        exp = pa[np.frombuffer(idx, np.uint8)].reshape(h, w, 3)
+        assert (np.frombuffer(rgb, np.uint8).reshape(h, w, 3) == exp).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lsw=st.integers(2, 8),
+    lsh=st.integers(2, 8),
+    nf=st.integers(1, 3),
+    data=st.data(),
+)
+def test_gif_anim_compositing_matches_numpy_reference(lsw, lsh, nf, data):
+    """The compositing semantics (sub-rect frames at (left, top),
+    transparent-index skip, disposal 0/1 leave vs 2 restore-to-
+    background) match an independent numpy compositor on hand-built
+    payloads — the surface the encoder's full-canvas profile never
+    emits, so only this test pins it."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    npal = 4
+    pal = [(10, 20, 30), (200, 100, 50), (0, 0, 255), (255, 255, 0)]
+    bgidx = data.draw(st.integers(0, npal - 1))
+    specs = []
+    for _ in range(nf):
+        fw = data.draw(st.integers(1, lsw))
+        fh = data.draw(st.integers(1, lsh))
+        left = data.draw(st.integers(0, lsw - fw))
+        top = data.draw(st.integers(0, lsh - fh))
+        disposal = data.draw(st.sampled_from([0, 1, 2]))
+        trans = data.draw(st.one_of(st.none(), st.integers(0, npal - 1)))
+        idx = [data.draw(st.integers(0, npal - 1)) for _ in range(fw * fh)]
+        specs.append((left, top, fw, fh, disposal, trans, idx))
+
+    out = bytearray(b"GIF89a")
+    out += lsw.to_bytes(2, "little") + lsh.to_bytes(2, "little")
+    out += bytes([0x80 | (1 << 4) | 1, bgidx, 0])
+    for c in pal:
+        out += bytes(c)
+    for left, top, fw, fh, disposal, trans, idx in specs:
+        flags = (disposal << 2) | (0x01 if trans is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, 9, 0,
+                      trans if trans is not None else 0, 0])
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little") + b"\x00"
+        out += bytes([2])
+        lzw = M._lzw_compress(bytes(idx), 2)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+
+    parsed = M._parse_gif_frames(bytes(out))
+    assert parsed is not None
+    _, _, got = parsed
+    assert len(got) == nf
+
+    pa = np.array(pal, np.uint8)
+    canvas = np.zeros((lsh, lsw, 3), np.uint8)
+    canvas[:, :] = pal[bgidx]
+    for (left, top, fw, fh, disposal, trans, idx), (gd, rgb) in zip(specs, got):
+        assert gd == 9
+        ia = np.array(idx, np.uint8).reshape(fh, fw)
+        rect = canvas[top:top + fh, left:left + fw]
+        mask = ia != trans if trans is not None else np.ones_like(ia, bool)
+        rect[mask] = pa[ia][mask]
+        assert (np.frombuffer(rgb, np.uint8).reshape(lsh, lsw, 3)
+                == canvas).all()
+        if disposal == 2:
+            canvas[top:top + fh, left:left + fw] = pal[bgidx]
+
+
+def test_gif_anim_profile_declines():
+    """Disposal 3 (restore-to-previous), frame rects outside the
+    canvas, and frame counts past the cap decline whole."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    pal = [(v, v, v) for v in range(4)]
+    base = M._encode_gif_frames([(bytes(4), 1)], 2, 2, pal)
+    b = bytearray(base)
+    gce = b.index(bytes([0x21, 0xF9]))
+    b[gce + 3] = 3 << 2  # disposal 3
+    assert M._parse_gif_frames(bytes(b)) is None
+    b = bytearray(base)
+    desc = b.index(0x2C, 13)
+    b[desc + 1] = 9  # left=9 pushes the rect outside a 2x2 canvas
+    assert M._parse_gif_frames(bytes(b)) is None
+    many = M._encode_gif_frames([(bytes(4), 1)] * 65, 2, 2, pal)
+    assert M._parse_gif_frames(many) is None
+    ok = M._encode_gif_frames([(bytes(4), 1)] * 64, 2, 2, pal)
+    assert M._parse_gif_frames(ok) is not None
