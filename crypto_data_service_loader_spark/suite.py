@@ -50,6 +50,7 @@ QUERIES = {
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "media_decode_gif": q_media_decode_gif,
     "media_decode_gif_frames": q_media_decode_gif_frames,
+    "dedup_gif_frames": q_dedup_gif_frames,
     "community_lpa": q_community_lpa,
     "blocklist_audit": q_blocklist_audit,
     "blocklist_filter": q_blocklist_filter,
@@ -360,10 +361,10 @@ _R14_FRONT = [
     "knn_triangles", "pagerank_knn", "knn_graph_lsh",
     # NEW round 14 (VERDICT r13 #5): WebDataset sample grouping
     "tar_corpus_samples",
-    # NEW round 14 (VERDICT r13 #7): animated GIF per-frame stats
-    # (+ media_decode_gif re-gated: the single-frame parser shares the
-    # container/LZW machinery the multi-frame walk generalizes)
-    "media_decode_gif_frames", "media_decode_gif",
+    # NEW round 14 (VERDICT r13 #7): animated GIF per-frame stats +
+    # real-container video dedup (+ media_decode_gif re-gated: the
+    # single-frame parser shares the container/LZW machinery)
+    "media_decode_gif_frames", "dedup_gif_frames", "media_decode_gif",
     # --- eleven keys displaced from the r13 window by its splices ---
     "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
     "setop_union", "setop_intersect", "setop_except",
@@ -375,8 +376,6 @@ _R14_FRONT = [
     "udf_mid_price", "upload_status_rollup", "win_first_last",
     "win_lag_delta", "win_moving_avg", "win_range_frame",
     "win_rank_suite", "win_row_number",
-    # --- alphabetical head of the round-9 cohort (fill to 50) ---
-    "agg_corr",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
@@ -2647,6 +2646,39 @@ ORACLES["media_decode_gif_frames"] = """
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""
+
+# Round 14: real-container video dedup — per-frame channel-sum
+# fingerprints from the SAME closed palette arithmetic, self-joined;
+# odd docs share frames 0-1 (hex 1-80) with their even predecessor.
+ORACLES["dedup_gif_frames"] = """
+    WITH own AS (
+        SELECT doc_id,
+               substr(md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+                      || md5(md5(md5(md5(text)))), 1, 120) AS chain
+        FROM documents WHERE doc_id < 120),
+    mixed AS (
+        SELECT o.doc_id AS media_id,
+               CASE WHEN o.doc_id % 2 = 1 AND p.chain IS NOT NULL
+                    THEN substr(p.chain, 1, 80) || substr(o.chain, 81, 40)
+                    ELSE o.chain END AS px
+        FROM own o LEFT JOIN own p ON p.doc_id = o.doc_id - 1),
+    b AS (
+        SELECT media_id, i.i // 20 AS frame_id,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM mixed, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_b,
+               CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_r
+        FROM b GROUP BY media_id, frame_id)
+    SELECT a.media_id AS video_a, bb.media_id AS video_b,
+           CAST(count(*) AS INTEGER) AS n_shared
+    FROM s a JOIN s bb
+      ON a.sum_b = bb.sum_b AND a.sum_g = bb.sum_g AND a.sum_r = bb.sum_r
+     AND a.media_id < bb.media_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2"""
 
 # Round 13: synchronous label propagation, both iterations unrolled.
 # The Spark side ranks by min_by(label, struct(-c, label)); the CTE's

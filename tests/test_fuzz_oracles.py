@@ -86,8 +86,10 @@ FUZZ_KEYS = [
     # fuzzed corpora (stems/exts ride md5 text, so unicode lives here)
     "tar_corpus_samples",
     # round 14: animated GIF — per-frame LZW streams + GCE delays must
-    # reconstruct for EVERY md5-derived index chain
+    # reconstruct for EVERY md5-derived index chain; the frame-voting
+    # dedup twin replays the decode + fingerprint join end-to-end
     "media_decode_gif_frames",
+    "dedup_gif_frames",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;
