@@ -57,17 +57,14 @@ HEADLINE = [
     # asof_last_tick. All still measured in BENCH_DETAIL.json history.
     "dedup_exact",
     "dedup_minhash_lsh",
-    "sim_cosine_topk",
     # token_count rotated out late r7 (text family cover stays via
     # profile_columns; history in BENCH_DETAIL.json)
     "tpch_q3",
     "tpch_q5",
     "tpch_q9",
-    "tpch_q13",
     "tpch_q18",
     "tpch_q21",
     "sessionize_events",
-    "ohlc_bars",
     "stateful_running_total",
     "stream_sliding_window",
     "range_join_events",
@@ -81,7 +78,6 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "semantic_dedup",
     "knn_graph_lsh",
-    "dedup_incremental",
     # corpus_report rotated out in r8 (stable micro-query; rollup family
     # cover stays via profile_columns) for the indexed near-dup key
 
@@ -91,7 +87,6 @@ HEADLINE = [
     # covers the plan shape; full history stays in BENCH_DETAIL.json)
     "dedup_boilerplate_lines",
     "quality_percentile_gate",
-    "events_funnel",
     "vwap_bars",
     "profile_columns",
     "bm25_topk",
@@ -118,7 +113,6 @@ HEADLINE = [
     # late round 7: portable sketches + contract + monitoring + PPS
     # round 8: record linkage + sketch-based join pre-sizing + the
     # persisted-index cross-epoch near-dup query
-    "fuzzy_join_customers",
     "dedup_minhash_indexed",
     # round 9: codec-free media near-dup (fingerprint + banded join) and
     "dedup_media_near",
@@ -153,6 +147,23 @@ HEADLINE = [
     "media_decode_gif",
     "community_lpa",
     "sim_topk_ivfpq_indexed",
+    # round 14: the 4:2:0 JPEG decode (the real-world sampling, now the
+    # heaviest per-byte media path), animated-GIF per-frame compositing,
+    # the WebDataset sample-grouping read, the real-container video
+    # dedup, and curriculum_order (the r13 weak component, re-benched on
+    # its new histogram-ntile plan). To stay under the 1900-char guard,
+    # sim_cosine_topk, ohlc_bars, fuzzy_join_customers, tpch_q13,
+    # dedup_incremental and events_funnel rotate out
+    # (stable micros; similarity cover stays via knn_graph_lsh +
+    # sim_topk_ivfpq_indexed, bars via vwap_bars, linkage via
+    # dedup_media_near, TPC-H via q3/q5/q9/q18/q21, incremental dedup
+    # via dedup_minhash_indexed, events via events_cusum + vwap_bars;
+    # history in BENCH_DETAIL.json).
+    "media_decode_jpeg_420",
+    "media_decode_gif_frames",
+    "tar_corpus_samples",
+    "dedup_gif_frames",
+    "curriculum_order",
 ]
 
 

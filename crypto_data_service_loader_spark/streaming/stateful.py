@@ -2060,3 +2060,109 @@ def start_token_budget_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming WebDataset sample assembly — twin #24, the live form of
+# sources/tar_blobs.group_tar_samples: member rows arrive in ANY order
+# across micro-batches (a shard reader emits them as it walks archives),
+# and a sample emits exactly once — when its member count reaches the
+# pipeline's per-sample modality count — off state carried across
+# batches. State per (shard, sample) holds (ext, n_bytes, content md5)
+# triples, never payload bytes: at 100 TB the assembled sample carries
+# content POINTERS and the downstream decode re-reads the blob store;
+# the md5 stands in for the pointer here so the twin stays value-exact
+# against the batch flatten (exts csv + md5 over the per-member md5s in
+# ext order — group_tar_samples' oracle projection).
+# ---------------------------------------------------------------------------
+
+SAMPLE_STREAM_SCHEMA = (
+    "shard_id long, sample_key string, n_members int, total_bytes long, "
+    "exts string, content_md5 string"
+)
+
+
+def _sample_assembly_updater(n_expected: int):
+    import hashlib
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        exts, sizes, hashes = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists else ([], [], [])
+        )
+        pdf = pd.concat(list(pdfs))
+        for e, nb, hx in zip(pdf["ext"], pdf["n_bytes"], pdf["content_md5"]):
+            exts.append(str(e))
+            sizes.append(int(nb))
+            hashes.append(str(hx))
+        if len(exts) >= n_expected:
+            order = sorted(range(len(exts)),
+                           key=lambda i: (exts[i], sizes[i], hashes[i]))
+            joined = "|".join(hashes[i] for i in order)
+            yield pd.DataFrame({
+                "shard_id": pd.Series([int(key[0])], dtype="int64"),
+                "sample_key": [str(key[1])],
+                "n_members": pd.Series([len(exts)], dtype="int32"),
+                "total_bytes": pd.Series([sum(sizes)], dtype="int64"),
+                "exts": [",".join(exts[i] for i in order)],
+                "content_md5": [hashlib.md5(joined.encode()).hexdigest()],
+            })
+            state.remove()
+        else:
+            state.update((exts, sizes, hashes))
+            yield pd.DataFrame({
+                "shard_id": pd.Series([], dtype="int64"),
+                "sample_key": pd.Series([], dtype="object"),
+                "n_members": pd.Series([], dtype="int32"),
+                "total_bytes": pd.Series([], dtype="int64"),
+                "exts": pd.Series([], dtype="object"),
+                "content_md5": pd.Series([], dtype="object"),
+            })
+
+    return update
+
+
+def start_sample_assembly_stream(
+    members_stream: DataFrame,
+    checkpoint: str,
+    n_expected: int,
+    query_name: str = "samples",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming WebDataset sample assembly -> in-memory table
+    `query_name`. Input contract: (shard_id long, sample_key string,
+    ext string, n_bytes int, content_md5 string) — one row per tar
+    member, arriving in any order across batches; every sample carries
+    exactly `n_expected` members (the pipeline's modality count). A
+    sample emits once, on completion; partial samples persist in state
+    across batches and die with the stream (a production deployment
+    would add a GroupStateTimeout eviction for orphans)."""
+    if state_store is not None:
+        configure_state_store(members_stream.sparkSession, state_store)
+    out = (
+        members_stream.select(
+            "shard_id", "sample_key", "ext", "n_bytes", "content_md5"
+        )
+        .groupBy("shard_id", "sample_key")
+        .applyInPandasWithState(
+            _sample_assembly_updater(int(n_expected)),
+            outputStructType=SAMPLE_STREAM_SCHEMA,
+            stateStructType=(
+                "exts array<string>, sizes array<int>, hashes array<string>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

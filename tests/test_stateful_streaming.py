@@ -1372,3 +1372,76 @@ def test_streaming_token_budget_matches_batch_twin(spark, tmp_path):
     assert got_kept == want_kept
     assert ("a", 5) not in {(s, d) for s, d, _ in got_kept}
     assert ("a", 4, 80) in got_kept  # crossed the line off carried state
+
+
+def test_streaming_sample_assembly_matches_batch_twin(spark, tmp_path):
+    """Streaming WebDataset sample assembly (twin #24) equals the
+    group_tar_samples flatten on the full member set — sample (7, 'a')
+    is SPLIT across batches and completes in batch 2 off carried state;
+    the still-partial sample (8, 'c') never emits."""
+    import time
+
+    from crypto_data_service_loader_spark.sources.tar_blobs import (
+        group_tar_samples,
+    )
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_sample_assembly_stream,
+    )
+
+    schema = ("shard_id long, sample_key string, ext string, n_bytes int, "
+              "content binary")
+    full = [
+        (7, "a", "txt", 3, b"abc"),
+        (7, "a", "json", 2, b"{}"),
+        (7, "b", "txt", 4, b"solo"),
+        (8, "c", "txt", 1, b"x"),   # partner never arrives
+    ]
+    b1 = [full[0], full[2]]
+    b2 = [full[1], full[3]]
+    sschema = ("shard_id long, sample_key string, ext string, n_bytes int, "
+               "content_md5 string")
+
+    import hashlib
+
+    def h(rows):
+        return [(s, k, e, n, hashlib.md5(c).hexdigest())
+                for s, k, e, n, c in rows]
+
+    src = str(tmp_path / "members")
+    spark.createDataFrame(h(b1), sschema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(h(b2), sschema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(sschema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_sample_assembly_stream(
+        stream, str(tmp_path / "ckpt"), n_expected=2, query_name="samp_t"
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["shard_id"], r["sample_key"], r["n_members"], r["total_bytes"],
+         r["exts"], r["content_md5"])
+        for r in spark.sql("SELECT * FROM samp_t").collect()
+        if r["n_members"] is not None
+    )
+    # batch reference: group the COMPLETE samples (n_expected members)
+    # through group_tar_samples' flatten
+    members = spark.createDataFrame(
+        [(s, f"{k}.{e}", n, c) for s, k, e, n, c in full],
+        "shard_id long, member_name string, n_bytes int, content binary",
+    )
+    batch = group_tar_samples(members, id_col="shard_id")
+    exts = F.transform(F.col("members"), lambda m: m["ext"])
+    hashes = F.transform(F.col("members"), lambda m: F.md5(m["content"]))
+    want = sorted(
+        (r["shard_id"], r["sample_key"], r["n_members"], r["total_bytes"],
+         r["exts"], r["content_md5"])
+        for r in batch.filter(F.col("n_members") == 2).select(
+            "shard_id", "sample_key", "n_members", "total_bytes",
+            F.array_join(exts, ",").alias("exts"),
+            F.md5(F.array_join(hashes, "|")).alias("content_md5"),
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 1 and got[0][0] == 7 and got[0][1] == "a"
