@@ -774,13 +774,14 @@ def _jpeg_extend(v: int, cat: int) -> int:
     return v
 
 
-def _jpeg_encode_block(bw, block, quant_zz, dc_pred, dc_codes, ac_codes):
-    """Forward DCT + quantize + Huffman-encode one level-shifted 8x8 block.
-    The DC coefficient is computed by its closed form sum/8 (exact in
-    binary floating point for integer inputs) instead of through the float
-    matrix product — same mathematical DCT, but the quantized DC is then
+def _jpeg_quantized_zz(block, quant_zz):
+    """Forward DCT + quantize one level-shifted 8x8 block -> the 64
+    quantized coefficients in zigzag order. The DC coefficient is
+    computed by its closed form sum/8 (exact in binary floating point
+    for integer inputs) instead of through the float matrix product —
+    same mathematical DCT, but the quantized DC is then
     bit-reproducible, which the oracle keys' closed-form reconstruction
-    relies on. Returns the quantized DC (the next block's predictor)."""
+    relies on."""
     import numpy as np
 
     m = _jpeg_dct_basis()
@@ -790,7 +791,13 @@ def _jpeg_encode_block(bw, block, quant_zz, dc_pred, dc_codes, ac_codes):
     qt = np.empty(64, dtype=np.float64)
     for i, raster in enumerate(_JPEG_ZZ):
         qt[raster] = quant_zz[i]
-    zz = np.floor(coef.flatten() / qt + 0.5).astype(np.int64)[_JPEG_ZZ]
+    return np.floor(coef.flatten() / qt + 0.5).astype(np.int64)[_JPEG_ZZ]
+
+
+def _jpeg_encode_block(bw, block, quant_zz, dc_pred, dc_codes, ac_codes):
+    """Huffman-encode one level-shifted 8x8 block (baseline sequential).
+    Returns the quantized DC (the next block's predictor)."""
+    zz = _jpeg_quantized_zz(block, quant_zz)
     diff = int(zz[0]) - dc_pred
     cat = int(abs(diff)).bit_length()
     code, length = dc_codes[cat]
@@ -942,6 +949,351 @@ def _encode_jpeg(
     return bytes(out)
 
 
+def _jpeg_point_transform(v: int, a: int) -> int:
+    """AC successive-approximation point transform (T.81 G.1.2.2):
+    sign-preserving integer division by 2^a — truncate toward ZERO,
+    unlike the DC transform which is an arithmetic shift."""
+    return v >> a if v >= 0 else -((-v) >> a)
+
+
+def _default_progressive_scans(ncomp: int):
+    """A libjpeg-shaped progressive scan script: DC at reduced
+    precision, DC refinement, then per component two spectral bands at
+    Al=2 followed by two successive-approximation refinements down to
+    full precision."""
+    scans = [(None, 0, 0, 0, 1), (None, 0, 0, 1, 0)]
+    for c in range(ncomp):
+        scans += [
+            (c, 1, 5, 0, 2), (c, 6, 63, 0, 2),
+            (c, 1, 63, 2, 1), (c, 1, 63, 1, 0),
+        ]
+    return scans
+
+
+def _enc_ac_first_scan(bw, blocks, ss, se, al, ac_codes):
+    """AC first scan (T.81 G.1.2.2) over one component's block list —
+    run/size over the point-transformed band; end-of-band always EOB0
+    (EOBRUN symbols need Huffman codes outside the Annex-K alphabet,
+    and EOBRUN is an optional optimization — the decoder handles the
+    general EOBn form regardless)."""
+    for zz in blocks:
+        run = 0
+        for k in range(ss, se + 1):
+            v = _jpeg_point_transform(int(zz[k]), al)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            cat = abs(v).bit_length()
+            c, ln = ac_codes[(run << 4) | cat]
+            bw.put(c, ln)
+            bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]
+            bw.put(c, ln)
+
+
+def _enc_ac_refine_scan(bw, blocks, ss, se, ah, al, ac_codes):
+    """AC refinement scan (T.81 G.1.2.3): newly-significant
+    coefficients are ±1 at bit Al (run counts ZERO-HISTORY positions
+    only), already-significant coefficients ride as position-ordered
+    correction bits after each symbol; EOB0 flushes the tail."""
+    for zz in blocks:
+        run = 0
+        pending: list[int] = []
+        for k in range(ss, se + 1):
+            h = _jpeg_point_transform(int(zz[k]), ah)
+            v = _jpeg_point_transform(int(zz[k]), al)
+            if h != 0:
+                pending.append(abs(v) & 1)
+            elif v != 0:
+                c, ln = ac_codes[(run << 4) | 1]
+                bw.put(c, ln)
+                bw.put(1 if v > 0 else 0, 1)
+                for b in pending:
+                    bw.put(b, 1)
+                pending = []
+                run = 0
+            else:
+                run += 1
+                if run == 16:  # ZRL covers exactly 16 zero-history slots
+                    c, ln = ac_codes[0xF0]
+                    bw.put(c, ln)
+                    for b in pending:
+                        bw.put(b, 1)
+                    pending = []
+                    run = 0
+        if run or pending:
+            c, ln = ac_codes[0x00]
+            bw.put(c, ln)
+            for b in pending:
+                bw.put(b, 1)
+
+
+def _encode_jpeg_progressive(
+    pixels: bytes, width: int, height: int,
+    quant_y=None, quant_c=None, gray: bool = False,
+    subsample: str = "444", scans=None,
+) -> bytes:
+    """Encode top-down pixels as a genuine PROGRESSIVE JPEG (SOF2,
+    round 14): the same forward DCT + quantization as `_encode_jpeg`,
+    but coefficients ship across multiple scans — spectral selection
+    (band splits) and successive approximation (DC arithmetic-shift,
+    AC sign-preserving point transform, refinement bits) per the
+    `scans` script [(comp | None=interleaved-DC, Ss, Se, Ah, Al)].
+    Standard Annex-K Huffman tables serve every scan (the script stays
+    inside their alphabet by emitting EOB0 instead of longer EOBRUNs).
+    Restart markers are outside the progressive profile."""
+    import struct
+
+    import numpy as np
+
+    quant_y = list(quant_y) if quant_y is not None else list(_JPEG_FLAT_Q16)
+    quant_c = list(quant_c) if quant_c is not None else list(_JPEG_FLAT_Q16)
+    hs, vs = _JPEG_SAMPLING[subsample]
+    if gray:
+        assert subsample == "444", "grayscale has no chroma to subsample"
+    nch = 1 if gray else 3
+    assert len(pixels) == width * height * nch, "pixel length must be h*w*ch"
+    px = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, nch
+    ).astype(np.int64)
+    mcux = (width + 8 * hs - 1) // (8 * hs)
+    mcuy = (height + 8 * vs - 1) // (8 * vs)
+    pw, ph = mcux * 8 * hs, mcuy * 8 * vs
+    if gray:
+        full = [np.pad(px[:, :, 0], ((0, ph - height), (0, pw - width)),
+                       mode="edge")]
+    else:
+        y, cb, cr = _rgb_to_ycbcr_int(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        full = [
+            np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+            for p in (y, cb, cr)
+        ]
+    planes = [full[0]]
+    for p in full[1:]:
+        if (hs, vs) != (1, 1):
+            cells = p.reshape(ph // vs, vs, pw // hs, hs)
+            s = cells.sum(axis=(1, 3))
+            p = (s + (hs * vs) // 2) // (hs * vs)
+        planes.append(p)
+    comps = ([(1, 0, 1, 1)] if gray
+             else [(1, 0, hs, vs), (2, 1, 1, 1), (3, 1, 1, 1)])
+    quants = {0: quant_y, 1: quant_c}
+    # quantized coefficient store per component over its MCU block grid
+    coefs = []
+    for (cid, tq, ch, cv), plane in zip(comps, planes):
+        arr = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+        for by in range(mcuy * cv):
+            for bx in range(mcux * ch):
+                block = (plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                         - 128).astype(np.float64)
+                arr[by, bx] = _jpeg_quantized_zz(block, quants[tq])
+        coefs.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(quant_y))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(quant_c))
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, tq, ch, cv in comps:
+        sof += bytes([cid, ch << 4 | cv, tq])
+    seg(0xC2, sof)  # SOF2 progressive
+    enc_tabs = {}
+    for key in ((("dc", 0), ("ac", 0)) if gray
+                else (("dc", 0), ("ac", 0), ("dc", 1), ("ac", 1))):
+        bits, vals = _JPEG_STD_HUFF[key]
+        seg(0xC4, bytes([(0 if key[0] == "dc" else 1) << 4 | key[1]])
+            + bytes(bits) + bytes(vals))
+        enc_tabs[key] = {
+            v: (c, ln) for v, c, ln in _jpeg_huff_canonical(bits, vals)
+        }
+    if scans is None:
+        scans = _default_progressive_scans(len(comps))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for comp_sel, ss, se, ah, al in scans:
+        in_scan = (list(range(len(comps))) if comp_sel is None
+                   else [int(comp_sel)])
+        sos = bytes([len(in_scan)])
+        for ci in in_scan:
+            cid, tq, _, _ = comps[ci]
+            sos += bytes([cid, tq << 4 | tq])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        bw = _JpegBitWriter()
+        if ss == 0:  # DC scan
+            assert se == 0, "DC scans carry only coefficient 0"
+            if ah == 0:
+                preds = {ci: 0 for ci in in_scan}
+            if len(in_scan) > 1:  # interleaved over the MCU grid
+                for mcu in range(mcux * mcuy):
+                    my, mx = divmod(mcu, mcux)
+                    for ci in in_scan:
+                        _, tq, ch, cv = comps[ci]
+                        for v in range(cv):
+                            for u in range(ch):
+                                zz0 = int(coefs[ci][my * cv + v,
+                                                    mx * ch + u, 0])
+                                if ah == 0:
+                                    d = (zz0 >> al) - preds[ci]
+                                    preds[ci] = zz0 >> al
+                                    cat = abs(d).bit_length()
+                                    c, ln = enc_tabs[("dc", tq)][cat]
+                                    bw.put(c, ln)
+                                    if cat:
+                                        bw.put(d if d >= 0
+                                               else d + (1 << cat) - 1, cat)
+                                else:
+                                    bw.put((zz0 >> al) & 1, 1)
+            else:
+                ci = in_scan[0]
+                _, tq, ch, cv = comps[ci]
+                cw = (width * ch + 8 * hmax - 1) // (8 * hmax)
+                chh = (height * cv + 8 * vmax - 1) // (8 * vmax)
+                for by in range(chh):
+                    for bx in range(cw):
+                        zz0 = int(coefs[ci][by, bx, 0])
+                        if ah == 0:
+                            d = (zz0 >> al) - preds[ci]
+                            preds[ci] = zz0 >> al
+                            cat = abs(d).bit_length()
+                            c, ln = enc_tabs[("dc", tq)][cat]
+                            bw.put(c, ln)
+                            if cat:
+                                bw.put(d if d >= 0
+                                       else d + (1 << cat) - 1, cat)
+                        else:
+                            bw.put((zz0 >> al) & 1, 1)
+        else:  # AC scan: exactly one component (T.81 constraint)
+            assert len(in_scan) == 1, "AC scans are non-interleaved"
+            ci = in_scan[0]
+            _, tq, ch, cv = comps[ci]
+            cw = (width * ch + 8 * hmax - 1) // (8 * hmax)
+            chh = (height * cv + 8 * vmax - 1) // (8 * vmax)
+            blocks = [coefs[ci][by, bx]
+                      for by in range(chh) for bx in range(cw)]
+            if ah == 0:
+                _enc_ac_first_scan(bw, blocks, ss, se, al,
+                                   enc_tabs[("ac", tq)])
+            else:
+                _enc_ac_refine_scan(bw, blocks, ss, se, ah, al,
+                                    enc_tabs[("ac", tq)])
+        bw.flush()
+        out.extend(bw.buf)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _jpeg_read_code(br, tab):
+    """Read one canonical Huffman symbol (1-16 bit codes)."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        v = tab.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_reconstruct_block(zz, quant_zz):
+    """Dequantize + inverse DCT + level shift one zigzag coefficient
+    vector -> uint8-range samples (floor(x + 0.5) rounding, clamp)."""
+    import numpy as np
+
+    coef = np.zeros(64, dtype=np.float64)
+    for i, raster in enumerate(_JPEG_ZZ):
+        coef[raster] = int(zz[i]) * quant_zz[i]
+    m = _jpeg_dct_basis()
+    spatial = m.T @ coef.reshape(8, 8) @ m
+    return np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.int64)
+
+
+def _dec_ac_first_scan(br, blocks, ss, se, al, ac_tab):
+    """Progressive AC first scan (T.81 G.1.2.2) over one component's
+    band: run/size with general EOBn runs and ZRL; decoded magnitudes
+    land shifted left by Al."""
+    eobrun = 0
+    for zz in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = _jpeg_read_code(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _jpeg_extend(br.bits(s), s) << al
+            k += 1
+
+
+def _dec_ac_refine_scan(br, blocks, ss, se, al, ac_tab):
+    """Progressive AC refinement scan (T.81 G.1.2.3, the published
+    libjpeg decode_mcu_AC_refine control flow): newly-significant
+    coefficients are ±1<<Al, run lengths count zero-history positions
+    only, already-significant coefficients absorb position-ordered
+    correction bits, and EOB runs sweep corrections through the
+    remainder of each block."""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    for zz in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpeg_read_code(br, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # ZRL: r stays 15 -> skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.bit() and (int(zz[k]) & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if s:
+                                zz[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+
 def _jpeg_decode_block(br, quant_zz, dc_pred, dc_tab, ac_tab):
     """Huffman-decode one block (T.81 F.2.2): DC category + EXTEND, AC
     run/size pairs with ZRL and EOB, dequantize, inverse DCT, level
@@ -987,6 +1339,140 @@ def _jpeg_decode_block(br, quant_zz, dc_pred, dc_tab, ac_tab):
     return samples, dc
 
 
+def _jpeg_progressive_scan(payload, start, body, sof, huff, coefs):
+    """Decode ONE progressive scan into the per-component zigzag
+    coefficient stores (created on first call); returns the byte
+    position just past the scan's entropy data and the stores, or None
+    to decline. Interleaved scans (ns > 1) carry DC only and walk the
+    MCU grid; AC scans are single-component over that component's own
+    block grid (T.81 G.1)."""
+    import numpy as np
+
+    w, h, comps = sof
+    ns = body[0]
+    if ns < 1 or ns > len(comps) or len(body) != 1 + 2 * ns + 3:
+        return None
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+        return None
+    if ss == 0 and se != 0:
+        return None  # progressive DC and AC never share a scan
+    if ss > 0 and ns != 1:
+        return None  # AC scans are non-interleaved
+    by_cid = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    scan_sel = []
+    for j in range(ns):
+        cs, tt = body[1 + 2 * j:3 + 2 * j]
+        if cs not in by_cid:
+            return None
+        scan_sel.append((by_cid[cs], tt >> 4, tt & 0x0F))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if coefs is None:
+        coefs = [
+            np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+            for _, _, ch, cv in comps
+        ]
+    br = _JpegBitReader(payload, start)
+    if ss == 0:  # DC scan
+        if ah == 0:
+            preds = {ci: 0 for ci, _, _ in scan_sel}
+        if ns > 1:
+            order = [(ci, td) for ci, td, _ in scan_sel]
+            for mcu in range(mcux * mcuy):
+                my, mx = divmod(mcu, mcux)
+                for ci, td in order:
+                    _, _, ch, cv = comps[ci]
+                    if ah == 0 and ("dc", td) not in huff:
+                        return None
+                    for v in range(cv):
+                        for u in range(ch):
+                            zz = coefs[ci][my * cv + v, mx * ch + u]
+                            if ah == 0:
+                                cat = _jpeg_read_code(br, huff[("dc", td)])
+                                if cat > 11:
+                                    return None
+                                preds[ci] += _jpeg_extend(br.bits(cat), cat)
+                                zz[0] = preds[ci] << al
+                            else:
+                                zz[0] = int(zz[0]) | (br.bit() << al)
+        else:
+            ci, td, _ = scan_sel[0]
+            _, _, ch, cv = comps[ci]
+            if ah == 0 and ("dc", td) not in huff:
+                return None
+            cw = (w * ch + 8 * hmax - 1) // (8 * hmax)
+            chh = (h * cv + 8 * vmax - 1) // (8 * vmax)
+            for by in range(chh):
+                for bx in range(cw):
+                    zz = coefs[ci][by, bx]
+                    if ah == 0:
+                        cat = _jpeg_read_code(br, huff[("dc", td)])
+                        if cat > 11:
+                            return None
+                        preds[ci] += _jpeg_extend(br.bits(cat), cat)
+                        zz[0] = preds[ci] << al
+                    else:
+                        zz[0] = int(zz[0]) | (br.bit() << al)
+    else:  # AC scan over one component's own block grid
+        ci, _, ta = scan_sel[0]
+        if ("ac", ta) not in huff:
+            return None
+        _, _, ch, cv = comps[ci]
+        cw = (w * ch + 8 * hmax - 1) // (8 * hmax)
+        chh = (h * cv + 8 * vmax - 1) // (8 * vmax)
+        blocks = [coefs[ci][by, bx]
+                  for by in range(chh) for bx in range(cw)]
+        if ah == 0:
+            _dec_ac_first_scan(br, blocks, ss, se, al, huff[("ac", ta)])
+        else:
+            _dec_ac_refine_scan(br, blocks, ss, se, al, huff[("ac", ta)])
+    return br.pos, coefs
+
+
+def _jpeg_finish_progressive(sof, coefs, quant):
+    """All scans consumed: dequantize + IDCT every accumulated block,
+    then the same upsample/crop/YCbCr tail as the baseline path."""
+    import numpy as np
+
+    w, h, comps = sof
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for (cid, tq, ch, cv), arr in zip(comps, coefs):
+        if tq not in quant:
+            return None
+        plane = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.int64)
+        for by in range(mcuy * cv):
+            for bx in range(mcux * ch):
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _jpeg_reconstruct_block(arr[by, bx], quant[tq])
+                )
+        planes[cid] = plane
+    if len(comps) == 1:
+        yp = planes[comps[0][0]][:h, :w]
+        rgb = np.repeat(yp.astype(np.uint8)[:, :, None], 3, axis=2)
+        return w, h, rgb.tobytes()
+
+    def up(cmp):
+        cid, _, ch, cv = cmp
+        p = planes[cid]
+        if ch < hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        return p[:h, :w]
+
+    r, g, b = _ycbcr_to_rgb_int(up(comps[0]), up(comps[1]), up(comps[2]))
+    rgb = np.stack([r, g, b], axis=2).astype(np.uint8)
+    return w, h, rgb.tobytes()
+
+
 def _parse_jpeg(payload: bytes | None):
     """Parse a baseline sequential JPEG down to raw top-down RGB pixels:
     marker walk (APPn/COM skipped), DQT (8-bit precision), DHT (canonical
@@ -1016,6 +1502,10 @@ def _parse_jpeg(payload: bytes | None):
         huff: dict[tuple[str, int], dict] = {}
         sof = None
         restart = 0
+        progressive = False
+        prog_coefs = None  # per-component zigzag coefficient stores
+        prog_scans = 0
+        saw_eoi = False
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
@@ -1023,8 +1513,9 @@ def _parse_jpeg(payload: bytes | None):
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before any scan
-                return None
+            if marker == 0xD9:
+                saw_eoi = True
+                break  # EOI: handled after the loop
             length = int.from_bytes(payload[pos + 2:pos + 4], "big")
             body = payload[pos + 4:pos + 2 + length]
             if length < 2 or len(body) != length - 2:
@@ -1053,9 +1544,10 @@ def _parse_jpeg(payload: bytes | None):
                         for v, c, ln in _jpeg_huff_canonical(bits, vals)
                     }
                     i += 17 + n
-            elif marker == 0xC0:  # SOF0 — baseline sequential
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 if sof is not None or len(body) < 6:
                     return None
+                progressive = marker == 0xC2
                 prec = body[0]
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
@@ -1082,9 +1574,9 @@ def _parse_jpeg(payload: bytes | None):
                     if any(cmp[2:] != (1, 1) for cmp in comps[1:]):
                         return None
                 sof = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/progressive/lossless/arithmetic
+                return None  # extended/lossless/arithmetic
             elif marker == 0xDD:  # DRI
                 if len(body) != 2:
                     return None
@@ -1094,6 +1586,18 @@ def _parse_jpeg(payload: bytes | None):
                     return None
                 w, h, comps = sof
                 ns = body[0]
+                if progressive:
+                    if restart:
+                        return None  # DRI outside the progressive profile
+                    res = _jpeg_progressive_scan(
+                        payload, pos + 2 + length, body, sof, huff,
+                        prog_coefs,
+                    )
+                    if res is None:
+                        return None
+                    pos, prog_coefs = res
+                    prog_scans += 1
+                    continue
                 if ns != len(comps) or len(body) != 1 + 2 * ns + 3:
                     return None
                 scan = {}
@@ -1169,6 +1673,13 @@ def _parse_jpeg(payload: bytes | None):
                     ).astype(np.uint8)
                 return w, h, rgb.tobytes()
             pos += 2 + length
+        # the loop guard is 4 bytes but EOI is only 2 — check the tail
+        if not saw_eoi and payload[pos:pos + 2] == b"\xff\xd9":
+            saw_eoi = True
+        if progressive and prog_scans and saw_eoi:
+            # dequantize + IDCT every accumulated block, then the
+            # shared upsample/crop/convert tail
+            return _jpeg_finish_progressive(sof, prog_coefs, quant)
         return None
     except (ValueError, IndexError):
         return None
@@ -1198,21 +1709,26 @@ JPEG_ENCODE_SCHEMA = "media_id long, payload binary"
 def encode_jpeg_images(
     media: DataFrame, width: int, height: int, gray: bool = False,
     restart_interval: int = 0, subsample: str = "444",
+    progressive: bool = False,
 ) -> DataFrame:
     """Encode raw top-down pixel bytes (column ``rgb``: RGB triples, or
-    single bytes when gray) into genuine baseline JPEGs via
-    `_encode_jpeg` (`subsample` = "444"/"422"/"420"). Scan-local
-    mapInPandas — one pass, no shuffle, bounded memory per task, the
-    same scale shape as encode_png_images."""
+    single bytes when gray) into genuine JPEGs — baseline SOF0 via
+    `_encode_jpeg`, or progressive SOF2 (default scan script) via
+    `_encode_jpeg_progressive` (`subsample` = "444"/"422"/"420").
+    Scan-local mapInPandas — one pass, no shuffle, bounded memory per
+    task, the same scale shape as encode_png_images."""
+
+    def _one(rgb):
+        if progressive:
+            return _encode_jpeg_progressive(
+                bytes(rgb), width, height, gray=gray, subsample=subsample)
+        return _encode_jpeg(
+            bytes(rgb), width, height, gray=gray,
+            restart_interval=restart_interval, subsample=subsample)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = [
-                _encode_jpeg(bytes(rgb), width, height, gray=gray,
-                             restart_interval=restart_interval,
-                             subsample=subsample)
-                for rgb in pdf["rgb"]
-            ]
+            payloads = [_one(rgb) for rgb in pdf["rgb"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )

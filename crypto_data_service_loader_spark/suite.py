@@ -41,6 +41,7 @@ QUERIES = {
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_jpeg_420": q_media_decode_jpeg_420,
     "media_decode_jpeg_422": q_media_decode_jpeg_422,
+    "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
     "media_decode_jpeg_mixed": q_media_decode_jpeg_mixed,
     "pq_encode": q_pq_encode,
     "sim_topk_pq": q_sim_topk_pq,
@@ -353,8 +354,10 @@ _R14_FRONT = [
     # NEW round 14 (VERDICT r13 #3): subsampled baseline JPEG — the
     # sampling real corpora actually use; plus the 4:4:4 keys re-gated
     # since the codec's MCU loop was generalized
+    # (media_decode_jpeg's 4:4:4 path is re-gated via the in-window
+    # media_decode_multi_format + media_resize_jpeg keys)
     "media_decode_jpeg_420", "media_decode_jpeg_422",
-    "media_decode_jpeg", "media_resize_jpeg",
+    "media_decode_jpeg_progressive", "media_resize_jpeg",
     # source-changed (VERDICT r13 #4): knn_graph's pair join pinned to
     # the session shuffle parallelism (AQE byte-coalescing serialized
     # the compute-dense stage; knn_triangles 3.24 -> 2.47 s)
@@ -3007,6 +3010,12 @@ ORACLES["media_decode_jpeg_420"] = (
 ORACLES["media_decode_jpeg_422"] = (
     "WITH" + _jpeg_const_dec_cte("doc_id < 200", px_per_half=128)
     + _jpeg_stats_select(32, 8)
+)
+# Round 14: progressive SOF2 — coefficient-exact vs baseline by
+# construction (property-tested for random scan scripts), so the
+# oracle IS the baseline key's closed form.
+ORACLES["media_decode_jpeg_progressive"] = (
+    "WITH" + _jpeg_const_dec_cte("doc_id < 200") + _JPEG_STATS_SELECT
 )
 
 # Round 13: JPEG resize round-trip — nearest at 1x1 keeps the decoded

@@ -2477,6 +2477,24 @@ def q_media_decode_jpeg_422(spark, sf_dir):
     return decode_image_stats(jpegs)
 
 
+def q_media_decode_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (round 14 — the remaining real-world
+    JPEG profile after 4:2:0): the same 16x8 two-constant-block fixture
+    as media_decode_jpeg, but encoded as SOF2 with the default
+    libjpeg-shaped scan script — DC at reduced precision + refinement,
+    then per-component spectral bands at Al=2 refined down to full
+    precision. Progressive reconstruction is coefficient-exact against
+    baseline (pinned by the property battery for random scripts), so
+    the oracle is the SAME closed form as the baseline key."""
+    from ..operators.multimodal import decode_image_stats, encode_jpeg_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jpegs = encode_jpeg_images(
+        _jpeg_const_media(docs), width=16, height=8, progressive=True,
+    )
+    return decode_image_stats(jpegs)
+
+
 def q_media_decode_jpeg_mixed(spark, sf_dir):
     """Mixed LOSSLESS/LOSSY dispatch (round 13): even doc_ids become the
     4x5 truecolor PNGs of media_decode_png, odd ones the 16x8

@@ -81,6 +81,7 @@ FUZZ_KEYS = [
     # included; the audit twin of the renamed blocklist key
     "media_decode_jpeg_420",
     "media_decode_jpeg_422",
+    "media_decode_jpeg_progressive",
     "blocklist_audit",
     # round 14: the WebDataset sample-grouping contract over the same
     # fuzzed corpora (stems/exts ride md5 text, so unicode lives here)

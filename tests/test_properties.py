@@ -1111,3 +1111,74 @@ def test_gif_anim_profile_declines():
     assert M._parse_gif_frames(many) is None
     ok = M._encode_gif_frames([(bytes(4), 1)] * 64, 2, 2, pal)
     assert M._parse_gif_frames(ok) is not None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.sampled_from([5, 8, 16, 21]),
+    h=st.sampled_from([6, 8, 13]),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "422", "420"]),
+    flat=st.booleans(),
+    data=st.data(),
+)
+def test_jpeg_progressive_equals_baseline(w, h, gray, sub, flat, data):
+    """Progressive JPEG (round 14): for ANY image, sampling mode, quant
+    table, and RANDOM valid scan script (spectral-selection band splits
+    + successive-approximation chains for both DC and AC), the
+    progressive decode is BIT-IDENTICAL to the baseline decode of the
+    same coefficients — the strongest possible oracle for the
+    refinement paths, no external reference needed."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    if gray:
+        sub = "444"
+    nch = 1 if gray else 3
+    n = w * h * nch
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    q = [1] * 64 if flat else None
+
+    # random valid scan script
+    ncomp = 1 if gray else 3
+    dc_al = data.draw(st.integers(0, 2))
+    scans = [(None, 0, 0, 0, dc_al)]
+    for al in range(dc_al - 1, -1, -1):
+        scans.append((None, 0, 0, al + 1, al))
+    ac_scans = []
+    for c in range(ncomp):
+        n_bands = data.draw(st.integers(1, 3))
+        cuts = sorted(data.draw(st.lists(
+            st.integers(2, 63), min_size=n_bands - 1,
+            max_size=n_bands - 1, unique=True)))
+        bounds = [1] + cuts + [64]
+        for i in range(len(bounds) - 1):
+            ss, se = bounds[i], bounds[i + 1] - 1
+            al0 = data.draw(st.integers(0, 2))
+            band = [(c, ss, se, 0, al0)]
+            for al in range(al0 - 1, -1, -1):
+                band.append((c, ss, se, al + 1, al))
+            ac_scans.append(band)
+    # interleave bands' scans across components, preserving band order
+    order = data.draw(st.permutations(range(len(ac_scans))))
+    cursors = [0] * len(ac_scans)
+    flat_ac = []
+    remaining = sum(len(b) for b in ac_scans)
+    while remaining:
+        for bi in order:
+            if cursors[bi] < len(ac_scans[bi]):
+                flat_ac.append(ac_scans[bi][cursors[bi]])
+                cursors[bi] += 1
+                remaining -= 1
+    scans += flat_ac
+
+    base = M._encode_jpeg(px, w, h, gray=gray, subsample=sub,
+                          quant_y=q, quant_c=q)
+    prog = M._encode_jpeg_progressive(px, w, h, gray=gray, subsample=sub,
+                                      quant_y=q, quant_c=q, scans=scans)
+    pb = M._parse_jpeg(base)
+    pp = M._parse_jpeg(prog)
+    assert pb is not None and pp is not None
+    assert pp == pb
