@@ -442,7 +442,9 @@ def _parse_png(payload: bytes | None, native: bool = False):
     width, height, depth, color, comp, filt, interlace = ihdr
     # 8-bit grayscale (0), truecolor RGB (2), palette (3), RGBA (6)
     bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
-    if depth != 8 or bpp is None or (comp, filt, interlace) != (0, 0, 0):
+    if depth != 8 or bpp is None or (comp, filt) != (0, 0):
+        return None
+    if interlace not in (0, 1):  # 0 = none, 1 = Adam7 (round 14)
         return None
     if color == 3 and plte is None:  # palette images REQUIRE a PLTE
         return None
@@ -451,9 +453,15 @@ def _parse_png(payload: bytes | None, native: bool = False):
     if width * height > _MAX_DECODE_PIXELS:  # bomb guard (ADVICE r13)
         return None
     # bounded inflate: the exact output size is known from IHDR, so cap
-    # the decompressor there — a stream holding MORE than h*(1+stride)
-    # bytes is declined without materializing it
-    expected = height * (1 + width * bpp)
+    # the decompressor there — a stream holding MORE than the filtered
+    # raster (per pass, for Adam7) is declined without materializing it
+    if interlace:
+        expected = sum(
+            ph * (1 + pw * bpp)
+            for _, _, _, _, pw, ph in _png_adam7_passes(width, height)
+        )
+    else:
+        expected = height * (1 + width * bpp)
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected + 1)
@@ -461,7 +469,10 @@ def _parse_png(payload: bytes | None, native: bool = False):
         return None
     if len(raw) > expected:
         return None
-    px = _png_unfilter(raw, width, height, bpp)
+    if interlace:
+        px = _png_deinterlace_adam7(raw, width, height, bpp)
+    else:
+        px = _png_unfilter(raw, width, height, bpp)
     if px is None:
         return None
     if color == 3:  # palette lookup: index byte -> PLTE RGB triple
@@ -482,24 +493,107 @@ def _parse_png(payload: bytes | None, native: bool = False):
     return width, height, bytes(px)
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, in stream order.
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_adam7_passes(width: int, height: int):
+    """The NON-EMPTY Adam7 passes for an image: (x0, y0, dx, dy, pass
+    width, pass height) in stream order — empty passes contribute no
+    scanlines at all (PNG spec 8.2)."""
+    out = []
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def _png_deinterlace_adam7(raw: bytes, width: int, height: int, bpp: int):
+    """Un-filter each Adam7 pass as its own sub-image (filters reference
+    the PREVIOUS SCANLINE OF THE SAME PASS), then scatter pass pixels
+    to their display positions. Returns display-order pixel bytes or
+    None on a malformed raster."""
+    import numpy as np
+
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _png_adam7_passes(width, height):
+        n = ph * (1 + pw * bpp)
+        sub = _png_unfilter(raw[pos:pos + n], pw, ph, bpp)
+        if sub is None:
+            return None
+        pos += n
+        arr = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(ph, pw, bpp)
+        out[y0::dy, x0::dx] = arr
+    if pos != len(raw):
+        return None  # trailing bytes past the declared passes
+    return bytearray(out.tobytes())
+
+
 def _encode_png(
     rgb: bytes, width: int, height: int, filters: list[int] | None = None,
-    color: int = 2,
+    color: int = 2, interlace: bool = False,
 ) -> bytes:
-    """Encode top-down pixel bytes as a genuine PNG (8-bit,
-    non-interlaced; `color` 2 = truecolor RGB, 0 = grayscale, 6 = RGBA):
-    per-row filter selection (default: row r uses filter type r % 5, so
-    every encoded image exercises ALL five filters on decode),
-    zlib-deflated IDAT, correct chunk CRCs. Deterministic for a given
-    input (zlib level 6, fixed strategy) — but the gate keys never
-    compare the compressed BYTES across engines, only the decoded stats,
-    so determinism of the deflate stream is not load-bearing."""
+    """Encode top-down pixel bytes as a genuine PNG (8-bit; `color` 2 =
+    truecolor RGB, 0 = grayscale, 6 = RGBA): per-row filter selection
+    (default: row r uses filter type r % 5, so every encoded image
+    exercises ALL five filters on decode), zlib-deflated IDAT, correct
+    chunk CRCs. ``interlace=True`` writes Adam7 (round 14): each pass
+    filtered as its own sub-image, exactly how the decoder un-filters.
+    Deterministic for a given input (zlib level 6, fixed strategy) —
+    but the gate keys never compare the compressed BYTES across
+    engines, only the decoded stats, so determinism of the deflate
+    stream is not load-bearing."""
     import struct
     import zlib
 
     bpp = {0: 1, 2: 3, 6: 4}[color]
     stride = width * bpp
     assert len(rgb) == height * stride, "pixel length must be h*w*bpp"
+    if interlace:
+        import numpy as np
+
+        arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
+            height, width, bpp
+        )
+        lines = bytearray()
+        for x0, y0, dx, dy, pw, ph in _png_adam7_passes(width, height):
+            sub = arr[y0::dy, x0::dx]
+            lines += _png_filter_raster(
+                sub.tobytes(), pw, ph, bpp, filters
+            )
+    else:
+        lines = _png_filter_raster(rgb, width, height, bpp, filters)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_raster(
+    rgb: bytes, width: int, height: int, bpp: int,
+    filters: list[int] | None,
+) -> bytearray:
+    """Filter one raster (the whole image, or one Adam7 pass) into PNG
+    scanlines — row r uses filter (filters[r] if given else r) % 5."""
+    stride = width * bpp
     lines = bytearray()
     prev = bytes(stride)
     for r in range(height):
@@ -533,20 +627,7 @@ def _encode_png(
                 out.append((row[i] - pred) & 0xFF)
             lines += out
         prev = row
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body)) + ctype + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
-        + chunk(b"IEND", b"")
-    )
+    return lines
 
 
 # ---------------------------------------------------------------------------
@@ -1865,11 +1946,13 @@ def _lzw_decompress(data: bytes, mcs: int, n_expected: int):
 def _encode_gif(
     indices: bytes, width: int, height: int,
     palette: list[tuple[int, int, int]],
+    interlace: bool = False,
 ) -> bytes:
-    """Encode palette indices as a genuine GIF89a: logical screen
-    descriptor, global color table (padded to the next power of two),
-    one image descriptor, REAL LZW-compressed data in 255-byte
-    sub-blocks, trailer."""
+    """Encode palette indices (display order) as a genuine GIF89a:
+    logical screen descriptor, global color table (padded to the next
+    power of two), one image descriptor, REAL LZW-compressed data in
+    255-byte sub-blocks, trailer. ``interlace=True`` stores rows in
+    the 4-pass order with the interlace flag set (round 14)."""
     assert len(indices) == width * height, "index length must be w*h"
     assert palette and all(i < len(palette) for i in indices)
     n = max(1, (len(palette) - 1).bit_length())
@@ -1882,7 +1965,14 @@ def _encode_gif(
         out += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
     out += b"\x2c\x00\x00\x00\x00"
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out += b"\x00"
+    if interlace:
+        stored = bytearray()
+        for row in _gif_interlace_order(height):
+            stored += indices[row * width:(row + 1) * width]
+        indices = bytes(stored)
+        out += b"\x40"
+    else:
+        out += b"\x00"
     out.append(mcs)
     lzw = _lzw_compress(bytes(indices), mcs)
     for i in range(0, len(lzw), 255):
@@ -1893,16 +1983,37 @@ def _encode_gif(
     return bytes(out)
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """GIF 4-pass interlace row order (GIF89a spec appendix E): rows
+    0,8,16… then 4,12… then 2,6,10… then 1,3,5… — the order rows are
+    STORED in an interlaced stream."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def _gif_deinterlace(idx: bytes, width: int, height: int) -> bytes:
+    """Scatter stored interlaced rows back to display order."""
+    out = bytearray(len(idx))
+    for stored, display in enumerate(_gif_interlace_order(height)):
+        out[display * width:(display + 1) * width] = (
+            idx[stored * width:(stored + 1) * width]
+        )
+    return bytes(out)
+
+
 def _parse_gif(payload, native: bool = False):
     """REAL GIF decode: header + logical-screen walk, global/local color
     table, extension-block skip, LZW decompress of the FIRST image
-    frame, palette lookup with bounds checks. Returns (width, height,
-    top-down RGB bytes) — or, with ``native=True``, (width, height,
-    palette INDICES, color-table bytes) so a resize can stay in index
+    frame, palette lookup with bounds checks, 4-pass interlace row
+    reorder (round 14). Returns (width, height, top-down RGB bytes) —
+    or, with ``native=True``, (width, height, palette INDICES in
+    display order, color-table bytes) so a resize can stay in index
     space and re-encode losslessly against the same palette. None for
-    anything outside the supported profile (interlaced images decline —
-    the profile mirrors _parse_png's strictness: corrupt input must
-    return None, never misread)."""
+    anything outside the supported profile (the profile mirrors
+    _parse_png's strictness: corrupt input must return None, never
+    misread)."""
     if payload is None or len(payload) < 14:
         return None
     data = bytes(payload)
@@ -1940,8 +2051,7 @@ def _parse_gif(payload, native: bool = False):
                     return None
                 table = data[pos:pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:  # interlaced: outside the profile
-                return None
+            interlaced = bool(ipacked & 0x40)
             if table is None or iw == 0 or ih == 0:
                 return None
             if iw * ih > _MAX_DECODE_PIXELS:  # bomb guard (ADVICE r13)
@@ -1962,6 +2072,8 @@ def _parse_gif(payload, native: bool = False):
             idx = _lzw_decompress(bytes(lzw), mcs, iw * ih)
             if idx is None:
                 return None
+            if interlaced:  # four-pass row reorder (GIF89a appendix E)
+                idx = _gif_deinterlace(idx, iw, ih)
             import numpy as np
 
             ia = np.frombuffer(idx, dtype=np.uint8)
@@ -2068,8 +2180,7 @@ def _parse_gif_frames(payload):
                     return None
                 table = data[pos:pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:  # interlaced: outside the profile
-                return None
+            interlaced = bool(ipacked & 0x40)
             if table is None or iw == 0 or ih == 0:
                 return None
             if left + iw > lsw or top + ih > lsh:
@@ -2093,6 +2204,8 @@ def _parse_gif_frames(payload):
             idx = _lzw_decompress(bytes(lzw), mcs, iw * ih)
             if idx is None:
                 return None
+            if interlaced:  # 4-pass row reorder (round 14)
+                idx = _gif_deinterlace(idx, iw, ih)
             ia = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
             npal = len(table) // 3
             disposal, delay, trans = gce if gce is not None else (0, 0, None)
@@ -2181,6 +2294,7 @@ GIF_ENCODE_SCHEMA = "media_id long, payload binary"
 def encode_gif_images(
     media: DataFrame, width: int, height: int,
     palette: list[tuple[int, int, int]],
+    interlace: bool = False,
 ) -> DataFrame:
     """Encode raw palette-index bytes (column ``idx``, one byte per
     pixel) into genuine LZW-compressed GIFs via `_encode_gif`.
@@ -2191,7 +2305,8 @@ def encode_gif_images(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                _encode_gif(bytes(ix), width, height, pal)
+                _encode_gif(bytes(ix), width, height, pal,
+                            interlace=interlace)
                 for ix in pdf["idx"]
             ]
             yield pd.DataFrame(
@@ -2543,7 +2658,8 @@ PNG_ENCODE_SCHEMA = "media_id long, payload binary"
 
 
 def encode_png_images(
-    media: DataFrame, width: int, height: int, color: int = 2
+    media: DataFrame, width: int, height: int, color: int = 2,
+    interlace: bool = False,
 ) -> DataFrame:
     """Encode raw top-down pixel bytes (column ``rgb``,
     height*width*bpp bytes per row; `color` 2 = RGB, 0 = grayscale,
@@ -2555,7 +2671,8 @@ def encode_png_images(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                _encode_png(bytes(rgb), width, height, color=color)
+                _encode_png(bytes(rgb), width, height, color=color,
+                            interlace=interlace)
                 for rgb in pdf["rgb"]
             ]
             yield pd.DataFrame(

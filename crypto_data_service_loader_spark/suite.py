@@ -40,6 +40,8 @@ QUERIES = {
     # --- new in round 13 ---
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_jpeg_420": q_media_decode_jpeg_420,
+    "media_decode_png_adam7": q_media_decode_png_adam7,
+    "media_decode_gif_interlaced": q_media_decode_gif_interlaced,
     "media_decode_jpeg_422": q_media_decode_jpeg_422,
     "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
     "media_decode_jpeg_mixed": q_media_decode_jpeg_mixed,
@@ -342,15 +344,18 @@ _R14_FRONT = [
     # explicit constant partition key (VERDICT r13 #8 — WindowExec
     # warning silenced; values identical, plans re-verified)
     "key_skew_report", "mixture_rebalance", "mixture_temperature",
-    "histogram_drift", "category_drift", "curation_funnel",
+    "histogram_drift", "curation_funnel",
     "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_ivfpq_indexed",
     # ADVICE r13: key renamed to the operator it runs (audit) + a NEW
     # key for the real filter operator
     "blocklist_audit", "blocklist_filter",
     # source-changed: decompression-bomb guards (max-pixels before LZW/
     # inflate; bounded gzip/bz2/xz decode) + ustar prefix-field decline
+    # (category_drift shares histogram_drift's changed code path;
+    # tar_corpus_members' changed parser is re-gated via
+    # tar_corpus_samples — both yield their window slots)
     "compressed_corpus_mixed", "gzip_corpus_roundtrip",
-    "tar_corpus_members", "media_decode_multi_format",
+    "media_decode_multi_format",
     # NEW round 14 (VERDICT r13 #3): subsampled baseline JPEG — the
     # sampling real corpora actually use; plus the 4:4:4 keys re-gated
     # since the codec's MCU loop was generalized
@@ -358,6 +363,8 @@ _R14_FRONT = [
     # media_decode_multi_format + media_resize_jpeg keys)
     "media_decode_jpeg_420", "media_decode_jpeg_422",
     "media_decode_jpeg_progressive", "media_resize_jpeg",
+    # NEW round 14: interlaced-variant decodes (Adam7 / GIF 4-pass)
+    "media_decode_png_adam7", "media_decode_gif_interlaced",
     # source-changed (VERDICT r13 #4): knn_graph's pair join pinned to
     # the session shuffle parallelism (AQE byte-coalescing serialized
     # the compute-dense stage; knn_triangles 3.24 -> 2.47 s)
@@ -3643,3 +3650,9 @@ ORACLES["dedup_media_clusters"] = f"""
           ON reach.r = edges.src)
     SELECT node AS media_id, MIN(r) AS cluster_id
     FROM reach GROUP BY node"""
+
+# Round 14: interlaced variants are lossless pixel permutations — the
+# oracles ARE the plain keys' SQL.
+ORACLES["media_decode_png_adam7"] = ORACLES["media_decode_png"]
+ORACLES["media_decode_gif_interlaced"] = ORACLES["media_decode_gif"]
+

@@ -1944,6 +1944,50 @@ def q_media_decode_png(spark, sf_dir):
     return decode_image_stats(pngs)
 
 
+def q_media_decode_png_adam7(spark, sf_dir):
+    """Adam7-interlaced PNG decode (round 14): the SAME 4x5 fixture as
+    media_decode_png, encoded interlaced — every pass filtered as its
+    own sub-image (all five filter types restart per pass) and the
+    decoder un-filters per pass then scatters to display positions.
+    Interlacing is a lossless pixel permutation, so the oracle is
+    byte-identical to the plain PNG key's."""
+    from ..operators.multimodal import decode_image_stats, encode_png_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    chain = F.concat(m1, F.md5(m1), F.md5(F.md5(m1)),
+                     F.md5(F.md5(F.md5(m1))))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.substring(chain, 1, 120)).alias("rgb"),
+    )
+    return decode_image_stats(
+        encode_png_images(media, width=4, height=5, interlace=True)
+    )
+
+
+def q_media_decode_gif_interlaced(spark, sf_dir):
+    """4-pass interlaced GIF decode (round 14): the SAME 6x10 fixture
+    as media_decode_gif with rows stored in the GIF89a interlace order
+    and the flag set — a pure row permutation, so the oracle is the
+    plain GIF key's palette arithmetic unchanged."""
+    from ..operators.multimodal import decode_image_stats, encode_gif_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    chain = F.concat(m1, F.md5(m1), F.md5(F.md5(m1)),
+                     F.md5(F.md5(F.md5(m1))))
+    palette = [(v, 255 - v, (v * 3) % 256) for v in range(256)]
+    gifs = encode_gif_images(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.unhex(F.substring(chain, 1, 120)).alias("idx"),
+        ),
+        width=6, height=10, palette=palette, interlace=True,
+    )
+    return decode_image_stats(gifs)
+
+
 def q_k_anonymity_audit(spark, sf_dir):
     """k-anonymity + distinct-l-diversity audit (round 13) over the
     customer table: QI class = (nation, market segment), sensitive =

@@ -82,6 +82,8 @@ FUZZ_KEYS = [
     "media_decode_jpeg_420",
     "media_decode_jpeg_422",
     "media_decode_jpeg_progressive",
+    "media_decode_png_adam7",
+    "media_decode_gif_interlaced",
     "blocklist_audit",
     # round 14: the WebDataset sample-grouping contract over the same
     # fuzzed corpora (stems/exts ride md5 text, so unicode lives here)

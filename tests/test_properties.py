@@ -1182,3 +1182,57 @@ def test_jpeg_progressive_equals_baseline(w, h, gray, sub, flat, data):
     pp = M._parse_jpeg(prog)
     assert pb is not None and pp is not None
     assert pp == pb
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 19),
+    npal=st.sampled_from([2, 16, 256]),
+    data=st.data(),
+)
+def test_gif_interlaced_decode_matches_display_order(w, h, npal, data):
+    """GIF 4-pass interlace (round 14): an interlaced encode of
+    display-order indices decodes back to EXACTLY the non-interlaced
+    decode — the row permutation round-trips for every height class
+    (heights 1..19 cover passes that are empty, partial, and full)."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    pal = [(i, (255 - i) % 256, (i * 5) % 256) for i in range(npal)]
+    idx = bytes(data.draw(st.lists(
+        st.integers(0, npal - 1), min_size=w * h, max_size=w * h)))
+    plain = M._parse_gif(M._encode_gif(idx, w, h, pal))
+    inter = M._parse_gif(M._encode_gif(idx, w, h, pal, interlace=True))
+    assert plain is not None and inter == plain
+    # the row order is a permutation covering every row exactly once
+    order = M._gif_interlace_order(h)
+    assert sorted(order) == list(range(h))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    color=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+def test_png_adam7_decode_matches_plain(w, h, color, data):
+    """PNG Adam7 interlace (round 14): the interlaced encode of any
+    image decodes BIT-IDENTICAL to the plain encode — per-pass
+    filtering (all five types via the default r%5 script, restarting
+    per pass) + the scatter both round-trip, including dimensions where
+    some passes are empty (w or h < 5)."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    n = w * h * bpp
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    plain = M._parse_png(M._encode_png(px, w, h, color=color))
+    inter = M._parse_png(M._encode_png(px, w, h, color=color,
+                                       interlace=True))
+    assert plain is not None and inter == plain
+    nat = M._parse_png(M._encode_png(px, w, h, color=color,
+                                     interlace=True), native=True)
+    assert nat == M._parse_png(M._encode_png(px, w, h, color=color),
+                               native=True)
