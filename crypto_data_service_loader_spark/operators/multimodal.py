@@ -2,18 +2,41 @@
 
 Image/audio/video are opaque `binary` columns + typed metadata (schemas.MEDIA).
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
-partitioning — is real and tested. Uncompressed 24-bpp BMP payloads are
-decoded FOR REAL (`_decode_bmp24` — plain byte layout, no codec library
-needed); every other format needs an external codec this container lacks
-(PIL/ffmpeg), so those calls are STUBS: decode raises NotImplementedError
-unless `fake=True`, in which case a clearly-marked deterministic fake derived
-from md5(payload) stands in so batch shape / downstream feature plumbing can
-be tested end-to-end.
+partitioning — is real and tested.
 
-Scale notes: mapInPandas streams Arrow batches (bounded memory per task —
-never collect binaries); `spark.sql.files.maxPartitionBytes` sizes blob-scan
-partitions; feature extraction output is columnar (array<double>), ready for
-the similarity operators.
+Decoders implemented FOR REAL in this module, from the public specs, in
+numpy/pure Python (rounds 11-14; no external codec library):
+
+- **BMP** 24-bpp uncompressed (`_decode_bmp24`), **PPM** P6, **WAV** PCM.
+- **PNG**: truecolor 8-bit, all five filter types, real zlib
+  inflate/deflate, Adam7 interlace both directions, size-capped inflate
+  (`_parse_png` / `_encode_png`).
+- **JPEG**: baseline SOF0 (Annex-K tables, real Huffman + DCT), 4:4:4 /
+  4:2:0 / 4:2:2 interleaved MCUs with per-component sampling factors,
+  restart markers, and progressive SOF2 (spectral selection + successive
+  approximation), encode AND decode (`_parse_jpeg` / `_encode_jpeg`).
+- **GIF**: GIF89a LZW both directions, 4-pass interlace, animated
+  multi-frame compositing with GCE transparency + disposal 0/1/2
+  (`_parse_gif`, `_parse_gif_frames`).
+
+All decoders are decline-never-misread (unsupported profile -> None, a
+counted decline, never a wrong decode) and decompression-bomb-guarded
+(`_MAX_DECODE_PIXELS`, capped inflate, 64-frame GIF cap).
+
+ENV-BLOCKED (the actual stub set, adjudicated): **MP3 and H.264** — real
+entropy-coded audio/video needs ffmpeg-class codecs this container lacks.
+They live behind the injectable codec registry (`register_image_codec`,
+see the registry section near the end of this module): decode raises
+NotImplementedError unless `fake=True`, in which case a clearly-marked
+deterministic fake derived from md5(payload) stands in so batch shape /
+downstream feature plumbing is testable end-to-end, and a real codec
+plugs in without touching any operator.
+
+Scale notes: decoders run scan-local inside Arrow `mapInPandas` (bounded
+memory per task — never collect binaries, zero exchange);
+`spark.sql.files.maxPartitionBytes` sizes blob-scan partitions; feature
+extraction output is columnar (array<double>), ready for the similarity
+operators.
 """
 
 from __future__ import annotations

@@ -224,6 +224,17 @@ def pack_sequences(
     single-partition scale-killer, and the 2^32 stride analysis below
     shows the sharded plan is always sound, so the degenerate plan no
     longer exists.
+
+    **bin_id contract (behavioral change, round 14; ADVICE r14): bin
+    ids are OPAQUE, not dense.** Callers using neither `group_col` nor
+    `shard_docs` previously got consecutive global bins 0,1,2,…; since
+    round 14 they get `shard * 2^32 + local` with up to one partial bin
+    per 2^20-doc shard — a deliberate scale fix. Do not key logic on
+    bin_id continuity or arithmetic; treat it as a grouping handle only
+    (bin_offset still positions a doc inside its bin's token stream).
+    Dense renumbering, if a consumer truly needs it, is one
+    `dense_rank() OVER (ORDER BY bin_id)` away — global by definition,
+    so it is the caller's explicit choice, not this operator's default.
     """
     if shard_docs is None and group_col is None:
         shard_docs = _DEFAULT_PACK_SHARD_DOCS

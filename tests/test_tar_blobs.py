@@ -151,3 +151,68 @@ def test_group_tar_samples_webdataset_contract(spark):
     assert s["total_bytes"] == len(b"\xff\xd8fakejpg") + 9 + 2
     assert got["noext"]["members"][0]["ext"] == ""
     assert got["dir/000123"]["n_members"] == 1
+
+
+def _members_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "shard_id long, member_name string, n_bytes int, content binary"
+    )
+
+
+def test_group_tar_samples_degenerate_basenames(spark):
+    """ADVICE r14: hidden files ('.json', '.idx') must NOT collapse into
+    one empty-stem pseudo-sample, and a trailing-dot basename ('foo.')
+    must not alias the extension-less 'foo'. Both degenerate shapes key
+    as extension-less members under their full basename."""
+    rows = [
+        (1, "d/.json", 2, b"{}"),
+        (1, "d/.idx", 3, b"idx"),
+        (1, "foo.", 1, b"a"),
+        (1, "foo", 1, b"b"),
+        (1, "ok.txt", 2, b"ok"),
+    ]
+    out = T.group_tar_samples(_members_df(spark, rows), id_col="shard_id")
+    got = {r["sample_key"]: r for r in out.collect()}
+    assert set(got) == {"d/.json", "d/.idx", "foo.", "foo", "ok"}
+    for k in ("d/.json", "d/.idx", "foo.", "foo"):
+        assert got[k]["n_members"] == 1
+        assert got[k]["members"][0]["ext"] == ""
+    assert got["ok"]["members"][0]["ext"] == "txt"
+
+
+def test_group_tar_samples_member_count_bomb_declined(spark):
+    """VERDICT r14 #4: a hostile shard packing many members under ONE
+    stem is declined whole (the member-count sibling of
+    _MAX_DECODE_PIXELS); well-formed samples in the same shard are
+    untouched, and the declined key never appears truncated."""
+    bomb = [(1, f"bomb.{i:06d}", 1, b"x") for i in range(300)]
+    good = [(1, "good.txt", 3, b"abc"), (1, "good.json", 2, b"{}")]
+    out = T.group_tar_samples(
+        _members_df(spark, bomb + good), id_col="shard_id", max_members=16
+    )
+    got = {r["sample_key"]: r for r in out.collect()}
+    assert set(got) == {"good"}
+    assert got["good"]["n_members"] == 2
+    # cap None disables the guard (caller validated upstream)
+    out2 = T.group_tar_samples(
+        _members_df(spark, bomb + good), id_col="shard_id", max_members=None
+    )
+    assert {r["sample_key"]: r["n_members"] for r in out2.collect()} == {
+        "bomb": 300, "good": 2,
+    }
+
+
+def test_group_tar_samples_tie_order_is_md5(spark):
+    """ADVICE r14: two members of one sample tying on (ext, n_bytes) but
+    differing in content must sort by md5(content) — the key the
+    streaming twin can reproduce from pointer-only state."""
+    import hashlib
+
+    # a same-key same-ext tie needs duplicate member names (tar allows)
+    rows = [(1, "s.txt", 3, b"bbb"), (1, "s.txt", 3, b"aaa")]
+    out = T.group_tar_samples(_members_df(spark, rows), id_col="shard_id")
+    [r] = out.collect()
+    contents = [bytes(m["content"]) for m in r["members"]]
+    want = sorted([b"bbb", b"aaa"],
+                  key=lambda c: hashlib.md5(c).hexdigest())
+    assert contents == want
