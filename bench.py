@@ -65,7 +65,15 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q21",
     "sessionize_events",
-    "stateful_running_total",
+    # r15 rotation: stateful_running_total, scd2_apply, ngram_lm_score
+    # and dedup_boilerplate_lines rotate out of the stdout line (stable
+    # micros) to fund the sent_min/sent_max attribution extras plus the
+    # two new r15 keys (webdataset_pipeline, media_decode_png_palette).
+    # Family cover stays: streaming via stream_sliding_window +
+    # sessionize_events, incremental via dedup_minhash_indexed +
+    # hll_rolling_distinct, text scoring via bm25_topk + profile_columns
+    # + quality_percentile_gate, boilerplate dedup via dedup_ngram_spans
+    # + dedup_exact_substrings. Full history in BENCH_DETAIL.json.
     "stream_sliding_window",
     "range_join_events",
     "docs_prep_pipeline",
@@ -85,7 +93,6 @@ HEADLINE = [
     # dedup_ngram_spans_sampled rotated out of the stdout line in r7 to
     # stay under the driver's 1900-char tail guard (the unsampled twin
     # covers the plan shape; full history stays in BENCH_DETAIL.json)
-    "dedup_boilerplate_lines",
     "quality_percentile_gate",
     "vwap_bars",
     "profile_columns",
@@ -100,11 +107,9 @@ HEADLINE = [
     # round 7: precompute-once graph analytics + incremental/monitoring
     "knn_triangles_indexed",
     "pagerank_knn_indexed",
-    "scd2_apply",
     # late round 7: retrieval + monitoring + data-selection analytics
     "hybrid_search",
     "events_cusum",
-    "ngram_lm_score",
     # events_ols_trend / events_acf rotated out of the stdout line in r9
     # (stable micro-queries; events family cover stays via events_cusum,
     # events_funnel, events_mad_outliers; full
@@ -169,21 +174,204 @@ HEADLINE = [
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
+#: interleaved-sentinel cadence (VERDICT r14 #1): one single-shot sentinel
+#: reading every N headline queries, so SUSTAINED box contention shows as a
+#: ramp in the recorded series instead of being invisible to the one
+#: start-of-run reading (the r14 adjudication gap: driver sentinel FASTER
+#: than the builder's box while TPC-H read 2x slower, and nothing in the
+#: artifact could say why).
+SENTINEL_EVERY = 10
+
+
+class _Sentinel:
+    """Fixed sentinel workload (VERDICT r12 #3): a pinned parquet
+    scan-shuffle-agg over CONSTANT generated data — spark.range is
+    engine-version-stable and touches scan, exchange, and hash-agg
+    machinery but NONE of this repo's operators, so its wall time moves
+    only with the box (contention, JVM, disk), never with engine code.
+    Workload is FROZEN: changing it breaks cross-round comparability —
+    add a second sentinel instead.
+
+    Round 15 (VERDICT r14 #1) lifts it from one start-of-run number into
+    an instrument: the data stages once (untimed), `observe(label)`
+    takes a single-shot reading anywhere in the run and appends it to
+    `series` (recorded in BENCH_DETAIL.json), and `best_of(n)` is the
+    canonical extras.sentinel_sec — same workload, same post-ingest
+    measurement point as r12-r14, so the cross-round series stays
+    comparable."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.series: list[list] = []  # [label, sec] observations in order
+        self.tmp = tempfile.mkdtemp(prefix="bench_sentinel_")
+        try:
+            (
+                spark.range(0, 20_000_000, 1, 32)
+                .selectExpr(
+                    "id",
+                    "id % 1000 AS k",
+                    "CAST(id % 7919 AS DOUBLE) AS v",
+                )
+                .write.mode("overwrite")
+                .parquet(self.tmp)
+            )
+            self.ok = True
+        except Exception:  # noqa: BLE001 — the bench line must still emit
+            self.ok = False
+
+    def run_once(self) -> float:
+        if not self.ok:
+            return -1.0
+        from pyspark.sql import functions as F
+
+        try:
+            t0 = time.perf_counter()
+            _run_noop(
+                self.spark.read.parquet(self.tmp)
+                .groupBy("k")
+                .agg(
+                    F.sum("v").alias("sv"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("id").alias("mx"),
+                )
+            )
+            return round(time.perf_counter() - t0, 4)
+        except Exception:  # noqa: BLE001
+            return -1.0
+
+    def observe(self, label: str) -> float:
+        sec = self.run_once()
+        self.series.append([label, sec])
+        return sec
+
+    def best_of(self, n: int) -> float:
+        runs = [self.run_once() for _ in range(n)]
+        good = [r for r in runs if r >= 0]
+        return min(good) if good else -1.0
+
+    def cleanup(self) -> None:
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+
+class _MetricsProbe:
+    """Per-segment Spark executor metrics (VERDICT r14 #1b): reads the
+    status store through the local UI's REST v1 API (the same
+    AppStatusStore the SQL-metrics hooks in plans/explain.py walk, but
+    with per-stage task aggregates already summed). `start()` sets a
+    stage-id watermark; `finish()` sums the metrics of every stage that
+    completed after it — GC time, cpu-vs-wall, shuffle bytes, spill,
+    input bytes — so a slow driver-box reading carries its own
+    explanation: cpu ≈ wall means the plan did the work; wall >> cpu
+    with flat GC means the box, not the plan (the r14 2x TPC-H
+    discrepancy was exactly this, unprovable from the artifact).
+
+    Stage-id watermarking (not cumulative-sum diffing) keeps the numbers
+    correct when the UI evicts old stages past spark.ui.retainedStages.
+    Fails soft: UI disabled or endpoint errors -> empty dicts, the bench
+    line must never die on instrumentation."""
+
+    FIELDS = (
+        ("executorRunTime", "run_ms", 1),
+        ("executorCpuTime", "cpu_ms", 1_000_000),  # ns -> ms
+        ("jvmGcTime", "gc_ms", 1),
+        ("shuffleReadBytes", "shuffle_read_b", 1),
+        ("shuffleWriteBytes", "shuffle_write_b", 1),
+        ("memoryBytesSpilled", "spill_mem_b", 1),
+        ("diskBytesSpilled", "spill_disk_b", 1),
+        ("inputBytes", "input_b", 1),
+        ("outputBytes", "output_b", 1),
+        ("numTasks", "tasks", 1),
+    )
+
+    def __init__(self, spark):
+        self.spark = spark
+        sc = spark.sparkContext
+        self.base = getattr(sc, "uiWebUrl", None)
+        self.app = sc.applicationId
+        self.enabled = bool(self.base)
+        self._watermark = -1
+
+    def _stages(self) -> list[dict]:
+        import urllib.request
+
+        url = f"{self.base}/api/v1/applications/{self.app}/stages"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            return json.loads(resp.read())
+
+    def _drain_listener_bus(self) -> None:
+        # status-store updates ride the async listener bus; drain it so
+        # finish() sees the stages the query just ran (private API — any
+        # failure degrades to a short grace sleep)
+        try:
+            bus = self.spark.sparkContext._jsc.sc().listenerBus()  # noqa: SLF001
+            try:
+                bus.waitUntilEmpty()
+            except Exception:  # noqa: BLE001 — older signature
+                bus.waitUntilEmpty(10_000)
+        except Exception:  # noqa: BLE001
+            time.sleep(0.2)
+
+    def start(self) -> None:
+        if not self.enabled:
+            return
+        try:
+            self._drain_listener_bus()
+            stages = self._stages()
+            self._watermark = max(
+                (s["stageId"] for s in stages), default=-1
+            )
+        except Exception:  # noqa: BLE001
+            self.enabled = False
+
+    def finish(self) -> dict:
+        if not self.enabled:
+            return {}
+        try:
+            self._drain_listener_bus()
+            out = {alias: 0 for _, alias, _ in self.FIELDS}
+            n_stages = 0
+            for s in self._stages():
+                if s["stageId"] <= self._watermark:
+                    continue
+                if s.get("status") not in ("COMPLETE", "FAILED"):
+                    continue
+                n_stages += 1
+                for field, alias, div in self.FIELDS:
+                    out[alias] += int(s.get(field, 0) or 0) // div
+            out["stages"] = n_stages
+            return out
+        except Exception:  # noqa: BLE001
+            return {}
+
 
 def _run_noop(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
+def bench_queries(
+    spark, sentinel: _Sentinel | None = None,
+    probe: _MetricsProbe | None = None,
+) -> tuple[dict[str, float], dict[str, dict], dict[str, dict],
+           dict[str, list]]:
     """Per-query wall time over N trials. Headline value = min (the
     standard throughput estimator: least-noise run); medians and the
     max/min spread ride along so a reader can tell a plan regression from
-    box contention — the r01→r02 adjudication needed exactly that."""
+    box contention — the r01→r02 adjudication needed exactly that.
+    Round 15 adds the other two attribution channels (VERDICT r14 #1):
+    a sentinel reading every SENTINEL_EVERY queries (sustained
+    contention = a visible ramp) and per-query executor metrics
+    (GC / cpu-vs-wall / shuffle / spill) summed over the trials."""
     times: dict[str, float] = {}
     stats: dict[str, dict] = {}
-    for name in HEADLINE:
+    metrics: dict[str, dict] = {}
+    trials_all: dict[str, list] = {}
+    for i, name in enumerate(HEADLINE):
+        if sentinel is not None and i % SENTINEL_EVERY == 0:
+            sentinel.observe(f"queries[{i}]")
         fn = QUERIES[name]
+        if probe is not None:
+            probe.start()
         trials: list[float] = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
@@ -191,7 +379,12 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
                 _run_noop(fn(spark, SF_DIR))
             except Exception:  # noqa: BLE001 — one broken query must not
                 continue  # silence the whole bench line
-            trials.append(time.perf_counter() - t0)
+            trials.append(round(time.perf_counter() - t0, 4))
+        if probe is not None:
+            m = probe.finish()
+            if m:
+                metrics[name] = m
+        trials_all[name] = list(trials)
         if not trials:
             times[name] = -1.0
             stats[name] = {"median": -1.0, "spread": 0.0}
@@ -202,55 +395,15 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
             "median": round(trials[len(trials) // 2], 4),
             "spread": round(trials[-1] / trials[0], 2),
         }
-    return times, stats
+    if sentinel is not None:
+        sentinel.observe("queries[end]")
+    return times, stats, metrics, trials_all
 
 
-def bench_sentinel(spark) -> float:
-    """Fixed sentinel workload (VERDICT r12 #3): a pinned parquet
-    scan-shuffle-agg over CONSTANT generated data — spark.range is
-    engine-version-stable and touches scan, exchange, and hash-agg
-    machinery but NONE of this repo's operators, so its wall time moves
-    only with the box (contention, JVM, disk), never with engine code.
-    Recorded as extras.sentinel_sec; BENCH_DETAIL carries each headline
-    query normalized by it, making cross-round noise adjudication
-    measurable instead of a judgment call (two straight rounds needed a
-    manual 'it was the box' ruling). Workload is frozen: changing it
-    breaks cross-round comparability — add a second sentinel instead."""
-    from pyspark.sql import functions as F
-
-    tmp = tempfile.mkdtemp(prefix="bench_sentinel_")
-    try:
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .selectExpr(
-                "id",
-                "id % 1000 AS k",
-                "CAST(id % 7919 AS DOUBLE) AS v",
-            )
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        best = float("inf")
-        for _ in range(TRIALS):
-            t0 = time.perf_counter()
-            _run_noop(
-                spark.read.parquet(tmp)
-                .groupBy("k")
-                .agg(
-                    F.sum("v").alias("sv"),
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("id").alias("mx"),
-                )
-            )
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
-    except Exception:  # noqa: BLE001 — the bench line must still emit
-        return -1.0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-def bench_ingest(spark) -> dict[str, float]:
+def bench_ingest(
+    spark, sentinel: _Sentinel | None = None,
+    probe: _MetricsProbe | None = None,
+) -> dict[str, float]:
     """Reference-comparable bulk ingest: stage lineitem as CSV (untimed prep),
     then time validated CSV read -> typed ticks-shaped load -> parquet sink."""
     from pyspark.sql import functions as F
@@ -307,7 +460,7 @@ def bench_ingest(spark) -> dict[str, float]:
         # the measured side is the client pipeline, exactly what the
         # reference's 300-500k rows/s covers (minus their server's ingest,
         # which the fake acks in O(1))
-        ch = _bench_clickhouse(spark, csv_dir, n)
+        ch = _bench_clickhouse(spark, csv_dir, n, sentinel, probe)
         return {
             "ingest_rows": n,
             "ingest_sec": round(elapsed, 4),
@@ -321,7 +474,11 @@ def bench_ingest(spark) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _bench_clickhouse(spark, csv_dir: str, n: int) -> dict[str, float]:
+def _bench_clickhouse(
+    spark, csv_dir: str, n: int,
+    sentinel: _Sentinel | None = None,
+    probe: _MetricsProbe | None = None,
+) -> dict[str, float]:
     try:
         from crypto_data_service_loader_spark.sinks.clickhouse_http import (
             ClickHouseHttpSink,
@@ -359,22 +516,48 @@ def _bench_clickhouse(spark, csv_dir: str, n: int) -> dict[str, float]:
             [read_ticks_csv(spark, csv_dir).drop("_source_file")
              for _ in range(10)],
         )
-        best = best10 = float("inf")
+        # VERDICT r14 #1: the 6M segment missed its gate on the driver
+        # box with NOTHING in the artifact able to attribute it — so the
+        # wire loop now records per-trial series, bracketing sentinel
+        # readings, and per-trial executor metrics for the 6M segment
+        # (all in BENCH_DETAIL.json under "wire").
+        if sentinel is not None:
+            sentinel.observe("wire[pre]")
+        small_trials: list[float] = []
+        m6_trials: list[float] = []
+        m6_metrics: list[dict] = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
             sent = sink.write(
                 read_ticks_csv(spark, csv_dir).drop("_source_file")
             )
-            best = min(best, time.perf_counter() - t0)
+            small_trials.append(round(time.perf_counter() - t0, 4))
             assert sent == n, f"clickhouse path sent {sent} of {n} rows"
+            if probe is not None:
+                probe.start()
             t0 = time.perf_counter()
             sent10 = sink.write(ten)
-            best10 = min(best10, time.perf_counter() - t0)
+            m6_trials.append(round(time.perf_counter() - t0, 4))
+            if probe is not None:
+                m = probe.finish()
+                if m:
+                    m6_metrics.append(m)
             assert sent10 == 10 * n, f"6M wire path sent {sent10} of {10 * n}"
+        if sentinel is not None:
+            sentinel.observe("wire[post]")
+        best, best10 = min(small_trials), min(m6_trials)
         return {
             "clickhouse_http_sec": round(best, 4),
             "clickhouse_http_rows_per_sec": round(n / best, 1),
             "clickhouse_http_rows_per_sec_6m": round(10 * n / best10, 1),
+            "_wire_detail": {
+                "small_trials": small_trials,
+                "m6_trials": m6_trials,
+                "m6_rows_per_sec_trials": [
+                    round(10 * n / t, 1) for t in m6_trials
+                ],
+                "m6_metrics": m6_metrics,
+            },
         }
     finally:
         fake.stop()
@@ -389,21 +572,38 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
             "spark.sql.files.openCostInBytes": str(64 * 1024),
+            # the engine session disables the UI; the bench session needs
+            # it for the REST status endpoint _MetricsProbe reads (the
+            # AppStatusListener feeding it runs either way — the UI adds
+            # only the in-process HTTP server, not listener load)
+            "spark.ui.enabled": "true",
         },
     )
     # warmup: JVM/codegen, not measured
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    probe = _MetricsProbe(spark)
+    # sentinel data stages FIRST (one untimed range->parquet write — far
+    # less JVM residue than the suite) so single-shot readings can bracket
+    # the wire segments inside ingest; extras.sentinel_sec still measures
+    # at its canonical post-ingest point, so the r12+ cross-round series
+    # stays comparable.
+    sent_obj = _Sentinel(spark)
+    sent_obj.observe("start")
     # ingest first: the suite's 90+ jobs leave the driver JVM with enough
     # residue (GC pressure, listener/shuffle state) to triple the measured
     # ClickHouse segment (4.0s vs 1.6s fresh) — sustained-throughput numbers
     # come from the clean process, like the reference's
     try:
-        ingest = bench_ingest(spark)
+        ingest = bench_ingest(spark, sent_obj, probe)
     except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
         ingest = {"ingest_error": str(exc)[:120]}
-    sentinel = bench_sentinel(spark)
-    queries, qstats = bench_queries(spark)
+    wire_detail = ingest.pop("_wire_detail", None)
+    sentinel = sent_obj.best_of(TRIALS)
+    queries, qstats, qmetrics, qtrials = bench_queries(
+        spark, sent_obj, probe
+    )
+    sent_obj.cleanup()
     medians = {k: v["median"] for k, v in qstats.items()}
     # stated noise band (VERDICT r7 #3): the median and max of per-query
     # max/min trial spreads — a reader of BENCH_r{N} can tell host
@@ -424,8 +624,24 @@ def main() -> None:
         "query_spread_max_over_min": {k: v["spread"] for k, v in qstats.items()},
         "trials": TRIALS,
         "queries_min": queries,
+        "query_trials": qtrials,
         "ingest": ingest,
         "sentinel_sec": sentinel,
+        # VERDICT r14 #1a: the full interleaved sentinel series — one
+        # single-shot reading at start, bracketing the wire segments,
+        # every SENTINEL_EVERY headline queries, and at the end. A ramp
+        # here IS the sustained-contention evidence the r14 artifact
+        # lacked; a flat series pins a slow query on its plan.
+        "sentinel_series": sent_obj.series,
+        # VERDICT r14 #1b: per-query executor metrics summed over the
+        # trials (ms for run/cpu/gc, bytes for the rest). wall >> cpu at
+        # flat gc and unchanged shuffle bytes = box contention; cpu or
+        # shuffle moving with wall = the plan.
+        "query_metrics": qmetrics,
+        # VERDICT r14 #1c: per-trial wire-segment series + per-trial
+        # executor metrics for the 6M segment, bracketed by the
+        # wire[pre]/wire[post] sentinel readings above.
+        "wire": wire_detail,
         # per-query time divided by the sentinel's — box-speed-free units
         # for cross-round comparison (STATUS quotes these)
         "queries_sentinel_normalized": {
@@ -440,7 +656,14 @@ def main() -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
-    print(format_line(queries, medians, ingest, SF_DIR, noise, sentinel))
+    good_series = [s for _, s in sent_obj.series if s >= 0]
+    sent_range = (
+        {"sent_min": round(min(good_series), 3),
+         "sent_max": round(max(good_series), 3)}
+        if good_series else None
+    )
+    print(format_line(queries, medians, ingest, SF_DIR, noise, sentinel,
+                      sent_range))
 
 
 def format_line(
@@ -450,6 +673,7 @@ def format_line(
     sf_dir: str,
     noise: dict | None = None,
     sentinel: float | None = None,
+    sent_range: dict | None = None,
 ) -> str:
     """The driver-facing stdout line. MUST stay under 1900 chars: the
     driver json-parses only the last 2000 chars of stdout, and BENCH_r03
@@ -471,6 +695,10 @@ def format_line(
             "suite_total_median": round(sum(medians.values()), 4),
             "trials": TRIALS,
             **({"sentinel_sec": sentinel} if sentinel is not None else {}),
+            # min/max over the INTERLEAVED sentinel series: a wide range
+            # on the stdout line alone says "box moved mid-run" — the
+            # full labeled series is in BENCH_DETAIL.json
+            **(sent_range or {}),
             **(noise or {}),
             "detail": "BENCH_DETAIL.json",
         },

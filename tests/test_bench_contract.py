@@ -36,7 +36,9 @@ def test_line_parses_and_fits_tail_window():
     queries = {name: 123.456 for name in bench.HEADLINE}
     line = bench.format_line(queries, medians, ingest, "/root/testdata/sf0.1",
                              {"spread_med": 1.43, "spread_max": 3.83},
-                             sentinel=123.4567)
+                             sentinel=123.4567,
+                             sent_range={"sent_min": 123.456,
+                                         "sent_max": 123.456})
     assert len(line) < 1850, (
         f"worst-case bench line is {len(line)} chars — rotate a stable "
         "micro-query out of bench.HEADLINE (see the rotation checklist "
