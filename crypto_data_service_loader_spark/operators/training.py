@@ -28,6 +28,12 @@ _PREFIX_STRIDE = 4096
 #: column is given — keeps every packing window partition bounded
 #: instead of falling back to one global unpartitioned window.
 _DEFAULT_PACK_SHARD_DOCS = 1 << 20
+#: Id-range bucket size for `curriculum_phases`' within-tie rank
+#: (VERDICT r14 #5): the tie-rank window partitions by (difficulty,
+#: id DIV this), so its skew bound is this constant — data-independent
+#: — instead of "the heaviest single difficulty value" (a 5-level
+#: label column would put ~20% of the corpus in one task).
+_RANK_BUCKET_DOCS = 1 << 20
 
 
 def split_bucket(id_col: Column | str) -> Column:
@@ -681,9 +687,19 @@ def curriculum_phases(
        control-plane relation — take the outer cumsum), giving each
        difficulty value its global rank offset;
     3. offsets broadcast-join back to the corpus (|distinct difficulty|
-       rows — bounded by the value domain, not the corpus);
+       × |id buckets touched| rows — bounded by the value domain and
+       corpus/2^20, not the corpus);
     4. the within-ties rank is row_number over a window PARTITIONED by
-       difficulty (skew bound = the heaviest single difficulty value);
+       (difficulty, id DIV `_RANK_BUCKET_DOCS`) — skew bound =
+       `_RANK_BUCKET_DOCS` rows per task, DATA-INDEPENDENT (VERDICT r14
+       #5: partitioning by difficulty alone bounded the task by the
+       heaviest single difficulty value — fine for n_chars, one fifth
+       of the corpus for a 5-level label). Each bucket's offset inside
+       its difficulty comes from the same counts-not-rows prefix sum as
+       step 2, one level down: a per-(difficulty, bucket) frequency
+       count and a cumsum over buckets within each difficulty (that
+       window holds ≤ heavy_count/2^20 COUNT rows per difficulty —
+       counts, never corpus rows);
     5. phase = the ntile size formula applied to the reconstructed
        global rank — pure integer arithmetic off one broadcast total,
        bit-identical to ntile for any n, k.
@@ -738,19 +754,49 @@ def curriculum_phases(
     # Broadcast 1-row total for the ntile size formula.
     total = freq.agg(F.sum("_cnt").alias("_n"))
 
-    # (3)+(4) offsets back to the corpus; rank within the tie group via
-    # a window PARTITIONED by the difficulty value.
+    # (4a) per-(difficulty, id-bucket) frequency + within-difficulty
+    # prefix sum over buckets — the bucket's row offset inside its tie
+    # group, computed on COUNT rows (≤ heavy/2^20 per difficulty).
+    bucket = (F.col(id_col).cast("long") / F.lit(_RANK_BUCKET_DOCS)).cast(
+        "long"
+    )
+    freq2 = docs.groupBy(d.alias("_d2"), bucket.alias("_ib")).agg(
+        F.count(F.lit(1)).alias("_c2")
+    )
+    w_tie = (
+        Window.partitionBy("_d2")
+        .orderBy(F.col("_ib").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_off = freq2.select(
+        "_d2", "_ib",
+        F.coalesce(F.sum("_c2").over(w_tie), F.lit(0)).alias("_tie_off"),
+    )
+    # fold the difficulty offset in: one broadcast relation keyed
+    # (difficulty, bucket), |rows| ≤ |distinct difficulty| + corpus/2^20
+    offsets2 = offsets.join(
+        bucket_off, F.col("_d").eqNullSafe(F.col("_d2"))
+    ).select(
+        "_d", "_ib", (F.col("_off") + F.col("_tie_off")).alias("_off2")
+    )
+
+    # (3)+(4b) offsets back to the corpus; rank within (difficulty,
+    # bucket) — the window's partition holds ≤ _RANK_BUCKET_DOCS rows
+    # for ANY difficulty distribution.
     ranked = (
-        docs.select(F.col(id_col), d.alias("difficulty"))
+        docs.select(F.col(id_col), d.alias("difficulty"),
+                    bucket.alias("_ibr"))
         .join(
-            F.broadcast(offsets),
-            F.col("difficulty").eqNullSafe(F.col("_d")),
+            F.broadcast(offsets2),
+            F.col("difficulty").eqNullSafe(F.col("_d"))
+            & (F.col("_ibr") == F.col("_ib")),
         )
         .crossJoin(F.broadcast(total))
         .select(
             id_col, "difficulty", "_n",
-            (F.col("_off") + F.row_number().over(
-                Window.partitionBy("difficulty").orderBy(F.col(id_col).asc())
+            (F.col("_off2") + F.row_number().over(
+                Window.partitionBy("difficulty", "_ibr")
+                .orderBy(F.col(id_col).asc())
             ).cast("long")).alias("_r"),
         )
     )

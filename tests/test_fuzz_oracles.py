@@ -555,3 +555,47 @@ def test_fuzzed_sketch_probes_hold_contracts(spark, build, probes):
             assert not r["in_bloom"]
         elif truth[r["k"]] > 0:
             assert r["in_bloom"]  # no false negatives, ever
+
+
+# Seventh fuzz family (round 15, VERDICT r14 #8): the histogram-ntile
+# phase cut. The distributed plan (counts-not-rows prefix sums, bucketed
+# tie rank, integer-DIV tile formula) has exactly the boundary surface
+# fuzz catches before the gate does: n % k transitions, constant and
+# two-value degenerate difficulty distributions, NULL difficulties
+# (nulls-first), negative values through the coarse floor-bucket, and
+# tie groups spanning many id-range buckets (bucket size pinned small).
+NTILE_DIFFS = st.lists(
+    st.one_of(st.none(), st.integers(-3, 3)), min_size=1, max_size=60
+)
+
+
+@FUZZ
+@given(
+    diffs=NTILE_DIFFS,
+    k=st.integers(min_value=1, max_value=7),
+    bucket=st.sampled_from([1, 3, 7, 1 << 20]),
+)
+def test_fuzzed_histogram_ntile_matches_duckdb(spark, diffs, k, bucket):
+    from crypto_data_service_loader_spark.operators import training as TR
+
+    rows = [(i * 5 + 2, d) for i, d in enumerate(diffs)]  # sparse ids
+    old = TR._RANK_BUCKET_DOCS
+    TR._RANK_BUCKET_DOCS = bucket
+    try:
+        docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {
+            r["doc_id"]: r["phase"]
+            for r in TR.curriculum_phases(docs, n_phases=k).collect()
+        }
+    finally:
+        TR._RANK_BUCKET_DOCS = old
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, ntile({int(k)}) OVER "
+            "(ORDER BY d NULLS FIRST, doc_id) FROM t"
+        ).fetchall()
+    )
+    assert got == want

@@ -2907,3 +2907,31 @@ def test_curriculum_phases_semantics(spark):
     # determinism: same seed -> identical assignment
     again = curriculum_phases(docs, n_phases=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curriculum_phases_bucketed_tie_rank_matches_ntile(spark, monkeypatch):
+    """VERDICT r14 #5: the within-tie rank partitions by (difficulty,
+    id DIV _RANK_BUCKET_DOCS) so a LOW-cardinality difficulty column
+    (here: two values over 120 docs, bucket size pinned to 7 so every
+    tie group spans many buckets, ids deliberately sparse/unordered)
+    still cuts phases bit-identical to ntile over (difficulty, id)."""
+    from crypto_data_service_loader_spark.operators import training as TR
+
+    monkeypatch.setattr(TR, "_RANK_BUCKET_DOCS", 7)
+    rows = [((i * 13) % 120 * 3 + 1, i % 2) for i in range(120)]
+    assert len({r[0] for r in rows}) == 120
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["doc_id"]: (r["phase"], r["difficulty"])
+        for r in TR.curriculum_phases(docs, n_phases=5).collect()
+    }
+    # reference: exact ntile semantics in plain python
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n, k = len(order), 5
+    want = {}
+    for pos, (doc_id, diff) in enumerate(order):
+        cut = (n % k) * (n // k + 1)
+        tile = (pos // (n // k + 1) + 1) if pos < cut else (
+            n % k + (pos - cut) // (n // k) + 1)
+        want[doc_id] = (tile, diff)
+    assert got == want
