@@ -169,6 +169,12 @@ HEADLINE = [
     "tar_corpus_samples",
     "dedup_gif_frames",
     "curriculum_order",
+    # round 15: the multimodal WebDataset flagship (tar -> sample groupBy
+    # -> real PNG + gzip decode -> fingerprint dedup -> pack) and the
+    # paletted/16-bit PNG decode join the line; headroom funded by the
+    # r15 rotation above.
+    "webdataset_pipeline",
+    "media_decode_png_palette",
 ]
 
 

@@ -415,15 +415,21 @@ def _decode_png(payload: bytes | None):
 
 
 def _parse_png(payload: bytes | None, native: bool = False):
-    """Parse a non-interlaced 8-bit PNG (grayscale / RGB / palette /
-    RGBA) down to raw pixels: chunk walk with CRC verification, IHDR
-    validation, PLTE capture for color type 3, IDAT inflate, un-filter.
-    Returns (width, height, top-down RGB bytes) or None. With
-    ``native=True`` returns (width, height, color_type, bpp, bytes) in
-    the image's OWN channel layout (gray 1, RGB 3, RGBA 4 — alpha kept)
-    so resize can re-encode the same color type; palette images expand
-    to truecolor (color reported as 2) since `_encode_png` has no
-    palette writer."""
+    """Parse a non-interlaced or Adam7 PNG (grayscale / RGB / palette /
+    RGBA; 8-bit everywhere, 16-bit for grayscale/RGB/RGBA — round 15,
+    VERDICT r14 #6) down to raw pixels: chunk walk with CRC
+    verification, IHDR validation, PLTE capture for color type 3, tRNS
+    capture + validation (palette alpha; gray/RGB single transparent
+    color), IDAT inflate, un-filter (filters operate on BYTES, so the
+    16-bit paths reuse the same bpp-aware unfilter per the spec).
+    Returns (width, height, top-down RGB bytes) or None. 16-bit samples
+    scale to 8 by taking the HIGH byte (the spec's sample-depth
+    rescaling truncation); transparency is VALIDATED but alpha is
+    dropped for stats, the same convention as RGBA. With ``native=True``
+    returns (width, height, color_type, bpp, bytes) in the image's OWN
+    channel layout at 8 bits (gray 1, RGB 3, RGBA 4 — alpha kept) so
+    resize can re-encode the same color type; palette images expand to
+    truecolor (color reported as 2)."""
     import struct
     import zlib
 
@@ -435,6 +441,7 @@ def _parse_png(payload: bytes | None, native: bool = False):
     pos = len(_PNG_SIG)
     ihdr = None
     plte = None
+    trns = None
     idat = bytearray()
     seen_end = False
     while pos + 12 <= len(payload):
@@ -454,6 +461,10 @@ def _parse_png(payload: bytes | None, native: bool = False):
             if plte is not None or length % 3 != 0 or length == 0:
                 return None
             plte = bytes(body)
+        elif ctype == b"tRNS":
+            if trns is not None or idat:  # one tRNS, before IDAT (spec)
+                return None
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -463,14 +474,35 @@ def _parse_png(payload: bytes | None, native: bool = False):
     if ihdr is None or not idat or not seen_end:
         return None
     width, height, depth, color, comp, filt, interlace = ihdr
-    # 8-bit grayscale (0), truecolor RGB (2), palette (3), RGBA (6)
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
-    if depth != 8 or bpp is None or (comp, filt) != (0, 0):
+    # grayscale (0), truecolor RGB (2), palette (3), RGBA (6); sample
+    # depth 8 everywhere, 16 for the non-palette types (palette indices
+    # are <= 8 bit by spec)
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    if channels is None or (comp, filt) != (0, 0):
         return None
+    if depth not in (8, 16) or (depth == 16 and color == 3):
+        return None
+    bpp = channels * (depth // 8)  # bytes per pixel — the filter unit
     if interlace not in (0, 1):  # 0 = none, 1 = Adam7 (round 14)
         return None
     if color == 3 and plte is None:  # palette images REQUIRE a PLTE
         return None
+    if trns is not None:
+        # validate per color type: palette -> one alpha byte per leading
+        # entry (never more entries than the palette); gray -> one
+        # 2-byte sample; RGB -> three 2-byte samples; RGBA already has
+        # alpha, tRNS is forbidden (spec 11.3.2)
+        if color == 3:
+            if len(trns) == 0 or len(trns) > len(plte) // 3:
+                return None
+        elif color == 0:
+            if len(trns) != 2:
+                return None
+        elif color == 2:
+            if len(trns) != 6:
+                return None
+        else:
+            return None
     if width <= 0 or height <= 0:
         return None
     if width * height > _MAX_DECODE_PIXELS:  # bomb guard (ADVICE r13)
@@ -498,6 +530,12 @@ def _parse_png(payload: bytes | None, native: bool = False):
         px = _png_unfilter(raw, width, height, bpp)
     if px is None:
         return None
+    if depth == 16:
+        # sample-depth rescale 16 -> 8: the HIGH byte of each big-endian
+        # sample (spec-sanctioned truncation); everything downstream is
+        # the 8-bit path (bpp becomes the channel count again)
+        px = px[0::2]
+        bpp = channels
     if color == 3:  # palette lookup: index byte -> PLTE RGB triple
         n_entries = len(plte) // 3
         if any(v >= n_entries for v in px):
@@ -560,22 +598,37 @@ def _png_deinterlace_adam7(raw: bytes, width: int, height: int, bpp: int):
 
 def _encode_png(
     rgb: bytes, width: int, height: int, filters: list[int] | None = None,
-    color: int = 2, interlace: bool = False,
+    color: int = 2, interlace: bool = False, depth: int = 8,
+    palette: list[tuple[int, int, int]] | None = None,
+    trns: bytes | None = None,
 ) -> bytes:
-    """Encode top-down pixel bytes as a genuine PNG (8-bit; `color` 2 =
-    truecolor RGB, 0 = grayscale, 6 = RGBA): per-row filter selection
-    (default: row r uses filter type r % 5, so every encoded image
-    exercises ALL five filters on decode), zlib-deflated IDAT, correct
-    chunk CRCs. ``interlace=True`` writes Adam7 (round 14): each pass
-    filtered as its own sub-image, exactly how the decoder un-filters.
-    Deterministic for a given input (zlib level 6, fixed strategy) —
-    but the gate keys never compare the compressed BYTES across
-    engines, only the decoded stats, so determinism of the deflate
-    stream is not load-bearing."""
+    """Encode top-down pixel bytes as a genuine PNG (`color` 2 =
+    truecolor RGB, 0 = grayscale, 6 = RGBA, 3 = palette — round 15,
+    VERDICT r14 #6): per-row filter selection (default: row r uses
+    filter type r % 5, so every encoded image exercises ALL five filters
+    on decode), zlib-deflated IDAT, correct chunk CRCs. ``interlace``
+    writes Adam7 (round 14): each pass filtered as its own sub-image,
+    exactly how the decoder un-filters. ``depth=16`` (grayscale/RGB/
+    RGBA) takes big-endian 16-bit sample bytes; palette (``color=3``,
+    8-bit indices) writes the PLTE from `palette` and, when `trns` is
+    given, a tRNS alpha chunk — the two most common real-corpus variants
+    after truecolor, both now round-trippable. Deterministic for a given
+    input (zlib level 6, fixed strategy) — but the gate keys never
+    compare the compressed BYTES across engines, only the decoded stats,
+    so determinism of the deflate stream is not load-bearing."""
     import struct
     import zlib
 
-    bpp = {0: 1, 2: 3, 6: 4}[color]
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    if color == 3:
+        assert depth == 8, "palette indices are <= 8 bit by spec"
+        assert palette, "color type 3 requires a palette"
+        assert len(palette) <= 256
+        assert trns is None or 0 < len(trns) <= len(palette)
+    else:
+        assert depth in (8, 16)
+        assert palette is None and trns is None
+    bpp = channels * (depth // 8)  # bytes per pixel — the filter unit
     stride = width * bpp
     assert len(rgb) == height * stride, "pixel length must be h*w*bpp"
     if interlace:
@@ -600,11 +653,18 @@ def _encode_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color, 0, 0,
+        1 if interlace else 0,
     )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color == 3:
+        out += chunk(
+            b"PLTE", bytes(b for entry in palette for b in entry)
+        )
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
     return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
     )
@@ -2682,20 +2742,25 @@ PNG_ENCODE_SCHEMA = "media_id long, payload binary"
 
 def encode_png_images(
     media: DataFrame, width: int, height: int, color: int = 2,
-    interlace: bool = False,
+    interlace: bool = False, depth: int = 8,
+    palette: list[tuple[int, int, int]] | None = None,
+    trns: bytes | None = None,
 ) -> DataFrame:
     """Encode raw top-down pixel bytes (column ``rgb``,
     height*width*bpp bytes per row; `color` 2 = RGB, 0 = grayscale,
-    6 = RGBA) into genuine PNG files via `_encode_png` — per-row filter
-    type r % 5, so every payload exercises all five PNG filters on
-    decode. Scan-local mapInPandas, same scale shape as the decoders:
-    one pass, no shuffle, bounded memory per task."""
+    6 = RGBA, 3 = palette indices with `palette`/`trns`; `depth` 16
+    takes big-endian sample pairs) into genuine PNG files via
+    `_encode_png` — per-row filter type r % 5, so every payload
+    exercises all five PNG filters on decode. Scan-local mapInPandas,
+    same scale shape as the decoders: one pass, no shuffle, bounded
+    memory per task."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
                 _encode_png(bytes(rgb), width, height, color=color,
-                            interlace=interlace)
+                            interlace=interlace, depth=depth,
+                            palette=palette, trns=trns)
                 for rgb in pdf["rgb"]
             ]
             yield pd.DataFrame(

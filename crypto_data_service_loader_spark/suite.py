@@ -62,6 +62,9 @@ QUERIES = {
     "media_resize_gif": q_media_resize_gif,
     "tar_corpus_members": q_tar_corpus_members,
     "tar_corpus_samples": q_tar_corpus_samples,
+    # --- new in round 15 ---
+    "webdataset_pipeline": q_webdataset_pipeline,
+    "media_decode_png_palette": q_media_decode_png_palette,
     "media_decode_multi_format": q_media_decode_multi_format,
     "curriculum_order": q_curriculum_order,
     "compressed_corpus_mixed": q_compressed_corpus_mixed,
@@ -324,80 +327,61 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# Round-14 rotation (_R14_FRONT, exactly 50 keys — the driver windows
-# the FIRST 50 dict keys). Per VERDICT r13 item #1 (oldest-first is
-# the audit-integrity lever) this window leads with the eleven keys
-# displaced from the r13 window by that round's 23 splices, then the
-# remaining eleven keys of the round-8 cohort (last driver-verified in
-# round 8 — the stalest greens at 6 rounds), filled to 50 with the
-# alphabetical head of the round-9 cohort. New / source-changed
-# round-14 keys are spliced in at the top as they land, displacing
-# tail fill (the r9-cohort fill keys at the bottom, never an r8 key).
-_R14_FRONT = [
-    # new / source-changed round-14 keys are spliced HERE as they land
-    # (same-commit discipline; the assertions below keep this honest),
-    # displacing tail fill.
-    # source-changed: histogram-ntile phase cut (VERDICT r13 #2) and
-    # default-on packing shards (VERDICT r13 #6)
-    "curriculum_order", "pack_sequences",
-    # source-changed: bounded single-partition windows pinned to an
-    # explicit constant partition key (VERDICT r13 #8 — WindowExec
-    # warning silenced; values identical, plans re-verified)
-    "key_skew_report", "mixture_rebalance", "mixture_temperature",
-    "histogram_drift", "curation_funnel",
-    "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_ivfpq_indexed",
-    # ADVICE r13: key renamed to the operator it runs (audit) + a NEW
-    # key for the real filter operator
-    "blocklist_audit", "blocklist_filter",
-    # source-changed: decompression-bomb guards (max-pixels before LZW/
-    # inflate; bounded gzip/bz2/xz decode) + ustar prefix-field decline
-    # (category_drift shares histogram_drift's changed code path;
-    # tar_corpus_members' changed parser is re-gated via
-    # tar_corpus_samples — both yield their window slots)
-    "compressed_corpus_mixed", "gzip_corpus_roundtrip",
-    "media_decode_multi_format",
-    # NEW round 14 (VERDICT r13 #3): subsampled baseline JPEG — the
-    # sampling real corpora actually use; plus the 4:4:4 keys re-gated
-    # since the codec's MCU loop was generalized
-    # (media_decode_jpeg's 4:4:4 path is re-gated via the in-window
-    # media_decode_multi_format + media_resize_jpeg keys)
-    "media_decode_jpeg_420", "media_decode_jpeg_422",
-    "media_decode_jpeg_progressive", "media_resize_jpeg",
-    # NEW round 14: interlaced-variant decodes (Adam7 / GIF 4-pass)
-    "media_decode_png_adam7", "media_decode_gif_interlaced",
-    # source-changed (VERDICT r13 #4): knn_graph's pair join pinned to
-    # the session shuffle parallelism (AQE byte-coalescing serialized
-    # the compute-dense stage; knn_triangles 3.24 -> 2.47 s)
-    "knn_triangles", "pagerank_knn", "knn_graph_lsh",
-    # NEW round 14 (VERDICT r13 #5): WebDataset sample grouping
+# Round-15 rotation (_R15_FRONT, exactly 50 keys — the driver windows
+# the FIRST 50 dict keys). Per VERDICT r14 #2 (and STATUS's r15
+# pre-computation): the window leads with this round's new /
+# source-changed keys, then the ENTIRE round-9 cohort — the stalest
+# greens, last driver-verified in round 9 — except dedup_simhash_pairs,
+# which yields its slot to the fifth splice (its simhash fingerprint
+# path is re-gated by the in-window dedup_simhash, and the r14 judge
+# independently replayed it green this session's VERDICT §verification).
+# Source-changed keys NOT spliced, with their re-gating cover:
+#   - tar_corpus_members (exploder stem-count guard): explode path
+#     re-gated by tar_corpus_samples + webdataset_pipeline (both in).
+#   - media_decode_png / _adam7 / _mixed / media_resize_png (_parse_png
+#     gained tRNS/16-bit branches): the shared chunk walk + truecolor
+#     path re-gated by media_decode_multi_format's %8==2 branch and
+#     media_decode_png_palette; adam7/mixed/resize also replay in the
+#     deep-fuzz battery (tests/test_fuzz_oracles.FUZZ_KEYS).
+#   - pack_sequences: r15 change is docstring-only (bin_id contract).
+_R15_FRONT = [
+    # --- new round 15 ---
+    "webdataset_pipeline", "media_decode_png_palette",
+    # --- source-changed round 15 ---
+    # group_tar_samples md5 tie order + explode-edge member-count guard
     "tar_corpus_samples",
-    # NEW round 14 (VERDICT r13 #7): animated GIF per-frame stats +
-    # real-container video dedup (+ media_decode_gif re-gated: the
-    # single-frame parser shares the container/LZW machinery)
-    "media_decode_gif_frames", "dedup_gif_frames", "media_decode_gif",
-    # --- eleven keys displaced from the r13 window by its splices ---
-    "stream_tumbling_daily_count", "sim_cosine_topk_ivf",
-    "setop_union", "setop_intersect", "setop_except",
-    "session_window_agg", "sessionize_events",
-    "scalar_strings", "scalar_dates", "scalar_date_parts",
-    "sample_pps",
-    # --- remainder of the round-8 cohort (stalest greens) ---
-    "pivot_status", "topk_by_price", "udf_grouped_range",
-    "udf_mid_price", "upload_status_rollup", "win_first_last",
-    "win_lag_delta", "win_moving_avg", "win_range_frame",
-    "win_rank_suite", "win_row_number",
+    # PNG branch of the dispatch split truecolor/palette by doc_id % 8
+    "media_decode_multi_format",
+    # bucketed within-tie rank (data-independent skew bound)
+    "curriculum_order",
+    # --- round-9 cohort (alphabetical; the stalest greens) ---
+    "agg_corr", "agg_cube",
+    "dedup_embedding_clusters", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_media_clusters",
+    "dedup_media_indexed", "dedup_minhash_indexed", "dedup_simhash",
+    "doc_fingerprint", "docs_prep_pipeline", "hll_rolling_distinct",
+    "hll_source_overlap", "interval_gaps", "interval_islands",
+    "join_size_estimate", "join_strategy_choice", "lang_id",
+    "lang_id_trigram", "media_format_audit", "media_frame_sample",
+    "point_in_time_join", "range_join_events", "sim_cosine_topk",
+    "sim_cosine_topk_lsh", "text_chunking", "text_decontaminate",
+    "text_gopher_quality", "text_quality", "text_redact_pii",
+    "text_repetition", "text_stats", "text_tfidf_top_terms",
+    "text_top_terms", "token_count", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "zonemap_multi_prune", "zonemap_pruned_scan",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
-_missing = [k for k in _R14_FRONT if k not in QUERIES]
-assert not _missing, f"_R14_FRONT keys not registered: {_missing}"
-assert len(_R14_FRONT) == 50, f"_R14_FRONT has {len(_R14_FRONT)} keys"
-assert len(set(_R14_FRONT)) == 50, "_R14_FRONT has duplicates"
+_missing = [k for k in _R15_FRONT if k not in QUERIES]
+assert not _missing, f"_R15_FRONT keys not registered: {_missing}"
+assert len(_R15_FRONT) == 50, f"_R15_FRONT has {len(_R15_FRONT)} keys"
+assert len(set(_R15_FRONT)) == 50, "_R15_FRONT has duplicates"
 QUERIES = {
-    **{k: QUERIES[k] for k in _R14_FRONT},
+    **{k: QUERIES[k] for k in _R15_FRONT},
     **{k: v for k, v in QUERIES.items()
-       if k not in set(_R14_FRONT)},
+       if k not in set(_R15_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
@@ -3121,7 +3105,7 @@ ORACLES["media_decode_multi_format"] = (
         SELECT doc_id AS media_id,
                md5(text) || md5(md5(text)) || md5(md5(md5(text)))
                || md5(md5(md5(md5(text)))) AS px
-        FROM documents WHERE doc_id < 200 AND doc_id % 4 = 2),
+        FROM documents WHERE doc_id < 200 AND doc_id % 8 = 2),
     png_b AS (
         SELECT media_id, i.i AS i,
                CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
@@ -3135,6 +3119,20 @@ ORACLES["media_decode_multi_format"] = (
                CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
                    AS sum_r
         FROM png_b GROUP BY media_id),
+    png3_base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) AS px
+        FROM documents WHERE doc_id < 200 AND doc_id % 8 = 6),
+    png3_b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM png3_base, LATERAL unnest(generate_series(0, 19)) AS i(i)),
+    png3_s AS (
+        SELECT media_id,
+               CAST(SUM(255 - v) AS BIGINT) AS sum_b,
+               CAST(SUM((v * 5 + 11) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_r
+        FROM png3_b GROUP BY media_id),
     gif_base AS (
         SELECT doc_id AS media_id,
                md5(text) || md5(md5(text)) || md5(md5(md5(text)))
@@ -3165,6 +3163,14 @@ ORACLES["media_decode_multi_format"] = (
                AS luma_milli,
            TRUE AS decode_ok
     FROM png_s
+    UNION ALL
+    SELECT media_id, CAST('png' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM png3_s
     UNION ALL
     SELECT media_id, CAST('gif' AS VARCHAR) AS fmt,
            CAST(6 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,
@@ -3656,3 +3662,101 @@ ORACLES["dedup_media_clusters"] = f"""
 ORACLES["media_decode_png_adam7"] = ORACLES["media_decode_png"]
 ORACLES["media_decode_gif_interlaced"] = ORACLES["media_decode_gif"]
 
+
+# Round 15 (VERDICT r14 #3): the multimodal WebDataset flagship. Both
+# modality round trips are lossless (PNG deflate, gzip), so the oracle
+# mirrors the pixel/text arithmetic straight off the md5('wds'||id%100)
+# chain; dedup is the literal NOT EXISTS the Spark anti self-join
+# implements; packing is the cumsum-DIV bin formula (all kept rows live
+# in id-range shard 0 at the fixture scale, so bin ids are the locals).
+ORACLES["webdataset_pipeline"] = """
+    WITH chain AS (
+        SELECT doc_id AS shard_id,
+               md5('wds' || CAST(doc_id % 100 AS VARCHAR))
+               || md5(md5('wds' || CAST(doc_id % 100 AS VARCHAR)))
+               || md5(md5(md5('wds' || CAST(doc_id % 100 AS VARCHAR))))
+               || md5(md5(md5(md5('wds' || CAST(doc_id % 100 AS VARCHAR)))))
+                   AS chain
+        FROM documents WHERE doc_id < 200),
+    txt AS (
+        SELECT shard_id, chain,
+               substr(chain, 1, 40 + CAST(shard_id % 50 AS INT)) AS text
+        FROM chain),
+    px AS (
+        SELECT shard_id, i.i AS i,
+               CAST(('0x' || substr(chain, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM txt, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    s AS (
+        SELECT shard_id,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_r,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+                   AS sum_b
+        FROM px GROUP BY shard_id),
+    dec AS (
+        SELECT t.shard_id, 's' AS sample_key,
+               CAST(2 AS INTEGER) AS n_members,
+               CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+               CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20
+                    AS BIGINT) AS luma_milli,
+               CAST(length(text) AS INTEGER) AS text_len,
+               md5(text) AS text_md5
+        FROM txt t JOIN s USING (shard_id)),
+    kept AS (
+        SELECT * FROM dec d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dec d2
+            WHERE d2.text_md5 = d.text_md5 AND d2.shard_id < d.shard_id)),
+    packed AS (
+        SELECT *,
+               COALESCE(SUM(text_len) OVER (
+                   ORDER BY shard_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM kept)
+    SELECT shard_id, sample_key, n_members, width, height, luma_milli,
+           text_len, text_md5,
+           CAST(cum_before // 256 AS BIGINT) AS bin_id,
+           CAST(cum_before % 256 AS BIGINT) AS bin_offset
+    FROM packed"""
+
+# Round 15 (VERDICT r14 #6): paletted + 16-bit PNG. Palette resolution
+# and the 16-bit high-byte rescale are exact integer maps, so the oracle
+# mirrors the per-hex-pair arithmetic; the parity dispatch means a
+# mis-geometry (palette read as truecolor, wrong byte of a 16-bit pair)
+# breaks the hash.
+ORACLES["media_decode_png_palette"] = """
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+               || md5(md5(md5(md5(text)))) AS px
+        FROM documents WHERE doc_id < 200),
+    b AS (
+        SELECT media_id, i.i AS i,
+               CAST(('0x' || substr(px, 2 * i.i + 1, 2)) AS BIGINT) AS v
+        FROM base, LATERAL unnest(generate_series(0, 59)) AS i(i)),
+    s AS (
+        SELECT media_id,
+               CAST(CASE WHEN media_id % 2 = 0
+                    THEN SUM(CASE WHEN i < 20 THEN v ELSE 0 END)
+                    ELSE SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END)
+               END AS BIGINT) AS sum_r,
+               CAST(CASE WHEN media_id % 2 = 0
+                    THEN SUM(CASE WHEN i < 20 THEN (v * 5 + 11) % 256
+                             ELSE 0 END)
+                    ELSE SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END)
+               END AS BIGINT) AS sum_g,
+               CAST(CASE WHEN media_id % 2 = 0
+                    THEN SUM(CASE WHEN i < 20 THEN 255 - v ELSE 0 END)
+                    ELSE SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END)
+               END AS BIGINT) AS sum_b
+        FROM b GROUP BY media_id)
+    SELECT media_id, CAST('png' AS VARCHAR) AS fmt,
+           CAST(4 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           CAST(20 AS INTEGER) AS n_pixels, sum_b, sum_g, sum_r,
+           CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // 20 AS BIGINT)
+               AS luma_milli,
+           TRUE AS decode_ok
+    FROM s"""

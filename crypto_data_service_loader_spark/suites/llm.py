@@ -2118,12 +2118,23 @@ def q_media_decode_multi_format(spark, sf_dir):
                           half=16, rows=16),
         width=32, height=16, subsample="420",
     ))
+    # round 15: the PNG branch itself splits truecolor / PALETTED(+tRNS)
+    # by doc_id % 8, like the JPEG branch's sampling split — a dispatch
+    # that resolves palette entries as raw channels breaks the hash
     png = encode_png_images(
-        docs.filter(mid == 2).select(
+        docs.filter(F.col("doc_id") % 8 == 2).select(
             F.col("doc_id").alias("media_id"), F.unhex(chain120).alias("rgb")
         ),
         width=4, height=5,
-    )
+    ).unionByName(encode_png_images(
+        docs.filter(F.col("doc_id") % 8 == 6).select(
+            F.col("doc_id").alias("media_id"),
+            F.unhex(F.substring(chain120, 1, 40)).alias("rgb"),
+        ),
+        width=4, height=5, color=3,
+        palette=[(v, (v * 5 + 11) % 256, 255 - v) for v in range(256)],
+        trns=bytes([7, 129, 255]),
+    ))
     palette = [(v, 255 - v, (v * 3) % 256) for v in range(256)]
     gif = encode_gif_images(
         docs.filter(mid == 3).select(
@@ -2761,3 +2772,166 @@ def q_url_canonical_dedup(spark, sf_dir):
             .alias("url"),
     )
     return url_dedup(urls)
+
+
+def q_webdataset_pipeline(spark, sf_dir):
+    """Round 15 (VERDICT r14 #3): the MULTIMODAL training-read flagship —
+    what a real 100 TB WebDataset pre-training ingest looks like, every
+    stage an already-gated operator composed into ONE declarative plan:
+
+      tar shards  ->  explode_tar_members (scan-local)
+                  ->  group_tar_samples   (THE one row-bearing groupBy)
+                  ->  decode_wds_samples  (image via the REAL in-repo PNG
+                                           codec + text via bounded gzip,
+                                           one Arrow pass, zero exchange)
+                  ->  fingerprint dedup   (NOT-EXISTS anti self-join on
+                                           decoded text md5 — keep-lowest
+                                           -id, no extra groupBy)
+                  ->  pack_sequences      (the packing shuffle)
+
+    Fixture: each doc packs a genuine ustar shard holding one 2-modality
+    sample — `s.png` (a real deflate-compressed 4x5 RGB PNG whose pixels
+    are md5-chain bytes, all five PNG filters) and `s.txt.gz` (gzip of a
+    variable-length hex text (length 40 + id % 50 — the period divides
+    100, so twins stay LENGTH-identical too)). Content derives from md5('wds' ||
+    doc_id % 100), so ids 100..199 are exact content twins of 0..99 and
+    the dedup stage provably bites; both modality round trips are
+    lossless, so the oracle mirrors the pixel/text arithmetic straight
+    off the chain, and packing is the cumsum-DIV formula. The shard
+    construction needs NO groupBy (a sample's members all come from one
+    doc row — a single mapInPandas packs the tar), keeping the plan's
+    claim honest: one row-bearing groupBy before the packing shuffle
+    (group_tar_samples' bomb-guard count agg shuffles one COUNT row per
+    key, never corpus rows)."""
+    import gzip as _gzip
+
+    from ..operators.multimodal import _encode_png
+    from ..operators.training import pack_sequences
+    from ..sources.tar_blobs import (
+        _encode_tar, decode_wds_samples, explode_tar_members,
+        group_tar_samples,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5(F.concat(F.lit("wds"), (F.col("doc_id") % 100).cast("string")))
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    m4 = F.md5(m3)
+    staged = docs.select(
+        F.col("doc_id").alias("shard_id"),
+        F.concat(m1, m2, m3, m4).alias("chain"),
+    ).select(
+        "shard_id",
+        F.unhex(F.substring(F.col("chain"), 1, 120)).alias("rgb"),
+        F.expr(
+            "substring(chain, 1, 40 + CAST(shard_id % 50 AS INT))"
+        ).alias("text"),
+    )
+
+    def _pack_shards(it):
+        for pdf in it:
+            payloads = [
+                _encode_tar([
+                    ("s.png", _encode_png(bytes(rgb), 4, 5, color=2)),
+                    ("s.txt.gz",
+                     _gzip.compress(text.encode(), 6, mtime=0)),
+                ])
+                for rgb, text in zip(pdf["rgb"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"], "payload": payloads}
+            )
+
+    shards = staged.mapInPandas(
+        _pack_shards, schema="shard_id long, payload binary"
+    )
+    samples = group_tar_samples(
+        explode_tar_members(shards, id_col="shard_id"), id_col="shard_id"
+    )
+    # decode ONCE: the stats relation is one narrow row per sample —
+    # materialize it so the dedup anti self-join and the pack join reread
+    # the tiny relation, never the tar bytes (without this, Spark's
+    # lineage recomputed the whole tar decode for every self-join branch:
+    # 3x decode cost at 100 TB). Same device as community_lpa's edge list.
+    decoded = (
+        decode_wds_samples(samples)
+        .filter(F.col("decode_ok"))
+        .localCheckpoint()
+    )
+    twin = decoded.select(
+        F.col("shard_id").alias("_sid2"), F.col("text_md5").alias("_md52")
+    )
+    kept = decoded.join(
+        twin,
+        (decoded["text_md5"] == twin["_md52"])
+        & (decoded["shard_id"] > twin["_sid2"]),
+        "left_anti",
+    )
+    packed = pack_sequences(
+        kept.select("shard_id", "text_len"),
+        budget=256, tokens_col="text_len", id_col="shard_id",
+    )
+    return kept.join(
+        packed.select("shard_id", "bin_id", "bin_offset"), "shard_id"
+    ).select(
+        "shard_id", "sample_key", "n_members", "width", "height",
+        "luma_milli", "text_len", "text_md5", "bin_id", "bin_offset",
+    )
+
+
+def q_media_decode_png_palette(spark, sf_dir):
+    """Round 15 (VERDICT r14 #6): the two most common real-corpus PNG
+    variants after truecolor, both directions. Dispatch by doc_id
+    parity so a mis-geometry breaks the hash (the JPEG 4:2:0 split
+    precedent):
+
+    - EVEN docs: PALETTED (color type 3) — the first 20 md5-chain bytes
+      are palette indices into a 256-entry PLTE whose entry v is
+      (v, (v*5+11)%256, 255-v), plus a tRNS alpha chunk (validated on
+      parse; alpha drops from stats like RGBA's). Palette resolution is
+      exact integer lookup, so the oracle mirrors the entry arithmetic
+      per hex pair.
+    - ODD docs: 16-BIT truecolor — 60 chain bytes are the HIGH bytes of
+      big-endian 16-bit samples; the low byte (v*7+13)%256 differs from
+      the high byte everywhere, so a decoder reading the wrong byte of
+      the pair (or averaging) breaks the hash. The spec's sample-depth
+      rescale keeps the high byte, so stats equal the plain-PNG sums.
+
+    Both profiles ride the SAME real chunk walk / inflate / unfilter
+    path (all five PNG filters per payload) through _parse_png."""
+    from ..operators.multimodal import _encode_png, decode_image_stats
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5("text")
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    m4 = F.md5(m3)
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.substring(F.concat(m1, m2, m3, m4), 1, 120)).alias("b"),
+    )
+    palette = [(v, (v * 5 + 11) % 256, 255 - v) for v in range(256)]
+
+    def _stage(it):
+        for pdf in it:
+            payloads = []
+            for mid, raw in zip(pdf["media_id"], pdf["b"]):
+                raw = bytes(raw)
+                if mid % 2 == 0:
+                    payloads.append(_encode_png(
+                        raw[:20], 4, 5, color=3, palette=palette,
+                        trns=bytes([7, 129, 255]),
+                    ))
+                else:
+                    raw16 = bytes(
+                        x for v in raw for x in (v, (v * 7 + 13) % 256)
+                    )
+                    payloads.append(
+                        _encode_png(raw16, 4, 5, color=2, depth=16)
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    pngs = staged.mapInPandas(_stage, schema="media_id long, payload binary")
+    return decode_image_stats(pngs)

@@ -93,6 +93,15 @@ FUZZ_KEYS = [
     # dedup twin replays the decode + fingerprint join end-to-end
     "media_decode_gif_frames",
     "dedup_gif_frames",
+    # round 15: the multimodal WebDataset flagship — tar pack/explode,
+    # sample grouping, the real PNG decode, bounded gzip text, the
+    # fingerprint anti self-join and the packing cumsum all replay over
+    # every fuzzed corpus (content rides md5('wds'||id%100), so the
+    # dedup stage bites whenever ids cross 100)
+    "webdataset_pipeline",
+    # round 15: paletted(+tRNS) / 16-bit PNG decode — the palette
+    # arithmetic and high-byte rescale replay for every md5 chain
+    "media_decode_png_palette",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;

@@ -1236,3 +1236,118 @@ def test_png_adam7_decode_matches_plain(w, h, color, data):
                                      interlace=True), native=True)
     assert nat == M._parse_png(M._encode_png(px, w, h, color=color),
                                native=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 6),
+    n_entries=st.integers(1, 256),
+    use_trns=st.booleans(),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_png_palette_trns_roundtrip(w, h, n_entries, use_trns, interlace,
+                                    data):
+    """Round 15 (VERDICT r14 #6): paletted PNG encode/decode is an exact
+    round trip for EVERY size, palette, filter assignment, tRNS length,
+    and interlace mode — decoded channel sums equal the palette-resolved
+    sums; alpha is validated but never leaks into stats."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    pal = [
+        tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        for _ in range(n_entries)
+    ]
+    idx = bytes(data.draw(st.lists(
+        st.integers(0, n_entries - 1), min_size=w * h, max_size=w * h)))
+    filters = data.draw(st.lists(
+        st.integers(0, 4), min_size=h, max_size=h))
+    trns = None
+    if use_trns:
+        k = data.draw(st.integers(1, n_entries))
+        trns = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=k, max_size=k)))
+    png = M._encode_png(idx, w, h, filters=filters, color=3,
+                        palette=pal, trns=trns, interlace=interlace)
+    got = M._decode_png(png)
+    rgb = [pal[v] for v in idx]
+    want = (w, h, w * h,
+            sum(c[2] for c in rgb), sum(c[1] for c in rgb),
+            sum(c[0] for c in rgb))
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 6),
+    color=st.sampled_from([0, 2, 6]),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_png_16bit_high_byte_rescale(w, h, color, interlace, data):
+    """Round 15 (VERDICT r14 #6): 16-bit PNG decode applies the spec's
+    sample-depth rescale — the HIGH byte of each big-endian pair — for
+    every size/color/interlace; low bytes are drawn independently so a
+    decoder reading the wrong byte (or averaging the pair) fails."""
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    n = w * h * ch
+    hi = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    lo = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    raw16 = bytes(b for pair in zip(hi, lo) for b in pair)
+    png16 = M._encode_png(raw16, w, h, color=color, depth=16,
+                          interlace=interlace)
+    png8 = M._encode_png(hi, w, h, color=color)
+    assert M._decode_png(png16) == M._decode_png(png8)
+    # native mode also returns the rescaled 8-bit raster
+    assert M._parse_png(png16, native=True) == (w, h, color, ch, hi)
+
+
+def test_png_new_profile_declines():
+    """Decline-never-misread for the round-15 PNG surface: 16-bit
+    palette header, tRNS after IDAT, tRNS longer than the palette,
+    tRNS on RGBA, wrong gray/RGB tRNS width."""
+    import struct
+    import zlib
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    pal = [(v, v, v) for v in range(16)]
+    good = M._encode_png(bytes(range(16)), 4, 4, color=3, palette=pal)
+    assert M._parse_png(good) is not None
+    sig, rest = good[:8], good[8:]
+    ihdr16 = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0))
+    assert M._parse_png(sig + ihdr16 + rest[25:]) is None
+    # tRNS AFTER IDAT: append before IEND
+    iend = chunk(b"IEND", b"")
+    assert good.endswith(iend)
+    late = good[:-len(iend)] + chunk(b"tRNS", b"\x00") + iend
+    assert M._parse_png(late) is None
+    # tRNS longer than the palette (17 > 16 entries)
+    assert M._encode_png(bytes(range(16)), 4, 4, color=3, palette=pal,
+                         trns=bytes(16)) is not None
+    head = good[:8 + 25 + 12 + len(pal) * 3]  # sig+IHDR+PLTE
+    tail = good[8 + 25 + 12 + len(pal) * 3:]
+    oversized = head + chunk(b"tRNS", bytes(17)) + tail
+    assert M._parse_png(oversized) is None
+    # tRNS on RGBA / wrong widths on gray and RGB
+    rgba = M._encode_png(bytes(80), 4, 5, color=6)
+    h6, t6 = rgba[:8 + 25], rgba[8 + 25:]
+    assert M._parse_png(h6 + chunk(b"tRNS", b"\x00\x01") + t6) is None
+    gray = M._encode_png(bytes(20), 4, 5, color=0)
+    hg, tg = gray[:8 + 25], gray[8 + 25:]
+    assert M._parse_png(hg + chunk(b"tRNS", b"\x00\x01") + tg) is not None
+    assert M._parse_png(hg + chunk(b"tRNS", b"\x00\x01\x02") + tg) is None
+    rgbp = M._encode_png(bytes(60), 4, 5, color=2)
+    hr, tr = rgbp[:8 + 25], rgbp[8 + 25:]
+    assert M._parse_png(hr + chunk(b"tRNS", bytes(6)) + tr) is not None
+    assert M._parse_png(hr + chunk(b"tRNS", bytes(5)) + tr) is None

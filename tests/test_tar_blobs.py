@@ -181,10 +181,11 @@ def test_group_tar_samples_degenerate_basenames(spark):
 
 
 def test_group_tar_samples_member_count_bomb_declined(spark):
-    """VERDICT r14 #4: a hostile shard packing many members under ONE
-    stem is declined whole (the member-count sibling of
-    _MAX_DECODE_PIXELS); well-formed samples in the same shard are
-    untouched, and the declined key never appears truncated."""
+    """VERDICT r14 #4, fallback guard (member relations NOT built by the
+    exploder): a stem holding more members than the cap is declined
+    whole (the member-count sibling of _MAX_DECODE_PIXELS); well-formed
+    samples in the same shard are untouched, and the declined key never
+    appears truncated."""
     bomb = [(1, f"bomb.{i:06d}", 1, b"x") for i in range(300)]
     good = [(1, "good.txt", 3, b"abc"), (1, "good.json", 2, b"{}")]
     out = T.group_tar_samples(
@@ -193,13 +194,59 @@ def test_group_tar_samples_member_count_bomb_declined(spark):
     got = {r["sample_key"]: r for r in out.collect()}
     assert set(got) == {"good"}
     assert got["good"]["n_members"] == 2
-    # cap None disables the guard (caller validated upstream)
-    out2 = T.group_tar_samples(
-        _members_df(spark, bomb + good), id_col="shard_id", max_members=None
-    )
+    # default (no cap): the primary guard lives in explode_tar_members
+    out2 = T.group_tar_samples(_members_df(spark, bomb + good),
+                               id_col="shard_id")
     assert {r["sample_key"]: r["n_members"] for r in out2.collect()} == {
         "bomb": 300, "good": 2,
     }
+
+
+def test_explode_tar_members_stem_bomb_declined_scan_locally(spark):
+    """VERDICT r14 #4, primary guard: a HOSTILE ustar shard packing 300
+    members under one stem is declined at the explode edge (scan-local,
+    zero extra passes — the whole tar is in hand); the well-formed
+    sample in the same shard survives, so the downstream sample groupBy
+    can never see a giant group."""
+    members = [(f"bomb.{i:06d}", b"x") for i in range(300)]
+    members += [("good.txt", b"abc"), ("good.json", b"{}")]
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for n, c in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(c)
+            tf.addfile(ti, io.BytesIO(c))
+    blobs = spark.createDataFrame(
+        [(5, buf.getvalue())], "shard_id long, payload binary")
+    exploded = T.explode_tar_members(blobs, id_col="shard_id",
+                                     max_sample_members=16)
+    out = {r["sample_key"]: r["n_members"]
+           for r in T.group_tar_samples(exploded,
+                                        id_col="shard_id").collect()}
+    assert out == {"good": 2}
+    # cap None passes everything through (caller validated upstream)
+    n_all = T.explode_tar_members(blobs, id_col="shard_id",
+                                  max_sample_members=None).count()
+    assert n_all == 302
+
+
+def test_sample_stem_python_twin_matches_sql_rule(spark):
+    """The exploder's Python `_sample_stem` and `group_tar_samples`' SQL
+    column expressions implement the SAME key rule — pinned on every
+    tricky shape (hidden files, trailing dots, dirs, multi-dot exts,
+    extension-less, dotted directories)."""
+    names = [
+        "000123.jpg", "000123.seg.json", "noext", "dir/a.txt",
+        "d/.json", "d/.idx", "foo.", "a/b/c.tar.gz", ".hidden",
+        "x.y.z.", "dir.v2/file.txt", "dir.v2/noext", "a/.b.c",
+    ]
+    # one shard per name so each row's SQL sample_key is recoverable
+    rows = [(i, n, 1, b"x") for i, n in enumerate(names)]
+    out = T.group_tar_samples(_members_df(spark, rows), id_col="shard_id")
+    got = {r["shard_id"]: r["sample_key"] for r in out.collect()}
+    want = {i: T._sample_stem(n) for i, n in enumerate(names)}
+    assert got == want
 
 
 def test_group_tar_samples_tie_order_is_md5(spark):
