@@ -711,9 +711,21 @@ def curriculum_phases(
     k = int(n_phases)
     d = F.col(difficulty_col)
 
-    # (1) per-difficulty frequency — partial-combined, spreads over the
-    # cluster; "_d" is the distinct difficulty value.
-    freq = docs.groupBy(d.alias("_d")).agg(F.count(F.lit(1)).alias("_cnt"))
+    # (1) ONE full-corpus counts pass: per-(difficulty, id-bucket)
+    # frequency — partial-combined, spreads over the cluster. The
+    # per-difficulty frequency (and the grand total) derive from this
+    # already-tiny relation with second-stage aggs, so the corpus is
+    # never counted twice (the r15 bucketed tie rank would otherwise
+    # have added a second full scan+shuffle).
+    bucket = (F.col(id_col).cast("long") / F.lit(_RANK_BUCKET_DOCS)).cast(
+        "long"
+    )
+    freq2 = docs.groupBy(d.alias("_d2"), bucket.alias("_ib")).agg(
+        F.count(F.lit(1)).alias("_c2")
+    )
+    freq = freq2.groupBy(F.col("_d2").alias("_d")).agg(
+        F.sum("_c2").alias("_cnt")
+    )
 
     # (2) two-level prefix sum over distinct values. Inner level:
     # cumsum within a coarse value-range bucket (partitioned window).
@@ -754,15 +766,9 @@ def curriculum_phases(
     # Broadcast 1-row total for the ntile size formula.
     total = freq.agg(F.sum("_cnt").alias("_n"))
 
-    # (4a) per-(difficulty, id-bucket) frequency + within-difficulty
-    # prefix sum over buckets — the bucket's row offset inside its tie
-    # group, computed on COUNT rows (≤ heavy/2^20 per difficulty).
-    bucket = (F.col(id_col).cast("long") / F.lit(_RANK_BUCKET_DOCS)).cast(
-        "long"
-    )
-    freq2 = docs.groupBy(d.alias("_d2"), bucket.alias("_ib")).agg(
-        F.count(F.lit(1)).alias("_c2")
-    )
+    # (4a) within-difficulty prefix sum over id buckets — the bucket's
+    # row offset inside its tie group, computed on freq2's COUNT rows
+    # (≤ heavy/2^20 per difficulty).
     w_tie = (
         Window.partitionBy("_d2")
         .orderBy(F.col("_ib").asc())

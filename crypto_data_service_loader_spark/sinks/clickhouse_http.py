@@ -300,6 +300,23 @@ class ClickHouseHttpSink(Sink):
         """O26 parity — ClickHouseDAO.java:184-191 `TRUNCATE TABLE <t>`."""
         self.execute(f"TRUNCATE TABLE {table or self.table}")
 
+    def reset_batch(self, batch_id: int | None) -> None:
+        """Exactly-once for RESHAPED retries (round 15, VERDICT r14 #7):
+        the per-chunk insert_deduplication_token only dedups a byte-
+        identical re-POST of the SAME chunk; a retry that re-partitions
+        the batch (the per-file isolation path after a mid-stream
+        failure) re-sends rows under different tokens and would double-
+        count. With the table PARTITION BY batch_id (the send_batch_id
+        column), dropping the batch's partition before the rewrite makes
+        the whole-batch retry idempotent — the ClickHouse-native
+        equivalent of dynamic partition overwrite. No-op when batch ids
+        are off (nothing to key the drop on)."""
+        if batch_id is None or not self.send_batch_id:
+            return
+        self.execute(
+            f"ALTER TABLE {self.table} DROP PARTITION {int(batch_id)}"
+        )
+
     def count(self, table: str | None = None) -> int:
         """O25 over HTTP — ClickHouseDAO.java:193-202."""
         out = self.execute(f"SELECT count(*) FROM {table or self.table}")

@@ -41,6 +41,12 @@ class IdempotentParquetSink:
             .parquet(self.path)
         )
 
+    def reset_batch(self, batch_id: int | None) -> None:
+        """No-op by design: write() is dynamic-partition-overwrite keyed
+        on batch_id, so ANY retry — reshaped or not — already replaces
+        the whole partition atomically (the property the ClickHouse HTTP
+        sink needs an explicit DROP PARTITION to get)."""
+
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
 

@@ -32,6 +32,16 @@ class Sink:
     def write(self, df: DataFrame, batch_id: int | None = None) -> None:
         raise NotImplementedError
 
+    def reset_batch(self, batch_id: int | None) -> None:
+        """Drop everything previously committed under `batch_id`, so a
+        RESHAPED retry (different partitioning/chunking than the failed
+        attempt — per-chunk dedup tokens no longer match) can rewrite the
+        batch without double-counting (round 15, VERDICT r14 #7). Default
+        no-op: sinks whose write is already batch-idempotent by layout
+        (dynamic partition overwrite, deterministic re-chunking) need
+        nothing; transports that append opaque chunks (ClickHouse HTTP)
+        override with a partition drop."""
+
 
 @dataclass
 class ParquetSink(Sink):

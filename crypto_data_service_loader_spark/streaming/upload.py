@@ -271,6 +271,16 @@ def _upload_group(
         for df in good_dfs[1:]:
             combined = combined.unionByName(df)
         try:
+            # the failed group write may have committed SOME chunks; this
+            # retry re-partitions the rows, so per-chunk dedup tokens no
+            # longer match — drop the batch's partition first (round 15,
+            # VERDICT r14 #7) or the rewrite double-counts the committed
+            # chunks. reset failure falls through to ERROR like a write
+            # failure: stranded partial rows are reclaimed (and reset
+            # again) by the next cycle, never silently duplicated.
+            # duck-typed: sinks are structural here (IdempotentParquetSink
+            # is not a Sink subclass); absent hook = already idempotent
+            getattr(sink, "reset_batch", lambda _b: None)(sink_batch)
             sink.write(combined, batch_id=sink_batch)
             outcomes.extend((f, True) for f in good_files)
         except Exception:

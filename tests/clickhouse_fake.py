@@ -34,11 +34,28 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class FakeClickHouse:
-    def __init__(self, fail_times: int = 0, lite: bool = False):
+    def __init__(self, fail_times: int = 0, lite: bool = False,
+                 fail_marker: bytes | None = None,
+                 fail_marker_times: int = 0,
+                 ambiguous_marker_times: int = 0):
         self.tables: dict[str, list[list[str]]] = {}
         self.ddl: dict[str, str] = {}
         self.lock = threading.Lock()
         self.fail_times = fail_times
+        #: content-targeted MID-STREAM fault injection (round 15, VERDICT
+        #: r14 #7): an INSERT whose decompressed body contains
+        #: `fail_marker` fails `fail_marker_times` times (500 BEFORE any
+        #: commit — the clean-failure case), then
+        #: `ambiguous_marker_times` times AMBIGUOUSLY (commit the rows +
+        #: record the token, THEN 500 — the lost-response case the
+        #: insert_deduplication_token exists for). `marker_posts` counts
+        #: every marker-bearing POST, so a test can assert the client's
+        #: attempt budget (reference maxFlushDataAttempts: 3) exactly.
+        self.fail_marker = fail_marker
+        self.fail_marker_times = fail_marker_times
+        self.ambiguous_marker_times = ambiguous_marker_times
+        self.marker_posts = 0
+        self.partitions_dropped = 0
         #: lite mode: INSERT counts rows without csv-parsing/storing them —
         #: for throughput benches, so the measured path is the CLIENT
         #: (read+type+gzip+POST), not this fake's parsing speed
@@ -143,6 +160,16 @@ class FakeClickHouse:
             name, fmt = m.group(1), (m.group(2) or "CSV").upper()
             if fmt != "CSV":
                 return 500, f"unsupported FORMAT {fmt}".encode()
+            ambiguous = False
+            if self.fail_marker is not None and self.fail_marker in data:
+                with self.lock:
+                    self.marker_posts += 1
+                    if self.fail_marker_times > 0:
+                        self.fail_marker_times -= 1
+                        return 500, b"Code: 999. injected mid-stream failure"
+                    if self.ambiguous_marker_times > 0:
+                        self.ambiguous_marker_times -= 1
+                        ambiguous = True  # commit, then lose the response
             with self.lock:
                 if name not in self.tables:
                     return 500, f"Code: 60. Table {name} does not exist".encode()
@@ -165,6 +192,24 @@ class FakeClickHouse:
             rows = list(csv.reader(io.StringIO(data.decode())))
             with self.lock:
                 self.tables[name].extend(r for r in rows if r)
+            if ambiguous:
+                return 500, b"Code: 999. response lost after commit"
+            return 200, b""
+        # ALTER TABLE <t> DROP PARTITION <id>: remove stored rows whose
+        # LAST field (the sink's appended batch_id column) equals the id —
+        # the reset_batch hook the retry path uses to stay exactly-once
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s+(\S+)", query, re.I
+        )
+        if m:
+            name, part = m.group(1), m.group(2).strip("'\"")
+            with self.lock:
+                if name not in self.tables:
+                    return 500, b"Code: 60. no such table"
+                self.tables[name] = [
+                    r for r in self.tables[name] if not r or r[-1] != part
+                ]
+                self.partitions_dropped += 1
             return 200, b""
         m = re.match(r"TRUNCATE\s+TABLE\s+(\w+)", query, re.I)
         if m:

@@ -1,0 +1,141 @@
+"""Mid-stream fault injection on the ClickHouse HTTP wire path (round 15,
+VERDICT r14 #7 — reference parity: TickersDataLoader.java:112-170's
+maxFlushDataAttempts exhaustion marking the bundle's files ERROR).
+
+The fake fails INSERTs by CONTENT (a marker ticker riding one file's
+rows), so the failure lands mid-stream regardless of partition/task
+interleaving, and the three windows a real wire flake opens are each
+pinned:
+
+1. transient failure -> per-chunk retry succeeds within the 3-attempt
+   budget, rows committed exactly once;
+2. AMBIGUOUS failure (server committed, response lost) -> the retried
+   identical chunk carries the same insert_deduplication_token and the
+   server drops it — no double count;
+3. attempts exhaustion -> the whole bundle rolls up ERROR (reference
+   bundle semantics) after EXACTLY 3 marker posts per write, and the
+   reshaped isolation retry resets the batch partition first so the
+   partially-committed chunks are never duplicated.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from crypto_data_service_loader_spark.sinks.clickhouse_http import (
+    ClickHouseHttpSink,
+)
+from crypto_data_service_loader_spark.streaming.upload import run_upload_batch
+from tests.clickhouse_fake import FakeClickHouse
+
+D = datetime.date
+GOOD = "AVA-USDT,1,0.5,10,0.51,5,0.49,7,1710400000000"
+POISON = "POISONT-USDT,2,0.5,10,0.51,5,0.49,7,1710400000000"
+
+
+def _mk_file(root, date, name, lines):
+    os.makedirs(os.path.join(root, date), exist_ok=True)
+    with open(os.path.join(root, date, name), "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def _claimed(spark, names, date="2024-03-13", batch=7):
+    return spark.createDataFrame(
+        [(n, D(2024, 3, 13), "READY_FOR_PROCESSING", batch) for n in names],
+        "filename string, create_date date, status string, sink_batch long",
+    )
+
+
+def _setup(spark, tmp_path, n_good=40, n_poison=8, **fake_kw):
+    root = str(tmp_path / "data")
+    _mk_file(root, "2024-03-13", "AAA_PST_2024-03-13", [GOOD] * n_good)
+    _mk_file(root, "2024-03-13", "BBB_PST_2024-03-13",
+             [GOOD] * 4 + [POISON] * n_poison)
+    fake = FakeClickHouse(fail_marker=b"POISONT", **fake_kw)
+    url = fake.start()
+    # num_partitions=None: post straight from the bundle partitioning —
+    # bundle_split is filename-contiguous (repartitionByRange), so the
+    # poison file's rows form ONE deterministic chunk and the attempt
+    # budget is countable exactly
+    sink = ClickHouseHttpSink(url, "tickers_data", num_partitions=None)
+    sink.execute(
+        "CREATE TABLE IF NOT EXISTS tickers_data (x String) ENGINE = Null"
+    )
+    claimed = _claimed(spark, ["AAA_PST_2024-03-13", "BBB_PST_2024-03-13"])
+    dir_for_date = lambda d: os.path.join(root, d)  # noqa: E731
+    return fake, sink, claimed, dir_for_date
+
+
+def _stored_lines(fake):
+    return [",".join(r[:-1]) for r in fake.tables["tickers_data"]]
+
+
+def test_transient_mid_stream_failure_retries_and_commits_once(
+    spark, tmp_path
+):
+    """Two injected 500s on the poison chunk; the third (in-budget)
+    attempt lands. Every row exactly once, both files FINISHED, and the
+    marker chunk was posted exactly maxFlushDataAttempts times."""
+    fake, sink, claimed, dfd = _setup(spark, tmp_path, fail_marker_times=2)
+    try:
+        out = run_upload_batch(spark, claimed, dfd, sink, bundles=2)
+        got = {r["filename"]: r["ok"] for r in out.collect()}
+        assert got == {"AAA_PST_2024-03-13": True, "BBB_PST_2024-03-13": True}
+        lines = _stored_lines(fake)
+        assert len(lines) == 52  # 40 + 4 + 8, exactly once
+        assert len([x for x in lines if "POISONT" in x]) == 8
+        assert fake.marker_posts == 3  # 2 fails + 1 success: the budget
+    finally:
+        fake.stop()
+
+
+def test_ambiguous_failure_deduped_by_token(spark, tmp_path):
+    """The server commits the poison chunk but the response is lost; the
+    client's retry re-POSTs the identical chunk under the SAME
+    insert_deduplication_token and the server drops it — rows exactly
+    once, no ERROR."""
+    fake, sink, claimed, dfd = _setup(spark, tmp_path,
+                                      ambiguous_marker_times=1)
+    try:
+        out = run_upload_batch(spark, claimed, dfd, sink, bundles=2)
+        assert all(r["ok"] for r in out.collect())
+        lines = _stored_lines(fake)
+        assert len(lines) == 52
+        assert len([x for x in lines if "POISONT" in x]) == 8
+        assert fake.duplicate_inserts_dropped >= 1
+    finally:
+        fake.stop()
+
+
+def test_attempts_exhaustion_rolls_up_error_without_double_count(
+    spark, tmp_path
+):
+    """The poison chunk fails EVERY attempt: the group write exhausts its
+    3-attempt budget (exactly 3 marker posts), the per-file isolation
+    retry resets the batch partition before rewriting (so the group
+    write's partially-committed chunks are never duplicated), fails its
+    own 3 attempts, and the bundle rolls up ERROR — reference
+    maxFlushDataAttempts -> per-bundle ERROR semantics. Every surviving
+    stored row is unique."""
+    fake, sink, claimed, dfd = _setup(spark, tmp_path,
+                                      fail_marker_times=10**9)
+    try:
+        out = run_upload_batch(spark, claimed, dfd, sink, bundles=2)
+        got = {r["filename"]: r["ok"] for r in out.collect()}
+        assert got == {
+            "AAA_PST_2024-03-13": False, "BBB_PST_2024-03-13": False,
+        }
+        assert fake.marker_posts == 6  # 3 per write, two writes
+        assert fake.partitions_dropped == 1  # reset_batch before retry
+        lines = _stored_lines(fake)
+        # the poison bundle (BBB: 4 good + 8 poison rows) never landed;
+        # AAA's bundle may commit in the group write (dropped by
+        # reset_batch) and again in the retry — whether its task beat the
+        # poison task's abort is scheduling timing, so the committed set
+        # is 0 or exactly-once 40, NEVER the doubled 80 a reshaped retry
+        # without reset_batch would produce
+        assert len([x for x in lines if "POISONT" in x]) == 0
+        assert len(lines) in (0, 40), f"double-counted: {len(lines)}"
+    finally:
+        fake.stop()
