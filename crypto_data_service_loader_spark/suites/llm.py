@@ -2786,7 +2786,13 @@ def q_webdataset_pipeline(spark, sf_dir):
                                            one Arrow pass, zero exchange)
                   ->  fingerprint dedup   (NOT-EXISTS anti self-join on
                                            decoded text md5 — keep-lowest
-                                           -id, no extra groupBy)
+                                           -id, no extra groupBy; the
+                                           near-dup generalization swaps
+                                           this join for the banded
+                                           minhash-LSH pair join the
+                                           dedup_minhash_lsh key gates —
+                                           same position in the plan,
+                                           same no-all-pairs shape)
                   ->  pack_sequences      (the packing shuffle)
 
     Fixture: each doc packs a genuine ustar shard holding one 2-modality
