@@ -64,6 +64,7 @@ QUERIES = {
     "tar_corpus_samples": q_tar_corpus_samples,
     # --- new in round 15 ---
     "webdataset_pipeline": q_webdataset_pipeline,
+    "webdataset_write_pipeline": q_webdataset_write_pipeline,
     "media_decode_png_palette": q_media_decode_png_palette,
     "media_decode_multi_format": q_media_decode_multi_format,
     "curriculum_order": q_curriculum_order,
@@ -346,7 +347,8 @@ QUERIES = {
 #   - pack_sequences: r15 change is docstring-only (bin_id contract).
 _R15_FRONT = [
     # --- new round 15 ---
-    "webdataset_pipeline", "media_decode_png_palette",
+    "webdataset_pipeline", "webdataset_write_pipeline",
+    "media_decode_png_palette",
     # --- source-changed round 15 ---
     # group_tar_samples md5 tie order + explode-edge member-count guard
     "tar_corpus_samples",
@@ -363,7 +365,10 @@ _R15_FRONT = [
     "hll_source_overlap", "interval_gaps", "interval_islands",
     "join_size_estimate", "join_strategy_choice", "lang_id",
     "lang_id_trigram", "media_format_audit", "media_frame_sample",
-    "point_in_time_join", "range_join_events", "sim_cosine_topk",
+    "point_in_time_join", "range_join_events",
+    # sim_cosine_topk yields its slot to the sixth splice: the brute
+    # exact-cosine arithmetic is re-gated by in-window
+    # sim_cosine_topk_lsh (same cosine kernel on the LSH candidates)
     "sim_cosine_topk_lsh", "text_chunking", "text_decontaminate",
     "text_gopher_quality", "text_quality", "text_redact_pii",
     "text_repetition", "text_stats", "text_tfidf_top_terms",
@@ -3760,3 +3765,40 @@ ORACLES["media_decode_png_palette"] = """
                AS luma_milli,
            TRUE AS decode_ok
     FROM s"""
+
+# Round 15: the WebDataset WRITE side. Shard assignment is the packing
+# cumsum (bytes, budget 2048; all docs in id-range shard 0 at fixture
+# scale, so bin ids are the locals); tar framing is lossless, so member
+# name/size/content survive the real byte round trip verbatim.
+ORACLES["webdataset_write_pipeline"] = """
+    WITH base AS (
+        SELECT doc_id,
+               md5('wdw' || CAST(doc_id AS VARCHAR)) AS m1
+        FROM documents WHERE doc_id < 200),
+    st AS (
+        SELECT doc_id,
+               substr(m1 || md5(m1) || md5(md5(m1)), 1,
+                      40 + CAST(doc_id % 50 AS INT)) AS txt,
+               substr(m1 || md5(m1) || md5(md5(m1)), 81, 16) AS js
+        FROM base),
+    sized AS (
+        SELECT doc_id, txt, js,
+               length(txt) + length(js) AS n_bytes
+        FROM st),
+    packed AS (
+        SELECT *,
+               COALESCE(SUM(n_bytes) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM sized)
+    SELECT CAST(cum_before // 2048 AS BIGINT) AS shard_id,
+           printf('%06d.txt', doc_id) AS member_name,
+           CAST(length(txt) AS INTEGER) AS n_bytes,
+           md5(txt) AS content_md5
+    FROM packed
+    UNION ALL
+    SELECT CAST(cum_before // 2048 AS BIGINT),
+           printf('%06d.json', doc_id),
+           CAST(16 AS INTEGER), md5(js)
+    FROM packed"""

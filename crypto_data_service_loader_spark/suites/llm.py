@@ -2941,3 +2941,77 @@ def q_media_decode_png_palette(spark, sf_dir):
 
     pngs = staged.mapInPandas(_stage, schema="media_id long, payload binary")
     return decode_image_stats(pngs)
+
+
+def q_webdataset_write_pipeline(spark, sf_dir):
+    """Round 15: the WRITE side of the WebDataset story — what a 100 TB
+    shard WRITER does: assign samples to size-budgeted shards, pack each
+    shard as a REAL ustar archive, and (here) round-trip the bytes back
+    through the exploder so the oracle can check the whole composition:
+
+      samples -> pack_sequences(budget=2048 BYTES)   (shard assignment:
+                   the same cumsum-DIV formula as token packing — one
+                   window over the id order, no sequential writer state)
+              -> encode_tar_shards                    (one groupBy: the
+                   only row-bearing shuffle; real tar bytes per shard)
+              -> explode_tar_members                  (scan-local parse
+                   back — tar framing is lossless, so member arithmetic
+                   survives the byte round trip)
+
+    Per doc: `<id>.txt` (variable 40 + id%50 hex chars) and `<id>.json`
+    (fixed 16 chars), so shard cuts land mid-stream and the byte cumsum
+    is non-trivial. Output: (shard_id, member_name, n_bytes,
+    content_md5) — shard assignment, member framing, and content all
+    oracle-checked. At scale the writer stops at the tar bytes (the
+    explode here is the verification leg); shards are bounded by the
+    byte budget, so the pack groupBy's groups are bounded by
+    construction — the write-side mirror of the read's bomb guard."""
+    from ..operators.training import pack_sequences
+    from ..sources.tar_blobs import encode_tar_shards, explode_tar_members
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m1 = F.md5(F.concat(F.lit("wdw"), F.col("doc_id").cast("string")))
+    m2 = F.md5(m1)
+    m3 = F.md5(m2)
+    staged = docs.select(
+        F.col("doc_id"), F.concat(m1, m2, m3).alias("chain")
+    ).select(
+        "doc_id",
+        F.expr("substring(chain, 1, 40 + CAST(doc_id % 50 AS INT))")
+            .alias("txt"),
+        F.substring(F.col("chain"), 81, 16).alias("js"),
+    )
+    sized = staged.select(
+        "doc_id", "txt", "js",
+        (F.length("txt") + F.length("js")).alias("n_bytes"),
+    )
+    packed = pack_sequences(
+        sized.select("doc_id", "n_bytes"),
+        budget=2048, tokens_col="n_bytes", id_col="doc_id",
+    ).select("doc_id", F.col("bin_id").alias("shard_id"))
+    members = (
+        sized.join(packed, "doc_id")
+        .select(
+            "shard_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.format_string("%06d.txt", F.col("doc_id"))
+                            .alias("member_name"),
+                        F.col("txt").cast("binary").alias("content"),
+                    ),
+                    F.struct(
+                        F.format_string("%06d.json", F.col("doc_id"))
+                            .alias("member_name"),
+                        F.col("js").cast("binary").alias("content"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("shard_id", "m.*")
+    )
+    shards = encode_tar_shards(members, id_col="shard_id")
+    return explode_tar_members(shards, id_col="shard_id").select(
+        "shard_id", "member_name", "n_bytes",
+        F.md5("content").alias("content_md5"),
+    )

@@ -99,6 +99,9 @@ FUZZ_KEYS = [
     # every fuzzed corpus (content rides md5('wds'||id%100), so the
     # dedup stage bites whenever ids cross 100)
     "webdataset_pipeline",
+    # round 15: the WRITE side — byte-budget shard assignment + real tar
+    # round trip replay over every fuzzed corpus
+    "webdataset_write_pipeline",
     # round 15: paletted(+tRNS) / 16-bit PNG decode — the palette
     # arithmetic and high-byte rescale replay for every md5 chain
     "media_decode_png_palette",
