@@ -8,9 +8,11 @@ Decoders implemented FOR REAL in this module, from the public specs, in
 numpy/pure Python (rounds 11-14; no external codec library):
 
 - **BMP** 24-bpp uncompressed (`_decode_bmp24`), **PPM** P6, **WAV** PCM.
-- **PNG**: truecolor 8-bit, all five filter types, real zlib
-  inflate/deflate, Adam7 interlace both directions, size-capped inflate
-  (`_parse_png` / `_encode_png`).
+- **PNG**: every spec color type (grayscale, truecolor, palette+PLTE,
+  gray+alpha, RGBA), 8- and 16-bit sample depths (high-byte rescale),
+  tRNS transparency validated per spec, all five filter types, real
+  zlib inflate/deflate, Adam7 interlace — both directions, size-capped
+  inflate (`_parse_png` / `_encode_png`).
 - **JPEG**: baseline SOF0 (Annex-K tables, real Huffman + DCT), 4:4:4 /
   4:2:0 / 4:2:2 interleaved MCUs with per-component sampling factors,
   restart markers, and progressive SOF2 (spectral selection + successive
@@ -474,10 +476,10 @@ def _parse_png(payload: bytes | None, native: bool = False):
     if ihdr is None or not idat or not seen_end:
         return None
     width, height, depth, color, comp, filt, interlace = ihdr
-    # grayscale (0), truecolor RGB (2), palette (3), RGBA (6); sample
-    # depth 8 everywhere, 16 for the non-palette types (palette indices
-    # are <= 8 bit by spec)
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    # grayscale (0), truecolor RGB (2), palette (3), gray+alpha (4),
+    # RGBA (6); sample depth 8 everywhere, 16 for the non-palette types
+    # (palette indices are <= 8 bit by spec)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None or (comp, filt) != (0, 0):
         return None
     if depth not in (8, 16) or (depth == 16 and color == 3):
@@ -549,6 +551,8 @@ def _parse_png(payload: bytes | None, native: bool = False):
         return width, height, color, bpp, bytes(px)
     elif bpp == 1:  # grayscale -> RGB expansion (each channel = the value)
         px = bytearray(b for v in px for b in (v, v, v))
+    elif bpp == 2:  # gray+alpha (color 4): drop alpha, expand the gray
+        px = bytearray(b for v in px[0::2] for b in (v, v, v))
     elif bpp == 4:  # RGBA -> drop the alpha channel
         del px[3::4]
     return width, height, bytes(px)
@@ -619,7 +623,7 @@ def _encode_png(
     import struct
     import zlib
 
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     if color == 3:
         assert depth == 8, "palette indices are <= 8 bit by spec"
         assert palette, "color type 3 requires a palette"

@@ -423,7 +423,7 @@ def test_exact_quantiles_match_numpy_percentile(spark, vals, q):
 @given(
     w=st.integers(1, 6),
     h=st.integers(1, 6),
-    color=st.sampled_from([0, 2, 6]),
+    color=st.sampled_from([0, 2, 4, 6]),
     data=st.data(),
 )
 def test_png_roundtrip_any_size_filters_colortype(w, h, color, data):
@@ -434,7 +434,7 @@ def test_png_roundtrip_any_size_filters_colortype(w, h, color, data):
     Spark session, so it runs wide."""
     from crypto_data_service_loader_spark.operators import multimodal as M
 
-    bpp = {0: 1, 2: 3, 6: 4}[color]
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     n = w * h * bpp
     px = bytes(data.draw(st.lists(
         st.integers(0, 255), min_size=n, max_size=n)))
@@ -448,6 +448,9 @@ def test_png_roundtrip_any_size_filters_colortype(w, h, color, data):
     elif color == 2:
         want = (w, h, w * h,
                 sum(px[2::3]), sum(px[1::3]), sum(px[0::3]))
+    elif color == 4:  # gray+alpha: alpha dropped, gray expands
+        s = sum(px[0::2])
+        want = (w, h, w * h, s, s, s)
     else:
         want = (w, h, w * h,
                 sum(px[2::4]), sum(px[1::4]), sum(px[0::4]))
@@ -1213,7 +1216,7 @@ def test_gif_interlaced_decode_matches_display_order(w, h, npal, data):
 @given(
     w=st.integers(1, 12),
     h=st.integers(1, 12),
-    color=st.sampled_from([0, 2, 6]),
+    color=st.sampled_from([0, 2, 4, 6]),
     data=st.data(),
 )
 def test_png_adam7_decode_matches_plain(w, h, color, data):
@@ -1224,7 +1227,7 @@ def test_png_adam7_decode_matches_plain(w, h, color, data):
     some passes are empty (w or h < 5)."""
     from crypto_data_service_loader_spark.operators import multimodal as M
 
-    bpp = {0: 1, 2: 3, 6: 4}[color]
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     n = w * h * bpp
     px = bytes(data.draw(st.lists(
         st.integers(0, 255), min_size=n, max_size=n)))
@@ -1282,7 +1285,7 @@ def test_png_palette_trns_roundtrip(w, h, n_entries, use_trns, interlace,
 @given(
     w=st.integers(1, 6),
     h=st.integers(1, 6),
-    color=st.sampled_from([0, 2, 6]),
+    color=st.sampled_from([0, 2, 4, 6]),
     interlace=st.booleans(),
     data=st.data(),
 )
@@ -1293,7 +1296,7 @@ def test_png_16bit_high_byte_rescale(w, h, color, interlace, data):
     decoder reading the wrong byte (or averaging the pair) fails."""
     from crypto_data_service_loader_spark.operators import multimodal as M
 
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     n = w * h * ch
     hi = bytes(data.draw(st.lists(
         st.integers(0, 255), min_size=n, max_size=n)))
