@@ -2187,3 +2187,89 @@ def start_sample_assembly_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence-packing assignment — twin #25, the live form of
+# training.pack_sequences' sharded bin formula: docs arrive id-ascending
+# across micro-batches (the same arrival contract as the budget twin),
+# each id-range shard carries ONE running token total in state, and the
+# emitted bin ids are the batch operator's shard*2^32 + cum DIV budget
+# EXACTLY — so a live packing feed and a batch re-pack of the same
+# corpus agree bit-for-bit. This is the write-ahead half of the
+# WebDataset shard writer: the assignment is derivable from carried
+# state alone, no global sort, no look-back.
+# ---------------------------------------------------------------------------
+
+PACK_STREAM_SCHEMA = (
+    "doc_id long, n_tokens long, bin_id long, bin_offset long"
+)
+
+
+def _pack_assign_updater(budget: int):
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        shard = int(key[0])
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        bins, offs = [], []
+        for n in pdf["n_tokens"]:
+            bins.append(shard * (1 << 32) + cum // budget)
+            offs.append(cum % budget)
+            cum += int(n)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_id": pd.Series(bins, dtype="int64"),
+                "bin_offset": pd.Series(offs, dtype="int64"),
+            }
+        )
+
+    return update
+
+
+def start_pack_assignment_stream(
+    docs_stream: DataFrame,
+    checkpoint: str,
+    budget: int,
+    shard_docs: int = 1 << 20,
+    query_name: str = "packing",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming sequence-packing assignment -> in-memory table
+    `query_name`. Input contract: (doc_id long, n_tokens long), ids
+    ascending across batches (a shard writer consumes an ordered feed).
+    Groups by the id-range shard (doc_id DIV shard_docs) — the SAME
+    partition key as batch pack_sequences — so each shard's running
+    token total is one long in state and the emitted (bin_id,
+    bin_offset) equal training.pack_sequences(budget, shard_docs=...)
+    on the full corpus, including across a shard boundary mid-stream."""
+    if state_store is not None:
+        configure_state_store(docs_stream.sparkSession, state_store)
+    shard = (F.col("doc_id").cast("long") / F.lit(int(shard_docs))).cast(
+        "long"
+    )
+    out = (
+        docs_stream.select(shard.alias("_shard"), "doc_id", "n_tokens")
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _pack_assign_updater(int(budget)),
+            outputStructType=PACK_STREAM_SCHEMA,
+            stateStructType="cum long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1483,3 +1483,51 @@ def test_streaming_sample_assembly_overshoot_declines(spark, tmp_path):
         if r["n_members"] is not None
     ]
     assert got == [("ok", 2, "json,txt")]
+
+
+def test_streaming_pack_assignment_matches_batch_twin(spark, tmp_path):
+    """Streaming sequence-packing assignment (twin #25) equals batch
+    pack_sequences' sharded bin formula on the full corpus — including
+    a bin that STRADDLES two micro-batches (its running total rides
+    state) and an id-range shard boundary mid-stream."""
+    import time
+
+    from crypto_data_service_loader_spark.operators.training import (
+        pack_sequences,
+    )
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_pack_assignment_stream,
+    )
+
+    rows = [(i, 3 + (i * 7) % 5) for i in range(16)]  # ids 0..15
+    b1, b2 = rows[:9], rows[9:]  # split mid-shard: state carries the cum
+    schema = "doc_id long, n_tokens long"
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_pack_assignment_stream(
+        stream, str(tmp_path / "ckpt"), budget=10, shard_docs=8,
+        query_name="pack_t",
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in spark.sql("SELECT * FROM pack_t").collect()
+    )
+    batch = pack_sequences(
+        spark.createDataFrame(rows, schema), budget=10,
+        tokens_col="n_tokens", id_col="doc_id", shard_docs=8,
+    )
+    want = sorted(
+        (r["doc_id"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in batch.collect()
+    )
+    assert got == want
+    assert len(got) == 16
+    # the shard boundary produced non-contiguous (opaque) bin ids
+    assert len({b >> 32 for _, _, b, _ in got}) == 2
