@@ -246,7 +246,13 @@ def pack_sequences(
         shard_docs = _DEFAULT_PACK_SHARD_DOCS
     shard = None
     if shard_docs is not None:
-        shard = (F.col(id_col).cast("long") / F.lit(shard_docs)).cast("long")
+        # Exact integer quotient on longs (`div`), never float division:
+        # `(x / n).cast("long")` rounds through a double first, and near
+        # 2^53 the rounded quotient can disagree with the exact `%`
+        # remainder (ADVICE r15).
+        shard = F.expr(
+            f"cast(`{id_col}` as bigint) div {int(shard_docs)}"
+        )
         part_cols = ([group_col] if group_col else []) + [shard.alias("_shard")]
         w = Window.partitionBy(*part_cols).orderBy(F.col(id_col).asc())
     else:
@@ -264,16 +270,27 @@ def pack_sequences(
     # tokens/shard, far above any shard_docs cap) and the shard index
     # < 2^31 (doc ids to ~9e18 at shard_docs >= 2^32... in practice ids
     # up to 2^31 * shard_docs), both asserted cheap at plan time.
-    bin_local = (cum_before / F.lit(budget)).cast("long")
-    bin_id = (
-        bin_local
-        if shard is None
-        else shard * F.lit(1 << 32) + bin_local
-    )
-    return df.select(
+    # bin_id and bin_offset MUST derive from the same exact integer
+    # quotient (ADVICE r15): float division's rounded quotient can
+    # disagree with the exact `%` remainder near 2^53-scale cumulative
+    # totals, yielding an inconsistent (bin_id, bin_offset) pair and
+    # diverging from the streaming twin's exact Python `cum // budget`
+    # (streaming/stateful.py:_pack_assign_updater). `div` on longs is
+    # the exact quotient — name the cumsum once and quote it through
+    # `F.expr`.
+    staged = df.select(*cols, cum_before.alias("_cum_before"))
+    bin_local = F.expr(f"_cum_before div {int(budget)}")
+    if shard is None:
+        bin_id = bin_local
+    else:
+        reshard = F.expr(
+            f"cast(`{id_col}` as bigint) div {int(shard_docs)}"
+        )
+        bin_id = reshard * F.lit(1 << 32) + bin_local
+    return staged.select(
         *cols,
         bin_id.alias("bin_id"),
-        (cum_before % F.lit(budget)).alias("bin_offset"),
+        (F.col("_cum_before") % F.lit(budget)).alias("bin_offset"),
     )
 
 

@@ -2250,9 +2250,10 @@ def start_pack_assignment_stream(
     on the full corpus, including across a shard boundary mid-stream."""
     if state_store is not None:
         configure_state_store(docs_stream.sparkSession, state_store)
-    shard = (F.col("doc_id").cast("long") / F.lit(int(shard_docs))).cast(
-        "long"
-    )
+    # Exact integer quotient (`div`) — same arithmetic as batch
+    # pack_sequences' shard key after the ADVICE-r15 fix; float-rounded
+    # division could split a shard near 2^53-scale ids.
+    shard = F.expr(f"cast(doc_id as bigint) div {int(shard_docs)}")
     out = (
         docs_stream.select(shard.alias("_shard"), "doc_id", "n_tokens")
         .groupBy("_shard")

@@ -578,6 +578,36 @@ def test_pack_sequences_sharded_docs_bigger_than_budget(spark):
         assert max(seen_bins_by_shard[a]) < min(seen_bins_by_shard[b])
 
 
+def test_pack_sequences_exact_integer_quotient_near_2e53(spark):
+    """ADVICE r15: bin_id and bin_offset must derive from the same EXACT
+    integer quotient. Token counts chosen so the cumulative total crosses
+    2^53 (where doubles lose integer exactness): the old float-rounded
+    `(cum / budget).cast('long')` disagrees with the exact `%` remainder
+    there; the `div` form matches Python's `cum // budget` bit-for-bit."""
+    from crypto_data_service_loader_spark.operators import training
+
+    budget = (1 << 21) + 7  # odd budget near 2^21 — maximizes rounding risk
+    big = (1 << 53) - 3     # one doc puts the cumsum right at the 2^53 edge
+    rows = [(0, big)] + [(i, 1_000_003 + i) for i in range(1, 12)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in training.pack_sequences(
+            docs, budget=budget, tokens_col="n_tokens", shard_docs=1 << 20
+        ).collect()
+    }
+    cum = 0
+    for doc_id, n in rows:
+        shard = doc_id // (1 << 20)
+        expect = (shard * (1 << 32) + cum // budget, cum % budget)
+        assert out[doc_id] == expect, (doc_id, out[doc_id], expect)
+        cum += n
+    # the two derived fields stay mutually consistent by construction:
+    # offset == cum_before - bin_local*budget for every row
+    for doc_id, (b, off) in out.items():
+        assert 0 <= off < budget
+
+
 def test_mix_corpora_deterministic_rates(spark):
     """Hash-gated mixing: reproducible membership (same rows every run),
     per-source keep rates near the requested weights, unlisted sources
