@@ -2090,9 +2090,32 @@ SAMPLE_STREAM_SCHEMA = (
 def _sample_assembly_updater(n_expected: int):
     import hashlib
 
+    def empty():
+        return pd.DataFrame({
+            "shard_id": pd.Series([], dtype="int64"),
+            "sample_key": pd.Series([], dtype="object"),
+            "n_members": pd.Series([], dtype="int32"),
+            "total_bytes": pd.Series([], dtype="int64"),
+            "exts": pd.Series([], dtype="object"),
+            "content_md5": pd.Series([], dtype="object"),
+        })
+
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.exists and int(state.get[3]) != 0:
+            # TOMBSTONED (ADVICE r15 / VERDICT r15 low #1): this
+            # (shard, sample) already EMITTED (1) or DECLINED (2).
+            # Late/duplicate members must never restart accumulation —
+            # a fresh partial could later reach exactly n_expected and
+            # emit a plausible-but-wrong subset sample that matches no
+            # batch-side group. The tombstone is a 4th state field, not
+            # state.remove(), precisely so re-arrival finds it. It
+            # persists for the stream's lifetime; a production
+            # deployment evicts via GroupStateTimeout once the shard
+            # reader is known to have passed the sample.
+            yield empty()
+            return
         exts, sizes, hashes = (
             (list(state.get[0]), list(state.get[1]), list(state.get[2]))
             if state.exists else ([], [], [])
@@ -2106,18 +2129,13 @@ def _sample_assembly_updater(n_expected: int):
             # Overshoot = malformed shard (duplicate member rows, or
             # more members than the pipeline's modality count). Folding
             # the extras in would emit a sample no batch-side group
-            # matches (ADVICE r14) — DECLINE instead: drop the state,
-            # emit nothing. Mirrors group_tar_samples' max_members
-            # decline-never-misread contract.
-            state.remove()
-            yield pd.DataFrame({
-                "shard_id": pd.Series([], dtype="int64"),
-                "sample_key": pd.Series([], dtype="object"),
-                "n_members": pd.Series([], dtype="int32"),
-                "total_bytes": pd.Series([], dtype="int64"),
-                "exts": pd.Series([], dtype="object"),
-                "content_md5": pd.Series([], dtype="object"),
-            })
+            # matches (ADVICE r14) — DECLINE: keep a declined tombstone
+            # (arrays emptied, state stays tiny) so members of the same
+            # malformed sample arriving in LATER batches can never
+            # re-assemble from empty into a subset sample. Mirrors
+            # group_tar_samples' decline-never-misread contract.
+            state.update(([], [], [], 2))
+            yield empty()
         elif len(exts) == n_expected:
             order = sorted(range(len(exts)),
                            key=lambda i: (exts[i], sizes[i], hashes[i]))
@@ -2130,17 +2148,13 @@ def _sample_assembly_updater(n_expected: int):
                 "exts": [",".join(exts[i] for i in order)],
                 "content_md5": [hashlib.md5(joined.encode()).hexdigest()],
             })
-            state.remove()
+            # Emitted tombstone: a late duplicate member must not
+            # re-create state and eventually emit a second, bogus
+            # sample for the same key (ADVICE r15).
+            state.update(([], [], [], 1))
         else:
-            state.update((exts, sizes, hashes))
-            yield pd.DataFrame({
-                "shard_id": pd.Series([], dtype="int64"),
-                "sample_key": pd.Series([], dtype="object"),
-                "n_members": pd.Series([], dtype="int32"),
-                "total_bytes": pd.Series([], dtype="int64"),
-                "exts": pd.Series([], dtype="object"),
-                "content_md5": pd.Series([], dtype="object"),
-            })
+            state.update((exts, sizes, hashes, 0))
+            yield empty()
 
     return update
 
@@ -2172,7 +2186,8 @@ def start_sample_assembly_stream(
             _sample_assembly_updater(int(n_expected)),
             outputStructType=SAMPLE_STREAM_SCHEMA,
             stateStructType=(
-                "exts array<string>, sizes array<int>, hashes array<string>"
+                "exts array<string>, sizes array<int>, "
+                "hashes array<string>, done int"
             ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -1485,6 +1485,88 @@ def test_streaming_sample_assembly_overshoot_declines(spark, tmp_path):
     assert got == [("ok", 2, "json,txt")]
 
 
+def test_streaming_sample_assembly_decline_tombstone(spark, tmp_path):
+    """VERDICT r15 #5 / ADVICE r15: a declined (shard, sample_key) must
+    STAY declined, and an emitted one must stay emitted. n_expected+1
+    members spread over three micro-batches in EVERY interleaving (one
+    sample_key per permutation, one member per batch) — the old
+    state.remove() decline let the post-decline remainder re-accumulate
+    from empty to exactly n_expected and emit a bogus subset sample.
+    Also: a sample that completes in batch 1 then receives late
+    duplicates in batches 2 and 3 emits exactly once."""
+    import itertools
+    import time
+
+    from crypto_data_service_loader_spark.streaming.stateful import (
+        start_sample_assembly_stream,
+    )
+
+    sschema = ("shard_id long, sample_key string, ext string, n_bytes int, "
+               "content_md5 string")
+    # Three distinct members per malformed sample; n_expected=2, so the
+    # sample overshoots in whichever batch its 3rd member lands — and in
+    # the (1,1,1) spread the first TWO members arrive in separate
+    # batches, so under the old code the sample EMITS at member 2 and
+    # the bogus failure mode is the SECOND emission after remove().
+    members = [("txt", 1, "m0"), ("json", 2, "m1"), ("json", 3, "m2")]
+    batches: list[list] = [[], [], []]
+    for p_i, perm in enumerate(itertools.permutations(range(3))):
+        key = f"bad{p_i}"
+        for batch_i, member_i in enumerate(perm):
+            batches[batch_i].append((11, key) + members[member_i])
+    # control: completes exactly in batch 1, late duplicates afterwards
+    batches[0] += [(11, "dup", "txt", 4, "d0"), (11, "dup", "json", 5, "d1")]
+    batches[1].append((11, "dup", "txt", 4, "d0"))
+    batches[2].append((11, "dup", "json", 5, "d1"))
+    # decline-then-reassemble: overshoots IN batch 1 (3 members at once
+    # -> declined), then two more members arrive in batches 2 and 3 —
+    # the old remove() decline re-accumulated these to exactly
+    # n_expected and emitted a bogus subset sample in batch 3
+    batches[0] += [(11, "dcl") + m for m in members]
+    batches[1].append((11, "dcl", "txt", 9, "x0"))
+    batches[2].append((11, "dcl", "json", 9, "x1"))
+    src = str(tmp_path / "members")
+    for b in batches:
+        spark.createDataFrame(b, sschema).coalesce(1).write.mode(
+            "append").parquet(src)
+        time.sleep(1.1)
+    stream = spark.readStream.schema(sschema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = start_sample_assembly_stream(
+        stream, str(tmp_path / "ckpt"), n_expected=2, query_name="samp_ts"
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["sample_key"], r["n_members"], r["exts"], r["content_md5"])
+        for r in spark.sql("SELECT * FROM samp_ts").collect()
+        if r["n_members"] is not None
+    ]
+    # every 'bad*' permutation emits NOTHING... except the interleavings
+    # whose first two members complete the sample BEFORE the overshoot
+    # arrives — those legitimately emit once (the stream can't see the
+    # future), and the tombstone guarantees the 3rd member then changes
+    # nothing. No key ever emits twice, and no post-decline or
+    # post-emission subset sample exists.
+    from collections import Counter
+    per_key = Counter(k for k, *_ in got)
+    assert all(c == 1 for c in per_key.values()), per_key
+    assert per_key.get("dup") == 1
+    assert "dcl" not in per_key  # declined stays declined, forever
+    for k, n, exts, _ in got:
+        assert n == 2
+        if k.startswith("bad"):
+            # an emission, when it happens, is exactly the FIRST TWO
+            # members in arrival order — never a subset involving the
+            # overshooting 3rd member re-assembled after a decline
+            p_i = int(k[3:])
+            perm = list(itertools.permutations(range(3)))[p_i]
+            first_two = sorted(
+                (members[perm[0]], members[perm[1]]),
+                key=lambda m: (m[0], m[1], m[2]),
+            )
+            assert exts == ",".join(m[0] for m in first_two)
+
+
 def test_streaming_pack_assignment_matches_batch_twin(spark, tmp_path):
     """Streaming sequence-packing assignment (twin #25) equals batch
     pack_sequences' sharded bin formula on the full corpus — including
