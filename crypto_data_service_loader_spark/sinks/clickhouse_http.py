@@ -129,7 +129,15 @@ def _post(
 @dataclass
 class ClickHouseHttpSink(Sink):
     """Partition-parallel GZIP CSV bulk loader over the ClickHouse HTTP
-    interface, plus the driver-side control-statement surface."""
+    interface, plus the driver-side control-statement surface.
+
+    Exactly-once contract (`send_batch_id=True`): the target table should
+    be `PARTITION BY batch_id` so `reset_batch` can make a RESHAPED retry
+    idempotent with one `DROP PARTITION` (the cheap, instant path). On a
+    table partitioned any other way ClickHouse rejects the DROP — the
+    sink then falls back to a synchronous `ALTER TABLE ... DELETE WHERE
+    batch_id = N` mutation (ADVICE r15): slower (a rewrite merge), but
+    correct on ANY *MergeTree layout carrying the batch_id column."""
 
     url: str  # e.g. http://host:8123  (database via ?database= on the url)
     table: str
@@ -307,15 +315,31 @@ class ClickHouseHttpSink(Sink):
         the batch (the per-file isolation path after a mid-stream
         failure) re-sends rows under different tokens and would double-
         count. With the table PARTITION BY batch_id (the send_batch_id
-        column), dropping the batch's partition before the rewrite makes
-        the whole-batch retry idempotent — the ClickHouse-native
-        equivalent of dynamic partition overwrite. No-op when batch ids
-        are off (nothing to key the drop on)."""
+        column — see the class docstring), dropping the batch's partition
+        before the rewrite makes the whole-batch retry idempotent — the
+        ClickHouse-native equivalent of dynamic partition overwrite.
+
+        If the server REJECTS the DROP (table not partitioned by
+        batch_id: the statement reached the server and came back with a
+        ClickHouse error, not a transport failure), fall back to a
+        synchronous DELETE mutation keyed on the batch_id column
+        (ADVICE r15) — without this, a mis-partitioned table made every
+        retry cycle fail at the DROP, leaving the first attempt's
+        partial chunks committed while the files looped in ERROR.
+        `mutations_sync=1` so the rewrite cannot race the mutation.
+        No-op when batch ids are off (nothing to key the drop on)."""
         if batch_id is None or not self.send_batch_id:
             return
-        self.execute(
-            f"ALTER TABLE {self.table} DROP PARTITION {int(batch_id)}"
-        )
+        try:
+            self.execute(
+                f"ALTER TABLE {self.table} DROP PARTITION {int(batch_id)}"
+            )
+        except urllib.error.HTTPError:
+            self.execute(
+                f"ALTER TABLE {self.table} DELETE "
+                f"WHERE batch_id = {int(batch_id)} "
+                f"SETTINGS mutations_sync = 1"
+            )
 
     def count(self, table: str | None = None) -> int:
         """O25 over HTTP — ClickHouseDAO.java:193-202."""

@@ -56,6 +56,12 @@ class FakeClickHouse:
         self.ambiguous_marker_times = ambiguous_marker_times
         self.marker_posts = 0
         self.partitions_dropped = 0
+        #: simulate a table NOT PARTITION BY batch_id (ADVICE r15): the
+        #: real server rejects DROP PARTITION with INVALID_PARTITION_VALUE
+        #: when the partition expression doesn't match the table layout —
+        #: the sink must then fall back to the DELETE mutation
+        self.partition_by_batch = True
+        self.mutations_run = 0
         #: lite mode: INSERT counts rows without csv-parsing/storing them —
         #: for throughput benches, so the measured path is the CLIENT
         #: (read+type+gzip+POST), not this fake's parsing speed
@@ -206,10 +212,33 @@ class FakeClickHouse:
             with self.lock:
                 if name not in self.tables:
                     return 500, b"Code: 60. no such table"
+                if not self.partition_by_batch:
+                    # real-server behavior on a table whose PARTITION BY
+                    # doesn't match the given expression
+                    return 500, (b"Code: 248. DB::Exception: Invalid "
+                                 b"partition format")
                 self.tables[name] = [
                     r for r in self.tables[name] if not r or r[-1] != part
                 ]
                 self.partitions_dropped += 1
+            return 200, b""
+        # ALTER TABLE <t> DELETE WHERE batch_id = <n>: the mutation
+        # fallback reset_batch uses when DROP PARTITION is rejected —
+        # same row-removal semantics keyed on the appended last field
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+batch_id\s*=\s*(\S+?)"
+            r"(?:\s+SETTINGS.*)?$",
+            query, re.I | re.S,
+        )
+        if m:
+            name, part = m.group(1), m.group(2).strip("'\"")
+            with self.lock:
+                if name not in self.tables:
+                    return 500, b"Code: 60. no such table"
+                self.tables[name] = [
+                    r for r in self.tables[name] if not r or r[-1] != part
+                ]
+                self.mutations_run += 1
             return 200, b""
         m = re.match(r"TRUNCATE\s+TABLE\s+(\w+)", query, re.I)
         if m:

@@ -139,3 +139,30 @@ def test_attempts_exhaustion_rolls_up_error_without_double_count(
         assert len(lines) in (0, 40), f"double-counted: {len(lines)}"
     finally:
         fake.stop()
+
+
+def test_reset_batch_falls_back_to_mutation_on_unpartitioned_table(
+    spark, tmp_path
+):
+    """ADVICE r15: on a table NOT PARTITION BY batch_id the server
+    rejects reset_batch's DROP PARTITION — the sink must fall back to
+    the ALTER ... DELETE WHERE batch_id mutation instead of failing
+    every retry cycle (which left the first attempt's partial chunks
+    committed while the files looped in ERROR). Same no-double-count
+    invariant as the partitioned-table test."""
+    fake, sink, claimed, dfd = _setup(spark, tmp_path,
+                                      fail_marker_times=10**9)
+    fake.partition_by_batch = False
+    try:
+        out = run_upload_batch(spark, claimed, dfd, sink, bundles=2)
+        got = {r["filename"]: r["ok"] for r in out.collect()}
+        assert got == {
+            "AAA_PST_2024-03-13": False, "BBB_PST_2024-03-13": False,
+        }
+        assert fake.partitions_dropped == 0  # the DROP was rejected
+        assert fake.mutations_run == 1      # the fallback ran instead
+        lines = _stored_lines(fake)
+        assert len([x for x in lines if "POISONT" in x]) == 0
+        assert len(lines) in (0, 40), f"double-counted: {len(lines)}"
+    finally:
+        fake.stop()
