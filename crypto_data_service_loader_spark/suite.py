@@ -61,6 +61,7 @@ QUERIES = {
     "sim_topk_ivfpq_indexed": q_sim_topk_ivfpq_indexed,
     "media_resize_gif": q_media_resize_gif,
     "tar_corpus_members": q_tar_corpus_members,
+    "tar_corpus_members_indexed": q_tar_corpus_members_indexed,
     "tar_corpus_samples": q_tar_corpus_samples,
     # --- new in round 15 ---
     "webdataset_pipeline": q_webdataset_pipeline,
@@ -2793,6 +2794,16 @@ ORACLES["tar_corpus_members"] = """
            CAST(length(content) AS INTEGER) AS n_bytes,
            md5(content) AS content_md5
     FROM mem"""
+
+# Round 16 (VERDICT r15 #3): the selective indexed read returns exactly
+# the full-scan answer under the same predicate (index+range-fetch is a
+# superset optimization); meta.txt content is the doc's md5 hex (32
+# ASCII bytes), so the oracle mirrors the member arithmetic directly.
+ORACLES["tar_corpus_members_indexed"] = """
+    SELECT doc_id AS shard_id, 'meta.txt' AS member_name,
+           CAST(32 AS INTEGER) AS n_bytes,
+           md5(md5(text)) AS content_md5
+    FROM documents WHERE doc_id < 200 AND doc_id % 8 = 3"""
 
 # Round 14 (VERDICT r13 #5): WebDataset sample grouping — tar framing
 # is lossless and the grouping deterministic, so the oracle builds the

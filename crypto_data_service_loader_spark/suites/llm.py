@@ -2185,6 +2185,84 @@ def q_tar_corpus_members(spark, sf_dir):
     )
 
 
+def _wds_shard_store(spark, sf_dir):
+    """Parquet-backed WebDataset shard store + persisted member-offset
+    index (sources/tar_index.py), built once per (sf_dir, documents
+    epoch): the SAME shards q_tar_corpus_members synthesizes (meta.txt
+    + data.txt per doc < 200), written partitioned by shard bucket
+    (shard_id % 8) so a static bucket predicate prunes whole files,
+    then indexed with one header-walking pass."""
+    import os
+
+    from ..sources import tar_index
+    from ..sources.tar_blobs import encode_tar_shards
+    from .analytics import _index_path
+
+    path = _index_path(sf_dir, "wds_tar", "documents")
+    blobs_dir = os.path.join(path, "blobs")
+    if not os.path.exists(os.path.join(path, tar_index._META)):
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        m1 = F.md5("text")
+        chain = F.concat(m1, F.md5(m1))
+        members = docs.select(
+            F.col("doc_id").alias("shard_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("meta.txt").alias("member_name"),
+                        m1.cast("binary").alias("content"),
+                    ),
+                    F.struct(
+                        F.lit("data.txt").alias("member_name"),
+                        F.substring(chain, 1, 40).cast("binary")
+                            .alias("content"),
+                    ),
+                )
+            ).alias("m"),
+        ).select("shard_id", "m.*")
+        shards = encode_tar_shards(members, id_col="shard_id")
+        (
+            shards.withColumn(
+                "pbucket", (F.col("shard_id") % 8).cast("int")
+            )
+            .write.mode("overwrite").partitionBy("pbucket")
+            .parquet(blobs_dir)
+        )
+        tar_index.write_tar_index(spark.read.parquet(blobs_dir), path)
+    return path
+
+
+def q_tar_corpus_members_indexed(spark, sf_dir):
+    """Selective WebDataset member read via the persisted tar
+    member-offset index (round 16, VERDICT r15 #3 — the "random access
+    into tar shards" gap): predicate = shard bucket 3 AND member name
+    'meta.txt'. The read touches the index parquet, then ONLY the
+    matching bucket's blob files (static partition-column prune) and
+    slices each member's byte range out of its shard — zero tar
+    parsing at read time, where the full-scan path walks every shard
+    whole. Pruning is a superset optimization, so the answer EQUALS
+    the full-scan answer under the same predicate — which is the
+    oracle. The file-level input-bytes drop is asserted by
+    tests/test_tar_index.py via executed scan metrics."""
+    import os
+
+    from ..sources import tar_index
+
+    path = _wds_shard_store(spark, sf_dir)
+    blobs = spark.read.parquet(os.path.join(path, "blobs"))
+    idx = tar_index.load_tar_index(spark, path)
+    sel = idx.filter(
+        (F.col("shard_id") % 8 == 3) & (F.col("member_name") == "meta.txt")
+    )
+    out = tar_index.fetch_members(
+        blobs, sel, prune=(F.col("pbucket") == 3)
+    )
+    return out.select(
+        "shard_id", "member_name", "n_bytes",
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def q_tar_corpus_samples(spark, sf_dir):
     """WebDataset SAMPLE grouping (round 14, VERDICT r13 #5): the
     member list is not the contract — samples are. Per doc the shard

@@ -105,6 +105,11 @@ FUZZ_KEYS = [
     # round 15: paletted(+tRNS) / 16-bit PNG decode — the palette
     # arithmetic and high-byte rescale replay for every md5 chain
     "media_decode_png_palette",
+    # round 16: the persisted member-offset index + byte-range fetch —
+    # header-walk offsets, stem/ext rules, and the partition-pruned
+    # slice replay over every fuzzed corpus (each fuzz dir builds its
+    # own index keyed on the corpus epoch)
+    "tar_corpus_members_indexed",
 ]
 # NOT fuzzed here: pq_encode / sim_topk_pq / ivfpq_encode /
 # sim_topk_ivfpq — their oracles hard-code the 64-dim fixture slicing;
