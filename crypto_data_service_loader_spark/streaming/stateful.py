@@ -2289,3 +2289,98 @@ def start_pack_assignment_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming WebDataset shard WRITER — twin #26 (round 16, VERDICT r15
+# #4): the live form of webdataset_write_pipeline's shard assignment.
+# Docs arrive id-ascending across micro-batches, each doc carrying its
+# member rows (doc-atomic batches — a sample never splits across
+# shards, so it never splits across a state update either); each
+# id-range shard carries ONE running BYTE total in state, and every
+# member row is emitted with the byte-budgeted shard id equal to batch
+# `pack_sequences(budget, tokens_col=bytes)` joined back to the member
+# relation — bit-for-bit, including a shard straddling two
+# micro-batches and an id-range boundary mid-stream. This is the
+# writer's manifest: downstream, `encode_tar_shards` groups by exactly
+# this shard id, so a live feed and a batch re-pack of the same corpus
+# produce byte-identical archives.
+# ---------------------------------------------------------------------------
+
+WRITER_STREAM_SCHEMA = (
+    "doc_id long, member_name string, n_bytes int, shard_id long"
+)
+
+
+def _shard_writer_updater(budget: int):
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        shard = int(key[0])
+        pdf = pd.concat(list(pdfs)).sort_values(["doc_id", "member_name"])
+        bins: list[int] = []
+        # exact Python integer arithmetic — the same cum // budget the
+        # batch operator computes via SQL div on longs
+        for _, grp in pdf.groupby("doc_id", sort=True):
+            b = shard * (1 << 32) + cum // budget
+            bins.extend([b] * len(grp))
+            cum += int(grp["n_bytes"].sum())
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "member_name": pdf["member_name"].to_numpy(),
+                "n_bytes": pdf["n_bytes"].to_numpy(),
+                "shard_id": pd.Series(bins, dtype="int64").to_numpy(),
+            }
+        )
+
+    return update
+
+
+def start_shard_writer_stream(
+    members_stream: DataFrame,
+    checkpoint: str,
+    budget: int,
+    shard_docs: int = 1 << 20,
+    query_name: str = "shard_writer",
+    available_now: bool = True,
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Streaming WebDataset shard-writer assignment -> in-memory table
+    `query_name`. Input contract: (doc_id long, member_name string,
+    n_bytes int) — one row per member, docs id-ascending across
+    batches, every doc's members WITHIN one micro-batch (the feed is
+    doc-atomic; an assembler upstream — twin #24 — guarantees whole
+    samples). Groups by the id-range shard (doc_id DIV shard_docs, the
+    SAME exact-quotient key as batch pack_sequences) so the running
+    byte total is one long in state; the emitted shard_id equals
+    training.pack_sequences(budget, tokens_col=<doc byte total>) on the
+    full corpus — the downstream tar packer shards a live feed exactly
+    like a batch re-pack."""
+    if state_store is not None:
+        configure_state_store(members_stream.sparkSession, state_store)
+    shard = F.expr(f"cast(doc_id as bigint) div {int(shard_docs)}")
+    out = (
+        members_stream.select(
+            shard.alias("_shard"), "doc_id", "member_name", "n_bytes"
+        )
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _shard_writer_updater(int(budget)),
+            outputStructType=WRITER_STREAM_SCHEMA,
+            stateStructType="cum long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
