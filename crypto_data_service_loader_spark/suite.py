@@ -39,6 +39,7 @@ from .operators import text as _text_ops
 QUERIES = {
     # --- new in round 13 ---
     "media_decode_jpeg": q_media_decode_jpeg,
+    "media_decode_jpeg_restart": q_media_decode_jpeg_restart,
     "media_decode_jpeg_420": q_media_decode_jpeg_420,
     "media_decode_png_adam7": q_media_decode_png_adam7,
     "media_decode_gif_interlaced": q_media_decode_gif_interlaced,
@@ -3010,6 +3011,15 @@ ORACLES["media_decode_jpeg"] = (
 # keep the IDENTICAL closed form (chroma box mean exact on constant
 # cells, replication upsample constant-preserving); only the pixel
 # coverage per constant half and the declared dimensions change.
+# Round 16 (VERDICT r15 #6): restart markers — DRI/RSTn segmentation
+# and per-marker DC predictor resets are entropy-layer mechanics; the
+# decoded samples are identical, so the oracle is the baseline closed
+# form over ten constant MCUs (two 320-pixel halves of an 80x8 image).
+ORACLES["media_decode_jpeg_restart"] = (
+    "WITH" + _jpeg_const_dec_cte("doc_id < 200", px_per_half=320)
+    + _jpeg_stats_select(80, 8)
+)
+
 ORACLES["media_decode_jpeg_420"] = (
     "WITH" + _jpeg_const_dec_cte("doc_id < 200", px_per_half=256)
     + _jpeg_stats_select(32, 16)

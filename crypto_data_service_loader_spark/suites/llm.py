@@ -2110,9 +2110,13 @@ def q_media_decode_multi_format(spark, sf_dir):
             F.unhex(F.lit(_bmp24_header_hex(4, 4))), F.unhex(chain96)
         ).alias("payload"),
     )
+    # round 16: the 4:4:4 branch now carries restart markers (DRI +
+    # RST0 between its two MCUs, DC predictor reset) — entropy-layer
+    # segmentation decodes to the SAME samples, so the oracle is
+    # unchanged while the dispatch proves restart-bearing JPEGs route
     jpeg = encode_jpeg_images(
         _jpeg_const_media(docs.filter(F.col("doc_id") % 8 == 1)),
-        width=16, height=8,
+        width=16, height=8, restart_interval=1,
     ).unionByName(encode_jpeg_images(
         _jpeg_const_media(docs.filter(F.col("doc_id") % 8 == 5),
                           half=16, rows=16),
@@ -2572,6 +2576,32 @@ def q_media_decode_jpeg(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     jpegs = encode_jpeg_images(_jpeg_const_media(docs), width=16, height=8)
+    return decode_image_stats(jpegs)
+
+
+def q_media_decode_jpeg_restart(spark, sf_dir):
+    """Restart-marker (DRI/RSTn) baseline JPEG in the gate (round 16,
+    VERDICT r15 #6): each document's md5 bytes become an 80x8 JPEG of
+    TEN constant 8x8 MCUs (two 40px constant halves), encoded with
+    restart_interval=1 — a DRI segment plus nine RSTn markers whose
+    index CYCLES RST0..RST7 and wraps (marker 9 is RST0 again), with
+    the DC predictor reset at every marker, the byte-aligned entropy
+    segments, and the decoder's strict marker-sequence check all live.
+    Restart markers don't change WHAT decodes (prediction is exact),
+    so the oracle is the same constant-block closed form as the
+    baseline key at px_per_half=320 — while truncated-RST and
+    mis-sequenced-RSTn declines are pinned by the property battery
+    (tests/test_properties.py). At 100 TB restart intervals are also
+    the parallel-decode seam: each RST boundary is a byte-aligned,
+    predictor-reset entry point, so one giant scan splits into
+    independently decodable segments."""
+    from ..operators.multimodal import decode_image_stats, encode_jpeg_images
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jpegs = encode_jpeg_images(
+        _jpeg_const_media(docs, half=40, rows=8),
+        width=80, height=8, restart_interval=1,
+    )
     return decode_image_stats(jpegs)
 
 

@@ -105,6 +105,9 @@ FUZZ_KEYS = [
     # round 15: paletted(+tRNS) / 16-bit PNG decode — the palette
     # arithmetic and high-byte rescale replay for every md5 chain
     "media_decode_png_palette",
+    # round 16: restart-marker JPEG — DRI/RSTn segmentation, predictor
+    # resets, and the index wraparound replay for every md5 chain
+    "media_decode_jpeg_restart",
     # round 16: the persisted member-offset index + byte-range fetch —
     # header-walk offsets, stem/ext rules, and the partition-pruned
     # slice replay over every fuzzed corpus (each fuzz dir builds its

@@ -1354,3 +1354,67 @@ def test_png_new_profile_declines():
     hr, tr = rgbp[:8 + 25], rgbp[8 + 25:]
     assert M._parse_png(hr + chunk(b"tRNS", bytes(6)) + tr) is not None
     assert M._parse_png(hr + chunk(b"tRNS", bytes(5)) + tr) is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mw=st.integers(1, 6),
+    mh=st.integers(1, 2),
+    restart=st.integers(1, 14),
+    data=st.data(),
+)
+def test_jpeg_restart_any_interval_and_declines(mw, mh, restart, data):
+    """Restart markers, the full surface (round 16, VERDICT r15 #6):
+    ANY interval — including one larger than the MCU count (no markers
+    emitted) and intervals forcing the RST0..RST7 index wraparound —
+    round-trips the constant-block closed form; and the two hostile
+    mutations DECLINE whole: truncation at/inside a restart marker,
+    and a mis-sequenced RSTn index."""
+    import numpy as np
+
+    from crypto_data_service_loader_spark.operators import multimodal as M
+
+    w, h = mw * 8, mh * 8
+    colors = [
+        data.draw(st.lists(st.integers(0, 255), min_size=3, max_size=3))
+        for _ in range(mw * mh)
+    ]
+    img = np.zeros((h, w, 3), np.uint8)
+    for i, c in enumerate(colors):
+        by, bx = divmod(i, mw)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = c
+    jp = M._encode_jpeg(img.tobytes(), w, h, restart_interval=restart)
+    parsed = M._parse_jpeg(jp)
+    assert parsed is not None and parsed[:2] == (w, h)
+    dec = np.frombuffer(parsed[2], np.uint8).reshape(h, w, 3)
+
+    def q16(v):
+        return min(int(v) + int(v) % 2, 255)
+
+    for i, c in enumerate(colors):
+        by, bx = divmod(i, mw)
+        y, cb, cr = M._rgb_to_ycbcr_int(
+            np.int64(c[0]), np.int64(c[1]), np.int64(c[2]))
+        er, eg, eb = M._ycbcr_to_rgb_int(
+            np.int64(q16(y)), np.int64(q16(cb)), np.int64(q16(cr)))
+        blk = dec[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+        assert (blk == np.array([int(er), int(eg), int(eb)])).all()
+
+    # locate every RSTn marker in the entropy stream
+    rsts = [i for i in range(2, len(jp) - 1)
+            if jp[i] == 0xFF and 0xD0 <= jp[i + 1] <= 0xD7]
+    n_mcu = mw * mh
+    expected = (n_mcu - 1) // restart if restart else 0
+    assert len(rsts) == expected
+    if rsts:
+        pos = data.draw(st.sampled_from(rsts))
+        # truncated AT a restart marker: the decoder's marker check
+        # runs off the payload end -> decline whole
+        assert M._parse_jpeg(jp[:pos]) is None
+        assert M._parse_jpeg(jp[:pos + 1]) is None
+        # mis-sequenced RSTn: flip the marker to the WRONG index
+        # (T.81 requires the cyclic sequence RST0..RST7)
+        wrong = 0xD0 + ((jp[pos + 1] - 0xD0 + 1) % 8)
+        mut = jp[:pos + 1] + bytes([wrong]) + jp[pos + 2:]
+        assert M._parse_jpeg(mut) is None
+
