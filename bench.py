@@ -93,7 +93,16 @@ HEADLINE = [
     # dedup_ngram_spans_sampled rotated out of the stdout line in r7 to
     # stay under the driver's 1900-char tail guard (the unsampled twin
     # covers the plan shape; full history stays in BENCH_DETAIL.json)
-    "quality_percentile_gate",
+    # r16 rotation: quality_percentile_gate, events_cusum,
+    # media_decode_png and media_decode_gif rotate out of the stdout
+    # line (stable micros) to fund the contention-verdict flags plus
+    # the two new r16 keys below. Family cover stays: percentile gating
+    # via training_set_pipeline + corpus_curation_pipeline (both embed
+    # the gate), events monitoring via sessionize_events +
+    # range_join_events + vwap_bars, PNG via media_decode_png_palette +
+    # webdataset_pipeline (real PNG decode inside), GIF via
+    # media_decode_gif_frames + dedup_gif_frames. Full history stays in
+    # BENCH_DETAIL.json.
     "vwap_bars",
     "profile_columns",
     "bm25_topk",
@@ -109,7 +118,6 @@ HEADLINE = [
     "pagerank_knn_indexed",
     # late round 7: retrieval + monitoring + data-selection analytics
     "hybrid_search",
-    "events_cusum",
     # events_ols_trend / events_acf rotated out of the stdout line in r9
     # (stable micro-queries; events family cover stays via events_cusum,
     # events_funnel, events_mad_outliers; full
@@ -132,7 +140,6 @@ HEADLINE = [
     # rotate out (stable micros; text/profile family cover stays via
     # ngram_lm_score and profile_columns; history in BENCH_DETAIL.json).
     "dedup_exact_substrings",
-    "media_decode_png",
     # round 13: extras gain sentinel_sec (the box-speed sentinel) and
     # the real baseline-JPEG decode joins the line (forward DCT +
     # Huffman per payload — the heaviest per-byte media path). To stay
@@ -149,7 +156,6 @@ HEADLINE = [
     # via quality_percentile_gate, contract/monitoring cover via
     # events_cusum + scd2_apply, sketch-sizing via hll_rolling_distinct;
     # history in BENCH_DETAIL.json).
-    "media_decode_gif",
     "community_lpa",
     "sim_topk_ivfpq_indexed",
     # round 14: the 4:2:0 JPEG decode (the real-world sampling, now the
@@ -175,10 +181,87 @@ HEADLINE = [
     # r15 rotation above.
     "webdataset_pipeline",
     "media_decode_png_palette",
+    # round 16: the restart-marker JPEG decode (DRI/RSTn segmentation —
+    # the parallel-decode seam) and the persisted tar member-offset
+    # index read (byte-range fetch, the shard random-access path) join
+    # the line; headroom funded by the r16 rotation above.
+    "media_decode_jpeg_restart",
+    "tar_corpus_members_indexed",
 ]
 
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+#: Machine adjudication of box contention (round 16, VERDICT r15 #2).
+#: The r15 channels made contention VISIBLE (sentinel series, per-trial
+#: metrics) but a human still had to read them; these dials make the
+#: harness decide: a segment whose bracketing sentinel readings exceed
+#: CONTENDED_FACTOR x the pinned quiet reference is `contended`, the
+#: harness settles and re-runs it, and the stdout headline carries the
+#: quiet number with both readings preserved in BENCH_DETAIL.json.
+#: Quiet ref pinned from the r12-r15 record: quiet boxes read the
+#: sentinel at 0.39-0.65 s (driver ~0.5); contended starts read 3-5.6 s.
+SENTINEL_QUIET_REF = float(
+    os.environ.get("SPARK_GRAFT_SENTINEL_QUIET", "0.55"))
+CONTENDED_FACTOR = float(
+    os.environ.get("SPARK_GRAFT_CONTENDED_FACTOR", "2.0"))
+SETTLE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "45"))
+#: cap on the settle-pass query re-runs — the adjudication must never
+#: double the suite's wall time on a badly contended box
+RERUN_CAP = int(os.environ.get("SPARK_GRAFT_BENCH_RERUN_CAP", "16"))
+
+
+def _is_contended(readings, quiet_ref: float | None = None,
+                  factor: float | None = None) -> bool:
+    """The machine verdict: True when any sentinel reading in
+    `readings` exceeds factor x the pinned quiet reference. Pure —
+    pinned by tests/test_bench_contract.py."""
+    quiet_ref = SENTINEL_QUIET_REF if quiet_ref is None else quiet_ref
+    factor = CONTENDED_FACTOR if factor is None else factor
+    good = [r for r in readings if r is not None and r >= 0]
+    return bool(good) and max(good) > factor * quiet_ref
+
+
+def _query_sentinel_divisors(series, n_queries: int):
+    """Nearest-in-time sentinel divisor per query index (VERDICT r15
+    #7): linear interpolation over the interleaved `queries[...]`
+    observations — dividing every query by the single post-ingest
+    reading misattributed early-query slowness as plan cost on a
+    ramping box (the committed r15 artifact: start 5.57 s -> end 0.65).
+    Returns a list of length n_queries (None where no observation
+    exists). Pure — pinned by tests/test_bench_contract.py."""
+    pts = []
+    for label, sec in series:
+        if sec is None or sec < 0:
+            continue
+        if label == "queries[end]":
+            pts.append((float(n_queries), float(sec)))
+        elif label.startswith("queries[") and label.endswith("]"):
+            try:
+                pts.append((float(label[8:-1]), float(sec)))
+            except ValueError:
+                continue
+    pts.sort()
+    out = []
+    for i in range(n_queries):
+        x = i + 0.5  # the query runs between its bracketing observations
+        lo = hi = None
+        for px, ps in pts:
+            if px <= x:
+                lo = (px, ps)
+            else:
+                hi = (px, ps)
+                break
+        if lo is None and hi is None:
+            out.append(None)
+        elif lo is None:
+            out.append(hi[1])
+        elif hi is None:
+            out.append(lo[1])
+        else:
+            t = (x - lo[0]) / (hi[0] - lo[0])
+            out.append(lo[1] + t * (hi[1] - lo[1]))
+    return out
 
 #: interleaved-sentinel cadence (VERDICT r14 #1): one single-shot sentinel
 #: reading every N headline queries, so SUSTAINED box contention shows as a
@@ -527,30 +610,69 @@ def _bench_clickhouse(
         # wire loop now records per-trial series, bracketing sentinel
         # readings, and per-trial executor metrics for the 6M segment
         # (all in BENCH_DETAIL.json under "wire").
-        if sentinel is not None:
-            sentinel.observe("wire[pre]")
-        small_trials: list[float] = []
-        m6_trials: list[float] = []
-        m6_metrics: list[dict] = []
-        for _ in range(TRIALS):
-            t0 = time.perf_counter()
-            sent = sink.write(
-                read_ticks_csv(spark, csv_dir).drop("_source_file")
-            )
-            small_trials.append(round(time.perf_counter() - t0, 4))
-            assert sent == n, f"clickhouse path sent {sent} of {n} rows"
-            if probe is not None:
-                probe.start()
-            t0 = time.perf_counter()
-            sent10 = sink.write(ten)
-            m6_trials.append(round(time.perf_counter() - t0, 4))
-            if probe is not None:
-                m = probe.finish()
-                if m:
-                    m6_metrics.append(m)
-            assert sent10 == 10 * n, f"6M wire path sent {sent10} of {10 * n}"
-        if sentinel is not None:
-            sentinel.observe("wire[post]")
+        def wire_pass():
+            small: list[float] = []
+            m6: list[float] = []
+            m6m: list[dict] = []
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                sent = sink.write(
+                    read_ticks_csv(spark, csv_dir).drop("_source_file")
+                )
+                small.append(round(time.perf_counter() - t0, 4))
+                assert sent == n, f"clickhouse path sent {sent} of {n} rows"
+                if probe is not None:
+                    probe.start()
+                t0 = time.perf_counter()
+                sent10 = sink.write(ten)
+                m6.append(round(time.perf_counter() - t0, 4))
+                if probe is not None:
+                    m = probe.finish()
+                    if m:
+                        m6m.append(m)
+                assert sent10 == 10 * n, (
+                    f"6M wire path sent {sent10} of {10 * n}")
+            return small, m6, m6m
+
+        pre = sentinel.observe("wire[pre]") if sentinel is not None else -1.0
+        small_trials, m6_trials, m6_metrics = wire_pass()
+        post = (sentinel.observe("wire[post]")
+                if sentinel is not None else -1.0)
+        # round 16 (VERDICT r15 #2): the harness adjudicates its own
+        # wire numbers. Contended brackets -> settle, re-measure the
+        # sentinel, re-run BOTH segments; the headline is the best trial
+        # across passes (the quiet pass wins by construction) and both
+        # readings + the machine verdict are preserved.
+        verdict = {
+            "contended": _is_contended([pre, post]),
+            "quiet_ref": SENTINEL_QUIET_REF,
+            "factor": CONTENDED_FACTOR,
+            "brackets": {"pre": pre, "post": post},
+            "settle": None,
+            "headline_source": "primary",
+        }
+        if verdict["contended"] and SETTLE_SEC > 0:
+            time.sleep(SETTLE_SEC)
+            s_pre = (sentinel.observe("wire[settle-pre]")
+                     if sentinel is not None else -1.0)
+            r_small, r_m6, r_m6m = wire_pass()
+            s_post = (sentinel.observe("wire[settle-post]")
+                      if sentinel is not None else -1.0)
+            verdict["settle"] = {
+                "settle_sec": SETTLE_SEC,
+                "brackets": {"pre": s_pre, "post": s_post},
+                "still_contended": _is_contended([s_pre, s_post]),
+                "small_trials": r_small,
+                "m6_trials": r_m6,
+                "m6_rows_per_sec_trials": [
+                    round(10 * n / t, 1) for t in r_m6
+                ],
+                "m6_metrics": r_m6m,
+            }
+            if min(r_m6) < min(m6_trials):
+                verdict["headline_source"] = "settled"
+            small_trials = small_trials + r_small
+            m6_trials = m6_trials + r_m6
         best, best10 = min(small_trials), min(m6_trials)
         return {
             "clickhouse_http_sec": round(best, 4),
@@ -563,6 +685,7 @@ def _bench_clickhouse(
                     round(10 * n / t, 1) for t in m6_trials
                 ],
                 "m6_metrics": m6_metrics,
+                "verdict": verdict,
             },
         }
     finally:
@@ -609,6 +732,48 @@ def main() -> None:
     queries, qstats, qmetrics, qtrials = bench_queries(
         spark, sent_obj, probe
     )
+    # round 16 (VERDICT r15 #2): the harness adjudicates the QUERY
+    # numbers too. Queries bracketed by contended sentinel observations
+    # get ONE settle re-run (capped), and the headline carries the
+    # quiet (min) reading; both passes stay in BENCH_DETAIL.json.
+    divisors = _query_sentinel_divisors(sent_obj.series, len(HEADLINE))
+    contended_idx = [
+        i for i, d in enumerate(divisors)
+        if d is not None and _is_contended([d])
+    ]
+    adjudication = {
+        "quiet_ref": SENTINEL_QUIET_REF,
+        "factor": CONTENDED_FACTOR,
+        "contended_queries": [HEADLINE[i] for i in contended_idx],
+        "rerun": None,
+    }
+    if contended_idx and SETTLE_SEC > 0:
+        # re-run the slowest contended queries first, capped
+        order = sorted(
+            contended_idx,
+            key=lambda i: -(queries.get(HEADLINE[i], 0.0) or 0.0),
+        )[:RERUN_CAP]
+        time.sleep(SETTLE_SEC)
+        r_pre = sent_obj.observe("rerun[pre]")
+        rerun_times: dict[str, float] = {}
+        for i in sorted(order):
+            name = HEADLINE[i]
+            t0 = time.perf_counter()
+            try:
+                _run_noop(QUERIES[name](spark, SF_DIR))
+            except Exception:  # noqa: BLE001
+                continue
+            rerun_times[name] = round(time.perf_counter() - t0, 4)
+        r_post = sent_obj.observe("rerun[post]")
+        adjudication["rerun"] = {
+            "settle_sec": SETTLE_SEC,
+            "brackets": {"pre": r_pre, "post": r_post},
+            "still_contended": _is_contended([r_pre, r_post]),
+            "times": rerun_times,
+        }
+        for name, sec in rerun_times.items():
+            if queries.get(name, -1.0) < 0 or sec < queries[name]:
+                queries[name] = sec
     sent_obj.cleanup()
     medians = {k: v["median"] for k, v in qstats.items()}
     # stated noise band (VERDICT r7 #3): the median and max of per-query
@@ -648,12 +813,20 @@ def main() -> None:
         # executor metrics for the 6M segment, bracketed by the
         # wire[pre]/wire[post] sentinel readings above.
         "wire": wire_detail,
-        # per-query time divided by the sentinel's — box-speed-free units
-        # for cross-round comparison (STATUS quotes these)
+        # per-query time divided by the NEAREST-IN-TIME interpolated
+        # sentinel (VERDICT r15 #7) — box-speed-free units that stay
+        # honest on a ramping box; the canonical post-ingest
+        # sentinel_sec above keeps the cross-round series comparable
         "queries_sentinel_normalized": {
-            k: round(v / sentinel, 3)
-            for k, v in queries.items() if v >= 0 and sentinel > 0
+            HEADLINE[i]: round(queries[HEADLINE[i]] / divisors[i], 3)
+            for i in range(len(HEADLINE))
+            if HEADLINE[i] in queries and queries[HEADLINE[i]] >= 0
+            and divisors[i] is not None and divisors[i] > 0
         },
+        # round 16 (VERDICT r15 #2): the machine contention verdict for
+        # the query segment — which queries ran under contended
+        # brackets, and what the settle re-run read for them
+        "adjudication": adjudication,
     }
     try:
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -668,8 +841,16 @@ def main() -> None:
          "sent_max": round(max(good_series), 3)}
         if good_series else None
     )
+    wire_verdict = (wire_detail or {}).get("verdict") or {}
+    adjud_flags = {}
+    if wire_verdict.get("contended") or adjudication["contended_queries"]:
+        # compact on purpose (stdout budget): full verdicts live in
+        # BENCH_DETAIL.json under wire.verdict / adjudication
+        adjud_flags["contended"] = True
+        adjud_flags["reran"] = len(
+            (adjudication.get("rerun") or {}).get("times", {}))
     print(format_line(queries, medians, ingest, SF_DIR, noise, sentinel,
-                      sent_range))
+                      sent_range, adjud_flags))
 
 
 def format_line(
@@ -680,6 +861,7 @@ def format_line(
     noise: dict | None = None,
     sentinel: float | None = None,
     sent_range: dict | None = None,
+    adjud_flags: dict | None = None,
 ) -> str:
     """The driver-facing stdout line. MUST stay under 1900 chars: the
     driver json-parses only the last 2000 chars of stdout, and BENCH_r03
@@ -706,6 +888,10 @@ def format_line(
             # full labeled series is in BENCH_DETAIL.json
             **(sent_range or {}),
             **(noise or {}),
+            # round 16: machine contention verdict flags — present only
+            # on a contended run; the full per-segment verdicts live in
+            # BENCH_DETAIL.json (wire.verdict / adjudication)
+            **(adjud_flags or {}),
             "detail": "BENCH_DETAIL.json",
         },
     }

@@ -85,3 +85,65 @@ def test_headline_queries_registered():
 
     missing = [q for q in bench.HEADLINE if q not in QUERIES]
     assert not missing, f"bench.HEADLINE references unknown queries: {missing}"
+
+
+def test_contention_verdict_logic():
+    """Round 16 (VERDICT r15 #2): the machine contention verdict —
+    contended iff any reading exceeds factor x the pinned quiet ref;
+    failed (-1) readings never count."""
+    assert not bench._is_contended([], 0.5, 2.0)
+    assert not bench._is_contended([-1.0, -1.0], 0.5, 2.0)
+    assert not bench._is_contended([0.4, 0.99], 0.5, 2.0)
+    assert not bench._is_contended([1.0], 0.5, 2.0)  # exactly 2x: quiet
+    assert bench._is_contended([1.01], 0.5, 2.0)
+    assert bench._is_contended([0.4, 5.57], 0.5, 2.0)  # the r15 ramp
+    assert bench._is_contended([-1.0, 1.2], 0.5, 2.0)
+
+
+def test_sentinel_series_interpolation():
+    """Round 16 (VERDICT r15 #7): per-query divisors interpolate the
+    interleaved series nearest-in-time instead of one global reading.
+    The committed-r15 shape — a cooling box — must attribute early
+    queries against the HIGH early sentinel."""
+    series = [
+        ["start", 5.57], ["wire[pre]", 2.2], ["wire[post]", 1.5],
+        ["queries[0]", 4.0], ["queries[10]", 2.0], ["queries[20]", 1.0],
+        ["queries[end]", 0.5],
+    ]
+    div = bench._query_sentinel_divisors(series, 25)
+    assert len(div) == 25
+    # query 0 sits at x=0.5 between obs(0)=4.0 and obs(10)=2.0
+    assert abs(div[0] - (4.0 - 0.5 * 0.2)) < 1e-9
+    assert abs(div[5] - 2.9) < 1e-9          # midpointish of the ramp
+    assert abs(div[15] - (2.0 - 5.5 * 0.1)) < 1e-9
+    # query 24 sits between obs(20)=1.0 and end(25)=0.5
+    assert abs(div[24] - (1.0 - 4.5 * 0.1)) < 1e-9
+    # divisors are monotone on a monotone ramp
+    assert all(a >= b for a, b in zip(div, div[1:]))
+    # degenerate: no observations -> all None; one observation -> flat
+    assert bench._query_sentinel_divisors([], 3) == [None, None, None]
+    assert bench._query_sentinel_divisors(
+        [["queries[0]", 2.0]], 3) == [2.0, 2.0, 2.0]
+    # failed readings (-1) are skipped, not interpolated
+    div2 = bench._query_sentinel_divisors(
+        [["queries[0]", 2.0], ["queries[10]", -1.0],
+         ["queries[end]", 2.0]], 20)
+    assert all(d == 2.0 for d in div2)
+
+
+def test_line_fits_with_contention_flags():
+    """A contended run adds the verdict flags to the stdout line — the
+    worst-case line must still fit the tail window with them present."""
+    _, medians, ingest = _fake_stats(len(bench.HEADLINE))
+    queries = {name: 123.456 for name in bench.HEADLINE}
+    line = bench.format_line(
+        queries, medians, ingest, "/root/testdata/sf0.1",
+        {"spread_med": 1.43, "spread_max": 3.83},
+        sentinel=123.4567,
+        sent_range={"sent_min": 123.456, "sent_max": 123.456},
+        adjud_flags={"contended": True, "reran": 16},
+    )
+    assert len(line) < 1850, f"contended worst-case line is {len(line)}"
+    d = json.loads(line)
+    assert d["extra"]["contended"] is True
+    assert d["extra"]["reran"] == 16
