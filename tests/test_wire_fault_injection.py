@@ -166,3 +166,121 @@ def test_reset_batch_falls_back_to_mutation_on_unpartitioned_table(
         assert len(lines) in (0, 40), f"double-counted: {len(lines)}"
     finally:
         fake.stop()
+
+
+# ---------------------------------------------------------------------------
+# Control-path fault injection (round 16, VERDICT r15 #8): the data path
+# above is covered; these schedules kill the STATUS-MACHINE appends —
+# discover, progress, claim, FINISHED/ERROR rollup — cleanly or TORN
+# (half the event rows land, then the crash), and assert the reference's
+# state-machine invariants (SURVEY §5) hold across the retry cycle:
+# statuses only move forward within a cycle, no (filename, seq) ever
+# carries two conflicting statuses (the compaction-ambiguity hazard —
+# the event-log form of "a file both FINISHED and ERROR"), and the
+# retry converges with every row committed exactly once.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from crypto_data_service_loader_spark.sinks.idempotent import (
+    IdempotentParquetSink,
+)
+from crypto_data_service_loader_spark.streaming import service as service_mod
+from crypto_data_service_loader_spark.streaming.service import (
+    RegistryLog, run_cycle,
+)
+
+GOOD_LINE = GOOD
+
+
+class _InjectedFault(RuntimeError):
+    pass
+
+
+class _FaultyLog(RegistryLog):
+    """RegistryLog whose Nth append dies — optionally AFTER writing half
+    of its rows (the torn-append window a mid-write crash opens)."""
+
+    schedule: tuple = (-1, False)  # (append index to kill at, torn)
+    calls = 0
+
+    def append(self, rows):
+        i = _FaultyLog.calls
+        _FaultyLog.calls += 1
+        kill, torn = _FaultyLog.schedule
+        if i == kill:
+            if torn:
+                n = rows.count()
+                if n > 1:
+                    super().append(rows.limit(n // 2))
+            raise _InjectedFault(f"injected at append #{i}")
+        super().append(rows)
+
+
+_RANK = {"DISCOVERED": 0, "READY_FOR_PROCESSING": 1, "IN_PROGRESS": 2,
+         "FINISHED": 3, "ERROR": 3}
+
+
+@pytest.mark.parametrize("torn", [False, True])
+@pytest.mark.parametrize("kill", [0, 1, 2, 3])
+def test_status_machine_survives_control_path_faults(
+    spark, tmp_path, monkeypatch, kill, torn
+):
+    """Every (append-point x clean/torn) fault schedule: cycle 0 dies at
+    the scheduled status append; the retry cycle must converge to
+    FINISHED with exactly-once sink rows, and the whole event log must
+    satisfy the forward-only / no-conflicting-status invariants."""
+    import os as _os
+
+    root = str(tmp_path / "data")
+    reg_path = str(tmp_path / "registry")
+    _mk_file(root, "2024-03-13", "AAA_PST_2024-03-13", [GOOD_LINE] * 3)
+    _mk_file(root, "2024-03-13", "BBB_PST_2024-03-13", [GOOD_LINE] * 2)
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+
+    monkeypatch.setattr(service_mod, "RegistryLog", _FaultyLog)
+    _FaultyLog.calls = 0
+    _FaultyLog.schedule = (kill, torn)
+    with pytest.raises(_InjectedFault):
+        run_cycle(spark, root, reg_path, sink, today="2024-03-14", cycle=0)
+
+    # recovery: a fresh process — real log class, next cycle id
+    monkeypatch.setattr(service_mod, "RegistryLog", RegistryLog)
+    log = RegistryLog(spark, reg_path)
+    cycle1 = max(log.next_cycle(), 1)
+    stats = run_cycle(
+        spark, root, reg_path, sink, today="2024-03-14", cycle=cycle1
+    )
+    assert stats["failed"] == 0
+
+    # convergence: both files FINISHED, all 5 rows exactly once
+    final = {r["filename"]: r["status"] for r in log.state().collect()}
+    assert final == {
+        "AAA_PST_2024-03-13": "FINISHED", "BBB_PST_2024-03-13": "FINISHED",
+    }
+    assert sink.read(spark).count() == 5
+
+    events = log.events().collect()
+    # (b) no (filename, seq) with conflicting statuses — the event-log
+    # form of "a file both FINISHED and ERROR": latest-wins compaction
+    # would become ambiguous
+    seen: dict = {}
+    for r in events:
+        key = (r["filename"], r["seq"])
+        assert seen.setdefault(key, r["status"]) == r["status"], (
+            f"conflicting statuses at {key}")
+    # (a) forward-only WITHIN each cycle (seq DIV 10 groups a cycle's
+    # appends; cross-cycle reclaim legitimately re-opens IN_PROGRESS)
+    percyc: dict = {}
+    for r in events:
+        percyc.setdefault((r["filename"], r["seq"] // 10), []).append(
+            (r["seq"], _RANK[r["status"]]))
+    for key, rows in percyc.items():
+        ranks = [rk for _, rk in sorted(rows)]
+        assert ranks == sorted(ranks), (
+            f"status moved backward within cycle: {key} {rows}")
+        # and never FINISHED and ERROR in one cycle for one file
+        statuses = {s for r2 in events
+                    if (r2["filename"], r2["seq"] // 10) == key
+                    for s in [r2["status"]]}
+        assert not ({"FINISHED", "ERROR"} <= statuses), key
