@@ -330,65 +330,60 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
 }
 
-# Round-15 rotation (_R15_FRONT, exactly 50 keys — the driver windows
-# the FIRST 50 dict keys). Per VERDICT r14 #2 (and STATUS's r15
-# pre-computation): the window leads with this round's new /
-# source-changed keys, then the ENTIRE round-9 cohort — the stalest
-# greens, last driver-verified in round 9 — except dedup_simhash_pairs,
-# which yields its slot to the fifth splice (its simhash fingerprint
-# path is re-gated by the in-window dedup_simhash, and the r14 judge
-# independently replayed it green this session's VERDICT §verification).
+# Round-16 rotation (_R16_FRONT, exactly 50 keys — the driver windows
+# the FIRST 50 dict keys). Per VERDICT r15 #1: this round's new /
+# source-changed keys first, then the two round-9 stragglers the r15
+# window displaced (dedup_simhash_pairs, sim_cosine_topk — the stalest
+# greens anywhere), then the ENTIRE round-10 cohort (45 keys,
+# alphabetical). After this window no key's last-verified round is
+# older than r10... and the r10 cohort itself is in, so in practice
+# nothing is older than r11.
 # Source-changed keys NOT spliced, with their re-gating cover:
-#   - tar_corpus_members (exploder stem-count guard): explode path
-#     re-gated by tar_corpus_samples + webdataset_pipeline (both in).
-#   - media_decode_png / _adam7 / _mixed / media_resize_png (_parse_png
-#     gained tRNS/16-bit branches): the shared chunk walk + truecolor
-#     path re-gated by media_decode_multi_format's %8==2 branch and
-#     media_decode_png_palette; adam7/mixed/resize also replay in the
-#     deep-fuzz battery (tests/test_fuzz_oracles.FUZZ_KEYS).
-#   - pack_sequences: r15 change is docstring-only (bin_id contract).
-_R15_FRONT = [
-    # --- new round 15 ---
-    "webdataset_pipeline", "webdataset_write_pipeline",
-    "media_decode_png_palette",
-    # --- source-changed round 15 ---
-    # group_tar_samples md5 tie order + explode-edge member-count guard
-    "tar_corpus_samples",
-    # PNG branch of the dispatch split truecolor/palette by doc_id % 8
-    "media_decode_multi_format",
-    # bucketed within-tie rank (data-independent skew bound)
-    "curriculum_order",
-    # --- round-9 cohort (alphabetical; the stalest greens) ---
-    "agg_corr", "agg_cube",
-    "dedup_embedding_clusters", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_media_clusters",
-    "dedup_media_indexed", "dedup_minhash_indexed", "dedup_simhash",
-    "doc_fingerprint", "docs_prep_pipeline", "hll_rolling_distinct",
-    "hll_source_overlap", "interval_gaps", "interval_islands",
-    "join_size_estimate", "join_strategy_choice", "lang_id",
-    "lang_id_trigram", "media_format_audit", "media_frame_sample",
-    "point_in_time_join", "range_join_events",
-    # sim_cosine_topk yields its slot to the sixth splice: the brute
-    # exact-cosine arithmetic is re-gated by in-window
-    # sim_cosine_topk_lsh (same cosine kernel on the LSH candidates)
-    "sim_cosine_topk_lsh", "text_chunking", "text_decontaminate",
-    "text_gopher_quality", "text_quality", "text_redact_pii",
-    "text_repetition", "text_stats", "text_tfidf_top_terms",
-    "text_top_terms", "token_count", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-    "zonemap_multi_prune", "zonemap_pruned_scan",
+#   - media_decode_multi_format (the 4:4:4 JPEG branch gained
+#     restart_interval=1): the DRI/RSTn decode path is re-gated by
+#     in-window media_decode_jpeg_restart (the same restart decode,
+#     ten MCUs deep), and multi_format replays in the deep-fuzz
+#     battery (tests/test_fuzz_oracles.FUZZ_KEYS) every sweep.
+#   - webdataset_write_pipeline / training_set_pipeline (ride
+#     pack_sequences' exact-div change): the changed arithmetic is the
+#     operator itself, re-gated by in-window pack_sequences;
+#     webdataset_write_pipeline also replays in the deep-fuzz battery
+#     AND the new family-8 write fuzz pins the same assignment formula
+#     against DuckDB integer cumsum.
+_R16_FRONT = [
+    # --- new round 16 ---
+    "tar_corpus_members_indexed", "media_decode_jpeg_restart",
+    # --- source-changed round 16 ---
+    # bin_id now derives from exact integer div on longs (ADVICE r15)
+    "pack_sequences",
+    # --- the r9 stragglers displaced from the r15 window ---
+    "dedup_simhash_pairs", "sim_cosine_topk",
+    # --- round-10 cohort (alphabetical; the stalest greens) ---
+    "agg_approx_topk", "agg_conditional", "agg_median_groups",
+    "agg_minmax_by", "agg_percentile", "agg_stats",
+    "asof_nearest_tolerance", "bm25_topk", "corpus_curation_pipeline",
+    "corpus_mix", "corpus_mix_upsampled", "corpus_report",
+    "corpus_token_budget", "dataset_diff", "dedup_boilerplate_lines",
+    "dedup_canonical_docs", "dedup_clusters", "dedup_containment",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "events_funnel", "events_zscore", "join_full_outer",
+    "media_fingerprint", "quality_classifier", "retention_cohorts",
+    "source_overlap", "tpch_q1", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "win_cume_ntile", "win_ewma",
 ]
 # The front list is a contract, not a suggestion (ADVICE r10): a typo
 # or an unshipped key must fail loudly at import, never shrink the
 # window silently.
-_missing = [k for k in _R15_FRONT if k not in QUERIES]
-assert not _missing, f"_R15_FRONT keys not registered: {_missing}"
-assert len(_R15_FRONT) == 50, f"_R15_FRONT has {len(_R15_FRONT)} keys"
-assert len(set(_R15_FRONT)) == 50, "_R15_FRONT has duplicates"
+_missing = [k for k in _R16_FRONT if k not in QUERIES]
+assert not _missing, f"_R16_FRONT keys not registered: {_missing}"
+assert len(_R16_FRONT) == 50, f"_R16_FRONT has {len(_R16_FRONT)} keys"
+assert len(set(_R16_FRONT)) == 50, "_R16_FRONT has duplicates"
 QUERIES = {
-    **{k: QUERIES[k] for k in _R15_FRONT},
+    **{k: QUERIES[k] for k in _R16_FRONT},
     **{k: v for k, v in QUERIES.items()
-       if k not in set(_R15_FRONT)},
+       if k not in set(_R16_FRONT)},
 }
 
 ORACLES: dict[str, str] = {
