@@ -632,8 +632,19 @@ def minhash_buckets(
     """Banded LSH bucket table (doc, band, band_hash): docs agreeing on
     ALL rows of a band share a bucket. The md5 band hash collapses
     rows_per_band int64s to one join key."""
-    rows_per_band = num_hashes // bands
     sig = minhash_sig_table(docs, text_col, id_col, num_hashes, k)
+    return minhash_band_buckets(sig, num_hashes, bands)
+
+
+def minhash_band_buckets(
+    sig: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band a prepared signature table (doc, h0..h{n-1}) into the LSH
+    bucket relation (doc, band, band_hash) — split out of
+    `minhash_buckets` (round 16) so a caller that already holds the
+    signatures (the persisted-index probe, the pair self-join) bands
+    them WITHOUT re-running the whole shingle+minhash signing pass."""
+    rows_per_band = num_hashes // bands
     banded = sig.select(
         "doc",
         *[
@@ -680,7 +691,16 @@ def minhash_lsh_pairs(
     (doc, 8×int64) rows. Docs with < k tokens have no
     shingles and are excluded from LSH by construction (explode drops them).
     """
-    buckets = minhash_buckets(docs, text_col, id_col, num_hashes, bands, k)
+    # materialize the bucket table once before the self-join: both join
+    # sides reference it, and the planner built the ENTIRE
+    # shingle+minhash signing pipeline twice (the exchange was never
+    # reused across the self-join's aliases) — one signing pass, not
+    # two, per round 16's executed-plan audit (guide §2.4). The
+    # materialized relation is (doc, band, band_hash) — bands rows per
+    # doc, index-sized, the same thing the persisted index stores.
+    buckets = minhash_buckets(
+        docs, text_col, id_col, num_hashes, bands, k
+    ).localCheckpoint()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

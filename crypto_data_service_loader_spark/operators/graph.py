@@ -53,13 +53,17 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).localCheckpoint()
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # attach the out-degree to the edge list ONCE, before the loop: the
+    # old shape re-joined `deg` inside every iteration — iters extra
+    # joins of the same two relations for the same rows (round 16,
+    # guide §2.4). The contribution stays _pr / _deg (same double op).
+    ed = e.join(deg, "_src").localCheckpoint()
     ids = nodes.select(F.col(id_col).alias("_id"))
     pr = ids.select("_id", (F.lit(1.0) / F.lit(float(n))).alias("_pr"))
     for _ in range(iters):
         contrib = (
-            e.join(pr, e["_src"] == pr["_id"])
-            .join(deg, "_src")
+            ed.join(pr, ed["_src"] == pr["_id"])
             .select(
                 F.col("_dst"),
                 (F.col("_pr") / F.col("_deg")).alias("_c"),
@@ -173,10 +177,20 @@ def label_propagation(
     (no neighbors -> no vote -> not in the edge-derived node set).
     """
     s, d = F.col(src_col), F.col(dst_col)
-    half = edges.filter(s != d).select(s.alias("a"), d.alias("b"))
-    und = (
-        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # canonicalize-then-mirror (round 16, guide §2.3): distinct runs over
+    # ONE canonical (least, greatest) row per undirected edge, then the
+    # mirror union is a narrow map — the old mirror-then-distinct shape
+    # pushed both directions (2x the rows) through the distinct exchange
+    # for the identical symmetric-closure result.
+    canon = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
+    )
+    und = (
+        canon.union(
+            canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         # referenced every iteration — materialize once or each round
         # re-runs the full upstream edge derivation
         .localCheckpoint()

@@ -508,13 +508,26 @@ def bm25_topk(
         (dsum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     qterms = query_terms(queries)
+    # tokenize ONCE per row (the _toks alias is referenced twice, which
+    # blocks Catalyst's CollapseProject from inlining — and duplicating —
+    # the split) and carry dl through the tf aggregation: bm25_rank then
+    # skips its dl re-join, which previously cost a THIRD corpus
+    # scan+tokenize per retrieval (round 16, guide §2.3/§2.4).
+    toked = docs.select(F.col(id_col), toks.alias("_toks"))
     tf = (
-        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        toked.select(
+            F.col(id_col),
+            F.size("_toks").cast("double").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
         # prune to query terms BEFORE any aggregation: the broadcast join
         # keeps the postings build proportional to the matched subset
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
     )
     return bm25_rank(tf, dl, stats, qterms, k1=k1, b=b, k=k, id_col=id_col)
 
@@ -548,7 +561,8 @@ def bm25_rank(
     postings index (parts loaded from the pruned on-disk scan), so the
     two paths return EXACTLY the same ranking by construction.
 
-    `tf` is (id, term, tf), `dl` is (id, dl), `stats` a single row
+    `tf` is (id, term, tf[, dl]), `dl` is (id, dl) — consulted only when
+    `tf` does not already carry a dl column — `stats` a single row
     (n_docs, avgdl), `qterms` (query_id, term). Document frequencies are
     derived from `tf`, which both callers restrict to query terms first.
     """
@@ -556,9 +570,13 @@ def bm25_rank(
 
     from .relational import dsum
 
-    df_ = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
+    # round 16 (guide §2.4): tf may already carry dl — both callers
+    # produce it naturally (the inline build from the same tokenize pass,
+    # the index scan from the persisted postings row) — in which case the
+    # dl re-join (for the inline caller: a whole extra corpus
+    # scan+tokenize) disappears.
+    if "dl" not in tf.columns:
+        tf = tf.join(dl, id_col)
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -568,10 +586,19 @@ def bm25_rank(
         F.lit(1.0 - float(b))
         + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
     )
+    # document frequency as a count over a term-partitioned window, NOT a
+    # groupBy+broadcast-join of the same tf subtree: the join form planned
+    # tf TWICE (the exchange was never reused — the two copies diverged
+    # under pushed filters), doubling the postings build (round 16,
+    # guide §2.4). Window count over one row per (doc, term) = exact df.
+    # Computed BEFORE the qterms join: a term shared by several queries
+    # would otherwise inflate its df by the fan-out factor.
+    w_df = Window.partitionBy("term")
     part = (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(w_df).cast("double")
+        )
         .join(F.broadcast(qterms), "term")
-        .join(dl, id_col)
         .join(F.broadcast(stats))
         .select(
             "query_id",
@@ -631,6 +658,7 @@ def hybrid_topk(
     return rerank_cosine(
         cands, embeddings, k=k, id_col=id_col,
         vec_col=vec_col, vec_id_col=vec_id_col,
+        query_ids=queries.select("query_id"),
     )
 
 
@@ -641,6 +669,7 @@ def rerank_cosine(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The cosine rerank stage, LITERALLY shared by `hybrid_topk`
     (inline BM25 candidates) and the index-backed hybrid path (postings
@@ -648,6 +677,14 @@ def rerank_cosine(
     `cands` is (query_id, id, bm25_score); query embeddings resolve at
     vec_id == query_id. The candidate set broadcasts onto ONE embedding
     scan; the rerank window sees at most the candidate rows per query.
+
+    `query_ids` (optional, a (query_id) relation): where the query-id
+    universe is already known — every caller has the query table in hand
+    — pass it so the query-embedding probe does NOT re-derive ids from
+    `cands`, which planned (and ran) the ENTIRE candidate pipeline twice
+    (round 16, guide §2.4: the duplicated subtree was the whole BM25
+    build). A superset of cands' ids is fine: the final inner join on
+    query_id drops unmatched query vectors, so the result is unchanged.
     """
     from pyspark.sql import Window
 
@@ -659,10 +696,13 @@ def rerank_cosine(
         v.alias("_v"),
         F.sqrt(_dot(v, v)).alias("_n"),
     )
+    qid_src = (
+        cands.select(F.col("query_id").alias("_vid"))
+        if query_ids is None
+        else query_ids.select(F.col("query_id").alias("_vid"))
+    )
     qv = vecs.join(
-        F.broadcast(
-            cands.select(F.col("query_id").alias("_vid")).distinct()
-        ),
+        F.broadcast(qid_src.distinct()),
         "_vid",
     ).select(
         F.col("_vid").alias("query_id"),

@@ -94,10 +94,13 @@ def write_minhash_index(
     indexed — they cannot near-dup anything under this family)."""
     os.makedirs(path, exist_ok=True)
     sig = dedup.minhash_sig_table(docs, text_col, id_col, num_hashes, k)
-    sig = sig.withColumnRenamed("doc", id_col).localCheckpoint()
-    buckets = dedup.minhash_buckets(
-        docs, text_col, id_col, num_hashes, bands, k
+    sig = sig.localCheckpoint()
+    # band the CHECKPOINTED signatures: the old shape re-signed the whole
+    # corpus a second time for the bucket table (round 16, guide §2.4)
+    buckets = dedup.minhash_band_buckets(
+        sig, num_hashes, bands
     ).withColumnRenamed("doc", id_col)
+    sig = sig.withColumnRenamed("doc", id_col)
     buckets.write.mode("overwrite").partitionBy("band").parquet(_buckets_dir(path))
     sig.write.mode("overwrite").parquet(_sigs_dir(path))
     _write_meta(path, {
@@ -119,11 +122,11 @@ def append_to_minhash_index(new_docs: DataFrame, path: str) -> int:
     id_col = meta["id_col"]
     sig = dedup.minhash_sig_table(
         new_docs, meta["text_col"], id_col, meta["num_hashes"], meta["k"]
-    ).withColumnRenamed("doc", id_col).localCheckpoint()
-    buckets = dedup.minhash_buckets(
-        new_docs, meta["text_col"], id_col,
-        meta["num_hashes"], meta["bands"], meta["k"],
+    ).localCheckpoint()
+    buckets = dedup.minhash_band_buckets(
+        sig, meta["num_hashes"], meta["bands"]
     ).withColumnRenamed("doc", id_col)
+    sig = sig.withColumnRenamed("doc", id_col)
     buckets.write.mode("append").partitionBy("band").parquet(_buckets_dir(path))
     sig.write.mode("append").parquet(_sigs_dir(path))
     return sig.count()
@@ -202,9 +205,17 @@ def near_dups_against_index(
     nh = meta["num_hashes"]
     tomb = _tombstones(spark, path, id_col, meta.get("id_type", "bigint"))
 
-    q_buckets = dedup.minhash_buckets(
-        new_docs, meta["text_col"], id_col, nh, meta["bands"], meta["k"]
-    ).select(F.col("doc").alias("_qid"), "band", "band_hash")
+    # sign the batch ONCE: the bucket probe and the verification stage
+    # both consume the same signature table — the old shape ran the
+    # shingle+minhash pipeline twice (round 16, guide §2.4). The batch
+    # signature relation is (doc, nh×int64) — small by construction
+    # (it's the incremental batch, not the corpus).
+    sig = dedup.minhash_sig_table(
+        new_docs, meta["text_col"], id_col, nh, meta["k"]
+    ).localCheckpoint()
+    q_buckets = dedup.minhash_band_buckets(sig, nh, meta["bands"]).select(
+        F.col("doc").alias("_qid"), "band", "band_hash"
+    )
     idx_buckets = (
         spark.read.parquet(_buckets_dir(path))
         .join(F.broadcast(tomb), [id_col], "left_anti")
@@ -225,9 +236,7 @@ def near_dups_against_index(
         .select("_qid", "_iid")
         .distinct()
     )
-    q_sig = dedup.minhash_sig_table(
-        new_docs, meta["text_col"], id_col, nh, meta["k"]
-    ).select(
+    q_sig = sig.select(
         F.col("doc").alias("_qid"),
         *[F.col(f"h{i}").alias(f"q{i}") for i in range(nh)],
     )

@@ -332,8 +332,11 @@ def postings_index_bm25(
     stats = spark.createDataFrame(
         [(n_docs, avgdl)], "n_docs double, avgdl double"
     )
+    # tf carries dl straight off the postings row: bm25_rank skips its
+    # dl re-join, so the dropDuplicates+join pair this path used to pay
+    # (an extra exchange over the pruned postings) is gone (round 16).
     return bm25_rank(
-        tf.select(id_col, "term", "tf"),
+        tf.select(id_col, "term", "tf", "dl"),
         tf.select(id_col, "dl").dropDuplicates([id_col]),
         stats, qterms, k1=k1, b=b, k=k, id_col=id_col,
     )

@@ -507,8 +507,11 @@ def q_hybrid_search_indexed(spark, sf_dir):
     cands = text_index.postings_index_bm25(
         spark, path, _BM25_QUERIES, k=20
     ).select("query_id", "doc_id", F.col("score").alias("bm25_score"))
+    qids = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    ).select("query_id")
     return text.rerank_cosine(
-        cands, load(spark, sf_dir, "embeddings"), k=5
+        cands, load(spark, sf_dir, "embeddings"), k=5, query_ids=qids
     )
 
 

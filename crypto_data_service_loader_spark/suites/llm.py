@@ -288,9 +288,14 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     scored = text.quality_score(
         alive.select("doc_id", F.col("text_clean").alias("text"))
     )
+    # materialize the gate output once (same policy as `alive` above):
+    # the fingerprint-keep derivation AND the survivor semi-join both
+    # reference `gated`, and each reference re-ran the quality features
+    # + the per-source percent_rank window over the cleaned corpus
+    # (round 16, guide §2.4)
     gated = training.select_top_quality_percent(
         scored.join(alive, "doc_id"), frac=0.5
-    )
+    ).localCheckpoint()
     keep = (
         dedup.exact_dedup(
             gated.select("doc_id", F.col("text_clean").alias("text"))
@@ -317,13 +322,19 @@ def q_training_set_pipeline(spark, sf_dir):
     parallelism scales with the corpus instead of collapsing to the 3
     split values; no collect, no crossJoin, no Python."""
     docs = load(spark, sf_dir, "documents")
-    passed = docs.join(
+    # materialize the PASSED ID SET once (ids only — 8 bytes/doc at any
+    # scale): `passed` is referenced by both the fingerprint-keep
+    # derivation and the kept corpus, and each reference re-ran the full
+    # scan-local Gopher rule block (array lambdas + rlike per token —
+    # the most expensive per-row expressions in the plan) (round 16,
+    # guide §2.4/§5)
+    passed_ids = (
         text.gopher_quality_flags(docs)
         .filter(F.col("passes_gopher"))
-        .select("doc_id"),
-        "doc_id",
-        "left_semi",
+        .select("doc_id")
+        .localCheckpoint()
     )
+    passed = docs.join(passed_ids, "doc_id", "left_semi")
     keep = (
         text.doc_fingerprints(passed)
         .groupBy("content_fp")
@@ -751,18 +762,23 @@ def q_docs_prep_pipeline(spark, sf_dir):
     -> chunk -> per-doc rollup (chunk + token counts). Each stage is an
     independently-oracled operator; this query verifies they compose."""
     docs = load(spark, sf_dir, "documents")
-    passed = docs.join(
+    # materialized PASSED/KEPT ID SETS (ids only): `passed` is referenced
+    # by the fingerprint derivation + the kept corpus, and `kept` by BOTH
+    # rollup branches — each reference re-ran the scan-local Gopher rule
+    # block (round 16, guide §2.4/§5)
+    passed_ids = (
         text.gopher_quality_flags(docs)
         .filter(F.col("passes_gopher"))
-        .select("doc_id"),
-        "doc_id",
-        "left_semi",
+        .select("doc_id")
+        .localCheckpoint()
     )
+    passed = docs.join(passed_ids, "doc_id", "left_semi")
     keep = (
         text.doc_fingerprints(passed)
         .groupBy("content_fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint()
     )
     kept = passed.join(keep, "doc_id", "left_semi")
     n_chunks = (

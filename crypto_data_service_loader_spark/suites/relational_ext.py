@@ -363,11 +363,13 @@ def q_community_lpa(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
+    # no .distinct() here: label_propagation canonicalizes+distincts the
+    # edge set itself — the extra pre-distinct was a second full shuffle
+    # of the co-occurrence pairs for the same symmetric closure (r16)
     edges = (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
     )
     out = graph.label_propagation(edges, iters=2)
     return out.select(F.col("node").alias("supp_key"), "community")
