@@ -127,16 +127,27 @@ def duplicated_ngram_spans(
         .select(F.col(id_col), F.md5(F.col("gram")).alias("gh"))
         .localCheckpoint()
     )
-    cross_doc = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gh")
+    # ONE gram-keyed shuffle for the whole cross-doc stage (round 16,
+    # guide §2.3/§2.4): repartition the occurrence stream by gram hash
+    # once; the (gh, doc) occurrence counts then aggregate
+    # PARTITION-LOCALLY (gh partitioning satisfies the (gh, doc)
+    # clustering), the distinct-doc test is a window count over the
+    # same partitioning (a sort, no exchange), and only the tiny per-doc
+    # rollup shuffles again. The old shape shuffled the gram stream for
+    # countDistinct AND re-shuffled (or broadcast) it a second time to
+    # join the cross-doc gram set back — at 100 TB, where the cross-doc
+    # set can never broadcast, that was two full gram-stream exchanges.
+    pair_counts = (
+        grams.repartition("gh")
+        .groupBy("gh", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     per_doc_dup = (
-        grams.join(cross_doc, "gh")
+        pair_counts
+        .withColumn("_nd", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("_nd") > 1)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .agg(F.sum("_c").alias("n_dup_windows"))
     )
     # totals from the materialized grams (explode drops 0-window docs, so
     # left-join back onto the id set rather than re-running the shingler)
@@ -384,16 +395,20 @@ def duplicated_ngram_spans_sampled(
         )
         .localCheckpoint()
     )
-    cross_doc = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gh")
+    # same single-gram-shuffle shape as the exact operator (round 16):
+    # repartition by gram hash once; counts, the distinct-doc window,
+    # and the filter all run partition-local — no second stream shuffle
+    pair_counts = (
+        grams.repartition("gh")
+        .groupBy("gh", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     per_doc_dup = (
-        grams.join(cross_doc, "gh")
+        pair_counts
+        .withColumn("_nd", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("_nd") > 1)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("ndw"))
+        .agg(F.sum("_c").alias("ndw"))
     )
     totals = (
         docs.select(F.col(id_col))

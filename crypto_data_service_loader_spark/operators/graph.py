@@ -53,17 +53,17 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).localCheckpoint()
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    # attach the out-degree to the edge list ONCE, before the loop: the
-    # old shape re-joined `deg` inside every iteration — iters extra
-    # joins of the same two relations for the same rows (round 16,
-    # guide §2.4). The contribution stays _pr / _deg (same double op).
-    ed = e.join(deg, "_src").localCheckpoint()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
     ids = nodes.select(F.col(id_col).alias("_id"))
     pr = ids.select("_id", (F.lit(1.0) / F.lit(float(n))).alias("_pr"))
+    # NOTE (round 16): pre-joining deg onto the edge list before the loop
+    # was tried and measured WORSE (cpu 8 s -> 24 s on the bench box):
+    # the extra edge-list materialization costs more than the iters tiny
+    # broadcast re-joins of the checkpointed deg it saves. Kept as-is.
     for _ in range(iters):
         contrib = (
-            ed.join(pr, ed["_src"] == pr["_id"])
+            e.join(pr, e["_src"] == pr["_id"])
+            .join(deg, "_src")
             .select(
                 F.col("_dst"),
                 (F.col("_pr") / F.col("_deg")).alias("_c"),

@@ -261,6 +261,8 @@ def _assign_to_centroids(
     """Nearest-centroid assignment: broadcast the (tiny) centroid set,
     per-row argmin distance via one min_by aggregation — a single scan +
     narrow shuffle on (id)."""
+    from .dedup import _spread
+
     cdf = embeddings.sparkSession.createDataFrame(
         [(i, v) for i, v in centroids], "cid int, cvec array<double>"
     )
@@ -270,7 +272,10 @@ def _assign_to_centroids(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = embeddings.join(F.broadcast(cdf), F.lit(True), "inner").select(
+    # _spread (round 16): the embeddings fixture reads as ONE parquet
+    # split, so the k-per-row distance fold otherwise runs on a single
+    # core; no-op once the scan has enough partitions (production)
+    scored = _spread(embeddings).join(F.broadcast(cdf), F.lit(True), "inner").select(
         F.col(id_col), F.col(vec_col), F.col("cid"), dist.alias("dist")
     )
     return scored.groupBy(id_col).agg(
@@ -501,8 +506,29 @@ def semantic_dedup(
         F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
         F.col("_n").alias("nb"), "centroid_id",
     )
+    # sub-salt the per-cluster pair join (round 16, guide §2.5): the join
+    # key has only k_centroids distinct values, so the compute-dense
+    # quadratic pair stage otherwise lands on at most k tasks (8 of 32
+    # cores for the pinned gate dial). The a-side gets a deterministic
+    # block id, the b-side replicates via a literal explode (no join, no
+    # nested loop), and every (a, b) pair still meets exactly once — in
+    # a's one block. S auto-degrades to 1 once k_centroids reaches the
+    # cluster's parallelism (the auto-dialed 100 TB case: k scales with
+    # the corpus, so this is a small-k local/bench affordance that
+    # vanishes at scale).
+    n_salts = max(1, _shuffle_parallelism(embeddings) // max(int(k_centroids), 1))
+    keys = ["centroid_id"]
+    if n_salts > 1:
+        a = a.withColumn(
+            "_sb", F.pmod(F.hash(F.col("id_a")), F.lit(n_salts))
+        )
+        b = b.withColumn(
+            "_sb",
+            F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+        )
+        keys = ["centroid_id", "_sb"]
     dups = (
-        a.join(b, ["centroid_id"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_b",
@@ -575,6 +601,10 @@ def knn_graph(
     # otherwise collapse it onto one task (measured 2.8x on the bench
     # box, VERDICT r13 #4). Same data movement the join needs anyway —
     # the explicit repartition only fixes the partition COUNT.
+    # (round 16: sub-salting this join like semantic_dedup's was tried
+    # and measured ~1.2x WORSE here — the doubled exchange + b-side
+    # replication outweigh the extra key spread at 2^planes buckets;
+    # reverted to the r13 pinned shape.)
     bucketed = bucketed.repartition(_shuffle_parallelism(embeddings), "bucket")
     a = bucketed.select(F.col("_id").alias("_src"), F.col("_v").alias("va"),
                         F.col("_n").alias("na"), "bucket")

@@ -528,6 +528,12 @@ def bm25_topk(
             F.count(F.lit(1)).cast("double").alias("tf"),
             F.max("dl").alias("dl"),
         )
+        # materialize the pruned postings once: bm25_rank references tf
+        # twice (df aggregate + scoring join) and each reference would
+        # re-run the whole corpus tokenize+explode (round 16, guide
+        # §2.4). The relation is query-term postings only — tiny by the
+        # broadcast-prune construction, at any corpus scale.
+        .localCheckpoint()
     )
     return bm25_rank(tf, dl, stats, qterms, k1=k1, b=b, k=k, id_col=id_col)
 
@@ -586,18 +592,18 @@ def bm25_rank(
         F.lit(1.0 - float(b))
         + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
     )
-    # document frequency as a count over a term-partitioned window, NOT a
-    # groupBy+broadcast-join of the same tf subtree: the join form planned
-    # tf TWICE (the exchange was never reused — the two copies diverged
-    # under pushed filters), doubling the postings build (round 16,
-    # guide §2.4). Window count over one row per (doc, term) = exact df.
-    # Computed BEFORE the qterms join: a term shared by several queries
-    # would otherwise inflate its df by the fan-out factor.
-    w_df = Window.partitionBy("term")
+    # `tf` is referenced twice (the df aggregate below + the scoring
+    # join): the inline caller materializes its pruned postings first so
+    # the corpus tokenize runs once (round 16); the indexed caller's tf
+    # is a cheap pruned index scan, fine to reference twice.
+    # (A term-window df was tried instead and measured slower: the
+    # query-term key space is tiny, so the window serialized the scoring
+    # stage onto a handful of sorted partitions.)
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
     part = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(w_df).cast("double")
-        )
+        tf.join(F.broadcast(df_), "term")
         .join(F.broadcast(qterms), "term")
         .join(F.broadcast(stats))
         .select(

@@ -2549,6 +2549,18 @@ def q_media_resize_png(spark, sf_dir):
     return decode_image_stats(small)
 
 
+def _media_spread(df):
+    """Fan a tiny gate media relation out to the cluster's cores before a
+    Python codec stage (round 16): the documents slice behind the media
+    fixtures reads as ONE parquet split (0.6 MB at sf0.1), so every
+    encode+decode otherwise serializes on a single task. Same guarded
+    round-robin as operators.dedup._spread — a no-op whenever the source
+    already has enough partitions (any production-scale blob scan)."""
+    from ..operators.dedup import _spread
+
+    return _spread(df)
+
+
 def _jpeg_const_media(docs, half: int = 8, rows: int = 8):
     """Shared fixture for the JPEG keys: each document's first six
     md5(text) bytes become the two constant half colors of a
@@ -2561,7 +2573,11 @@ def _jpeg_const_media(docs, half: int = 8, rows: int = 8):
     c0 = F.substring(hex6, 1, 6)
     c1 = F.substring(hex6, 7, 6)
     row = F.concat(F.repeat(c0, half), F.repeat(c1, half))  # one scanline
-    return docs.select(
+    # _spread (round 16): the gate's documents slice reads as ONE parquet
+    # split, so the Python encode+decode chain downstream otherwise runs
+    # on a single task/core (guide §2.5 input skew); no-op once the
+    # source has enough partitions (the production case)
+    return _media_spread(docs).select(
         F.col("doc_id").alias("media_id"),
         F.unhex(F.repeat(row, rows)).alias("rgb"),
     )

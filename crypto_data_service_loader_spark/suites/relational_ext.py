@@ -361,15 +361,22 @@ def q_community_lpa(spark, sf_dir):
     from ..operators import graph
 
     li = load(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
-    # no .distinct() here: label_propagation canonicalizes+distincts the
-    # edge set itself — the extra pre-distinct was a second full shuffle
-    # of the co-occurrence pairs for the same symmetric closure (r16)
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+    # co-occurrence pairs WITHOUT the self-join (round 16, guide §2.3):
+    # one groupBy(ok) collect_set (single 600k-row exchange with map-side
+    # partials) and the a<b pairs explode out of each order's supplier
+    # array — the old shape shuffled lineitem TWICE for the order-key
+    # self-join and pushed every (u,v)+(v,u) ordered pair through the
+    # downstream distinct. Arrays are bounded by lines-per-order (TPC-H:
+    # <=7), so the explode is never a blow-up; pair set is identical
+    # (same unordered co-supplier pairs, already canonical a<b).
+    per_order = li.groupBy(F.col("l_orderkey")).agg(
+        F.collect_set("l_suppkey").alias("_ss")
+    )
+    edges = per_order.select(
+        F.explode("_ss").alias("src"), F.col("_ss").alias("_ss")
+    ).select(
+        "src",
+        F.explode(F.filter("_ss", lambda x: x > F.col("src"))).alias("dst"),
     )
     out = graph.label_propagation(edges, iters=2)
     return out.select(F.col("node").alias("supp_key"), "community")

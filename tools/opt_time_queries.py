@@ -41,9 +41,17 @@ def main() -> int:
     )
     spark.range(1000).selectExpr("sum(id)").collect()  # warmup
     out: dict[str, dict] = {}
+    warmup = os.environ.get("SPARK_GRAFT_TIME_WARMUP", "1") == "1"
     for name in names:
         fn = QUERIES[name]
         spark.sparkContext.setJobDescription(f"opt:{name}")
+        if warmup:  # untimed run: JVM/codegen/Python-worker spin-up
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001
+                pass
         trials: list[float] = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
