@@ -54,7 +54,12 @@ def pagerank(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).localCheckpoint()
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
-    ids = nodes.select(F.col(id_col).alias("_id"))
+    # the node-id set is referenced in EVERY unrolled iteration (the
+    # left join that restores teleport-only nodes) — materialize it once
+    # (round 16, guide §2.4): without this each iteration re-ran the
+    # upstream node derivation (a parquet scan per iteration here; at
+    # scale, a full id-column read per iteration).
+    ids = nodes.select(F.col(id_col).alias("_id")).localCheckpoint()
     pr = ids.select("_id", (F.lit(1.0) / F.lit(float(n))).alias("_pr"))
     # NOTE (round 16): pre-joining deg onto the edge list before the loop
     # was tried and measured WORSE (cpu 8 s -> 24 s on the bench box):

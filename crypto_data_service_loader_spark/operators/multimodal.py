@@ -2967,27 +2967,30 @@ def byte_grid_fingerprint(
         raise ValueError("n_cells must be in (0, 63] to pack into an int64")
     from pyspark.sql import functions as F
 
-    h = F.substring(F.hex(F.col(payload_col)), 1, 2 * max_bytes)
-    vals = F.transform(F.split(h, ""), lambda c: F.conv(c, 16, 10).cast("long"))
-    ln = F.length(h)
-    base = media.select(
-        F.col(id_col), vals.alias("_v"), ln.alias("n_hex")
-    )
     n = n_cells
-    cell_sums = []
-    cell_lens = []
-    for i in range(n):
-        start = F.floor(F.lit(i) * F.col("n_hex") / F.lit(n)).cast("int")
-        end = F.floor(F.lit(i + 1) * F.col("n_hex") / F.lit(n)).cast("int")
-        length = end - start
-        cell_sums.append(
-            F.aggregate(
-                F.slice("_v", start + F.lit(1), length),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            )
-        )
-        cell_lens.append(length.cast("long"))
+    pc = f"`{payload_col}`"
+    # every column below is built as ONE F.expr SQL string (round 16,
+    # guide §1.2 per-task... actually per-QUERY work): the classic
+    # Column-API build of the 32 slice-aggregate trees measured ~2.6 s
+    # of pure DRIVER time per invocation (py4j round-trips constructing
+    # thousands of expression nodes) against ~0.5 s of execution for the
+    # 300-row gate input — the build, not the compute, dominated
+    # dedup_media_near. The SQL strings parse JVM-side in one call each
+    # and resolve to the SAME expressions (verified oracle-exact).
+    base = media.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split(substring(hex({pc}), 1, {2 * max_bytes}), ''),"
+            " c -> cast(conv(c, 16, 10) as bigint))"
+        ).alias("_v"),
+        F.expr(f"length(substring(hex({pc}), 1, {2 * max_bytes}))").alias(
+            "n_hex"
+        ),
+    )
+
+    def _start(i: int) -> str:
+        return f"cast(floor({i} * n_hex / {n}) as int)"
+
     # the cells partition the hex stream, so the global sum is ONE array
     # fold — embedding the 32 slice-aggregate trees a second time here
     # doubled the codegen size (and compile time) for the same value.
@@ -2997,24 +3000,35 @@ def byte_grid_fingerprint(
     # UNION with differing child projections ("key not found: _v"), so
     # the expanded per-cell form stays; it optimizes correctly through
     # unions.)
-    total = F.aggregate("_v", F.lit(0).cast("long"), lambda a, x: a + x)
+    cell_sums = [
+        f"aggregate(slice(_v, {_start(i)} + 1, {_start(i + 1)} - {_start(i)}),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+        for i in range(n)
+    ]
+    cell_lens = [
+        f"cast({_start(i + 1)} - {_start(i)} as bigint)" for i in range(n)
+    ]
     with_cells = base.select(
         id_col,
         "n_hex",
-        total.alias("_total"),
-        *[s.alias(f"_c{i}") for i, s in enumerate(cell_sums)],
-        *[l.alias(f"_l{i}") for i, l in enumerate(cell_lens)],
+        F.expr("aggregate(_v, cast(0 as bigint), (a, x) -> a + x)").alias(
+            "_total"
+        ),
+        *[F.expr(s).alias(f"_c{i}") for i, s in enumerate(cell_sums)],
+        *[F.expr(s).alias(f"_l{i}") for i, s in enumerate(cell_lens)],
     )
-    bits = []
-    for i in range(n):
-        if threshold is None:
-            bit = (F.col(f"_c{i}") * F.lit(n)) >= F.col("_total")
-        else:
-            bit = (F.col(f"_c{i}") * F.lit(2)) >= (F.lit(int(threshold)) * F.col(f"_l{i}"))
-        bits.append(F.shiftleft(bit.cast("long"), i))
-    fp = bits[0]
-    for b in bits[1:]:
-        fp = fp + b
+    if threshold is None:
+        bit_terms = [
+            f"shiftleft(cast((_c{i} * {n}) >= _total as bigint), {i})"
+            for i in range(n)
+        ]
+    else:
+        k = int(threshold)
+        bit_terms = [
+            f"shiftleft(cast((_c{i} * 2) >= ({k} * _l{i}) as bigint), {i})"
+            for i in range(n)
+        ]
+    fp = F.expr(" + ".join(bit_terms))
     return with_cells.select(id_col, fp.alias("fp"), "n_hex")
 
 

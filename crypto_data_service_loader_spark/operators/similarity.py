@@ -258,24 +258,49 @@ def _assign_to_centroids(
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) centroid set,
-    per-row argmin distance via one min_by aggregation — a single scan +
-    narrow shuffle on (id)."""
+    """Nearest-centroid assignment. For bounded centroid sets (<= 128)
+    the argmin is a SCAN-LOCAL expression (round 16, guide §2.4): an
+    array of (dist, cid) structs over literal centroid vectors,
+    `array_min` picking the lexicographic minimum — the same
+    (dist, cid) ordering as the min_by tie-break below, with ZERO
+    exchange and no k-per-row replication. Larger centroid sets (the
+    auto-dialed 100 TB case) fall back to broadcast-join + min_by: one
+    narrow (id) shuffle whose bytes are bounded by map-side partial
+    min_by, while the inline form's plan would grow with k·dim."""
     from .dedup import _spread
 
-    cdf = embeddings.sparkSession.createDataFrame(
-        [(i, v) for i, v in centroids], "cid int, cvec array<double>"
-    )
     v = _as_double(F.col(vec_col))
+    # _spread (round 16): the embeddings fixture reads as ONE parquet
+    # split, so the k-per-row distance fold otherwise runs on a single
+    # core; no-op once the scan has enough partitions (production)
+    spread = _spread(embeddings)
+    if len(centroids) <= 128:
+        def _dist(cvec: list[float]) -> Column:
+            carr = F.array(*[F.lit(float(x)) for x in cvec])
+            return F.aggregate(
+                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.array_min(
+            F.array(*[
+                F.struct(_dist(cvec).alias("dist"), F.lit(cid).alias("cid"))
+                for cid, cvec in centroids
+            ])
+        )["cid"]
+        return spread.select(
+            F.col(id_col), best.alias("centroid_id"), F.col(vec_col)
+        )
+    cdf = embeddings.sparkSession.createDataFrame(
+        [(i, v_) for i, v_ in centroids], "cid int, cvec array<double>"
+    )
     dist = F.aggregate(
         F.zip_with(v, F.col("cvec"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # _spread (round 16): the embeddings fixture reads as ONE parquet
-    # split, so the k-per-row distance fold otherwise runs on a single
-    # core; no-op once the scan has enough partitions (production)
-    scored = _spread(embeddings).join(F.broadcast(cdf), F.lit(True), "inner").select(
+    scored = spread.join(F.broadcast(cdf), F.lit(True), "inner").select(
         F.col(id_col), F.col(vec_col), F.col("cid"), dist.alias("dist")
     )
     return scored.groupBy(id_col).agg(

@@ -2561,7 +2561,7 @@ def _media_spread(df):
     return _spread(df)
 
 
-def _jpeg_const_media(docs, half: int = 8, rows: int = 8):
+def _jpeg_const_media(docs, half: int = 8, rows: int = 8, spread: bool = False):
     """Shared fixture for the JPEG keys: each document's first six
     md5(text) bytes become the two constant half colors of a
     (2*half) x rows RGB image (left half = bytes 0-2, right = bytes
@@ -2573,11 +2573,17 @@ def _jpeg_const_media(docs, half: int = 8, rows: int = 8):
     c0 = F.substring(hex6, 1, 6)
     c1 = F.substring(hex6, 7, 6)
     row = F.concat(F.repeat(c0, half), F.repeat(c1, half))  # one scanline
-    # _spread (round 16): the gate's documents slice reads as ONE parquet
-    # split, so the Python encode+decode chain downstream otherwise runs
-    # on a single task/core (guide §2.5 input skew); no-op once the
-    # source has enough partitions (the production case)
-    return _media_spread(docs).select(
+    # _spread (round 16, opt-in): the gate's documents slice reads as ONE
+    # parquet split, so the Python encode+decode chain downstream
+    # otherwise runs on a single task/core (guide §2.5 input skew);
+    # no-op once the source has enough partitions (the production case).
+    # Interleaved A/B showed the fan-out only pays where per-item decode
+    # is heavy (restart-marker ten-MCU DCT x0.73-0.78); the cheap
+    # one/two-MCU fixtures measured WORSE spread (plain jpeg x1.36,
+    # 420 ~x1.1), so each call site opts in explicitly.
+    if spread:
+        docs = _media_spread(docs)
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.unhex(F.repeat(row, rows)).alias("rgb"),
     )
@@ -2631,7 +2637,7 @@ def q_media_decode_jpeg_restart(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     jpegs = encode_jpeg_images(
-        _jpeg_const_media(docs, half=40, rows=8),
+        _jpeg_const_media(docs, half=40, rows=8, spread=True),
         width=80, height=8, restart_interval=1,
     )
     return decode_image_stats(jpegs)
