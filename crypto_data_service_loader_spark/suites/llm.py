@@ -2577,10 +2577,16 @@ def _jpeg_const_media(docs, half: int = 8, rows: int = 8, spread: bool = False):
     # parquet split, so the Python encode+decode chain downstream
     # otherwise runs on a single task/core (guide §2.5 input skew);
     # no-op once the source has enough partitions (the production case).
-    # Interleaved A/B showed the fan-out only pays where per-item decode
-    # is heavy (restart-marker ten-MCU DCT x0.73-0.78); the cheap
-    # one/two-MCU fixtures measured WORSE spread (plain jpeg x1.36,
-    # 420 ~x1.1), so each call site opts in explicitly.
+    # Measured and ultimately UNUSED at the gate (round 16): interleaved
+    # A/B first showed the fan-out paying for the restart-marker ten-MCU
+    # decode (x0.73-0.78) while hurting the cheap one/two-MCU fixtures
+    # (plain jpeg x1.36, 420 ~x1.1) — but that restart win came from
+    # Python workers PRE-WARMED by the other (then-spread) JPEG keys;
+    # with restart as the only spread key the closing bench read it at
+    # 1.36-1.52 s vs 0.79 s unspread (32 cold worker spin-ups exceed the
+    # DCT work at gate payload counts). All call sites therefore stay
+    # unspread; the seam stays for production-scale payloads where
+    # per-item decode dwarfs task startup.
     if spread:
         docs = _media_spread(docs)
     return docs.select(
@@ -2637,7 +2643,7 @@ def q_media_decode_jpeg_restart(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     jpegs = encode_jpeg_images(
-        _jpeg_const_media(docs, half=40, rows=8, spread=True),
+        _jpeg_const_media(docs, half=40, rows=8),
         width=80, height=8, restart_interval=1,
     )
     return decode_image_stats(jpegs)
