@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.localrel import local_values_df
+
 #: teleport/damping as explicit literals — BOTH engines parse "0.15" /
 #: "0.85" to the same nearest-double; computing 1 - 0.85 driver-side
 #: would yield 0.15000000000000002 and break oracle equality.
@@ -47,7 +49,8 @@ def pagerank(
     n = nodes.count()
     if n == 0:  # empty node set: no ranks (and no 1/N teleport to divide)
         id_type = nodes.schema[id_col].dataType.simpleString()
-        return nodes.sparkSession.createDataFrame(
+        return local_values_df(
+            nodes.sparkSession,
             [], f"{id_col} {id_type}, pagerank double"
         )
     e = edges.select(

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.localrel import local_values_df
 from ..functions.windows import bounded_partition_key
 
 
@@ -175,7 +176,7 @@ def embedding_near_dups(
             (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
         )
     ]
-    tdf = spark.createDataFrame(tasks, "tid int, ba int, bb int")
+    tdf = local_values_df(spark, tasks, "tid int, ba int, bb int")
     left = normed.join(F.broadcast(tdf), normed["_blk"] == tdf["ba"]).select(
         F.col("_id").alias("ia"), F.col("_v").alias("va"),
         F.col("_n").alias("na"), F.col("_blk").alias("blk_a"), "tid",
@@ -221,7 +222,8 @@ def embedding_near_dups_lsh(
     head = embeddings.select(vec_col).head(1)
     if not head:  # empty corpus -> empty pair set (match the brute twin)
         id_type = embeddings.schema[id_col].dataType.simpleString()
-        return embeddings.sparkSession.createDataFrame(
+        return local_values_df(
+            embeddings.sparkSession,
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
@@ -292,7 +294,8 @@ def _assign_to_centroids(
         return spread.select(
             F.col(id_col), best.alias("centroid_id"), F.col(vec_col)
         )
-    cdf = embeddings.sparkSession.createDataFrame(
+    cdf = local_values_df(
+        embeddings.sparkSession,
         [(i, v_) for i, v_ in centroids], "cid int, cvec array<double>"
     )
     dist = F.aggregate(
@@ -608,7 +611,8 @@ def knn_graph(
     head = embeddings.select(vec_col).head(1)
     if not head:
         id_type = embeddings.schema[id_col].dataType.simpleString()
-        return embeddings.sparkSession.createDataFrame(
+        return local_values_df(
+            embeddings.sparkSession,
             [], f"{id_col} {id_type}, neighbor_id {id_type}, score double, rank int"
         )
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
@@ -686,7 +690,8 @@ def hard_negatives(
     if not head:
         id_type = embeddings.schema[id_col].dataType.simpleString()
         lbl_type = embeddings.schema[label_col].dataType.simpleString()
-        return embeddings.sparkSession.createDataFrame(
+        return local_values_df(
+            embeddings.sparkSession,
             [],
             f"{id_col} {id_type}, negative_id {id_type}, "
             f"neg_label {lbl_type}, score double, rank int",
@@ -762,7 +767,8 @@ def contrastive_triplets(
     head = embeddings.select(vec_col).head(1)
     if not head:
         id_type = embeddings.schema[id_col].dataType.simpleString()
-        return embeddings.sparkSession.createDataFrame(
+        return local_values_df(
+            embeddings.sparkSession,
             [],
             f"{id_col} {id_type}, positive_id {id_type}, "
             "pos_score double, negative_ids string, neg_score_micros string",
@@ -1138,7 +1144,8 @@ def pq_encode(
     one (id) reassembly agg. Everything linear in the corpus; nothing
     quadratic anywhere, so no dial to pin."""
     book, sub = pq_train_codebook(embeddings, m, n_codes, vec_col, id_col)
-    cdf = embeddings.sparkSession.createDataFrame(
+    cdf = local_values_df(
+        embeddings.sparkSession,
         book, "s int, cid int, cvec array<double>"
     )
     v = _as_double(F.col(vec_col))
@@ -1194,7 +1201,8 @@ def pq_topk(
     distance, id). Approximation error vs exact L2 is bounded by the
     quantization error pq_encode reports."""
     book, sub = pq_train_codebook(embeddings, m, n_codes, vec_col, id_col)
-    cdf = embeddings.sparkSession.createDataFrame(
+    cdf = local_values_df(
+        embeddings.sparkSession,
         book, "s int, cid int, cvec array<double>"
     )
     v = _as_double(F.col(vec_col))
@@ -1216,7 +1224,8 @@ def pq_topk(
         .select(id_col, "s", F.col("best.cid").alias("code"))
     )
     qsubs = [query[s * sub:(s + 1) * sub] for s in range(m)]
-    qdf = embeddings.sparkSession.createDataFrame(
+    qdf = local_values_df(
+        embeddings.sparkSession,
         [(s, [float(x) for x in qs]) for s, qs in enumerate(qsubs)],
         "s int, qvec array<double>",
     )
@@ -1313,8 +1322,9 @@ def _ivfpq_parts(
         for cid, r in enumerate(seeds):
             rv = [float(x) for x in r["rvec"]]
             book.append((s, cid, rv[s * sub:(s + 1) * sub]))
-    bdf = spark.createDataFrame(book, "s int, cid int, cvec array<double>")
-    cdf = spark.createDataFrame(
+    bdf = local_values_df(spark, book, "s int, cid int, cvec array<double>")
+    cdf = local_values_df(
+        spark,
         [(i, v) for i, v in centroids], "ccid int, ccvec array<double>"
     )
     best = _ivfpq_codes(assigned, bdf, sub, m, id_col)
@@ -1334,7 +1344,8 @@ def _ivfpq_assign(
     (sources/ann_index.py) encodes appends with the index's frozen
     quantizers, never re-training."""
     spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_values_df(
+        spark,
         [(i, v) for i, v in centroids], "ccid int, ccvec array<double>"
     )
     v = _as_double(F.col(vec_col))
@@ -1450,7 +1461,8 @@ def ivfpq_topk(
         embeddings, k_centroids, m, n_codes, vec_col, id_col
     )
     spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_values_df(
+        spark,
         [([float(x) for x in query],)], "qv array<double>"
     )
     qd = F.floor(_sq_l2(F.col("qv"), F.col("ccvec")) * 1e6).cast("long")

@@ -72,6 +72,14 @@ def get_spark(
         # never fires at local test SF, exactly right; at 100 TB it prunes
         # shuffles on every dim-filtered fact join).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # PySpark 4's per-op error-context capture wraps every DataFrame
+        # API call in a conf RPC + traceback walk + origin set/clear on
+        # the JVM — ~4 extra py4j round trips per operation. On this
+        # engine's deep declarative pipelines that debugging chrome was
+        # measured (round 16, guide §1.2) at ~15% of total driver-side
+        # plan-construction time. Off here; re-enable via extra_conf when
+        # debugging an operator's error context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

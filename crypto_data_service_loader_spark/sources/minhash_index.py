@@ -45,6 +45,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_values_df
 from ..operators import dedup
 
 _META = "_minhash_meta.json"
@@ -76,7 +77,7 @@ def _tombstones(spark: SparkSession, path: str, id_col: str, id_type: str):
     d = _tombstones_dir(path)
     if os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d)):
         return spark.read.parquet(d)
-    return spark.createDataFrame([], f"{id_col} {id_type}")
+    return local_values_df(spark, [], f"{id_col} {id_type}")
 
 
 def write_minhash_index(
@@ -139,7 +140,8 @@ def delete_from_minhash_index(spark: SparkSession, path: str, doc_ids: list) -> 
     id_col, id_type = meta["id_col"], meta.get("id_type", "bigint")
     if not doc_ids:
         return 0
-    ids = spark.createDataFrame(
+    ids = local_values_df(
+        spark,
         [(i,) for i in doc_ids], f"{id_col} {id_type}"
     ).distinct()
     fresh = ids.join(

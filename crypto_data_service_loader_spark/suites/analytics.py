@@ -397,8 +397,8 @@ def q_hybrid_search(spark, sf_dir):
     the final top-5 — the standard RAG/eval-mining retrieval shape. The
     candidate set broadcasts onto one embedding scan; the vector corpus
     never shuffles."""
-    qdf = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query_text string"
+    qdf = local_values_df(
+        spark, _BM25_QUERIES, "query_id int, query_text string"
     )
     return text.hybrid_topk(
         load(spark, sf_dir, "documents"),
@@ -507,8 +507,8 @@ def q_hybrid_search_indexed(spark, sf_dir):
     cands = text_index.postings_index_bm25(
         spark, path, _BM25_QUERIES, k=20
     ).select("query_id", "doc_id", F.col("score").alias("bm25_score"))
-    qids = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query_text string"
+    qids = local_values_df(
+        spark, _BM25_QUERIES, "query_id int, query_text string"
     ).select("query_id")
     return text.rerank_cosine(
         cands, load(spark, sf_dir, "embeddings"), k=5, query_ids=qids
@@ -520,8 +520,8 @@ def q_hybrid_rrf(spark, sf_dir):
     cosine top-20 (k0 = 60, the published constant): the union-shaped
     hybrid where a semantic-only hit still surfaces. Both member lists
     broadcast-prune; fusion runs on <= queries x 40 rows."""
-    qdf = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query_text string"
+    qdf = local_values_df(
+        spark, _BM25_QUERIES, "query_id int, query_text string"
     )
     return text.hybrid_rrf(
         load(spark, sf_dir, "documents"),
@@ -793,8 +793,8 @@ def q_bm25_topk(spark, sf_dir):
     """BM25 top-5 docs for a fixed 4-query workload — query-term
     broadcast prunes the postings before any aggregation; partial scores
     round-then-DECIMAL-sum so ranking is engine-exact."""
-    qdf = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query_text string"
+    qdf = local_values_df(
+        spark, _BM25_QUERIES, "query_id int, query_text string"
     )
     return text.bm25_topk(load(spark, sf_dir, "documents"), qdf, k=5)
 
@@ -1276,8 +1276,8 @@ def q_join_strategy_choice(spark, sf_dir):
         (s, d.strategy, d.build_side, d.n_left, d.n_right, d.est_pairs)
         for s, d in scenarios
     ]
-    return spark.createDataFrame(
-        rows,
+    return local_values_df(
+        spark, rows,
         "scenario string, strategy string, build_side string, "
         "n_left long, n_right long, est_pairs long",
     )

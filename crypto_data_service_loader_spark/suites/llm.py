@@ -2021,7 +2021,8 @@ def q_k_anonymity_audit(spark, sf_dir):
 
 
 def _blocklist_fixture(spark):
-    return spark.createDataFrame(
+    return local_values_df(
+        spark,
         [("spark",), ("merge",), ("window",), ("nosuchterm",)],
         "term string",
     )

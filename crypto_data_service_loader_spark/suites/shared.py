@@ -24,6 +24,7 @@ from ..operators import (
     text,
     training,
 )
+from ..functions.localrel import local_values_df
 from ..operators.relational import davg, dsum
 from ..sources.csv_ingest import line_is_valid
 from ..tables import (
@@ -38,7 +39,7 @@ from ..tables import (
     registry,
 )
 
-__all__ = ['pd', 'DataFrame', 'SparkSession', 'Window', 'F', 'asof', 'contract', 'dedup', 'linkage', 'profile', 'R', 'rel', 'similarity', 'sketch', 'text', 'training', 'davg', 'dsum', 'line_is_valid', 'DISCOVERED_SQL', 'FS_FILES_SQL', 'REGISTRY_SQL', 'TODAY', 'discovered_candidates', 'fs_files', 'load', 'register_views', 'registry', '_REG', '_REG_FS', '_EVENTS_SQL', '_events_fixture', '_DSUM', '_TOKS', '_TOKS_CLEAN', '_SHINGLES', '_SHINGLES13', '_KNN_SQL', '_pagerank_sql', '_query_vector']
+__all__ = ['local_values_df', 'pd', 'DataFrame', 'SparkSession', 'Window', 'F', 'asof', 'contract', 'dedup', 'linkage', 'profile', 'R', 'rel', 'similarity', 'sketch', 'text', 'training', 'davg', 'dsum', 'line_is_valid', 'DISCOVERED_SQL', 'FS_FILES_SQL', 'REGISTRY_SQL', 'TODAY', 'discovered_candidates', 'fs_files', 'load', 'register_views', 'registry', '_REG', '_REG_FS', '_EVENTS_SQL', '_events_fixture', '_DSUM', '_TOKS', '_TOKS_CLEAN', '_SHINGLES', '_SHINGLES13', '_KNN_SQL', '_pagerank_sql', '_query_vector']
 
 
 
