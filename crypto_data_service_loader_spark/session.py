@@ -31,6 +31,26 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 2)
 
+    # Shuffle scratch on the fastest local storage (round 16, guide §2):
+    # a thread-dump sweep showed the dominant blocked-task time of the
+    # small-shuffle bench keys inside shuffle-FILE syscalls (map/unmap/
+    # open on /tmp) — with 1 MiB input splits every map task creates and
+    # concatenates one file per reduce partition for kilobytes of data.
+    # RAM-backed scratch removed it wholesale: interleaved ABAB x0.84
+    # over the affected keys with EVERY key improving (tpch_q21 x0.92,
+    # pagerank_knn_indexed x0.69). Production: point SPARK_GRAFT_LOCAL_DIR
+    # at the NVMe scratch array — at 100 TB shuffle working sets exceed
+    # RAM and tmpfs would be wrong; the env override IS the deployment
+    # knob (same pattern as SPARK_GRAFT_DRIVER_MEM). Applied only at JVM
+    # launch; Spark cleans the blockmgr dirs on exit.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        local_dir = "/dev/shm/spark-graft-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -81,6 +101,8 @@ def get_spark(
         # debugging an operator's error context.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
