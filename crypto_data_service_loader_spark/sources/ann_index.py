@@ -42,6 +42,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
 from ..operators.similarity import (
     _as_double,
     _assign_to_centroids,
@@ -69,7 +70,7 @@ def _tombstones(spark: SparkSession, path: str, id_col: str) -> DataFrame | None
     d = _tombstones_dir(path)
     if not os.path.isdir(d):
         return None
-    return spark.read.parquet(d)
+    return read_parquet_pinned(spark, d)
 
 
 def _without_tombstones(spark: SparkSession, path: str, scan: DataFrame,
@@ -215,7 +216,7 @@ def lsh_index_topk(
     ]
     scan = _without_tombstones(
         spark, path,
-        spark.read.parquet(_vectors_dir(path))
+        read_parquet_pinned(spark, _vectors_dir(path))
         .filter(F.col("bucket").isin(probes)),
         meta["id_col"],
     )
@@ -317,7 +318,7 @@ def ivf_index_topk(
     probe_ids = [c[0] for c in probe[:nprobe]]
     scan = _without_tombstones(
         spark, path,
-        spark.read.parquet(_vectors_dir(path))
+        read_parquet_pinned(spark, _vectors_dir(path))
         .filter(F.col("centroid_id").isin(probe_ids)),
         meta["id_col"],
     )
@@ -375,11 +376,11 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     tomb_dir = _tombstones_dir(path)
     if not os.path.isdir(tomb_dir):
         return 0
-    tombs = spark.read.parquet(tomb_dir).localCheckpoint()
+    tombs = read_parquet_pinned(spark, tomb_dir).localCheckpoint()
     n = tombs.count()
     part_col = "bucket" if meta["kind"] == "lsh" else "centroid_id"
     survivors = (
-        spark.read.parquet(_vectors_dir(path))
+        read_parquet_pinned(spark, _vectors_dir(path))
         .join(F.broadcast(tombs), [meta["id_col"]], "left_anti")
         .localCheckpoint()
     )
@@ -542,7 +543,7 @@ def ivfpq_index_topk(
     id_col = meta["id_col"]
     scan = _without_tombstones(
         spark, path,
-        spark.read.parquet(_vectors_dir(path))
+        read_parquet_pinned(spark, _vectors_dir(path))
         .filter(F.col("centroid_id").isin([c[0] for c in probe])),
         id_col,
     )

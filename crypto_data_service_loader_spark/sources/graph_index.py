@@ -47,6 +47,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
 from ..operators.similarity import knn_graph
 
 _META = "_graph_meta.json"
@@ -135,7 +136,7 @@ def read_knn_graph(spark: SparkSession, path: str) -> DataFrame:
             [], f"{id_col} {it}, neighbor_id {it}, score double, rank int"
         )
     return (
-        spark.read.parquet(os.path.join(path, "edges"))
+        read_parquet_pinned(spark, os.path.join(path, "edges"))
         .select(id_col, "neighbor_id", "score", "rank")
     )
 
@@ -147,7 +148,7 @@ def read_knn_nodes(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(
             [], f"{meta['id_col']} {meta['id_type']}"
         )
-    return spark.read.parquet(os.path.join(path, "nodes"))
+    return read_parquet_pinned(spark, os.path.join(path, "nodes"))
 
 
 def knn_neighbors_lookup(
@@ -167,7 +168,7 @@ def knn_neighbors_lookup(
         )
     probes = sorted({_bucket_of(i, meta["n_buckets"]) for i in src_ids})
     return (
-        spark.read.parquet(os.path.join(path, "edges"))
+        read_parquet_pinned(spark, os.path.join(path, "edges"))
         .filter(F.col("src_bucket").isin(probes))
         .filter(F.col(id_col).isin(list(src_ids)))
         .select(id_col, "neighbor_id", "score", "rank")

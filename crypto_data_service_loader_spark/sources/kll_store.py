@@ -38,6 +38,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .pread import read_parquet_pinned
 from ..operators.kll import kll_build, kll_quantiles
 
 _META = "_kll_meta.json"
@@ -94,7 +95,7 @@ def _merged(spark: SparkSession, path: str) -> DataFrame:
     from ..operators.kll import _merge_items, _group_schema
 
     meta = _read_meta(path)
-    items = spark.read.parquet(_items_dir(path))
+    items = read_parquet_pinned(spark, _items_dir(path))
     schema = _group_schema(items, meta["group_cols"], "level int, value double")
     return _merge_items(items, meta["group_cols"], meta["k"], schema)
 

@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
 from ..operators.multimodal import byte_grid_fingerprint
 
 _META = "_media_meta.json"
@@ -150,7 +151,7 @@ def near_dups_against_media_index(
         q_fps.select(F.col("_qid"), F.col("_qfp").alias("fp")),
         "_qid", meta["n_cells"], meta["bands"],
     )
-    idx_buckets = spark.read.parquet(_buckets_dir(path)).select(
+    idx_buckets = read_parquet_pinned(spark, _buckets_dir(path)).select(
         F.col(id_col).alias("_iid"), "band", "band_val"
     )
     cand = (
@@ -159,7 +160,7 @@ def near_dups_against_media_index(
         .select("_qid", "_iid")
         .distinct()
     )
-    i_fps = spark.read.parquet(_fps_dir(path)).select(
+    i_fps = read_parquet_pinned(spark, _fps_dir(path)).select(
         F.col(id_col).alias("_iid"), F.col("fp").alias("_ifp")
     )
     ham = F.bit_count(F.col("_qfp").bitwiseXOR(F.col("_ifp"))).cast("int")

@@ -45,6 +45,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
 from ..functions.localrel import local_values_df
 from ..operators import dedup
 
@@ -76,7 +77,7 @@ def _read_meta(path: str) -> dict:
 def _tombstones(spark: SparkSession, path: str, id_col: str, id_type: str):
     d = _tombstones_dir(path)
     if os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d)):
-        return spark.read.parquet(d)
+        return read_parquet_pinned(spark, d)
     return local_values_df(spark, [], f"{id_col} {id_type}")
 
 
@@ -164,12 +165,12 @@ def compact_minhash_index(spark: SparkSession, path: str) -> int:
     if not n:
         return 0
     buckets = (
-        spark.read.parquet(_buckets_dir(path))
+        read_parquet_pinned(spark, _buckets_dir(path))
         .join(F.broadcast(tomb), [id_col], "left_anti")
         .localCheckpoint()
     )
     sigs = (
-        spark.read.parquet(_sigs_dir(path))
+        read_parquet_pinned(spark, _sigs_dir(path))
         .join(F.broadcast(tomb), [id_col], "left_anti")
         .localCheckpoint()
     )
@@ -219,7 +220,7 @@ def near_dups_against_index(
         F.col("doc").alias("_qid"), "band", "band_hash"
     )
     idx_buckets = (
-        spark.read.parquet(_buckets_dir(path))
+        read_parquet_pinned(spark, _buckets_dir(path))
         .join(F.broadcast(tomb), [id_col], "left_anti")
         # the hive partition column `band` reads back as an inferred int
         # while the signing side emits string '0'..'bands-1'; cast
@@ -242,7 +243,7 @@ def near_dups_against_index(
         F.col("doc").alias("_qid"),
         *[F.col(f"h{i}").alias(f"q{i}") for i in range(nh)],
     )
-    i_sig = spark.read.parquet(_sigs_dir(path)).select(
+    i_sig = read_parquet_pinned(spark, _sigs_dir(path)).select(
         F.col(id_col).alias("_iid"),
         *[F.col(f"h{i}").alias(f"i{i}") for i in range(nh)],
     )

@@ -45,6 +45,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
 from ..operators import dedup
 
 _META = "_substr_meta.json"
@@ -112,7 +113,7 @@ def compact_substr_index(spark: SparkSession, path: str) -> int:
     """Fold the append segments into one (wh, n_occ) row per window;
     returns the distinct window count after compaction."""
     folded = (
-        spark.read.parquet(_windows_dir(path))
+        read_parquet_pinned(spark, _windows_dir(path))
         .groupBy("wh")
         .agg(F.sum("n_occ").alias("n_occ"))
         .localCheckpoint()
@@ -144,7 +145,7 @@ def spans_against_index(
         F.count(F.lit(1)).alias("n_batch")
     )
     idx_freq = (
-        spark.read.parquet(_windows_dir(path))
+        read_parquet_pinned(spark, _windows_dir(path))
         .groupBy("wh")
         .agg(F.sum("n_occ").alias("n_idx"))
     )

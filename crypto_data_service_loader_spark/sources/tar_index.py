@@ -51,6 +51,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
 from .tar_blobs import _octal, _sample_stem
 
 _META = "_tar_meta.json"
@@ -173,7 +174,7 @@ def write_tar_index(
     members_dir = os.path.join(path, "members")
     idx.write.mode("overwrite").parquet(members_dir)
     spark = blobs.sparkSession
-    n = spark.read.parquet(members_dir).count()
+    n = read_parquet_pinned(spark, members_dir).count()
     with open(os.path.join(path, _META), "w") as fh:
         json.dump({"id_col": id_col, "n_members": int(n)}, fh,
                   indent=1, sort_keys=True)
@@ -182,7 +183,7 @@ def write_tar_index(
 
 def load_tar_index(spark: SparkSession, path: str) -> DataFrame:
     """The persisted member index, ready for predicate filtering."""
-    return spark.read.parquet(os.path.join(path, "members"))
+    return read_parquet_pinned(spark, os.path.join(path, "members"))
 
 
 def fetch_members(

@@ -52,6 +52,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
 from ..operators.text import _tokens, bm25_rank, query_terms
 
 _META = "_postings_meta.json"
@@ -126,7 +127,7 @@ def _tombstones(spark: SparkSession, path: str, id_col: str, id_type: str) -> Da
     d = _tombstones_dir(path)
     if not os.path.isdir(d):
         return spark.createDataFrame([], f"{id_col} {id_type}")
-    return spark.read.parquet(d)
+    return read_parquet_pinned(spark, d)
 
 
 def write_postings_index(
@@ -216,7 +217,7 @@ def delete_from_postings_index(
     # totals) — doclens includes token-less docs, so N stays exact even
     # for docs that never produced a posting row
     matched = (
-        spark.read.parquet(_doclens_dir(path))
+        read_parquet_pinned(spark, _doclens_dir(path))
         .join(F.broadcast(fresh), [id_col], "left_semi")
         .localCheckpoint()  # two consumers below: stats agg + tombstone write
     )
@@ -250,15 +251,15 @@ def compact_postings_index(spark: SparkSession, path: str) -> int:
     tomb_dir = _tombstones_dir(path)
     if not os.path.isdir(tomb_dir):
         return 0
-    tombs = spark.read.parquet(tomb_dir).localCheckpoint()
+    tombs = read_parquet_pinned(spark, tomb_dir).localCheckpoint()
     n = tombs.count()
     surviving_postings = (
-        spark.read.parquet(_postings_dir(path))
+        read_parquet_pinned(spark, _postings_dir(path))
         .join(F.broadcast(tombs), [id_col], "left_anti")
         .localCheckpoint()
     )
     surviving_lens = (
-        spark.read.parquet(_doclens_dir(path))
+        read_parquet_pinned(spark, _doclens_dir(path))
         .join(F.broadcast(tombs), [id_col], "left_anti")
         .localCheckpoint()
     )
@@ -313,7 +314,7 @@ def postings_index_bm25(
     terms = sorted(r["term"] for r in qterms.select("term").distinct().collect())
     probes = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
     scan = (
-        spark.read.parquet(_postings_dir(path))
+        read_parquet_pinned(spark, _postings_dir(path))
         .filter(F.col("bucket").isin(probes))
         .join(
             F.broadcast(_tombstones(spark, path, id_col, id_type)),

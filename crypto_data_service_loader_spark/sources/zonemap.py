@@ -33,6 +33,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .pread import read_parquet_pinned
+
 
 def build_zonemap(
     spark: SparkSession,
@@ -44,7 +46,7 @@ def build_zonemap(
     type recorded so the pruner can cast back. One scan of the data,
     grouped by the file each row came from (`input_file_name`), all
     aggregates partial-combined."""
-    return _zone_rows(spark.read.parquet(path), cols)
+    return _zone_rows(read_parquet_pinned(spark, path), cols)
 
 
 def _zone_rows(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -145,7 +147,7 @@ def prune_files(
     collected: at 10⁶ files the driver materializes the pruned list, not
     every zone row. All-NULL zones are dropped — a range predicate never
     selects NULLs. Returns the file list (feeds
-    `spark.read.parquet(*files)`)."""
+    `read_parquet_pinned(spark, *files)`)."""
     z = zonemap.where(F.col("col_name") == col_name)
     trow = z.select("col_type").limit(1).collect()
     if not trow:
@@ -203,8 +205,8 @@ def pruned_read(
         any_file = [r["file"] for r in zonemap.select("file").limit(1).collect()]
         if not any_file:
             raise ValueError("empty zonemap: nothing to infer a schema from")
-        return spark.read.parquet(any_file[0]).limit(0)
-    return spark.read.parquet(*files)
+        return read_parquet_pinned(spark, any_file[0]).limit(0)
+    return read_parquet_pinned(spark, *files)
 
 
 def zonemap_selectivity(zonemap: DataFrame, col_name: str) -> DataFrame:
@@ -262,7 +264,7 @@ def refresh_zonemap(
     ):
         have = {
             r["file"]
-            for r in spark.read.parquet(zonemap_path)
+            for r in read_parquet_pinned(spark, zonemap_path)
             .select("file").distinct().collect()
         }
     all_files = sorted(
@@ -278,6 +280,6 @@ def refresh_zonemap(
     ]
     if not missing:
         return 0
-    rows = _zone_rows(spark.read.parquet(*missing), cols).localCheckpoint()
+    rows = _zone_rows(read_parquet_pinned(spark, *missing), cols).localCheckpoint()
     rows.write.mode("append").parquet(zonemap_path)
     return len(missing)
