@@ -98,10 +98,13 @@ def local_values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     tuples/lists in field order. Intended for bounded control tables
     (query workloads, codebooks, task maps) — NOT for bulk data.
     """
-    fields = []
-    for part in _split_top(schema):
-        name, t = part.strip().split(None, 1)
-        fields.append((name, t.strip()))
+    if not isinstance(schema, str):  # StructType → DDL (empty frames etc.)
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    else:
+        fields = []
+        for part in _split_top(schema):
+            name, t = part.strip().split(None, 1)
+            fields.append((name, t.strip()))
     names = ", ".join(f"c{i}" for i in range(len(fields)))
     sel = ", ".join(f"c{i} AS {name}" for i, (name, _) in enumerate(fields))
     rows = list(rows)

@@ -42,6 +42,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_values_df
+
 from .pread import read_parquet_pinned
 from ..operators.similarity import (
     _as_double,
@@ -350,7 +352,8 @@ def delete_from_ann_index(spark: SparkSession, path: str, vec_ids: list) -> int:
     # string-id corpora; indexes written before id_type landed were all
     # long-keyed, hence the fallback
     id_type = meta.get("id_type", "bigint")
-    ids = spark.createDataFrame(
+    ids = local_values_df(
+        spark,
         [(i,) for i in vec_ids], f"{id_col} {id_type}"
     ).distinct()
     existing = _tombstones(spark, path, id_col)
@@ -473,7 +476,8 @@ def append_to_ivfpq_index(new_vectors: DataFrame, path: str) -> None:
     centroids = [(int(cid), [float(x) for x in vec])
                  for cid, vec in meta["centroids"]]
     spark = new_vectors.sparkSession
-    bdf = spark.createDataFrame(
+    bdf = local_values_df(
+        spark,
         [(int(s), int(cid), [float(x) for x in vec])
          for s, cid, vec in meta["book"]],
         "s int, cid int, cvec array<double>",
@@ -539,7 +543,7 @@ def ivfpq_index_topk(
             dt_rows.append(
                 (ccid, s, cid, d_micro(qr[s * sub:(s + 1) * sub], bv))
             )
-    dt = spark.createDataFrame(dt_rows, "ccid int, s int, cid int, dq long")
+    dt = local_values_df(spark, dt_rows, "ccid int, s int, cid int, dq long")
     id_col = meta["id_col"]
     scan = _without_tombstones(
         spark, path,

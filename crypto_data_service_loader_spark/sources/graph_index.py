@@ -47,6 +47,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_values_df
+
 from .pread import read_parquet_pinned
 from ..operators.similarity import knn_graph
 
@@ -132,7 +134,8 @@ def read_knn_graph(spark: SparkSession, path: str) -> DataFrame:
     id_col = meta["id_col"]
     if meta["n_nodes"] == 0:
         it = meta["id_type"]
-        return spark.createDataFrame(
+        return local_values_df(
+            spark,
             [], f"{id_col} {it}, neighbor_id {it}, score double, rank int"
         )
     return (
@@ -145,7 +148,8 @@ def read_knn_nodes(spark: SparkSession, path: str) -> DataFrame:
     """The persisted node-id set (includes edge-less nodes)."""
     meta = _read_meta(path)
     if meta["n_nodes"] == 0:
-        return spark.createDataFrame(
+        return local_values_df(
+            spark,
             [], f"{meta['id_col']} {meta['id_type']}"
         )
     return read_parquet_pinned(spark, os.path.join(path, "nodes"))
@@ -163,7 +167,8 @@ def knn_neighbors_lookup(
     id_col = meta["id_col"]
     if meta["n_nodes"] == 0 or not src_ids:
         it = meta["id_type"]
-        return spark.createDataFrame(
+        return local_values_df(
+            spark,
             [], f"{id_col} {it}, neighbor_id {it}, score double, rank int"
         )
     probes = sorted({_bucket_of(i, meta["n_buckets"]) for i in src_ids})

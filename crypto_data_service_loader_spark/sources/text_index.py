@@ -52,6 +52,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_values_df
+
 from .pread import read_parquet_pinned
 from ..operators.text import _tokens, bm25_rank, query_terms
 
@@ -126,7 +128,7 @@ def _tombstones(spark: SparkSession, path: str, id_col: str, id_type: str) -> Da
     """The tombstoned doc ids (empty frame when none exist yet)."""
     d = _tombstones_dir(path)
     if not os.path.isdir(d):
-        return spark.createDataFrame([], f"{id_col} {id_type}")
+        return local_values_df(spark, [], f"{id_col} {id_type}")
     return read_parquet_pinned(spark, d)
 
 
@@ -207,7 +209,8 @@ def delete_from_postings_index(
     id_col, id_type = meta["id_col"], meta.get("id_type", "bigint")
     if not doc_ids or meta["n_docs"] == 0:
         return 0
-    ids = spark.createDataFrame(
+    ids = local_values_df(
+        spark,
         [(i,) for i in doc_ids], f"{id_col} {id_type}"
     ).distinct()
     fresh = ids.join(
@@ -298,10 +301,12 @@ def postings_index_bm25(
         # a zero-doc index wrote no parquet files (nothing to scan) —
         # answer the vacuous query without touching the path, with the
         # same id type the non-empty path would return
-        return spark.createDataFrame(
+        return local_values_df(
+            spark,
             [], f"query_id int, {id_col} {id_type}, score double, rank int"
         )
-    qdf = spark.createDataFrame(
+    qdf = local_values_df(
+        spark,
         queries, "query_id int, query_text string"
     )
     qterms = query_terms(qdf)
@@ -330,7 +335,8 @@ def postings_index_bm25(
     # zero-doc index: scores are vacuously empty, but avgdl must not
     # divide by zero building the stats row
     avgdl = float(meta["total_tokens"]) / n_docs if n_docs else 0.0
-    stats = spark.createDataFrame(
+    stats = local_values_df(
+        spark,
         [(n_docs, avgdl)], "n_docs double, avgdl double"
     )
     # tf carries dl straight off the postings row: bm25_rank skips its

@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.localrel import local_values_df
 from pyspark.sql.streaming import StreamingQuery
 
 from pyspark.sql import types as T
@@ -74,7 +76,7 @@ def start_discovery(
         try:
             registry = spark_.read.schema(REGISTRY).parquet(registry_path)
         except Exception:  # first batch: registry does not exist yet
-            registry = spark_.createDataFrame([], REGISTRY)
+            registry = local_values_df(spark_, [], REGISTRY)
         novel = dedup_new_files(batch, registry.select("filename"))
         (
             novel.select("filename", "create_date", "status")

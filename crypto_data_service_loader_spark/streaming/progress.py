@@ -13,6 +13,8 @@ metrics land in the same log table a `tickers_logs`-style sink reads.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.localrel import local_values_df
 from pyspark.sql.streaming import StreamingQueryListener
 
 PROGRESS_SCHEMA = (
@@ -54,4 +56,4 @@ class ProgressCapture(StreamingQueryListener):
         pass
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(self.rows, PROGRESS_SCHEMA)
+        return local_values_df(spark, self.rows, PROGRESS_SCHEMA)

@@ -23,6 +23,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_values_df
+
 from ..operators.registry import (
     apply_status_update,
     current_state,
@@ -83,7 +85,7 @@ class RegistryLog:
         try:
             return self.spark.read.schema(REGISTRY_EVENTS).parquet(self.path)
         except Exception:  # noqa: BLE001 — first cycle: log does not exist
-            return self.spark.createDataFrame([], REGISTRY_EVENTS)
+            return local_values_df(self.spark, [], REGISTRY_EVENTS)
 
     def state(self) -> DataFrame:
         return current_state(self.events())
@@ -294,8 +296,8 @@ def run_cycle(
         try:
             return scan_directory(spark, root)  # load() lists eagerly
         except Exception:  # noqa: BLE001
-            return spark.createDataFrame(
-                [], "filename string, create_date date, status string"
+            return local_values_df(
+                spark, [], "filename string, create_date date, status string"
             )
 
     # 1. discover (reference Flow 1: backfill scan + dedup + insert).

@@ -51,6 +51,8 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.localrel import local_values_df
 from pyspark.sql.utils import AnalysisException
 
 from ..operators import dedup
@@ -163,8 +165,8 @@ class SubstrIndexIngest:
         try:
             return self._spans.read(spark)
         except AnalysisException:
-            return spark.createDataFrame(
-                [],
+            return local_values_df(
+                spark, [],
                 f"{self.id_col} long, span_start int, span_len int, "
                 "n_windows long, batch_id int",
             )

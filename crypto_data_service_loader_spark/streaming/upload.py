@@ -32,6 +32,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_values_df
+
 from ..functions.metrics import observe_counts, observed_metrics
 from ..operators.registry import (
     bundle_split,
@@ -131,8 +133,8 @@ def run_upload_batch(
         for r in claimed.select("sink_batch").distinct().collect()
     ]
     if not groups:
-        return spark.createDataFrame(
-            [], "filename string, ok boolean, sink_batch long"
+        return local_values_df(
+            spark, [], "filename string, ok boolean, sink_batch long"
         )
     outcomes: DataFrame | None = None
     for g in sorted(groups, key=lambda x: (x is None, x)):
@@ -167,7 +169,7 @@ def _listed_filenames(spark: SparkSession, globs: list[str]) -> DataFrame:
         except Exception:  # noqa: BLE001 — date dir deleted: nothing listed
             logger.warning("claimed date directory missing: %s", g)
     if not parts:
-        return spark.createDataFrame([], "filename string")
+        return local_values_df(spark, [], "filename string")
     listed = parts[0]
     for p in parts[1:]:
         listed = listed.unionByName(p)
@@ -286,7 +288,8 @@ def _upload_group(
         except Exception:
             logger.exception("retry write for batch %s failed", sink_batch)
             outcomes.extend((f, False) for f in good_files)
-    return spark.createDataFrame(
+    return local_values_df(
+        spark,
         [(f, ok, None if sink_batch is None else int(sink_batch))
          for f, ok in outcomes],
         "filename string, ok boolean, sink_batch long",
