@@ -203,12 +203,27 @@ def label_propagation(
         # re-runs the full upstream edge derivation
         .localCheckpoint()
     )
+    if iters <= 0:
+        return (
+            und.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("community"))
+        )
+    # Iteration 1 collapsed (round 16, guide §2.4): with self-label
+    # initialization, node a's neighbor labels are exactly its distinct
+    # neighbor ids — each appearing ONCE in the distinct undirected edge
+    # list — so "most frequent, tie-break lowest" degenerates to min(b).
+    # One partial-agged groupBy replaces the edge⋈labels join + two
+    # aggregations of the generic round: the full 2|E| row stream crosses
+    # one fewer shuffle, and the node-set distinct disappears (groupBy(a)
+    # over the symmetric closure IS the node set). Provably identical for
+    # any input and any iters >= 1.
     labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        und.groupBy("a")
+        .agg(F.min("b").alias("label"))
+        .select(F.col("a").alias("node"), "label")
     )
-    for _ in range(iters):
+    for _ in range(iters - 1):
         counts = (
             und.join(labels, F.col("b") == F.col("node"))
             .groupBy("a", "label")

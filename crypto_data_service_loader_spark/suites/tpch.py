@@ -467,34 +467,47 @@ def q_tpch_q21(spark, sf_dir):
     builds per-(order, supplier) rows, a per-order rollup counts suppliers
     (total + R-flagged), and the EXISTS/NOT-EXISTS pair collapses to the
     filter n_supp >= 2 AND n_rsupp == 1 (the order has other suppliers,
-    but every R line belongs to one — the blamed — supplier). The R-line
-    candidates then semi-join the qualifying orders on the single key."""
+    but every R line belongs to one — the blamed — supplier).
+
+    Round 16 (guide §2.3/§2.4): the R-line COUNT rides the same rollup —
+    per (order, supplier) we already aggregate `has_r`; carrying
+    `n_rlines` beside it lets the per-order rollup emit the blamed
+    supplier (the unique has_r=1 key when n_rsupp == 1) and its waiting-
+    line count directly. That deletes the second lineitem scan and the
+    R-line semi-join of the previous shape: numwait per supplier is the
+    SUM of blamed-order line counts, identical by n_rsupp == 1 (every R
+    line of a qualifying order belongs to the one blamed supplier)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
+    is_r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+        F.max(is_r).alias("has_r"),
+        F.sum(is_r).alias("n_rlines"),
     )
     per_order = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum("has_r").alias("n_rsupp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "blamed_supp"
+        ),
+        F.sum(F.when(F.col("has_r") == 1, F.col("n_rlines")).otherwise(0)).alias(
+            "n_wait"
+        ),
     )
     f_orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    blamed_orders = (
+    blamed = (
         per_order.filter((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
         .join(f_orders, F.col("l_orderkey") == f_orders.o_orderkey, "left_semi")
-        .select("l_orderkey")
-    )
-    waiting = li.filter(F.col("l_returnflag") == "R").join(
-        blamed_orders, "l_orderkey", "left_semi"
+        .select("blamed_supp", "n_wait")
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        blamed.join(supp, blamed.blamed_supp == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_wait").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
