@@ -203,8 +203,16 @@ TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 #: sentinel at 0.39-0.65 s (driver ~0.5); contended starts read 3-5.6 s.
 SENTINEL_QUIET_REF = float(
     os.environ.get("SPARK_GRAFT_SENTINEL_QUIET", "0.55"))
+#: 2.5 (not 2.0): measured on a PROVABLY quiet box (round 16 close —
+#: nothing else running, free -g ~123 GB free), warm single-shot
+#: sentinel observations range 0.33-1.13 s — the mid-suite JVM residue
+#: the bench's own ingest comment describes pushes single shots past
+#: the 2.0x0.55=1.10 line even with zero contention, so 2.0 flagged
+#: every run contended and burned a settle+rerun pass for nothing.
+#: Genuine contention signatures read >= 2.2 (the r15 artifact's
+#: wire[pre]); 2.5x0.55=1.375 separates the two cleanly.
 CONTENDED_FACTOR = float(
-    os.environ.get("SPARK_GRAFT_CONTENDED_FACTOR", "2.0"))
+    os.environ.get("SPARK_GRAFT_CONTENDED_FACTOR", "2.5"))
 SETTLE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "45"))
 #: cap on the settle-pass query re-runs — the adjudication must never
 #: double the suite's wall time on a badly contended box
@@ -305,6 +313,19 @@ class _Sentinel:
                 .parquet(self.tmp)
             )
             self.ok = True
+            # Warm the workload UNTIMED before the first observation
+            # (round 16 measurement fix): on a provably quiet box the
+            # first run reads 4.26 s, then 1.53 / 1.15 / 0.91 — JIT,
+            # codegen, and cold page cache, not the box. Without this,
+            # observe("start") always reported 4-5.6 s and the machine
+            # verdict flagged EVERY run contended (including the two
+            # r16 closing runs on an idle box). Two warm runs put the
+            # first observation inside the workload's steady band; the
+            # workload itself is unchanged, so the canonical
+            # extras.sentinel_sec series stays comparable (it was
+            # always measured post-ingest, long after warm-up).
+            for _ in range(2):
+                self.run_once()
         except Exception:  # noqa: BLE001 — the bench line must still emit
             self.ok = False
 

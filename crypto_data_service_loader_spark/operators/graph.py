@@ -202,6 +202,23 @@ def label_propagation(
         # referenced every iteration — materialize once or each round
         # re-runs the full upstream edge derivation
         .localCheckpoint()
+        # Co-partition by the vote key (round 16 close, guide §2.4 —
+        # "two operations keyed the same way can share one exchange"):
+        # HashPartitioning(a) satisfies the clustering of BOTH
+        # aggregations of every round (groupBy(a, label) — a is a
+        # subset of the keys — and groupBy(a)), and the labels join
+        # broadcasts, preserving the streamed side's partitioning. So
+        # ONE reusable exchange here replaces one full 2|E| vote-stream
+        # exchange per iteration plus the per-(a, label) count exchange
+        # (executed plan: 3 Exchange -> 1). Placed AFTER the checkpoint
+        # because an AQE-finalized localCheckpoint does not carry its
+        # outputPartitioning (measured: the same repartition BEFORE the
+        # checkpoint still plans 2 downstream exchanges); within one
+        # action, ReuseExchange collapses the identical repartition
+        # references. This is also the docstring's 100 TB contract made
+        # literal: partition edges by the join key once, every round is
+        # a co-partitioned join + partial-agg counts.
+        .repartition("a")
     )
     if iters <= 0:
         return (

@@ -6,6 +6,7 @@ that window. These tests pin the contract without running Spark."""
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -98,6 +99,22 @@ def test_contention_verdict_logic():
     assert bench._is_contended([1.01], 0.5, 2.0)
     assert bench._is_contended([0.4, 5.57], 0.5, 2.0)  # the r15 ramp
     assert bench._is_contended([-1.0, 1.2], 0.5, 2.0)
+
+
+def test_contention_default_factor_separates_quiet_from_contended():
+    """Round 16 close (measurement fix): the default factor is 2.5, not
+    2.0 — warm single-shot sentinel readings on a PROVABLY quiet box
+    range 0.33-1.13 s (mid-suite JVM residue), so the 2.0x0.55=1.10
+    line flagged every run contended; genuine contention signatures
+    read >= 2.2 (the r15 artifact's wire[pre]). 2.5x0.55=1.375 must
+    classify both sides correctly."""
+    quiet_singles = [0.33, 0.49, 0.91, 0.96, 1.13]  # measured, idle box
+    assert not bench._is_contended(quiet_singles, 0.55, 2.5)
+    assert bench._is_contended([2.2], 0.55, 2.5)   # r15 wire[pre]
+    assert bench._is_contended([5.57], 0.55, 2.5)  # r15 start ramp
+    # the shipped default (env-overridable) is the separating value
+    if "SPARK_GRAFT_CONTENDED_FACTOR" not in os.environ:
+        assert bench.CONTENDED_FACTOR == 2.5
 
 
 def test_sentinel_series_interpolation():
