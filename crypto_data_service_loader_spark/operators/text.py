@@ -56,21 +56,36 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def quality_expr(text_col: Column) -> Column:
+    """The quality score as a single scan-local Column (round 17, guide
+    §2.4): callers that already hold the document row attach the score
+    as one projection instead of running `quality_score` as a separate
+    relation and joining it back on the id — the join carried nothing
+    but this expression's output, and eliminating it removes a full
+    exchange + a second pass over the text at any scale. Same tree the
+    optimizer produced for quality_score after projection collapse:
+    length band + lexical diversity + stopword presence, rounded to 6dp."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = _stop_hits(toks, STOPWORDS["en"]).cast("double") / n_tok
+    return F.round(
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + diversity * 0.3
+        + F.least(stop_ratio * 3.0, F.lit(1.0)) * 0.3,
+        6,
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality score in [0,1]: length band + lexical diversity +
     stopword presence. Weights are fixed; the point is a deterministic,
-    filterable scalar (the standard pre-training quality gate shape)."""
-    stats = text_stats(docs, text_col, id_col)
-    len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
-    diversity = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
-    return stats.select(
-        F.col(id_col),
-        F.round(
-            F.when(len_ok, 0.4).otherwise(0.0)
-            + diversity * 0.3
-            + F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0)) * 0.3,
-            6,
-        ).alias("quality"),
+    filterable scalar (the standard pre-training quality gate shape).
+    The scalar lives in `quality_expr` so composed pipelines can attach
+    it scan-locally without the relation + join-back shape."""
+    return docs.select(
+        F.col(id_col), quality_expr(F.col(text_col)).alias("quality")
     )
 
 
@@ -235,6 +250,22 @@ def chunk_documents(
         F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def chunk_count_expr(
+    text_col: Column, chunk_tokens: int = 64, overlap: int = 16
+) -> Column:
+    """`chunk_documents`' chunk COUNT as a scan-local Column (round 17,
+    guide §2.4): the chunker emits exactly greatest(ceil((n-overlap)/
+    stride), 1) rows per doc — the same n_chunks expression that sizes
+    its sequence() — so a per-doc count-of-chunks rollup is this closed
+    form, with NO explode, NO groupBy exchange, and NO join back to the
+    doc row. count() over explode(sequence(0, n_chunks-1)) == n_chunks
+    for every input because n_chunks >= 1 (explode never sees an empty
+    array). Long-typed like the count it replaces."""
+    stride = chunk_tokens - overlap
+    n = F.size(_tokens(text_col))
+    return F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
 
 
 #: public-pattern PII regexes (emails, international-ish phone numbers)

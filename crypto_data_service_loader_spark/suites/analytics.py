@@ -1199,11 +1199,12 @@ def q_curation_funnel(spark, sf_dir):
                 F.length("text_clean").alias("n_chars_clean"))
         .localCheckpoint()
     )
-    scored = text.quality_score(
-        alive.select("doc_id", F.col("text_clean").alias("text"))
-    )
+    # quality attaches scan-locally (round 17) — same rewrite as the
+    # flagship pipeline in suites/llm.py, so the funnel keeps counting
+    # the SAME stage frames
     gated = training.select_top_quality_percent(
-        scored.join(alive, "doc_id"), frac=0.5
+        alive.withColumn("quality", text.quality_expr(F.col("text_clean"))),
+        frac=0.5,
     ).localCheckpoint()
     keep = dedup.exact_dedup(
         gated.select("doc_id", F.col("text_clean").alias("text"))

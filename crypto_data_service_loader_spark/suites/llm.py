@@ -285,16 +285,19 @@ def q_corpus_curation_pipeline(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    scored = text.quality_score(
-        alive.select("doc_id", F.col("text_clean").alias("text"))
-    )
+    # quality attaches as ONE scan-local column on `alive` (round 17,
+    # guide §2.4): the old shape ran quality_score as a separate relation
+    # and joined it back on doc_id — an exchange plus a second pass over
+    # the checkpointed text that carried nothing but this expression.
+    #
     # materialize the gate output once (same policy as `alive` above):
     # the fingerprint-keep derivation AND the survivor semi-join both
     # reference `gated`, and each reference re-ran the quality features
     # + the per-source percent_rank window over the cleaned corpus
     # (round 16, guide §2.4)
     gated = training.select_top_quality_percent(
-        scored.join(alive, "doc_id"), frac=0.5
+        alive.withColumn("quality", text.quality_expr(F.col("text_clean"))),
+        frac=0.5,
     ).localCheckpoint()
     keep = (
         dedup.exact_dedup(
@@ -738,8 +741,11 @@ def q_quality_percentile_gate(spark, sf_dir):
     drift-free version of an absolute score threshold. Composes the
     quality scorer with the training-side gate."""
     docs = load(spark, sf_dir, "documents")
-    scored = text.quality_score(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
+    # one scan-local projection (round 17, guide §2.4): the old
+    # quality_score(docs) ⋈ docs join-back re-read the corpus and
+    # exchanged it just to re-attach `source`
+    scored = docs.select(
+        "doc_id", "source", text.quality_expr(F.col("text")).alias("quality")
     )
     return training.select_top_quality_percent(scored, frac=0.5).select(
         "doc_id", "source", "quality", "pct_rank"
@@ -781,14 +787,21 @@ def q_docs_prep_pipeline(spark, sf_dir):
         .localCheckpoint()
     )
     kept = passed.join(keep, "doc_id", "left_semi")
-    n_chunks = (
-        text.chunk_documents(kept, chunk_tokens=64, overlap=16)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_chunks"))
-    )
-    return (
-        n_chunks.join(text.token_counts(kept), "doc_id")
-        .select("doc_id", "n_chunks", "ws_tokens", "bpe_tokens")
+    # per-doc rollup as ONE scan-local projection (round 17, guide §2.4):
+    # the old shape exploded every chunk just to count it back down
+    # (explode -> groupBy exchange) and then JOINED that count to a
+    # second token_counts pass over the same rows — two exchanges and a
+    # join whose both sides were projections of `kept`. chunk_count_expr
+    # IS the chunker's row count by construction (see its contract), so
+    # the rollup is exchange-free at any scale.
+    norm = F.lower(F.trim(F.col("text")))
+    return kept.select(
+        "doc_id",
+        text.chunk_count_expr(F.col("text"), chunk_tokens=64, overlap=16)
+        .alias("n_chunks"),
+        F.size(F.split(norm, r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(text.TOKEN_PATTERN), 0))
+        .alias("bpe_tokens"),
     )
 
 
