@@ -589,6 +589,35 @@ def minhash_signature(text_col: Column, num_hashes: int = 8, k: int = 3) -> Colu
     return F.array(*[_seeded_min_hash(sh, i) for i in range(num_hashes)])
 
 
+#: `_spread`'s partition-count guard, memoized (round 17, guide §1.2):
+#: the FIRST `.rdd.getNumPartitions()` on a fresh DataFrame costs
+#: 70-180 ms of driver time (analysis + physical planning + RDD DAG
+#: construction), and every bench/gate invocation builds fresh frames —
+#: so each _spread call site paid that tax per trial for a count that
+#: never changes within a session. Keyed by the analyzed plan's
+#: semanticHash + the session's split-size conf (the two inputs the
+#: count depends on); a hash collision could only mis-skip a perf-only
+#: repartition, never change results.
+_PARTS_MEMO: dict[tuple, int] = {}
+
+
+def _num_partitions(df: DataFrame) -> int:
+    key = None
+    try:
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),  # noqa: SLF001
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"),
+        )
+    except Exception:  # noqa: BLE001 — fall back to the direct count
+        pass
+    if key is not None and key in _PARTS_MEMO:
+        return _PARTS_MEMO[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        _PARTS_MEMO[key] = n
+    return n
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """Repartition CPU-bound hashing stages to the cluster's parallelism.
 
@@ -599,9 +628,32 @@ def _spread(docs: DataFrame) -> DataFrame:
     AQE coalesces back afterwards if the result is small.
     """
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if _num_partitions(docs) < target:
         return docs.repartition(target)
     return docs
+
+
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """`_spread`'s KEYED sibling (round 17, guide §2.5 input skew): pin a
+    hash repartition on the given key(s) at the cluster's parallelism,
+    so a CPU-dense aggregation keyed the same way runs fanned out
+    INSTEAD of (a) its partial agg serializing into the one task a
+    single-row-group parquet scan yields (byte-splits overstate the
+    real decode parallelism of such files, so a split-count guard
+    cannot see this case), and (b) AQE's byte-targeted coalescing
+    collapsing the final agg of a small-but-compute-heavy shuffle onto
+    a handful of cores (REPARTITION_BY_NUM is exempt from coalescing).
+
+    UNGUARDED by design, unlike `_spread`: the downstream aggregation
+    reuses this exchange (same keys, same partition count), so the plan
+    carries exactly ONE shuffle of the stream at ANY scale — the pin
+    replaces the aggregation's own exchange rather than adding one. The
+    only trade is losing map-side partial aggregation, so use this only
+    where partials don't compress (collect_set of near-distinct members,
+    wide explodes), never in front of count/sum-style aggs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, *[F.col(c) for c in cols])
 
 
 def minhash_sig_table(

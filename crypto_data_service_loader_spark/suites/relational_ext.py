@@ -369,7 +369,15 @@ def q_community_lpa(spark, sf_dir):
     # downstream distinct. Arrays are bounded by lines-per-order (TPC-H:
     # <=7), so the explode is never a blow-up; pair set is identical
     # (same unordered co-supplier pairs, already canonical a<b).
-    per_order = li.groupBy(F.col("l_orderkey")).agg(
+    # spread_by (round 17, guide §2.5): the single-row-group gate scan
+    # put the whole partial collect_set in ONE task and AQE's byte
+    # targets coalesced the final agg + pair explode onto <=4 of 32
+    # cores (measured: 0.53 s serial scan-agg task + 4x0.5 s explode
+    # tasks; keyed spread x0.70 on the full key, rows identical). The
+    # agg reuses the pinned exchange — still one shuffle of the stream.
+    per_order = dedup.spread_by(
+        li.select("l_orderkey", "l_suppkey"), "l_orderkey"
+    ).groupBy(F.col("l_orderkey")).agg(
         F.collect_set("l_suppkey").alias("_ss")
     )
     edges = per_order.select(
