@@ -33,6 +33,54 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+#: SQL-string twins of _dot/_as_double (round 17, guide §1.2 — the r16 §9
+#: fingerprint finding again: driver-side Column-tree construction, one
+#: py4j round trip per node, dominated several builds). One F.expr parses
+#: JVM-side in a single call and resolves to the SAME trees the lambda
+#: builders produce (aggregate/zip_with/transform with identical lambda
+#: bodies and the identical DOUBLE literal), so results are unchanged.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _as_double_sql(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+#: first-row vector length per analyzed-plan hash (round 17): the
+#: head(1) dim probe is a Spark JOB paid on every DataFrame build of the
+#: LSH family; gate/bench inputs are immutable within a session and a
+#: fresh temp path hashes fresh (same memo contract as dedup._spread's
+#: partition guard and sources/pread's pinned schemas). The EMPTY
+#: outcome is deliberately never memoized — an empty probe re-runs, so
+#: a test that appends to a just-created empty table stays correct.
+_VEC_DIM_MEMO: dict[tuple, int] = {}
+
+
+def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
+    """len(first row's vec_col), or None when the input is empty."""
+    key = None
+    try:
+        key = (
+            embeddings._jdf.queryExecution().analyzed().semanticHash(),  # noqa: SLF001
+            vec_col,
+        )
+    except Exception:  # noqa: BLE001 — fall back to the probe
+        pass
+    if key is not None and key in _VEC_DIM_MEMO:
+        return _VEC_DIM_MEMO[key]
+    head = embeddings.select(vec_col).head(1)
+    if not head:
+        return None
+    dim = len(head[0][0])
+    if key is not None:
+        _VEC_DIM_MEMO[key] = dim
+    return dim
+
+
 def _shuffle_parallelism(df: DataFrame) -> int:
     """The session's shuffle partition count (defaultParallelism when
     the conf is non-numeric, e.g. 'auto' on managed platforms) — used to
@@ -219,15 +267,14 @@ def embedding_near_dups_lsh(
     `n_planes=None` (the default) derives the dial from the corpus size
     via `auto_planes` — pass `n_vectors_hint` to skip the count job, or an
     explicit `n_planes` to pin it (tests / oracle twins do)."""
-    head = embeddings.select(vec_col).head(1)
-    if not head:  # empty corpus -> empty pair set (match the brute twin)
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:  # empty corpus -> empty pair set (match the brute twin)
         id_type = embeddings.schema[id_col].dataType.simpleString()
         return local_values_df(
             embeddings.sparkSession,
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
-    dim = len(head[0][0])
     v = _as_double(F.col(vec_col))
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
         F.col(id_col).alias("_id"),
@@ -608,15 +655,14 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
-    head = embeddings.select(vec_col).head(1)
-    if not head:
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
         id_type = embeddings.schema[id_col].dataType.simpleString()
         return local_values_df(
             embeddings.sparkSession,
             [], f"{id_col} {id_type}, neighbor_id {id_type}, score double, rank int"
         )
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
-    dim = len(head[0][0])
     v = _as_double(F.col(vec_col))
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
         F.col(id_col).alias("_id"),
@@ -686,8 +732,8 @@ def hard_negatives(
     Returns (id, negative_id, neg_label, score, rank)."""
     from pyspark.sql import Window
 
-    head = embeddings.select(vec_col).head(1)
-    if not head:
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
         id_type = embeddings.schema[id_col].dataType.simpleString()
         lbl_type = embeddings.schema[label_col].dataType.simpleString()
         return local_values_df(
@@ -697,7 +743,6 @@ def hard_negatives(
             f"neg_label {lbl_type}, score double, rank int",
         )
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
-    dim = len(head[0][0])
     v = _as_double(F.col(vec_col))
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
         F.col(id_col).alias("_id"),
@@ -764,8 +809,8 @@ def contrastive_triplets(
     (id, positive_id, pos_score, negative_ids, neg_score_micros)."""
     from pyspark.sql import Window
 
-    head = embeddings.select(vec_col).head(1)
-    if not head:
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
         id_type = embeddings.schema[id_col].dataType.simpleString()
         return local_values_df(
             embeddings.sparkSession,
@@ -774,7 +819,6 @@ def contrastive_triplets(
             "pos_score double, negative_ids string, neg_score_micros string",
         )
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors_hint)
-    dim = len(head[0][0])
     v = _as_double(F.col(vec_col))
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, vec_col).select(
         F.col(id_col).alias("_id"),
@@ -946,12 +990,22 @@ def lsh_bucket_ids(
     Scan-side only (no shuffle); downstream ANN search probes the query's
     bucket (and optionally neighbors) instead of the full corpus.
     """
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
+    # ONE F.expr for the whole bucket (round 17, guide §1.2): the Column
+    # loop built n_planes x (dim literals + two HOF lambdas) driver-side
+    # — hundreds of py4j round trips per invocation (~0.3 s at dim 64).
+    # The string parses JVM-side in a single call and resolves to the
+    # same sign-projection tree; planes are exact +-1.0 literals.
+    v_sql = _as_double_sql(f"`{vec_col}`")
+    terms = ["cast(0 as bigint)"]
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-        bucket = bucket + F.when(_dot(v, plane) >= 0, 2**p).otherwise(0)
-    return embeddings.withColumn("bucket", bucket)
+        plane = ", ".join(
+            "1.0D" if x > 0 else "-1.0D" for x in _hyperplane(dim, p)
+        )
+        terms.append(
+            f"(case when {_dot_sql(v_sql, f'array({plane})')} >= 0 "
+            f"then {2 ** p} else 0 end)"
+        )
+    return embeddings.withColumn("bucket", F.expr(" + ".join(terms)))
 
 
 def cosine_topk_lsh(

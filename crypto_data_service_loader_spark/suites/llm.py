@@ -271,9 +271,11 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     semi-joins on doc_id — no collect, no crossJoin, no Python."""
     docs = load(spark, sf_dir, "documents")
     cleaned = dedup.remove_boilerplate_lines(docs, max_doc_freq=2)
-    # materialize the cleaned corpus once: quality features, the rank
-    # join, and the dedup fingerprints all re-read it, and each reference
-    # would otherwise re-run the whole line-explode + string_agg rebuild
+    # `alive` is no longer checkpointed (round 17): with quality attached
+    # scan-locally below it has exactly ONE downstream reference (the
+    # gate chain), so the r16 materialization — justified then by three
+    # references — would now be a pure extra job barrier; `gated`'s
+    # checkpoint right after covers the multi-reference stage.
     alive = (
         cleaned.filter(F.col("text_clean") != "")
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -283,7 +285,6 @@ def q_corpus_curation_pipeline(spark, sf_dir):
             "text_clean",
             F.length("text_clean").alias("n_chars_clean"),
         )
-        .localCheckpoint()
     )
     # quality attaches as ONE scan-local column on `alive` (round 17,
     # guide §2.4): the old shape ran quality_score as a separate relation
@@ -779,12 +780,15 @@ def q_docs_prep_pipeline(spark, sf_dir):
         .localCheckpoint()
     )
     passed = docs.join(passed_ids, "doc_id", "left_semi")
+    # `keep` is no longer checkpointed (round 17): the scan-local rollup
+    # below leaves it with exactly ONE reference (the semi-join), so the
+    # r16 materialization — justified then by the two rollup branches —
+    # would now be a pure extra job barrier.
     keep = (
         text.doc_fingerprints(passed)
         .groupBy("content_fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint()
     )
     kept = passed.join(keep, "doc_id", "left_semi")
     # per-doc rollup as ONE scan-local projection (round 17, guide §2.4):
