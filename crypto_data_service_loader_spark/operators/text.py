@@ -645,8 +645,18 @@ def bm25_rank(
             ).alias("part_score"),
         )
     )
-    scored = part.groupBy("query_id", id_col).agg(
-        F.round(dsum("part_score"), 6).alias("score")
+    # ONE exchange for the score agg AND the rank window (round 17,
+    # guide §2.4 — "two operations keyed the same way can share one
+    # exchange"): HashPartitioning(query_id) satisfies the clustering of
+    # groupBy(query_id, id) — the partition key is a subset of the
+    # grouping keys — and is exactly the window's partitioning, so both
+    # plan exchange-free on this repartition where they previously paid
+    # one exchange each. Skew bound: a query's partition already had to
+    # hold all its scored docs for the window, so this adds none.
+    scored = (
+        part.repartition("query_id")
+        .groupBy("query_id", id_col)
+        .agg(F.round(dsum("part_score"), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
