@@ -669,7 +669,13 @@ def minhash_sig_table(
     the n permutations are linear arithmetic over that digest; the MIN
     aggregate combines map-side so the shuffle carries (doc, n×int64).
     Docs with < k tokens have no shingles and drop out by construction."""
-    exploded = _spread(docs).select(
+    # keyed spread (round 17): the signature rollup below groups by the
+    # id, so hashing the doc rows by id up front makes THAT the
+    # pipeline's only exchange — the old round-robin _spread paid its
+    # own shuffle AND the groupBy's (partial-min'd) exchange. Explodes
+    # and projections preserve the partitioning, and per-key work is
+    # bounded by one doc's shingle count.
+    exploded = spread_by(docs, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), k)).alias("s"),
     )
